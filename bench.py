@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed via a count-style action (``df.count()`` after the
+full plan) so results materialize without driver-side collect of big rows.
+A warmup pass on sf0.001 first-touches the JVM/codegen so the timed numbers
+measure the plan, not Spark startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassandra_pv_archiver_spark.registry import REGISTRY
+from cassandra_pv_archiver_spark.session import get_spark
+
+#: headline queries: archiver core + generic relational + data pipeline.
+BENCH_QUERIES = [
+    "raw_scan",
+    "range_limit_modes",
+    "decimate_1h",
+    "decimate_cascade_6h",
+    "pick_first_1h",
+    "union_levels",
+    "severity_daily",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "window_running_total",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_metrics",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+]
+
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    fn = REGISTRY[name][0]
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.count()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for name in BENCH_QUERIES:  # warmup: JIT + codegen caches
+        try:
+            run_one(spark, name, WARMUP_DIR)
+        except Exception:  # noqa: BLE001
+            pass
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_one(spark, name, sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,437 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 as a
+(name -> Spark callable) plus, where SQL-expressible, a DuckDB oracle that
+computes the identical result on the same parquet inputs.
+
+Contract (driver): each Spark callable takes ``(spark, sf_dir)`` and returns
+a DataFrame; the oracle SQL runs on DuckDB views named after the parquet
+tables. Column names and float rounding are aligned on both sides because
+the driver hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import asof
+from .operators.decimate import NS, decimate, pick_first, reaggregate
+from .params import HI, LO, MID, PERIOD_1H, PERIOD_6H
+from .sources.testdata import (
+    SAMPLES_CTE,
+    STRING_SAMPLES_CTE,
+    load_samples,
+    load_string_samples,
+    load_table,
+)
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (mirror operators/decimate.py formulas exactly)
+# ---------------------------------------------------------------------------
+
+
+def _dec_ctes(period_s: int, src: str = "samples", out: str = "dec") -> str:
+    """CTE chain computing decimate(src, period_s) -> table ``out``.
+
+    Same math as :func:`operators.decimate.decimate` (A1/A2/A3 + W1/W2 via
+    interval splitting); severity pick via row_number because DuckDB's
+    arg_max cannot take a struct ordering key.
+    """
+    p = period_s * NS
+    return f"""
+{out}_iv AS (
+  SELECT channel, t, v, severity, status,
+         lead(t) OVER (PARTITION BY channel ORDER BY t) AS t_next,
+         max(t) OVER (PARTITION BY channel) AS hwm
+  FROM {src}
+),
+{out}_iv2 AS (
+  SELECT channel, t, v, severity, status, hwm, coalesce(t_next, hwm) AS t_end
+  FROM {out}_iv WHERE coalesce(t_next, hwm) > t
+),
+{out}_ex AS (
+  SELECT {out}_iv2.*, g.win,
+         least(t_end, (g.win+1)*{p}) - greatest(t, g.win*{p}) AS ws_ns,
+         CAST(floor(v * 100 + 0.5) AS BIGINT) AS vi
+  FROM {out}_iv2, LATERAL (
+    SELECT unnest(generate_series(t // {p}, (t_end-1) // {p})) AS win) g
+  WHERE (g.win+1)*{p} <= hwm
+),
+{out}_agg AS (
+  SELECT channel, win,
+         md AS mean,
+         sqrt(greatest(CAST(swv2 AS DOUBLE) / CAST(sw AS DOUBLE) / 10000.0
+                       - md * md, 0)) AS std,
+         vmin, vmax,
+         CAST(sw AS DOUBLE) / 1e9 / {period_s}.0 AS covered_fraction,
+         n_samples
+  FROM (
+    SELECT *, CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0 AS md FROM (
+      SELECT channel, win,
+             sum(ws_ns) AS sw,
+             sum(CAST(ws_ns AS HUGEINT) * vi) AS swv,
+             sum(CAST(ws_ns AS HUGEINT) * vi * vi) AS swv2,
+             min(v) AS vmin, max(v) AS vmax, count(*) AS n_samples
+      FROM {out}_ex GROUP BY channel, win))
+),
+{out}_sev AS (
+  SELECT channel, win, severity, status FROM (
+    SELECT channel, win, severity, status,
+           row_number() OVER (PARTITION BY channel, win ORDER BY severity DESC, t ASC) AS rn
+    FROM {out}_ex) WHERE rn = 1
+),
+{out} AS (
+  SELECT a.channel, win * {p} AS t, mean, std, vmin, vmax, covered_fraction,
+         s.severity, s.status, n_samples, 'Interpolated' AS quality
+  FROM {out}_agg a JOIN {out}_sev s USING (channel, win)
+)"""
+
+
+def _reagg_ctes(target_s: int, src: str = "dec", out: str = "reagg") -> str:
+    """CTE chain computing reaggregate(src, ., target_s) -> table ``out``
+    (A4: weight = hold-forward validity × covered_fraction; variance via
+    Σw·(std²+mean²), `AggregatedScalarDoubleAggregator.java:62-109`)."""
+    p = target_s * NS
+    return f"""
+{out}_iv AS (
+  SELECT channel, t, mean, std, vmin, vmax, covered_fraction, severity, status, n_samples,
+         lead(t) OVER (PARTITION BY channel ORDER BY t) AS t_next,
+         max(t) OVER (PARTITION BY channel) AS hwm
+  FROM {src}
+),
+{out}_iv2 AS (
+  SELECT *, coalesce(t_next, hwm) AS t_end FROM {out}_iv
+  WHERE coalesce(t_next, hwm) > t
+),
+{out}_ex AS (
+  SELECT {out}_iv2.*, g.win,
+         CAST(least(t_end, (g.win+1)*{p}) - greatest(t, g.win*{p}) AS HUGEINT)
+           * CAST(floor(covered_fraction * 10000 + 0.5) AS BIGINT) AS w,
+         CAST(floor(mean * 10000 + 0.5) AS BIGINT) AS mi,
+         CAST(floor(std * 10000 + 0.5) AS BIGINT) AS si
+  FROM {out}_iv2, LATERAL (
+    SELECT unnest(generate_series(t // {p}, (t_end-1) // {p})) AS win) g
+  WHERE (g.win+1)*{p} <= hwm
+),
+{out}_agg AS (
+  SELECT channel, win,
+         md AS mean,
+         sqrt(greatest(CAST(swm2 AS DOUBLE) / CAST(sw AS DOUBLE) / 100000000.0
+                       - md * md, 0)) AS std,
+         vmin, vmax,
+         CAST(sw AS DOUBLE) / 1e9 / 10000.0 / {target_s}.0 AS covered_fraction,
+         n_samples
+  FROM (
+    SELECT *, CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE) / 10000.0 AS md FROM (
+      SELECT channel, win,
+             sum(w) AS sw,
+             sum(w * mi) AS swm,
+             sum(w * (si * si + mi * mi)) AS swm2,
+             min(vmin) AS vmin, max(vmax) AS vmax, sum(n_samples) AS n_samples
+      FROM {out}_ex GROUP BY channel, win))
+),
+{out}_sev AS (
+  SELECT channel, win, severity, status FROM (
+    SELECT channel, win, severity, status,
+           row_number() OVER (PARTITION BY channel, win ORDER BY severity DESC, t ASC) AS rn
+    FROM {out}_ex) WHERE rn = 1
+),
+{out} AS (
+  SELECT a.channel, win * {p} AS t, mean, std, vmin, vmax, covered_fraction,
+         s.severity, s.status, n_samples, 'Interpolated' AS quality
+  FROM {out}_agg a JOIN {out}_sev s USING (channel, win)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# archiver queries (SURVEY.md §2.1–§2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: time-ordered bucket-range scan for one channel
+    (`ChannelAccessDatabaseAccess.java:283-311`); pushdown-checked."""
+    s = load_samples(spark, sf_dir)
+    return (
+        s.filter((F.col("channel") == "PV:7") & F.col("t").between(LO, HI))
+        .select("channel", "t", "v", "severity", "status")
+        .orderBy("t")
+    )
+
+
+SQL_RAW_SCAN = f"""
+WITH {SAMPLES_CTE}
+SELECT channel, t, v, severity, status FROM samples
+WHERE channel = 'PV:7' AND t BETWEEN {LO} AND {HI}
+ORDER BY t
+"""
+
+
+def q_raw_latest_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: newest-first probe, 3 most recent samples at/before MID per
+    channel (`ChannelAccessDatabaseAccess.java:328-351`)."""
+    s = load_samples(spark, sf_dir).filter(F.col("t") <= MID)
+    w = Window.partitionBy("channel").orderBy(F.desc("t"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("channel", "t", "v", "rn")
+        .orderBy("channel", "rn")
+    )
+
+
+SQL_RAW_LATEST_N = f"""
+WITH {SAMPLES_CTE}
+SELECT channel, t, v, rn FROM (
+  SELECT channel, t, v,
+         row_number() OVER (PARTITION BY channel ORDER BY t DESC) AS rn
+  FROM samples WHERE t <= {MID})
+WHERE rn <= 3 ORDER BY channel, rn
+"""
+
+
+def q_asof_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: per channel, latest sample with t <= MID
+    (`ArchiveAccessServiceImpl.firstBucketFindFirstSample:239-316`)."""
+    s = load_samples(spark, sf_dir).select("channel", "t", "v", "severity", "status")
+    return asof.asof_before(s, MID).orderBy("channel")
+
+
+SQL_ASOF_BEFORE = f"""
+WITH {SAMPLES_CTE}
+SELECT channel, t, v, severity, status FROM (
+  SELECT channel, t, v, severity, status,
+         row_number() OVER (PARTITION BY channel ORDER BY t DESC) AS rn
+  FROM samples WHERE t <= {MID})
+WHERE rn = 1 ORDER BY channel
+"""
+
+
+def q_asof_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: per channel, earliest sample with t >= MID
+    (`ArchiveAccessServiceImpl.lastBucketFindLastSample:514-598`)."""
+    s = load_samples(spark, sf_dir).select("channel", "t", "v", "severity", "status")
+    return asof.asof_after(s, MID).orderBy("channel")
+
+
+SQL_ASOF_AFTER = f"""
+WITH {SAMPLES_CTE}
+SELECT channel, t, v, severity, status FROM (
+  SELECT channel, t, v, severity, status,
+         row_number() OVER (PARTITION BY channel ORDER BY t ASC) AS rn
+  FROM samples WHERE t >= {MID})
+WHERE rn = 1 ORDER BY channel
+"""
+
+
+def q_range_limit_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-path range query with (AT_OR_BEFORE, AT_OR_AFTER) limit modes:
+    core range ∪ boundary probes, distinct (`ArchiveAccessService.java:55-135`)."""
+    s = load_samples(spark, sf_dir).select("channel", "t", "v", "severity", "status")
+    return asof.get_samples(s, LO, HI, asof.AT_OR_BEFORE, asof.AT_OR_AFTER)
+
+
+SQL_RANGE_LIMIT_MODES = f"""
+WITH {SAMPLES_CTE},
+core AS (
+  SELECT channel, t, v, severity, status FROM samples WHERE t BETWEEN {LO} AND {HI}
+),
+lo_probe AS (
+  SELECT channel, t, v, severity, status FROM (
+    SELECT channel, t, v, severity, status,
+           row_number() OVER (PARTITION BY channel ORDER BY t DESC) AS rn
+    FROM samples WHERE t <= {LO}) WHERE rn = 1
+),
+hi_probe AS (
+  SELECT channel, t, v, severity, status FROM (
+    SELECT channel, t, v, severity, status,
+           row_number() OVER (PARTITION BY channel ORDER BY t ASC) AS rn
+    FROM samples WHERE t >= {HI}) WHERE rn = 1
+)
+SELECT * FROM core UNION SELECT * FROM lo_probe UNION SELECT * FROM hi_probe
+ORDER BY channel, t
+"""
+
+
+def q_decimate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A3/W1/W2: time-weighted decimation of the raw series to 1 h."""
+    return decimate(load_samples(spark, sf_dir), PERIOD_1H).orderBy("channel", "t")
+
+
+SQL_DECIMATE_1H = f"""
+WITH {SAMPLES_CTE},
+{_dec_ctes(PERIOD_1H)}
+SELECT * FROM dec ORDER BY channel, t
+"""
+
+
+def q_decimate_cascade_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: cascade — 1 h aggregates re-aggregated to 6 h (algebraic
+    recombination, weight = validity × covered_fraction)."""
+    dec1h = decimate(load_samples(spark, sf_dir), PERIOD_1H)
+    return reaggregate(dec1h, PERIOD_1H, PERIOD_6H).orderBy("channel", "t")
+
+
+SQL_DECIMATE_CASCADE_6H = f"""
+WITH {SAMPLES_CTE},
+{_dec_ctes(PERIOD_1H)},
+{_reagg_ctes(PERIOD_6H)}
+SELECT * FROM reagg ORDER BY channel, t
+"""
+
+
+def q_pick_first_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: pick-first decimation of a non-aggregatable (string) series
+    (`PickFirstSampleAggregator.java:50-76`)."""
+    return pick_first(load_string_samples(spark, sf_dir), PERIOD_1H).orderBy(
+        "channel", "t"
+    )
+
+
+_P1H = PERIOD_1H * NS
+SQL_PICK_FIRST_1H = f"""
+WITH {STRING_SAMPLES_CTE},
+iv AS (
+  SELECT channel, t, sval,
+         lead(t) OVER (PARTITION BY channel ORDER BY t) AS t_next,
+         max(t) OVER (PARTITION BY channel) AS hwm
+  FROM string_samples
+),
+iv2 AS (
+  SELECT channel, t, sval, hwm, coalesce(t_next, hwm) AS t_end
+  FROM iv WHERE coalesce(t_next, hwm) > t
+),
+ex AS (
+  SELECT iv2.*, g.win, greatest(t, g.win*{_P1H}) AS clip
+  FROM iv2, LATERAL (
+    SELECT unnest(generate_series(t // {_P1H}, (t_end-1) // {_P1H})) AS win) g
+  WHERE (g.win+1)*{_P1H} <= hwm
+)
+SELECT channel, win * {_P1H} AS t, arg_min(sval, clip) AS sval,
+       count(*) AS n_samples, 'Interpolated' AS quality
+FROM ex GROUP BY channel, win ORDER BY channel, t
+"""
+
+
+def q_union_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: retention-fallback ordered union — coarse (1 h aggregated) level
+    serves t < HI, raw level serves t >= HI (`Api10Controller.java:443-518`)."""
+    raw = load_samples(spark, sf_dir)
+    dec = decimate(raw, PERIOD_1H)
+    fine = raw.select(
+        "channel", "t", F.col("v").alias("value"), F.lit(0).alias("level")
+    )
+    coarse = dec.select(
+        "channel", "t", F.col("mean").alias("value"), F.lit(PERIOD_1H).alias("level")
+    )
+    return asof.union_levels(fine, coarse, HI)
+
+
+SQL_UNION_LEVELS = f"""
+WITH {SAMPLES_CTE},
+{_dec_ctes(PERIOD_1H)}
+SELECT * FROM (
+  SELECT channel, t, mean AS value, {PERIOD_1H} AS level FROM dec WHERE t <= {HI} - 1
+  UNION ALL
+  SELECT channel, t, v AS value, 0 AS level FROM samples WHERE t >= {HI}
+) ORDER BY channel, t
+"""
+
+
+def q_channel_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 + archive-info: glob 'PV:1*' over channel names, per-channel sample
+    count / time extent / mean (`Api10Controller.compileGlobPattern:307-345`)."""
+    from .functions.glob import glob_to_like
+
+    s = load_samples(spark, sf_dir)
+    return (
+        s.filter(F.col("channel").like(glob_to_like("PV:1*")))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("t").alias("t_min"),
+            F.max("t").alias("t_max"),
+            (
+                F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(100.0)
+            ).alias("v_mean"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_CHANNEL_GLOB = f"""
+WITH {SAMPLES_CTE}
+SELECT channel, count(*) AS n_samples, min(t) AS t_min, max(t) AS t_max,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS v_mean
+FROM samples WHERE channel LIKE 'PV:1%'
+GROUP BY channel ORDER BY channel
+"""
+
+
+def q_monotonic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: monotonicity-filter accounting — events seen vs samples kept per
+    channel ('skipped back' counter, `ArchivedChannelDecimationLevel.java:398-425`)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
+        F.expr("(ts div 1000) * 1000").alias("t"),
+    )
+    return (
+        ev.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("t").alias("n_kept"),
+            (F.count(F.lit(1)) - F.countDistinct("t")).alias("n_dropped"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_MONOTONIC_STATS = """
+SELECT 'PV:' || CAST(user_id AS VARCHAR) AS channel,
+       count(*) AS n_events,
+       count(DISTINCT epoch_ns(ts)) AS n_kept,
+       count(*) - count(DISTINCT epoch_ns(ts)) AS n_dropped
+FROM events GROUP BY user_id ORDER BY channel
+"""
+
+
+def q_severity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 standalone: per (channel, day) max severity with first-wins status
+    (`AveragingSampleAggregator.java:114-141`)."""
+    s = load_samples(spark, sf_dir)
+    day_ns = 86400 * NS
+    d = s.withColumn("day", F.expr(f"t div {day_ns}"))
+    return (
+        d.groupBy("channel", "day")
+        .agg(
+            F.expr(
+                "max_by(named_struct('severity', severity, 'status', status),"
+                " named_struct('sev', severity, 'negt', -t))"
+            ).alias("_p"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            "channel",
+            "day",
+            F.col("_p.severity").alias("severity"),
+            F.col("_p.status").alias("status"),
+            "n_samples",
+        )
+        .orderBy("channel", "day")
+    )
+
+
+SQL_SEVERITY_DAILY = f"""
+WITH {SAMPLES_CTE},
+d AS (SELECT channel, t // {86400 * NS} AS day, severity, status, t FROM samples),
+a AS (SELECT channel, day, count(*) AS n_samples FROM d GROUP BY channel, day),
+p AS (
+  SELECT channel, day, severity, status FROM (
+    SELECT channel, day, severity, status,
+           row_number() OVER (PARTITION BY channel, day ORDER BY severity DESC, t ASC) AS rn
+    FROM d) WHERE rn = 1
+)
+SELECT a.channel, a.day, p.severity, p.status, a.n_samples
+FROM a JOIN p USING (channel, day) ORDER BY channel, day
+"""

@@ -1,0 +1,291 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings``:
+deduplication, similarity search, text analysis, multimodal plumbing.
+
+Hash and tokenization choices are engine-portable (md5 hex, whitespace-run
+regex) so every operator except the bit-twiddling SimHash has an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .sources.testdata import load_table
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+# DuckDB-side tokenization mirror of operators/text._WORDS
+_W_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+
+# distinct word-3-gram shingles per doc (mirror of operators.dedup.shingles)
+SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM (SELECT doc_id, {_W_SQL} AS w FROM documents)
+  WHERE len(w) >= 3
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 digest groupBy, min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("keep_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+JACCARD_THRESHOLD = 0.5
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5) — quadratic
+    oracle baseline for the MinHash/LSH path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    return dedup.jaccard_pairs(sh, JACCARD_THRESHOLD).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard,
+       n_common
+FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+MINHASH_K = 8
+MINHASH_BAND = 2
+MINHASH_VERIFY = 0.2
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands of 2) candidates, verified by true Jaccard
+    >= 0.2 — the 100 TB-safe near-dup plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    return dedup.minhash_lsh_pairs(
+        sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_minhash() -> str:
+    mh_cols = ",\n         ".join(
+        f"min(md5('{j}:' || shingle)) AS mh_{j}" for j in range(MINHASH_K)
+    )
+    n_bands = MINHASH_K // MINHASH_BAND
+    band_rows = ", ".join(
+        "({b}, md5({cat}))".format(
+            b=b,
+            cat=" || ".join(
+                f"mh_{b * MINHASH_BAND + i}" for i in range(MINHASH_BAND)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, bk.band, bk.key
+  FROM sig, LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) bk
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+   AND a.shingle = b.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard, n_common
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {MINHASH_VERIFY}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only check: 64-bit bit-twiddling has
+    no practical SQL oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.text_metrics(docs).orderBy("doc_id")
+
+
+_STOP_PRED = " OR ".join(f"x = '{s}'" for s in text.STOPWORDS)
+SQL_TEXT_METRICS = f"""
+WITH d AS (
+  SELECT doc_id, {_W_SQL} AS w,
+         length(text) AS n_chars_total,
+         length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS nc_nopunct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         n_chars_total,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS tok_chars,
+         len(list_filter(w, x -> {_STOP_PRED})) AS n_stop,
+         n_chars_total - nc_nopunct AS n_punct
+  FROM d
+)
+SELECT doc_id, n_tokens, n_chars_total,
+       tok_chars / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       n_stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       n_punct / CAST(n_chars_total AS DOUBLE) AS punct_ratio,
+       0.4 * least(1.0, n_tokens / 100.0)
+         + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+         + 0.3 * least(1.0, tok_chars / CAST(n_tokens AS DOUBLE) / 8.0)
+         AS quality_score
+FROM m ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs).orderBy("doc_id")
+
+
+def _sql_lang_id() -> str:
+    whens = []
+    for lang, markers in text.LANG_MARKERS:
+        cond = " OR ".join(f"x = '{m}'" for m in markers)
+        whens.append(f"WHEN len(list_filter(w, x -> {cond})) > 0 THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    return f"""
+WITH d AS (SELECT doc_id, lang AS lang_label, {_W_SQL} AS w FROM documents)
+SELECT doc_id, {case} AS lang_pred, lang_label,
+       ({case}) = lang_label AS match
+FROM d ORDER BY doc_id
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).orderBy("doc_id")
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({_W_SQL}, ' ')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, ANN_QUERY_IDS, k=10).orderBy("q_id", "rank")
+
+
+_IDS = ", ".join(map(str, ANN_QUERY_IDS))
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len(q.q_vec)),"
+    " i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+)
+_QN = (
+    "sqrt(list_sum(list_transform(generate_series(1, len(q.q_vec)),"
+    " i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))"
+)
+_EN = (
+    "sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),"
+    " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+)
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT q.q_id, e.vec_id, round({_DOT} / ({_QN} * {_EN}), 4) AS sim
+  FROM embeddings e, q WHERE e.vec_id != q.q_id
+)
+SELECT q_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats: count + mean L2 norm (vector math via
+    JVM-side lambdas)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = similarity.with_norm(emb)
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.expr("CAST(norm AS DECIMAL(38,10))")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_LABEL_STATS = """
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+             AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4)
+         AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text->blob, mapInPandas feature extraction
+    (decode stubbed with deterministic pseudo-features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.to_blob_table(docs)
+    return multimodal.extract_features(blobs).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS digest,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
+FROM documents ORDER BY doc_id
+"""

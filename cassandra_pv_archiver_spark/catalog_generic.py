@@ -1,0 +1,199 @@
+"""Generic relational surface over the TPC-H-ish tables.
+
+The reference has no general-purpose joins/aggregations (SURVEY.md §2.3) —
+Spark supplies them natively; these queries exercise that surface and give
+the bench its classic shapes: wide aggregation (q1), broadcast-dim join +
+top-k (q3), multi-join star (q5), window analytics.
+
+Scale notes: region/nation/customer/supplier are dimensions — joins against
+them are explicitly broadcast so the 100 TB fact side never shuffles for
+them; top-k uses orderBy().limit() which Spark executes as TakeOrdered
+(partial per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.testdata import load_table
+
+
+def _dsum(expr: str) -> F.Column:
+    """Order-insensitive double sum: per-row double term -> DECIMAL(38,10)
+    -> exact sum -> double. The per-row terms are (near-)exact <=6-decimal
+    rationals, so their double error (~1e-12 relative) sits far from the
+    1e-10 cast quantum: both engines quantize identically, the sum is exact,
+    and the resulting double is bit-identical — hence no final rounding
+    (rounding exact decimal sums would land on ties where engines' rounding
+    implementations disagree)."""
+    return F.sum(F.expr(f"CAST(({expr}) AS DECIMAL(38,10))")).cast("double")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: single-pass partial-aggregated groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum("l_extendedprice * (1 - l_discount)").alias("sum_disc_price"),
+            _dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)").alias(
+                "sum_charge"
+            ),
+            (_dsum("l_quantity") / cnt).alias("avg_qty"),
+            (_dsum("l_extendedprice") / cnt).alias("avg_price"),
+            (_dsum("l_discount") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _sql_dsum(expr: str) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity')} AS sum_qty,
+       {_sql_dsum('l_extendedprice')} AS sum_base_price,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_sql_dsum('l_quantity')} / count(*) AS avg_qty,
+       {_sql_dsum('l_extendedprice')} / count(*) AS avg_price,
+       {_sql_dsum('l_discount')} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: broadcast customer dim, top-10 by revenue
+    (TakeOrdered — no global sort at scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.filter(F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-01-01'"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01'")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: star join with every dimension
+    broadcast; only the lineitem↔orders join shuffles."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(
+            _dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", F.desc("revenue"), "n_name")
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT r_name, n_name,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, revenue DESC, n_name
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 surface: per-customer running order total + order rank (analytic
+    window functions, absent in the reference, free in Spark)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+            F.row_number().over(w).alias("order_rank"),
+        )
+        .orderBy("o_custkey", "order_rank")
+    )
+
+
+SQL_WINDOW_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS order_rank
+FROM orders
+ORDER BY o_custkey, order_rank
+"""

@@ -1,0 +1,106 @@
+"""As-of boundary probes and limit-mode range queries (read path).
+
+Reference semantics: `ArchiveAccessService.java:55-135` (limit-mode
+cardinality contract) and the bucket-walking probes
+`ArchiveAccessServiceImpl.java:197-316` (backward, J1) / `:462-598`
+(forward, J2).  The reference steps bucket-by-bucket because Cassandra can
+only range-scan inside one partition; in Spark the probe is a single
+``max_by``/``min_by`` aggregation over the pruned scan — partition pruning on
+``(channel, date)`` plus parquet min/max row-group skipping plays the role of
+the bucket index (`SURVEY.md §1.5`).
+
+The limit-mode contract is reproduced declaratively as a union-distinct:
+
+  core        = rows with lo <= t <= hi
+  lower probe = (lo_mode == AT_OR_BEFORE)  latest row with t <= lo
+  upper probe = (hi_mode == AT_OR_AFTER)   earliest row with t >= hi
+
+If a sample sits exactly at a boundary the probe returns that same row and
+the distinct collapses it — which is precisely the reference's exact-match
+short-circuit, including the 0/1/1/2 table for lo == hi.
+
+Scale: probes are partial aggregations (map-side combine) grouped by
+channel — no window-function full sort, no driver collect.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AT_OR_BEFORE = "AT_OR_BEFORE"
+AT_OR_AFTER = "AT_OR_AFTER"
+
+
+def _probe(df: DataFrame, key: str, agg: str) -> DataFrame:
+    """One row per key: arg-min/arg-max of the full row by t."""
+    cols = [c for c in df.columns if c != key]
+    aggs = [F.expr(f"{agg}({c}, t)").alias(c) for c in cols]
+    return df.groupBy(key).agg(*aggs).select(df.columns)
+
+
+def asof_before(df: DataFrame, ts: int, key: str = "channel") -> DataFrame:
+    """J1: per key, the latest row with t <= ts (0 or 1 rows per key)."""
+    return _probe(df.filter(F.col("t") <= ts), key, "max_by")
+
+
+def asof_after(df: DataFrame, ts: int, key: str = "channel") -> DataFrame:
+    """J2: per key, the earliest row with t >= ts (0 or 1 rows per key)."""
+    return _probe(df.filter(F.col("t") >= ts), key, "min_by")
+
+
+def get_samples(
+    df: DataFrame,
+    lo: int,
+    hi: int,
+    lo_mode: str = AT_OR_BEFORE,
+    hi_mode: str = AT_OR_AFTER,
+    key: str = "channel",
+    channels: Sequence[str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Limit-mode time-range query over one or all channels, time-ordered.
+
+    Mirrors `ArchiveAccessServiceImpl.getSamples` (`:756-813`): core range
+    scan plus optional boundary probes, distinct, ascending by (key, t).
+    ``limit`` reproduces S4's client LIMIT (−1/None = unbounded,
+    `ControlSystemSupport.java:49`).
+    """
+    if lo > hi:
+        raise ValueError(f"lo {lo} > hi {hi}")
+    if channels is not None:
+        df = df.filter(F.col(key).isin(list(channels)))
+    parts = [df.filter(F.col("t").between(lo, hi))]
+    if lo_mode == AT_OR_BEFORE:
+        parts.append(asof_before(df, lo, key=key))
+    if hi_mode == AT_OR_AFTER:
+        parts.append(asof_after(df, hi, key=key))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.dropDuplicates([key, "t"]).orderBy(key, "t")
+    if limit is not None and limit >= 0:
+        out = out.limit(limit)
+    return out
+
+
+def union_levels(
+    fine: DataFrame,
+    coarse: DataFrame,
+    boundary: int,
+    key: str = "channel",
+) -> DataFrame:
+    """U1: ordered union across decimation levels
+    (`Api10Controller.java:443-518`).
+
+    The fine level covers ``t >= boundary`` (its earliest available sample);
+    the coarse level fills the older range with an exclusive upper bound
+    ``boundary - 1`` — disjoint ranges, concatenated in time order.
+    Columns are aligned by name; levels must share a schema (callers project
+    first).
+    """
+    older = coarse.filter(F.col("t") <= boundary - 1)
+    newer = fine.filter(F.col("t") >= boundary)
+    return older.unionByName(newer).orderBy(key, "t")

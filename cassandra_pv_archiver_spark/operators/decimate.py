@@ -1,0 +1,321 @@
+"""Time-weighted (hold-forward) decimation — the semantic core of the engine.
+
+Reference contract (`SampleDecimator.java:36-113`,
+`AbstractStatefulSampleDecimator.java:74-92`): for each epoch-aligned target
+interval ``[start, start+period)`` the decimator sees one seed sample with
+``t <= start`` plus every in-interval sample, each valid from
+``max(t, start)`` until the next sample's ``t`` (or interval end) — a
+step-function / last-observation-carried-forward integral, not an arithmetic
+mean of points. Output is stamped ``t = start`` and represents the period
+*after* its timestamp.
+
+Spark-first formulation (SURVEY.md §7.2): instead of the reference's
+sample-at-a-time state machine (`ArchivedChannelDecimatedSamplesDecimationLevel
+.java:840-1174`), we compute each sample's validity interval ``[t, t_next)``
+with one ``lead`` window, **split it at window boundaries** with
+``sequence``+``explode``, and run a plain ``groupBy`` aggregation. Seeding
+(W2) and gap filling fall out of the splitting: a sample whose validity spans
+k windows contributes a weighted row to each. Everything stays JVM-side in
+whole-stage codegen — no Python in the hot path.
+
+Scale notes (100 TB): the only shuffle is the per-channel sort for ``lead``
+plus the groupBy — both hash-partition on ``channel``, so with the archive
+store partitioned by channel the exchange is one-time and reusable. Partial
+aggregation (map-side combine) applies to all the sums. A channel silent for
+a long gap explodes into one row per covered window — bounded by
+``retention/period``, same as the reference's own gap-fill loop
+(`...DecimatedSamplesDecimationLevel.java:959-1147`); ``max_gap_windows``
+optionally clips pathological gaps.
+
+All timestamps are int64 nanoseconds; window arithmetic uses integer ``div``
+(never double division — ns values exceed 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000
+
+#: 2^32 / 2^64 — bases for the exact big-integer -> double decomposition
+_B32 = 4294967296
+_B64 = 18446744073709551616
+
+
+def big_to_double(col: str) -> str:
+    """SQL expr converting an exact big integer (DECIMAL(38,0)/long) to
+    double via sign × (hi·2^64 + mid·2^32 + lo).
+
+    Why not a plain CAST: Spark's Decimal→double is correctly rounded
+    (BigDecimal), DuckDB's HUGEINT→double is not (it recombines 64-bit
+    halves in floating point) — casts of sums beyond 2^53 disagree by a few
+    ulps between engines. This decomposition uses only exact < 2^53 integer
+    casts plus IEEE mul/add in a fixed order, so *both* engines produce the
+    bit-identical double (good to ~2^117).  The DuckDB mirror is
+    :func:`big_to_double_duck` — same ops, `//` for integral division.
+    """
+    a = f"abs({col})"
+    return (
+        f"(CASE WHEN {col} < 0 THEN -1.0 ELSE 1.0 END) * ("
+        f"CAST({a} div {_B64} AS DOUBLE) * {_B64}.0 + "
+        f"CAST(({a} % {_B64}) div {_B32} AS DOUBLE) * {_B32}.0 + "
+        f"CAST({a} % {_B32} AS DOUBLE))"
+    )
+
+
+def big_to_double_duck(col: str) -> str:
+    """DuckDB dialect of :func:`big_to_double` (hugeint `//`)."""
+    a = f"abs({col})"
+    return (
+        f"(CASE WHEN {col} < 0 THEN -1.0 ELSE 1.0 END) * ("
+        f"CAST({a} // {_B64} AS DOUBLE) * {_B64}.0 + "
+        f"CAST(({a} % {_B64}) // {_B32} AS DOUBLE) * {_B32}.0 + "
+        f"CAST({a} % {_B32} AS DOUBLE))"
+    )
+
+#: numeric types the averaging aggregators handle
+#: (`ChannelAccessSampleType.java`: the 5 scalar numeric types + their
+#: aggregated forms)
+AGGREGATABLE_TYPES = (
+    "scalar_char",
+    "scalar_short",
+    "scalar_long",
+    "scalar_float",
+    "scalar_double",
+    "aggregated_scalar_char",
+    "aggregated_scalar_short",
+    "aggregated_scalar_long",
+    "aggregated_scalar_float",
+    "aggregated_scalar_double",
+)
+
+#: value-less quality markers (`ChannelAccessSampleType.java:85-93`)
+MARKER_TYPES = ("disabled", "disconnected")
+
+
+def explode_validity_windows(
+    df: DataFrame,
+    period_ns: int,
+    key: str = "channel",
+    t: str = "t",
+    max_gap_windows: int | None = None,
+) -> DataFrame:
+    """Assign each sample its hold-forward validity, split at window bounds.
+
+    Adds columns:
+      ``win``  — window index (``window_start_ns = win * period_ns``)
+      ``ws``   — validity seconds inside that window (double, > 0)
+      ``clip`` — validity start inside the window (ns; == window start for
+                 the seed sample)
+
+    Only *complete* windows are kept: ``(win+1)*period <= hwm`` where ``hwm``
+    is the channel's newest timestamp — mirroring the reference, which emits
+    an interval only once a source sample at/after its end exists
+    (`...DecimatedSamplesDecimationLevel.java:890-927`).
+    """
+    p = F.lit(period_ns)
+    w_ord = Window.partitionBy(key).orderBy(t)
+    w_all = Window.partitionBy(key)
+    d = (
+        df.withColumn("_t_next", F.lead(t).over(w_ord))
+        .withColumn("_hwm", F.max(t).over(w_all))
+        .withColumn("_t_end", F.coalesce("_t_next", "_hwm"))
+        .filter(F.col("_t_end") > F.col(t))
+    )
+    win_lo = F.expr(f"{t} div {period_ns}")
+    win_hi = F.expr(f"(_t_end - 1) div {period_ns}")
+    if max_gap_windows is not None:
+        win_hi = F.least(win_hi, win_lo + F.lit(max_gap_windows))
+    d = (
+        d.withColumn("win", F.explode(F.sequence(win_lo, win_hi)))
+        .filter((F.col("win") + 1) * p <= F.col("_hwm"))
+        .withColumn("clip", F.greatest(F.col(t), F.col("win") * p))
+        .withColumn(
+            "ws_ns",
+            F.least(F.col("_t_end"), (F.col("win") + 1) * p) - F.col("clip"),
+        )
+        .withColumn("ws", F.col("ws_ns") / F.lit(float(NS)))
+        .drop("_t_next", "_hwm", "_t_end")
+    )
+    return d
+
+
+def _severity_agg():
+    """A2: severity/status of the first sample attaining the max severity
+    (`AveragingSampleAggregator.java:114-141`). Processing order is time
+    order, so 'first' == smallest t among max-severity rows."""
+    return F.expr(
+        "max_by(named_struct('severity', severity, 'status', status),"
+        " named_struct('sev', severity, 'negt', -t))"
+    ).alias("_sevpick")
+
+
+def decimate(
+    df: DataFrame,
+    period_s: int,
+    key: str = "channel",
+    round_to: int | None = None,
+    v_decimals: int = 2,
+    max_gap_windows: int | None = None,
+) -> DataFrame:
+    """Raw numeric samples -> aggregated samples at ``period_s``.
+
+    Input columns: ``channel, t, v, severity, status`` (one numeric scalar
+    series per channel; strictly increasing t).
+    Output: ``channel, t (=interval start), mean, std, vmin, vmax,
+    covered_fraction, severity, status, n_samples`` — the aggregated-scalar
+    payload of `ChannelAccessSampleValueAccess.java:165-176`, math per
+    `ScalarDoubleAggregator.java:61-85`:
+      mean = Σ(w·v)/Σw ;  std = sqrt(max(Σ(w·v²)/Σw − mean², 0))
+      min/max = plain extrema ;  covered_fraction = Σw / period.
+
+    Determinism strategy (matters for the cross-engine value-hash check):
+    values carry ``v_decimals`` decimals, so ``floor(v·10^d + 0.5)`` recovers
+    an exact integer; weights are exact int64 nanoseconds. All sums are then
+    exact integer/decimal arithmetic — order-insensitive — and the final
+    double divisions are bit-identical on any IEEE engine, so outputs are
+    left **unrounded** by default: rounding exact-rational quotients can land
+    precisely on decimal ties, where engines' rounding implementations
+    (BigDecimal exact expansion vs scaled-multiply) legitimately disagree.
+    """
+    period_ns = period_s * NS
+    d = explode_validity_windows(df, period_ns, key=key, max_gap_windows=max_gap_windows)
+    vs = 10 ** v_decimals
+    d = d.withColumn("_vi", F.expr(f"CAST(floor(v * {vs} + 0.5) AS BIGINT)"))
+    sw = F.sum("ws_ns")  # ≤ period_ns: fits int64 exactly
+    swv = F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi"))
+    swv2 = F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi * _vi"))
+    swd = sw.cast("double")
+    mean = swv.cast("double") / swd / F.lit(float(vs))
+    var = swv2.cast("double") / swd / F.lit(float(vs * vs)) - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    frac = swd / F.lit(1e9) / F.lit(float(period_s))
+    _r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    out = d.groupBy(key, "win").agg(
+        _r(mean).alias("mean"),
+        _r(std).alias("std"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        _r(frac).alias("covered_fraction"),
+        _severity_agg(),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    return out.select(
+        F.col(key),
+        (F.col("win") * F.lit(period_ns)).alias("t"),
+        "mean",
+        "std",
+        "vmin",
+        "vmax",
+        "covered_fraction",
+        F.col("_sevpick.severity").alias("severity"),
+        F.col("_sevpick.status").alias("status"),
+        "n_samples",
+        F.lit("Interpolated").alias("quality"),
+    )
+
+
+def reaggregate(
+    df: DataFrame,
+    source_period_s: int,
+    target_period_s: int,
+    key: str = "channel",
+    input_scale: int = 4,
+    round_to: int | None = None,
+    max_gap_windows: int | None = None,
+) -> DataFrame:
+    """A4: aggregated samples -> coarser aggregated samples (cascade).
+
+    Algebraic recombination per `AggregatedScalarDoubleAggregator.java:62-109`:
+    each source aggregate is held forward like a raw sample, but its weight is
+    scaled by its own covered fraction (weight correction `:74-85`); variance
+    recombines via Σw·(std²+mean²).  Input = output schema of :func:`decimate`.
+
+    Exact-integer formulation (see :func:`decimate` determinism notes): the
+    source mean/std/covered_fraction are quantized to ``input_scale`` digits
+    (``floor(x·10^r + 0.5)`` on identical doubles gives identical integers on
+    any IEEE engine), weights are int64 ns × integer frac — so every sum is
+    exact and order-free, and the final double divisions are bit-identical
+    across engines; outputs are left unrounded by default.
+    """
+    if target_period_s % source_period_s != 0:
+        raise ValueError(
+            "cascade requires the source period to be a proper divisor of the"
+            f" target ({source_period_s} !| {target_period_s});"
+            " cf. ArchivedChannel.java:766-793"
+        )
+    period_ns = target_period_s * NS
+    d = explode_validity_windows(df, period_ns, key=key, max_gap_windows=max_gap_windows)
+    rs = 10 ** input_scale
+    d = (
+        d.withColumn("_m", F.expr(f"CAST(floor(mean * {rs} + 0.5) AS BIGINT)"))
+        .withColumn("_s", F.expr(f"CAST(floor(std * {rs} + 0.5) AS BIGINT)"))
+        .withColumn(
+            "_f", F.expr(f"CAST(floor(covered_fraction * {rs} + 0.5) AS BIGINT)")
+        )
+        .withColumn("_w", F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _f"))
+    )
+    sw = F.sum(F.col("_w"))
+    swm = F.sum(F.col("_w") * F.col("_m"))
+    swm2 = F.sum(F.col("_w") * (F.col("_s") * F.col("_s") + F.col("_m") * F.col("_m")))
+    swd = sw.cast("double")
+    mean = swm.cast("double") / swd / F.lit(float(rs))
+    var = swm2.cast("double") / swd / F.lit(float(rs * rs)) - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    # sw is ns·frac-units: /1e9 -> s·frac-units, /rs -> s, /target -> fraction
+    frac = swd / F.lit(1e9) / F.lit(float(rs)) / F.lit(float(target_period_s))
+    _r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    out = d.groupBy(key, "win").agg(
+        _r(mean).alias("mean"),
+        _r(std).alias("std"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        _r(frac).alias("covered_fraction"),
+        _severity_agg(),
+        F.sum("n_samples").alias("n_samples"),
+    )
+    return out.select(
+        F.col(key),
+        (F.col("win") * F.lit(period_ns)).alias("t"),
+        "mean",
+        "std",
+        "vmin",
+        "vmax",
+        "covered_fraction",
+        F.col("_sevpick.severity").alias("severity"),
+        F.col("_sevpick.status").alias("status"),
+        "n_samples",
+        F.lit("Interpolated").alias("quality"),
+    )
+
+
+def pick_first(
+    df: DataFrame,
+    period_s: int,
+    payload: str = "sval",
+    key: str = "channel",
+    max_gap_windows: int | None = None,
+) -> DataFrame:
+    """A5: non-aggregatable series -> re-stamped copy of the sample valid at
+    each interval start (`PickFirstSampleAggregator.java:50-76`).
+
+    Validity intervals are disjoint, so exactly one row's clipped validity
+    start equals the window start (the seed); ``min_by(payload, clip)``
+    selects it, and in the cold-start window (no seed) falls back to the
+    first in-window sample — matching the reference's 'first processed
+    sample' rule.
+    """
+    period_ns = period_s * NS
+    d = explode_validity_windows(df, period_ns, key=key, max_gap_windows=max_gap_windows)
+    out = d.groupBy(key, "win").agg(
+        F.expr(f"min_by({payload}, clip)").alias(payload),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    return out.select(
+        F.col(key),
+        (F.col("win") * F.lit(period_ns)).alias("t"),
+        payload,
+        "n_samples",
+        F.lit("Interpolated").alias("quality"),
+    )

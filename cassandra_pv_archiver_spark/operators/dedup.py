@@ -1,0 +1,238 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+All hash choices are engine-portable (md5 hex strings, lexicographic min) so
+every operator here has an exact DuckDB oracle; nothing depends on
+Spark-internal hash functions.
+
+Scale design:
+- exact: one groupBy on the digest — map-side combine, minimal shuffle.
+- shingles: generated with JVM-side array lambdas (``transform`` over index
+  ``sequence``), never a Python UDF.
+- MinHash/LSH: signature = k column-wise mins over the exploded shingle set
+  (partial aggregation); banding turns the quadratic pair search into an
+  equi-join on band keys — the canonical 100 TB-safe near-dup plan. The
+  naive all-shared-shingle pair join is kept as the small-scale oracle
+  baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest: one surviving (minimum) id per digest.
+
+    Returns: digest, keep_id, n_dups.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokenization: lowercase, split on whitespace runs, drop empties —
+    identical semantics to ``regexp_split_to_array(lower(text), '\\s+')``
+    in the DuckDB oracle.
+    """
+    words = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')")
+    idx = F.expr(f"sequence(0, size(_w) - {n})")
+    parts = " , ' ', ".join([f"_w[i + {j}]" for j in range(n)]).replace(" , ", ", ")
+    gram = f"transform(sequence(0, size(_w) - {n}), i -> concat({parts}))"
+    return (
+        df.select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.expr(gram))).alias("shingle"),
+        )
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """All-pairs n-gram Jaccard over documents sharing >= 1 shingle.
+
+    Exact but quadratic in per-shingle document frequency — the oracle
+    baseline; use :func:`minhash_lsh_pairs` at scale.  Jaccard stays an
+    unrounded int/int division: bit-identical across engines (rounding the
+    exact rational could land on decimal ties where engines disagree).
+    Returns: id_a, id_b (a < b), jaccard, n_common.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "n_common")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document.
+
+    Hash family: ``md5(j || ':' || shingle)`` hex strings; the column-wise
+    lexicographic MIN of hex digests is a valid min-wise permutation sketch
+    and is bit-identical across engines. Returns id + mh_0..mh_{k-1}.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    sh: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    verify_threshold: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified with true Jaccard.
+
+    shingle -> k minhashes -> bands of ``band_size`` -> band-key equi-join
+    -> candidate pairs -> exact Jaccard filter. The only joins are on band
+    keys (candidates) and on ids (verification) — no quadratic blowup.
+    Returns: id_a, id_b, jaccard, n_common.
+    """
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    sig = minhash_signatures(sh, num_hashes, id_col=id_col)
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        members = [F.col(f"mh_{b * band_size + i}") for i in range(band_size)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*members)).alias("key"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .join(cand, ["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard", "n_common")
+    )
+    return out
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over word unigrams (Spark-only; no SQL oracle —
+    bit-manipulation heavy).
+
+    Each token hashes to 64 bits (from its md5); the signature bit is 1 where
+    the weighted bit-sum is positive. Near-dups = small Hamming distance.
+    Returns: id, simhash (long).
+    """
+    words = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    )
+    toks = df.select(F.col(id_col), F.explode(words).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    toks = toks.select(id_col, h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << b}) % 2") == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"b{b}")
+        for b in range(60)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(60):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup candidates by 4-block banding (pigeonhole: hamming
+    <= max_hamming pairs share >= 1 identical 15-bit block when max_hamming
+    < 4), verified by exact popcount distance."""
+    sig = simhash64(df, id_col=id_col, text_col=text_col)
+    blocks = F.array(
+        *[F.expr(f"(simhash div {1 << (15 * i)}) % {1 << 15}").alias(f"blk{i}") for i in range(4)]
+    )
+    b = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(blocks).alias("blk_idx", "blk_val"),
+    )
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["blk_idx", "blk_val"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sig_a ^ sig_b)")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,101 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Every expression here is a built-in Catalyst function (split/filter/
+transform/md5) — no Python in the row path — and is chosen to be
+semantics-identical to the DuckDB oracle (same regexes, same arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny stopword lists per language for the n-gram/stopword language-ID
+#: heuristic; ordered — first language whose marker appears wins.
+LANG_MARKERS = [
+    ("en", ("the", "a", "of")),
+    ("de", ("der", "die", "und")),
+    ("fr", ("le", "la", "et")),
+    ("es", ("el", "los", "que")),
+]
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+_WORDS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+
+
+def text_metrics(docs: DataFrame) -> DataFrame:
+    """Per-document token/char/stopword/punctuation metrics + a composite
+    quality score (deterministic arithmetic, oracle-identical: ratios are
+    unrounded int/int divisions — bit-identical across engines).
+
+    Returns: doc_id, n_tokens, n_chars_total, avg_token_len,
+    stopword_ratio, punct_ratio, quality_score.
+    """
+    stop_pred = " or ".join([f"x = '{s}'" for s in STOPWORDS])
+    d = docs.select(
+        "doc_id",
+        F.expr(_WORDS).alias("_w"),
+        F.length("text").alias("n_chars_total"),
+        F.length(F.regexp_replace("text", "[.,!?;:]", "")).alias("_nc_nopunct"),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("_w").alias("n_tokens"),
+        "n_chars_total",
+        F.expr("aggregate(transform(_w, x -> length(x)), 0, (acc, v) -> acc + v)").alias(
+            "_tok_chars"
+        ),
+        F.expr(f"size(filter(_w, x -> {stop_pred}))").alias("_n_stop"),
+        (F.col("n_chars_total") - F.col("_nc_nopunct")).alias("_n_punct"),
+    )
+    avg_len = F.col("_tok_chars") / F.col("n_tokens")
+    stop_ratio = F.col("_n_stop") / F.col("n_tokens")
+    punct_ratio = F.col("_n_punct") / F.col("n_chars_total")
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_total",
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language identification (n-gram heuristic).
+
+    Returns: doc_id, lang_pred, lang_label, match.
+    """
+    d = docs.select("doc_id", F.col("lang").alias("lang_label"), F.expr(_WORDS).alias("_w"))
+    pred = F.lit("unknown")
+    for lang, markers in reversed(LANG_MARKERS):
+        cond = " or ".join([f"x = '{m}'" for m in markers])
+        pred = F.when(
+            F.expr(f"size(filter(_w, x -> {cond}))") > 0, F.lit(lang)
+        ).otherwise(pred)
+    return d.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        "lang_label",
+        (pred == F.col("lang_label")).alias("match"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Whitespace-normalized content fingerprint (rolling-hash stand-in:
+    md5 of the canonical token stream — stable under reflow/extra spaces).
+
+    Returns: doc_id, fp.
+    """
+    return docs.select(
+        "doc_id",
+        F.md5(F.expr(f"array_join({_WORDS}, ' ')")).alias("fp"),
+    )

@@ -1,0 +1,79 @@
+"""Central registry: query name -> (Spark callable, DuckDB oracle SQL|None).
+
+Consumed by __spark_entry__.py (driver contract), tests/, and bench.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import catalog, catalog_data, catalog_generic
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql or None for rows-only checks)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- archiver core (SURVEY.md §2) ---
+    "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
+    "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
+    "asof_before": (catalog.q_asof_before, catalog.SQL_ASOF_BEFORE),
+    "asof_after": (catalog.q_asof_after, catalog.SQL_ASOF_AFTER),
+    "range_limit_modes": (catalog.q_range_limit_modes, catalog.SQL_RANGE_LIMIT_MODES),
+    "decimate_1h": (catalog.q_decimate_1h, catalog.SQL_DECIMATE_1H),
+    "decimate_cascade_6h": (
+        catalog.q_decimate_cascade_6h,
+        catalog.SQL_DECIMATE_CASCADE_6H,
+    ),
+    "pick_first_1h": (catalog.q_pick_first_1h, catalog.SQL_PICK_FIRST_1H),
+    "union_levels": (catalog.q_union_levels, catalog.SQL_UNION_LEVELS),
+    "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),
+    "monotonic_stats": (catalog.q_monotonic_stats, catalog.SQL_MONOTONIC_STATS),
+    "severity_daily": (catalog.q_severity_daily, catalog.SQL_SEVERITY_DAILY),
+    # --- generic relational surface ---
+    "tpch_q1": (catalog_generic.q_tpch_q1, catalog_generic.SQL_TPCH_Q1),
+    "tpch_q3": (catalog_generic.q_tpch_q3, catalog_generic.SQL_TPCH_Q3),
+    "tpch_q5": (catalog_generic.q_tpch_q5, catalog_generic.SQL_TPCH_Q5),
+    "window_running_total": (
+        catalog_generic.q_window_running_total,
+        catalog_generic.SQL_WINDOW_RUNNING_TOTAL,
+    ),
+    # --- training-data pipeline ---
+    "dedup_exact": (catalog_data.q_dedup_exact, catalog_data.SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (
+        catalog_data.q_dedup_ngram_jaccard,
+        catalog_data.SQL_DEDUP_NGRAM_JACCARD,
+    ),
+    "dedup_minhash_lsh": (
+        catalog_data.q_dedup_minhash_lsh,
+        catalog_data.SQL_DEDUP_MINHASH_LSH,
+    ),
+    "simhash_near_pairs": (catalog_data.q_simhash_near_pairs, None),
+    "text_metrics": (catalog_data.q_text_metrics, catalog_data.SQL_TEXT_METRICS),
+    "lang_id": (catalog_data.q_lang_id, catalog_data.SQL_LANG_ID),
+    "doc_fingerprint": (
+        catalog_data.q_doc_fingerprint,
+        catalog_data.SQL_DOC_FINGERPRINT,
+    ),
+    "ann_cosine_topk": (
+        catalog_data.q_ann_cosine_topk,
+        catalog_data.SQL_ANN_COSINE_TOPK,
+    ),
+    "embedding_label_stats": (
+        catalog_data.q_embedding_label_stats,
+        catalog_data.SQL_EMBEDDING_LABEL_STATS,
+    ),
+    "multimodal_meta": (
+        catalog_data.q_multimodal_meta,
+        catalog_data.SQL_MULTIMODAL_META,
+    ),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

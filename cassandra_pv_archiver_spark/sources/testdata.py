@@ -1,0 +1,121 @@
+"""Canonical readers over the driver's synthetic parquet tables.
+
+The ``events`` stream table stands in for the reference's raw-sample feed
+(FIXTURES.md §6): ``ts -> t`` (ns-epoch int64), ``user_id -> channel``,
+``value -> v`` (scalar_double payload), with a deterministic severity/status
+mapping so severity-propagation operators have signal.
+
+Timestamps are kept as **int64 nanoseconds** end-to-end (Spark TimestampType
+is µs — see SURVEY.md §7 "What's hard" #4); reference semantics:
+`Sample.java:19-29` (ns-epoch, signed 64-bit).
+
+The monotonicity filter (F5, `ArchivedChannelDecimationLevel.java:398-425`)
+is applied at load: for duplicate (channel, t) the first row by event_id
+wins, mirroring "discard sample if t <= last written t". Expressed as a
+window `row_number` so it stays JVM-side and pushes the heavy lifting into
+one shuffle by (channel) that downstream per-channel operators reuse.
+
+``SAMPLES_CTE`` is the *same* transformation as DuckDB SQL, prefixed to
+every oracle query so the Spark plan and the oracle read identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000  # ns per second
+
+_SEVERITY = {"error": 2, "signup": 1}  # else 0; status = severity * 6
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark 4
+    # rejects by default; nanosAsLong surfaces it as the raw int64 ns value —
+    # exactly our canonical representation. Set at call time so it also works
+    # on sessions we didn't build (the driver's).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet -> canonical raw numeric sample series.
+
+    Columns: channel string, t long (ns), v double, severity int, status int,
+    event_id long.  Strictly increasing t per channel (F5 dedup applied).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sev = (
+        F.when(F.col("event_type") == "error", F.lit(2))
+        .when(F.col("event_type") == "signup", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    # ts arrives as int64 ns (nanosAsLong); truncate to µs precision because
+    # the DuckDB oracle reads the column as µs TIMESTAMP — both sides see
+    # identical t values.
+    s = ev.select(
+        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
+        F.expr("(ts div 1000) * 1000").alias("t"),
+        F.col("value").alias("v"),
+        sev.alias("severity"),
+        (sev * F.lit(6)).cast("int").alias("status"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("channel", "t").orderBy("event_id")
+    return (
+        s.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def load_string_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet -> non-aggregatable (string-payload) sample series.
+
+    Used by pick-first decimation (A5): payload = event_type, channel keyed
+    by user_id with an 'EVT:' prefix so the two series don't collide.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.concat(F.lit("EVT:"), F.col("user_id").cast("string")).alias("channel"),
+        F.expr("(ts div 1000) * 1000").alias("t"),
+        F.col("event_type").alias("sval"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("channel", "t").orderBy("event_id")
+    return (
+        s.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# DuckDB-side mirror of load_samples(); prepend to oracle SQL as
+# `WITH samples AS (...)`.  epoch_ns(ts) == unix_micros(ts)*1000 because the
+# parquet timestamps are µs precision.
+SAMPLES_CTE = """
+samples AS (
+  SELECT channel, t, v, severity, status, event_id FROM (
+    SELECT 'PV:' || CAST(user_id AS VARCHAR) AS channel,
+           epoch_ns(ts) AS t,
+           value AS v,
+           CAST(CASE event_type WHEN 'error' THEN 2 WHEN 'signup' THEN 1 ELSE 0 END AS INTEGER) AS severity,
+           CAST(6 * (CASE event_type WHEN 'error' THEN 2 WHEN 'signup' THEN 1 ELSE 0 END) AS INTEGER) AS status,
+           event_id,
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+    FROM events) WHERE _rn = 1
+)
+"""
+
+STRING_SAMPLES_CTE = """
+string_samples AS (
+  SELECT channel, t, sval, event_id FROM (
+    SELECT 'EVT:' || CAST(user_id AS VARCHAR) AS channel,
+           epoch_ns(ts) AS t,
+           event_type AS sval,
+           event_id,
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+    FROM events) WHERE _rn = 1
+)
+"""

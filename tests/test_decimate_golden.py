@@ -1,0 +1,172 @@
+"""Golden-value decimation tests.
+
+Numbers ported from the reference's decimator test suite
+(`ChannelAccessSampleDecimatorTest.java:444-905`, via FIXTURES.md §4): they
+pin the hold-forward time-weighted math (A1), severity propagation (A2),
+covered fraction (A3), and aggregated re-aggregation (A4) exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.operators.decimate import (
+    NS,
+    decimate,
+    pick_first,
+    reaggregate,
+)
+
+
+def _raw(spark, rows):
+    return spark.createDataFrame(
+        [(c, int(t * NS), float(v), int(sev), int(st)) for c, t, v, sev, st in rows],
+        "channel string, t long, v double, severity int, status int",
+    )
+
+
+def _agg(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                c,
+                int(t * NS),
+                float(m),
+                float(s),
+                float(lo),
+                float(hi),
+                float(f),
+                int(sev),
+                int(st),
+                int(n),
+            )
+            for c, t, m, s, lo, hi, f, sev, st, n in rows
+        ],
+        "channel string, t long, mean double, std double, vmin double,"
+        " vmax double, covered_fraction double, severity int, status int,"
+        " n_samples long",
+    )
+
+
+def _one(df, t_s):
+    rows = df.filter(F.col("t") == t_s * NS).collect()
+    assert len(rows) == 1, f"expected 1 row at t={t_s}s, got {len(rows)}"
+    return rows[0]
+
+
+def test_time_weighted_mean_std(spark):
+    # weights 10s@10, 20s@20, 30s@40 over [0, 60): mean 28.3333, E[v2] 950
+    df = _raw(
+        spark,
+        [("X", 0, 10, 0, 0), ("X", 10, 20, 1, 6), ("X", 30, 40, 0, 0), ("X", 60, 0, 0, 0)],
+    )
+    r = _one(decimate(df, 60), 0)
+    assert abs(r.mean - 1700.0 / 60.0) < 1e-9
+    assert abs(r.std - math.sqrt(950.0 - (1700.0 / 60.0) ** 2)) < 1e-9
+    assert r.vmin == 0.0 or r.vmin == 10.0  # terminator not in window 0
+    assert r.vmax == 40.0
+    assert abs(r.covered_fraction - 1.0) < 1e-12
+    assert r.severity == 1 and r.status == 6  # max severity, first-wins
+
+
+def test_hold_forward_seed_across_windows(spark):
+    # sample@30s carries into window [60,120) as its seed (W2)
+    df = _raw(spark, [("X", 30, 5, 0, 0), ("X", 90, 7, 0, 0), ("X", 120, 0, 0, 0)])
+    out = decimate(df, 60)
+    r0 = _one(out, 0)
+    assert abs(r0.mean - 5.0) < 1e-12 and abs(r0.covered_fraction - 0.5) < 1e-12
+    r1 = _one(out, 60)
+    assert abs(r1.mean - 6.0) < 1e-12  # 30s@5 + 30s@7
+    assert abs(r1.covered_fraction - 1.0) < 1e-12
+
+
+def test_gap_fill_whole_windows(spark):
+    # silent channel: sample@0 alone fills windows 1..3 entirely (gap loop,
+    # `...DecimatedSamplesDecimationLevel.java:959-1147`)
+    df = _raw(spark, [("X", 0, 3, 0, 0), ("X", 250, 9, 0, 0), ("X", 300, 0, 0, 0)])
+    out = decimate(df, 60)
+    for w in (60, 120, 180):
+        r = _one(out, w // 60 * 60)
+        assert abs(r.mean - 3.0) < 1e-12
+        assert abs(r.covered_fraction - 1.0) < 1e-12
+    r4 = _one(out, 240)
+    assert abs(r4.mean - (10 * 3 + 50 * 9) / 60.0) < 1e-9
+
+
+def test_incomplete_window_not_emitted(spark):
+    # no source sample at/after the window end => interval not closed (W3)
+    df = _raw(spark, [("X", 0, 1, 0, 0), ("X", 30, 2, 0, 0)])
+    out = decimate(df, 60).collect()
+    assert out == []
+
+
+def test_reaggregate_golden_three_inputs(spark):
+    """FIXTURES.md §4 case 2 == `ChannelAccessSampleDecimatorTest` aggregated
+    triple: window [100s,200s) -> mean 20.0, std 16.7132, min -64, max 95,
+    frac 0.75, severity INVALID propagated."""
+    src = _agg(
+        spark,
+        [
+            ("X", 57, 40.0, 5.0, -17.0, 66.0, 1.0, 0, 0, 4),
+            ("X", 125, 0.0, 2.0, -64.0, 15.0, 0.5, 3, 17, 2),
+            ("X", 175, 20.0, 3.0, 5.0, 95.0, 1.0, 1, 6, 3),
+            ("X", 200, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0, 1),
+        ],
+    )
+    r = _one(reaggregate(src, 50, 100), 100)
+    assert abs(r.mean - 20.0) < 1e-6
+    assert abs(r.std - 16.7132) < 1e-3
+    assert r.vmin == -64.0 and r.vmax == 95.0
+    assert abs(r.covered_fraction - 0.75) < 1e-6
+    assert r.severity == 3 and r.status == 17
+
+
+def test_reaggregate_single_seed_identity(spark):
+    """FIXTURES.md §4 case 1: a single seed aggregate re-emits its own
+    values in the covered window (weight correction is a no-op)."""
+    src = _agg(
+        spark,
+        [
+            ("X", 79, 22.3, 4.71, -5.0, 99.0, 0.9, 0, 0, 7),
+            ("X", 120, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0, 1),
+        ],
+    )
+    r = _one(reaggregate(src, 30, 30 * 1), 90)
+    assert abs(r.mean - 22.3) < 1e-6
+    assert abs(r.std - 4.71) < 1e-6
+    assert r.vmin == -5.0 and r.vmax == 99.0
+    assert abs(r.covered_fraction - 0.9) < 1e-6
+
+
+def test_pick_first_seed_wins(spark):
+    # the sample valid at the window start (seed) wins, not the first
+    # in-window sample (`PickFirstSampleAggregator.java:50-76`)
+    df = spark.createDataFrame(
+        [
+            ("E", 30 * NS, "seed"),
+            ("E", 70 * NS, "later"),
+            ("E", 120 * NS, "end"),
+        ],
+        "channel string, t long, sval string",
+    )
+    out = pick_first(df, 60)
+    assert _one(out, 0).sval == "seed"
+    assert _one(out, 60).sval == "seed"  # valid at t=60 boundary
+
+
+def test_severity_first_max_wins(spark):
+    # two samples at max severity: the earlier one's status is reported
+    # (`AveragingSampleAggregator.java:133-139`)
+    df = _raw(
+        spark,
+        [
+            ("X", 0, 1, 2, 11),
+            ("X", 10, 2, 2, 22),
+            ("X", 20, 3, 1, 6),
+            ("X", 60, 0, 0, 0),
+        ],
+    )
+    r = _one(decimate(df, 60), 0)
+    assert r.severity == 2 and r.status == 11
