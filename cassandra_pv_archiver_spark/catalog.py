@@ -14,11 +14,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import asof
-from .operators.decimate import NS, decimate, pick_first, reaggregate
+from .operators.decimate import (
+    NS,
+    big_to_double_duck,
+    decimate,
+    pick_first,
+    reaggregate,
+)
+from .operators.decimate_mixed import decimate_mixed
 from .params import HI, LO, MID, PERIOD_1H, PERIOD_6H
 from .sources.testdata import (
+    MIXED_SAMPLES_CTE,
     SAMPLES_CTE,
     STRING_SAMPLES_CTE,
+    load_mixed_samples,
     load_samples,
     load_string_samples,
     load_table,
@@ -309,6 +318,114 @@ ex AS (
 SELECT channel, win * {_P1H} AS t, arg_min(sval, clip) AS sval,
        count(*) AS n_samples, 'Interpolated' AS quality
 FROM ex GROUP BY channel, win ORDER BY channel, t
+"""
+
+
+def q_decimate_mixed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: mixed-type interval resolution over a tagged-union series
+    (`ChannelAccessSampleDecimator.java:124-296`)."""
+    return decimate_mixed(load_mixed_samples(spark, sf_dir), PERIOD_1H).orderBy(
+        "channel", "t"
+    )
+
+
+_AGG_IN = ", ".join(
+    f"'{x}'"
+    for x in (
+        "scalar_char",
+        "scalar_short",
+        "scalar_long",
+        "scalar_float",
+        "scalar_double",
+        "aggregated_scalar_char",
+        "aggregated_scalar_short",
+        "aggregated_scalar_long",
+        "aggregated_scalar_float",
+        "aggregated_scalar_double",
+    )
+)
+SQL_DECIMATE_MIXED_1H = f"""
+WITH {MIXED_SAMPLES_CTE},
+iv AS (
+  SELECT channel, t, type, v, sval, severity, status,
+         lead(t) OVER (PARTITION BY channel ORDER BY t) AS t_next,
+         max(t) OVER (PARTITION BY channel) AS hwm
+  FROM mixed_samples
+),
+iv2 AS (
+  SELECT *, coalesce(t_next, hwm) AS t_end FROM iv
+  WHERE coalesce(t_next, hwm) > t
+),
+ex AS (
+  SELECT iv2.*, g.win,
+         least(t_end, (g.win+1)*{_P1H}) - greatest(t, g.win*{_P1H}) AS ws_ns,
+         greatest(t, g.win*{_P1H}) AS clip,
+         CAST(floor(v * 100 + 0.5) AS BIGINT) AS vi,
+         type IN ({_AGG_IN}) AS is_agg,
+         type IN ('disabled','disconnected') AS is_marker
+  FROM iv2, LATERAL (
+    SELECT unnest(generate_series(t // {_P1H}, (t_end-1) // {_P1H})) AS win) g
+  WHERE (g.win+1)*{_P1H} <= hwm
+),
+s1 AS (
+  SELECT channel, win, type,
+         any_value(is_agg) AS is_agg, any_value(is_marker) AS is_marker,
+         sum(ws_ns) AS cov,
+         sum(CAST(ws_ns AS HUGEINT) * vi) AS swv,
+         sum(CAST(ws_ns AS HUGEINT) * vi * vi) AS swv2,
+         min(v) AS vmin, max(v) AS vmax,
+         arg_max(struct_pack(severity := severity, status := status),
+                 CAST(severity AS HUGEINT) * 20000000000000000000 - t) AS sevpick,
+         arg_min(struct_pack(sval := sval, severity := severity,
+                             status := status), clip) AS firstsamp,
+         min(clip) AS first_clip,
+         count(*) AS n_samples
+  FROM ex GROUP BY channel, win, type
+),
+s1v AS (
+  SELECT channel, win, first_clip, cov, is_agg, is_marker,
+         struct_pack(
+           type := type, is_agg := is_agg,
+           mean := CASE WHEN is_agg THEN md END,
+           std := CASE WHEN is_agg THEN
+             sqrt(greatest({big_to_double_duck("swv2")} / CAST(cov AS DOUBLE) / 10000.0
+                           - md * md, 0)) END,
+           vmin := vmin, vmax := vmax,
+           covered_fraction := CASE WHEN is_agg THEN
+             CAST(cov AS DOUBLE) / 1e9 / 3600.0 END,
+           agg_severity := sevpick.severity, agg_status := sevpick.status,
+           pf_sval := firstsamp.sval, pf_severity := firstsamp.severity,
+           pf_status := firstsamp.status,
+           n_samples := n_samples) AS S
+  FROM (SELECT *, CASE WHEN is_agg THEN
+          {big_to_double_duck("swv")} / CAST(cov AS DOUBLE) / 100.0 END AS md FROM s1)
+),
+s2 AS (
+  SELECT channel, win,
+         arg_min(S, first_clip) AS first_row,
+         arg_max(S, CAST(cov AS HUGEINT) * 10000000000000000000 - first_clip)
+           FILTER (WHERE is_agg) AS best_row,
+         max(CASE WHEN NOT is_agg AND NOT is_marker THEN 1 ELSE 0 END) AS veto
+  FROM s1v GROUP BY channel, win
+),
+ch AS (
+  SELECT channel, win,
+         CASE WHEN veto = 1 OR best_row IS NULL THEN first_row
+              ELSE best_row END AS C
+  FROM s2
+)
+SELECT channel, win * {_P1H} AS t,
+       CASE WHEN C.is_agg AND C.type LIKE 'scalar\\_%' ESCAPE '\\'
+            THEN 'aggregated_' || C.type ELSE C.type END AS type,
+       C.mean AS mean, C.std AS std,
+       CASE WHEN C.is_agg THEN C.vmin END AS vmin,
+       CASE WHEN C.is_agg THEN C.vmax END AS vmax,
+       C.covered_fraction AS covered_fraction,
+       CASE WHEN NOT C.is_agg THEN C.pf_sval END AS sval,
+       CASE WHEN C.is_agg THEN C.agg_severity ELSE C.pf_severity END AS severity,
+       CASE WHEN C.is_agg THEN C.agg_status ELSE C.pf_status END AS status,
+       C.n_samples AS n_samples, 'Interpolated' AS quality
+FROM ch ORDER BY channel, t
 """
 
 

@@ -27,6 +27,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.SQL_DECIMATE_CASCADE_6H,
     ),
     "pick_first_1h": (catalog.q_pick_first_1h, catalog.SQL_PICK_FIRST_1H),
+    "decimate_mixed_1h": (catalog.q_decimate_mixed_1h, catalog.SQL_DECIMATE_MIXED_1H),
     "union_levels": (catalog.q_union_levels, catalog.SQL_UNION_LEVELS),
     "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),
     "monotonic_stats": (catalog.q_monotonic_stats, catalog.SQL_MONOTONIC_STATS),

@@ -91,6 +91,68 @@ def load_string_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_mixed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet -> tagged-union mixed-type sample series (A6 input).
+
+    Type mapping (deterministic, exercises every A6 branch):
+      click/view -> scalar_double (v = value)
+      purchase   -> scalar_long   (v = floor(value), integral payload)
+      signup     -> scalar_string (sval, non-aggregatable non-marker -> veto)
+      error      -> disconnected  (marker, no payload)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    typ = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("scalar_double"))
+        .when(F.col("event_type") == "purchase", F.lit("scalar_long"))
+        .when(F.col("event_type") == "signup", F.lit("scalar_string"))
+        .otherwise(F.lit("disconnected"))
+    )
+    is_num = typ.isin("scalar_double", "scalar_long")
+    v = F.when(
+        typ == "scalar_long", F.floor(F.col("value")).cast("double")
+    ).when(typ == "scalar_double", F.col("value"))
+    s = ev.select(
+        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
+        F.expr("(ts div 1000) * 1000").alias("t"),
+        typ.alias("type"),
+        v.alias("v"),
+        F.when(typ == "scalar_string", F.concat(F.lit("S"), (F.col("event_id") % 100).cast("string"))).alias("sval"),
+        F.when(is_num | (typ == "scalar_string"), (F.col("event_id") % 4).cast("int")).alias("severity"),
+        F.when(is_num | (typ == "scalar_string"), ((F.col("event_id") % 4) * 6).cast("int")).alias("status"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("channel", "t").orderBy("event_id")
+    return (
+        s.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+MIXED_SAMPLES_CTE = """
+mixed_samples AS (
+  SELECT channel, t, type, v, sval, severity, status, event_id FROM (
+    SELECT 'PV:' || CAST(user_id AS VARCHAR) AS channel,
+           epoch_ns(ts) AS t,
+           CASE WHEN event_type IN ('click','view') THEN 'scalar_double'
+                WHEN event_type = 'purchase' THEN 'scalar_long'
+                WHEN event_type = 'signup' THEN 'scalar_string'
+                ELSE 'disconnected' END AS type,
+           CASE WHEN event_type = 'purchase' THEN CAST(floor(value) AS DOUBLE)
+                WHEN event_type IN ('click','view') THEN value END AS v,
+           CASE WHEN event_type = 'signup'
+                THEN 'S' || CAST(event_id % 100 AS VARCHAR) END AS sval,
+           CAST(CASE WHEN event_type IN ('click','view','purchase','signup')
+                THEN event_id % 4 END AS INTEGER) AS severity,
+           CAST(CASE WHEN event_type IN ('click','view','purchase','signup')
+                THEN (event_id % 4) * 6 END AS INTEGER) AS status,
+           event_id,
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+    FROM events) WHERE _rn = 1
+)
+"""
+
+
 # DuckDB-side mirror of load_samples(); prepend to oracle SQL as
 # `WITH samples AS (...)`.  epoch_ns(ts) == unix_micros(ts)*1000 because the
 # parquet timestamps are µs precision.

@@ -1,0 +1,152 @@
+"""A6 mixed-type interval resolution — semantic tests.
+
+Branch coverage mirrors `ChannelAccessSampleDecimatorTest.java:766-904`
+(mixed aggregatable + markers, non-aggregatable fallback) against
+`ChannelAccessSampleDecimator.java:137-186` dispatch rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.operators.decimate import NS
+from cassandra_pv_archiver_spark.operators.decimate_mixed import decimate_mixed
+
+SCHEMA = (
+    "channel string, t long, type string, v double, sval string,"
+    " severity int, status int"
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [
+            (c, int(t * NS), ty, None if v is None else float(v), sv, sev, st)
+            for c, t, ty, v, sv, sev, st in rows
+        ],
+        SCHEMA,
+    )
+
+
+def _one(df, t_s):
+    rows = df.filter(F.col("t") == t_s * NS).collect()
+    assert len(rows) == 1, f"expected 1 row at t={t_s}s, got {len(rows)}"
+    return rows[0]
+
+
+def test_single_type_aggregates(spark):
+    # homogeneous numeric -> plain A1 output, type becomes aggregated_*
+    df = _mk(
+        spark,
+        [
+            ("X", 0, "scalar_double", 10.0, None, 0, 0),
+            ("X", 30, "scalar_double", 20.0, None, 0, 0),
+            ("X", 60, "scalar_double", 0.0, None, 0, 0),
+        ],
+    )
+    r = _one(decimate_mixed(df, 60), 0)
+    assert r.type == "aggregated_scalar_double"
+    assert abs(r.mean - 15.0) < 1e-9
+    assert r.sval is None
+
+
+def test_longest_covered_period_wins(spark):
+    # two aggregatable types: scalar_long covers 40s, scalar_double 20s
+    df = _mk(
+        spark,
+        [
+            ("X", 0, "scalar_double", 10.0, None, 0, 0),
+            ("X", 20, "scalar_long", 4.0, None, 1, 6),
+            ("X", 60, "scalar_double", 0.0, None, 0, 0),
+        ],
+    )
+    r = _one(decimate_mixed(df, 60), 0)
+    assert r.type == "aggregated_scalar_long"
+    assert abs(r.mean - 4.0) < 1e-12
+    assert abs(r.covered_fraction - 40.0 / 60.0) < 1e-9
+    # severity is the per-type aggregator's own max (the long sample's)
+    assert r.severity == 1 and r.status == 6
+
+
+def test_marker_does_not_veto(spark):
+    # disconnected marker splits the interval but aggregation still wins
+    # (`ChannelAccessSampleDecimator.java:167-172`)
+    df = _mk(
+        spark,
+        [
+            ("X", 0, "scalar_double", 10.0, None, 0, 0),
+            ("X", 30, "disconnected", None, None, None, None),
+            ("X", 45, "scalar_double", 20.0, None, 0, 0),
+            ("X", 60, "scalar_double", 0.0, None, 0, 0),
+        ],
+    )
+    r = _one(decimate_mixed(df, 60), 0)
+    assert r.type == "aggregated_scalar_double"
+    # weights: 30s@10 + 15s@20 over 45s covered
+    assert abs(r.mean - (30 * 10 + 15 * 20) / 45.0) < 1e-9
+    assert abs(r.covered_fraction - 45.0 / 60.0) < 1e-9
+
+
+def test_non_aggregatable_vetoes_to_first_type(spark):
+    # a string sample forces pick-first of the FIRST processed type, even
+    # though numeric covers more (`:173-186`)
+    df = _mk(
+        spark,
+        [
+            ("X", 0, "scalar_string", None, "first", 2, 12),
+            ("X", 10, "scalar_double", 10.0, None, 0, 0),
+            ("X", 60, "scalar_double", 0.0, None, 0, 0),
+        ],
+    )
+    r = _one(decimate_mixed(df, 60), 0)
+    assert r.type == "scalar_string"
+    assert r.sval == "first"
+    assert r.severity == 2 and r.status == 12
+    assert r.mean is None and r.covered_fraction is None
+
+
+def test_veto_first_type_numeric_picks_first_samples_type(spark):
+    # first sample numeric, string present -> winner is the numeric type's
+    # AGGREGATED output (firstType aggregator), not the string
+    df = _mk(
+        spark,
+        [
+            ("X", 0, "scalar_double", 10.0, None, 0, 0),
+            ("X", 40, "scalar_string", None, "s", 0, 0),
+            ("X", 60, "scalar_double", 0.0, None, 0, 0),
+        ],
+    )
+    r = _one(decimate_mixed(df, 60), 0)
+    assert r.type == "aggregated_scalar_double"
+    assert abs(r.mean - 10.0) < 1e-12
+    assert abs(r.covered_fraction - 40.0 / 60.0) < 1e-9
+
+
+def test_only_markers_restamps_first(spark):
+    df = _mk(
+        spark,
+        [
+            ("X", 10, "disconnected", None, None, None, None),
+            ("X", 40, "disabled", None, None, None, None),
+            ("X", 70, "disconnected", None, None, None, None),
+        ],
+    )
+    r = _one(decimate_mixed(df, 60), 0)
+    assert r.type == "disconnected"
+    assert r.sval is None and r.mean is None
+
+
+def test_seed_carries_type_resolution_across_windows(spark):
+    # window [60,120) sees only the held-forward double seed -> aggregated
+    df = _mk(
+        spark,
+        [
+            ("X", 0, "scalar_double", 8.0, None, 0, 0),
+            ("X", 130, "scalar_double", 1.0, None, 0, 0),
+        ],
+    )
+    out = decimate_mixed(df, 60)
+    r = _one(out, 60)
+    assert r.type == "aggregated_scalar_double"
+    assert abs(r.mean - 8.0) < 1e-12
+    assert abs(r.covered_fraction - 1.0) < 1e-12
