@@ -429,6 +429,18 @@ FROM ch ORDER BY channel, t
 """
 
 
+def q_json_v1_mixed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/F6/S7: JSON V1 rendering of the mixed decimated series (rows-only
+    check — cross-engine float-to-text differs; layout pinned by golden
+    tests in tests/test_json_v1.py)."""
+    from .functions.json_v1 import mixed_decimated_to_json
+
+    dec = decimate_mixed(load_mixed_samples(spark, sf_dir), PERIOD_1H)
+    return mixed_decimated_to_json(dec).select("channel", "t", "json").orderBy(
+        "channel", "t"
+    )
+
+
 def q_union_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: retention-fallback ordered union — coarse (1 h aggregated) level
     serves t < HI, raw level serves t >= HI (`Api10Controller.java:443-518`)."""

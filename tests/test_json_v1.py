@@ -1,0 +1,108 @@
+"""JSON V1 serialization golden tests.
+
+Expected strings are hand-built from the reference's field layout
+(`JsonV1SampleSerializer.java:995-1174`: time, severity{level,hasValue},
+status, quality, type, value[, minimum, maximum]) — the same strategy as
+`JsonV1SampleSerializerTest.java`.
+"""
+
+from __future__ import annotations
+
+import json
+
+from cassandra_pv_archiver_spark.functions.json_v1 import (
+    aggregated_to_json,
+    marker_to_json,
+    mixed_decimated_to_json,
+    raw_double_to_json,
+    string_to_json,
+)
+
+T = 123_456_789_000_000_000
+
+
+def _j(df):
+    return [r.json for r in df.collect()]
+
+
+def test_raw_double_layout(spark):
+    df = spark.createDataFrame(
+        [("X", T, 10.5, 0, 0, "Original")],
+        "channel string, t long, v double, severity int, status int, quality string",
+    )
+    (out,) = _j(raw_double_to_json(df))
+    assert out == (
+        '{"time":123456789000000000,'
+        '"severity":{"level":"OK","hasValue":true},'
+        '"status":"NO_ALARM","quality":"Original",'
+        '"type":"double","value":[10.5]}'
+    )
+
+
+def test_aggregated_min_max_double(spark):
+    df = spark.createDataFrame(
+        [("X", T, 20.0, -64.0, 95.0, 3, 9, "Interpolated")],
+        "channel string, t long, mean double, vmin double, vmax double,"
+        " severity int, status int, quality string",
+    )
+    (out,) = _j(aggregated_to_json(df))
+    assert out == (
+        '{"time":123456789000000000,'
+        '"severity":{"level":"INVALID","hasValue":true},'
+        '"status":"COMM","quality":"Interpolated",'
+        '"type":"minMaxDouble","value":[20.0],'
+        '"minimum":-64.0,"maximum":95.0}'
+    )
+
+
+def test_marker_samples(spark):
+    df = spark.createDataFrame(
+        [("X", T, "disconnected", "Original"), ("X", T + 1, "disabled", "Original")],
+        "channel string, t long, type string, quality string",
+    )
+    a, b = _j(marker_to_json(df))
+    assert a == (
+        '{"time":123456789000000000,'
+        '"severity":{"level":"INVALID","hasValue":false},'
+        '"status":"Disconnected","quality":"Original",'
+        '"type":"string","value":["Disconnected"]}'
+    )
+    assert json.loads(b)["value"] == ["Archive_Disabled"]
+    assert json.loads(b)["status"] == "Archive_Disabled"
+
+
+def test_string_sample_severity_labels(spark):
+    df = spark.createDataFrame(
+        [("X", T, "hello", 1, 7, "Original")],
+        "channel string, t long, sval string, severity int, status int, quality string",
+    )
+    (out,) = _j(string_to_json(df))
+    d = json.loads(out)
+    assert d["severity"] == {"level": "MINOR", "hasValue": True}
+    assert d["status"] == "STATE"
+    assert d["type"] == "string"
+    assert d["value"] == ["hello"]
+
+
+def test_mixed_dispatch_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            ("X", T, "aggregated_scalar_double", 1.5, 0.1, 1.0, 2.0, 0.9,
+             None, 0, 0, 4, "Interpolated"),
+            ("X", T + 1, "scalar_string", None, None, None, None, None,
+             "s1", 2, 3, 1, "Interpolated"),
+            ("X", T + 2, "disconnected", None, None, None, None, None,
+             None, None, None, 1, "Interpolated"),
+        ],
+        "channel string, t long, type string, mean double, std double,"
+        " vmin double, vmax double, covered_fraction double, sval string,"
+        " severity int, status int, n_samples long, quality string",
+    )
+    out = {r.t: json.loads(r.json) for r in mixed_decimated_to_json(df).collect()}
+    assert out[T]["type"] == "minMaxDouble" and out[T]["value"] == [1.5]
+    assert out[T]["minimum"] == 1.0 and out[T]["maximum"] == 2.0
+    assert out[T + 1]["type"] == "string" and out[T + 1]["value"] == ["s1"]
+    assert out[T + 1]["severity"]["level"] == "MAJOR"
+    assert out[T + 1]["status"] == "HIHI"
+    assert out[T + 2]["value"] == ["Disconnected"]
+    assert out[T + 2]["severity"] == {"level": "INVALID", "hasValue": False}
