@@ -22,7 +22,8 @@ from .operators.decimate import (
     reaggregate,
 )
 from .operators.decimate_mixed import decimate_mixed
-from .params import HI, LO, MID, PERIOD_1H, PERIOD_6H
+from .params import DAY_NS, HI, LO, MID, PERIOD_1H, PERIOD_6H
+from .plans.planner import plan_samples
 from .sources.testdata import (
     MIXED_SAMPLES_CTE,
     SAMPLES_CTE,
@@ -463,6 +464,59 @@ SELECT * FROM (
   UNION ALL
   SELECT channel, t, v AS value, 0 AS level FROM samples WHERE t >= {HI}
 ) ORDER BY channel, t
+"""
+
+
+#: retention-fallback fixture: raw kept from MID, 1 h level kept from LO,
+#: 6 h level complete; query spans [LO - 5 d, HI] so the planner must stitch
+#: 6h -> 1h -> raw (operator U1 driven by the §4 planner).
+_PLAN_START = LO - 5 * DAY_NS
+
+
+def q_planner_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4 planner: level selection (count -> level 0 here) + retention
+    fallback union across three levels (`Api10Controller.java:396-518`)."""
+    raw = load_samples(spark, sf_dir).filter(F.col("channel") == "PV:3")
+    dec = decimate(raw, PERIOD_1H)
+    l0 = raw.select(
+        "channel", "t", F.col("v").alias("value"), F.lit(0).alias("level")
+    ).filter(F.col("t") >= MID)
+    l1 = dec.select(
+        "channel", "t", F.col("mean").alias("value"), F.lit(PERIOD_1H).alias("level")
+    ).filter(F.col("t") >= LO)
+    l2 = reaggregate(dec, PERIOD_1H, PERIOD_6H).select(
+        "channel", "t", F.col("mean").alias("value"), F.lit(PERIOD_6H).alias("level")
+    )
+    return plan_samples(
+        {0: l0, PERIOD_1H: l1, PERIOD_6H: l2}, _PLAN_START, HI, count=10**6
+    )
+
+
+SQL_PLANNER_FALLBACK = f"""
+WITH {SAMPLES_CTE},
+samples3 AS (SELECT * FROM samples WHERE channel = 'PV:3'),
+{_dec_ctes(PERIOD_1H, src="samples3", out="dec")},
+{_reagg_ctes(PERIOD_6H, src="dec", out="reagg")},
+l0 AS (SELECT channel, t, v AS value, 0 AS level FROM samples3 WHERE t >= {MID}),
+l1 AS (SELECT channel, t, mean AS value, {PERIOD_1H} AS level FROM dec WHERE t >= {LO}),
+l2 AS (SELECT channel, t, mean AS value, {PERIOD_6H} AS level FROM reagg),
+c0 AS (
+  SELECT * FROM l0 WHERE t BETWEEN {_PLAN_START} AND {HI}
+  UNION SELECT * FROM (SELECT * FROM l0 WHERE t <= {_PLAN_START} ORDER BY t DESC LIMIT 1)
+  UNION SELECT * FROM (SELECT * FROM l0 WHERE t >= {HI} ORDER BY t ASC LIMIT 1)
+),
+e0 AS (SELECT min(t) AS m FROM c0),
+c1 AS (
+  SELECT * FROM l1 WHERE t BETWEEN {_PLAN_START} AND (SELECT m - 1 FROM e0)
+  UNION SELECT * FROM (SELECT * FROM l1 WHERE t <= {_PLAN_START} ORDER BY t DESC LIMIT 1)
+),
+e1 AS (SELECT min(t) AS m FROM c1),
+c2 AS (
+  SELECT * FROM l2 WHERE t BETWEEN {_PLAN_START} AND (SELECT m - 1 FROM e1)
+  UNION SELECT * FROM (SELECT * FROM l2 WHERE t <= {_PLAN_START} ORDER BY t DESC LIMIT 1)
+)
+SELECT * FROM c2 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c0
+ORDER BY channel, t
 """
 
 

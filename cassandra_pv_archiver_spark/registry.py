@@ -30,6 +30,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "decimate_mixed_1h": (catalog.q_decimate_mixed_1h, catalog.SQL_DECIMATE_MIXED_1H),
     "json_v1_mixed_1h": (catalog.q_json_v1_mixed_1h, None),
     "union_levels": (catalog.q_union_levels, catalog.SQL_UNION_LEVELS),
+    "planner_fallback": (catalog.q_planner_fallback, catalog.SQL_PLANNER_FALLBACK),
     "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),
     "monotonic_stats": (catalog.q_monotonic_stats, catalog.SQL_MONOTONIC_STATS),
     "severity_daily": (catalog.q_severity_daily, catalog.SQL_SEVERITY_DAILY),

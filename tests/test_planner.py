@@ -1,0 +1,99 @@
+"""Planner tests: decimation-level selection (5 % rule) and retention
+fallback (`Api10Controller.java:396-518`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.plans.planner import (
+    NS,
+    plan_samples,
+    select_decimation_level,
+)
+
+LEVELS = [0, 10, 100]
+
+
+def _sel(perfect_s, levels=LEVELS, count=1):
+    return select_decimation_level(levels, 0, int(perfect_s * count * NS), count)
+
+
+def test_count_absent_raw():
+    assert select_decimation_level(LEVELS, 0, 10**15, None) == 0
+
+
+def test_exact_match():
+    assert _sel(10) == 10
+    assert _sel(100) == 100
+
+
+def test_no_longer_level_picks_largest():
+    assert _sel(1000) == 100
+
+
+def test_longer_within_5pct_and_closer_wins():
+    # perfect 96 s: longer 100 deviates 4.17 % < 5 % and less than shorter 10
+    assert _sel(96) == 100
+
+
+def test_longer_over_5pct_falls_back_to_shorter():
+    # perfect 95 s: longer 100 deviates 5.26 % -> shorter 10 wins
+    assert _sel(95) == 10
+
+
+def test_shorter_preferred_when_closer():
+    # perfect 11 s: longer 100 deviates 809 % -> shorter 10 (9 % deviation)
+    assert _sel(11) == 10
+
+
+def test_count_validation():
+    with pytest.raises(ValueError):
+        select_decimation_level(LEVELS, 0, 10, 0)
+    with pytest.raises(ValueError):
+        select_decimation_level([10, 100], 0, 10, 1)  # no raw level
+
+
+def _series(spark, level, ts):
+    return spark.createDataFrame(
+        [("X", int(t * NS), float(level + i), level) for i, t in enumerate(ts)],
+        "channel string, t long, value double, level int",
+    )
+
+
+def test_fallback_stitches_levels_oldest_first(spark):
+    # raw available from t=1000; level 60 from t=500; level 600 from t=0
+    l0 = _series(spark, 0, range(1000, 1200, 10))
+    l1 = _series(spark, 60, range(500, 1200, 60))
+    l2 = _series(spark, 600, range(0, 1200, 600))
+    out = plan_samples(
+        {0: l0, 60: l1, 600: l2}, 100 * NS, 1150 * NS, count=10**6
+    ).collect()
+    lv = [r.level for r in out]
+    ts = [r.t for r in out]
+    assert ts == sorted(ts)
+    # ordered: 600-level rows, then 60-level, then raw
+    assert lv == sorted(lv, key=lambda x: -x)
+    assert 0 in lv and 60 in lv and 600 in lv
+    # each level serves a disjoint, progressively newer range
+    t600 = [t for t, v in zip(ts, lv) if v == 600]
+    t60 = [t for t, v in zip(ts, lv) if v == 60]
+    t0 = [t for t, v in zip(ts, lv) if v == 0]
+    assert max(t600) < min(t60) < max(t60) < min(t0)
+    # 600-level backward probe covers the query start
+    assert min(t600) <= 100 * NS
+
+
+def test_full_coverage_single_level(spark):
+    # raw covers the whole range -> single-piece plan, no fallback rows
+    l0 = _series(spark, 0, range(0, 300, 10))
+    l1 = _series(spark, 60, range(0, 300, 60))
+    out = plan_samples({0: l0, 60: l1}, 50 * NS, 250 * NS, count=10**6).collect()
+    assert {r.level for r in out} == {0}
+
+
+def test_empty_levels_yield_empty_plan(spark):
+    l0 = _series(spark, 0, [])
+    l1 = _series(spark, 60, [])
+    out = plan_samples({0: l0, 60: l1}, 0, 100 * NS, count=100)
+    assert out.count() == 0
