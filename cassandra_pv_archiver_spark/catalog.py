@@ -69,13 +69,13 @@ def _dec_ctes(period_s: int, src: str = "samples", out: str = "dec") -> str:
 {out}_agg AS (
   SELECT channel, win,
          md AS mean,
-         sqrt(greatest(CAST(swv2 AS DOUBLE) / CAST(sw AS DOUBLE) / 10000.0
+         sqrt(greatest({big_to_double_duck("swv2")} / CAST(sw AS DOUBLE) / 10000.0
                        - md * md, 0)) AS std,
          vmin, vmax,
          CAST(sw AS DOUBLE) / 1e9 / {period_s}.0 AS covered_fraction,
          n_samples
   FROM (
-    SELECT *, CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0 AS md FROM (
+    SELECT *, {big_to_double_duck("swv")} / CAST(sw AS DOUBLE) / 100.0 AS md FROM (
       SELECT channel, win,
              sum(ws_ns) AS sw,
              sum(CAST(ws_ns AS HUGEINT) * vi) AS swv,
@@ -125,13 +125,13 @@ def _reagg_ctes(target_s: int, src: str = "dec", out: str = "reagg") -> str:
 {out}_agg AS (
   SELECT channel, win,
          md AS mean,
-         sqrt(greatest(CAST(swm2 AS DOUBLE) / CAST(sw AS DOUBLE) / 100000000.0
+         sqrt(greatest({big_to_double_duck("swm2")} / {big_to_double_duck("sw")} / 100000000.0
                        - md * md, 0)) AS std,
          vmin, vmax,
-         CAST(sw AS DOUBLE) / 1e9 / 10000.0 / {target_s}.0 AS covered_fraction,
+         {big_to_double_duck("sw")} / 1e9 / 10000.0 / {target_s}.0 AS covered_fraction,
          n_samples
   FROM (
-    SELECT *, CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE) / 10000.0 AS md FROM (
+    SELECT *, {big_to_double_duck("swm")} / {big_to_double_duck("sw")} / 10000.0 AS md FROM (
       SELECT channel, win,
              sum(w) AS sw,
              sum(w * mi) AS swm,
@@ -287,6 +287,28 @@ WITH {SAMPLES_CTE},
 {_reagg_ctes(PERIOD_6H)}
 SELECT * FROM reagg ORDER BY channel, t
 """
+
+
+def q_archive_incremental_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/W3/T3 end-to-end: raw batch -> partitioned archive store ->
+    incremental decimation job -> pruned read-back. Output must equal the
+    plain batch decimation (same oracle as decimate_1h)."""
+    import tempfile
+
+    from .plans.jobs import incremental_decimation
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, tempfile.mkdtemp(prefix="pvarch_") + "/archive")
+    raw = load_samples(spark, sf_dir).select("channel", "t", "v", "severity", "status")
+    store.write_samples(raw, level=0)
+    incremental_decimation(store, PERIOD_1H)
+    return store.read_samples(PERIOD_1H).select(
+        "channel", "t", "mean", "std", "vmin", "vmax", "covered_fraction",
+        "severity", "status", "n_samples", "quality",
+    ).orderBy("channel", "t")
+
+
+SQL_ARCHIVE_INCREMENTAL_1H = SQL_DECIMATE_1H
 
 
 def q_pick_first_1h(spark: SparkSession, sf_dir: str) -> DataFrame:

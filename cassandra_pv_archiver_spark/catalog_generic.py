@@ -16,18 +16,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.decimate import big_to_double, big_to_double_duck
 from .sources.testdata import load_table
 
 
-def _dsum(expr: str) -> F.Column:
-    """Order-insensitive double sum: per-row double term -> DECIMAL(38,10)
-    -> exact sum -> double. The per-row terms are (near-)exact <=6-decimal
-    rationals, so their double error (~1e-12 relative) sits far from the
-    1e-10 cast quantum: both engines quantize identically, the sum is exact,
-    and the resulting double is bit-identical — hence no final rounding
-    (rounding exact decimal sums would land on ties where engines' rounding
-    implementations disagree)."""
-    return F.sum(F.expr(f"CAST(({expr}) AS DECIMAL(38,10))")).cast("double")
+def _ip(expr: str) -> str:
+    """Exact 2-decimal integer quantization (same text in both dialects)."""
+    return f"CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+#: exact integer terms shared by the Spark queries and the DuckDB oracles —
+#: TPC-H money columns carry exactly 2 decimals, so these are lossless.
+_QTY = _ip("l_quantity")
+_PRICE = _ip("l_extendedprice")
+_DISC = _ip("l_discount")
+_TAX = _ip("l_tax")
+_DISC_PRICE = f"{_PRICE} * (100 - {_DISC})"
+_CHARGE = f"{_PRICE} * (100 - {_DISC}) * (100 + {_TAX})"
+
+
+def _dsum(int_term: str, scale: int) -> F.Column:
+    """Order-insensitive exact sum of an integer term, converted to double
+    via the big_to_double decomposition (bit-identical on any IEEE engine —
+    plain DECIMAL/HUGEINT->double casts are not correctly rounded in every
+    engine) and descaled."""
+    s = f"sum(CAST(({int_term}) AS DECIMAL(38,0)))"
+    return F.expr(big_to_double(s)) / F.lit(float(scale))
+
+
+def _sql_dsum(int_term: str, scale: int) -> str:
+    s = f"sum(CAST(({int_term}) AS HUGEINT))"
+    return f"({big_to_double_duck(s)} / {scale}.0)"
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,34 +57,28 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity").alias("sum_qty"),
-            _dsum("l_extendedprice").alias("sum_base_price"),
-            _dsum("l_extendedprice * (1 - l_discount)").alias("sum_disc_price"),
-            _dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)").alias(
-                "sum_charge"
-            ),
-            (_dsum("l_quantity") / cnt).alias("avg_qty"),
-            (_dsum("l_extendedprice") / cnt).alias("avg_price"),
-            (_dsum("l_discount") / cnt).alias("avg_disc"),
+            _dsum(_QTY, 100).alias("sum_qty"),
+            _dsum(_PRICE, 100).alias("sum_base_price"),
+            _dsum(_DISC_PRICE, 10_000).alias("sum_disc_price"),
+            _dsum(_CHARGE, 1_000_000).alias("sum_charge"),
+            (_dsum(_QTY, 100) / cnt).alias("avg_qty"),
+            (_dsum(_PRICE, 100) / cnt).alias("avg_price"),
+            (_dsum(_DISC, 100) / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-def _sql_dsum(expr: str) -> str:
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
-
-
 SQL_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       {_sql_dsum('l_quantity')} AS sum_qty,
-       {_sql_dsum('l_extendedprice')} AS sum_base_price,
-       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-       {_sql_dsum('l_quantity')} / count(*) AS avg_qty,
-       {_sql_dsum('l_extendedprice')} / count(*) AS avg_price,
-       {_sql_dsum('l_discount')} / count(*) AS avg_disc,
+       {_sql_dsum(_QTY, 100)} AS sum_qty,
+       {_sql_dsum(_PRICE, 100)} AS sum_base_price,
+       {_sql_dsum(_DISC_PRICE, 10_000)} AS sum_disc_price,
+       {_sql_dsum(_CHARGE, 1_000_000)} AS sum_charge,
+       {_sql_dsum(_QTY, 100)} / count(*) AS avg_qty,
+       {_sql_dsum(_PRICE, 100)} / count(*) AS avg_price,
+       {_sql_dsum(_DISC, 100)} / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -95,7 +108,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+        .agg(_dsum(_DISC_PRICE, 10_000).alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -111,7 +124,7 @@ SQL_TPCH_Q3 = f"""
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
        o_orderpriority,
-       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+       {_sql_dsum(_DISC_PRICE, 10_000)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -147,7 +160,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("r_name", "n_name")
         .agg(
-            _dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            _dsum(_DISC_PRICE, 10_000).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", F.desc("revenue"), "n_name")
@@ -156,7 +169,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q5 = f"""
 SELECT r_name, n_name,
-       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       {_sql_dsum(_DISC_PRICE, 10_000)} AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

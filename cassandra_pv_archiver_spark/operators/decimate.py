@@ -57,10 +57,10 @@ def big_to_double(col: str) -> str:
     """
     a = f"abs({col})"
     return (
-        f"(CASE WHEN {col} < 0 THEN -1.0 ELSE 1.0 END) * ("
+        f"((CASE WHEN {col} < 0 THEN -1.0 ELSE 1.0 END) * ("
         f"CAST({a} div {_B64} AS DOUBLE) * {_B64}.0 + "
         f"CAST(({a} % {_B64}) div {_B32} AS DOUBLE) * {_B32}.0 + "
-        f"CAST({a} % {_B32} AS DOUBLE))"
+        f"CAST({a} % {_B32} AS DOUBLE)))"
     )
 
 
@@ -68,10 +68,10 @@ def big_to_double_duck(col: str) -> str:
     """DuckDB dialect of :func:`big_to_double` (hugeint `//`)."""
     a = f"abs({col})"
     return (
-        f"(CASE WHEN {col} < 0 THEN -1.0 ELSE 1.0 END) * ("
+        f"((CASE WHEN {col} < 0 THEN -1.0 ELSE 1.0 END) * ("
         f"CAST({a} // {_B64} AS DOUBLE) * {_B64}.0 + "
         f"CAST(({a} % {_B64}) // {_B32} AS DOUBLE) * {_B32}.0 + "
-        f"CAST({a} % {_B32} AS DOUBLE))"
+        f"CAST({a} % {_B32} AS DOUBLE)))"
     )
 
 #: numeric types the averaging aggregators handle
@@ -183,32 +183,31 @@ def decimate(
     d = explode_validity_windows(df, period_ns, key=key, max_gap_windows=max_gap_windows)
     vs = 10 ** v_decimals
     d = d.withColumn("_vi", F.expr(f"CAST(floor(v * {vs} + 0.5) AS BIGINT)"))
-    sw = F.sum("ws_ns")  # ≤ period_ns: fits int64 exactly
-    swv = F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi"))
-    swv2 = F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi * _vi"))
-    swd = sw.cast("double")
-    mean = swv.cast("double") / swd / F.lit(float(vs))
-    var = swv2.cast("double") / swd / F.lit(float(vs * vs)) - mean * mean
-    std = F.sqrt(F.greatest(var, F.lit(0.0)))
-    frac = swd / F.lit(1e9) / F.lit(float(period_s))
     _r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
-    out = d.groupBy(key, "win").agg(
-        _r(mean).alias("mean"),
-        _r(std).alias("std"),
+    # exact integer sums first; the >2^53 moment sums go to double via the
+    # big_to_double decomposition so any IEEE engine lands the same bits
+    g = d.groupBy(key, "win").agg(
+        F.sum("ws_ns").alias("_sw"),  # ≤ period_ns: exact in int64/double
+        F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi")).alias("_swv"),
+        F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi * _vi")).alias("_swv2"),
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
-        _r(frac).alias("covered_fraction"),
         _severity_agg(),
         F.count(F.lit(1)).alias("n_samples"),
     )
-    return out.select(
+    swd = F.col("_sw").cast("double")
+    mean = F.expr(big_to_double("_swv")) / swd / F.lit(float(vs))
+    var = F.expr(big_to_double("_swv2")) / swd / F.lit(float(vs * vs)) - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    frac = swd / F.lit(1e9) / F.lit(float(period_s))
+    return g.select(
         F.col(key),
         (F.col("win") * F.lit(period_ns)).alias("t"),
-        "mean",
-        "std",
+        _r(mean).alias("mean"),
+        _r(std).alias("std"),
         "vmin",
         "vmax",
-        "covered_fraction",
+        _r(frac).alias("covered_fraction"),
         F.col("_sevpick.severity").alias("severity"),
         F.col("_sevpick.status").alias("status"),
         "n_samples",
@@ -256,33 +255,33 @@ def reaggregate(
         )
         .withColumn("_w", F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _f"))
     )
-    sw = F.sum(F.col("_w"))
-    swm = F.sum(F.col("_w") * F.col("_m"))
-    swm2 = F.sum(F.col("_w") * (F.col("_s") * F.col("_s") + F.col("_m") * F.col("_m")))
-    swd = sw.cast("double")
-    mean = swm.cast("double") / swd / F.lit(float(rs))
-    var = swm2.cast("double") / swd / F.lit(float(rs * rs)) - mean * mean
-    std = F.sqrt(F.greatest(var, F.lit(0.0)))
-    # sw is ns·frac-units: /1e9 -> s·frac-units, /rs -> s, /target -> fraction
-    frac = swd / F.lit(1e9) / F.lit(float(rs)) / F.lit(float(target_period_s))
     _r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
-    out = d.groupBy(key, "win").agg(
-        _r(mean).alias("mean"),
-        _r(std).alias("std"),
+    g = d.groupBy(key, "win").agg(
+        F.sum(F.col("_w")).alias("_sw"),
+        F.sum(F.col("_w") * F.col("_m")).alias("_swm"),
+        F.sum(
+            F.col("_w") * (F.col("_s") * F.col("_s") + F.col("_m") * F.col("_m"))
+        ).alias("_swm2"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
-        _r(frac).alias("covered_fraction"),
         _severity_agg(),
         F.sum("n_samples").alias("n_samples"),
     )
-    return out.select(
+    # every one of these sums can exceed 2^53 (weights carry the frac scale)
+    swd = F.expr(big_to_double("_sw"))
+    mean = F.expr(big_to_double("_swm")) / swd / F.lit(float(rs))
+    var = F.expr(big_to_double("_swm2")) / swd / F.lit(float(rs * rs)) - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    # sw is ns·frac-units: /1e9 -> s·frac-units, /rs -> s, /target -> fraction
+    frac = swd / F.lit(1e9) / F.lit(float(rs)) / F.lit(float(target_period_s))
+    return g.select(
         F.col(key),
         (F.col("win") * F.lit(period_ns)).alias("t"),
-        "mean",
-        "std",
+        _r(mean).alias("mean"),
+        _r(std).alias("std"),
         "vmin",
         "vmax",
-        "covered_fraction",
+        _r(frac).alias("covered_fraction"),
         F.col("_sevpick.severity").alias("severity"),
         F.col("_sevpick.status").alias("status"),
         "n_samples",

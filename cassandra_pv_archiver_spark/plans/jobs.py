@@ -1,0 +1,142 @@
+"""Materialization jobs: incremental decimation cascade + retention sweep.
+
+The reference maintains each decimation level continuously from its source
+level (`ArchivedChannelDecimatedSamplesDecimationLevel.java:319-568`): on
+(re)start it backfills from the target's last timestamp + period, seeding
+each interval with the latest source sample at/before the interval start
+(T3 `:343-490`), never regenerating existing outputs (W3 `:890-927`), and
+picks as source the largest existing level that properly divides its own
+period, else raw (`ArchivedChannel.java:766-793`).
+
+Spark formulation: one batch job per (source level -> target level) edge.
+The high-water mark read prunes to the newest date partition; the source
+scan is bounded below by the as-of seed timestamp, so steady-state
+incremental runs scan hours of data, not years — the run cost is
+O(new data), independent of archive size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.decimate import NS, decimate, reaggregate
+from ..sources.archive_store import ArchiveStore
+
+
+def pick_source_level(levels, target_period_s: int) -> int:
+    """Largest existing level that properly divides the target period, else
+    raw (0) — `ArchivedChannel.java:766-793`."""
+    best = 0
+    for p in levels:
+        if p != 0 and p != target_period_s and target_period_s % p == 0 and p > best:
+            best = p
+    return best
+
+
+def incremental_decimation(
+    store: ArchiveStore,
+    target_period_s: int,
+    source_level: int | None = None,
+) -> int:
+    """One incremental run of the (source -> target) decimation edge.
+
+    Per-channel high-water marks (the Spark analog of the reference's
+    ``decimation_level_to_current_bucket_start_time`` metadata) drive the
+    catch-up: for channel c with mark ``hwm_c``, new intervals start at
+    ``hwm_c + period``; the seed is the source row whose hold-forward
+    validity crosses that point. The seed selection is pure dataflow — keep
+    rows whose ``lead(t)`` passes ``hwm_c + period`` — so there are no
+    driver-side probes and channels at different progress catch up in one
+    job. The source scan is bounded below by ``min(hwm)`` over channels
+    (from the tiny metadata table), so steady-state cost is O(new data).
+
+    Returns the number of newly materialized intervals; idempotent until
+    new source data arrives (W3).
+    """
+    from pyspark.sql import Window
+
+    period_ns = target_period_s * NS
+    if source_level is None:
+        source_level = pick_source_level(store.levels(), target_period_s)
+    hwm_df = store.channel_hwm(target_period_s)
+    state = store.read_seed_state(target_period_s)
+
+    if hwm_df is None:
+        src_all = store.read_samples(source_level)
+    else:
+        # scan bound: nothing older than the oldest persisted seed is ever
+        # needed — steady-state incremental cost is O(new data).
+        lo = None
+        if state is not None:
+            lo_row = state.agg(F.min("t").alias("m")).first()
+            lo = lo_row.m if lo_row is not None else None
+        scan = store.read_samples(source_level, lo_ns=lo)
+        if state is not None:
+            scan = scan.unionByName(state).dropDuplicates(["channel", "t"])
+        w = Window.partitionBy("channel").orderBy("t")
+        src_all = (
+            scan.join(F.broadcast(hwm_df), "channel", "left")
+            .withColumn("_tn", F.lead("t").over(w))
+            .filter(
+                F.col("hwm").isNull()
+                | F.col("_tn").isNull()
+                | (F.col("_tn") > F.col("hwm") + period_ns)
+            )
+            .drop("_tn", "hwm")
+        )
+    src_all = src_all.persist()
+    try:
+        if source_level == 0:
+            dec = decimate(src_all, target_period_s)
+        else:
+            dec = reaggregate(src_all, source_level, target_period_s)
+        if hwm_df is not None:
+            dec = (
+                dec.join(F.broadcast(hwm_df), "channel", "left")
+                .filter(F.col("hwm").isNull() | (F.col("t") > F.col("hwm")))
+                .drop("hwm")
+            )
+        dec = dec.persist()
+        n = dec.count()
+        if n:
+            store.write_samples(dec, target_period_s)
+        # persist the next run's seeds: latest source row at/before each
+        # channel's new next-interval start (the reference's decimator
+        # carry state, `...DecimatedSamplesDecimationLevel.java:1127-1146`)
+        new_hwm = store.channel_hwm(target_period_s)
+        if new_hwm is not None:
+            cols = src_all.columns
+            seeds = (
+                src_all.join(F.broadcast(new_hwm), "channel", "left")
+                .filter(F.col("hwm").isNull() | (F.col("t") <= F.col("hwm") + period_ns))
+                .groupBy("channel")
+                .agg(
+                    F.expr(
+                        "max_by(named_struct("
+                        + ", ".join(f"'{c}', {c}" for c in cols if c != "channel")
+                        + "), t)"
+                    ).alias("_s")
+                )
+                .select("channel", *[F.col(f"_s.{c}").alias(c) for c in cols if c != "channel"])
+            )
+            store.write_seed_state(target_period_s, seeds)
+        dec.unpersist()
+        return n
+    finally:
+        src_all.unpersist()
+
+
+def retention_sweep(
+    store: ArchiveStore, retention_s_by_level: dict[int, int], now_ns: int
+) -> dict[int, int]:
+    """S6: apply per-level retention periods (0 = keep forever), mirroring
+    `ArchivedChannelDecimationLevel.java:1097-1320`. Returns partitions
+    dropped per level."""
+    dropped = {}
+    for level, retention_s in retention_s_by_level.items():
+        if retention_s <= 0:
+            continue
+        cutoff = now_ns - retention_s * NS
+        dropped[level] = store.delete_older_than(level, cutoff)
+    return dropped

@@ -29,6 +29,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pick_first_1h": (catalog.q_pick_first_1h, catalog.SQL_PICK_FIRST_1H),
     "decimate_mixed_1h": (catalog.q_decimate_mixed_1h, catalog.SQL_DECIMATE_MIXED_1H),
     "json_v1_mixed_1h": (catalog.q_json_v1_mixed_1h, None),
+    "archive_incremental_1h": (
+        catalog.q_archive_incremental_1h,
+        catalog.SQL_ARCHIVE_INCREMENTAL_1H,
+    ),
     "union_levels": (catalog.q_union_levels, catalog.SQL_UNION_LEVELS),
     "planner_fallback": (catalog.q_planner_fallback, catalog.SQL_PLANNER_FALLBACK),
     "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),

@@ -1,0 +1,293 @@
+"""Partitioned-parquet archive store — the lakehouse replacement for the
+reference's Cassandra sample buckets (SURVEY.md §1.5).
+
+Layout::
+
+    {root}/samples/decimation_level=<sec>/date=<yyyy-MM-dd>/part-*.parquet
+
+Design for 100 TB / 100k channels:
+
+  * **Partition columns** are ``(decimation_level, date)`` only. Channel is
+    deliberately NOT a partition column — 100k channels x 3650 days would
+    mean 10^8 directories, killing listing and small-file behavior. Instead
+    every file is **sorted by (channel, t)** (``sortWithinPartitions``
+    before write), so parquet row-group min/max statistics prune channels
+    inside each date partition — this plays exactly the role of the
+    reference's bucket index (`channels` table + ``bucket_end_time``,
+    `ChannelMetaDataDAOImpl.java:2092-2103`): partition pruning selects the
+    date range, row-group stats select the channel slice.
+  * **File sizing**: ``maxRecordsPerFile`` bounds file size the way
+    ``MAX_BUCKET_SIZE_BYTES = 96_000_000`` bounds a bucket
+    (`ArchivedChannelDecimationLevel.java:97`); :meth:`compact` is the
+    OPTIMIZE-style rewrite for partitions fragmented by incremental appends.
+  * **Retention** (S6, `ArchivedChannelDecimationLevel.java:1097-1320`)
+    drops whole date partitions below the cutoff — a metadata operation,
+    like the reference's bucket drops — and rewrites only the single
+    boundary partition for exact trim.
+  * **High-water mark** (W3, `...DecimatedSamplesDecimationLevel.java:
+    890-927`): per-level max t, read from the newest date partition only.
+
+All timestamps int64 ns; ``date`` is derived with integer division so it is
+consistent for any ns value (no TimestampType round-trip).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000
+DAY_NS = 86_400 * NS
+
+SAMPLE_COLUMNS = ["channel", "t", "v", "severity", "status"]
+
+
+def _date_expr(t_col: str = "t"):
+    """ns epoch -> yyyy-MM-dd partition string (UTC, integer floor-div so
+    negative ns before 1970 still bucket consistently)."""
+    return F.date_format(
+        F.expr(f"date_add(DATE '1970-01-01', CAST({t_col} div {DAY_NS} AS INT))"),
+        "yyyy-MM-dd",
+    )
+
+
+class ArchiveStore:
+    """Batch read/write surface over the partitioned samples table."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 max_records_per_file: int = 4_000_000):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.max_records_per_file = max_records_per_file
+
+    # -- paths -----------------------------------------------------------
+    @property
+    def samples_path(self) -> str:
+        return f"{self.root}/samples"
+
+    def _level_path(self, level: int) -> str:
+        return f"{self.samples_path}/decimation_level={level}"
+
+    def _hwm_path(self, level: int) -> str:
+        return f"{self.root}/meta/hwm_level={level}"
+
+    # -- write (S5) ------------------------------------------------------
+    def write_samples(self, df: DataFrame, level: int, mode: str = "append") -> None:
+        """Append a sample batch to one decimation level.
+
+        The batch is hash-distributed by ``(date, channel)`` (so one task
+        owns one channel's day — co-locating later per-channel windowing)
+        and sorted by ``(channel, t)`` within files for row-group pruning.
+        Also folds the batch into the per-channel high-water-mark metadata
+        table — the Spark analog of the reference's
+        ``decimation_level_to_current_bucket_start_time`` map
+        (`ChannelMetaDataDAOImpl.java:2111-2123`).
+        """
+        df = df.persist()
+        try:
+            out = (
+                df.withColumn("date", _date_expr("t"))
+                .repartition("date", "channel")
+                .sortWithinPartitions("channel", "t")
+            )
+            (
+                out.write.mode(mode)
+                .option("maxRecordsPerFile", self.max_records_per_file)
+                .partitionBy("date")
+                .parquet(self._level_path(level))
+            )
+            self._update_channel_hwm(df, level)
+        finally:
+            df.unpersist()
+
+    def _update_channel_hwm(self, batch: DataFrame, level: int) -> None:
+        batch_hwm = batch.groupBy("channel").agg(F.max("t").alias("hwm"))
+        path = self._hwm_path(level)
+        old = self.channel_hwm(level)
+        if old is not None:
+            batch_hwm = (
+                old.unionByName(batch_hwm)
+                .groupBy("channel")
+                .agg(F.max("hwm").alias("hwm"))
+            )
+        tmp = path + ".tmp"
+        batch_hwm.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    def channel_hwm(self, level: int) -> DataFrame | None:
+        """Per-channel high-water mark table ``(channel, hwm)`` for one
+        level, or None if the level has never been written."""
+        path = self._hwm_path(level)
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    # -- decimation carry state (T3 seeds) -------------------------------
+    def _seed_path(self, level: int) -> str:
+        return f"{self.root}/meta/seed_level={level}"
+
+    def read_seed_state(self, target_level: int) -> DataFrame | None:
+        """Per-channel seed rows persisted by the last incremental
+        decimation run targeting ``target_level`` (the decimator carry
+        state — one full source row per channel)."""
+        path = self._seed_path(target_level)
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def write_seed_state(self, target_level: int, seeds: DataFrame) -> None:
+        path = self._seed_path(target_level)
+        tmp = path + ".tmp"
+        seeds.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    # -- read (S1/S2) ----------------------------------------------------
+    def read_samples(
+        self,
+        level: int,
+        lo_ns: int | None = None,
+        hi_ns: int | None = None,
+        channels=None,
+    ) -> DataFrame:
+        """Pruned scan of one level: date-partition pruning from the time
+        range + parquet predicate pushdown on (channel, t)."""
+        df = self.spark.read.parquet(self._level_path(level))
+        if lo_ns is not None:
+            df = df.filter(
+                (F.col("date") >= F.lit(_py_date(lo_ns))) & (F.col("t") >= lo_ns)
+            )
+        if hi_ns is not None:
+            df = df.filter(
+                (F.col("date") <= F.lit(_py_date(hi_ns))) & (F.col("t") <= hi_ns)
+            )
+        if channels is not None:
+            df = df.filter(F.col("channel").isin(list(channels)))
+        return df.drop("date")
+
+    def levels(self) -> list[int]:
+        if not os.path.isdir(self.samples_path):
+            return []
+        out = []
+        for name in os.listdir(self.samples_path):
+            if name.startswith("decimation_level="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    # -- high-water mark (W3) -------------------------------------------
+    def high_water_mark(self, level: int) -> int | None:
+        """Max archived t for a level, scanning only the newest date
+        partition (partition pruning keeps this O(1 day) at any scale)."""
+        path = self._level_path(level)
+        if not os.path.isdir(path):
+            return None
+        dates = sorted(
+            d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("date=")
+        )
+        if not dates:
+            return None
+        df = self.spark.read.parquet(path)
+        row = (
+            df.filter(F.col("date") == dates[-1])
+            .agg(F.max("t").alias("hwm"))
+            .first()
+        )
+        return None if row is None or row.hwm is None else row.hwm
+
+    def latest_at_or_before(self, level: int, ts_ns: int) -> int | None:
+        """Max t with ``t <= ts`` — steps backward one date partition at a
+        time (newest first), the same shape as the reference's bucket-
+        stepping backward probe (`ArchiveAccessServiceImpl.java:239-316`):
+        typically touches exactly one partition regardless of archive size."""
+        path = self._level_path(level)
+        if not os.path.isdir(path):
+            return None
+        limit = _py_date(ts_ns)
+        dates = sorted(
+            (
+                d.split("=", 1)[1]
+                for d in os.listdir(path)
+                if d.startswith("date=")
+            ),
+            reverse=True,
+        )
+        for d in dates:
+            if d > limit:
+                continue
+            row = (
+                self.spark.read.parquet(f"{path}/date={d}")
+                .filter(F.col("t") <= ts_ns)
+                .agg(F.max("t").alias("t"))
+                .first()
+            )
+            if row is not None and row.t is not None:
+                return row.t
+        return None
+
+    # -- retention (S6) --------------------------------------------------
+    def delete_older_than(self, level: int, cutoff_ns: int) -> int:
+        """Drop data with ``t < cutoff``: whole partitions below the cutoff
+        date are removed (metadata-only, like the reference's bucket drops);
+        the boundary partition is rewritten with the exact predicate.
+        Returns the number of partitions dropped."""
+        path = self._level_path(level)
+        if not os.path.isdir(path):
+            return 0
+        cutoff_date = _py_date(cutoff_ns)
+        dropped = 0
+        boundary = None
+        for name in sorted(os.listdir(path)):
+            if not name.startswith("date="):
+                continue
+            d = name.split("=", 1)[1]
+            if d < cutoff_date:
+                shutil.rmtree(os.path.join(path, name))
+                dropped += 1
+            elif d == cutoff_date:
+                boundary = os.path.join(path, name)
+        if boundary is not None:
+            kept = self.spark.read.parquet(boundary).filter(
+                F.col("t") >= cutoff_ns
+            )
+            tmp = boundary + ".tmp"
+            kept.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(boundary)
+            os.replace(tmp, boundary)
+        return dropped
+
+    # -- compaction (96 MB rollover analog) ------------------------------
+    def compact(self, level: int, target_files_per_partition: int = 1) -> None:
+        """Rewrite each date partition into ``target_files_per_partition``
+        sorted files (the OPTIMIZE pass for append-fragmented partitions)."""
+        path = self._level_path(level)
+        if not os.path.isdir(path):
+            return
+        for name in sorted(os.listdir(path)):
+            if not name.startswith("date="):
+                continue
+            part = os.path.join(path, name)
+            df = self.spark.read.parquet(part)
+            tmp = part + ".tmp"
+            (
+                df.coalesce(target_files_per_partition)
+                .sortWithinPartitions("channel", "t")
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", self.max_records_per_file)
+                .parquet(tmp)
+            )
+            shutil.rmtree(part)
+            os.replace(tmp, part)
+
+
+def _py_date(t_ns: int) -> str:
+    import datetime
+
+    return (
+        datetime.date(1970, 1, 1) + datetime.timedelta(days=t_ns // DAY_NS)
+    ).isoformat()

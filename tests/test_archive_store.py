@@ -1,0 +1,126 @@
+"""Archive store + incremental decimation jobs: layout, pruning, retention,
+high-water-mark idempotence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.operators.decimate import NS, decimate
+from cassandra_pv_archiver_spark.plans.jobs import (
+    incremental_decimation,
+    pick_source_level,
+    retention_sweep,
+)
+from cassandra_pv_archiver_spark.sources.archive_store import (
+    DAY_NS,
+    ArchiveStore,
+)
+from cassandra_pv_archiver_spark.sources.testdata import load_samples
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _store(spark, tmp_path) -> ArchiveStore:
+    return ArchiveStore(spark, str(tmp_path / "archive"))
+
+
+def test_write_read_roundtrip_and_pruning(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    raw = load_samples(spark, SF_DIR).select("channel", "t", "v", "severity", "status")
+    store.write_samples(raw, level=0)
+
+    # date-partition dirs exist
+    lvl = f"{store.samples_path}/decimation_level=0"
+    dates = [d for d in os.listdir(lvl) if d.startswith("date=")]
+    assert len(dates) > 25  # a month of data
+
+    lo = raw.agg(F.min("t")).first()[0] + 10 * DAY_NS
+    hi = lo + 2 * DAY_NS
+    got = store.read_samples(0, lo_ns=lo, hi_ns=hi)
+    want = raw.filter(F.col("t").between(lo, hi))
+    assert got.count() == want.count()
+    dec_t = F.sum(F.col("t").cast("decimal(38,0)"))
+    assert got.agg(dec_t).first()[0] == want.agg(dec_t).first()[0]
+
+    # the physical plan prunes date partitions and pushes t/channel down
+    plan = got.filter(F.col("channel") == "PV:1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "PushedFilters" in plan
+    assert "isnotnull(t" in plan or "GreaterThanOrEqual(t" in plan
+
+
+def test_partition_count_selected(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    raw = load_samples(spark, SF_DIR).select("channel", "t", "v", "severity", "status")
+    store.write_samples(raw, level=0)
+    lo = raw.agg(F.min("t")).first()[0] + 10 * DAY_NS
+    # a 1-day slice should read only 1-2 date partitions, not ~31
+    sliced = store.read_samples(0, lo_ns=lo, hi_ns=lo + DAY_NS)
+    n_parts = sliced.select(F.input_file_name()).distinct().count()
+    full_parts = store.read_samples(0).select(F.input_file_name()).distinct().count()
+    assert n_parts <= 4 and full_parts > 25
+
+
+def test_high_water_mark_and_asof_probe(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    raw = load_samples(spark, SF_DIR).select("channel", "t", "v", "severity", "status")
+    store.write_samples(raw, level=0)
+    hwm = store.high_water_mark(0)
+    assert hwm == raw.agg(F.max("t")).first()[0]
+    mid = hwm - 5 * DAY_NS
+    probe = store.latest_at_or_before(0, mid)
+    want = raw.filter(F.col("t") <= mid).agg(F.max("t")).first()[0]
+    assert probe == want
+    assert store.high_water_mark(3600) is None
+
+
+def test_incremental_decimation_idempotent_and_complete(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    raw = load_samples(spark, SF_DIR).select("channel", "t", "v", "severity", "status")
+    tmin = raw.agg(F.min("t")).first()[0]
+    cut = tmin + 15 * DAY_NS
+
+    # phase 1: archive the first half, materialize 1h
+    store.write_samples(raw.filter(F.col("t") < cut), level=0)
+    n1 = incremental_decimation(store, 3600)
+    assert n1 > 0
+    # idempotent: nothing new -> nothing written
+    assert incremental_decimation(store, 3600) == 0
+
+    # phase 2: archive the rest, incremental catch-up
+    store.write_samples(raw.filter(F.col("t") >= cut), level=0)
+    n2 = incremental_decimation(store, 3600)
+    assert n2 > 0
+
+    # equivalence with a from-scratch batch decimation
+    full = decimate(raw, 3600).select("channel", "t", "mean", "n_samples")
+    inc = store.read_samples(3600).select("channel", "t", "mean", "n_samples")
+    assert inc.count() == full.count()
+    joined = inc.alias("a").join(full.alias("b"), ["channel", "t"])
+    mism = joined.filter(
+        (F.abs(F.col("a.mean") - F.col("b.mean")) > 1e-9)
+        | (F.col("a.n_samples") != F.col("b.n_samples"))
+    )
+    assert mism.count() == 0
+
+    # cascade 6h on top reads the 1h level as its source
+    assert pick_source_level(store.levels(), 21600) == 3600
+    n6 = incremental_decimation(store, 21600)
+    assert n6 > 0
+
+
+def test_retention_sweep_trims_exactly(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    raw = load_samples(spark, SF_DIR).select("channel", "t", "v", "severity", "status")
+    store.write_samples(raw, level=0)
+    tmin, tmax = raw.agg(F.min("t"), F.max("t")).first()
+    cutoff = tmin + 10 * DAY_NS + 7 * 3600 * NS  # mid-partition cutoff
+    dropped = retention_sweep(store, {0: int((tmax - cutoff) // NS)}, now_ns=tmax)
+    assert dropped[0] >= 9
+    left = store.read_samples(0)
+    got_min = left.agg(F.min("t")).first()[0]
+    want_min = raw.filter(F.col("t") >= tmax - (tmax - cutoff)).agg(F.min("t")).first()[0]
+    assert got_min == want_min
+    assert left.count() == raw.filter(F.col("t") >= tmax - (tmax - cutoff)).count()
