@@ -542,6 +542,86 @@ ORDER BY channel, t
 """
 
 
+def q_rate_limit_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 minUpdatePeriod: greedy per-channel rate limit to >= 10 min
+    spacing (`LimitingSampleWriterDelegate.java:20-105`). Sequential per
+    channel -> applyInPandas; rows-only check (greedy keep-set is not
+    SQL-expressible), semantics pinned by tests/test_streaming.py."""
+    from .streaming.limits import min_update_period
+
+    s = load_samples(spark, sf_dir).select("channel", "t", "v")
+    return min_update_period(s, 600).orderBy("channel", "t")
+
+
+def q_heartbeat_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 maxUpdatePeriod: re-emit the held value hourly through silent
+    gaps (`LimitingSampleWriterDelegate` heartbeat)."""
+    from .streaming.limits import max_update_period
+
+    s = load_samples(spark, sf_dir).select("channel", "t", "v")
+    return max_update_period(s, PERIOD_1H).orderBy("channel", "t", "heartbeat")
+
+
+SQL_HEARTBEAT_1H = f"""
+WITH {SAMPLES_CTE},
+base AS (SELECT channel, t, v FROM samples),
+iv AS (
+  SELECT channel, t, v, lead(t) OVER (PARTITION BY channel ORDER BY t) AS tn
+  FROM base
+),
+beats AS (
+  SELECT channel, t + g.k * {PERIOD_1H * NS} AS t, v, TRUE AS heartbeat
+  FROM iv, LATERAL (
+    SELECT unnest(generate_series(1, CAST((tn - 1 - t) // {PERIOD_1H * NS} AS INT))) AS k) g
+  WHERE tn IS NOT NULL
+)
+SELECT channel, t, v, FALSE AS heartbeat FROM base
+UNION ALL SELECT * FROM beats
+ORDER BY channel, t, heartbeat
+"""
+
+
+def q_markers_disconnect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: disconnected markers at connected->false transitions
+    (`ControlSystemSupport.java:208-258`); state = event_type != 'error'."""
+    from .streaming.markers import transition_markers
+
+    ev = load_table(spark, sf_dir, "events")
+    states = ev.select(
+        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
+        F.expr("(ts div 1000) * 1000").alias("t"),
+        (F.col("event_type") != "error").alias("connected"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("channel", "t").orderBy("event_id")
+    states = (
+        states.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    return transition_markers(states).orderBy("channel", "t")
+
+
+SQL_MARKERS_DISCONNECT = """
+WITH states AS (
+  SELECT channel, t, connected FROM (
+    SELECT 'PV:' || CAST(user_id AS VARCHAR) AS channel,
+           epoch_ns(ts) AS t,
+           event_type != 'error' AS connected,
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+    FROM events) WHERE _rn = 1
+),
+d AS (
+  SELECT channel, t, connected,
+         lag(connected) OVER (PARTITION BY channel ORDER BY t) AS prev
+  FROM states
+)
+SELECT channel, t, 'disconnected' AS type FROM d
+WHERE NOT connected AND (prev IS NULL OR prev)
+ORDER BY channel, t
+"""
+
+
 def q_channel_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 + archive-info: glob 'PV:1*' over channel names, per-channel sample
     count / time extent / mean (`Api10Controller.compileGlobPattern:307-345`)."""

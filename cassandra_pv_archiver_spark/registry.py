@@ -36,6 +36,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "union_levels": (catalog.q_union_levels, catalog.SQL_UNION_LEVELS),
     "planner_fallback": (catalog.q_planner_fallback, catalog.SQL_PLANNER_FALLBACK),
     "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),
+    "rate_limit_10m": (catalog.q_rate_limit_10m, None),
+    "heartbeat_1h": (catalog.q_heartbeat_1h, catalog.SQL_HEARTBEAT_1H),
+    "markers_disconnect": (catalog.q_markers_disconnect, catalog.SQL_MARKERS_DISCONNECT),
     "monotonic_stats": (catalog.q_monotonic_stats, catalog.SQL_MONOTONIC_STATS),
     "severity_daily": (catalog.q_severity_daily, catalog.SQL_SEVERITY_DAILY),
     # --- generic relational surface ---

@@ -1,0 +1,88 @@
+"""Streaming ingestion into the archive store (S4 + F5 + write path S5).
+
+Reference pipeline (`SampleListener` -> `TimeBoundedQueue` ->
+`ArchivingServiceInternalImpl` -> monotonicity filter -> bucket write,
+SURVEY.md §3.2). Spark formulation: ``readStream`` (any replayable source —
+file source in tests, Kafka in production) -> ``foreachBatch`` which applies
+the F5 monotonicity guard against the store's per-channel high-water marks
+and appends via :class:`ArchiveStore`. Exactly-once: the file/Kafka source
+is replayable and the foreachBatch write is idempotent under the guard (a
+replayed batch's rows are all ``t <= hwm`` and get dropped), which is the
+Spark analog of the reference's T2 storage/stream reconciliation.
+
+Optionally runs incremental decimation for a cascade of levels after each
+batch — the reference's continuous materialization (§3.3) expressed as
+per-micro-batch catch-up jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.jobs import incremental_decimation
+from ..sources.archive_store import ArchiveStore
+
+
+def monotonic_guard(batch: DataFrame, hwm: DataFrame | None) -> DataFrame:
+    """F5 (`ArchivedChannelDecimationLevel.java:398-425`): drop any sample
+    whose timestamp is not strictly greater than everything already written
+    for its channel, and dedupe inside the batch (first occurrence wins,
+    mirroring arrival order)."""
+    w = Window.partitionBy("channel", "t").orderBy(F.col("_seq"))
+    batch = (
+        batch.withColumn("_seq", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+    )
+    if hwm is not None:
+        batch = (
+            batch.join(F.broadcast(hwm), "channel", "left")
+            .filter(F.col("hwm").isNull() | (F.col("t") > F.col("hwm")))
+            .drop("hwm")
+        )
+    return batch
+
+
+def ingest_batch(
+    store: ArchiveStore,
+    batch: DataFrame,
+    cascade_periods: list[int] | None = None,
+) -> int:
+    """One micro-batch: guard -> append -> cascade catch-up. Returns rows
+    written."""
+    guarded = monotonic_guard(batch, store.channel_hwm(0)).persist()
+    try:
+        n = guarded.count()
+        if n:
+            store.write_samples(guarded, level=0)
+        for period in cascade_periods or []:
+            incremental_decimation(store, period)
+        return n
+    finally:
+        guarded.unpersist()
+
+
+def start_file_ingest(
+    spark,
+    source_dir: str,
+    schema,
+    store: ArchiveStore,
+    checkpoint_dir: str,
+    cascade_periods: list[int] | None = None,
+    available_now: bool = True,
+):
+    """File-source ingestion stream (the test/demo stand-in for a live CA
+    monitor feed; swap ``readStream.format`` for Kafka in production)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        ingest_batch(store, batch, cascade_periods)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,93 @@
+"""T4: min/max update-period limiting (rate limit + heartbeat re-emit).
+
+Reference (`LimitingSampleWriterDelegate.java:20-105`, options
+`ConfigurationOptions.java:78,80`):
+
+  * ``minUpdatePeriod`` — a sample is written only if at least the period
+    elapsed since the last *written* sample; faster arrivals are dropped
+    (the last received sample is remembered so a later heartbeat can emit
+    it).
+  * ``maxUpdatePeriod`` — if nothing was written for the period, the last
+    received sample is re-written with a fresh timestamp (heartbeat).
+
+The min-period filter is inherently sequential per channel (whether a row
+is kept depends on which earlier rows were kept), so it is implemented with
+``applyInPandas`` — Arrow-batched, one group per channel, the ONE place in
+the archiver core where Python touches rows (SURVEY.md §2.10 allows
+exactly this for stateful decimator-style logic). Everything stays
+distributed: groups are processed in parallel across executors.
+
+The heartbeat is NOT sequential (re-emission points are a pure function of
+each sample's validity gap) and is expressed with ``sequence``/``explode``
+— JVM-side, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000
+
+
+def min_update_period(
+    df: DataFrame, min_period_s: float, key: str = "channel", t: str = "t"
+) -> DataFrame:
+    """Greedy per-channel rate limit: keep a row iff ``t - t_last_kept >=
+    min_period`` (first row always kept). Matches the reference's
+    clock-time check applied to sample time on a replayable series."""
+    min_ns = int(min_period_s * NS)
+    schema = df.schema
+
+    def _filter(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t)
+        ts = pdf[t].to_numpy()
+        keep = [False] * len(ts)
+        last = None
+        for i, ti in enumerate(ts):
+            if last is None or ti - last >= min_ns:
+                keep[i] = True
+                last = ti
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return df.groupBy(key).applyInPandas(_filter, schema=schema)
+
+
+def max_update_period(
+    df: DataFrame, max_period_s: int, key: str = "channel", t: str = "t"
+) -> DataFrame:
+    """Heartbeat: for each hold-forward validity gap longer than
+    ``max_period``, re-emit the sample at ``t + k*max_period`` for
+    ``k = 1..`` until the next sample (re-emitted rows flagged
+    ``heartbeat = true``, carrying the original payload with the fresh
+    timestamp, cf. `updateSampleTimeStamp`).
+
+    The final sample of each channel emits no heartbeats (its validity end
+    is unknown) — matching the reference, which only re-emits while the
+    channel stays connected and silent up to 'now'.
+    """
+    max_ns = max_period_s * NS
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(t)
+    payload = [c for c in df.columns if c != key and c != t]
+    d = (
+        df.withColumn("_tn", F.lead(t).over(w))
+        .filter(F.col("_tn").isNotNull())
+        .withColumn("_n", F.expr(f"CAST(((_tn - 1 - {t}) div {max_ns}) AS INT)"))
+        .filter(F.col("_n") >= 1)  # sequence(1,0) would count DOWN in Spark
+        .withColumn("_kk", F.explode(F.expr("sequence(1, _n)")))
+    )
+    beats = d.select(
+        F.col(key),
+        (F.col(t) + F.col("_kk") * F.lit(max_ns)).alias(t),
+        *[F.col(c) for c in payload],
+        F.lit(True).alias("heartbeat"),
+    )
+    originals = df.select(
+        F.col(key), F.col(t), *[F.col(c) for c in payload],
+        F.lit(False).alias("heartbeat"),
+    )
+    return originals.unionByName(beats)

@@ -1,0 +1,131 @@
+"""Streaming surface tests: F5 guard, T4 limits, T5 markers, end-to-end
+file-source ingestion with cascade maintenance and replay idempotence."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.operators.decimate import NS, decimate
+from cassandra_pv_archiver_spark.sources.archive_store import ArchiveStore
+from cassandra_pv_archiver_spark.sources.testdata import load_samples
+from cassandra_pv_archiver_spark.streaming.ingest import (
+    ingest_batch,
+    monotonic_guard,
+    start_file_ingest,
+)
+from cassandra_pv_archiver_spark.streaming.limits import (
+    max_update_period,
+    min_update_period,
+)
+from cassandra_pv_archiver_spark.streaming.markers import transition_markers
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_min_update_period_greedy(spark):
+    # arrivals at 0, 5, 9, 10, 22, 25, 31 with min 10 -> keep 0, 10, 22
+    rows = [("X", t * NS, float(t)) for t in (0, 5, 9, 10, 22, 25, 31)]
+    df = spark.createDataFrame(rows, "channel string, t long, v double")
+    kept = sorted(r.t // NS for r in min_update_period(df, 10).collect())
+    assert kept == [0, 10, 22]
+
+
+def test_min_update_period_per_channel_independent(spark):
+    rows = [("A", 0, 1.0), ("B", 1 * NS, 2.0), ("A", 5 * NS, 3.0), ("B", 20 * NS, 4.0)]
+    df = spark.createDataFrame(rows, "channel string, t long, v double")
+    kept = {(r.channel, r.t // NS) for r in min_update_period(df, 10).collect()}
+    assert kept == {("A", 0), ("B", 1), ("B", 20)}
+
+
+def test_max_update_period_heartbeat(spark):
+    # samples at 0 and 35, max 10 -> heartbeats at 10, 20, 30; none after 35
+    rows = [("X", 0, 7.0), ("X", 35 * NS, 9.0)]
+    df = spark.createDataFrame(rows, "channel string, t long, v double")
+    out = max_update_period(df, 10).collect()
+    beats = sorted(r.t // NS for r in out if r.heartbeat)
+    assert beats == [10, 20, 30]
+    assert all(r.v == 7.0 for r in out if r.heartbeat)
+    origs = sorted(r.t // NS for r in out if not r.heartbeat)
+    assert origs == [0, 35]
+
+
+def test_heartbeat_exact_boundary_not_reemitted(spark):
+    # next sample exactly at t+max -> no heartbeat collides with it
+    rows = [("X", 0, 1.0), ("X", 10 * NS, 2.0)]
+    df = spark.createDataFrame(rows, "channel string, t long, v double")
+    assert [r for r in max_update_period(df, 10).collect() if r.heartbeat] == []
+
+
+def test_transition_markers(spark):
+    rows = [
+        ("A", 0, True), ("A", 10 * NS, False), ("A", 20 * NS, False),
+        ("A", 30 * NS, True), ("A", 40 * NS, False),
+        ("B", 0, False),  # cold-start disconnect
+    ]
+    df = spark.createDataFrame(rows, "channel string, t long, connected boolean")
+    out = {(r.channel, r.t // NS) for r in transition_markers(df).collect()}
+    assert out == {("A", 10), ("A", 40), ("B", 0)}
+
+
+def test_monotonic_guard_batch_dedup_and_hwm(spark):
+    batch = spark.createDataFrame(
+        [("X", 10 * NS, 1.0), ("X", 10 * NS, 2.0), ("X", 20 * NS, 3.0),
+         ("X", 5 * NS, 0.5)],
+        "channel string, t long, v double",
+    )
+    hwm = spark.createDataFrame([("X", 5 * NS)], "channel string, hwm long")
+    out = sorted(
+        (r.t // NS, r.v) for r in monotonic_guard(batch, hwm).collect()
+    )
+    # t=5 dropped (== hwm), duplicate t=10 keeps first arrival
+    assert out == [(10, 1.0), (20, 3.0)]
+
+
+def test_file_ingest_end_to_end_with_cascade(spark, tmp_path):
+    raw = load_samples(spark, SF_DIR).select("channel", "t", "v", "severity", "status")
+    tmin, tmax = raw.agg(F.min("t"), F.max("t")).first()
+    cut = tmin + (tmax - tmin) // 2
+
+    src_dir = str(tmp_path / "incoming")
+    # chunk 1 lands before the stream starts; chunk 2 arrives later
+    raw.filter(F.col("t") < cut).write.mode("overwrite").parquet(src_dir)
+
+    store = ArchiveStore(spark, str(tmp_path / "archive"))
+    q = start_file_ingest(
+        spark,
+        src_dir,
+        raw.schema,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        cascade_periods=[3600],
+    )
+    q.awaitTermination(120)
+
+    raw.filter(F.col("t") >= cut).write.mode("append").parquet(src_dir)
+    q2 = start_file_ingest(
+        spark, src_dir, raw.schema, store,
+        checkpoint_dir=str(tmp_path / "ckpt"), cascade_periods=[3600],
+    )
+    q2.awaitTermination(120)
+
+    stored = store.read_samples(0)
+    assert stored.count() == raw.count()
+    # continuously-maintained 1h level == batch decimation of everything
+    inc = store.read_samples(3600).select("channel", "t", "mean")
+    full = decimate(raw, 3600).select("channel", "t", F.col("mean").alias("m2"))
+    j = inc.join(full, ["channel", "t"], "full")
+    assert j.filter(F.col("mean").isNull() | F.col("m2").isNull()).count() == 0
+    assert j.filter(F.abs(F.col("mean") - F.col("m2")) > 1e-9).count() == 0
+
+
+def test_ingest_replay_idempotent(spark, tmp_path):
+    raw = load_samples(spark, SF_DIR).select("channel", "t", "v", "severity", "status")
+    store = ArchiveStore(spark, str(tmp_path / "archive"))
+    n1 = ingest_batch(store, raw)
+    assert n1 == raw.count()
+    # replaying the identical batch (e.g. after a checkpoint loss) is a no-op
+    n2 = ingest_batch(store, raw)
+    assert n2 == 0
+    assert store.read_samples(0).count() == raw.count()
