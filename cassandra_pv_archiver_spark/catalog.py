@@ -654,6 +654,55 @@ GROUP BY channel ORDER BY channel
 """
 
 
+def q_channel_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: channel dimension lookup as a broadcast hash join — resolve each
+    sample's channel against the registry (enabled flag + type), keep
+    enabled channels only (`ChannelInformationCache.java:91-226`)."""
+    import tempfile
+
+    from .management import ChannelConfig, ChannelRegistry
+
+    reg = ChannelRegistry(spark, tempfile.mkdtemp(prefix="pvreg_") + "/channels")
+    # bulk build (one flush) — add_channel flushes per call, too slow for 200
+    reg._channels = {
+        f"PV:{i}": ChannelConfig(
+            f"PV:{i}",
+            enabled=(i % 3 != 0),
+            options={"tier": "fast" if i % 2 == 0 else "slow"},
+        )
+        for i in range(200)
+    }
+    reg._flush()
+    dim = reg.to_df().select(
+        F.col("channel_name").alias("channel"),
+        "enabled",
+        F.col("options")["tier"].alias("tier"),
+    )
+    s = load_samples(spark, sf_dir)
+    return (
+        s.join(F.broadcast(dim), "channel")
+        .filter(F.col("enabled"))
+        .groupBy("channel", "tier")
+        .agg(F.count(F.lit(1)).alias("n_samples"), F.max("t").alias("t_max"))
+        .orderBy("channel")
+    )
+
+
+SQL_CHANNEL_DIM_JOIN = f"""
+WITH {SAMPLES_CTE},
+dim AS (
+  SELECT 'PV:' || CAST(i AS VARCHAR) AS channel,
+         (i % 3) != 0 AS enabled,
+         CASE WHEN i % 2 = 0 THEN 'fast' ELSE 'slow' END AS tier
+  FROM (SELECT unnest(generate_series(0, 199)) AS i)
+)
+SELECT channel, tier, count(*) AS n_samples, max(t) AS t_max
+FROM samples JOIN dim USING (channel)
+WHERE enabled
+GROUP BY channel, tier ORDER BY channel
+"""
+
+
 def q_monotonic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: monotonicity-filter accounting — events seen vs samples kept per
     channel ('skipped back' counter, `ArchivedChannelDecimationLevel.java:398-425`)."""

@@ -1,0 +1,237 @@
+"""Management surface: channel-configuration registry (CRUD), XML config
+import/export, channel-name URL codec.
+
+Replaces the reference's admin machinery (`ArchiveConfigurationService.java`
+add/update/remove/move/rename operations; `ChannelMetaDataDAOImpl` channels
+tables) with a small parquet dimension table — the cluster/internode layers
+are intentionally dropped (SURVEY.md §7.6): Spark owns the cluster.
+
+The XML format mirrors `ArchiveServerConfigurationXmlExport.java:55-190` /
+`ArchiveServerConfigurationXmlImport.java`: a ``server-configuration`` root
+of ``channel`` elements (attributes ``name``, ``control-system-type``,
+``enabled``) containing ``decimation-level`` elements (``decimation-period``,
+``retention-period``) and ``control-system-option`` elements (``name``,
+``value``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.glob import glob_to_regex
+
+CHANNEL_SCHEMA = (
+    "channel_name string, channel_data_id string, control_system_type string,"
+    " enabled boolean, decimation_levels map<int,int>,"
+    " options map<string,string>"
+)
+
+
+@dataclass
+class ChannelConfig:
+    """One channel's configuration (`ChannelMetaDataDAO.ChannelConfiguration`,
+    `ChannelMetaDataDAO.java:232`): decimation_levels maps period seconds ->
+    retention seconds (0 = raw level / keep forever)."""
+
+    channel_name: str
+    control_system_type: str = "channel_access"
+    enabled: bool = True
+    decimation_levels: dict[int, int] = field(default_factory=lambda: {0: 0})
+    options: dict[str, str] = field(default_factory=dict)
+    channel_data_id: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.channel_data_id:
+            self.channel_data_id = str(uuid.uuid4())
+        if 0 not in self.decimation_levels:
+            self.decimation_levels[0] = 0
+
+
+class ChannelRegistry:
+    """CRUD over the channel dimension table (a tiny parquet table written
+    atomically; reads broadcast-join against the fact table)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self._channels: dict[str, ChannelConfig] = {}
+        if os.path.isdir(self.path):
+            for r in self.spark.read.parquet(self.path).collect():
+                self._channels[r.channel_name] = ChannelConfig(
+                    channel_name=r.channel_name,
+                    channel_data_id=r.channel_data_id,
+                    control_system_type=r.control_system_type,
+                    enabled=r.enabled,
+                    decimation_levels=dict(r.decimation_levels or {}),
+                    options=dict(r.options or {}),
+                )
+
+    # -- persistence ------------------------------------------------------
+    def _flush(self) -> None:
+        rows = [
+            (
+                c.channel_name,
+                c.channel_data_id,
+                c.control_system_type,
+                c.enabled,
+                c.decimation_levels,
+                c.options,
+            )
+            for c in self._channels.values()
+        ]
+        df = self.spark.createDataFrame(rows, CHANNEL_SCHEMA)
+        tmp = self.path + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)
+
+    def to_df(self) -> DataFrame:
+        """The dimension table as a DataFrame (for broadcast joins, J3)."""
+        if os.path.isdir(self.path):
+            return self.spark.read.parquet(self.path)
+        return self.spark.createDataFrame([], CHANNEL_SCHEMA)
+
+    # -- CRUD (ArchiveConfigurationService add/update/remove/rename) ------
+    def add_channel(self, config: ChannelConfig) -> None:
+        if config.channel_name in self._channels:
+            raise ValueError(f"channel exists: {config.channel_name}")
+        self._channels[config.channel_name] = config
+        self._flush()
+
+    def update_channel(self, config: ChannelConfig) -> None:
+        old = self._channels.get(config.channel_name)
+        if old is None:
+            raise KeyError(config.channel_name)
+        # data id is permanent (`SampleBucketId.java:80-89`)
+        config.channel_data_id = old.channel_data_id
+        self._channels[config.channel_name] = config
+        self._flush()
+
+    def remove_channel(self, name: str) -> ChannelConfig:
+        cfg = self._channels.pop(name, None)
+        if cfg is None:
+            raise KeyError(name)
+        self._flush()
+        return cfg
+
+    def rename_channel(self, old_name: str, new_name: str) -> None:
+        """Rename keeps the channel_data_id, so archived data (keyed by the
+        id in the reference, by name partition here) stays reachable."""
+        if new_name in self._channels:
+            raise ValueError(f"channel exists: {new_name}")
+        cfg = self._channels.pop(old_name, None)
+        if cfg is None:
+            raise KeyError(old_name)
+        cfg.channel_name = new_name
+        self._channels[new_name] = cfg
+        self._flush()
+
+    def get_channel(self, name: str) -> ChannelConfig | None:
+        return self._channels.get(name)
+
+    def list_channels(self) -> list[ChannelConfig]:
+        return sorted(self._channels.values(), key=lambda c: c.channel_name)
+
+    def channels_by_glob(self, pattern: str) -> list[ChannelConfig]:
+        """F2: ``*``/``?`` glob, case-insensitive
+        (`Api10Controller.compileGlobPattern:307-345`)."""
+        import re
+
+        rx = re.compile(glob_to_regex(pattern), re.IGNORECASE)
+        return [c for c in self.list_channels() if rx.match(c.channel_name)]
+
+
+# -- XML round-trip (S8) ---------------------------------------------------
+
+def export_xml(channels: list[ChannelConfig]) -> str:
+    root = ET.Element("server-configuration")
+    for c in sorted(channels, key=lambda x: x.channel_name):
+        ch = ET.SubElement(root, "channel")
+        ch.set("name", c.channel_name)
+        ch.set("control-system-type", c.control_system_type)
+        if not c.enabled:
+            ch.set("enabled", "false")
+        for period, retention in sorted(c.decimation_levels.items()):
+            lv = ET.SubElement(ch, "decimation-level")
+            lv.set("decimation-period", str(period))
+            if retention:
+                lv.set("retention-period", str(retention))
+        for k in sorted(c.options):
+            op = ET.SubElement(ch, "control-system-option")
+            op.set("name", k)
+            op.set("value", c.options[k])
+    return ET.tostring(root, encoding="unicode", xml_declaration=True)
+
+
+def import_xml(text: str) -> list[ChannelConfig]:
+    root = ET.fromstring(text)
+    if root.tag.split("}")[-1] != "server-configuration":
+        raise ValueError(f"unexpected root element: {root.tag}")
+    out = []
+    for ch in root:
+        if ch.tag.split("}")[-1] != "channel":
+            continue
+        levels: dict[int, int] = {}
+        options: dict[str, str] = {}
+        for el in ch:
+            tag = el.tag.split("}")[-1]
+            if tag == "decimation-level":
+                period = int(el.get("decimation-period", "0"))
+                levels[period] = int(el.get("retention-period", "0"))
+            elif tag == "control-system-option":
+                options[el.get("name")] = el.get("value", "")
+        out.append(
+            ChannelConfig(
+                channel_name=ch.get("name"),
+                control_system_type=ch.get("control-system-type", "channel_access"),
+                enabled=ch.get("enabled", "true") != "false",
+                decimation_levels=levels or {0: 0},
+                options=options,
+            )
+        )
+    return out
+
+
+# -- custom URL codec (C5, `common/.../CustomUrlCodec.java`) ----------------
+
+_ALLOWED = set("-_")
+_ALLOWED.update(chr(c) for c in range(0x30, 0x3A))  # 0-9
+_ALLOWED.update(chr(c) for c in range(0x41, 0x5B))  # A-Z
+_ALLOWED.update(chr(c) for c in range(0x61, 0x7B))  # a-z
+
+
+def url_encode(s: str) -> str:
+    """Percent-encode everything but [A-Za-z0-9_-] (uppercase hex, UTF-8),
+    matching the reference's conservative channel-name codec."""
+    out = []
+    for b in s.encode("utf-8"):
+        c = chr(b)
+        if c in _ALLOWED:
+            out.append(c)
+        else:
+            out.append(f"%{b:02X}")
+    return "".join(out)
+
+
+def url_decode(s: str) -> str:
+    buf = bytearray()
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%":
+            if i + 2 >= len(s) + 1:
+                raise ValueError("truncated percent escape")
+            buf.append(int(s[i + 1 : i + 3], 16))
+            i += 3
+        else:
+            buf.append(ord(c))
+            i += 1
+    return buf.decode("utf-8")

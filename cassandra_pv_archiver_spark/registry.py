@@ -40,6 +40,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "heartbeat_1h": (catalog.q_heartbeat_1h, catalog.SQL_HEARTBEAT_1H),
     "markers_disconnect": (catalog.q_markers_disconnect, catalog.SQL_MARKERS_DISCONNECT),
     "monotonic_stats": (catalog.q_monotonic_stats, catalog.SQL_MONOTONIC_STATS),
+    "channel_dim_join": (catalog.q_channel_dim_join, catalog.SQL_CHANNEL_DIM_JOIN),
     "severity_daily": (catalog.q_severity_daily, catalog.SQL_SEVERITY_DAILY),
     # --- generic relational surface ---
     "tpch_q1": (catalog_generic.q_tpch_q1, catalog_generic.SQL_TPCH_Q1),

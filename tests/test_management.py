@@ -1,0 +1,92 @@
+"""Management surface: channel CRUD, XML round-trip, URL codec."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_pv_archiver_spark.management import (
+    ChannelConfig,
+    ChannelRegistry,
+    export_xml,
+    import_xml,
+    url_decode,
+    url_encode,
+)
+
+
+def _reg(spark, tmp_path) -> ChannelRegistry:
+    return ChannelRegistry(spark, str(tmp_path / "channels"))
+
+
+def test_crud_and_persistence(spark, tmp_path):
+    reg = _reg(spark, tmp_path)
+    reg.add_channel(ChannelConfig("PV:alpha", decimation_levels={0: 0, 30: 86400}))
+    reg.add_channel(ChannelConfig("PV:beta", enabled=False))
+    with pytest.raises(ValueError):
+        reg.add_channel(ChannelConfig("PV:alpha"))
+
+    # reload from disk
+    reg2 = _reg(spark, tmp_path)
+    names = [c.channel_name for c in reg2.list_channels()]
+    assert names == ["PV:alpha", "PV:beta"]
+    assert reg2.get_channel("PV:alpha").decimation_levels == {0: 0, 30: 86400}
+    assert reg2.get_channel("PV:beta").enabled is False
+
+
+def test_rename_keeps_data_id(spark, tmp_path):
+    reg = _reg(spark, tmp_path)
+    reg.add_channel(ChannelConfig("old"))
+    did = reg.get_channel("old").channel_data_id
+    reg.rename_channel("old", "new")
+    assert reg.get_channel("old") is None
+    assert reg.get_channel("new").channel_data_id == did
+
+
+def test_update_preserves_data_id_and_remove(spark, tmp_path):
+    reg = _reg(spark, tmp_path)
+    reg.add_channel(ChannelConfig("c1", options={"a": "1"}))
+    did = reg.get_channel("c1").channel_data_id
+    reg.update_channel(ChannelConfig("c1", options={"a": "2"}))
+    assert reg.get_channel("c1").options == {"a": "2"}
+    assert reg.get_channel("c1").channel_data_id == did
+    reg.remove_channel("c1")
+    assert reg.list_channels() == []
+
+
+def test_glob_search(spark, tmp_path):
+    reg = _reg(spark, tmp_path)
+    for n in ("PV:temp:1", "PV:temp:2", "PV:pressure:1"):
+        reg.add_channel(ChannelConfig(n))
+    got = [c.channel_name for c in reg.channels_by_glob("pv:temp:*")]
+    assert got == ["PV:temp:1", "PV:temp:2"]
+    assert [c.channel_name for c in reg.channels_by_glob("*:?")] == [
+        "PV:pressure:1", "PV:temp:1", "PV:temp:2",
+    ]
+
+
+def test_xml_roundtrip(spark):
+    channels = [
+        ChannelConfig(
+            "PV:x", enabled=False,
+            decimation_levels={0: 0, 30: 2592000, 900: 0},
+            options={"monitor": "true", "maxUpdatePeriod": "60"},
+        ),
+        ChannelConfig("PV:y"),
+    ]
+    xml = export_xml(channels)
+    assert 'control-system-type="channel_access"' in xml
+    assert 'decimation-period="900"' in xml
+    back = import_xml(xml)
+    assert [c.channel_name for c in back] == ["PV:x", "PV:y"]
+    assert back[0].decimation_levels == {0: 0, 30: 2592000, 900: 0}
+    assert back[0].options == {"monitor": "true", "maxUpdatePeriod": "60"}
+    assert back[0].enabled is False and back[1].enabled is True
+
+
+def test_url_codec_roundtrip():
+    name = "PV:cooling/temp çà+% 漢"
+    enc = url_encode(name)
+    assert all(c.isalnum() or c in "-_%" for c in enc)
+    assert url_decode(enc) == name
+    assert url_encode("abc-DEF_123") == "abc-DEF_123"
+    assert url_encode("a b") == "a%20b"
