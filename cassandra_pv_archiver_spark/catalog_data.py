@@ -243,6 +243,74 @@ WHERE rank <= 10 ORDER BY q_id, rank
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (scale path): probe 2 nearest label-centroids,
+    exact cosine inside probed cells. Rows-only check (approximate);
+    recall vs the exact baseline pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, ANN_QUERY_IDS, k=10, n_probe=4).orderBy(
+        "q_id", "rank"
+    )
+
+
+NEAR_DUP_TAU = 0.4
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (sim >= tau), the O(n²)
+    baseline the LSH path is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_pairs(emb, NEAR_DUP_TAU).orderBy("id_a", "id_b")
+
+
+_DOT_AB = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_N_A = (
+    "sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+)
+_N_B = (
+    "sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),"
+    " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+)
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DOT_AB} / ({_N_A} * {_N_B}), 4) AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round({_DOT_AB} / ({_N_A} * {_N_B}), 4) >= {NEAR_DUP_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-duplicate pairs (scale path): banded sign-projection
+    buckets -> equi-join candidates -> exact verify. Rows-only
+    (approximate recall; verified precision)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_near_pairs(
+        emb, NEAR_DUP_TAU, n_bits=6, n_bands=8
+    ).orderBy("id_a", "id_b")
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-style token counting (BPE-ish regex pre-tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_count_bpe(docs).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       len({_W_SQL}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS DOUBLE)
+         / len({_W_SQL}) AS bpe_per_ws
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats: count + mean L2 norm (vector math via
     JVM-side lambdas)."""

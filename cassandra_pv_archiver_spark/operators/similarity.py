@@ -59,6 +59,110 @@ def cosine_topk(
     )
 
 
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    ``cos(a, b) >= threshold``. O(n²) baseline — the oracle/recall anchor
+    for the LSH-bucketed scale path. Returns: id_a, id_b, sim."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), round_to)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def srp_signature(
+    emb: DataFrame,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 0x9E3779B9,
+) -> DataFrame:
+    """Signed-random-projection (SimHash-for-vectors) banded signatures.
+
+    Hyperplane (j, i) signs come from a splitmix-style integer mix — fully
+    deterministic, no RNG state, identical on every executor. Each of
+    ``n_bands`` bands hashes ``n_bits`` projections into one bucket id;
+    near-identical vectors collide in at least one band w.h.p.  The dot
+    products against ±1 hyperplanes are ``aggregate`` lambdas — JVM-side,
+    no Python. Adds columns ``band`` and ``bucket`` (exploded: one row per
+    band).
+    """
+    total = n_bits * n_bands
+    # sign(j,i) = parity of a mixed integer; closed form usable in one expr
+    sign = (
+        f"(CASE WHEN ((({seed} * (j * {dim} + i + 1)) % 2147483647) % 2) = 0"
+        " THEN 1.0 ELSE -1.0 END)"
+    )
+    proj = (
+        f"transform(sequence(0, {total - 1}), j -> "
+        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}),"
+        f" (x, i) -> CAST(x AS DOUBLE) * {sign}),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    bits = f"transform({proj}, p -> CASE WHEN p >= 0 THEN 1 ELSE 0 END)"
+    d = emb.withColumn("_bits", F.expr(bits))
+    bucket = F.expr(
+        f"aggregate(slice(_bits, band * {n_bits} + 1, {n_bits}),"
+        " 0L, (acc, b) -> acc * 2 + b)"
+    )
+    return (
+        d.withColumn("band", F.explode(F.expr(f"sequence(0, {n_bands - 1})")))
+        .withColumn("bucket", bucket)
+        .drop("_bits")
+    )
+
+
+def srp_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """LSH-bucketed near-duplicate pairs: SRP band buckets -> same-bucket
+    candidate join -> exact cosine verify ``>= threshold``.
+
+    At 100 TB this is the real plan: the candidate join is an equi-join on
+    (band, bucket) — a hash shuffle of signatures, never the O(n²) cross
+    join; exact cosine runs only on collisions. Recall < 1 by LSH nature
+    (tested against :func:`cosine_near_pairs`); precision = 1 (verified).
+    """
+    sig = srp_signature(
+        emb.select(id_col, vec_col), n_bits=n_bits, n_bands=n_bands,
+        dim=dim, vec_col=vec_col,
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "bucket"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), round_to)
+    return (
+        cand.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def label_centroids(
     emb: DataFrame,
     label_col: str = "label",

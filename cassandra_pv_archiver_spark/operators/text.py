@@ -89,6 +89,36 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+#: (portable subset of the GPT-2 pattern — identical regex semantics in
+#: Spark's and DuckDB's regex engines).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Sub-word-style token counting: whitespace tokens vs BPE-ish units
+    per document (regexp_extract_all — JVM-side).
+
+    Returns: doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_ws.
+    """
+    # Spark SQL string literals process backslash escapes ('\s' -> 's'),
+    # DuckDB's do not — escape for the Spark side only.
+    spark_pat = BPE_PATTERN.replace("\\", "\\\\")
+    d = docs.select(
+        "doc_id",
+        F.expr(f"size({_WORDS})").alias("n_ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{spark_pat}', 0))").alias(
+            "n_bpe_tokens"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        (F.col("n_bpe_tokens") / F.col("n_ws_tokens")).alias("bpe_per_ws"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Whitespace-normalized content fingerprint (rolling-hash stand-in:
     md5 of the canonical token stream — stable under reflow/extra spaces).

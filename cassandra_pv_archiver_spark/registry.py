@@ -71,6 +71,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_ann_cosine_topk,
         catalog_data.SQL_ANN_COSINE_TOPK,
     ),
+    "ann_ivf_topk": (catalog_data.q_ann_ivf_topk, None),
+    "embedding_near_dup": (
+        catalog_data.q_embedding_near_dup,
+        catalog_data.SQL_EMBEDDING_NEAR_DUP,
+    ),
+    "embedding_near_dup_lsh": (catalog_data.q_embedding_near_dup_lsh, None),
+    "token_count_bpe": (
+        catalog_data.q_token_count_bpe,
+        catalog_data.SQL_TOKEN_COUNT_BPE,
+    ),
     "embedding_label_stats": (
         catalog_data.q_embedding_label_stats,
         catalog_data.SQL_EMBEDDING_LABEL_STATS,
