@@ -28,9 +28,13 @@ BENCH_QUERIES = [
     "range_limit_modes",
     "decimate_1h",
     "decimate_cascade_6h",
+    "decimate_mixed_1h",
     "pick_first_1h",
     "union_levels",
+    "planner_fallback",
+    "heartbeat_1h",
     "severity_daily",
+    "channel_dim_join",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
@@ -38,8 +42,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_metrics",
+    "token_count_bpe",
     "doc_fingerprint",
     "ann_cosine_topk",
+    "embedding_near_dup_lsh",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

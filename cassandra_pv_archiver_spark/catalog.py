@@ -160,7 +160,7 @@ def _reagg_ctes(target_s: int, src: str = "dec", out: str = "reagg") -> str:
 def q_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: time-ordered bucket-range scan for one channel
     (`ChannelAccessDatabaseAccess.java:283-311`); pushdown-checked."""
-    s = load_samples(spark, sf_dir)
+    s = load_samples(spark, sf_dir, channels=["PV:7"], lo_ns=LO, hi_ns=HI)
     return (
         s.filter((F.col("channel") == "PV:7") & F.col("t").between(LO, HI))
         .select("channel", "t", "v", "severity", "status")

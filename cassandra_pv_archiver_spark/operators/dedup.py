@@ -144,29 +144,27 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        sh.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .join(cand, ["id_a", "id_b"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # verification via per-pair set intersection: one shingle-set row per
+    # doc, candidates join on id keys only — avoids the shingle⋈shingle
+    # self-join whose output is quadratic in per-shingle doc frequency
+    doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
     out = (
-        common.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+        cand.join(
+            doc_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("sa")),
             "id_a",
         )
         .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            doc_sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("sb")),
             "id_b",
         )
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            F.col("n_common")
+            / (F.size("sa") + F.size("sb") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard", "n_common")
+        .select("id_a", "id_b", "jaccard", F.col("n_common").cast("long").alias("n_common"))
     )
     return out
 

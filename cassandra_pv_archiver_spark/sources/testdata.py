@@ -38,13 +38,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_samples(
+    spark: SparkSession,
+    sf_dir: str,
+    channels=None,
+    lo_ns: int | None = None,
+    hi_ns: int | None = None,
+) -> DataFrame:
     """events.parquet -> canonical raw numeric sample series.
 
     Columns: channel string, t long (ns), v double, severity int, status int,
     event_id long.  Strictly increasing t per channel (F5 dedup applied).
+
+    ``channels``/``lo_ns``/``hi_ns`` are translated to predicates on the
+    PHYSICAL columns (user_id, ts) *before* the channel projection — the
+    derived ``channel``/``t`` columns block Catalyst's own pushdown, so this
+    is the by-hand filter pushdown that lets the parquet scan prune row
+    groups. Filtering commutes with the per-(channel, t) dedup.
     """
     ev = load_table(spark, sf_dir, "events")
+    if channels is not None:
+        ids = [int(str(c).split(":", 1)[1]) for c in channels]
+        ev = ev.filter(F.col("user_id").isin(ids))
+    if lo_ns is not None:
+        ev = ev.filter(F.col("ts") >= lo_ns)  # ts is raw int64 ns
+    if hi_ns is not None:
+        ev = ev.filter(F.col("ts") < hi_ns + 1000)  # t truncates to µs
     sev = (
         F.when(F.col("event_type") == "error", F.lit(2))
         .when(F.col("event_type") == "signup", F.lit(1))
@@ -62,6 +81,16 @@ def load_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sev * F.lit(6)).cast("int").alias("status"),
         F.col("event_id"),
     )
+    return _dedup_by_channel(s)
+
+
+def _dedup_by_channel(s: DataFrame) -> DataFrame:
+    """F5 dedup with ONE exchange: pre-hash by channel, then the (channel,t)
+    dedup window's clustering requirement is already satisfied (hash(channel)
+    ⊆ cluster keys) and its (channel, t, event_id) sort is a superset of the
+    (channel, t) ordering every downstream per-channel window needs — so
+    decimate/asof plans reuse this single exchange end-to-end."""
+    s = s.repartition("channel")
     w = Window.partitionBy("channel", "t").orderBy("event_id")
     return (
         s.withColumn("_rn", F.row_number().over(w))
@@ -83,12 +112,7 @@ def load_string_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("sval"),
         F.col("event_id"),
     )
-    w = Window.partitionBy("channel", "t").orderBy("event_id")
-    return (
-        s.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return _dedup_by_channel(s)
 
 
 def load_mixed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,12 +145,7 @@ def load_mixed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_num | (typ == "scalar_string"), ((F.col("event_id") % 4) * 6).cast("int")).alias("status"),
         F.col("event_id"),
     )
-    w = Window.partitionBy("channel", "t").orderBy("event_id")
-    return (
-        s.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return _dedup_by_channel(s)
 
 
 MIXED_SAMPLES_CTE = """

@@ -1,0 +1,115 @@
+"""Physical-plan audit: assert the scale-critical plan properties the
+100 TB design depends on (SURVEY.md §4).
+
+Checks per query: parquet filter pushdown reaches the scan, dimension joins
+broadcast (no sort-merge against small dims), whole-stage codegen covers the
+hot path, no accidental cartesian products, and exchange (shuffle) counts
+stay at the designed minimum.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: query -> (max_exchanges, requires list of plan substrings, forbids list)
+EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
+    "raw_scan": (
+        2,  # F5-dedup channel hash + output range sort
+        # by-hand pushdown: physical user_id/ts predicates reach the scan
+        ["EqualTo(user_id,7)", "GreaterThanOrEqual(ts,", "codegen id"],
+        ["CartesianProduct"],
+    ),
+    "decimate_1h": (
+        2,  # one channel exchange (reused by both windows) + one final agg
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct"],
+    ),
+    "decimate_cascade_6h": (
+        4,
+        ["codegen id"],
+        ["CartesianProduct"],
+    ),
+    "tpch_q3": (
+        None,
+        ["BroadcastHashJoin", "PushedFilters"],
+        ["CartesianProduct"],
+    ),
+    "tpch_q5": (
+        None,
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    "channel_dim_join": (
+        None,
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    "dedup_minhash_lsh": (
+        None,
+        ["codegen id"],
+        ["CartesianProduct"],
+    ),
+    "embedding_near_dup_lsh": (
+        None,
+        ["codegen id"],
+        ["CartesianProduct"],  # the LSH path must NOT cross-join
+    ),
+    "asof_before": (
+        None,
+        ["max_by", "codegen id"],  # agg-based probe, no global sort
+        ["CartesianProduct"],
+    ),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from cassandra_pv_archiver_spark.registry import REGISTRY
+    from cassandra_pv_archiver_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    # AQE wraps plans in AdaptiveSparkPlan placeholders that hide codegen
+    # annotations until execution; plan *shape* is what we audit, so turn
+    # it off here (production keeps it on).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    failures = 0
+    for name, (max_ex, requires, forbids) in EXPECTATIONS.items():
+        fn = REGISTRY[name][0]
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # also the formatted plan for pushdown details
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        blob = plan + "\n" + buf.getvalue()
+        problems = []
+        n_ex = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+        if max_ex is not None and n_ex > max_ex:
+            problems.append(f"{n_ex} exchanges > budget {max_ex}")
+        for req in requires:
+            if req not in blob:
+                problems.append(f"missing: {req}")
+        for bad in forbids:
+            if bad in blob:
+                problems.append(f"forbidden: {bad}")
+        if problems:
+            failures += 1
+            print(f"[FAIL] {name}: " + "; ".join(problems))
+        else:
+            print(f"[ OK ] {name} (exchanges={n_ex})")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
