@@ -54,41 +54,76 @@ class ChannelConfig:
             self.decimation_levels[0] = 0
 
 
+_PA_SCHEMA = None
+
+
+def _pa_schema():
+    global _PA_SCHEMA
+    if _PA_SCHEMA is None:
+        import pyarrow as pa
+
+        _PA_SCHEMA = pa.schema(
+            [
+                ("channel_name", pa.string()),
+                ("channel_data_id", pa.string()),
+                ("control_system_type", pa.string()),
+                ("enabled", pa.bool_()),
+                ("decimation_levels", pa.map_(pa.int32(), pa.int32())),
+                ("options", pa.map_(pa.string(), pa.string())),
+            ]
+        )
+    return _PA_SCHEMA
+
+
 class ChannelRegistry:
     """CRUD over the channel dimension table (a tiny parquet table written
-    atomically; reads broadcast-join against the fact table)."""
+    atomically; reads broadcast-join against the fact table).
+
+    Persistence is driver-side pyarrow, not a Spark job: the registry is
+    dimension metadata (100k channels ≈ a few MB), and a Spark write of a
+    200-row table costs a full job + output commit for no parallelism win.
+    Spark only ever *reads* this table (``to_df``) for broadcast joins."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
         self._channels: dict[str, ChannelConfig] = {}
         if os.path.isdir(self.path):
-            for r in self.spark.read.parquet(self.path).collect():
-                self._channels[r.channel_name] = ChannelConfig(
-                    channel_name=r.channel_name,
-                    channel_data_id=r.channel_data_id,
-                    control_system_type=r.control_system_type,
-                    enabled=r.enabled,
-                    decimation_levels=dict(r.decimation_levels or {}),
-                    options=dict(r.options or {}),
+            import pyarrow.parquet as pq
+
+            for r in pq.read_table(self.path).to_pylist():
+                self._channels[r["channel_name"]] = ChannelConfig(
+                    channel_name=r["channel_name"],
+                    channel_data_id=r["channel_data_id"],
+                    control_system_type=r["control_system_type"],
+                    enabled=r["enabled"],
+                    # pyarrow maps materialize as [(k, v), ...]
+                    decimation_levels=dict(r["decimation_levels"] or []),
+                    options=dict(r["options"] or []),
                 )
 
     # -- persistence ------------------------------------------------------
     def _flush(self) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         rows = [
-            (
-                c.channel_name,
-                c.channel_data_id,
-                c.control_system_type,
-                c.enabled,
-                c.decimation_levels,
-                c.options,
-            )
+            {
+                "channel_name": c.channel_name,
+                "channel_data_id": c.channel_data_id,
+                "control_system_type": c.control_system_type,
+                "enabled": c.enabled,
+                "decimation_levels": list(c.decimation_levels.items()),
+                "options": list(c.options.items()),
+            }
             for c in self._channels.values()
         ]
-        df = self.spark.createDataFrame(rows, CHANNEL_SCHEMA)
+        table = pa.Table.from_pylist(rows, schema=_pa_schema())
         tmp = self.path + ".tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
         os.replace(tmp, self.path)

@@ -135,30 +135,51 @@ def srp_near_pairs(
     """LSH-bucketed near-duplicate pairs: SRP band buckets -> same-bucket
     candidate join -> exact cosine verify ``>= threshold``.
 
-    At 100 TB this is the real plan: the candidate join is an equi-join on
-    (band, bucket) — a hash shuffle of signatures, never the O(n²) cross
-    join; exact cosine runs only on collisions. Recall < 1 by LSH nature
-    (tested against :func:`cosine_near_pairs`); precision = 1 (verified).
+    At 100 TB this is the real plan, and its shape matters:
+
+    - the **signature table is materialized once** (``persist``) — the 48
+      projection lambdas are the expensive expression, and a naive
+      self-join would recompute them on both sides;
+    - the candidate join carries **ids only** (id, band, bucket ≈ 24
+      bytes/row) — vectors never enter the bucket shuffle or the pair
+      dedup;
+    - vectors are **pre-normalized once** and joined back only for the
+      deduped candidate set, so exact verification is a single dot
+      product per surviving pair.
+
+    Recall < 1 by LSH nature (tested against :func:`cosine_near_pairs`);
+    precision = 1 (verified).
     """
-    sig = srp_signature(
-        emb.select(id_col, vec_col), n_bits=n_bits, n_bands=n_bands,
-        dim=dim, vec_col=vec_col,
-    )
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "bucket"
-    )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "bucket"
+    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    sig = (
+        srp_signature(base, n_bits=n_bits, n_bands=n_bands, dim=dim, vec_col="_v")
+        .select("_id", "band", "bucket")
+        .persist()
     )
     cand = (
-        a.join(b, ["band", "bucket"])
+        sig.select(F.col("_id").alias("id_a"), "band", "bucket")
+        .join(sig.select(F.col("_id").alias("id_b"), "band", "bucket"),
+              ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), round_to)
+    normed = base.select(
+        "_id", F.expr("transform(_v, x -> CAST(x AS DOUBLE))").alias("_vd")
+    ).select(
+        "_id",
+        F.expr(
+            "transform(_vd, x -> x / sqrt(aggregate(zip_with(_vd, _vd,"
+            " (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+        ).alias("_vn"),
+    )
+    sim = F.round(_dot("vna", "vnb"), round_to)
     return (
-        cand.select("id_a", "id_b", sim.alias("sim"))
+        cand.join(normed.select(F.col("_id").alias("id_a"),
+                                F.col("_vn").alias("vna")), "id_a")
+        .join(normed.select(F.col("_id").alias("id_b"),
+                            F.col("_vn").alias("vnb")), "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
