@@ -498,8 +498,11 @@ _PLAN_START = LO - 5 * DAY_NS
 def q_planner_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§4 planner: level selection (count -> level 0 here) + retention
     fallback union across three levels (`Api10Controller.java:396-518`)."""
-    raw = load_samples(spark, sf_dir).filter(F.col("channel") == "PV:3")
-    dec = decimate(raw, PERIOD_1H)
+    raw = load_samples(spark, sf_dir, channels=["PV:3"])
+    # the 1 h level feeds l1, l2 (via re-agg) AND the planner's per-level
+    # min(t) probes — persist it, as a real deployment reads these levels
+    # from materialized archive tables, not by re-decimating raw per probe
+    dec = decimate(raw, PERIOD_1H).persist()
     l0 = raw.select(
         "channel", "t", F.col("v").alias("value"), F.lit(0).alias("level")
     ).filter(F.col("t") >= MID)

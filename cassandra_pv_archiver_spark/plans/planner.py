@@ -15,8 +15,9 @@ Reference (`Api10Controller.java:382-518`):
 Spark architecture: this is *plan construction*, not data flow — a thin
 driver-side layer (the reference's is too: it runs per-request on one
 channel's metadata). The per-level "earliest available sample" probes are
-single-row ``min(t)`` aggregations over pruned scans — the same metadata
-queries the reference issues against its bucket index. The data path that
+batched into ONE Spark job (a union of per-level min/max aggregations over
+pruned scans) — the same metadata the reference reads from its bucket
+index, without a driver round-trip per level. The data path that
 comes out is a ``unionByName`` of disjoint range scans, fully declarative,
 so Catalyst sees one plan and prunes each branch independently.
 """
@@ -81,26 +82,55 @@ def plan_samples(
     """
     best = select_decimation_level(levels.keys(), start_ns, end_ns, count)
     usable = [p for p in sorted(levels) if p >= best]
+
+    # ONE probe job for every level (the reference issues one bucket-index
+    # lookup per level too, but those are single-partition metadata reads;
+    # a Spark job per level would serialize driver round-trips). Each
+    # level's "earliest available sample" decision needs only:
+    #   bt   = min over keys of (latest t <= start)   [backward probes]
+    #   rmin = min t in [start, end]                  [core range]
+    #   ft   = min t >= end                           [forward probes]
+    # because every backward probe row has t <= start <= rmin <= ft.
+    stats_df = None
+    for period in usable:
+        df = levels[period]
+        per_key = df.groupBy(key).agg(
+            F.max(F.when(F.col("t") <= start_ns, F.col("t"))).alias("bt_k"),
+            F.min(
+                F.when(F.col("t").between(start_ns, end_ns), F.col("t"))
+            ).alias("rmin_k"),
+            F.min(F.when(F.col("t") >= end_ns, F.col("t"))).alias("ft_k"),
+        )
+        st = per_key.agg(
+            F.min("bt_k").alias("bt"),
+            F.min("rmin_k").alias("rmin"),
+            F.min("ft_k").alias("ft"),
+        ).select(F.lit(period).alias("period"), "bt", "rmin", "ft")
+        stats_df = st if stats_df is None else stats_df.unionByName(st)
+    stats = {r.period: r for r in stats_df.collect()}
+
     pieces: list[DataFrame] = []  # oldest-range first
     earliest: int | None = None
     for period in usable:
         df = levels[period]
+        r = stats[period]
         if not pieces:
             cand = asof.get_samples(
                 df, start_ns, end_ns, asof.AT_OR_BEFORE, asof.AT_OR_AFTER, key=key
             )
-        else:
-            # upper mode AT_OR_BEFORE = plain capped range (no forward probe)
-            cand = asof.get_samples(
-                df,
-                start_ns,
-                earliest - 1,
-                asof.AT_OR_BEFORE,
-                asof.AT_OR_BEFORE,
-                key=key,
+            first = r.bt if r.bt is not None else (
+                r.rmin if r.rmin is not None else r.ft
             )
-        first_row = cand.agg(F.min("t").alias("t")).first()
-        first = first_row.t if first_row is not None else None
+        else:
+            # upper mode AT_OR_BEFORE = plain capped range (no forward probe);
+            # rows in (end, cap] cannot exist: cap < ft, the smallest t > end
+            cap = earliest - 1
+            cand = asof.get_samples(
+                df, start_ns, cap, asof.AT_OR_BEFORE, asof.AT_OR_BEFORE, key=key
+            )
+            first = r.bt if r.bt is not None else (
+                r.rmin if r.rmin is not None and r.rmin <= cap else None
+            )
         if first is None:
             continue
         if not pieces or first < earliest:
