@@ -35,9 +35,16 @@ BENCH_QUERIES = [
     "heartbeat_1h",
     "severity_daily",
     "channel_dim_join",
+    "channel_regex",
+    "enabling_link",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q18",
+    "lapsed_customers",
     "window_running_total",
     "dedup_exact",
     "dedup_minhash_lsh",

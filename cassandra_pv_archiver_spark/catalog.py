@@ -657,6 +657,66 @@ GROUP BY channel ORDER BY channel
 """
 
 
+def q_channel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: raw regex channel match (`Api10Controller.channelsByRegExp:
+    189-211`) — same archive-info aggregate as the glob query, pattern
+    applied via rlike (anchored, so Spark/DuckDB search semantics agree)."""
+    s = load_samples(spark, sf_dir)
+    return (
+        s.filter(F.col("channel").rlike("^PV:1[0-9]$"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("t").alias("t_min"),
+            F.max("t").alias("t_max"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_CHANNEL_REGEX = f"""
+WITH {SAMPLES_CTE}
+SELECT channel, count(*) AS n_samples, min(t) AS t_min, max(t) AS t_max
+FROM samples WHERE regexp_matches(channel, '^PV:1[0-9]$')
+GROUP BY channel ORDER BY channel
+"""
+
+
+def q_enabling_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: enabling-channel link — PV:0's value gates archiving of every
+    other channel (`channelaccess/internal/EnablingChannel.java`): a sample
+    survives iff PV:0's most recent value at its timestamp is >= 0.5.
+    Summarized per channel to keep the compare set small."""
+    s = load_samples(spark, sf_dir).filter(F.col("channel") != "PV:0")
+    en = load_samples(spark, sf_dir, channels=["PV:0"]).select(
+        "t", (F.col("v") >= 0.5).alias("en")
+    )
+    gated = asof.enabling_filter(s, en)
+    return (
+        gated.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("t").alias("t_min"),
+            F.max("t").alias("t_max"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_ENABLING_LINK = f"""
+WITH {SAMPLES_CTE},
+e AS (SELECT t, v >= 0.5 AS en FROM samples WHERE channel = 'PV:0'),
+iv AS (SELECT t AS et, en, lead(t) OVER (ORDER BY t) AS et_next FROM e),
+gated AS (
+  SELECT s.channel, s.t FROM samples s
+  JOIN iv ON s.t >= iv.et AND (s.t < iv.et_next OR iv.et_next IS NULL)
+  WHERE iv.en AND s.channel <> 'PV:0'
+)
+SELECT channel, count(*) AS n_kept, min(t) AS t_min, max(t) AS t_max
+FROM gated GROUP BY channel ORDER BY channel
+"""
+
+
 def q_channel_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: channel dimension lookup as a broadcast hash join — resolve each
     sample's channel against the registry (enabled flag + type), keep

@@ -210,3 +210,182 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 ORDER BY o_custkey, order_rank
 """
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: pure scan + filter + single aggregate —
+    the predicate-pushdown showcase (every filter reaches the parquet
+    row-group stats; no shuffle beyond the final 1-row combine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_i = F.expr(_ip("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1999-01-01'"))
+            & (F.col("l_quantity") < 24)
+        )
+        .filter(disc_i.between(3, 7))
+        .agg(
+            _dsum(f"{_PRICE} * {_DISC}", 10_000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = f"""
+SELECT {_sql_dsum(f"{_PRICE} * {_DISC}", 10_000)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_quantity < 24
+  AND {_ip("l_discount")} BETWEEN 3 AND 7
+"""
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: EXISTS rewritten as a LEFT SEMI
+    join with a mixed equi + non-equi condition (late-shipped orders —
+    the synthetic lineitem has no commit/receipt dates)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-04-01'"))
+    )
+    sem = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share per brand: broadcast part dim,
+    conditional exact-integer aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1998-06-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-07-01'"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo_term = f"CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE 0 END"
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            (
+                F.lit(100.0)
+                * _dsum(promo_term, 10_000)
+                / _dsum(_DISC_PRICE, 10_000)
+            ).alias("promo_share"),
+            _dsum(_DISC_PRICE, 10_000).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_TPCH_Q14 = f"""
+SELECT p_brand,
+       100.0 * {_sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE 0 END", 10_000)}
+             / {_sql_dsum(_DISC_PRICE, 10_000)} AS promo_share,
+       {_sql_dsum(_DISC_PRICE, 10_000)} AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+  AND l_shipdate < TIMESTAMP '1998-07-01'
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING over a fact aggregation,
+    then joins back to orders + broadcast customer; top by quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(_QTY, 100).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       total_qty
+FROM (SELECT l_orderkey, {_sql_dsum(_QTY, 100)} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING total_qty > 300) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers with NO order on/after 2000-01-01,
+    summarized per market segment with exact-integer balance sums."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '2000-01-01'")
+    )
+    lapsed = cust.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        lapsed.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(_ip("c_acctbal"), 100).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_LAPSED_CUSTOMERS = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {_sql_dsum(_ip("c_acctbal"), 100)} AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

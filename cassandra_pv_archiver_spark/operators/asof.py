@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 AT_OR_BEFORE = "AT_OR_BEFORE"
@@ -84,6 +84,40 @@ def get_samples(
     if limit is not None and limit >= 0:
         out = out.limit(limit)
     return out
+
+
+def enabling_filter(
+    samples: DataFrame,
+    enabling: DataFrame,
+    flag_col: str = "en",
+) -> DataFrame:
+    """J4: gate archiving on another PV's live value
+    (`channelaccess/internal/EnablingChannel.java`; option
+    `ConfigurationOptions.java:76`).
+
+    A row of ``samples`` is kept iff the most recent ``enabling`` row at its
+    timestamp (t_e <= t, backward as-of) has ``flag_col`` true; rows before
+    the first enabling sample are dropped (the reference treats a
+    never-seen enabling PV as disabled).
+
+    Scale shape: the enabling series is ONE channel — tiny next to the
+    fact table — so it is compiled into validity intervals
+    ``[t, t_next)`` and **broadcast**; the as-of join becomes a broadcast
+    range join and the fact side never shuffles. The single-partition
+    ``lead`` window only runs over the enabling series itself.
+    """
+    iv = (
+        enabling.select(
+            F.col("t").alias("_et"), F.col(flag_col).alias("_en")
+        )
+        .withColumn("_et_next", F.lead("_et").over(Window.orderBy("_et")))
+    )
+    joined = samples.join(
+        F.broadcast(iv),
+        (F.col("t") >= F.col("_et"))
+        & ((F.col("t") < F.col("_et_next")) | F.col("_et_next").isNull()),
+    )
+    return joined.filter(F.col("_en")).drop("_et", "_en", "_et_next")
 
 
 def union_levels(

@@ -36,6 +36,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "union_levels": (catalog.q_union_levels, catalog.SQL_UNION_LEVELS),
     "planner_fallback": (catalog.q_planner_fallback, catalog.SQL_PLANNER_FALLBACK),
     "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),
+    "channel_regex": (catalog.q_channel_regex, catalog.SQL_CHANNEL_REGEX),
+    "enabling_link": (catalog.q_enabling_link, catalog.SQL_ENABLING_LINK),
     "rate_limit_10m": (catalog.q_rate_limit_10m, None),
     "heartbeat_1h": (catalog.q_heartbeat_1h, catalog.SQL_HEARTBEAT_1H),
     "markers_disconnect": (catalog.q_markers_disconnect, catalog.SQL_MARKERS_DISCONNECT),
@@ -45,7 +47,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- generic relational surface ---
     "tpch_q1": (catalog_generic.q_tpch_q1, catalog_generic.SQL_TPCH_Q1),
     "tpch_q3": (catalog_generic.q_tpch_q3, catalog_generic.SQL_TPCH_Q3),
+    "tpch_q4": (catalog_generic.q_tpch_q4, catalog_generic.SQL_TPCH_Q4),
     "tpch_q5": (catalog_generic.q_tpch_q5, catalog_generic.SQL_TPCH_Q5),
+    "tpch_q6": (catalog_generic.q_tpch_q6, catalog_generic.SQL_TPCH_Q6),
+    "tpch_q14": (catalog_generic.q_tpch_q14, catalog_generic.SQL_TPCH_Q14),
+    "tpch_q18": (catalog_generic.q_tpch_q18, catalog_generic.SQL_TPCH_Q18),
+    "lapsed_customers": (
+        catalog_generic.q_lapsed_customers,
+        catalog_generic.SQL_LAPSED_CUSTOMERS,
+    ),
     "window_running_total": (
         catalog_generic.q_window_running_total,
         catalog_generic.SQL_WINDOW_RUNNING_TOTAL,

@@ -1,0 +1,44 @@
+"""J4 enabling-channel link: archiving gated by another PV's value
+(`channelaccess/internal/EnablingChannel.java`)."""
+
+from __future__ import annotations
+
+from cassandra_pv_archiver_spark.operators.asof import enabling_filter
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_enabling_filter_gates_by_asof_value(spark):
+    samples = _df(
+        spark,
+        [("X", t) for t in [5, 15, 25, 35, 45]],
+        "channel string, t long",
+    )
+    # enabled on [10, 30), disabled on [30, 40), enabled again from 40
+    enabling = _df(
+        spark,
+        [(10, True), (30, False), (40, True)],
+        "t long, en boolean",
+    )
+    got = sorted(r.t for r in enabling_filter(samples, enabling).collect())
+    # t=5 predates the first enabling sample -> dropped (treated disabled);
+    # t=15, 25 inside [10,30); t=35 disabled; t=45 enabled again
+    assert got == [15, 25, 45]
+
+
+def test_enabling_filter_boundary_is_inclusive(spark):
+    samples = _df(spark, [("X", 10), ("X", 30)], "channel string, t long")
+    enabling = _df(spark, [(10, True), (30, False)], "t long, en boolean")
+    got = [r.t for r in enabling_filter(samples, enabling).collect()]
+    # a sample exactly at the switch time sees the NEW value (t_e <= t)
+    assert got == [10]
+
+
+def test_enabling_filter_preserves_columns(spark):
+    samples = _df(spark, [("X", 12, 1.5)], "channel string, t long, v double")
+    enabling = _df(spark, [(10, True)], "t long, en boolean")
+    out = enabling_filter(samples, enabling)
+    assert out.columns == ["channel", "t", "v"]
+    assert out.collect()[0].v == 1.5
