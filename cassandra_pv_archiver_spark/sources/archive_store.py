@@ -44,6 +44,13 @@ DAY_NS = 86_400 * NS
 
 SAMPLE_COLUMNS = ["channel", "t", "v", "severity", "status"]
 
+RAW_SCHEMA = "channel string, t long, v double, severity int, status int"
+DEC_SCHEMA = (
+    "channel string, t long, mean double, std double, vmin double,"
+    " vmax double, covered_fraction double, severity int, status int,"
+    " n_samples long, quality string"
+)
+
 
 def _date_expr(t_col: str = "t"):
     """ns epoch -> yyyy-MM-dd partition string (UTC, integer floor-div so
@@ -157,7 +164,13 @@ class ArchiveStore:
         channels=None,
     ) -> DataFrame:
         """Pruned scan of one level: date-partition pruning from the time
-        range + parquet predicate pushdown on (channel, t)."""
+        range + parquet predicate pushdown on (channel, t).
+
+        F4: a level that was never configured/written yields an EMPTY
+        result, not an error (`ArchiveAccessServiceImpl.java:794-805`)."""
+        if not os.path.isdir(self._level_path(level)):
+            schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
+            return self.spark.createDataFrame([], schema)
         df = self.spark.read.parquet(self._level_path(level))
         if lo_ns is not None:
             df = df.filter(

@@ -124,3 +124,14 @@ def test_retention_sweep_trims_exactly(spark, tmp_path):
     want_min = raw.filter(F.col("t") >= tmax - (tmax - cutoff)).agg(F.min("t")).first()[0]
     assert got_min == want_min
     assert left.count() == raw.filter(F.col("t") >= tmax - (tmax - cutoff)).count()
+
+
+def test_missing_level_yields_empty_not_error(spark, tmp_path):
+    """F4: querying a decimation level outside the configured set returns an
+    empty result set (`ArchiveAccessServiceImpl.java:794-805`)."""
+    from cassandra_pv_archiver_spark.sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, str(tmp_path / "arch"))
+    assert store.read_samples(0).count() == 0
+    assert store.read_samples(900).count() == 0
+    assert "mean" in store.read_samples(900).columns

@@ -65,6 +65,33 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["max_by", "codegen id"],  # agg-based probe, no global sort
         ["CartesianProduct"],
     ),
+    "tpch_q4": (
+        None,
+        # EXISTS compiles to a hash semi-join with the date filter pushed
+        ["LeftSemi", "GreaterThanOrEqual(o_orderdate,"],
+        ["CartesianProduct"],
+    ),
+    "tpch_q6": (
+        1,  # scan -> partial agg -> single-partition final combine
+        ["GreaterThanOrEqual(l_shipdate,", "LessThan(l_quantity,"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "tpch_q18": (
+        None,
+        ["BroadcastHashJoin"],  # customer dim never sort-merges
+        ["CartesianProduct"],
+    ),
+    "lapsed_customers": (
+        None,
+        ["LeftAnti", "GreaterThanOrEqual(o_orderdate,"],
+        ["CartesianProduct"],
+    ),
+    "enabling_link": (
+        None,
+        # enabling series broadcast; fact side must not shuffle for the join
+        ["BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
 }
 
 
