@@ -55,6 +55,53 @@ def min_update_period(
     return df.groupBy(key).applyInPandas(_filter, schema=schema)
 
 
+def min_update_period_stream(
+    df: DataFrame, min_period_s: float, key: str = "channel", t: str = "t"
+) -> DataFrame:
+    """Streaming-native T4 rate limit: the same greedy per-channel filter
+    as :func:`min_update_period`, but over an unbounded stream — the
+    last-*kept* timestamp is held in ``GroupState`` so the decision
+    carries across micro-batches (the Spark analog of the reference's
+    per-channel ``LimitingSampleWriterDelegate`` instance state,
+    `LimitingSampleWriterDelegate.java:20-105`).
+
+    ``df`` must be a streaming DataFrame. Out-of-order arrivals across
+    micro-batches are dropped by the same monotonicity rule the archiver
+    applies at write time (F5), since the kept-watermark only advances.
+    State is one long per channel — O(#channels) cluster-wide, hash
+    partitioned, no skew concern.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    min_ns = int(min_period_s * NS)
+    out_schema = df.schema
+
+    def _fn(key_, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(t)
+            keep = []
+            for ti in pdf[t].to_numpy():
+                if last is None or ti - last >= min_ns:
+                    keep.append(True)
+                    last = int(ti)
+                else:
+                    keep.append(False)
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            if len(out):
+                yield out
+        if last is not None:
+            state.update((int(last),))
+
+    return df.groupBy(key).applyInPandasWithState(
+        _fn,
+        out_schema,
+        "last_kept long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def max_update_period(
     df: DataFrame, max_period_s: int, key: str = "channel", t: str = "t"
 ) -> DataFrame:

@@ -129,3 +129,58 @@ def test_ingest_replay_idempotent(spark, tmp_path):
     n2 = ingest_batch(store, raw)
     assert n2 == 0
     assert store.read_samples(0).count() == raw.count()
+
+
+def test_min_update_period_stream_state_across_batches(spark, tmp_path):
+    """T4 streaming-native: the last-kept timestamp carries across
+    micro-batches via GroupState. Without carried state, batch 2's first
+    row (t=8s) would be kept; with it, only t=12s clears the 10 s period."""
+    import os
+    import shutil
+
+    from cassandra_pv_archiver_spark.streaming.limits import (
+        NS,
+        min_update_period_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "channel string, t long, v double"
+
+    def _write_file(rows, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    _write_file([("X", 0, 1.0), ("X", 5 * NS, 2.0)], "b1", 1_000_000_000)
+    _write_file([("X", 8 * NS, 3.0), ("X", 12 * NS, 4.0)], "b2", 1_000_000_100)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    limited = min_update_period_stream(stream, 10)
+    seen_batches = []
+
+    def _sink(batch_df, batch_id):
+        seen_batches.append((batch_id, [(r.channel, r.t) for r in batch_df.collect()]))
+
+    q = (
+        limited.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(seen_batches) >= 2, f"expected >=2 micro-batches: {seen_batches}"
+    kept = sorted(t for _, rows in seen_batches for _, t in rows)
+    assert kept == [0, 12 * NS], f"got {kept}"
