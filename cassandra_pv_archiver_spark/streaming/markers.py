@@ -36,3 +36,65 @@ def transition_markers(
     return flips.select(
         F.col(key), F.col(t), F.lit(marker_type).alias("type")
     )
+
+
+def disconnect_markers_stream(
+    stream: DataFrame,
+    silence_s: int,
+    key: str = "channel",
+    t: str = "t",
+) -> DataFrame:
+    """T5 streaming-native: emit a ``disconnected`` marker when a channel
+    falls silent for ``silence_s`` of EVENT time — the Spark analog of the
+    reference writing a disconnect marker when the PV's monitor goes away
+    (`ControlSystemSupport.java:208-258`), detected here by gap instead of
+    transport callback (a replayable-source pipeline has no connection
+    signal).
+
+    Implementation: ``applyInPandasWithState`` with an **event-time
+    timeout** — per channel the state holds the latest seen ``t``; the
+    timeout is armed at ``last_t + silence`` and fires when the stream's
+    watermark (advanced by other channels' traffic) passes it. One long of
+    state per channel; markers are stamped at the silence boundary, not at
+    detection time, so results are replay-deterministic.
+
+    ``stream`` must be a streaming DataFrame with an int64-ns ``t``; an
+    event-time column + zero-delay watermark are derived internally.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    NS = 1_000_000_000
+    silence_ns = silence_s * NS
+    src = stream.withColumn(
+        "_ts", F.timestamp_micros((F.col(t) / 1000).cast("long"))
+    ).withWatermark("_ts", "0 seconds")
+    out_schema = f"{key} string, {t} long, type string"
+
+    def _fn(key_, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (last,) = state.get
+            state.remove()  # one marker per disconnect; new data re-arms
+            yield pd.DataFrame(
+                {key: [key_[0]], t: [last + silence_ns], "type": ["disconnected"]}
+            )
+            return
+        last = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            if len(pdf):
+                mx = int(pdf[t].max())
+                last = mx if last is None else max(last, mx)
+        if last is not None:
+            state.update((int(last),))
+            state.setTimeoutTimestamp((last + silence_ns) // 1_000_000)
+        return
+        yield  # pragma: no cover - make the function a generator
+
+    return src.groupBy(key).applyInPandasWithState(
+        _fn,
+        out_schema,
+        "last_t long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

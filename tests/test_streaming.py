@@ -184,3 +184,62 @@ def test_min_update_period_stream_state_across_batches(spark, tmp_path):
     assert len(seen_batches) >= 2, f"expected >=2 micro-batches: {seen_batches}"
     kept = sorted(t for _, rows in seen_batches for _, t in rows)
     assert kept == [0, 12 * NS], f"got {kept}"
+
+
+def test_disconnect_markers_stream_event_time_timeout(spark, tmp_path):
+    """T5 streaming-native: a channel silent for the threshold gets ONE
+    disconnected marker stamped at the silence boundary, detected when the
+    watermark (advanced by other channels) passes it."""
+    import os
+    import shutil
+
+    from cassandra_pv_archiver_spark.streaming.limits import NS
+    from cassandra_pv_archiver_spark.streaming.markers import (
+        disconnect_markers_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "channel string, t long, v double"
+
+    def _write_file(rows, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    # NOTE: event times must sit above the initial watermark (epoch 0) or
+    # batch 0's rows are dropped as late data — use a positive base.
+    base = 10_000 * NS
+    _write_file([("X", base, 1.0), ("Y", base, 1.0)], "b1", 1_000_000_000)
+    _write_file([("Y", base + 100 * NS, 2.0)], "b2", 1_000_000_100)
+    _write_file([("Y", base + 200 * NS, 3.0)], "b3", 1_000_000_200)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    markers = disconnect_markers_stream(stream, 30)
+    got = []
+
+    def _sink(batch_df, batch_id):
+        got.extend((r.channel, r.t, r.type) for r in batch_df.collect())
+
+    q = (
+        markers.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # X fell silent at t=base -> marker at base + 30 s; Y kept updating
+    # (its timeout never passed the final watermark before the drain)
+    assert got == [("X", base + 30 * NS, "disconnected")], f"got {got}"
