@@ -136,7 +136,8 @@ def _reagg_ctes(target_s: int, src: str = "dec", out: str = "reagg") -> str:
              sum(w) AS sw,
              sum(w * mi) AS swm,
              sum(w * (si * si + mi * mi)) AS swm2,
-             min(vmin) AS vmin, max(vmax) AS vmax, sum(n_samples) AS n_samples
+             min(vmin) AS vmin, max(vmax) AS vmax,
+             CAST(sum(n_samples) AS BIGINT) AS n_samples
       FROM {out}_ex GROUP BY channel, win))
 ),
 {out}_sev AS (

@@ -133,11 +133,59 @@ ORDER BY id_a, id_b
 SQL_DEDUP_MINHASH_LSH = _sql_minhash()
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (rows-only check: 64-bit bit-twiddling has
-    no practical SQL oracle)."""
+    """SimHash near-dup pairs at hamming <= 3 via 4 x 15-bit pigeonhole
+    banding (guaranteed recall at this radius) + exact popcount verify;
+    equals the exact all-pairs popcount filter, hence the SQL oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
+    return dedup.simhash_near_pairs(
+        docs, max_hamming=SIMHASH_MAX_HAMMING
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_simhash(max_hamming: int) -> str:
+    # 60-bit token hash: first 15 md5 hex chars, char i (0-based) weighted
+    # 16^(14-i) — identical to Spark's conv(substring(md5(tok),1,15),16,10)
+    tok_hash = (
+        "list_sum(list_transform(range(0, 15), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5(tok), i + 1, 1)) - 1 "
+        "AS BIGINT) << (4 * (14 - i))))"
+    )
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W_SQL}) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, {tok_hash} AS h FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM th GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {sig_terms} AS simhash FROM bits
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_SIMHASH_NEAR_PAIRS = _sql_simhash(SIMHASH_MAX_HAMMING)
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

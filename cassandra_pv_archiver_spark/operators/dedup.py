@@ -172,10 +172,11 @@ def minhash_lsh_pairs(
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over word unigrams (Spark-only; no SQL oracle —
-    bit-manipulation heavy).
+    """60-bit SimHash over word unigrams (engine-portable: the token hash is
+    the first 15 md5 hex chars parsed as an integer, so DuckDB can reproduce
+    the signature bit-for-bit).
 
-    Each token hashes to 64 bits (from its md5); the signature bit is 1 where
+    Each token hashes to 60 bits (from its md5); the signature bit is 1 where
     the weighted bit-sum is positive. Near-dups = small Hamming distance.
     Returns: id, simhash (long).
     """
@@ -202,14 +203,33 @@ def simhash64(
 
 
 def simhash_near_pairs(
-    df: DataFrame, max_hamming: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """SimHash near-dup candidates by 4-block banding (pigeonhole: hamming
-    <= max_hamming pairs share >= 1 identical 15-bit block when max_hamming
-    < 4), verified by exact popcount distance."""
+    """SimHash near-dup pairs by pigeonhole banding, exact-verified.
+
+    The 60 used bits are split into ``max_hamming + 1`` blocks: a pair at
+    hamming distance <= max_hamming differs in at most max_hamming blocks,
+    so at least one block is bit-identical — the block equi-join is a
+    GUARANTEED-recall candidate generator for any radius, and the exact
+    ``bit_count(xor)`` verify gives precision 1 (so the result equals the
+    exact all-pairs popcount filter, and has an exact SQL oracle).
+
+    Scale note: blocks get narrower as the radius grows (radius 3 -> 4 x
+    15-bit blocks; radius 8 -> 9 x ~7-bit blocks), and narrower blocks mean
+    coarser buckets and more candidates — the standard trade-off in
+    permutation-based Hamming search (Manku et al., WWW'07 uses small radii
+    for exactly this reason). Keep max_hamming small at scale.
+    """
+    n_blocks = max_hamming + 1
+    base, rem = divmod(60, n_blocks)
+    widths = [base + 1 if i < rem else base for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     sig = simhash64(df, id_col=id_col, text_col=text_col)
     blocks = F.array(
-        *[F.expr(f"(simhash div {1 << (15 * i)}) % {1 << 15}").alias(f"blk{i}") for i in range(4)]
+        *[
+            F.expr(f"(simhash div {1 << offsets[i]}) % {1 << widths[i]}")
+            for i in range(n_blocks)
+        ]
     )
     b = sig.select(
         F.col(id_col),
@@ -228,7 +248,7 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    hamming = F.expr("bit_count(sig_a ^ sig_b)")
+    hamming = F.expr("CAST(bit_count(sig_a ^ sig_b) AS INT)")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -70,7 +70,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_dedup_minhash_lsh,
         catalog_data.SQL_DEDUP_MINHASH_LSH,
     ),
-    "simhash_near_pairs": (catalog_data.q_simhash_near_pairs, None),
+    "simhash_near_pairs": (
+        catalog_data.q_simhash_near_pairs,
+        catalog_data.SQL_SIMHASH_NEAR_PAIRS,
+    ),
     "text_metrics": (catalog_data.q_text_metrics, catalog_data.SQL_TEXT_METRICS),
     "lang_id": (catalog_data.q_lang_id, catalog_data.SQL_LANG_ID),
     "doc_fingerprint": (

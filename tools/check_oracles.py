@@ -41,6 +41,14 @@ def compare(name: str, spark_df: pd.DataFrame, ora_df: pd.DataFrame) -> list[str
     n = min(len(a), len(b))
     for c in a.columns:
         x, y = a[c].iloc[:n], b[c].iloc[:n]
+        # dtype-strict: an int column on one side and a float on the other is
+        # a hash mismatch at the driver even when values agree (e.g. DuckDB
+        # HUGEINT -> float64 4.0 vs Spark int64 4) — fail it here.
+        if x.dtype.kind != y.dtype.kind and {x.dtype.kind, y.dtype.kind} <= {"i", "u", "f"}:
+            problems.append(
+                f"col {c}: dtype mismatch spark={x.dtype} oracle={y.dtype}"
+            )
+            continue
         if x.dtype.kind == "f" or y.dtype.kind == "f":
             bad = ~((x.isna() & y.isna()) | ((x - y).abs() <= 1e-12))
         else:
