@@ -549,12 +549,31 @@ ORDER BY channel, t
 def q_rate_limit_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 minUpdatePeriod: greedy per-channel rate limit to >= 10 min
     spacing (`LimitingSampleWriterDelegate.java:20-105`). Sequential per
-    channel -> applyInPandas; rows-only check (greedy keep-set is not
-    SQL-expressible), semantics pinned by tests/test_streaming.py."""
+    channel -> applyInPandas; oracle = DuckDB recursive CTE stepping the
+    keep-set (each kept row derives the next as min(t >= kept.t + period)),
+    semantics additionally pinned by tests/test_streaming.py."""
     from .streaming.limits import min_update_period
 
     s = load_samples(spark, sf_dir).select("channel", "t", "v")
     return min_update_period(s, 600).orderBy("channel", "t")
+
+
+_RATE_P = 600 * NS
+SQL_RATE_LIMIT_10M = f"""
+WITH RECURSIVE {SAMPLES_CTE},
+base AS (SELECT channel, t, v FROM samples),
+keep AS (
+  SELECT channel, min(t) AS t FROM base GROUP BY channel
+  UNION ALL
+  SELECT channel, t FROM (
+    SELECT k.channel,
+           (SELECT min(b.t) FROM base b
+             WHERE b.channel = k.channel AND b.t >= k.t + {_RATE_P}) AS t
+    FROM keep k) WHERE t IS NOT NULL
+)
+SELECT b.channel, b.t, b.v
+FROM base b JOIN keep USING (channel, t) ORDER BY channel, t
+"""
 
 
 def q_heartbeat_1h(spark: SparkSession, sf_dir: str) -> DataFrame:

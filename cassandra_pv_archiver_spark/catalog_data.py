@@ -291,14 +291,79 @@ WHERE rank <= 10 ORDER BY q_id, rank
 """
 
 
+IVF_N_PROBE = 4
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (scale path): probe 2 nearest label-centroids,
-    exact cosine inside probed cells. Rows-only check (approximate);
-    recall vs the exact baseline pinned in tests/test_similarity.py."""
+    """IVF-bucketed ANN (scale path): probe the 4 nearest label-centroids,
+    exact cosine inside probed cells. Fully deterministic (centroids +
+    two rank windows), so it has an exact SQL oracle; recall vs the exact
+    baseline additionally pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, ANN_QUERY_IDS, k=10, n_probe=4).orderBy(
+    return similarity.ivf_topk(emb, ANN_QUERY_IDS, k=10, n_probe=IVF_N_PROBE).orderBy(
         "q_id", "rank"
     )
+
+
+def _sql_ann_ivf() -> str:
+    dot_qc = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> CAST(q_vec[i] AS DOUBLE) * centroid[i]))"
+    )
+    n_q = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64),"
+        " i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))"
+    )
+    n_c = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64),"
+        " i -> centroid[i] * centroid[i])))"
+    )
+    dot_qe = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+    )
+    n_e = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+    )
+    n_p = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64),"
+        " i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(p.q_vec[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH cent AS (
+  SELECT label, g.i AS pos, avg(CAST(embedding[g.i + 1] AS DOUBLE)) AS c
+  FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS i) g
+  GROUP BY label, g.i
+),
+centv AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id IN ({_IDS})),
+qc AS (
+  SELECT q.q_id, q.q_vec, cv.label,
+         {dot_qc} / ({n_q} * {n_c}) AS csim
+  FROM q, centv cv
+),
+probes AS (
+  SELECT q_id, q_vec, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, label)
+              AS crank FROM qc)
+  WHERE crank <= {IVF_N_PROBE}
+),
+scored AS (
+  SELECT p.q_id, e.vec_id, round({dot_qe} / ({n_p} * {n_e}), 4) AS sim
+  FROM embeddings e JOIN probes p ON e.label = p.label AND e.vec_id != p.q_id
+)
+SELECT q_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf()
 
 
 NEAR_DUP_TAU = 0.4
@@ -333,14 +398,70 @@ ORDER BY id_a, id_b
 """
 
 
+#: SRP banding for the catalog corpus: 12-bit buckets (4096/band — expected
+#: occupancy 0.12 at sf0.01's 500 vectors, 0.5 at sf0.1's 2000) keep the
+#: same-bucket candidate set well under n·log2(n); 32 bands buy back recall
+#: (S-curve 1-(1-p^12)^32). Production entry point auto-sizes bits from the
+#: corpus (similarity.auto_srp_bits); the catalog pins them so the oracle
+#: SQL is a fixed string.
+SRP_N_BITS = 12
+SRP_N_BANDS = 32
+SRP_SEED = 0x9E3779B9
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH near-duplicate pairs (scale path): banded sign-projection
-    buckets -> equi-join candidates -> exact verify. Rows-only
-    (approximate recall; verified precision)."""
+    buckets -> ids-only equi-join candidates -> exact cosine verify.
+    Deterministic banding (closed-form integer-mix hyperplane signs), so
+    the whole pipeline has an exact SQL oracle. Precision 1 by verify;
+    recall floor vs the exact baseline pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.srp_near_pairs(
-        emb, NEAR_DUP_TAU, n_bits=6, n_bands=8
+        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS
     ).orderBy("id_a", "id_b")
+
+
+def _sql_srp_near_dup(dim: int = 64) -> str:
+    total = SRP_N_BITS * SRP_N_BANDS
+    sign = (
+        f"(CASE WHEN ((({SRP_SEED} * (j * {dim} + i + 1)) % 2147483647) % 2) = 0"
+        " THEN 1.0 ELSE -1.0 END)"
+    )
+    proj = (
+        f"list_sum(list_transform(range(0, {dim}),"
+        f" i -> CAST(embedding[i + 1] AS DOUBLE) * {sign}))"
+    )
+    bits = (
+        f"list_transform(range(0, {total}),"
+        f" j -> CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END)"
+    )
+    bucket = (
+        f"list_sum(list_transform(range(0, {SRP_N_BITS}),"
+        f" k -> CAST(bits[g.band * {SRP_N_BITS} + k + 1] AS BIGINT)"
+        f" << ({SRP_N_BITS} - 1 - k)))"
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, {bits} AS bits FROM embeddings
+),
+banded AS (
+  SELECT vec_id, g.band, {bucket} AS bucket
+  FROM sig, LATERAL (SELECT unnest(range(0, {SRP_N_BANDS})) AS band) g
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b, round({_DOT_AB} / ({_N_A} * {_N_B}), 4) AS sim
+FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+            JOIN embeddings b ON b.vec_id = c.id_b
+WHERE round({_DOT_AB} / ({_N_A} * {_N_B}), 4) >= {NEAR_DUP_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = _sql_srp_near_dup()
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,7 +38,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),
     "channel_regex": (catalog.q_channel_regex, catalog.SQL_CHANNEL_REGEX),
     "enabling_link": (catalog.q_enabling_link, catalog.SQL_ENABLING_LINK),
-    "rate_limit_10m": (catalog.q_rate_limit_10m, None),
+    "rate_limit_10m": (catalog.q_rate_limit_10m, catalog.SQL_RATE_LIMIT_10M),
     "heartbeat_1h": (catalog.q_heartbeat_1h, catalog.SQL_HEARTBEAT_1H),
     "markers_disconnect": (catalog.q_markers_disconnect, catalog.SQL_MARKERS_DISCONNECT),
     "monotonic_stats": (catalog.q_monotonic_stats, catalog.SQL_MONOTONIC_STATS),
@@ -84,12 +84,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_ann_cosine_topk,
         catalog_data.SQL_ANN_COSINE_TOPK,
     ),
-    "ann_ivf_topk": (catalog_data.q_ann_ivf_topk, None),
+    "ann_ivf_topk": (catalog_data.q_ann_ivf_topk, catalog_data.SQL_ANN_IVF_TOPK),
     "embedding_near_dup": (
         catalog_data.q_embedding_near_dup,
         catalog_data.SQL_EMBEDDING_NEAR_DUP,
     ),
-    "embedding_near_dup_lsh": (catalog_data.q_embedding_near_dup_lsh, None),
+    "embedding_near_dup_lsh": (
+        catalog_data.q_embedding_near_dup_lsh,
+        catalog_data.SQL_EMBEDDING_NEAR_DUP_LSH,
+    ),
     "token_count_bpe": (
         catalog_data.q_token_count_bpe,
         catalog_data.SQL_TOKEN_COUNT_BPE,
