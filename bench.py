@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "decimate_1h",
     "decimate_cascade_6h",
     "decimate_mixed_1h",
+    "decimate_typed_1h",
+    "json_v1_typed_1h",
     "pick_first_1h",
     "union_levels",
     "planner_fallback",

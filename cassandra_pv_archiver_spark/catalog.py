@@ -28,6 +28,7 @@ from .sources.testdata import (
     MIXED_SAMPLES_CTE,
     SAMPLES_CTE,
     STRING_SAMPLES_CTE,
+    TYPED_SAMPLES_CTE,
     load_mixed_samples,
     load_samples,
     load_string_samples,
@@ -347,9 +348,17 @@ FROM ex GROUP BY channel, win ORDER BY channel, t
 
 def q_decimate_mixed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: mixed-type interval resolution over a tagged-union series
-    (`ChannelAccessSampleDecimator.java:124-296`)."""
-    return decimate_mixed(load_mixed_samples(spark, sf_dir), PERIOD_1H).orderBy(
-        "channel", "t"
+    (`ChannelAccessSampleDecimator.java:124-296`). Projection pinned to the
+    scalar union columns (the full-union payload slots are exercised by
+    ``decimate_typed_1h``)."""
+    return (
+        decimate_mixed(load_mixed_samples(spark, sf_dir), PERIOD_1H)
+        .select(
+            "channel", "t", "type", "mean", "std", "vmin", "vmax",
+            "covered_fraction", "sval", "severity", "status", "n_samples",
+            "quality",
+        )
+        .orderBy("channel", "t")
     )
 
 
@@ -453,16 +462,288 @@ FROM ch ORDER BY channel, t
 """
 
 
+def q_decimate_typed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 over the FULL sample-type union: numeric arrays, scalar enum with
+    labels, string arrays, markers, and numeric display metadata — the
+    reference's complete 20-type system (`ChannelAccessSampleType.java:
+    18-129`). Non-aggregatable types resolve pick-first
+    (`ChannelAccessSampleDecimatorTest.java:836-900`); aggregated windows
+    carry the display metadata of the first used source sample
+    (`:700-757`). Arrays/labels flattened to joined strings and the meta
+    struct to columns for the cross-engine hash."""
+    from .sources.testdata import load_typed_samples
+
+    dec = decimate_mixed(load_typed_samples(spark, sf_dir), PERIOD_1H)
+
+    def _joined(c: str):
+        return F.when(F.col(c).isNotNull(), F.concat_ws(",", F.col(c)))
+
+    return dec.select(
+        "channel", "t", "type", "mean", "std", "vmin", "vmax",
+        "covered_fraction",
+        _joined("aval").alias("aval_str"),
+        "eval",
+        _joined("labels").alias("labels_str"),
+        _joined("asval").alias("asval_str"),
+        F.col("meta.precision").alias("meta_precision"),
+        F.col("meta.units").alias("meta_units"),
+        F.col("meta.lower_warning_limit").alias("meta_warn_lo"),
+        F.col("meta.upper_warning_limit").alias("meta_warn_hi"),
+        F.col("meta.lower_alarm_limit").alias("meta_alarm_lo"),
+        F.col("meta.upper_alarm_limit").alias("meta_alarm_hi"),
+        F.col("meta.lower_display_limit").alias("meta_disp_lo"),
+        F.col("meta.upper_display_limit").alias("meta_disp_hi"),
+        F.col("meta.lower_control_limit").alias("meta_ctrl_lo"),
+        F.col("meta.upper_control_limit").alias("meta_ctrl_hi"),
+        "severity", "status", "n_samples", "quality",
+    ).orderBy("channel", "t")
+
+
+def _union_dec_ctes(src: str) -> str:
+    """CTE chain (iv..ch) decimating a FULL-union source CTE ``src`` at 1 h
+    — the SQL mirror of decimate_mixed over the extended payload slots;
+    ends with ``ch(channel, win, C)`` where C carries the winner."""
+    return f"""
+iv AS (
+  SELECT channel, t, type, v, aval, eval, labels, asval, sval, meta,
+         severity, status,
+         lead(t) OVER (PARTITION BY channel ORDER BY t) AS t_next,
+         max(t) OVER (PARTITION BY channel) AS hwm
+  FROM {src}
+),
+iv2 AS (
+  SELECT *, coalesce(t_next, hwm) AS t_end FROM iv
+  WHERE coalesce(t_next, hwm) > t
+),
+ex AS (
+  SELECT iv2.*, g.win,
+         least(t_end, (g.win+1)*{_P1H}) - greatest(t, g.win*{_P1H}) AS ws_ns,
+         greatest(t, g.win*{_P1H}) AS clip,
+         CAST(floor(v * 100 + 0.5) AS BIGINT) AS vi,
+         type IN ({_AGG_IN}) AS is_agg,
+         type IN ('disabled','disconnected') AS is_marker
+  FROM iv2, LATERAL (
+    SELECT unnest(generate_series(t // {_P1H}, (t_end-1) // {_P1H})) AS win) g
+  WHERE (g.win+1)*{_P1H} <= hwm
+),
+s1 AS (
+  SELECT channel, win, type,
+         any_value(is_agg) AS is_agg, any_value(is_marker) AS is_marker,
+         sum(ws_ns) AS cov,
+         sum(CAST(ws_ns AS HUGEINT) * vi) AS swv,
+         sum(CAST(ws_ns AS HUGEINT) * vi * vi) AS swv2,
+         min(v) AS vmin, max(v) AS vmax,
+         arg_max(struct_pack(severity := severity, status := status),
+                 CAST(severity AS HUGEINT) * 20000000000000000000 - t) AS sevpick,
+         arg_min(struct_pack(sval := sval, aval := aval, eval := eval,
+                             labels := labels, asval := asval, meta := meta,
+                             severity := severity, status := status),
+                 clip) AS firstsamp,
+         min(clip) AS first_clip,
+         count(*) AS n_samples
+  FROM ex GROUP BY channel, win, type
+),
+s1v AS (
+  SELECT channel, win, first_clip, cov, is_agg, is_marker,
+         struct_pack(
+           type := type, is_agg := is_agg,
+           mean := CASE WHEN is_agg THEN md END,
+           std := CASE WHEN is_agg THEN
+             sqrt(greatest({big_to_double_duck("swv2")} / CAST(cov AS DOUBLE) / 10000.0
+                           - md * md, 0)) END,
+           vmin := vmin, vmax := vmax,
+           covered_fraction := CASE WHEN is_agg THEN
+             CAST(cov AS DOUBLE) / 1e9 / 3600.0 END,
+           agg_severity := sevpick.severity, agg_status := sevpick.status,
+           firstsamp := firstsamp,
+           n_samples := n_samples) AS S
+  FROM (SELECT *, CASE WHEN is_agg THEN
+          {big_to_double_duck("swv")} / CAST(cov AS DOUBLE) / 100.0 END AS md FROM s1)
+),
+s2 AS (
+  SELECT channel, win,
+         arg_min(S, first_clip) AS first_row,
+         arg_max(S, CAST(cov AS HUGEINT) * 10000000000000000000 - first_clip)
+           FILTER (WHERE is_agg) AS best_row,
+         max(CASE WHEN NOT is_agg AND NOT is_marker THEN 1 ELSE 0 END) AS veto
+  FROM s1v GROUP BY channel, win
+),
+ch AS (
+  SELECT channel, win,
+         CASE WHEN veto = 1 OR best_row IS NULL THEN first_row
+              ELSE best_row END AS C
+  FROM s2
+)"""
+
+
+SQL_DECIMATE_TYPED_1H = f"""
+WITH {TYPED_SAMPLES_CTE},
+{_union_dec_ctes("typed_samples")}
+SELECT channel, win * {_P1H} AS t,
+       CASE WHEN C.is_agg AND C.type LIKE 'scalar\\_%' ESCAPE '\\'
+            THEN 'aggregated_' || C.type ELSE C.type END AS type,
+       C.mean AS mean, C.std AS std,
+       CASE WHEN C.is_agg THEN C.vmin END AS vmin,
+       CASE WHEN C.is_agg THEN C.vmax END AS vmax,
+       C.covered_fraction AS covered_fraction,
+       CASE WHEN NOT C.is_agg AND C.firstsamp.aval IS NOT NULL
+            THEN array_to_string(C.firstsamp.aval, ',') END AS aval_str,
+       CASE WHEN NOT C.is_agg THEN C.firstsamp.eval END AS eval,
+       CASE WHEN NOT C.is_agg AND C.firstsamp.labels IS NOT NULL
+            THEN array_to_string(C.firstsamp.labels, ',') END AS labels_str,
+       CASE WHEN NOT C.is_agg AND C.firstsamp.asval IS NOT NULL
+            THEN array_to_string(C.firstsamp.asval, ',') END AS asval_str,
+       C.firstsamp.meta."precision" AS meta_precision,
+       C.firstsamp.meta.units AS meta_units,
+       C.firstsamp.meta.lower_warning_limit AS meta_warn_lo,
+       C.firstsamp.meta.upper_warning_limit AS meta_warn_hi,
+       C.firstsamp.meta.lower_alarm_limit AS meta_alarm_lo,
+       C.firstsamp.meta.upper_alarm_limit AS meta_alarm_hi,
+       C.firstsamp.meta.lower_display_limit AS meta_disp_lo,
+       C.firstsamp.meta.upper_display_limit AS meta_disp_hi,
+       C.firstsamp.meta.lower_control_limit AS meta_ctrl_lo,
+       C.firstsamp.meta.upper_control_limit AS meta_ctrl_hi,
+       CASE WHEN C.is_agg THEN C.agg_severity ELSE C.firstsamp.severity END AS severity,
+       CASE WHEN C.is_agg THEN C.agg_status ELSE C.firstsamp.status END AS status,
+       C.n_samples AS n_samples, 'Interpolated' AS quality
+FROM ch ORDER BY channel, t
+"""
+
+
 def q_json_v1_mixed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3/F6/S7: JSON V1 rendering of the mixed decimated series (rows-only
-    check — cross-engine float-to-text differs; layout pinned by golden
-    tests in tests/test_json_v1.py)."""
-    from .functions.json_v1 import mixed_decimated_to_json
+    """C3/F6/S7: JSON V1 shape projection of the mixed decimated series —
+    every field the serializer writes (`JsonV1SampleSerializer.java:
+    995-1174`) as typed columns, oracle-hashed. The byte-exact JSON string
+    is pinned by golden tests in tests/test_json_v1.py instead (float-to-
+    text rendering is engine-specific, so the string itself cannot be
+    cross-engine-hashed)."""
+    from .functions.json_v1 import render_columns
 
     dec = decimate_mixed(load_mixed_samples(spark, sf_dir), PERIOD_1H)
-    return mixed_decimated_to_json(dec).select("channel", "t", "json").orderBy(
-        "channel", "t"
+    return render_columns(dec).orderBy("channel", "t")
+
+
+def q_json_v1_typed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 complete: V1 shape projection over the FULL type union — enum
+    states, long/double array values, and the numeric/enum ``metaData``
+    blocks (`JsonV1SampleSerializer.java:1024-1100`,
+    `ChannelAccessSampleValueAccess.java:413-514`)."""
+    from .functions.json_v1 import render_columns
+
+    from .sources.testdata import load_typed_samples
+
+    dec = decimate_mixed(load_typed_samples(spark, sf_dir), PERIOD_1H)
+    return render_columns(dec).orderBy("channel", "t")
+
+
+def _sql_status_case(col: str) -> str:
+    from .functions.json_v1 import STATUS_LABELS
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{lbl}'" for i, lbl in enumerate(STATUS_LABELS)
     )
+    return f"CASE {col} {whens} ELSE CAST({col} AS VARCHAR) END"
+
+
+def _sql_render_select() -> str:
+    """SELECT mirroring functions.json_v1.render_columns over the
+    ``ch(channel, win, C)`` produced by :func:`_union_dec_ctes`."""
+    dbl_t = "'scalar_double','scalar_float','array_double','array_float'"
+    long_t = ("'scalar_char','scalar_short','scalar_long',"
+              "'array_char','array_short','array_long'")
+    return f"""
+jb AS (
+  SELECT channel, win, C.type AS typ, C.is_agg AS is_agg,
+         C.mean AS mean, C.vmin AS vmin, C.vmax AS vmax,
+         C.type IN ('disabled','disconnected') AS is_marker,
+         C.type IN ('scalar_enum','array_enum') AS is_enum,
+         CASE WHEN C.is_agg THEN C.agg_severity
+              ELSE C.firstsamp.severity END AS sev,
+         CASE WHEN C.is_agg THEN C.agg_status
+              ELSE C.firstsamp.status END AS stat,
+         C.firstsamp.sval AS sval, C.firstsamp.aval AS aval,
+         C.firstsamp.eval AS eval, C.firstsamp.labels AS labels,
+         C.firstsamp.asval AS asval, C.firstsamp.meta AS meta,
+         CASE WHEN C.type = 'disabled' THEN 'Archive_Disabled'
+              WHEN C.type = 'disconnected' THEN 'Disconnected' END AS mlabel,
+         (C.firstsamp.meta IS NOT NULL AND (C.is_agg
+            OR C.type IN ({dbl_t}) OR C.type IN ({long_t}))) AS has_meta,
+         (C.type LIKE '%\\_char' ESCAPE '\\' OR C.type LIKE '%\\_short' ESCAPE '\\'
+            OR C.type LIKE '%\\_long' ESCAPE '\\') AS int_fam
+  FROM ch
+)
+SELECT channel, win * {_P1H} AS t,
+       CASE WHEN is_agg THEN 'minMaxDouble'
+            WHEN is_enum THEN 'enum'
+            WHEN typ IN ({dbl_t}) THEN 'double'
+            WHEN typ IN ({long_t}) THEN 'long'
+            ELSE 'string' END AS rtype,
+       CASE WHEN is_marker THEN 'INVALID'
+            ELSE CASE sev WHEN 0 THEN 'OK' WHEN 1 THEN 'MINOR'
+                 WHEN 2 THEN 'MAJOR' ELSE 'INVALID' END END AS level,
+       NOT is_marker AS has_value,
+       CASE WHEN is_marker THEN mlabel
+            ELSE {_sql_status_case("stat")} END AS status,
+       'Interpolated' AS quality,
+       CASE WHEN is_agg THEN mean END AS value_num,
+       CASE WHEN typ = 'scalar_enum' THEN CAST(eval AS BIGINT) END AS value_long,
+       CASE WHEN is_marker THEN mlabel
+            WHEN typ = 'scalar_string' THEN sval END AS value_str,
+       CASE WHEN typ IN ('array_double','array_float')
+              THEN array_to_string(aval, ',')
+            WHEN typ IN ('array_char','array_short','array_long','array_enum')
+              THEN array_to_string(list_transform(aval, x -> CAST(x AS BIGINT)), ',')
+            WHEN typ = 'array_string' THEN array_to_string(asval, ',')
+       END AS value_arr,
+       CASE WHEN is_agg THEN vmin END AS minimum,
+       CASE WHEN is_agg THEN vmax END AS maximum,
+       CASE WHEN is_enum THEN 'enum'
+            WHEN has_meta THEN 'numeric' END AS meta_type,
+       CAST(CASE WHEN has_meta AND int_fam THEN 0
+            WHEN has_meta THEN coalesce(meta."precision", 0) END AS INTEGER)
+         AS meta_precision,
+       CASE WHEN has_meta THEN meta.units END AS meta_units,
+       CASE WHEN has_meta THEN meta.lower_display_limit END AS meta_disp_lo,
+       CASE WHEN has_meta THEN meta.upper_display_limit END AS meta_disp_hi,
+       CASE WHEN has_meta THEN meta.lower_warning_limit END AS meta_warn_lo,
+       CASE WHEN has_meta THEN meta.upper_warning_limit END AS meta_warn_hi,
+       CASE WHEN has_meta THEN meta.lower_alarm_limit END AS meta_alarm_lo,
+       CASE WHEN has_meta THEN meta.upper_alarm_limit END AS meta_alarm_hi,
+       CASE WHEN is_enum THEN array_to_string(labels, ',') END AS meta_states
+FROM jb ORDER BY channel, t
+"""
+
+
+_MIXED_AS_TYPED_CTE = """
+typed_src AS (
+  SELECT channel, t, type, v,
+         CAST(NULL AS DOUBLE[]) AS aval,
+         CAST(NULL AS INTEGER) AS eval,
+         CAST(NULL AS VARCHAR[]) AS labels,
+         CAST(NULL AS VARCHAR[]) AS asval,
+         sval,
+         CAST(NULL AS STRUCT("precision" INTEGER, units VARCHAR,
+           lower_warning_limit DOUBLE, upper_warning_limit DOUBLE,
+           lower_alarm_limit DOUBLE, upper_alarm_limit DOUBLE,
+           lower_display_limit DOUBLE, upper_display_limit DOUBLE,
+           lower_control_limit DOUBLE, upper_control_limit DOUBLE)) AS meta,
+         severity, status, event_id
+  FROM mixed_samples
+)
+"""
+
+SQL_JSON_V1_MIXED_1H = f"""
+WITH {MIXED_SAMPLES_CTE},
+{_MIXED_AS_TYPED_CTE},
+{_union_dec_ctes("typed_src")},
+{_sql_render_select()}
+"""
+
+SQL_JSON_V1_TYPED_1H = f"""
+WITH {TYPED_SAMPLES_CTE},
+{_union_dec_ctes("typed_samples")},
+{_sql_render_select()}
+"""
 
 
 def q_union_levels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,6 +49,31 @@ from .decimate import (
     explode_validity_windows,
 )
 
+#: Numeric display metadata carried per raw sample and propagated to
+#: aggregated samples from the FIRST used source sample
+#: (`ChannelAccessSampleValueAccess.java:98-132`,
+#: `ChannelAccessSampleDecimatorTest.java:700-757`).
+METADATA_SCHEMA = (
+    "struct<precision:int,units:string,"
+    "lower_warning_limit:double,upper_warning_limit:double,"
+    "lower_alarm_limit:double,upper_alarm_limit:double,"
+    "lower_display_limit:double,upper_display_limit:double,"
+    "lower_control_limit:double,upper_control_limit:double>"
+)
+
+#: Optional payload slots of the full tagged union
+#: (`ChannelAccessSampleType.java:18-129` -> §1.3 sparse columns): numeric
+#: arrays (``aval``, family in the type tag), enum index + labels, string
+#: arrays, display metadata. Added as typed nulls when a caller's input
+#: predates the full union.
+OPTIONAL_PAYLOADS = {
+    "aval": "array<double>",
+    "eval": "int",
+    "labels": "array<string>",
+    "asval": "array<string>",
+    "meta": METADATA_SCHEMA,
+}
+
 
 def decimate_mixed(
     df: DataFrame,
@@ -66,6 +91,9 @@ def decimate_mixed(
     `ScalarDoubleAggregator.java:61-71`).
     """
     period_ns = period_s * NS
+    for c, typ in OPTIONAL_PAYLOADS.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(typ))
     d = explode_validity_windows(df, period_ns, key=key, max_gap_windows=max_gap_windows)
     vs = 10**v_decimals
     agg_list = ", ".join(f"'{x}'" for x in AGGREGATABLE_TYPES)
@@ -92,8 +120,11 @@ def decimate_mixed(
             "max_by(named_struct('severity', severity, 'status', status),"
             " named_struct('sev', severity, 'negt', -t))"
         ).alias("_sevpick"),
-        F.expr("min_by(named_struct('sval', sval, 'severity', severity,"
-               " 'status', status), clip)").alias("_first_sample"),
+        F.expr(
+            "min_by(named_struct('sval', sval, 'aval', aval, 'eval', eval,"
+            " 'labels', labels, 'asval', asval, 'meta', meta,"
+            " 'severity', severity, 'status', status), clip)"
+        ).alias("_first_sample"),
         F.min("clip").alias("first_clip"),
         F.count(F.lit(1)).alias("n_samples"),
     )
@@ -121,6 +152,11 @@ def decimate_mixed(
             F.col("_sevpick.severity").alias("agg_severity"),
             F.col("_sevpick.status").alias("agg_status"),
             F.col("_first_sample.sval").alias("pf_sval"),
+            F.col("_first_sample.aval").alias("pf_aval"),
+            F.col("_first_sample.eval").alias("pf_eval"),
+            F.col("_first_sample.labels").alias("pf_labels"),
+            F.col("_first_sample.asval").alias("pf_asval"),
+            F.col("_first_sample.meta").alias("pf_meta"),
             F.col("_first_sample.severity").alias("pf_severity"),
             F.col("_first_sample.status").alias("pf_status"),
             F.col("n_samples"),
@@ -162,6 +198,13 @@ def decimate_mixed(
         F.when(F.col("C.is_agg"), F.col("C.vmax")).alias("vmax"),
         F.col("C.covered_fraction").alias("covered_fraction"),
         F.when(~F.col("C.is_agg"), F.col("C.pf_sval")).alias("sval"),
+        F.when(~F.col("C.is_agg"), F.col("C.pf_aval")).alias("aval"),
+        F.when(~F.col("C.is_agg"), F.col("C.pf_eval")).alias("eval"),
+        F.when(~F.col("C.is_agg"), F.col("C.pf_labels")).alias("labels"),
+        F.when(~F.col("C.is_agg"), F.col("C.pf_asval")).alias("asval"),
+        # metadata of the first used sample of the winning type — both for
+        # aggregated winners (metaDataSample semantics) and pick-first
+        F.col("C.pf_meta").alias("meta"),
         F.when(F.col("C.is_agg"), F.col("C.agg_severity"))
         .otherwise(F.col("C.pf_severity"))
         .alias("severity"),

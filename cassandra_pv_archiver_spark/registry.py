@@ -28,7 +28,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "pick_first_1h": (catalog.q_pick_first_1h, catalog.SQL_PICK_FIRST_1H),
     "decimate_mixed_1h": (catalog.q_decimate_mixed_1h, catalog.SQL_DECIMATE_MIXED_1H),
-    "json_v1_mixed_1h": (catalog.q_json_v1_mixed_1h, None),
+    "decimate_typed_1h": (catalog.q_decimate_typed_1h, catalog.SQL_DECIMATE_TYPED_1H),
+    "json_v1_mixed_1h": (catalog.q_json_v1_mixed_1h, catalog.SQL_JSON_V1_MIXED_1H),
+    "json_v1_typed_1h": (catalog.q_json_v1_typed_1h, catalog.SQL_JSON_V1_TYPED_1H),
     "archive_incremental_1h": (
         catalog.q_archive_incremental_1h,
         catalog.SQL_ARCHIVE_INCREMENTAL_1H,

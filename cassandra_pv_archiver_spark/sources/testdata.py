@@ -148,6 +148,135 @@ def load_mixed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_by_channel(s)
 
 
+#: Enum label set for the typed fixture's SCALAR_ENUM channels (the
+#: reference stores labels per sample, `ChannelAccessSampleValueAccess
+#: .java:183-186`).
+ENUM_LABELS = ("OFF", "ON", "FAULT", "UNKNOWN")
+
+
+def load_typed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet -> FULL sample-type union (arrays + enum + display
+    metadata), the §1.3 tagged union covering the reference's 20-type
+    system (`ChannelAccessSampleType.java:18-129`).
+
+    Type mapping (deterministic; array elements and limits are
+    integral-valued doubles so cross-engine text renderings agree):
+
+      click    -> scalar_double  (v = value; numeric display metadata)
+      view     -> array_double   (aval = [d, 2d, 3d], d = round(100*value);
+                                  numeric display metadata)
+      purchase -> scalar_enum    (eval = event_id % 4, labels = ENUM_LABELS)
+      signup   -> array_string   (asval = 2 derived strings)
+      error    -> disabled / disconnected markers (by event_id parity)
+
+    Payload slots (exactly one family non-null per row): ``v`` scalar
+    numeric, ``aval array<double>`` numeric arrays, ``eval int`` enum
+    index, ``labels array<string>`` enum labels, ``sval string`` scalar
+    string, ``asval array<string>`` string arrays. ``meta`` is the numeric
+    display-metadata struct (units/precision/8 limits,
+    `ChannelAccessSampleValueAccess.java:98-132,188-207`); precision
+    varies per event so "metadata of the first used sample" semantics are
+    exercised (`ChannelAccessSampleDecimatorTest.java:700-757`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    typ = (
+        F.when(F.col("event_type") == "click", F.lit("scalar_double"))
+        .when(F.col("event_type") == "view", F.lit("array_double"))
+        .when(F.col("event_type") == "purchase", F.lit("scalar_enum"))
+        .when(F.col("event_type") == "signup", F.lit("array_string"))
+        .when(F.col("event_id") % 2 == 0, F.lit("disabled"))
+        .otherwise(F.lit("disconnected"))
+    )
+    is_marker = typ.isin("disabled", "disconnected")
+    has_meta = typ.isin("scalar_double", "array_double")
+    d = F.expr("CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE)")
+    wl = F.expr("CAST((user_id % 7) * 10 AS DOUBLE)")
+    meta = F.struct(
+        (F.col("event_id") % 5).cast("int").alias("precision"),
+        F.concat(F.lit("V"), (F.col("user_id") % 3).cast("string")).alias("units"),
+        (-wl).alias("lower_warning_limit"),
+        (wl + 10.0).alias("upper_warning_limit"),
+        (-wl - 10.0).alias("lower_alarm_limit"),
+        (wl + 20.0).alias("upper_alarm_limit"),
+        (-wl - 20.0).alias("lower_display_limit"),
+        (wl + 30.0).alias("upper_display_limit"),
+        (-wl - 20.0).alias("lower_control_limit"),
+        (wl + 30.0).alias("upper_control_limit"),
+    )
+    s = ev.select(
+        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
+        F.expr("(ts div 1000) * 1000").alias("t"),
+        typ.alias("type"),
+        F.when(typ == "scalar_double", F.col("value")).alias("v"),
+        F.when(typ == "array_double", F.array(d, d * 2, d * 3)).alias("aval"),
+        F.when(typ == "scalar_enum", (F.col("event_id") % 4).cast("int")).alias("eval"),
+        F.when(
+            typ == "scalar_enum", F.array(*[F.lit(x) for x in ENUM_LABELS])
+        ).alias("labels"),
+        F.when(
+            typ == "array_string",
+            F.array(
+                F.concat(F.lit("S"), (F.col("event_id") % 100).cast("string")),
+                F.concat(F.lit("T"), (F.col("user_id") % 50).cast("string")),
+            ),
+        ).alias("asval"),
+        F.lit(None).cast("string").alias("sval"),
+        F.when(has_meta, meta).alias("meta"),
+        F.when(~is_marker, (F.col("event_id") % 4).cast("int")).alias("severity"),
+        F.when(~is_marker, ((F.col("event_id") % 4) * 6).cast("int")).alias("status"),
+        F.col("event_id"),
+    )
+    return _dedup_by_channel(s)
+
+
+_ENUM_LABELS_SQL = "list_value(" + ", ".join(f"'{x}'" for x in ENUM_LABELS) + ")"
+
+#: DuckDB mirror of load_typed_samples(); prepend as `WITH typed_samples AS`.
+TYPED_SAMPLES_CTE = f"""
+typed_samples AS (
+  SELECT channel, t, type, v, aval, eval, labels, asval, sval, meta,
+         severity, status, event_id FROM (
+    SELECT 'PV:' || CAST(user_id AS VARCHAR) AS channel,
+           epoch_ns(ts) AS t,
+           CASE WHEN event_type = 'click' THEN 'scalar_double'
+                WHEN event_type = 'view' THEN 'array_double'
+                WHEN event_type = 'purchase' THEN 'scalar_enum'
+                WHEN event_type = 'signup' THEN 'array_string'
+                WHEN event_id % 2 = 0 THEN 'disabled'
+                ELSE 'disconnected' END AS type,
+           CASE WHEN event_type = 'click' THEN value END AS v,
+           CASE WHEN event_type = 'view' THEN list_value(
+             CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE),
+             CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) * 2,
+             CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) * 3) END AS aval,
+           CAST(CASE WHEN event_type = 'purchase' THEN event_id % 4 END AS INTEGER) AS eval,
+           CASE WHEN event_type = 'purchase' THEN {_ENUM_LABELS_SQL} END AS labels,
+           CASE WHEN event_type = 'signup' THEN list_value(
+             'S' || CAST(event_id % 100 AS VARCHAR),
+             'T' || CAST(user_id % 50 AS VARCHAR)) END AS asval,
+           CAST(NULL AS VARCHAR) AS sval,
+           CASE WHEN event_type IN ('click', 'view') THEN struct_pack(
+             "precision" := CAST(event_id % 5 AS INTEGER),
+             units := 'V' || CAST(user_id % 3 AS VARCHAR),
+             lower_warning_limit := -CAST((user_id % 7) * 10 AS DOUBLE),
+             upper_warning_limit := CAST((user_id % 7) * 10 AS DOUBLE) + 10.0,
+             lower_alarm_limit := -CAST((user_id % 7) * 10 AS DOUBLE) - 10.0,
+             upper_alarm_limit := CAST((user_id % 7) * 10 AS DOUBLE) + 20.0,
+             lower_display_limit := -CAST((user_id % 7) * 10 AS DOUBLE) - 20.0,
+             upper_display_limit := CAST((user_id % 7) * 10 AS DOUBLE) + 30.0,
+             lower_control_limit := -CAST((user_id % 7) * 10 AS DOUBLE) - 20.0,
+             upper_control_limit := CAST((user_id % 7) * 10 AS DOUBLE) + 30.0) END AS meta,
+           CAST(CASE WHEN event_type IN ('click','view','purchase','signup')
+                THEN event_id % 4 END AS INTEGER) AS severity,
+           CAST(CASE WHEN event_type IN ('click','view','purchase','signup')
+                THEN (event_id % 4) * 6 END AS INTEGER) AS status,
+           event_id,
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+    FROM events) WHERE _rn = 1
+)
+"""
+
+
 MIXED_SAMPLES_CTE = """
 mixed_samples AS (
   SELECT channel, t, type, v, sval, severity, status, event_id FROM (

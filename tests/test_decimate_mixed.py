@@ -150,3 +150,123 @@ def test_seed_carries_type_resolution_across_windows(spark):
     assert r.type == "aggregated_scalar_double"
     assert abs(r.mean - 8.0) < 1e-12
     assert abs(r.covered_fraction - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# full-union payloads: arrays, enum, display metadata
+# (`ChannelAccessSampleDecimatorTest.java:700-757,836-900`)
+# ---------------------------------------------------------------------------
+
+FULL_SCHEMA = (
+    "channel string, t long, type string, v double, sval string,"
+    " aval array<double>, eval int, labels array<string>,"
+    " asval array<string>,"
+    " meta struct<precision:int,units:string,"
+    "lower_warning_limit:double,upper_warning_limit:double,"
+    "lower_alarm_limit:double,upper_alarm_limit:double,"
+    "lower_display_limit:double,upper_display_limit:double,"
+    "lower_control_limit:double,upper_control_limit:double>,"
+    " severity int, status int"
+)
+
+META_A = (3, "V1", -10.0, 10.0, -20.0, 20.0, -30.0, 30.0, -30.0, 30.0)
+META_B = (1, "V2", -1.0, 1.0, -2.0, 2.0, -3.0, 3.0, -3.0, 3.0)
+
+
+def _mk_full(spark, rows):
+    return spark.createDataFrame(
+        [
+            (c, int(t * NS), ty, v, sv, av, ev, lb, asv, m, sev, st)
+            for c, t, ty, v, sv, av, ev, lb, asv, m, sev, st in rows
+        ],
+        FULL_SCHEMA,
+    )
+
+
+def test_enum_pick_first_carries_index_and_labels(spark):
+    # `testMixedNonAggregatable` (`:836-900`): enum + string in one window
+    # -> the FIRST processed sample wins and its payload survives verbatim
+    df = _mk_full(
+        spark,
+        [
+            ("X", 175, "scalar_enum", None, None, None, 2,
+             ["Yes", "No", "Maybe"], None, None, 0, 0),
+            ("X", 201, "array_string", None, None, None, None, None,
+             ["Cassandra"], None, 3, 9),
+            ("X", 239, "scalar_enum", None, None, None, 1,
+             ["Yes", "No", "Maybe"], None, None, 0, 0),
+            ("X", 400, "scalar_enum", None, None, None, 0,
+             ["Yes"], None, None, 0, 0),
+        ],
+    )
+    r = _one(decimate_mixed(df, 60), 180)
+    assert r.type == "scalar_enum"
+    assert r.eval == 2 and list(r.labels) == ["Yes", "No", "Maybe"]
+    assert r.mean is None and r.severity == 0
+
+
+def test_array_double_pick_first(spark):
+    df = _mk_full(
+        spark,
+        [
+            ("X", 10, "array_double", None, None, [1.0, 2.0, 3.0], None,
+             None, None, META_A, 1, 6),
+            ("X", 70, "array_double", None, None, [4.0, 5.0], None,
+             None, None, META_B, 2, 12),
+            ("X", 200, "array_double", None, None, [9.0], None,
+             None, None, META_B, 0, 0),
+        ],
+    )
+    out = decimate_mixed(df, 60)
+    r0 = _one(out, 0)
+    assert r0.type == "array_double" and list(r0.aval) == [1.0, 2.0, 3.0]
+    assert tuple(r0.meta) == META_A
+    # pick-first selects the sample valid AT interval start — the t=10
+    # sample still holds at t=60 (`ChannelAccessSampleDecimatorTest.java:
+    # 841-857`: a sample from BEFORE the period seeds it)
+    r1 = _one(out, 60)
+    assert list(r1.aval) == [1.0, 2.0, 3.0] and tuple(r1.meta) == META_A
+    # the t=70 sample seeds window 120 via hold-forward
+    r2 = _one(out, 120)
+    assert list(r2.aval) == [4.0, 5.0] and tuple(r2.meta) == META_B
+
+
+def test_aggregated_meta_from_first_used_sample(spark):
+    # `testAggregatedScalarShort` (`:700-757`): the aggregated sample
+    # carries the display metadata of the FIRST used source sample even
+    # when later samples carry different metadata
+    df = _mk_full(
+        spark,
+        [
+            ("X", 0, "scalar_double", 40.0, None, None, None, None, None,
+             META_A, 0, 0),
+            ("X", 30, "scalar_double", 0.0, None, None, None, None, None,
+             META_B, 0, 0),
+            ("X", 60, "scalar_double", 1.0, None, None, None, None, None,
+             META_B, 0, 0),
+        ],
+    )
+    r = _one(decimate_mixed(df, 60), 0)
+    assert r.type == "aggregated_scalar_double"
+    assert abs(r.mean - 20.0) < 1e-9
+    assert tuple(r.meta) == META_A
+
+
+def test_aggregatable_first_wins_under_veto_with_meta(spark):
+    # veto by a non-aggregatable type, but the first sample is aggregatable
+    # -> aggregated output of the first type
+    # (`ChannelAccessSampleDecimator.java:137-186`)
+    df = _mk_full(
+        spark,
+        [
+            ("X", 0, "scalar_double", 10.0, None, None, None, None, None,
+             META_A, 0, 0),
+            ("X", 30, "scalar_enum", None, None, None, 1, ["A", "B"], None,
+             None, 2, 12),
+            ("X", 60, "scalar_double", 2.0, None, None, None, None, None,
+             META_B, 0, 0),
+        ],
+    )
+    r = _one(decimate_mixed(df, 60), 0)
+    assert r.type == "aggregated_scalar_double"
+    assert r.eval is None and tuple(r.meta) == META_A
