@@ -90,6 +90,7 @@ def enabling_filter(
     samples: DataFrame,
     enabling: DataFrame,
     flag_col: str = "en",
+    bucket_s: int = 86_400,
 ) -> DataFrame:
     """J4: gate archiving on another PV's live value
     (`channelaccess/internal/EnablingChannel.java`; option
@@ -101,23 +102,58 @@ def enabling_filter(
     never-seen enabling PV as disabled).
 
     Scale shape: the enabling series is ONE channel — tiny next to the
-    fact table — so it is compiled into validity intervals
-    ``[t, t_next)`` and **broadcast**; the as-of join becomes a broadcast
-    range join and the fact side never shuffles. The single-partition
-    ``lead`` window only runs over the enabling series itself.
+    fact table — so it is compiled into validity intervals ``[t, t_next)``
+    and **broadcast**; the fact side never shuffles. Naively this is a
+    BroadcastNestedLoopJoin probing EVERY fact row against ALL intervals —
+    O(fact × transitions), which hurts for a chatty gate PV. Instead the
+    closed intervals are **exploded into coarse time buckets**
+    (``bucket_s``-wide) and the join is an EQUI-join on the bucket key
+    (BroadcastHashJoin) with the exact range predicate as a residual: each
+    fact row probes only the few intervals overlapping its bucket. The one
+    open tail interval (no ``t_next``) cannot be bucket-bounded and joins
+    as a single broadcast row — O(fact × 1). Intervals are disjoint, so
+    the two paths union without dedup.
     """
+    bucket_ns = bucket_s * 1_000_000_000
     iv = (
         enabling.select(
             F.col("t").alias("_et"), F.col(flag_col).alias("_en")
         )
         .withColumn("_et_next", F.lead("_et").over(Window.orderBy("_et")))
     )
-    joined = samples.join(
-        F.broadcast(iv),
-        (F.col("t") >= F.col("_et"))
-        & ((F.col("t") < F.col("_et_next")) | F.col("_et_next").isNull()),
+    closed = (
+        iv.filter(F.col("_et_next").isNotNull())
+        .withColumn(
+            "_b",
+            F.explode(
+                F.expr(
+                    f"sequence(_et div {bucket_ns}, (_et_next - 1) div {bucket_ns})"
+                )
+            ),
+        )
     )
-    return joined.filter(F.col("_en")).drop("_et", "_en", "_et_next")
+    # The single open tail interval (no t_next) can't be bucket-bounded;
+    # its (start, flag) is ONE row of a tiny series — read driver-side and
+    # folded into the gate predicate as literals (same bounded-metadata
+    # pattern as plans/planner.py), so the fact table is scanned ONCE and
+    # the only join is the bucket-keyed BroadcastHashJoin.
+    open_rows = iv.filter(F.col("_et_next").isNull()).select("_et", "_en").collect()
+    fact = samples.withColumn("_b", F.expr(f"t div {bucket_ns}"))
+    joined = fact.join(
+        F.broadcast(closed),
+        (fact["_b"] == closed["_b"])
+        & (F.col("t") >= F.col("_et"))
+        & (F.col("t") < F.col("_et_next")),
+        "left",
+    )
+    if open_rows:
+        open_gate = (F.col("t") >= F.lit(open_rows[0]["_et"])) & F.lit(
+            bool(open_rows[0]["_en"])
+        )
+    else:
+        open_gate = F.lit(False)
+    gate = F.coalesce(F.col("_en"), open_gate, F.lit(False))
+    return joined.filter(gate).select(*samples.columns)
 
 
 def union_levels(

@@ -33,11 +33,10 @@ consistent for any ns value (no TimestampType round-trip).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .fs import HadoopFS
 
 NS = 1_000_000_000
 DAY_NS = 86_400 * NS
@@ -69,6 +68,9 @@ class ArchiveStore:
         self.spark = spark
         self.root = root.rstrip("/")
         self.max_records_per_file = max_records_per_file
+        #: all metadata path ops go through Hadoop FileSystem so the store
+        #: works on file:/hdfs:/s3a: alike — no local-FS-only primitives
+        self.fs = HadoopFS(spark, self.root)
 
     # -- paths -----------------------------------------------------------
     @property
@@ -110,29 +112,47 @@ class ArchiveStore:
         finally:
             df.unpersist()
 
+    #: compact the HWM append-log once it fragments past this many files
+    HWM_COMPACT_THRESHOLD = 16
+
     def _update_channel_hwm(self, batch: DataFrame, level: int) -> None:
-        batch_hwm = batch.groupBy("channel").agg(F.max("t").alias("hwm"))
+        """APPEND the batch's per-channel maxima to the HWM log — no
+        read-merge-rewrite of the whole table on the hot write path (the
+        round-1 coalesce(1) overwrite was O(#channels) per batch and
+        local-FS-only). Readers fold the log with a groupBy max; the log
+        is compacted in place once it passes ``HWM_COMPACT_THRESHOLD``
+        files (one listStatus RPC to check)."""
         path = self._hwm_path(level)
-        old = self.channel_hwm(level)
-        if old is not None:
-            batch_hwm = (
-                old.unionByName(batch_hwm)
-                .groupBy("channel")
-                .agg(F.max("hwm").alias("hwm"))
-            )
+        batch.groupBy("channel").agg(F.max("t").alias("hwm")).write.mode(
+            "append"
+        ).parquet(path)
+        if self.fs.count_files(path) > self.HWM_COMPACT_THRESHOLD:
+            self._compact_hwm(level)
+
+    def _compact_hwm(self, level: int) -> None:
+        path = self._hwm_path(level)
+        folded = (
+            self.spark.read.parquet(path)
+            .groupBy("channel")
+            .agg(F.max("hwm").alias("hwm"))
+        )
         tmp = path + ".tmp"
-        batch_hwm.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+        self.fs.replace(tmp, path)
 
     def channel_hwm(self, level: int) -> DataFrame | None:
         """Per-channel high-water mark table ``(channel, hwm)`` for one
-        level, or None if the level has never been written."""
+        level, or None if the level has never been written. Folds the
+        append-log (cheap: one small shuffle over O(#channels x #appends)
+        rows)."""
         path = self._hwm_path(level)
-        if not os.path.isdir(path):
+        if not self.fs.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        return (
+            self.spark.read.parquet(path)
+            .groupBy("channel")
+            .agg(F.max("hwm").alias("hwm"))
+        )
 
     # -- decimation carry state (T3 seeds) -------------------------------
     def _seed_path(self, level: int) -> str:
@@ -143,7 +163,7 @@ class ArchiveStore:
         decimation run targeting ``target_level`` (the decimator carry
         state — one full source row per channel)."""
         path = self._seed_path(target_level)
-        if not os.path.isdir(path):
+        if not self.fs.exists(path):
             return None
         return self.spark.read.parquet(path)
 
@@ -151,9 +171,7 @@ class ArchiveStore:
         path = self._seed_path(target_level)
         tmp = path + ".tmp"
         seeds.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        self.fs.replace(tmp, path)
 
     # -- read (S1/S2) ----------------------------------------------------
     def read_samples(
@@ -168,7 +186,7 @@ class ArchiveStore:
 
         F4: a level that was never configured/written yields an EMPTY
         result, not an error (`ArchiveAccessServiceImpl.java:794-805`)."""
-        if not os.path.isdir(self._level_path(level)):
+        if not self.fs.exists(self._level_path(level)):
             schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.parquet(self._level_path(level))
@@ -185,10 +203,8 @@ class ArchiveStore:
         return df.drop("date")
 
     def levels(self) -> list[int]:
-        if not os.path.isdir(self.samples_path):
-            return []
         out = []
-        for name in os.listdir(self.samples_path):
+        for name in self.fs.listdir(self.samples_path):
             if name.startswith("decimation_level="):
                 out.append(int(name.split("=", 1)[1]))
         return sorted(out)
@@ -198,10 +214,10 @@ class ArchiveStore:
         """Max archived t for a level, scanning only the newest date
         partition (partition pruning keeps this O(1 day) at any scale)."""
         path = self._level_path(level)
-        if not os.path.isdir(path):
-            return None
         dates = sorted(
-            d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("date=")
+            d.split("=", 1)[1]
+            for d in self.fs.listdir(path)
+            if d.startswith("date=")
         )
         if not dates:
             return None
@@ -219,13 +235,11 @@ class ArchiveStore:
         stepping backward probe (`ArchiveAccessServiceImpl.java:239-316`):
         typically touches exactly one partition regardless of archive size."""
         path = self._level_path(level)
-        if not os.path.isdir(path):
-            return None
         limit = _py_date(ts_ns)
         dates = sorted(
             (
                 d.split("=", 1)[1]
-                for d in os.listdir(path)
+                for d in self.fs.listdir(path)
                 if d.startswith("date=")
             ),
             reverse=True,
@@ -250,28 +264,25 @@ class ArchiveStore:
         the boundary partition is rewritten with the exact predicate.
         Returns the number of partitions dropped."""
         path = self._level_path(level)
-        if not os.path.isdir(path):
-            return 0
         cutoff_date = _py_date(cutoff_ns)
         dropped = 0
         boundary = None
-        for name in sorted(os.listdir(path)):
+        for name in sorted(self.fs.listdir(path)):
             if not name.startswith("date="):
                 continue
             d = name.split("=", 1)[1]
             if d < cutoff_date:
-                shutil.rmtree(os.path.join(path, name))
+                self.fs.delete(f"{path}/{name}")
                 dropped += 1
             elif d == cutoff_date:
-                boundary = os.path.join(path, name)
+                boundary = f"{path}/{name}"
         if boundary is not None:
             kept = self.spark.read.parquet(boundary).filter(
                 F.col("t") >= cutoff_ns
             )
             tmp = boundary + ".tmp"
             kept.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(boundary)
-            os.replace(tmp, boundary)
+            self.fs.replace(tmp, boundary)
         return dropped
 
     # -- compaction (96 MB rollover analog) ------------------------------
@@ -279,12 +290,10 @@ class ArchiveStore:
         """Rewrite each date partition into ``target_files_per_partition``
         sorted files (the OPTIMIZE pass for append-fragmented partitions)."""
         path = self._level_path(level)
-        if not os.path.isdir(path):
-            return
-        for name in sorted(os.listdir(path)):
+        for name in sorted(self.fs.listdir(path)):
             if not name.startswith("date="):
                 continue
-            part = os.path.join(path, name)
+            part = f"{path}/{name}"
             df = self.spark.read.parquet(part)
             tmp = part + ".tmp"
             (
@@ -294,8 +303,7 @@ class ArchiveStore:
                 .option("maxRecordsPerFile", self.max_records_per_file)
                 .parquet(tmp)
             )
-            shutil.rmtree(part)
-            os.replace(tmp, part)
+            self.fs.replace(tmp, part)
 
 
 def _py_date(t_ns: int) -> str:

@@ -135,3 +135,48 @@ def test_missing_level_yields_empty_not_error(spark, tmp_path):
     assert store.read_samples(0).count() == 0
     assert store.read_samples(900).count() == 0
     assert "mean" in store.read_samples(900).columns
+
+
+def test_store_module_free_of_local_fs_primitives():
+    """The store must run unchanged on hdfs:/s3a: — every path op goes
+    through the Hadoop FileSystem facade, never the local os/shutil API."""
+    import inspect
+
+    from cassandra_pv_archiver_spark.sources import archive_store
+
+    src = inspect.getsource(archive_store)
+    for banned in ("os.listdir", "os.path", "os.replace", "shutil", "import os"):
+        assert banned not in src, f"local-FS primitive in archive_store: {banned}"
+
+
+def test_hwm_append_log_and_compaction(spark, tmp_path):
+    """HWM updates are append-only (no whole-table rewrite per batch);
+    the log folds correctly on read and compacts past the threshold."""
+    store = _store(spark, tmp_path)
+    store.HWM_COMPACT_THRESHOLD = 3
+    rows = [("A", 10 * NS, 1.0, 0, 0), ("B", 20 * NS, 2.0, 0, 0)]
+    mk = lambda shift: spark.createDataFrame(
+        [(c, t + shift * NS, v, s, st) for c, t, v, s, st in rows],
+        "channel string, t long, v double, severity int, status int",
+    )
+    for i in range(5):
+        store.write_samples(mk(i), level=0)
+    hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
+    assert hwm == {"A": 14 * NS, "B": 24 * NS}
+    # compaction kicked in: the log is back under the threshold
+    assert store.fs.count_files(store._hwm_path(0)) <= 3 + 1
+
+
+def test_hadoop_fs_facade_roundtrip(spark, tmp_path):
+    from cassandra_pv_archiver_spark.sources.fs import HadoopFS
+
+    root = str(tmp_path / "fsroot")
+    fs = HadoopFS(spark, root)
+    assert not fs.exists(root + "/x")
+    spark.createDataFrame([(1,)], "a int").write.parquet(root + "/x")
+    assert fs.exists(root + "/x")
+    assert any(n.endswith(".parquet") for n in fs.listdir(root + "/x"))
+    fs.replace(root + "/x", root + "/y")
+    assert fs.exists(root + "/y") and not fs.exists(root + "/x")
+    fs.delete(root + "/y")
+    assert not fs.exists(root + "/y")

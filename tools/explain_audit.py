@@ -88,9 +88,17 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
     ),
     "enabling_link": (
         None,
-        # enabling series broadcast; fact side must not shuffle for the join
-        ["BroadcastNestedLoopJoin"],
+        # closed validity intervals bucket-exploded and equi-joined on the
+        # time bucket (BroadcastHashJoin keyed on _b) — each fact row
+        # probes only its bucket's intervals, not every transition; the
+        # fact side never shuffles for the gate
+        ["BroadcastHashJoin [_b", "codegen id"],
         ["SortMergeJoin", "CartesianProduct"],
+    ),
+    "decimate_typed_1h": (
+        None,
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin"],
     ),
 }
 
