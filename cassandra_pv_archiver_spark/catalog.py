@@ -313,6 +313,58 @@ def q_archive_incremental_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ARCHIVE_INCREMENTAL_1H = SQL_DECIMATE_1H
 
 
+def q_stream_lifecycle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 -> §3.3 -> §3.1 lifecycle as ONE driver-checked query: a real
+    Structured Streaming run (file source, availableNow trigger) ingests
+    the raw series in two chunks through the F5 monotonic guard into the
+    archive store, with the incremental 1 h cascade maintained after each
+    micro-batch; the second run resumes from the first's checkpoint
+    (exactly-once across restarts, T2). The materialized level is read
+    back pruned. Output must equal plain batch decimation — the same
+    oracle as ``decimate_1h``, which makes the entire streaming write
+    path value-hash-checked, not just row-counted. (The §3.1 planner read
+    over a streamed store is covered by tests/test_streaming.py; the
+    planner's own selection logic is oracled by ``planner_fallback``.)"""
+    import tempfile
+
+    from .sources.archive_store import ArchiveStore
+    from .streaming.ingest import start_file_ingest
+
+    root = tempfile.mkdtemp(prefix="pvarch_stream_")
+    raw = load_samples(spark, sf_dir).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    tmin, tmax = raw.agg(F.min("t"), F.max("t")).first()
+    cut = tmin + (tmax - tmin) // 2
+    src = f"{root}/incoming"
+    ckpt = f"{root}/ckpt"
+    store = ArchiveStore(spark, f"{root}/archive")
+
+    raw.filter(F.col("t") < cut).write.mode("overwrite").parquet(src)
+    q = start_file_ingest(
+        spark, src, raw.schema, store, checkpoint_dir=ckpt,
+        cascade_periods=[PERIOD_1H],
+    )
+    q.awaitTermination(600)
+    # late chunk arrives; a NEW stream on the SAME checkpoint picks up only
+    # the unseen files and the cascade catches up incrementally
+    raw.filter(F.col("t") >= cut).write.mode("append").parquet(src)
+    q2 = start_file_ingest(
+        spark, src, raw.schema, store, checkpoint_dir=ckpt,
+        cascade_periods=[PERIOD_1H],
+    )
+    q2.awaitTermination(600)
+
+    out = store.read_samples(PERIOD_1H)
+    return out.select(
+        "channel", "t", "mean", "std", "vmin", "vmax", "covered_fraction",
+        "severity", "status", "n_samples", "quality",
+    ).orderBy("channel", "t")
+
+
+SQL_STREAM_LIFECYCLE_1H = SQL_DECIMATE_1H
+
+
 def q_pick_first_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: pick-first decimation of a non-aggregatable (string) series
     (`PickFirstSampleAggregator.java:50-76`)."""

@@ -35,6 +35,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_archive_incremental_1h,
         catalog.SQL_ARCHIVE_INCREMENTAL_1H,
     ),
+    "stream_lifecycle_1h": (
+        catalog.q_stream_lifecycle_1h,
+        catalog.SQL_STREAM_LIFECYCLE_1H,
+    ),
     "union_levels": (catalog.q_union_levels, catalog.SQL_UNION_LEVELS),
     "planner_fallback": (catalog.q_planner_fallback, catalog.SQL_PLANNER_FALLBACK),
     "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),

@@ -140,15 +140,25 @@ class ArchiveStore:
         folded.coalesce(1).write.mode("overwrite").parquet(tmp)
         self.fs.replace(tmp, path)
 
+    def _localize(self, df: DataFrame) -> DataFrame:
+        """Materialize a BOUNDED metadata table into a driver-local
+        relation. Metadata reads must be snapshots: lazy plans would pin
+        parquet file listings that a concurrent append/compact/swap
+        invalidates mid-job (observed as FILE_NOT_EXIST task failures).
+        Both metadata tables are O(#channels) rows — the reference holds
+        the same state in memory (`ChannelMetaDataDAOImpl.java:2111-2123`),
+        so a driver-side copy is the faithful cost."""
+        rows = df.collect()
+        return self.spark.createDataFrame(rows, df.schema)
+
     def channel_hwm(self, level: int) -> DataFrame | None:
-        """Per-channel high-water mark table ``(channel, hwm)`` for one
+        """Per-channel high-water mark snapshot ``(channel, hwm)`` for one
         level, or None if the level has never been written. Folds the
-        append-log (cheap: one small shuffle over O(#channels x #appends)
-        rows)."""
+        append-log (one small job over O(#channels x #appends) rows)."""
         path = self._hwm_path(level)
         if not self.fs.exists(path):
             return None
-        return (
+        return self._localize(
             self.spark.read.parquet(path)
             .groupBy("channel")
             .agg(F.max("hwm").alias("hwm"))
@@ -165,7 +175,7 @@ class ArchiveStore:
         path = self._seed_path(target_level)
         if not self.fs.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        return self._localize(self.spark.read.parquet(path))
 
     def write_seed_state(self, target_level: int, seeds: DataFrame) -> None:
         path = self._seed_path(target_level)

@@ -243,3 +243,40 @@ def test_disconnect_markers_stream_event_time_timeout(spark, tmp_path):
     # X fell silent at t=base -> marker at base + 30 s; Y kept updating
     # (its timeout never passed the final watermark before the drain)
     assert got == [("X", base + 30 * NS, "disconnected")], f"got {got}"
+
+
+def test_planner_reads_streamed_store(spark, tmp_path):
+    """§3.2 -> §3.3 -> §3.1: the planner serves a query over levels
+    materialized purely by the streaming path, equal to batch decimation
+    over the probed range."""
+    from cassandra_pv_archiver_spark.plans.planner import plan_samples
+
+    raw = load_samples(spark, SF_DIR).select("channel", "t", "v", "severity", "status")
+    src = str(tmp_path / "in")
+    raw.write.parquet(src)
+    store = ArchiveStore(spark, str(tmp_path / "arch"))
+    q = start_file_ingest(
+        spark, src, raw.schema, store,
+        checkpoint_dir=str(tmp_path / "ckpt"), cascade_periods=[3600],
+    )
+    q.awaitTermination(300)
+
+    dec = store.read_samples(3600)
+    lvl0 = store.read_samples(0).select(
+        "channel", "t", F.col("v").alias("value"), F.lit(0).alias("level")
+    )
+    lvl1 = dec.select(
+        "channel", "t", F.col("mean").alias("value"), F.lit(3600).alias("level")
+    )
+    lo, hi = dec.agg(F.min("t"), F.max("t")).first()
+    span_windows = (hi - lo) // (3600 * NS) + 1
+    out = plan_samples(
+        {0: lvl0, 3600: lvl1}, start_ns=lo, end_ns=hi, count=int(span_windows)
+    )
+    got = {(r.channel, r.t): r.value for r in out.filter(F.col("level") == 3600).collect()}
+    want = {
+        (r.channel, r.t): r.mean
+        for r in decimate(raw, 3600).filter(F.col("t").between(lo, hi)).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
