@@ -80,9 +80,15 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    # two timed passes, min per query: this box shows 2-3x whole-suite
+    # swings from host-level contention (see PERF.md); the min of two warm
+    # runs reports the plan's cost, not the neighbor's
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        timings[name] = round(run_one(spark, name, sf_dir), 3)
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            dt = run_one(spark, name, sf_dir)
+            prev = timings.get(name)
+            timings[name] = round(dt if prev is None else min(prev, dt), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -166,6 +166,7 @@ def load_typed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
       view     -> array_double   (aval = [d, 2d, 3d], d = round(100*value);
                                   numeric display metadata)
       purchase -> scalar_enum    (eval = event_id % 4, labels = ENUM_LABELS)
+                  / array_enum   (aval = 2 indexes) by event_id parity
       signup   -> array_string   (asval = 2 derived strings)
       error    -> disabled / disconnected markers (by event_id parity)
 
@@ -182,7 +183,11 @@ def load_typed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     typ = (
         F.when(F.col("event_type") == "click", F.lit("scalar_double"))
         .when(F.col("event_type") == "view", F.lit("array_double"))
-        .when(F.col("event_type") == "purchase", F.lit("scalar_enum"))
+        .when(
+            (F.col("event_type") == "purchase") & (F.col("event_id") % 2 == 0),
+            F.lit("scalar_enum"),
+        )
+        .when(F.col("event_type") == "purchase", F.lit("array_enum"))
         .when(F.col("event_type") == "signup", F.lit("array_string"))
         .when(F.col("event_id") % 2 == 0, F.lit("disabled"))
         .otherwise(F.lit("disconnected"))
@@ -208,10 +213,19 @@ def load_typed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(ts div 1000) * 1000").alias("t"),
         typ.alias("type"),
         F.when(typ == "scalar_double", F.col("value")).alias("v"),
-        F.when(typ == "array_double", F.array(d, d * 2, d * 3)).alias("aval"),
+        F.when(typ == "array_double", F.array(d, d * 2, d * 3))
+        .when(
+            typ == "array_enum",
+            F.array(
+                (F.col("event_id") % 4).cast("double"),
+                ((F.col("event_id") + 1) % 4).cast("double"),
+            ),
+        )
+        .alias("aval"),
         F.when(typ == "scalar_enum", (F.col("event_id") % 4).cast("int")).alias("eval"),
         F.when(
-            typ == "scalar_enum", F.array(*[F.lit(x) for x in ENUM_LABELS])
+            typ.isin("scalar_enum", "array_enum"),
+            F.array(*[F.lit(x) for x in ENUM_LABELS]),
         ).alias("labels"),
         F.when(
             typ == "array_string",
@@ -240,7 +254,8 @@ typed_samples AS (
            epoch_ns(ts) AS t,
            CASE WHEN event_type = 'click' THEN 'scalar_double'
                 WHEN event_type = 'view' THEN 'array_double'
-                WHEN event_type = 'purchase' THEN 'scalar_enum'
+                WHEN event_type = 'purchase' AND event_id % 2 = 0 THEN 'scalar_enum'
+                WHEN event_type = 'purchase' THEN 'array_enum'
                 WHEN event_type = 'signup' THEN 'array_string'
                 WHEN event_id % 2 = 0 THEN 'disabled'
                 ELSE 'disconnected' END AS type,
@@ -248,8 +263,12 @@ typed_samples AS (
            CASE WHEN event_type = 'view' THEN list_value(
              CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE),
              CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) * 2,
-             CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) * 3) END AS aval,
-           CAST(CASE WHEN event_type = 'purchase' THEN event_id % 4 END AS INTEGER) AS eval,
+             CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) * 3)
+                WHEN event_type = 'purchase' AND event_id % 2 = 1 THEN list_value(
+             CAST(event_id % 4 AS DOUBLE),
+             CAST((event_id + 1) % 4 AS DOUBLE)) END AS aval,
+           CAST(CASE WHEN event_type = 'purchase' AND event_id % 2 = 0
+                THEN event_id % 4 END AS INTEGER) AS eval,
            CASE WHEN event_type = 'purchase' THEN {_ENUM_LABELS_SQL} END AS labels,
            CASE WHEN event_type = 'signup' THEN list_value(
              'S' || CAST(event_id % 100 AS VARCHAR),
