@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "decimate_mixed_1h",
     "decimate_typed_1h",
     "json_v1_typed_1h",
+    "json_v1_raw_typed",
     "pick_first_1h",
     "union_levels",
     "planner_fallback",

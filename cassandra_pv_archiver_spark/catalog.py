@@ -688,6 +688,81 @@ def q_json_v1_typed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_columns(dec).orderBy("channel", "t")
 
 
+def q_json_v1_raw_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 raw path: V1 shape projection of the RAW full-union series —
+    scalar/array values, enum states, markers, numeric metaData with the
+    double-family precision kept and integer families forced to 0
+    (`ChannelAccessSampleValueAccess.java:318-514`). Complements the
+    decimated projections: raw samples render with quality Original and
+    no minimum/maximum."""
+    from .functions.json_v1 import render_columns
+    from .sources.testdata import load_typed_samples
+
+    s = load_typed_samples(spark, sf_dir)
+    return render_columns(s, raw=True).orderBy("channel", "t")
+
+
+def _sql_render_raw_select() -> str:
+    dbl_t = "'scalar_double','scalar_float','array_double','array_float'"
+    long_t = ("'scalar_char','scalar_short','scalar_long',"
+              "'array_char','array_short','array_long'")
+    return f"""
+jb AS (
+  SELECT channel, t, type AS typ, v, sval, aval, eval, labels, asval, meta,
+         severity AS sev, status AS stat,
+         type IN ('disabled','disconnected') AS is_marker,
+         type IN ('scalar_enum','array_enum') AS is_enum,
+         CASE WHEN type = 'disabled' THEN 'Archive_Disabled'
+              WHEN type = 'disconnected' THEN 'Disconnected' END AS mlabel,
+         (meta IS NOT NULL
+            AND (type IN ({dbl_t}) OR type IN ({long_t}))) AS has_meta,
+         (type LIKE '%\\_char' ESCAPE '\\' OR type LIKE '%\\_short' ESCAPE '\\'
+            OR type LIKE '%\\_long' ESCAPE '\\') AS int_fam
+  FROM typed_samples
+)
+SELECT channel, t,
+       CASE WHEN is_enum THEN 'enum'
+            WHEN typ IN ({dbl_t}) THEN 'double'
+            WHEN typ IN ({long_t}) THEN 'long'
+            ELSE 'string' END AS rtype,
+       CASE WHEN is_marker THEN 'INVALID'
+            ELSE CASE sev WHEN 0 THEN 'OK' WHEN 1 THEN 'MINOR'
+                 WHEN 2 THEN 'MAJOR' ELSE 'INVALID' END END AS level,
+       NOT is_marker AS has_value,
+       CASE WHEN is_marker THEN mlabel
+            ELSE {_sql_status_case("stat")} END AS status,
+       'Original' AS quality,
+       CASE WHEN typ IN ('scalar_double','scalar_float') THEN v END AS value_num,
+       CASE WHEN typ IN ('scalar_char','scalar_short','scalar_long')
+              THEN CAST(v AS BIGINT)
+            WHEN typ = 'scalar_enum' THEN CAST(eval AS BIGINT) END AS value_long,
+       CASE WHEN is_marker THEN mlabel
+            WHEN typ = 'scalar_string' THEN sval END AS value_str,
+       CASE WHEN typ IN ('array_double','array_float')
+              THEN array_to_string(aval, ',')
+            WHEN typ IN ('array_char','array_short','array_long','array_enum')
+              THEN array_to_string(list_transform(aval, x -> CAST(x AS BIGINT)), ',')
+            WHEN typ = 'array_string' THEN array_to_string(asval, ',')
+       END AS value_arr,
+       CAST(NULL AS DOUBLE) AS minimum,
+       CAST(NULL AS DOUBLE) AS maximum,
+       CASE WHEN is_enum THEN 'enum'
+            WHEN has_meta THEN 'numeric' END AS meta_type,
+       CAST(CASE WHEN has_meta AND int_fam THEN 0
+            WHEN has_meta THEN coalesce(meta."precision", 0) END AS INTEGER)
+         AS meta_precision,
+       CASE WHEN has_meta THEN meta.units END AS meta_units,
+       CASE WHEN has_meta THEN meta.lower_display_limit END AS meta_disp_lo,
+       CASE WHEN has_meta THEN meta.upper_display_limit END AS meta_disp_hi,
+       CASE WHEN has_meta THEN meta.lower_warning_limit END AS meta_warn_lo,
+       CASE WHEN has_meta THEN meta.upper_warning_limit END AS meta_warn_hi,
+       CASE WHEN has_meta THEN meta.lower_alarm_limit END AS meta_alarm_lo,
+       CASE WHEN has_meta THEN meta.upper_alarm_limit END AS meta_alarm_hi,
+       CASE WHEN is_enum THEN array_to_string(labels, ',') END AS meta_states
+FROM jb ORDER BY channel, t
+"""
+
+
 def _sql_status_case(col: str) -> str:
     from .functions.json_v1 import STATUS_LABELS
 
@@ -795,6 +870,11 @@ SQL_JSON_V1_TYPED_1H = f"""
 WITH {TYPED_SAMPLES_CTE},
 {_union_dec_ctes("typed_samples")},
 {_sql_render_select()}
+"""
+
+SQL_JSON_V1_RAW_TYPED = f"""
+WITH {TYPED_SAMPLES_CTE},
+{_sql_render_raw_select()}
 """
 
 

@@ -291,20 +291,23 @@ def marker_to_json(df: DataFrame, type_col: str = "type") -> DataFrame:
     )
 
 
-def render_columns(df: DataFrame) -> DataFrame:
+def render_columns(df: DataFrame, raw: bool = False) -> DataFrame:
     """Pre-serialization projection of the V1 layout: every field the
     serializer writes, as typed engine-portable columns (the driver's
     oracle hashes these; the byte-exact JSON string is pinned by golden
     tests because float-to-text rendering differs across engines).
 
-    Input: :func:`decimate_mixed` output (full tagged union). Output one
-    row per sample with: render type, severity level + hasValue, status
-    label, quality, the value in its natural slot (``value_num`` double /
-    ``value_long`` / ``value_str`` / ``value_arr`` joined string),
-    minimum/maximum for aggregated rows, and the flattened ``metaData``
-    block (numeric or enum states)."""
+    Input: :func:`decimate_mixed` output (full tagged union), or a RAW
+    tagged-union series (``raw=True``: has ``v`` instead of
+    mean/vmin/vmax, default quality Original — the reference's raw-sample
+    serialization path, `ChannelAccessSampleValueAccess.java:318-514`).
+    Output one row per sample with: render type, severity level +
+    hasValue, status label, quality, the value in its natural slot
+    (``value_num`` double / ``value_long`` / ``value_str`` /
+    ``value_arr`` joined string), minimum/maximum for aggregated rows,
+    and the flattened ``metaData`` block (numeric or enum states)."""
     t = F.col("type")
-    is_agg = t.startswith("aggregated_")
+    is_agg = F.lit(False) if raw else t.startswith("aggregated_")
     is_marker = t.isin("disabled", "disconnected")
     is_enum = t.isin("scalar_enum", "array_enum")
     is_dbl = t.isin("scalar_double", "scalar_float", "array_double", "array_float")
@@ -337,12 +340,27 @@ def render_columns(df: DataFrame) -> DataFrame:
         F.when(is_marker, marker_label)
         .otherwise(status_label(F.col("status")))
         .alias("status"),
-        F.coalesce(F.col("quality"), F.lit("Original")).alias("quality"),
-        # scalar numeric raw types are aggregatable and therefore never
-        # appear as decimated winners — value_num/value_long only carry the
-        # aggregated mean and the enum index here
-        F.when(is_agg, F.col("mean")).alias("value_num"),
-        F.when(t == "scalar_enum", F.col("eval").cast("long")).alias("value_long"),
+        (
+            F.lit("Original")
+            if raw
+            else F.coalesce(F.col("quality"), F.lit("Original"))
+        ).alias("quality"),
+        # raw series carry scalar numerics in v; decimated output never
+        # does (scalar numerics are aggregatable, so they always surface
+        # as aggregated_* with the mean)
+        (
+            F.when(t.isin("scalar_double", "scalar_float"), F.col("v"))
+            if raw
+            else F.when(is_agg, F.col("mean"))
+        ).alias("value_num"),
+        (
+            F.when(
+                t.isin("scalar_char", "scalar_short", "scalar_long"),
+                F.col("v").cast("long"),
+            ).when(t == "scalar_enum", F.col("eval").cast("long"))
+            if raw
+            else F.when(t == "scalar_enum", F.col("eval").cast("long"))
+        ).alias("value_long"),
         F.when(is_marker, marker_label)
         .when(t == "scalar_string", F.col("sval"))
         .alias("value_str"),
@@ -352,8 +370,12 @@ def render_columns(df: DataFrame) -> DataFrame:
               F.concat_ws(",", arr_long))
         .when(t == "array_string", F.concat_ws(",", F.col("asval")))
         .alias("value_arr"),
-        F.when(is_agg, F.col("vmin")).alias("minimum"),
-        F.when(is_agg, F.col("vmax")).alias("maximum"),
+        (
+            F.lit(None).cast("double") if raw else F.when(is_agg, F.col("vmin"))
+        ).alias("minimum"),
+        (
+            F.lit(None).cast("double") if raw else F.when(is_agg, F.col("vmax"))
+        ).alias("maximum"),
         F.when(is_enum, F.lit("enum"))
         .when(has_meta, F.lit("numeric"))
         .alias("meta_type"),

@@ -31,6 +31,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "decimate_typed_1h": (catalog.q_decimate_typed_1h, catalog.SQL_DECIMATE_TYPED_1H),
     "json_v1_mixed_1h": (catalog.q_json_v1_mixed_1h, catalog.SQL_JSON_V1_MIXED_1H),
     "json_v1_typed_1h": (catalog.q_json_v1_typed_1h, catalog.SQL_JSON_V1_TYPED_1H),
+    "json_v1_raw_typed": (catalog.q_json_v1_raw_typed, catalog.SQL_JSON_V1_RAW_TYPED),
     "archive_incremental_1h": (
         catalog.q_archive_incremental_1h,
         catalog.SQL_ARCHIVE_INCREMENTAL_1H,

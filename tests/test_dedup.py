@@ -56,3 +56,36 @@ def test_simhash_block_widths_cover_60_bits():
         widths = [base + 1 if i < rem else base for i in range(n_blocks)]
         assert sum(widths) == 60
         assert all(w >= 1 for w in widths)
+
+
+def test_simhash_banding_property_random_corpora(spark):
+    """Hypothesis: for ANY corpus and ANY radius, banding+verify equals
+    the exhaustive popcount filter (the pigeonhole guarantee is a theorem,
+    not a fixture property)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=2, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=8),
+        max_hamming=st.integers(min_value=0, max_value=12),
+    )
+    def run(docs, max_hamming):
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+        )
+        sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_near_pairs(df, max_hamming=max_hamming).collect()
+        }
+        assert got == _exact_pairs(sigs, max_hamming)
+
+    run()

@@ -100,6 +100,43 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["codegen id", "PushedFilters"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "json_v1_raw_typed": (
+        2,  # one channel-dedup hash exchange + the output range sort
+        ["codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "json_v1_typed_1h": (
+        None,
+        ["codegen id"],
+        # the full render surface must stay JVM-side — no Python in S7
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "heartbeat_1h": (
+        3,  # dedup exchange + lead-window reuse + output sort
+        ["codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "union_levels": (
+        None,
+        ["codegen id"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "severity_daily": (
+        None,
+        ["codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "ann_cosine_topk": (
+        None,
+        # query side broadcast; similarity + per-query top-k in one pass
+        ["BroadcastNestedLoopJoin"],  # deliberate: tiny fixed query side
+        ["SortMergeJoin"],
+    ),
+    "dedup_exact": (
+        2,  # partial agg -> one hash exchange -> final agg (+ output sort)
+        ["codegen id", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
 }
 
 
