@@ -45,7 +45,14 @@ BENCH_QUERIES = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q22",
     "tpch_q18",
     "lapsed_customers",
     "window_running_total",

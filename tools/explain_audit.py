@@ -137,6 +137,32 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["codegen id", "partial_"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
+    "tpch_q7": (
+        None,
+        # both nation sides + supplier/customer dims broadcast; only the
+        # lineitem ⋈ orders join may shuffle
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    "tpch_q10": (
+        None,
+        # top-k executes as TakeOrdered (partial heaps), not a global sort
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
+    "tpch_q13": (
+        None,
+        # LEFT OUTER against orders with the priority filter pushed down
+        ["LeftOuter", "PushedFilters"],
+        ["CartesianProduct"],
+    ),
+    "tpch_q19": (
+        None,
+        # disjunctive predicate must at least push the partkey join +
+        # l_quantity Or-bounds to the scan
+        ["BroadcastHashJoin", "Or(And("],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
