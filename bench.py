@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "window_running_total",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "vocab_topk",
+    "doc_sample_10pct",
     "text_metrics",
     "token_count_bpe",
     "doc_fingerprint",

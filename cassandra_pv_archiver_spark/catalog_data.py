@@ -85,7 +85,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _sql_minhash() -> str:
+def _minhash_pair_ctes() -> str:
+    """CTE chain ending in ``vpairs(id_a, id_b, jaccard, n_common)`` —
+    the verified MinHash-LSH near-dup pairs; shared by the pair query and
+    the transitive-cluster oracle."""
     mh_cols = ",\n         ".join(
         f"min(md5('{j}:' || shingle)) AS mh_{j}" for j in range(MINHASH_K)
     )
@@ -100,7 +103,7 @@ def _sql_minhash() -> str:
         for b in range(n_bands)
     )
     return f"""
-WITH {SHINGLES_CTE},
+{SHINGLES_CTE},
 sig AS (
   SELECT doc_id,
          {mh_cols}
@@ -121,16 +124,51 @@ common AS (
   FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
    AND a.shingle = b.shingle
   GROUP BY c.id_a, c.id_b
-)
-SELECT id_a, id_b,
-       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard, n_common
-FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {MINHASH_VERIFY}
-ORDER BY id_a, id_b
+),
+vpairs AS (
+  SELECT id_a, id_b,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard, n_common
+  FROM common JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {MINHASH_VERIFY}
+)"""
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_minhash_pair_ctes()}
+SELECT id_a, id_b, jaccard, n_common FROM vpairs ORDER BY id_a, id_b
 """
 
 
-SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: MinHash-LSH verified pairs -> connected
+    components (hash-min label propagation) -> one survivor per
+    component. THE step a real dedup pipeline needs beyond pairwise
+    matches (A~B, B~C must keep exactly one of {A,B,C}); documents with
+    no near-dup are singleton components. Oracle = DuckDB recursive-CTE
+    transitive closure over the identical pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    pairs = dedup.minhash_lsh_pairs(sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY)
+    return dedup.dedup_clusters(pairs, docs).orderBy("comp")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vpairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+),
+lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+SELECT comp, min(id) AS keep_id, count(*) AS n_docs
+FROM lab GROUP BY comp ORDER BY comp
+"""
 
 
 SIMHASH_MAX_HAMMING = 3
@@ -186,6 +224,66 @@ ORDER BY id_a, id_b
 
 
 SQL_SIMHASH_NEAR_PAIRS = _sql_simhash(SIMHASH_MAX_HAMMING)
+
+
+VOCAB_TOP_K = 500
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-500 tokens by frequency (tokenizer-building
+    / corpus-stats primitive). One explode + one partial-aggregated
+    groupBy + TakeOrdered — the canonical word-count shape, scales as a
+    single shuffle on the token key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(text._WORDS)).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest({_W_SQL}) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT {VOCAB_TOP_K}
+"""
+
+SAMPLE_PCT = 10
+
+
+def q_doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: keep a document iff the first 16
+    bits of md5('smpl:' || doc_id) fall under the threshold. Hash-based
+    (not rand()) so the sample is REPRODUCIBLE across runs, engines, and
+    partitionings — the property a training-data split actually needs;
+    also composes with stratification (salt per stratum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('smpl:', CAST(doc_id AS STRING))), 1, 4),"
+        " 16, 10) AS INT)"
+    )
+    thr = 65536 * SAMPLE_PCT // 100
+    return (
+        docs.withColumn("_h", h)
+        .filter(F.col("_h") < thr)
+        .select("doc_id", "lang", F.col("_h").alias("bucket16"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_H16 = (
+    "CAST(list_sum(list_transform(range(0, 4), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('smpl:' || CAST(doc_id AS VARCHAR)),"
+    " i + 1, 1)) - 1 AS BIGINT) << (4 * (3 - i)))) AS INTEGER)"
+)
+SQL_DOC_SAMPLE_10PCT = f"""
+SELECT doc_id, lang, {_SQL_H16} AS bucket16
+FROM documents
+WHERE {_SQL_H16} < {65536 * SAMPLE_PCT // 100}
+ORDER BY doc_id
+"""
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

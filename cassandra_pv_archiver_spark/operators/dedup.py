@@ -169,6 +169,71 @@ def minhash_lsh_pairs(
     return out
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs via hash-min label
+    propagation — the step that turns pairwise matches into dedup
+    SURVIVOR SETS (transitively: if A~B and B~C, one of {A,B,C} is kept).
+
+    Each iteration joins the symmetric edge list against current labels
+    and takes the per-node min — the standard large-graph CC loop (one
+    shuffle per iteration, converges in O(component diameter), which for
+    near-dup clusters is tiny since they are dense). The loop is
+    driver-bounded with an early exit on a converged count, and every
+    iteration TRUNCATES LINEAGE with an eager ``localCheckpoint`` —
+    without it the logical plan doubles per iteration and Catalyst
+    re-analysis goes exponential around iteration ~10 (the classic
+    iterative-algorithm failure mode; on a checkpointed cluster use
+    ``checkpoint()`` for fault tolerance instead). The label table is
+    O(#documents). Returns (id_col, component) with component = min
+    reachable id.
+    """
+    e = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "comp")
+
+
+def dedup_clusters(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs -> transitive dedup clusters: one row per component
+    with the surviving (minimum) id and member count. Documents in no
+    pair are their own singleton component."""
+    comp = connected_components(pairs, docs, id_col=id_col)
+    return comp.groupBy("comp").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

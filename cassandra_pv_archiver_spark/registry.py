@@ -84,6 +84,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_dedup_minhash_lsh,
         catalog_data.SQL_DEDUP_MINHASH_LSH,
     ),
+    "dedup_clusters": (catalog_data.q_dedup_clusters, catalog_data.SQL_DEDUP_CLUSTERS),
+    "vocab_topk": (catalog_data.q_vocab_topk, catalog_data.SQL_VOCAB_TOPK),
+    "doc_sample_10pct": (
+        catalog_data.q_doc_sample_10pct,
+        catalog_data.SQL_DOC_SAMPLE_10PCT,
+    ),
     "simhash_near_pairs": (
         catalog_data.q_simhash_near_pairs,
         catalog_data.SQL_SIMHASH_NEAR_PAIRS,

@@ -89,3 +89,29 @@ def test_simhash_banding_property_random_corpora(spark):
         assert got == _exact_pairs(sigs, max_hamming)
 
     run()
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E -> clusters {A,B,C} and {D,E}; F is a singleton.
+    Survivor = min id per component (transitivity, not just pairs)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    out = {
+        r.comp: (r.keep_id, r.n_docs)
+        for r in dedup.dedup_clusters(pairs, docs).collect()
+    }
+    assert out == {1: (1, 3), 10: (10, 2), 99: (99, 1)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path graph needs ~log-diameter iterations; must converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    rows = dedup.dedup_clusters(pairs, docs).collect()
+    assert len(rows) == 1 and rows[0].comp == 0 and rows[0].n_docs == 12
