@@ -56,16 +56,22 @@ BENCH_QUERIES = [
     "tpch_q18",
     "lapsed_customers",
     "window_running_total",
+    "sessionize_30m",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "vocab_topk",
     "doc_sample_10pct",
+    "contamination_3gram",
+    "stratified_split",
+    "quality_quantiles",
+    "curate_corpus",
     "text_metrics",
     "token_count_bpe",
     "doc_fingerprint",
     "ann_cosine_topk",
     "embedding_near_dup_lsh",
+    "embedding_dedup_clusters",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

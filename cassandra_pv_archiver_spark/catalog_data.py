@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, sampling, similarity, stats, text
 from .sources.testdata import load_table
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -250,6 +250,186 @@ FROM (SELECT unnest({_W_SQL}) AS tok FROM documents)
 GROUP BY tok ORDER BY n DESC, tok LIMIT {VOCAB_TOP_K}
 """
 
+BENCH_MOD = 29  # every 29th doc stands in for the "benchmark" eval set
+
+
+def q_contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: per non-benchmark document, how many of
+    its 3-gram shingles appear anywhere in the benchmark set (docs with
+    doc_id % 29 == 0). Benchmark shingles are broadcast — one corpus scan
+    plus a doc-id groupBy; no shingle-table shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select("doc_id")
+    return dedup.contamination(sh, bench).orderBy("doc_id")
+
+
+SQL_CONTAMINATION_3GRAM = f"""
+WITH {SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+cand AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} != 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM cand JOIN bench USING (shingle) GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_shingles,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) / s.n_shingles AS hit_ratio
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+ORDER BY s.doc_id
+"""
+
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split audit: hash-threshold assignment (80/10/10,
+    salt 'split'), counted per (lang, split). The assignment is a pure
+    map — no shuffle, reproducible on any cluster — and the count is the
+    stratification check a pipeline runs before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.split_assign(
+        docs, train_pct=SPLIT_TRAIN_PCT, val_pct=SPLIT_VAL_PCT
+    )
+    return (
+        s.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def _sql_h16(salt: str) -> str:
+    """DuckDB mirror of sampling.hash_bucket16 (first 16 bits of md5)."""
+    return (
+        "CAST(list_sum(list_transform(range(0, 4), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5('{salt}:' || "
+        "CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)"
+        " << (4 * (3 - i)))) AS INTEGER)"
+    )
+
+
+_T_THR = 65536 * SPLIT_TRAIN_PCT // 100
+_V_THR = 65536 * (SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) // 100
+SQL_STRATIFIED_SPLIT = f"""
+SELECT lang,
+       CASE WHEN {_sql_h16("split")} < {_T_THR} THEN 'train'
+            WHEN {_sql_h16("split")} < {_V_THR} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+_STOP_PRED = " OR ".join(f"x = '{s}'" for s in text.STOPWORDS)
+
+#: metrics-with-lang CTE chain (ends in ``qual(doc_id, lang, n_tokens,
+#: quality_score)``) — the quality formula is textually identical to
+#: text.text_metrics so scores are bit-identical across engines.
+_QUALITY_CTES = f"""
+met AS (
+  SELECT doc_id, lang, len(w) AS n_tokens,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS tok_chars,
+         len(list_filter(w, x -> {{stop}})) AS n_stop
+  FROM (SELECT doc_id, lang, {_W_SQL} AS w FROM documents)
+),
+qual AS (
+  SELECT doc_id, lang, n_tokens,
+         0.4 * least(1.0, n_tokens / 100.0)
+           + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+           + 0.3 * least(1.0, tok_chars / CAST(n_tokens AS DOUBLE) / 8.0)
+           AS quality_score
+  FROM met
+)"""
+
+
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quality-score quantiles (discrete / type-1:
+    value at row ceil(q*n) of the sorted stratum — no float
+    interpolation, hence bit-identical across engines). The numbers a
+    curation pipeline turns into per-language quality cutoffs."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.text_metrics(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return stats.group_discrete_quantiles(
+        m, "lang", "quality_score", QUANTILE_QS, tiebreak_col="doc_id"
+    ).orderBy("lang", "q")
+
+
+_QS_VALUES = ", ".join(f"({q})" for q in QUANTILE_QS)
+SQL_QUALITY_QUANTILES = f"""
+WITH {_QUALITY_CTES},
+r AS (
+  SELECT lang, quality_score,
+         row_number() OVER (PARTITION BY lang ORDER BY quality_score, doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM qual
+)
+SELECT lang, qs.q, quality_score AS q_value
+FROM r JOIN (VALUES {_QS_VALUES}) qs(q)
+  ON rn = CAST(ceil(qs.q * n) AS BIGINT)
+ORDER BY lang, q
+""".replace("{stop}", _STOP_PRED)
+
+
+CURATE_QUALITY_MIN = 0.5
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: MinHash-LSH near-dup clusters ->
+    survivor per cluster -> quality filter (score >= 0.5) -> per-language
+    doc and token counts. The whole pipeline the individual operators
+    exist FOR, as one composed DataFrame plan: dedup (bucketed LSH
+    join), transitive clustering (hash-min CC), quality scoring
+    (Catalyst expressions), final stats (one groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    pairs = dedup.minhash_lsh_pairs(sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY)
+    comp = dedup.connected_components(pairs, docs)
+    keep = comp.filter(F.col("doc_id") == F.col("comp")).select("doc_id")
+    m = text.text_metrics(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    kept = m.join(keep, "doc_id").filter(
+        F.col("quality_score") >= CURATE_QUALITY_MIN
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CURATE_CORPUS = (
+    f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vpairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+),
+lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+keep AS (SELECT id AS doc_id FROM lab WHERE id = comp),
+{_QUALITY_CTES}
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM qual JOIN keep USING (doc_id)
+WHERE quality_score >= {CURATE_QUALITY_MIN}
+GROUP BY lang ORDER BY lang
+""".replace("{stop}", _STOP_PRED)
+)
+
+
 SAMPLE_PCT = 10
 
 
@@ -292,7 +472,6 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_metrics(docs).orderBy("doc_id")
 
 
-_STOP_PRED = " OR ".join(f"x = '{s}'" for s in text.STOPWORDS)
 SQL_TEXT_METRICS = f"""
 WITH d AS (
   SELECT doc_id, {_W_SQL} AS w,
@@ -519,7 +698,10 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _sql_srp_near_dup(dim: int = 64) -> str:
+def _srp_pair_ctes(dim: int = 64) -> str:
+    """CTE chain ending in ``vpairs(id_a, id_b, sim)`` — the verified
+    SRP-LSH near-dup pairs; shared by the pair query and the
+    embedding-cluster oracle."""
     total = SRP_N_BITS * SRP_N_BANDS
     sign = (
         f"(CASE WHEN ((({SRP_SEED} * (j * {dim} + i + 1)) % 2147483647) % 2) = 0"
@@ -539,7 +721,7 @@ def _sql_srp_near_dup(dim: int = 64) -> str:
         f" << ({SRP_N_BITS} - 1 - k)))"
     )
     return f"""
-WITH sig AS (
+sig AS (
   SELECT vec_id, {bits} AS bits FROM embeddings
 ),
 banded AS (
@@ -550,16 +732,55 @@ cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM banded x JOIN banded y
     ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
-)
-SELECT c.id_a, c.id_b, round({_DOT_AB} / ({_N_A} * {_N_B}), 4) AS sim
-FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
-            JOIN embeddings b ON b.vec_id = c.id_b
-WHERE round({_DOT_AB} / ({_N_A} * {_N_B}), 4) >= {NEAR_DUP_TAU}
-ORDER BY id_a, id_b
+),
+vpairs AS (
+  SELECT c.id_a, c.id_b, round({_DOT_AB} / ({_N_A} * {_N_B}), 4) AS sim
+  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+              JOIN embeddings b ON b.vec_id = c.id_b
+  WHERE round({_DOT_AB} / ({_N_A} * {_N_B}), 4) >= {NEAR_DUP_TAU}
+)"""
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = f"""
+WITH {_srp_pair_ctes()}
+SELECT id_a, id_b, sim FROM vpairs ORDER BY id_a, id_b
 """
 
 
-SQL_EMBEDDING_NEAR_DUP_LSH = _sql_srp_near_dup()
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space transitive near-dup clusters: SRP-LSH verified
+    pairs -> connected components -> one surviving vector per component
+    (semantic dedup — the embedding analog of dedup_clusters)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.srp_near_pairs(
+        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS
+    )
+    comp = dedup.connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    return (
+        comp.groupBy("comp")
+        .agg(F.min("vec_id").alias("keep_id"), F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("comp")
+    )
+
+
+SQL_EMBEDDING_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_srp_pair_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vpairs
+),
+reach AS (
+  SELECT vec_id AS id, vec_id AS comp FROM embeddings
+  UNION
+  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+),
+lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+SELECT comp, min(id) AS keep_id, count(*) AS n_vecs
+FROM lab GROUP BY comp ORDER BY comp
+"""
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -675,3 +675,44 @@ WHERE CAST({_ip("c_acctbal")} AS HUGEINT) * n > s
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream via Spark's NATIVE
+    session_window operator (30-minute inactivity gap): per-session
+    start/end, event and error counts, exact decimal value total. One
+    shuffle on the user key; identical code runs under Structured
+    Streaming with a watermark."""
+    from .operators.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, SESSION_GAP_MIN).orderBy("user_id", "session_start")
+
+
+SQL_SESSIONIZE_30M = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS t, event_type, value FROM events
+),
+l AS (
+  SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM e
+),
+g AS (
+  SELECT *, CASE WHEN prev IS NULL OR t - prev > {SESSION_GAP_MIN} * 60000000
+                 THEN 1 ELSE 0 END AS newflag
+  FROM l
+),
+s AS (
+  SELECT *, sum(newflag) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""

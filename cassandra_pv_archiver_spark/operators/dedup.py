@@ -234,6 +234,48 @@ def dedup_clusters(
     )
 
 
+def contamination(
+    sh: DataFrame, bench_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Benchmark decontamination: for every non-benchmark document, count
+    how many of its shingles appear anywhere in the benchmark set — the
+    standard train/eval n-gram-overlap check (a doc with hits is suspect;
+    hit_ratio ranks severity).
+
+    ``bench_ids`` is a one-column (id_col) table naming the benchmark
+    docs. The benchmark shingle set is deduplicated and BROADCAST —
+    benchmark suites are small next to a training corpus, so the check
+    costs one corpus scan with a map-side hash probe and one groupBy on
+    the doc id (no shuffle of the shingle table). For a benchmark too big
+    to broadcast, drop the hint and the same plan becomes a shuffle
+    semi-join on the shingle key.
+
+    Returns: (id_col, n_shingles, n_hits, hit_ratio) for every
+    non-benchmark doc with >= 1 shingle.
+    """
+    bench_sh = (
+        sh.join(bench_ids, id_col).select("shingle").distinct()
+    )
+    cand = sh.join(bench_ids, id_col, "left_anti")
+    sizes = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        cand.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles")).alias(
+                "hit_ratio"
+            ),
+        )
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -74,6 +74,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_window_running_total,
         catalog_generic.SQL_WINDOW_RUNNING_TOTAL,
     ),
+    "sessionize_30m": (
+        catalog_generic.q_sessionize_30m,
+        catalog_generic.SQL_SESSIONIZE_30M,
+    ),
     # --- training-data pipeline ---
     "dedup_exact": (catalog_data.q_dedup_exact, catalog_data.SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (
@@ -124,6 +128,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_meta": (
         catalog_data.q_multimodal_meta,
         catalog_data.SQL_MULTIMODAL_META,
+    ),
+    "contamination_3gram": (
+        catalog_data.q_contamination_3gram,
+        catalog_data.SQL_CONTAMINATION_3GRAM,
+    ),
+    "stratified_split": (
+        catalog_data.q_stratified_split,
+        catalog_data.SQL_STRATIFIED_SPLIT,
+    ),
+    "quality_quantiles": (
+        catalog_data.q_quality_quantiles,
+        catalog_data.SQL_QUALITY_QUANTILES,
+    ),
+    "embedding_dedup_clusters": (
+        catalog_data.q_embedding_dedup_clusters,
+        catalog_data.SQL_EMBEDDING_DEDUP_CLUSTERS,
+    ),
+    "curate_corpus": (
+        catalog_data.q_curate_corpus,
+        catalog_data.SQL_CURATE_CORPUS,
     ),
 }
 

@@ -1,0 +1,100 @@
+"""Unit tests for sessionization, sampling/split, quantiles, and
+contamination operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.operators import dedup, sampling, stats
+from cassandra_pv_archiver_spark.operators.events import sessionize
+
+MIN_NS = 60 * 1_000_000_000
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, value double"
+    )
+
+
+def test_sessionize_splits_on_gap(spark):
+    # user 1: events at t=0, 10, 50 min (gap 40 > 30 splits); user 2: one event
+    rows = [
+        (1, 0 * MIN_NS, "click", 1.0),
+        (1, 10 * MIN_NS, "error", 2.5),
+        (1, 50 * MIN_NS, "click", 4.0),
+        (2, 5 * MIN_NS, "click", 8.0),
+    ]
+    out = {
+        (r.user_id, r.session_start): r
+        for r in sessionize(_ev(spark, rows), 30).collect()
+    }
+    assert len(out) == 3
+    s1 = out[(1, 0)]
+    assert s1.session_end == 10 * 60_000_000
+    assert s1.n_events == 2 and s1.n_errors == 1 and s1.total_value == 3.5
+    s2 = out[(1, 50 * 60_000_000)]
+    assert s2.n_events == 1 and s2.total_value == 4.0
+    assert out[(2, 5 * 60_000_000)].n_events == 1
+
+
+def test_sessionize_boundary_gap_merges(spark):
+    # exactly 30 min apart stays ONE session — session_window merges an
+    # event landing exactly at the previous window's close (verified
+    # empirically; the oracle mirrors this with strict `t - prev > gap`),
+    # one µs past the gap splits
+    rows = [(1, 0, "click", 1.0), (1, 30 * MIN_NS, "click", 1.0)]
+    got = sessionize(_ev(spark, rows), 30).collect()
+    assert len(got) == 1 and got[0].n_events == 2
+    just_over = [(1, 0, "click", 1.0), (1, 30 * MIN_NS + 1000, "click", 1.0)]
+    got2 = sessionize(_ev(spark, just_over), 30).collect()
+    assert len(got2) == 2
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in sampling.split_assign(df).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in sampling.split_assign(df.repartition(13)).collect()
+    }
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] + c["val"] + c["test"] == 2000
+    # hash-uniform: within 3 sigma of 80/10/10
+    assert abs(c["train"] - 1600) < 3 * 18
+    assert abs(c["val"] - 200) < 3 * 14
+    assert abs(c["test"] - 200) < 3 * 14
+
+
+def test_group_discrete_quantiles_exact_small_group(spark):
+    df = spark.createDataFrame(
+        [("g", float(v), v) for v in range(1, 11)], "k string, v double, id long"
+    )
+    got = {
+        r.q: r.q_value
+        for r in stats.group_discrete_quantiles(
+            df, "k", "v", (0.25, 0.5, 0.9), "id"
+        ).collect()
+    }
+    # n=10: ceil(.25*10)=3 -> 3.0, ceil(.5*10)=5 -> 5.0, ceil(.9*10)=9 -> 9.0
+    assert got == {0.25: 3.0, 0.5: 5.0, 0.9: 9.0}
+
+
+def test_contamination_counts_shared_shingles(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),  # benchmark
+            (1, "alpha beta gamma epsilon"),  # shares shingle "alpha beta gamma"
+            (2, "one two three four five"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs)
+    bench = docs.filter(F.col("doc_id") == 0).select("doc_id")
+    got = {r.doc_id: r for r in dedup.contamination(sh, bench).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_hits == 1 and got[1].n_shingles == 2
+    assert got[2].n_hits == 0 and got[2].hit_ratio == 0.0

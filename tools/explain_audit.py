@@ -163,6 +163,44 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Or(And("],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "sessionize_30m": (
+        2,  # one user-key hash exchange + the output range sort
+        # native session-window op with map-side partial aggregation —
+        # the gap-merge must NOT fall back to a Python/window reshuffle
+        ["MergingSessions", "partial_min"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "contamination_3gram": (
+        None,
+        # benchmark shingles broadcast (map-side probe), benchmark ids
+        # anti-joined broadcast — the corpus shingle table never shuffles
+        # for the membership test
+        ["BroadcastHashJoin", "LeftAnti"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "stratified_split": (
+        2,  # partial agg -> one hash exchange (+ output sort); the split
+        # assignment itself is a pure map, no shuffle
+        ["codegen id", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "quality_quantiles": (
+        2,  # one lang exchange feeding the rank window + output sort
+        # 4-row quantile table joins as BNLJ (non-equi), never sort-merge
+        ["Window", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "vocab_topk": (
+        1,  # token hash exchange; top-k is partial-heap TakeOrdered,
+        # never a global sort
+        ["TakeOrderedAndProject", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "doc_sample_10pct": (
+        1,  # output sort only — hash-threshold sampling is a pure map
+        ["codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
 }
 
 
