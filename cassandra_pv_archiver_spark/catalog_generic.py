@@ -716,3 +716,111 @@ SELECT user_id, min(t) AS session_start, max(t) AS session_end,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted to the synthetic dims): national market share —
+    NATION_0's share of AMERICA-customer ECONOMY-part revenue per order
+    year. Five dimension joins all BROADCAST; only lineitem ⋈ orders ⋈
+    customer shuffle (the two genuine fact joins). Share = ratio of two
+    exact integer sums, so the division is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    amer = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("_cnk"))
+    )
+    sup_nat = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("sup_nation")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1995-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01'"))
+    )
+    j = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(amer), F.col("c_nationkey") == F.col("_cnk"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sup_nat), F.col("s_nationkey") == F.col("_snk"))
+    )
+    target = f"CASE WHEN sup_nation = 'NATION_0' THEN {_DISC_PRICE} ELSE 0 END"
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            (_dsum(target, 10_000) / _dsum(_DISC_PRICE, 10_000)).alias(
+                "mkt_share"
+            ),
+            _dsum(_DISC_PRICE, 10_000).alias("volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_Q8 = f"""
+SELECT year(o_orderdate) AS o_year,
+       {_sql_dsum(f"CASE WHEN n2.n_name = 'NATION_0' THEN {_DISC_PRICE} ELSE 0 END", 10_000)}
+         / {_sql_dsum(_DISC_PRICE, 10_000)} AS mkt_share,
+       {_sql_dsum(_DISC_PRICE, 10_000)} AS volume
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted; no container column): small-quantity-order
+    revenue for Brand#23 — lineitems with quantity under 20% of the
+    part's average. The correlated avg subquery is decorrelated BY
+    CONSTRUCTION: restrict lineitem to the brand's parts first
+    (broadcast), aggregate per-part sums on that small slice, broadcast
+    them back — the fact table is scanned once and never shuffles. The
+    threshold compare is exact rational (qty·5·n < Σqty, all integers),
+    never a float avg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    lb = li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+    pq = lb.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    f = lb.join(F.broadcast(pq), "l_partkey").filter(
+        F.expr("CAST(l_quantity AS BIGINT) * 5 * _n < _sq")
+    )
+    return f.agg((_dsum(_PRICE, 100) / F.lit(7.0)).alias("avg_yearly"))
+
+
+SQL_TPCH_Q17 = f"""
+WITH lb AS (
+  SELECT l.* FROM lineitem l
+  JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'
+),
+pq AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq, count(*) AS n
+  FROM lb GROUP BY l_partkey
+)
+SELECT {_sql_dsum(_PRICE, 100)} / 7.0 AS avg_yearly
+FROM lb JOIN pq USING (l_partkey)
+WHERE CAST(l_quantity AS BIGINT) * 5 * n < sq
+"""

@@ -58,11 +58,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q5": (catalog_generic.q_tpch_q5, catalog_generic.SQL_TPCH_Q5),
     "tpch_q6": (catalog_generic.q_tpch_q6, catalog_generic.SQL_TPCH_Q6),
     "tpch_q7": (catalog_generic.q_tpch_q7, catalog_generic.SQL_TPCH_Q7),
+    "tpch_q8": (catalog_generic.q_tpch_q8, catalog_generic.SQL_TPCH_Q8),
     "tpch_q10": (catalog_generic.q_tpch_q10, catalog_generic.SQL_TPCH_Q10),
     "tpch_q13": (catalog_generic.q_tpch_q13, catalog_generic.SQL_TPCH_Q13),
     "tpch_q14": (catalog_generic.q_tpch_q14, catalog_generic.SQL_TPCH_Q14),
     "tpch_q15": (catalog_generic.q_tpch_q15, catalog_generic.SQL_TPCH_Q15),
     "tpch_q16": (catalog_generic.q_tpch_q16, catalog_generic.SQL_TPCH_Q16),
+    "tpch_q17": (catalog_generic.q_tpch_q17, catalog_generic.SQL_TPCH_Q17),
     "tpch_q19": (catalog_generic.q_tpch_q19, catalog_generic.SQL_TPCH_Q19),
     "tpch_q22": (catalog_generic.q_tpch_q22, catalog_generic.SQL_TPCH_Q22),
     "tpch_q18": (catalog_generic.q_tpch_q18, catalog_generic.SQL_TPCH_Q18),

@@ -163,6 +163,19 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Or(And("],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "tpch_q8": (
+        None,
+        # all five dims broadcast; only the two fact joins may shuffle
+        ["BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    "tpch_q17": (
+        None,
+        # brand restriction applied BEFORE the per-part avg; the avg table
+        # broadcasts back — the fact table must never sort-merge
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     "sessionize_30m": (
         2,  # one user-key hash exchange + the output range sort
         # native session-window op with map-side partial aggregation —
