@@ -198,9 +198,18 @@ def connected_components(
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
+    # Only edge ENDPOINTS can ever change label — iterate over that
+    # (sparse) subgraph only and attach the untouched singletons with one
+    # left join at the end. In a near-dup corpus the duplicate subgraph
+    # is a small fraction of the documents, so the per-iteration state is
+    # O(#duplicated docs), not O(#docs) — the difference between looping
+    # over gigabytes and looping over the whole 100 TB corpus.
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
     # Convergence check: labels only ever DECREASE (min of mins), so the
     # exact decimal label sum is strictly monotone until fixpoint — an
     # unchanged sum proves convergence with ONE cheap aggregation job per
@@ -223,7 +232,14 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("id").alias(id_col), "comp")
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("comp", "_c"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_c", F.col("id")).alias("comp"),
+        )
+    )
 
 
 def dedup_clusters(

@@ -18,6 +18,7 @@ def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
     user_col: str = "user_id",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Split each user's event stream into sessions separated by gaps of
     more than ``gap_minutes``; one output row per session.
@@ -32,6 +33,12 @@ def sessionize(
     summation is exact, so the result is bit-identical on any cluster
     size AND in the DuckDB oracle.
 
+    ``watermark`` (e.g. ``"0 seconds"``, ``"10 minutes"``) switches the
+    SAME plan to Structured Streaming semantics: sessions are held as
+    state and emitted (append mode) once the event-time watermark passes
+    the session's close — pass it when ``events`` is a streaming
+    DataFrame. Batch callers leave it None.
+
     Returns: user_id, session_start (µs), session_end (µs, last event),
     n_events, n_errors, total_value — sorted by (user_id, session_start).
     """
@@ -42,6 +49,8 @@ def sessionize(
         "event_type",
         "value",
     )
+    if watermark is not None:
+        e = e.withWatermark("tts", watermark)
     return (
         e.groupBy("user_id", F.session_window("tts", f"{gap_minutes} minutes"))
         .agg(

@@ -98,3 +98,78 @@ def test_contamination_counts_shared_shingles(spark):
     assert set(got) == {1, 2}
     assert got[1].n_hits == 1 and got[1].n_shingles == 2
     assert got[2].n_hits == 0 and got[2].hit_ratio == 0.0
+
+
+def test_sessionize_streaming_parity(spark, tmp_path):
+    """The SAME sessionize() plan runs under Structured Streaming: with a
+    0-second watermark and append mode, every session whose close the
+    watermark has passed is emitted exactly once, with values identical
+    to the batch result. Sentinel events advance the watermark so all
+    real sessions finalize."""
+    import os
+    import shutil
+
+    schema = "user_id long, ts long, event_type string, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _write_file(rows, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    real = [
+        (1, 0 * MIN_NS, "click", 1.0),
+        (1, 10 * MIN_NS, "error", 2.0),
+        (1, 60 * MIN_NS, "click", 3.0),  # second session (50 min gap)
+        (2, 5 * MIN_NS, "click", 4.0),
+    ]
+    s1 = [(99, 24 * 60 * MIN_NS, "click", 0.0)]  # advances watermark past real
+    s2 = [(98, 48 * 60 * MIN_NS, "click", 0.0)]  # flushes sentinel-1's session
+    _write_file(real, "b1", 1_000_000_000)
+    _write_file(s1, "b2", 1_000_000_100)
+    _write_file(s2, "b3", 1_000_000_200)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emitted = []
+
+    def _sink(batch_df, batch_id):
+        emitted.extend(batch_df.collect())
+
+    q = (
+        sessionize(stream, 30, watermark="0 seconds")
+        .writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = sessionize(_ev(spark, real + s1), 30).collect()
+    want = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.n_errors, r.total_value
+        )
+        for r in batch
+    }
+    got = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.n_errors, r.total_value
+        )
+        for r in emitted
+    }
+    # everything except the last sentinel's own (still-open) session
+    assert got == want, f"stream {got} != batch {want}"
