@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "embedding_near_dup_lsh",
     "embedding_dedup_clusters",
+    "crossmodal_pairs",
+    "multimodal_frames",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -698,10 +698,11 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _srp_pair_ctes(dim: int = 64) -> str:
-    """CTE chain ending in ``vpairs(id_a, id_b, sim)`` — the verified
-    SRP-LSH near-dup pairs; shared by the pair query and the
-    embedding-cluster oracle."""
+def _srp_pair_ctes(dim: int = 64, p: str = "") -> str:
+    """CTE chain ending in ``{p}vpairs(id_a, id_b, sim)`` — the verified
+    SRP-LSH near-dup pairs; shared by the pair query, the
+    embedding-cluster oracle, and (prefixed, to avoid CTE-name
+    collisions with the MinHash chain) the cross-modal oracle."""
     total = SRP_N_BITS * SRP_N_BANDS
     sign = (
         f"(CASE WHEN ((({SRP_SEED} * (j * {dim} + i + 1)) % 2147483647) % 2) = 0"
@@ -721,22 +722,22 @@ def _srp_pair_ctes(dim: int = 64) -> str:
         f" << ({SRP_N_BITS} - 1 - k)))"
     )
     return f"""
-sig AS (
+{p}sig AS (
   SELECT vec_id, {bits} AS bits FROM embeddings
 ),
-banded AS (
+{p}banded AS (
   SELECT vec_id, g.band, {bucket} AS bucket
-  FROM sig, LATERAL (SELECT unnest(range(0, {SRP_N_BANDS})) AS band) g
+  FROM {p}sig, LATERAL (SELECT unnest(range(0, {SRP_N_BANDS})) AS band) g
 ),
-cand AS (
+{p}cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-  FROM banded x JOIN banded y
+  FROM {p}banded x JOIN {p}banded y
     ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 ),
-vpairs AS (
+{p}vpairs AS (
   SELECT c.id_a, c.id_b, round({_DOT_AB} / ({_N_A} * {_N_B}), 4) AS sim
-  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
-              JOIN embeddings b ON b.vec_id = c.id_b
+  FROM {p}cand c JOIN embeddings a ON a.vec_id = c.id_a
+                 JOIN embeddings b ON b.vec_id = c.id_b
   WHERE round({_DOT_AB} / ({_N_A} * {_N_B}), 4) >= {NEAR_DUP_TAU}
 )"""
 
@@ -780,6 +781,68 @@ reach AS (
 lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
 SELECT comp, min(id) AS keep_id, count(*) AS n_vecs
 FROM lab GROUP BY comp ORDER BY comp
+"""
+
+
+def q_crossmodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup agreement: full-outer join of the text-side
+    MinHash-LSH pairs and the embedding-side SRP-LSH pairs on the shared
+    id space (vec_id == doc_id for ids that have embeddings). Flags each
+    pair as text-only / embedding-only / both — the audit a pipeline
+    runs to decide whether semantic dedup adds anything over lexical
+    dedup. Both LSH pipelines stay bucketed; the final join is
+    pair-table sized (tiny next to the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sh = dedup.shingles(docs)
+    tp = dedup.minhash_lsh_pairs(
+        sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY
+    ).select("id_a", "id_b", "jaccard")
+    ids = emb.select(F.col("vec_id").alias("_eid"))
+    tp = (
+        tp.join(F.broadcast(ids), tp["id_a"] == ids["_eid"]).drop("_eid")
+        .join(F.broadcast(ids), F.col("id_b") == ids["_eid"]).drop("_eid")
+    )
+    ep = similarity.srp_near_pairs(
+        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS
+    ).select(
+        F.col("id_a").alias("_ea"), F.col("id_b").alias("_eb"), "sim"
+    )
+    j = tp.join(
+        ep,
+        (tp["id_a"] == ep["_ea"]) & (tp["id_b"] == ep["_eb"]),
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.coalesce("id_a", "_ea").alias("id_a"),
+            F.coalesce("id_b", "_eb").alias("id_b"),
+            F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+            F.coalesce("sim", F.lit(-1.0)).alias("sim"),
+            F.col("jaccard").isNotNull().cast("int").alias("in_text"),
+            F.col("sim").isNotNull().cast("int").alias("in_embedding"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_CROSSMODAL_PAIRS = f"""
+WITH {_minhash_pair_ctes()},
+{_srp_pair_ctes(p="e_")},
+tp AS (
+  SELECT id_a, id_b, jaccard FROM vpairs
+  WHERE id_a IN (SELECT vec_id FROM embeddings)
+    AND id_b IN (SELECT vec_id FROM embeddings)
+),
+ep AS (SELECT id_a, id_b, sim FROM e_vpairs)
+SELECT coalesce(tp.id_a, ep.id_a) AS id_a,
+       coalesce(tp.id_b, ep.id_b) AS id_b,
+       coalesce(tp.jaccard, -1.0) AS jaccard,
+       coalesce(ep.sim, -1.0) AS sim,
+       CAST(tp.id_a IS NOT NULL AS INTEGER) AS in_text,
+       CAST(ep.id_a IS NOT NULL AS INTEGER) AS in_embedding
+FROM tp FULL OUTER JOIN ep ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b
+ORDER BY id_a, id_b
 """
 
 
@@ -844,4 +907,29 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
        CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
 FROM documents ORDER BY doc_id
+"""
+
+
+FRAME_STRIDE = 4
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: every 4th frame, one row per
+    sampled frame with a deterministic per-frame fingerprint — the 1→N
+    mapInPandas fan-out shape of real video decode (row count is
+    data-dependent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.to_blob_table(docs)
+    return multimodal.sample_frames(blobs, stride=FRAME_STRIDE).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
+       md5(md5(text) || ':' || CAST(g.i AS VARCHAR)) AS frame_fp
+FROM documents,
+     LATERAL (SELECT unnest(range(0, octet_length(encode(text)) % 16 + 1,
+                                  {FRAME_STRIDE})) AS i) g
+ORDER BY doc_id, frame_idx
 """

@@ -80,3 +80,45 @@ def extract_features(blobs: DataFrame, batch_size: int = 256) -> DataFrame:
             )
 
     return blobs.mapInPandas(_extract, schema=BLOB_META_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_fp string"
+
+
+def sample_frames(
+    blobs: DataFrame, stride: int = 4, batch_size: int = 256
+) -> DataFrame:
+    """Frame sampling: every ``stride``-th frame of each payload, one
+    output row per sampled frame — the 1→N ``mapInPandas`` fan-out that
+    real video decode needs (output row count is data-dependent, which a
+    pandas_udf cannot express). The decode is the same deterministic
+    stub (frame count from byte length, per-frame fingerprint =
+    md5(digest ':' idx)); a real decoder drops into the same loop.
+    """
+    import hashlib
+
+    spark = blobs.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for doc_id, blob, digest in zip(
+                pdf["doc_id"], pdf["blob"], pdf["digest"]
+            ):
+                _, _, n_frames = decode_stub(bytes(blob), fake=True)
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    fps.append(
+                        hashlib.md5(f"{digest}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    return blobs.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -131,6 +131,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_multimodal_meta,
         catalog_data.SQL_MULTIMODAL_META,
     ),
+    "crossmodal_pairs": (
+        catalog_data.q_crossmodal_pairs,
+        catalog_data.SQL_CROSSMODAL_PAIRS,
+    ),
+    "multimodal_frames": (
+        catalog_data.q_multimodal_frames,
+        catalog_data.SQL_MULTIMODAL_FRAMES,
+    ),
     "contamination_3gram": (
         catalog_data.q_contamination_3gram,
         catalog_data.SQL_CONTAMINATION_3GRAM,

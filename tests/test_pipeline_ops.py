@@ -173,3 +173,21 @@ def test_sessionize_streaming_parity(spark, tmp_path):
     }
     # everything except the last sentinel's own (still-open) session
     assert got == want, f"stream {got} != batch {want}"
+
+
+def test_sample_frames_fanout_deterministic(spark):
+    import hashlib
+
+    from cassandra_pv_archiver_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(7, "x" * 21)], "doc_id long, text string"
+    )  # 21 bytes -> n_frames = 21 % 16 + 1 = 6 -> sampled idx 0, 4
+    blobs = multimodal.to_blob_table(docs)
+    rows = sorted(
+        multimodal.sample_frames(blobs, stride=4).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    digest = hashlib.md5(("x" * 21).encode()).hexdigest()
+    assert [(r.doc_id, r.frame_idx) for r in rows] == [(7, 0), (7, 4)]
+    assert rows[0].frame_fp == hashlib.md5(f"{digest}:0".encode()).hexdigest()

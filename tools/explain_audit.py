@@ -214,6 +214,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["codegen id"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
+    "crossmodal_pairs": (
+        None,
+        # both LSH pipelines stay bucketed; the agreement join operates
+        # on pair tables, never on the corpus cross product
+        ["codegen id"],
+        ["CartesianProduct"],
+    ),
 }
 
 
