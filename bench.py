@@ -59,9 +59,11 @@ BENCH_QUERIES = [
     "lapsed_customers",
     "window_running_total",
     "sessionize_30m",
+    "events_sliding_1h",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_incremental",
     "vocab_topk",
     "doc_sample_10pct",
     "contamination_3gram",

@@ -171,6 +171,35 @@ FROM lab GROUP BY comp ORDER BY comp
 """
 
 
+DELTA_NEW_MOD = 10  # docs with doc_id % 10 == 0 play the "new batch"
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: MinHash-LSH pairs between the 'new batch'
+    (doc_id % 10 == 0) and the existing corpus only — band join is
+    old ⋈ new, never old ⋈ old, so per-batch cost tracks the batch
+    size. Oracle = the full pair chain filtered to cross pairs (band
+    candidate generation is symmetric, so the sets coincide exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % DELTA_NEW_MOD == 0
+    sh_old = dedup.shingles(docs.filter(~is_new))
+    sh_new = dedup.shingles(docs.filter(is_new))
+    return dedup.minhash_lsh_delta_pairs(
+        sh_old, sh_new, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY
+    ).orderBy("old_id", "new_id")
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {_minhash_pair_ctes()}
+SELECT CASE WHEN id_a % {DELTA_NEW_MOD} = 0 THEN id_b ELSE id_a END AS old_id,
+       CASE WHEN id_a % {DELTA_NEW_MOD} = 0 THEN id_a ELSE id_b END AS new_id,
+       jaccard, n_common
+FROM vpairs
+WHERE (id_a % {DELTA_NEW_MOD} = 0) != (id_b % {DELTA_NEW_MOD} = 0)
+ORDER BY old_id, new_id
+"""
+
+
 SIMHASH_MAX_HAMMING = 3
 
 

@@ -824,3 +824,58 @@ SELECT {_sql_dsum(_PRICE, 100)} / 7.0 AS avg_yearly
 FROM lb JOIN pq USING (l_partkey)
 WHERE CAST(l_quantity AS BIGINT) * 5 * n < sq
 """
+
+
+def q_events_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event rates: per event_type, 1-hour windows sliding
+    every 15 minutes (each event lands in 4 windows) — Spark's native
+    sliding `window()` (an Expand of 4 rows per event feeding ONE
+    partial-aggregated groupBy; no self-join, no re-scan). The W1
+    tumbling case is the slide == width special case of this operator.
+    Counts + exact decimal value sums, window bounds as epoch µs."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr("timestamp_micros(ts div 1000)").alias("tts"),
+        "value",
+    )
+    w = F.window("tts", "1 hour", "15 minutes")
+    return (
+        e.groupBy("event_type", w)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,2))"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("window.start").alias("w_start"),
+            F.unix_micros("window.end").alias("w_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "w_start")
+    )
+
+
+SQL_EVENTS_SLIDING_1H = """
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 1000 AS t, value FROM events
+),
+x AS (
+  -- each event belongs to the 4 slide-aligned windows covering it:
+  -- starts at floor(t/15min)*15min - i*15min for i in 0..3 (clipped to
+  -- windows that actually contain t, which for t >= 0 is all 4)
+  SELECT event_type, value,
+         (t // 900000000) * 900000000 - g.i * 900000000 AS w_start
+  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS i) g
+  WHERE (t // 900000000) * 900000000 - g.i * 900000000 >= -3600000000
+)
+SELECT event_type, w_start, w_start + 3600000000 AS w_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM x
+GROUP BY event_type, w_start
+ORDER BY event_type, w_start
+"""

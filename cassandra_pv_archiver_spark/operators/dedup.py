@@ -108,6 +108,23 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _banded_signatures(
+    sh: DataFrame, num_hashes: int, band_size: int, id_col: str
+) -> DataFrame:
+    """(id, band, key) LSH band keys from a shingle table."""
+    sig = minhash_signatures(sh, num_hashes, id_col=id_col)
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        members = [F.col(f"mh_{b * band_size + i}") for i in range(band_size)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*members)).alias("key"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     sh: DataFrame,
     num_hashes: int = 8,
@@ -124,17 +141,7 @@ def minhash_lsh_pairs(
     """
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be a multiple of band_size")
-    sig = minhash_signatures(sh, num_hashes, id_col=id_col)
-    n_bands = num_hashes // band_size
-    band_cols = []
-    for b in range(n_bands):
-        members = [F.col(f"mh_{b * band_size + i}") for i in range(band_size)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*members)).alias("key"))
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _banded_signatures(sh, num_hashes, band_size, id_col)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
@@ -167,6 +174,58 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard", F.col("n_common").cast("long").alias("n_common"))
     )
     return out
+
+
+def minhash_lsh_delta_pairs(
+    sh_old: DataFrame,
+    sh_new: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    verify_threshold: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs between a NEW document batch and
+    the existing corpus only — the shape a continuously-ingesting
+    pipeline runs per batch. Band keys are computed for both sides, but
+    the candidate join is old ⋈ new (never old ⋈ old), so per-batch cost
+    scales with the batch, not the corpus²; in production the corpus
+    band table is precomputed and persisted, making each increment one
+    equi-join of the batch's bands against it.
+
+    Returns: old_id, new_id, jaccard, n_common.
+    """
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    b_old = _banded_signatures(sh_old, num_hashes, band_size, id_col)
+    b_new = _banded_signatures(sh_new, num_hashes, band_size, id_col)
+    cand = (
+        b_old.select(F.col(id_col).alias("old_id"), "band", "key")
+        .join(b_new.select(F.col(id_col).alias("new_id"), "band", "key"),
+              ["band", "key"])
+        .select("old_id", "new_id")
+        .distinct()
+    )
+    sets_old = sh_old.groupBy(id_col).agg(F.collect_set("shingle").alias("sa"))
+    sets_new = sh_new.groupBy(id_col).agg(F.collect_set("shingle").alias("sb"))
+    return (
+        cand.join(
+            sets_old.select(F.col(id_col).alias("old_id"), "sa"), "old_id"
+        )
+        .join(sets_new.select(F.col(id_col).alias("new_id"), "sb"), "new_id")
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sa") + F.size("sb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select(
+            "old_id",
+            "new_id",
+            "jaccard",
+            F.col("n_common").cast("long").alias("n_common"),
+        )
+    )
 
 
 def connected_components(

@@ -80,6 +80,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_sessionize_30m,
         catalog_generic.SQL_SESSIONIZE_30M,
     ),
+    "events_sliding_1h": (
+        catalog_generic.q_events_sliding_1h,
+        catalog_generic.SQL_EVENTS_SLIDING_1H,
+    ),
     # --- training-data pipeline ---
     "dedup_exact": (catalog_data.q_dedup_exact, catalog_data.SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (
@@ -91,6 +95,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.SQL_DEDUP_MINHASH_LSH,
     ),
     "dedup_clusters": (catalog_data.q_dedup_clusters, catalog_data.SQL_DEDUP_CLUSTERS),
+    "dedup_incremental": (
+        catalog_data.q_dedup_incremental,
+        catalog_data.SQL_DEDUP_INCREMENTAL,
+    ),
     "vocab_topk": (catalog_data.q_vocab_topk, catalog_data.SQL_VOCAB_TOPK),
     "doc_sample_10pct": (
         catalog_data.q_doc_sample_10pct,

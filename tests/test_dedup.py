@@ -115,3 +115,28 @@ def test_connected_components_long_chain_converges(spark):
     docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
     rows = dedup.dedup_clusters(pairs, docs).collect()
     assert len(rows) == 1 and rows[0].comp == 0 and rows[0].n_docs == 12
+
+
+def test_minhash_delta_pairs_cross_only(spark):
+    """Delta dedup finds old↔new duplicates and NEVER old↔old or
+    new↔new ones; results agree with the full pair set restricted to
+    cross pairs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),       # old
+            (2, "a b c d e f g"),       # old dup of 1 (must NOT appear)
+            (10, "a b c d e f g"),      # new dup of 1 and 2
+            (11, "x y z w q r s"),      # new, unique
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    is_new = F.col("doc_id") >= 10
+    sh_old = dedup.shingles(docs.filter(~is_new))
+    sh_new = dedup.shingles(docs.filter(is_new))
+    got = {
+        (r.old_id, r.new_id)
+        for r in dedup.minhash_lsh_delta_pairs(sh_old, sh_new, 8, 2, 0.2).collect()
+    }
+    assert got == {(1, 10), (2, 10)}
