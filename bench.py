@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "contamination_3gram",
     "stratified_split",
     "quality_quantiles",
+    "quality_filtered_stats",
     "curate_corpus",
     "text_metrics",
     "token_count_bpe",

@@ -406,6 +406,54 @@ ORDER BY lang, q
 """.replace("{stop}", _STOP_PRED)
 
 
+def q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived quality cutoff IN USE: compute each language's p25
+    quality score (exact discrete quantile), drop that stratum's bottom
+    quartile, report per-language survivor counts and token totals —
+    the composition a curation pipeline actually runs (threshold from
+    the data, not a magic constant). The per-lang threshold table is
+    tiny and broadcast; the corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.text_metrics(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    thr = stats.group_discrete_quantiles(
+        m, "lang", "quality_score", (0.25,), tiebreak_col="doc_id"
+    ).select("lang", F.col("q_value").alias("p25"))
+    kept = m.join(F.broadcast(thr), "lang").filter(
+        F.col("quality_score") >= F.col("p25")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("p25").alias("p25"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_QUALITY_FILTERED_STATS = f"""
+WITH {_QUALITY_CTES},
+r AS (
+  SELECT lang, quality_score,
+         row_number() OVER (PARTITION BY lang ORDER BY quality_score, doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM qual
+),
+thr AS (
+  SELECT lang, quality_score AS p25 FROM r
+  WHERE rn = CAST(ceil(0.25 * n) AS BIGINT)
+)
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       max(p25) AS p25
+FROM qual JOIN thr USING (lang)
+WHERE quality_score >= p25
+GROUP BY lang ORDER BY lang
+""".replace("{stop}", _STOP_PRED)
+
+
 CURATE_QUALITY_MIN = 0.5
 
 

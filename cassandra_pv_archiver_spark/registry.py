@@ -159,6 +159,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_quality_quantiles,
         catalog_data.SQL_QUALITY_QUANTILES,
     ),
+    "quality_filtered_stats": (
+        catalog_data.q_quality_filtered_stats,
+        catalog_data.SQL_QUALITY_FILTERED_STATS,
+    ),
     "embedding_dedup_clusters": (
         catalog_data.q_embedding_dedup_clusters,
         catalog_data.SQL_EMBEDDING_DEDUP_CLUSTERS,

@@ -140,3 +140,61 @@ def test_minhash_delta_pairs_cross_only(spark):
         for r in dedup.minhash_lsh_delta_pairs(sh_old, sh_new, 8, 2, 0.2).collect()
     }
     assert got == {(1, 10), (2, 10)}
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """The per-batch shape of a continuously-ingesting dedup pipeline:
+    corpus shingles persisted once, each streaming micro-batch of new
+    documents delta-joined against them via foreachBatch — dup hits
+    accumulate across batches, old↔old pairs never recomputed."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")],
+        "doc_id long, text string",
+    )
+    corpus_sh_path = str(tmp_path / "corpus_shingles")
+    dedup.shingles(corpus).write.parquet(corpus_sh_path)
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _write_file(rows, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    _write_file([(10, "a b c d e f g"), (11, "z y x w v u t")], "b1", 1_000_000_000)
+    _write_file([(12, "h i j k l m n")], "b2", 1_000_000_100)
+
+    hits = []
+
+    def _dedupe_batch(batch_df, batch_id):
+        sh_old = batch_df.sparkSession.read.parquet(corpus_sh_path)
+        sh_new = dedup.shingles(batch_df)
+        pairs = dedup.minhash_lsh_delta_pairs(sh_old, sh_new, 8, 2, 0.2)
+        hits.extend((r.old_id, r.new_id) for r in pairs.collect())
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_dedupe_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(hits) == [(1, 10), (2, 12)], hits
