@@ -1,0 +1,165 @@
+"""Property-based tests: the round-2 pipeline operators vs exact
+pure-Python references on random inputs (the same strategy that pins the
+decimation family in test_decimate_properties.py)."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from cassandra_pv_archiver_spark.operators import dedup, stats
+from cassandra_pv_archiver_spark.operators.events import sessionize
+
+MIN_NS = 60 * 1_000_000_000
+GAP_MIN = 30
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=300),  # minute
+        st.sampled_from(["click", "error"]),
+        st.integers(min_value=0, max_value=9999),  # value in cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def py_sessionize(rows):
+    """Exact reference: per user, sort by time, split when the gap
+    STRICTLY exceeds GAP_MIN (Spark merges at exactly-gap), decimal
+    value sums."""
+    out = {}
+    by_user = {}
+    for u, m, et, cents in rows:
+        by_user.setdefault(u, []).append((m * 60_000_000, et, cents))
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = None
+        for t, et, cents in evs:
+            if cur is None or t - cur["end"] > GAP_MIN * 60_000_000:
+                if cur is not None:
+                    out[(u, cur["start"])] = cur
+                cur = {"start": t, "end": t, "n": 0, "err": 0,
+                       "val": Decimal(0)}
+            cur["end"] = max(cur["end"], t)
+            cur["n"] += 1
+            cur["err"] += et == "error"
+            cur["val"] += Decimal(cents) / 100
+        out[(u, cur["start"])] = cur
+    return out
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(events_strategy)
+def test_sessionize_matches_python_reference(spark, rows):
+    df = spark.createDataFrame(
+        [(u, m * MIN_NS, et, cents / 100.0) for u, m, et, cents in rows],
+        "user_id long, ts long, event_type string, value double",
+    )
+    got = {(r.user_id, r.session_start): r for r in sessionize(df, GAP_MIN).collect()}
+    want = py_sessionize(rows)
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for k, w in want.items():
+        r = got[k]
+        assert r.session_end == w["end"]
+        assert r.n_events == w["n"]
+        assert r.n_errors == w["err"]
+        assert r.total_value == float(w["val"])
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def py_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    n = 16
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    ).filter("id_a != id_b")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r.doc_id: r.comp
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    # union-find roots are not necessarily the min of the component;
+    # canonicalize both sides to min-of-component
+    uf = py_components(n, edges)
+    groups = {}
+    for i, r in uf.items():
+        groups.setdefault(r, []).append(i)
+    want = {i: min(groups[r]) for i, r in uf.items()}
+    assert got == want
+
+
+values_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(values_strategy)
+def test_group_quantiles_match_sorted_index(spark, rows):
+    df = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(rows)],
+        "k string, v double, id long",
+    )
+    qs = (0.1, 0.5, 0.9)
+    got = {
+        (r.k, r.q): r.q_value
+        for r in stats.group_discrete_quantiles(df, "k", "v", qs, "id").collect()
+    }
+    by_key = {}
+    for i, (k, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((float(v), i))
+    want = {}
+    for k, vals in by_key.items():
+        vals.sort()
+        for q in qs:
+            want[(k, q)] = vals[math.ceil(q * len(vals)) - 1][0]
+    assert got == want
