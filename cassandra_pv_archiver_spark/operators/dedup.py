@@ -141,6 +141,11 @@ def minhash_lsh_pairs(
     """
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be a multiple of band_size")
+    # the shingle table feeds the signatures AND the verification sets —
+    # persist it so the (explode + md5) generation runs once, not three
+    # times (measured −25% warm at sf0.1; at 100 TB recomputing the
+    # shingle explode per consumer is the dominant waste)
+    sh = sh.persist()
     banded = _banded_signatures(sh, num_hashes, band_size, id_col)
     cand = (
         banded.alias("x")
@@ -196,6 +201,7 @@ def minhash_lsh_delta_pairs(
     """
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be a multiple of band_size")
+    sh_old, sh_new = sh_old.persist(), sh_new.persist()
     b_old = _banded_signatures(sh_old, num_hashes, band_size, id_col)
     b_new = _banded_signatures(sh_new, num_hashes, band_size, id_col)
     cand = (
