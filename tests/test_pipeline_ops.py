@@ -191,3 +191,28 @@ def test_sample_frames_fanout_deterministic(spark):
     digest = hashlib.md5(("x" * 21).encode()).hexdigest()
     assert [(r.doc_id, r.frame_idx) for r in rows] == [(7, 0), (7, 4)]
     assert rows[0].frame_fp == hashlib.md5(f"{digest}:0".encode()).hexdigest()
+
+
+def test_results_invariant_under_shuffle_partitions(spark):
+    """Distributed determinism: representative round-2 queries produce
+    IDENTICAL rows at different shuffle parallelism (decimal sums, hash
+    assignment, discrete quantiles — nothing order-sensitive leaks
+    through). This is the property that makes the value-hash oracle
+    meaningful on a real cluster where partition counts differ."""
+    from cassandra_pv_archiver_spark.registry import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    names = ["sessionize_30m", "quality_filtered_stats", "vocab_topk",
+             "dedup_incremental"]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = [tuple(r) for r in REGISTRY[n][0](spark, sf_dir).collect()]
+                results.setdefault(n, []).append(rows)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} differs between partition counts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

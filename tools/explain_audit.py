@@ -221,6 +221,31 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["codegen id"],
         ["CartesianProduct"],
     ),
+    "dedup_incremental": (
+        None,
+        # candidate generation is old ⋈ new on band keys only — never a
+        # corpus self-join, never a cartesian
+        ["codegen id"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "events_sliding_1h": (
+        2,  # Expand(4 windows/event) feeds ONE partial-agg groupBy
+        ["Expand", "partial_count"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "tpch_q22": (
+        None,
+        # scalar threshold broadcast; NOT EXISTS is a broadcast/hash
+        # anti join — the customer table never sort-merges
+        ["LeftAnti", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
+    "quality_filtered_stats": (
+        None,
+        # per-lang threshold table broadcast back over one corpus scan
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
 }
 
 
