@@ -335,10 +335,12 @@ def q_stream_lifecycle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel", "t", "v", "severity", "status"
     )
     tmin, tmax = raw.agg(F.min("t"), F.max("t")).first()
-    cut = tmin + (tmax - tmin) // 2
     src = f"{root}/incoming"
     ckpt = f"{root}/ckpt"
     store = ArchiveStore(spark, f"{root}/archive")
+    if tmin is None:  # empty source: nothing to stream, empty 1 h level
+        return store.read_samples(PERIOD_1H)
+    cut = tmin + (tmax - tmin) // 2
 
     raw.filter(F.col("t") < cut).write.mode("overwrite").parquet(src)
     q = start_file_ingest(

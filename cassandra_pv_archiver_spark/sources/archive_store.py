@@ -199,7 +199,13 @@ class ArchiveStore:
         if not self.fs.exists(self._level_path(level)):
             schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(self._level_path(level))
+        try:
+            df = self.spark.read.parquet(self._level_path(level))
+        except Exception as ex:  # zero-file level dir (empty ingest) ≡ F4
+            if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+                raise
+            schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
+            return self.spark.createDataFrame([], schema)
         if lo_ns is not None:
             df = df.filter(
                 (F.col("date") >= F.lit(_py_date(lo_ns))) & (F.col("t") >= lo_ns)
