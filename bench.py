@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "quality_filtered_stats",
     "curate_corpus",
     "text_metrics",
+    "corpus_correlations",
     "token_count_bpe",
     "doc_fingerprint",
     "ann_cosine_topk",

@@ -968,6 +968,30 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def q_corpus_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Pearson correlations between integer corpus
+    metrics (token count vs char count; whitespace vs BPE-ish tokens).
+    Moments are exact decimal sums — shuffle-order-independent, so the
+    correlation is bit-stable on any cluster size (naive float corr()
+    is not) and hash-checkable against the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.text_metrics(docs).select("doc_id", "n_tokens", "n_chars_total")
+    b = text.token_count_bpe(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+    c1 = stats.exact_corr(m, "n_tokens", "n_chars_total", "corr_tokens_chars")
+    c2 = stats.exact_corr(b, "n_ws_tokens", "n_bpe_tokens", "corr_ws_bpe")
+    return c1.crossJoin(c2)
+
+
+_BPE_LEN = f"len(regexp_extract_all(text, '{text.BPE_PATTERN}'))"
+SQL_CORPUS_CORRELATIONS = f"""
+SELECT
+  {stats.sql_exact_corr("(SELECT len(" + _W_SQL + ") AS x, length(text) AS y FROM documents)", "x", "y", "v")}
+    AS corr_tokens_chars,
+  {stats.sql_exact_corr("(SELECT len(" + _W_SQL + ") AS x, " + _BPE_LEN + " AS y FROM documents)", "x", "y", "v")}
+    AS corr_ws_bpe
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text->blob, mapInPandas feature extraction
     (decode stubbed with deterministic pseudo-features)."""

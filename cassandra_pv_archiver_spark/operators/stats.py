@@ -46,3 +46,62 @@ def group_discrete_quantiles(
         )
         .select(key_col, "q", "q_value")
     )
+
+
+def exact_corr(
+    df: DataFrame, x_col: str, y_col: str, alias: str
+) -> "DataFrame":
+    """Exact distributed Pearson correlation of two INTEGER columns.
+
+    Naive ``corr()`` accumulates float moments whose value depends on
+    partition/merge order — unusable when results must be bit-stable
+    across cluster sizes (or hash-checked against an oracle). Here the
+    five moments (Σx, Σy, Σxy, Σx², Σy²) are exact DECIMAL(38,0) sums
+    (order-insensitive), the numerator/denominator combine in exact
+    decimal arithmetic, and only the final three values convert to
+    double — via the ``big_to_double`` decomposition, correctly rounded
+    on any IEEE engine — before one division and two sqrts in fixed
+    order. One map-side-combined aggregation; no second pass over the
+    data (the n·Σxy − Σx·Σy form needs no pre-computed means).
+    """
+    from .decimate import big_to_double
+
+    # 19-digit inputs keep every product within Spark's DECIMAL(38)
+    # cap (19+19+1 -> 38) so no silent precision loss can occur
+    d = df.select(
+        F.expr(f"CAST({x_col} AS DECIMAL(19,0))").alias("_x"),
+        F.expr(f"CAST({y_col} AS DECIMAL(19,0))").alias("_y"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.expr("_x * _y")).alias("_sxy"),
+        F.sum(F.expr("_x * _x")).alias("_sxx"),
+        F.sum(F.expr("_y * _y")).alias("_syy"),
+    )
+    num = big_to_double("CAST(_n * _sxy - _sx * _sy AS DECIMAL(38,0))")
+    dx = big_to_double("CAST(_n * _sxx - _sx * _sx AS DECIMAL(38,0))")
+    dy = big_to_double("CAST(_n * _syy - _sy * _sy AS DECIMAL(38,0))")
+    return m.select(
+        F.expr(f"({num}) / (sqrt({dx}) * sqrt({dy}))").alias(alias)
+    )
+
+
+def sql_exact_corr(table: str, x_col: str, y_col: str, alias: str) -> str:
+    """DuckDB mirror of :func:`exact_corr` (HUGEINT moments)."""
+    from .decimate import big_to_double_duck
+
+    num = big_to_double_duck("(n_ * sxy - sx * sy)")
+    dx = big_to_double_duck("(n_ * sxx - sx * sx)")
+    dy = big_to_double_duck("(n_ * syy - sy * sy)")
+    return f"""
+(SELECT ({num}) / (sqrt({dx}) * sqrt({dy})) AS {alias} FROM (
+  SELECT CAST(count(*) AS HUGEINT) AS n_,
+         sum(CAST({x_col} AS HUGEINT)) AS sx,
+         sum(CAST({y_col} AS HUGEINT)) AS sy,
+         sum(CAST({x_col} AS HUGEINT) * CAST({y_col} AS HUGEINT)) AS sxy,
+         sum(CAST({x_col} AS HUGEINT) * CAST({x_col} AS HUGEINT)) AS sxx,
+         sum(CAST({y_col} AS HUGEINT) * CAST({y_col} AS HUGEINT)) AS syy
+  FROM {table}))
+"""

@@ -143,6 +143,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_crossmodal_pairs,
         catalog_data.SQL_CROSSMODAL_PAIRS,
     ),
+    "corpus_correlations": (
+        catalog_data.q_corpus_correlations,
+        catalog_data.SQL_CORPUS_CORRELATIONS,
+    ),
     "multimodal_frames": (
         catalog_data.q_multimodal_frames,
         catalog_data.SQL_MULTIMODAL_FRAMES,

@@ -203,7 +203,7 @@ def test_results_invariant_under_shuffle_partitions(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     names = ["sessionize_30m", "quality_filtered_stats", "vocab_topk",
-             "dedup_incremental"]
+             "dedup_incremental", "corpus_correlations"]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
@@ -235,3 +235,26 @@ def test_all_queries_tolerate_empty_tables(spark, tmp_path):
         # row over empty input (count=0 / NULL sums) — anything more
         # means a query invented data
         assert len(rows) <= 1, f"{name} returned rows from empty inputs"
+
+
+def test_exact_corr_matches_closed_form(spark):
+    # y = 2x -> corr 1; y = -x -> corr -1; and a hand-checked in-between
+    df = spark.createDataFrame(
+        [(1, 2, 5), (2, 4, 3), (3, 6, 4), (4, 8, 1)], "x long, y long, z long"
+    )
+    # the moments are exact; the final sqrt/divide is correctly-rounded
+    # IEEE arithmetic, so +/-1 are attained only to ulp precision
+    r1 = stats.exact_corr(df, "x", "y", "c").collect()[0].c
+    assert abs(r1 - 1.0) < 1e-15
+    r2 = stats.exact_corr(df.selectExpr("x", "-x AS y"), "x", "y", "c").collect()[0].c
+    assert abs(r2 + 1.0) < 1e-15
+    import math
+
+    xs, zs = [1, 2, 3, 4], [5, 3, 4, 1]
+    n = 4
+    num = n * sum(a * b for a, b in zip(xs, zs)) - sum(xs) * sum(zs)
+    den = math.sqrt(n * sum(a * a for a in xs) - sum(xs) ** 2) * math.sqrt(
+        n * sum(b * b for b in zs) - sum(zs) ** 2
+    )
+    r3 = stats.exact_corr(df, "x", "z", "c").collect()[0].c
+    assert abs(r3 - num / den) < 1e-15
