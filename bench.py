@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "token_count_bpe",
     "doc_fingerprint",
     "ann_cosine_topk",
+    "ann_kmeans_clusters",
     "embedding_near_dup_lsh",
     "embedding_dedup_clusters",
     "crossmodal_pairs",

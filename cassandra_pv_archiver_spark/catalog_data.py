@@ -720,6 +720,84 @@ WHERE rank <= 10 ORDER BY q_id, rank
 SQL_ANN_IVF_TOPK = _sql_ann_ivf()
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-Means over the embedding corpus (k=8, 2 Lloyd
+    iterations) — the IVF index-build primitive as an oracled query:
+    scaled-integer quantization, exact integer centroid sums, and
+    sequential-fold distances make the clustering bit-identical across
+    cluster sizes AND engines (the oracle unrolls the same two
+    iterations in SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_clusters(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS
+    ).orderBy("cluster")
+
+
+def _sql_kmeans(k: int, iters: int, dim: int = 64) -> str:
+    vq = (
+        "list_transform(embedding, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+
+    def d2(c_ref: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), i ->"
+            f" (CAST(vq[i] AS DOUBLE) - {c_ref}[i])"
+            f" * (CAST(vq[i] AS DOUBLE) - {c_ref}[i])))"
+        )
+
+    ctes = [
+        f"v AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(id AS INTEGER) AS cluster,
+         list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
+  FROM v WHERE id < {k})""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+  SELECT id, vq, cluster FROM (
+    SELECT v.id, v.vq, t.cluster,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {d2("t.c")}, t.cluster) AS rn
+    FROM v, {prev} t) WHERE rn = 1)""")
+        ctes.append(f"""e{it} AS (
+  SELECT cluster, g.pos, vq[g.pos + 1] AS comp
+  FROM a{it}, LATERAL (SELECT unnest(range(0, {dim})) AS pos) g)""")
+        ctes.append(f"""m{it} AS (
+  SELECT cluster, pos, CAST(sum(comp) AS DOUBLE) / count(*) AS m
+  FROM e{it} GROUP BY cluster, pos)""")
+        ctes.append(
+            f"c{it} AS (SELECT cluster, list(m ORDER BY pos) AS c"
+            f" FROM m{it} GROUP BY cluster)"
+        )
+        prev = f"c{it}"
+    ctes.append(f"""af AS (
+  SELECT id, cluster FROM (
+    SELECT v.id, t.cluster,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {d2("t.c")}, t.cluster) AS rn
+    FROM v, {prev} t) WHERE rn = 1)""")
+    ctes.append(f"""nrm AS (
+  SELECT cluster, sqrt(list_sum(list_transform(c, x ->
+           (x / 1000000000.0) * (x / 1000000000.0)))) AS centroid_norm
+  FROM {prev})""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT af.cluster, count(*) AS n_vecs, max(nrm.centroid_norm) AS centroid_norm
+FROM af JOIN nrm ON af.cluster = nrm.cluster
+GROUP BY af.cluster ORDER BY af.cluster
+"""
+
+
+SQL_ANN_KMEANS_CLUSTERS = _sql_kmeans(KMEANS_K, KMEANS_ITERS)
+
+
 NEAR_DUP_TAU = 0.4
 
 

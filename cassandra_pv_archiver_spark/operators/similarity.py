@@ -348,3 +348,102 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "sim", "rank")
     )
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed K-Means (fixed-iteration Lloyd) — the
+    iterative ML primitive under IVF index building, engineered so the
+    result is BIT-IDENTICAL on any cluster size and in the SQL oracle:
+
+    - components quantize once to scaled int64 (round-half-up at 9
+      decimal places — floor(x·1e9 + 0.5), the same unambiguous
+      quantization the TPC-H money sums use; decimal CASTs are avoided
+      because engines disagree on cast rounding modes at midpoints);
+    - centroid updates are exact integer sums per (cluster, dim) — the
+      one shuffle per iteration, order-insensitive by construction —
+      then ONE exact-to-double conversion and an IEEE division;
+    - distances are sequential-fold ``aggregate(zip_with(...))`` lambdas
+      (same summation order as the oracle's ``list_sum``), never a
+      float sum over an exploded shuffle;
+    - seeds are the first ``k`` vectors by id (deterministic init — at
+      scale swap in k-means|| and the rest of the plan is unchanged);
+      assignment ties break on the lower cluster id.
+
+    ``iters`` is fixed (no convergence probe): each iteration is one
+    broadcast of k tiny centroid arrays against the vector table, so
+    plan depth stays linear and the oracle can unroll the same chain.
+    Returns (cluster, n_vecs, centroid_norm) in the ORIGINAL (unscaled)
+    space.
+    """
+    q = F.expr(
+        f"transform({vec_col}, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    v = emb.select(F.col(id_col).alias("_id"), q.alias("_vq"))
+    to_d = "transform(_vq, x -> CAST(x AS DOUBLE))"
+    cent = (
+        v.filter(F.col("_id") < k)
+        .select(
+            F.col("_id").cast("int").alias("cluster"),
+            F.expr(to_d).alias("_c"),
+        )
+    )
+
+    dist2 = (
+        f"aggregate(zip_with({to_d}, _c, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+    def assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+        d = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+            "_d2", F.expr(dist2)
+        )
+        w = Window.partitionBy("_id").orderBy("_d2", "cluster")
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_id", "_vq", "cluster")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        e = assigned.select(
+            "cluster", F.posexplode("_vq").alias("pos", "comp")
+        )
+        agg = e.groupBy("cluster", "pos").agg(
+            F.sum("comp").alias("_s"), F.count(F.lit(1)).alias("_n")
+        )
+        per_dim = agg.select(
+            "cluster", "pos",
+            (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
+        )
+        return (
+            per_dim.groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, _m))),"
+                    " s -> s._m)"
+                ).alias("_c")
+            )
+        )
+
+    for _ in range(iters):
+        cent = recompute(assign(v, cent))
+
+    final = assign(v, cent)
+    norm = (
+        "sqrt(aggregate(transform(_c, x -> (x / 1000000000.0)"
+        " * (x / 1000000000.0)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(cent, "cluster")
+        .select("cluster", "n_vecs", F.expr(norm).alias("centroid_norm"))
+    )

@@ -119,6 +119,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.SQL_ANN_COSINE_TOPK,
     ),
     "ann_ivf_topk": (catalog_data.q_ann_ivf_topk, catalog_data.SQL_ANN_IVF_TOPK),
+    "ann_kmeans_clusters": (
+        catalog_data.q_ann_kmeans_clusters,
+        catalog_data.SQL_ANN_KMEANS_CLUSTERS,
+    ),
     "embedding_near_dup": (
         catalog_data.q_embedding_near_dup,
         catalog_data.SQL_EMBEDDING_NEAR_DUP,

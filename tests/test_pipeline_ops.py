@@ -203,7 +203,8 @@ def test_results_invariant_under_shuffle_partitions(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     names = ["sessionize_30m", "quality_filtered_stats", "vocab_topk",
-             "dedup_incremental", "corpus_correlations"]
+             "dedup_incremental", "corpus_correlations",
+             "ann_kmeans_clusters"]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
