@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "ann_cosine_topk",
     "ann_kmeans_clusters",
+    "ann_kmeans_ivf_topk",
     "embedding_near_dup_lsh",
     "embedding_dedup_clusters",
     "crossmodal_pairs",

@@ -737,7 +737,10 @@ def q_ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
-def _sql_kmeans(k: int, iters: int, dim: int = 64) -> str:
+def _sql_kmeans_ctes(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
+    """Shared unrolled-Lloyd CTE body; returns (body, last_centroid_cte).
+    Ends with ``af(id, cluster)`` (final assignment) and ``v(id, vq)``
+    available for joins."""
     vq = (
         "list_transform(embedding, c ->"
         " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
@@ -782,13 +785,17 @@ def _sql_kmeans(k: int, iters: int, dim: int = 64) -> str:
            row_number() OVER (PARTITION BY v.id
                               ORDER BY {d2("t.c")}, t.cluster) AS rn
     FROM v, {prev} t) WHERE rn = 1)""")
-    ctes.append(f"""nrm AS (
+    return ",\n".join(ctes), prev
+
+
+def _sql_kmeans(k: int, iters: int) -> str:
+    body, last = _sql_kmeans_ctes(k, iters)
+    return f"""
+WITH {body},
+nrm AS (
   SELECT cluster, sqrt(list_sum(list_transform(c, x ->
            (x / 1000000000.0) * (x / 1000000000.0)))) AS centroid_norm
-  FROM {prev})""")
-    body = ",\n".join(ctes)
-    return f"""
-WITH {body}
+  FROM {last})
 SELECT af.cluster, count(*) AS n_vecs, max(nrm.centroid_norm) AS centroid_norm
 FROM af JOIN nrm ON af.cluster = nrm.cluster
 GROUP BY af.cluster ORDER BY af.cluster
@@ -796,6 +803,72 @@ GROUP BY af.cluster ORDER BY af.cluster
 
 
 SQL_ANN_KMEANS_CLUSTERS = _sql_kmeans(KMEANS_K, KMEANS_ITERS)
+
+
+KMEANS_N_PROBE = 3
+
+
+def q_ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 probe over the LEARNED (K-Means) index: rank each
+    query's centroids by cosine, exact search inside the 3 nearest
+    cells. Unlike ann_ivf_topk's label-based cells this needs no labels
+    — index build and probe are both deterministic, so the whole path
+    (Lloyd iterations included) is value-hash-checked against the
+    unrolled SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_ivf_topk(
+        emb, ANN_QUERY_IDS, k=10, n_clusters=KMEANS_K,
+        iters=KMEANS_ITERS, n_probe=KMEANS_N_PROBE,
+    ).orderBy("q_id", "rank")
+
+
+def _sql_kmeans_ivf(dim: int = 64) -> str:
+    body, last = _sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS, dim)
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i] * {b}[i]))"
+        )
+
+    def nrm(a: str) -> str:
+        return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+    return f"""
+WITH {body},
+vd AS (SELECT id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS d FROM v),
+qd AS (SELECT id AS q_id, d AS q FROM vd WHERE id IN ({_IDS})),
+qc AS (
+  SELECT qd.q_id, qd.q, t.cluster,
+         {dot("qd.q", "t.c")} / ({nrm("qd.q")} * {nrm("t.c")}) AS csim
+  FROM qd, {last} t
+),
+probes AS (
+  SELECT q_id, q, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY csim DESC, cluster) AS crank
+    FROM qc) WHERE crank <= {KMEANS_N_PROBE}
+),
+cand AS (
+  SELECT p.q_id, p.q, a.id, v2.d AS w
+  FROM probes p
+  JOIN af a ON a.cluster = p.cluster AND a.id != p.q_id
+  JOIN vd v2 ON v2.id = a.id
+),
+scored AS (
+  SELECT q_id, id AS vec_id,
+         round({dot("q", "w")} / ({nrm("q")} * {nrm("w")}), 4) AS sim
+  FROM cand
+)
+SELECT q_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 10
+ORDER BY q_id, rank
+"""
+
+
+SQL_ANN_KMEANS_IVF_TOPK = _sql_kmeans_ivf()
 
 
 NEAR_DUP_TAU = 0.4

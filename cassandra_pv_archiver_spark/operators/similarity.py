@@ -382,6 +382,24 @@ def kmeans_clusters(
     Returns (cluster, n_vecs, centroid_norm) in the ORIGINAL (unscaled)
     space.
     """
+    final, cent = _kmeans_fit(emb, k, iters, id_col, vec_col)
+    norm = (
+        "sqrt(aggregate(transform(_c, x -> (x / 1000000000.0)"
+        " * (x / 1000000000.0)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(cent, "cluster")
+        .select("cluster", "n_vecs", F.expr(norm).alias("centroid_norm"))
+    )
+
+
+def _kmeans_fit(
+    emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Core deterministic Lloyd loop (see :func:`kmeans_clusters`).
+    Returns (assignments (_id, _vq, cluster), centroids (cluster, _c))."""
     q = F.expr(
         f"transform({vec_col}, c ->"
         " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
@@ -435,15 +453,72 @@ def kmeans_clusters(
 
     for _ in range(iters):
         cent = recompute(assign(v, cent))
+    return assign(v, cent), cent
 
-    final = assign(v, cent)
-    norm = (
-        "sqrt(aggregate(transform(_c, x -> (x / 1000000000.0)"
-        " * (x / 1000000000.0)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+
+def kmeans_ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    iters: int = 2,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k probe over the deterministic K-Means index: assign the
+    corpus once, rank each query's centroids by cosine, search only the
+    ``n_probe`` nearest cells with exact cosine inside. The index is the
+    learned (unsupervised) partition — unlike :func:`ivf_topk`'s
+    label-based cells, this needs no labels. Every arithmetic step is a
+    sequential fold over the quantized components, so results are
+    bit-identical across parallelism and engines.
+
+    Returns (q_id, vec_id, sim, rank).
+    """
+    assigned, cent = _kmeans_fit(emb, n_clusters, iters, id_col, vec_col)
+    assigned = assigned.persist()
+    to_d = "transform({c}, x -> CAST(x AS DOUBLE))"
+
+    def fold_dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    def fold_norm(a: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({a}, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        )
+
+    qv = (
+        assigned.filter(F.col("_id").isin(list(query_ids)))
+        .select(F.col("_id").alias("q_id"),
+                F.expr(to_d.format(c="_vq")).alias("_qd"))
     )
+    qc = qv.crossJoin(F.broadcast(cent)).withColumn(
+        "_csim",
+        F.expr(f"{fold_dot('_qd', '_c')} / ({fold_norm('_qd')} * {fold_norm('_c')})"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("_csim"), "cluster")
+    probes = (
+        qc.withColumn("_crank", F.row_number().over(wq))
+        .filter(F.col("_crank") <= n_probe)
+        .select("q_id", "_qd", "cluster")
+    )
+    cand = probes.join(assigned, "cluster").filter(
+        F.col("_id") != F.col("q_id")
+    )
+    vd = to_d.format(c="_vq")
+    sim = F.round(
+        F.expr(f"{fold_dot('_qd', vd)} / ({fold_norm('_qd')} * {fold_norm(vd)})"),
+        4,
+    )
+    scored = cand.select("q_id", F.col("_id").alias("vec_id"), sim.alias("sim"))
+    wr = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
     return (
-        final.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_vecs"))
-        .join(cent, "cluster")
-        .select("cluster", "n_vecs", F.expr(norm).alias("centroid_norm"))
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", "rank")
     )

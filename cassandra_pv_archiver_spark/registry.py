@@ -123,6 +123,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_ann_kmeans_clusters,
         catalog_data.SQL_ANN_KMEANS_CLUSTERS,
     ),
+    "ann_kmeans_ivf_topk": (
+        catalog_data.q_ann_kmeans_ivf_topk,
+        catalog_data.SQL_ANN_KMEANS_IVF_TOPK,
+    ),
     "embedding_near_dup": (
         catalog_data.q_embedding_near_dup,
         catalog_data.SQL_EMBEDDING_NEAR_DUP,
