@@ -29,6 +29,7 @@ from .sources.testdata import (
     SAMPLES_CTE,
     STRING_SAMPLES_CTE,
     TYPED_SAMPLES_CTE,
+    load_events,
     load_mixed_samples,
     load_samples,
     load_string_samples,
@@ -1024,7 +1025,7 @@ def q_markers_disconnect(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`ControlSystemSupport.java:208-258`); state = event_type != 'error'."""
     from .streaming.markers import transition_markers
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     states = ev.select(
         F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
         F.expr("(ts div 1000) * 1000").alias("t"),
@@ -1204,7 +1205,7 @@ GROUP BY channel, tier ORDER BY channel
 def q_monotonic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: monotonicity-filter accounting — events seen vs samples kept per
     channel ('skipped back' counter, `ArchivedChannelDecimationLevel.java:398-425`)."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_events(spark, sf_dir).select(
         F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
         F.expr("(ts div 1000) * 1000").alias("t"),
     )

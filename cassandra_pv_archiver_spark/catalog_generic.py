@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.decimate import big_to_double, big_to_double_duck
-from .sources.testdata import load_table
+from .sources.testdata import load_events, load_table
 
 
 def _ip(expr: str) -> str:
@@ -688,7 +688,7 @@ def q_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming with a watermark."""
     from .operators.events import sessionize
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     return sessionize(ev, SESSION_GAP_MIN).orderBy("user_id", "session_start")
 
 
@@ -833,7 +833,7 @@ def q_events_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated groupBy; no self-join, no re-scan). The W1
     tumbling case is the slide == width special case of this operator.
     Counts + exact decimal value sums, window bounds as epoch µs."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     e = ev.select(
         "event_type",
         F.expr("timestamp_micros(ts div 1000)").alias("tts"),

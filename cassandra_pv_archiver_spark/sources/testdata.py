@@ -30,12 +30,59 @@ _SEVERITY = {"error": 2, "signup": 1}  # else 0; status = severity * 6
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark 4
+    # The driver's events.parquet has stored TIMESTAMP(NANOS), which Spark 4
     # rejects by default; nanosAsLong surfaces it as the raw int64 ns value —
     # exactly our canonical representation. Set at call time so it also works
     # on sessions we didn't build (the driver's).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(
+    spark: SparkSession,
+    sf_dir: str,
+    lo_ns: int | None = None,
+    hi_ns: int | None = None,
+) -> DataFrame:
+    """events.parquet with ``ts`` normalized to int64 ns — the single entry
+    point every events consumer goes through.
+
+    The driver has produced two physical encodings of ``ts`` across rounds:
+    TIMESTAMP(NANOS) (read as raw int64 via ``nanosAsLong``) and
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Both normalize to the same
+    int64 ns-epoch values, so every downstream expression — and the DuckDB
+    oracles' ``epoch_ns(ts)`` — is encoding-agnostic.
+
+    ``lo_ns``/``hi_ns`` are applied as range predicates on the PHYSICAL
+    column *before* normalization (in the column's native type), so they
+    reach the parquet row-group stats; they are deliberately µs-slack
+    bounds — exact trimming happens on the derived ``t`` downstream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+        if lo_ns is not None:
+            ev = ev.filter(F.col("ts") >= lo_ns)
+        if hi_ns is not None:
+            ev = ev.filter(F.col("ts") < hi_ns + 1000)  # t truncates to µs
+        return ev
+    # µs TIMESTAMP / TIMESTAMP_NTZ: wall times are UTC epoch by contract
+    # (the oracle's epoch_ns assumes the same), so pin the session zone
+    # before any timestamp<->epoch conversion.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if lo_ns is not None:
+        lo_us = (lo_ns + 999) // 1000
+        ev = ev.filter(
+            F.col("ts") >= F.expr(f"CAST(timestamp_micros({lo_us}) AS {ts_type})")
+        )
+    if hi_ns is not None:
+        hi_us = (hi_ns + 1999) // 1000  # ts_us < hi_us  <=>  ts_ns < hi_ns+1000
+        ev = ev.filter(
+            F.col("ts") < F.expr(f"CAST(timestamp_micros({hi_us}) AS {ts_type})")
+        )
+    return ev.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
 
 
 def load_samples(
@@ -56,14 +103,10 @@ def load_samples(
     is the by-hand filter pushdown that lets the parquet scan prune row
     groups. Filtering commutes with the per-(channel, t) dedup.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir, lo_ns=lo_ns, hi_ns=hi_ns)
     if channels is not None:
         ids = [int(str(c).split(":", 1)[1]) for c in channels]
         ev = ev.filter(F.col("user_id").isin(ids))
-    if lo_ns is not None:
-        ev = ev.filter(F.col("ts") >= lo_ns)  # ts is raw int64 ns
-    if hi_ns is not None:
-        ev = ev.filter(F.col("ts") < hi_ns + 1000)  # t truncates to µs
     sev = (
         F.when(F.col("event_type") == "error", F.lit(2))
         .when(F.col("event_type") == "signup", F.lit(1))
@@ -105,7 +148,7 @@ def load_string_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Used by pick-first decimation (A5): payload = event_type, channel keyed
     by user_id with an 'EVT:' prefix so the two series don't collide.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     s = ev.select(
         F.concat(F.lit("EVT:"), F.col("user_id").cast("string")).alias("channel"),
         F.expr("(ts div 1000) * 1000").alias("t"),
@@ -124,7 +167,7 @@ def load_mixed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
       signup     -> scalar_string (sval, non-aggregatable non-marker -> veto)
       error      -> disconnected  (marker, no payload)
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     typ = (
         F.when(F.col("event_type").isin("click", "view"), F.lit("scalar_double"))
         .when(F.col("event_type") == "purchase", F.lit("scalar_long"))
@@ -179,7 +222,7 @@ def load_typed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     varies per event so "metadata of the first used sample" semantics are
     exercised (`ChannelAccessSampleDecimatorTest.java:700-757`).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     typ = (
         F.when(F.col("event_type") == "click", F.lit("scalar_double"))
         .when(F.col("event_type") == "view", F.lit("array_double"))
