@@ -879,3 +879,333 @@ FROM x
 GROUP BY event_type, w_start
 ORDER BY event_type, w_start
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes whose canonical columns/tables the synthetic schema lacks
+# (no partsupp, no l_commitdate/l_receiptdate/l_shipmode) — adapted to
+# preserve each query's OPERATOR shape over the columns that exist.
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted; no partsupp): per part, the EUROPE
+    supplier(s) with the minimum account balance among suppliers who have
+    shipped that part. The correlated MIN subquery is a window-min over
+    the candidate set — ONE shuffle on p_partkey; supplier/nation/region
+    and the part filter are broadcast, so the only fact-side work is the
+    distinct (partkey, suppkey) pair extraction. Ties on the min are kept
+    (original Q2 semantics); the final ordering is total (p_partkey,
+    s_name unique per row) so LIMIT is engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    eu = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    pk = part.filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)).select(
+        "p_partkey", "p_name"
+    )
+    cand = pairs.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_mb", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_mb"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_name, s_acctbal, s_name, n_name
+  FROM pairs
+  JOIN eu ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY' AND p_size <= 10
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name FROM (
+  SELECT *, min(s_acctbal) OVER (PARTITION BY p_partkey) AS mb FROM cand)
+WHERE s_acctbal = mb
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted; no partsupp/supplycost, so profit =
+    discounted revenue): revenue on 'red' parts by supplier nation x
+    order year. Part filter and supplier/nation dims broadcast; the only
+    shuffle is lineitem <-> orders on the order key, then one
+    partial-aggregated groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    j = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(_dsum(_DISC_PRICE, 10_000).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {_sql_dsum(_DISC_PRICE, 10_000)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted; no partsupp, value = shipped discounted
+    revenue): per-part value shipped by NATION_7 suppliers, keeping parts
+    whose value exceeds 0.1% of the nation's total — the HAVING-over-
+    scalar-subquery shape. The total is a 1-row aggregate broadcast back
+    over the per-part aggregate (no second fact scan on the compare side);
+    the threshold compare is exact integer (cents*1000 vs total cents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sk = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    sl = li.join(F.broadcast(sk), F.col("l_suppkey") == F.col("s_suppkey"))
+    dec = f"CAST(({_DISC_PRICE}) AS DECIMAL(38,0))"
+    g = sl.groupBy("l_partkey").agg(F.expr(f"sum({dec})").alias("_vi"))
+    tot = sl.agg(F.expr(f"sum({dec})").alias("_ti"))
+    return (
+        g.join(F.broadcast(tot))
+        .filter(F.col("_vi") * 1000 > F.col("_ti"))
+        .select(
+            "l_partkey",
+            (F.expr(big_to_double("_vi")) / F.lit(10_000.0)).alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+SQL_TPCH_Q11 = f"""
+WITH sl AS (
+  SELECT l_partkey, CAST(({_DISC_PRICE}) AS HUGEINT) AS vi
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+g AS (SELECT l_partkey, sum(vi) AS vi FROM sl GROUP BY l_partkey),
+t AS (SELECT sum(vi) AS ti FROM sl)
+SELECT l_partkey, ({big_to_double_duck("vi")} / 10000.0) AS value
+FROM g, t
+WHERE vi * 1000 > ti
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted; no shipmode/commit/receipt dates):
+    1997 shipments bucketed by order->ship delay, counting critical-
+    priority vs other lineitems per bucket — the conditional-aggregation
+    shape. One orders<->lineitem shuffle, then a 3-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01'"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, F.lit("under_30d"))
+        .when(delay < 90, F.lit("30_to_90d"))
+        .otherwise(F.lit("over_90d"))
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        j.groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(crit).alias("high_line_count"),
+            F.sum(F.lit(1) - crit).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'under_30d'
+            WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN '30_to_90d'
+            ELSE 'over_90d' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted; no partsupp/availqty): suppliers who
+    shipped MORE than 20% of a 'red' part's total 1997 volume — the
+    correlated quantity-threshold + semi-join chain. Per-(part, supplier)
+    sums and the per-part total come from ONE aggregation plus a window
+    (no second scan); the threshold is exact integer (5*sup > part in
+    qty cents); the supplier table joins the resulting key set semi-style."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    sl = li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey")).filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01'"))
+    )
+    per_sp = sl.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr(f"sum(CAST({_QTY} AS BIGINT))").alias("_sq")
+    )
+    w = Window.partitionBy("l_partkey")
+    keys = (
+        per_sp.withColumn("_tq", F.sum("_sq").over(w))
+        .filter(F.col("_sq") * 5 > F.col("_tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(keys), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = f"""
+WITH sl AS (
+  SELECT l_partkey, l_suppkey, CAST({_QTY} AS BIGINT) AS qi
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+per_sp AS (
+  SELECT l_partkey, l_suppkey, sum(qi) AS sq FROM sl GROUP BY 1, 2
+),
+keys AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT *, sum(sq) OVER (PARTITION BY l_partkey) AS tq FROM per_sp)
+  WHERE sq * 5 > tq
+)
+SELECT s_name, n_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM keys)
+ORDER BY s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted; no receipt/commit dates, lateness =
+    latest ship date in the order): NATION_5 suppliers who were the
+    UNIQUE last shipper on a finished multi-supplier order — the
+    EXISTS (another supplier) + NOT EXISTS (another supplier shipped
+    at/after them) pair, expressed as a left-semi and a left-anti
+    self-join on the per-(order, supplier) max-shipdate aggregate (both
+    joins hash on the order key — one shuffle each side, no cartesian)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    fo = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    base = (
+        li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("_mx"))
+    )
+    other = base.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("l_suppkey").alias("_sk"),
+        F.col("_mx").alias("_omx"),
+    )
+    exists = base.join(
+        other,
+        (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+        "left_semi",
+    )
+    lone_last = exists.join(
+        other,
+        (F.col("l_orderkey") == F.col("_ok"))
+        & (F.col("l_suppkey") != F.col("_sk"))
+        & (F.col("_omx") >= F.col("_mx")),
+        "left_anti",
+    )
+    nat = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_5")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lone_last.join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS mx
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, count(*) AS numwait
+FROM base b
+JOIN supplier ON b.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND EXISTS (SELECT 1 FROM base o
+              WHERE o.l_orderkey = b.l_orderkey
+                AND o.l_suppkey <> b.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM base o
+                  WHERE o.l_orderkey = b.l_orderkey
+                    AND o.l_suppkey <> b.l_suppkey
+                    AND o.mx >= b.mx)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""

@@ -68,6 +68,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q19": (catalog_generic.q_tpch_q19, catalog_generic.SQL_TPCH_Q19),
     "tpch_q22": (catalog_generic.q_tpch_q22, catalog_generic.SQL_TPCH_Q22),
     "tpch_q18": (catalog_generic.q_tpch_q18, catalog_generic.SQL_TPCH_Q18),
+    "tpch_q2": (catalog_generic.q_tpch_q2, catalog_generic.SQL_TPCH_Q2),
+    "tpch_q9": (catalog_generic.q_tpch_q9, catalog_generic.SQL_TPCH_Q9),
+    "tpch_q11": (catalog_generic.q_tpch_q11, catalog_generic.SQL_TPCH_Q11),
+    "tpch_q12": (catalog_generic.q_tpch_q12, catalog_generic.SQL_TPCH_Q12),
+    "tpch_q20": (catalog_generic.q_tpch_q20, catalog_generic.SQL_TPCH_Q20),
+    "tpch_q21": (catalog_generic.q_tpch_q21, catalog_generic.SQL_TPCH_Q21),
     "lapsed_customers": (
         catalog_generic.q_lapsed_customers,
         catalog_generic.SQL_LAPSED_CUSTOMERS,

@@ -246,6 +246,39 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "tpch_q2": (
+        None,
+        # dims + part filter broadcast; the correlated MIN is a window
+        # over the candidate set — never a fact-side sort-merge
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "tpch_q9": (
+        None,
+        # part/supplier/nation broadcast; only lineitem<->orders shuffles
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "tpch_q11": (
+        None,
+        # the HAVING total is a 1-row broadcast back over the per-part agg
+        ["BroadcastNestedLoopJoin", "partial_"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "tpch_q20": (
+        None,
+        # per-part total via window over the (part,supplier) agg — one
+        # aggregation pass, supplier joined left-semi
+        ["Window", "LeftSemi"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "tpch_q21": (
+        None,
+        # EXISTS/NOT EXISTS = semi + anti self-joins hashed on the order
+        # key; the theta residual rides the hash join, never a cartesian
+        ["LeftSemi", "LeftAnti"],
+        ["CartesianProduct"],
+    ),
 }
 
 
