@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "quality_filtered_stats",
     "curate_corpus",
     "text_metrics",
+    "repetition_metrics",
     "corpus_correlations",
     "token_count_bpe",
     "doc_fingerprint",

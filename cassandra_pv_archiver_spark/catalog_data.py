@@ -1185,3 +1185,51 @@ FROM documents,
                                   {FRAME_STRIDE})) AS i) g
 ORDER BY doc_id, frame_idx
 """
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition quality signals — a pure
+    zero-shuffle Catalyst map (see operators/text.repetition_metrics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_metrics(docs).orderBy("doc_id")
+
+
+# The oracle computes the mode counts the straightforward SQL way
+# (unnest -> group -> max); the engine's sorted-run-length formulation
+# must agree exactly.
+SQL_REPETITION_METRICS = f"""
+WITH d AS (
+  SELECT doc_id, {_W_SQL} AS w FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+         list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM d
+),
+tok AS (SELECT doc_id, unnest(w) AS tk FROM d),
+tc AS (SELECT doc_id, max(c) AS tt FROM (
+         SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk)
+       GROUP BY doc_id),
+big AS (SELECT doc_id, unnest(bg) AS bk FROM base),
+bc AS (SELECT doc_id, max(c) AS tb FROM (
+         SELECT doc_id, bk, count(*) AS c FROM big GROUP BY doc_id, bk)
+       GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_distinct AS INTEGER) AS n_distinct,
+       1.0 - n_distinct / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+       tt / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+       CASE WHEN n_tokens < 2 THEN 0.0
+            ELSE coalesce(tb, 0) / CAST(n_tokens - 1 AS DOUBLE)
+       END AS top_bigram_frac,
+       CAST(((1.0 - n_distinct / CAST(n_tokens AS DOUBLE)) > 0.6)
+            OR (tt / CAST(n_tokens AS DOUBLE) > 0.12)
+            OR (CASE WHEN n_tokens < 2 THEN 0.0
+                     ELSE coalesce(tb, 0) / CAST(n_tokens - 1 AS DOUBLE)
+                END > 0.06) AS INTEGER) AS flag_repetitive
+FROM base b
+JOIN tc USING (doc_id)
+LEFT JOIN bc ON b.doc_id = bc.doc_id
+ORDER BY doc_id
+"""

@@ -129,3 +129,57 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.expr(f"array_join({_WORDS}, ' ')")).alias("fp"),
     )
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/RefinedWeb-style
+    quality heuristics): duplicate-token fraction, most-common-token
+    fraction, most-common-bigram fraction, and a composite repetitive
+    flag.
+
+    100 TB shape: ZERO shuffles — everything is a higher-order Catalyst
+    expression over the per-row token array. The mode count is NOT a
+    groupBy: it's the longest run in the SORTED token array
+    (``aggregate`` with a (prev, run, best) struct accumulator), so no
+    token-level explode/shuffle ever happens.
+
+    Returns: doc_id, n_tokens, n_distinct, dup_token_frac,
+    top_token_frac, top_bigram_frac, flag_repetitive (int 0/1).
+    """
+    run = (
+        "aggregate({arr}, "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1L, 1L), "
+        "'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))), "
+        "acc -> acc.best)"
+    )
+    bigrams = (
+        "IF(size(_w) < 2, array(), "
+        "transform(sequence(0, size(_w) - 2), "
+        "i -> concat(element_at(_w, i + 1), ' ', element_at(_w, i + 2))))"
+    )
+    d = docs.select("doc_id", F.expr(_WORDS).alias("_w")).select(
+        "doc_id",
+        F.size("_w").alias("n_tokens"),
+        F.size(F.array_distinct("_w")).alias("n_distinct"),
+        F.expr(run.format(arr="array_sort(_w)")).alias("_tt"),
+        F.expr(run.format(arr=f"array_sort({bigrams})")).alias("_tb"),
+    )
+    dup = F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")
+    top_tok = F.col("_tt") / F.col("n_tokens")
+    top_bi = F.when(F.col("n_tokens") < 2, F.lit(0.0)).otherwise(
+        F.col("_tb") / (F.col("n_tokens") - 1)
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        dup.alias("dup_token_frac"),
+        top_tok.alias("top_token_frac"),
+        top_bi.alias("top_bigram_frac"),
+        ((dup > 0.6) | (top_tok > 0.12) | (top_bi > 0.06))
+        .cast("int")
+        .alias("flag_repetitive"),
+    )

@@ -115,6 +115,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.SQL_SIMHASH_NEAR_PAIRS,
     ),
     "text_metrics": (catalog_data.q_text_metrics, catalog_data.SQL_TEXT_METRICS),
+    "repetition_metrics": (
+        catalog_data.q_repetition_metrics,
+        catalog_data.SQL_REPETITION_METRICS,
+    ),
     "lang_id": (catalog_data.q_lang_id, catalog_data.SQL_LANG_ID),
     "doc_fingerprint": (
         catalog_data.q_doc_fingerprint,

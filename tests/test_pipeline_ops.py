@@ -259,3 +259,36 @@ def test_exact_corr_matches_closed_form(spark):
     )
     r3 = stats.exact_corr(df, "x", "z", "c").collect()[0].c
     assert abs(r3 - num / den) < 1e-15
+
+
+def test_repetition_metrics_vs_bruteforce(spark):
+    from collections import Counter
+
+    from cassandra_pv_archiver_spark.operators.text import repetition_metrics
+
+    texts = {
+        1: "a b a b a b a b",          # dominant bigrams ("a b" x4, "b a" x3)
+        2: "x",                        # single token: bigram frac defined as 0
+        3: " ".join(f"w{i}" for i in range(20)),  # all distinct, long enough
+                                                  # that no threshold trips
+        4: "spam spam spam spam ham",  # dominant token
+        5: "a  b\tc   a",              # whitespace reflow
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    for i, t in texts.items():
+        toks = t.lower().split()
+        bis = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert r.n_distinct == len(set(toks))
+        assert r.dup_token_frac == 1.0 - len(set(toks)) / len(toks)
+        assert r.top_token_frac == max(Counter(toks).values()) / len(toks)
+        expect_bi = (
+            max(Counter(bis).values()) / len(bis) if len(toks) >= 2 else 0.0
+        )
+        assert r.top_bigram_frac == expect_bi
+    assert got[4].flag_repetitive == 1  # top token 4/5
+    assert got[3].flag_repetitive == 0

@@ -246,6 +246,12 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "repetition_metrics": (
+        1,  # output sort only — the mode counts are sorted-run-length
+        # higher-order expressions per row, never a token-level shuffle
+        ["codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "tpch_q2": (
         None,
         # dims + part filter broadcast; the correlated MIN is a window
