@@ -25,6 +25,7 @@ from cassandra_pv_archiver_spark.session import get_spark
 #: headline queries: archiver core + generic relational + data pipeline.
 BENCH_QUERIES = [
     "raw_scan",
+    "asof_pair_align",
     "range_limit_modes",
     "decimate_1h",
     "decimate_cascade_6h",

@@ -236,6 +236,47 @@ WHERE rn = 1 ORDER BY channel
 """
 
 
+_ALIGN_BASE = [f"PV:{i}" for i in range(10)]
+_ALIGN_REF = [f"PV:{i}" for i in range(10, 20)]
+
+
+def q_asof_pair_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise as-of alignment: PV:(i+10)'s value aligned onto every
+    PV:i sample timestamp (latest at-or-before) — the correlation-plot
+    primitive the probe operators (J1/J2) generalize to whole series.
+    One union-merge window per channel, never a per-row probe join; the
+    oracle is DuckDB's native ASOF JOIN."""
+    base = load_samples(spark, sf_dir, channels=_ALIGN_BASE)
+    ref = load_samples(spark, sf_dir, channels=_ALIGN_REF).withColumn(
+        "channel",
+        F.concat(
+            F.lit("PV:"),
+            (F.expr("CAST(substr(channel, 4) AS BIGINT)") - 10).cast("string"),
+        ),
+    )
+    return asof.asof_align(base, ref).orderBy("channel", "t")
+
+
+_ALIGN_BASE_SQL = ", ".join(f"'{c}'" for c in _ALIGN_BASE)
+_ALIGN_REF_SQL = ", ".join(f"'{c}'" for c in _ALIGN_REF)
+
+SQL_ASOF_PAIR_ALIGN = f"""
+WITH {SAMPLES_CTE},
+base AS (
+  SELECT channel, t, v FROM samples WHERE channel IN ({_ALIGN_BASE_SQL})
+),
+ref AS (
+  SELECT 'PV:' || CAST(CAST(substr(channel, 4) AS BIGINT) - 10 AS VARCHAR)
+           AS channel,
+         t, v
+  FROM samples WHERE channel IN ({_ALIGN_REF_SQL})
+)
+SELECT b.channel, b.t, b.v, r.v AS ref_v
+FROM base b ASOF LEFT JOIN ref r ON b.channel = r.channel AND b.t >= r.t
+ORDER BY b.channel, b.t
+"""
+
+
 def q_range_limit_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-path range query with (AT_OR_BEFORE, AT_OR_AFTER) limit modes:
     core range ∪ boundary probes, distinct (`ArchiveAccessService.java:55-135`)."""

@@ -174,3 +174,44 @@ def union_levels(
     older = coarse.filter(F.col("t") <= boundary - 1)
     newer = fine.filter(F.col("t") >= boundary)
     return older.unionByName(newer).orderBy(key, "t")
+
+
+def asof_align(base: DataFrame, ref: DataFrame, key: str = "channel") -> DataFrame:
+    """Pairwise as-of alignment: for every ``base`` sample, the latest
+    ``ref`` sample value at-or-before its timestamp (per key) — the
+    correlation-plot / feature-alignment primitive. ``ref`` must already
+    carry the key it serves (callers relabel when pairing two different
+    channels).
+
+    100 TB shape: NOT a per-row probe join — the two streams are
+    unioned, and ONE (t, src)-ordered window per key partition carries
+    the last ref value forward (same single-exchange merge the decimation
+    hold-forward uses). Ties at equal t resolve ref-first, so a ref
+    sample AT the base timestamp is visible (J1 at-or-before semantics,
+    `ArchiveAccessServiceImpl.java:756-813` boundary rules; DuckDB's
+    native ASOF JOIN ``ON base.t >= ref.t`` has identical semantics and
+    is the oracle).
+
+    Returns: key, t, v, ref_v (null until the first ref sample).
+    """
+    left = ref.select(
+        key,
+        "t",
+        F.col("v").alias("_rv"),
+        F.lit(0).alias("_src"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    right = base.select(
+        key, "t", F.lit(None).cast("double").alias("_rv"), F.lit(1).alias("_src"), "v"
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("t", "_src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("ref_v", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_src") == 1)
+        .select(key, "t", "v", "ref_v")
+    )

@@ -20,6 +20,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
     "asof_before": (catalog.q_asof_before, catalog.SQL_ASOF_BEFORE),
     "asof_after": (catalog.q_asof_after, catalog.SQL_ASOF_AFTER),
+    "asof_pair_align": (catalog.q_asof_pair_align, catalog.SQL_ASOF_PAIR_ALIGN),
     "range_limit_modes": (catalog.q_range_limit_modes, catalog.SQL_RANGE_LIMIT_MODES),
     "decimate_1h": (catalog.q_decimate_1h, catalog.SQL_DECIMATE_1H),
     "decimate_cascade_6h": (

@@ -42,3 +42,26 @@ def test_enabling_filter_preserves_columns(spark):
     out = enabling_filter(samples, enabling)
     assert out.columns == ["channel", "t", "v"]
     assert out.collect()[0].v == 1.5
+
+
+def test_asof_align_boundary_and_leading_null(spark):
+    from cassandra_pv_archiver_spark.operators.asof import asof_align
+
+    base = _df(
+        spark,
+        [("X", 5, 50.0), ("X", 10, 51.0), ("X", 20, 52.0), ("Y", 10, 9.0)],
+        "channel string, t long, v double",
+    )
+    # ref AT t=10 must be visible to base t=10 (at-or-before is inclusive);
+    # base t=5 precedes every ref -> null; Y has no ref at all -> null
+    ref = _df(
+        spark,
+        [("X", 10, 1.0), ("X", 15, 2.0)],
+        "channel string, t long, v double",
+    )
+    got = {(r.channel, r.t): r for r in asof_align(base, ref).collect()}
+    assert got[("X", 5)].ref_v is None
+    assert got[("X", 5)].v == 50.0
+    assert got[("X", 10)].ref_v == 1.0
+    assert got[("X", 20)].ref_v == 2.0
+    assert got[("Y", 10)].ref_v is None

@@ -246,6 +246,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "asof_pair_align": (
+        None,
+        # union-merge + hold-forward window — there must be NO join
+        # operator at all (the as-of probe rides the per-key sort)
+        ["Window", "Union"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+         "BatchEvalPython"],
+    ),
     "repetition_metrics": (
         1,  # output sort only — the mode counts are sorted-run-length
         # higher-order expressions per row, never a token-level shuffle
