@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "doc_sample_10pct",
     "contamination_3gram",
     "stratified_split",
+    "sequence_packing",
     "quality_quantiles",
     "quality_filtered_stats",
     "curate_corpus",

@@ -1233,3 +1233,52 @@ JOIN tc USING (doc_id)
 LEFT JOIN bc ON b.doc_id = bc.doc_id
 ORDER BY doc_id
 """
+
+
+PACK_WINDOW = 2048
+PACK_SHARDS = 16
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing audit: per (lang, shard, pack) document
+    and token counts (see operators/sampling.sequence_packing — one
+    cumulative-sum window per shard, deterministic shard = md5 bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", F.expr(f"size({text._WORDS})").alias("n_tokens"))
+    packed = sampling.sequence_packing(
+        d, window_tokens=PACK_WINDOW, n_shards=PACK_SHARDS
+    )
+    return (
+        packed.groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("lang", "shard", "pack_id")
+    )
+
+
+_SQL_PACK_H16 = (
+    "CAST(list_sum(list_transform(range(0, 4), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('pack:' || CAST(doc_id AS VARCHAR)),"
+    " i + 1, 1)) - 1 AS BIGINT) << (4 * (3 - i)))) AS INTEGER)"
+)
+
+SQL_SEQUENCE_PACKING = f"""
+WITH d AS (
+  SELECT doc_id, lang, len({_W_SQL}) AS n_tokens,
+         {_SQL_PACK_H16} % {PACK_SHARDS} AS shard
+  FROM documents
+),
+w AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM d
+)
+SELECT lang, shard, CAST(start_offset // {PACK_WINDOW} AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM w
+GROUP BY lang, shard, pack_id
+ORDER BY lang, shard, pack_id
+"""

@@ -44,3 +44,49 @@ def split_assign(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def sequence_packing(
+    docs: DataFrame,
+    n_tokens: Column | str = "n_tokens",
+    window_tokens: int = 2048,
+    n_shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence-packing audit: documents are concatenated in a
+    deterministic order and split into fixed-size context windows; each
+    doc is assigned the pack its FIRST token lands in (docs straddle
+    boundaries, as concatenation packing does).
+
+    100 TB shape: packing is sequential by definition, so the stream is
+    sharded first (deterministic md5 shard per doc — the per-worker
+    packing real pipelines do) and the running token offset is ONE
+    cumulative-sum window per (lang, shard): a single hash exchange, no
+    iteration, no Python. Determinism: order within a shard is
+    (doc_id) — reproducible across engines/partitionings, so pack ids
+    are stable cluster-wide.
+
+    Returns one row per doc: doc_id, lang, shard, pack_id, n_tokens,
+    start_offset (token offset of the doc within its shard stream).
+    """
+    nt = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    from pyspark.sql import Window
+
+    shard = hash_bucket16("doc_id", salt) % n_shards
+    d = docs.select("doc_id", "lang", nt.alias("n_tokens")).withColumn(
+        "shard", shard
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "shard",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+        "n_tokens",
+    ).withColumn(
+        "pack_id", (F.col("start_offset") / F.lit(window_tokens)).cast("long")
+    )

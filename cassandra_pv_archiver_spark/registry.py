@@ -116,6 +116,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.SQL_SIMHASH_NEAR_PAIRS,
     ),
     "text_metrics": (catalog_data.q_text_metrics, catalog_data.SQL_TEXT_METRICS),
+    "sequence_packing": (
+        catalog_data.q_sequence_packing,
+        catalog_data.SQL_SEQUENCE_PACKING,
+    ),
     "repetition_metrics": (
         catalog_data.q_repetition_metrics,
         catalog_data.SQL_REPETITION_METRICS,

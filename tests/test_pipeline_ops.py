@@ -292,3 +292,25 @@ def test_repetition_metrics_vs_bruteforce(spark):
         assert r.top_bigram_frac == expect_bi
     assert got[4].flag_repetitive == 1  # top token 4/5
     assert got[3].flag_repetitive == 0
+
+
+def test_sequence_packing_offsets_and_straddle(spark):
+    from cassandra_pv_archiver_spark.operators.sampling import sequence_packing
+
+    d = spark.createDataFrame(
+        [(i, "en", n) for i, n in [(1, 1000), (2, 1000), (3, 1000), (4, 5000)]],
+        "doc_id long, lang string, n_tokens long",
+    )
+    # single shard so the stream order is doc_id order
+    out = {r.doc_id: r for r in sequence_packing(d, n_shards=1).collect()}
+    assert [out[i].start_offset for i in (1, 2, 3, 4)] == [0, 1000, 2000, 3000]
+    # doc 2 STARTS in pack 0 (offset 1000 < 2048) even though it straddles
+    assert [out[i].pack_id for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
+    # determinism: same assignment at a different parallelism
+    again = {
+        r.doc_id: r
+        for r in sequence_packing(d.repartition(7), n_shards=1).collect()
+    }
+    assert {i: (r.pack_id, r.start_offset) for i, r in out.items()} == {
+        i: (r.pack_id, r.start_offset) for i, r in again.items()
+    }

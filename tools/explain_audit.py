@@ -246,6 +246,12 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "sequence_packing": (
+        2,  # ONE (lang, shard) hash exchange for the cumsum window + the
+        # output sort; packing must stay JVM-side, no iteration
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "asof_pair_align": (
         None,
         # union-merge + hold-forward window — there must be NO join
