@@ -280,3 +280,67 @@ def test_planner_reads_streamed_store(spark, tmp_path):
     }
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+
+def test_sequence_packing_stream_offsets_across_batches(spark, tmp_path):
+    """The per-shard token offset carries across micro-batches: replaying
+    the corpus through the stream in doc_id order yields EXACTLY the
+    batch operator's pack assignment."""
+    import os
+    import shutil
+
+    from cassandra_pv_archiver_spark.operators.sampling import sequence_packing
+    from cassandra_pv_archiver_spark.streaming.packing import (
+        sequence_packing_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, lang string, n_tokens long"
+
+    def _write_file(rows, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    # single shard so every doc shares one offset stream; batch 2's first
+    # doc must start at batch 1's cumulative total (3000), not at 0
+    rows1 = [(1, "en", 1000), (2, "en", 2000)]
+    rows2 = [(3, "en", 1500), (4, "en", 100)]
+    _write_file(rows1, "b1", 1_000_000_000)
+    _write_file(rows2, "b2", 1_000_000_100)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emitted = []
+
+    def _sink(batch_df, batch_id):
+        emitted.extend(batch_df.collect())
+
+    q = (
+        sequence_packing_stream(stream, n_shards=1)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = sequence_packing(
+        spark.createDataFrame(rows1 + rows2, schema), n_shards=1
+    ).collect()
+    want = {r.doc_id: (r.start_offset, r.pack_id) for r in batch}
+    got = {r.doc_id: (r.start_offset, r.pack_id) for r in emitted}
+    assert got == want, f"stream {got} != batch {want}"
+    assert got[3][0] == 3000  # continued, not restarted
