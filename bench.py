@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "text_metrics",
     "repetition_metrics",
+    "oov_rate",
     "corpus_correlations",
     "token_count_bpe",
     "doc_fingerprint",

@@ -1282,3 +1282,39 @@ FROM w
 GROUP BY lang, shard, pack_id
 ORDER BY lang, shard, pack_id
 """
+
+
+OOV_TOP_N = 100
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus top-100 vocabulary (see
+    operators/text.oov_rate — global vocab broadcast back over the
+    token stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.oov_rate(docs, OOV_TOP_N).orderBy("doc_id")
+
+
+SQL_OOV_RATE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W_SQL}) AS tok FROM documents
+),
+top AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+  ORDER BY c DESC, tok LIMIT {OOV_TOP_N}
+),
+n_all AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id
+),
+n_oov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_oov
+  FROM toks ANTI JOIN top USING (tok)
+  GROUP BY doc_id
+)
+SELECT a.doc_id, n_tokens,
+       coalesce(n_oov, 0) AS n_oov,
+       coalesce(n_oov, 0) / CAST(n_tokens AS DOUBLE) AS oov_rate
+FROM n_all a LEFT JOIN n_oov o ON a.doc_id = o.doc_id
+ORDER BY a.doc_id
+"""

@@ -183,3 +183,43 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         .cast("int")
         .alias("flag_repetitive"),
     )
+
+
+def oov_rate(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Out-of-vocabulary rate per document: the fraction of tokens outside
+    the corpus's top-``top_n`` vocabulary — the two-pass corpus-statistic
+    pattern (a global aggregate broadcast back over one more scan).
+
+    100 TB shape: pass 1 is the canonical word-count (one token-key
+    shuffle with map-side partial aggregation, top-n via TakeOrdered
+    partial heaps); the tiny vocabulary then broadcasts into a left-anti
+    probe, and the per-doc counts are ONE groupBy on doc_id. The top-n
+    selection orders by (count DESC, token) — a total order, so the
+    vocabulary (and every downstream number) is deterministic on any
+    cluster and in the oracle.
+
+    Returns: doc_id, n_tokens, n_oov, oov_rate.
+    """
+    toks = docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), "tok")
+        .limit(top_n)
+        .select("tok")
+    )
+    n_all = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_oov = (
+        toks.join(F.broadcast(top), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        n_all.join(n_oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            (F.coalesce("n_oov", F.lit(0)) / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

@@ -116,6 +116,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.SQL_SIMHASH_NEAR_PAIRS,
     ),
     "text_metrics": (catalog_data.q_text_metrics, catalog_data.SQL_TEXT_METRICS),
+    "oov_rate": (catalog_data.q_oov_rate, catalog_data.SQL_OOV_RATE),
     "sequence_packing": (
         catalog_data.q_sequence_packing,
         catalog_data.SQL_SEQUENCE_PACKING,

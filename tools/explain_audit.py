@@ -246,6 +246,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "oov_rate": (
+        None,
+        # vocab = word-count + TakeOrdered partial heaps, broadcast into a
+        # left-anti probe; per-doc counts are hash groupBys — no global sort
+        ["TakeOrderedAndProject", "LeftAnti", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "sequence_packing": (
         2,  # ONE (lang, shard) hash exchange for the cumsum window + the
         # output sort; packing must stay JVM-side, no iteration
