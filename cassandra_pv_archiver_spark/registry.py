@@ -117,6 +117,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "text_metrics": (catalog_data.q_text_metrics, catalog_data.SQL_TEXT_METRICS),
     "oov_rate": (catalog_data.q_oov_rate, catalog_data.SQL_OOV_RATE),
+    "distinctive_terms": (
+        catalog_data.q_distinctive_terms,
+        catalog_data.SQL_DISTINCTIVE_TERMS,
+    ),
+    "cluster_quality_report": (
+        catalog_data.q_cluster_quality_report,
+        catalog_data.SQL_CLUSTER_QUALITY_REPORT,
+    ),
     "sequence_packing": (
         catalog_data.q_sequence_packing,
         catalog_data.SQL_SEQUENCE_PACKING,

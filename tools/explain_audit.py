@@ -246,6 +246,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "cluster_quality_report": (
+        None,
+        # k centroid arrays broadcast into the assignment pass; the
+        # doc<->vector join hashes on the id — never a cartesian
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     "oov_rate": (
         None,
         # vocab = word-count + TakeOrdered partial heaps, broadcast into a
