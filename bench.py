@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "planner_fallback",
     "heartbeat_1h",
     "severity_daily",
+    "severity_rollup",
+    "fuzzy_channel_pairs",
     "channel_dim_join",
     "channel_regex",
     "enabling_link",

@@ -1309,3 +1309,96 @@ p AS (
 SELECT a.channel, a.day, p.severity, p.status, a.n_samples
 FROM a JOIN p USING (channel, day) ORDER BY channel, day
 """
+
+
+def q_fuzzy_channel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over channel names: near-duplicate pairs at edit
+    distance 1 via FastSS deletion-neighborhood blocking (guaranteed
+    recall, O(n·len) candidate keys — see operators/linkage.py). The
+    name set is the live channel list plus planted config-side typo
+    variants ('PV_n' for every 7th channel) — the config-reconciliation
+    check an operator runs after a hand-edited import."""
+    from .operators import linkage
+
+    ids = load_events(spark, sf_dir).select("user_id").distinct()
+    live = ids.select(
+        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("name")
+    )
+    typos = ids.filter(F.col("user_id") % 7 == 0).select(
+        F.concat(F.lit("PV_"), F.col("user_id").cast("string")).alias("name")
+    )
+    names = live.unionByName(typos).distinct()
+    return linkage.fuzzy_pairs(names).orderBy("name_a", "name_b")
+
+
+SQL_FUZZY_CHANNEL_PAIRS = """
+WITH ids AS (SELECT DISTINCT user_id FROM events),
+names AS (
+  SELECT 'PV:' || CAST(user_id AS VARCHAR) AS name FROM ids
+  UNION
+  SELECT 'PV_' || CAST(user_id AS VARCHAR) AS name FROM ids WHERE user_id % 7 = 0
+),
+keyed AS (
+  SELECT name, unnest(list_distinct(list_concat([name],
+           list_transform(range(0, length(name)),
+                          i -> substr(name, 1, i) || substr(name, i + 2))))) AS k
+  FROM names
+),
+pairs AS (
+  SELECT DISTINCT x.name AS name_a, y.name AS name_b
+  FROM keyed x JOIN keyed y ON x.k = y.k AND x.name < y.name
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM pairs WHERE levenshtein(name_a, name_b) <= 1
+ORDER BY name_a, name_b
+"""
+
+
+def q_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity/value rollup across grouping sets — (channel, day),
+    per-channel subtotal, grand total — in ONE pass via the native
+    ROLLUP operator (Expand feeding a single partial-aggregated
+    groupBy; the reference would need three queries). Grouping markers
+    are materialized as explicit labels ('<all>' / -1) so the result is
+    engine-portable; every aggregate is an exact selection (count, max
+    severity, min/max v) — nothing order-sensitive."""
+    s = load_samples(spark, sf_dir).withColumn("day", F.expr(f"t div {DAY_NS}"))
+    return (
+        s.rollup("channel", "day")
+        .agg(
+            F.grouping("channel").alias("_gc"),
+            F.grouping("day").alias("_gd"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("severity").alias("max_sev"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .select(
+            F.when(F.col("_gc") == 1, F.lit("<all>"))
+            .otherwise(F.col("channel"))
+            .alias("channel"),
+            F.when(F.col("_gd") == 1, F.lit(-1))
+            .otherwise(F.col("day"))
+            .cast("long")
+            .alias("day"),
+            "n",
+            "max_sev",
+            "vmin",
+            "vmax",
+        )
+        .orderBy("channel", "day")
+    )
+
+
+SQL_SEVERITY_ROLLUP = f"""
+WITH {SAMPLES_CTE}
+SELECT CASE WHEN GROUPING(channel) = 1 THEN '<all>' ELSE channel END AS channel,
+       CAST(CASE WHEN GROUPING(day) = 1 THEN -1 ELSE day END AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       max(severity) AS max_sev,
+       min(v) AS vmin,
+       max(v) AS vmax
+FROM (SELECT channel, t // {DAY_NS} AS day, severity, v FROM samples)
+GROUP BY ROLLUP(channel, day)
+ORDER BY channel, day
+"""

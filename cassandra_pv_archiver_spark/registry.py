@@ -45,6 +45,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "planner_fallback": (catalog.q_planner_fallback, catalog.SQL_PLANNER_FALLBACK),
     "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),
     "channel_regex": (catalog.q_channel_regex, catalog.SQL_CHANNEL_REGEX),
+    "fuzzy_channel_pairs": (
+        catalog.q_fuzzy_channel_pairs,
+        catalog.SQL_FUZZY_CHANNEL_PAIRS,
+    ),
     "enabling_link": (catalog.q_enabling_link, catalog.SQL_ENABLING_LINK),
     "rate_limit_10m": (catalog.q_rate_limit_10m, catalog.SQL_RATE_LIMIT_10M),
     "heartbeat_1h": (catalog.q_heartbeat_1h, catalog.SQL_HEARTBEAT_1H),
@@ -52,6 +56,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "monotonic_stats": (catalog.q_monotonic_stats, catalog.SQL_MONOTONIC_STATS),
     "channel_dim_join": (catalog.q_channel_dim_join, catalog.SQL_CHANNEL_DIM_JOIN),
     "severity_daily": (catalog.q_severity_daily, catalog.SQL_SEVERITY_DAILY),
+    "severity_rollup": (catalog.q_severity_rollup, catalog.SQL_SEVERITY_ROLLUP),
     # --- generic relational surface ---
     "tpch_q1": (catalog_generic.q_tpch_q1, catalog_generic.SQL_TPCH_Q1),
     "tpch_q3": (catalog_generic.q_tpch_q3, catalog_generic.SQL_TPCH_Q3),

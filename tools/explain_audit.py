@@ -246,6 +246,19 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "fuzzy_channel_pairs": (
+        None,
+        # FastSS deletion-variant keys equi-join (the name< residual rides
+        # the hash join) — the fuzzy match must never go cartesian
+        ["codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    "severity_rollup": (
+        3,  # sample-load dedup exchange + ROLLUP's Expand feeding ONE
+        # partial-agg groupBy + output sort — three grouping sets, one pass
+        ["Expand", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "cluster_quality_report": (
         None,
         # k centroid arrays broadcast into the assignment pass; the
