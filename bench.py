@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "window_running_total",
     "sessionize_30m",
     "events_sliding_1h",
+    "events_pivot",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

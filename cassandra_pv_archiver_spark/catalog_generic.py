@@ -1209,3 +1209,38 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+_DAY_NS = 86_400 * 1_000_000_000
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via the native pivot operator: one row per
+    day, one count column per event type. Pivot with an EXPLICIT value
+    list compiles to ONE partial-aggregated groupBy (no extra
+    category-discovery pass, deterministic column set); missing combos
+    fill as exact 0s. The oracle is the equivalent conditional
+    aggregation."""
+    ev = load_events(spark, sf_dir)
+    d = ev.select(F.expr(f"ts div {_DAY_NS}").alias("day"), "event_type")
+    return (
+        d.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("day")
+    )
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT epoch_ns(ts) // {_DAY_NS} AS day,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+           for t in EVENT_TYPES)}
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+

@@ -246,6 +246,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "events_pivot": (
+        3,  # pivot's standard two-phase plan: (day,type) partial counts
+        # (map-side combined — the first exchange carries only the tiny
+        # count table), pivotfirst re-agg on day, output sort; explicit
+        # value list means no category-discovery pass, no join
+        ["partial_", "pivotfirst"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "fuzzy_channel_pairs": (
         None,
         # FastSS deletion-variant keys equi-join (the name< residual rides
