@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "sessionize_30m",
     "events_sliding_1h",
     "events_pivot",
+    "events_unpivot",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -1244,3 +1244,27 @@ ORDER BY day
 """
 
 
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the daily event-type matrix back to long form with the native
+    unpivot (Expand — a pure 1→N map, zero additional shuffles beyond
+    the pivot that built the matrix). Zero-count cells are kept: the
+    round trip pivot→unpivot is lossless, which is what makes the pair
+    usable as a storage-layout transform."""
+    wide = q_events_pivot(spark, sf_dir)
+    return (
+        wide.unpivot("day", list(EVENT_TYPES), "event_type", "n")
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_EVENTS_UNPIVOT = f"""
+WITH wide AS ({SQL_EVENTS_PIVOT.replace("ORDER BY day", "")})
+SELECT day, event_type, n FROM (
+  {" UNION ALL ".join(
+      f"SELECT day, '{t}' AS event_type, {t} AS n FROM wide"
+      for t in EVENT_TYPES)}
+)
+ORDER BY day, event_type
+"""

@@ -81,6 +81,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q20": (catalog_generic.q_tpch_q20, catalog_generic.SQL_TPCH_Q20),
     "tpch_q21": (catalog_generic.q_tpch_q21, catalog_generic.SQL_TPCH_Q21),
     "events_pivot": (catalog_generic.q_events_pivot, catalog_generic.SQL_EVENTS_PIVOT),
+    "events_unpivot": (
+        catalog_generic.q_events_unpivot,
+        catalog_generic.SQL_EVENTS_UNPIVOT,
+    ),
     "lapsed_customers": (
         catalog_generic.q_lapsed_customers,
         catalog_generic.SQL_LAPSED_CUSTOMERS,

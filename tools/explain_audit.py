@@ -246,6 +246,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "events_unpivot": (
+        None,
+        # native unpivot = Expand (pure 1->N map) over the pivot result —
+        # no extra shuffle beyond the pivot's own plan
+        ["Expand", "pivotfirst"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "events_pivot": (
         3,  # pivot's standard two-phase plan: (day,type) partial counts
         # (map-side combined — the first exchange carries only the tiny
