@@ -163,3 +163,73 @@ def test_group_quantiles_match_sorted_index(spark, rows):
         for q in qs:
             want[(k, q)] = vals[math.ceil(q * len(vals)) - 1][0]
     assert got == want
+
+
+names_strategy = st.lists(
+    st.text(alphabet="abc:_", min_size=1, max_size=6),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@given(names_strategy)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_fuzzy_pairs_equals_bruteforce(spark, names):
+    """FastSS deletion-neighborhood blocking finds EXACTLY the pairs the
+    O(n^2) levenshtein scan finds at radius 1 — the recall guarantee the
+    operator's docstring claims, verified on random short strings."""
+    from cassandra_pv_archiver_spark.operators.linkage import fuzzy_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(a, b) <= 1
+    }
+    want = {(min(a, b), max(a, b), d) for a, b, d in want}
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist) for r in fuzzy_pairs(df).collect()
+    }
+    assert got == want
+
+
+align_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=15,
+             unique=True),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=15,
+             unique=True),
+)
+
+
+@given(align_strategy)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_align_equals_per_row_probe(spark, tv):
+    """asof_align's union-merge window equals the brute-force per-row
+    'latest ref at-or-before t' probe on random series."""
+    from cassandra_pv_archiver_spark.operators.asof import asof_align
+
+    base_ts, ref_ts = tv
+    base = spark.createDataFrame(
+        [("X", t, float(t)) for t in base_ts], "channel string, t long, v double"
+    )
+    ref = spark.createDataFrame(
+        [("X", t, float(t * 10)) for t in ref_ts],
+        "channel string, t long, v double",
+    )
+    got = {r.t: r.ref_v for r in asof_align(base, ref).collect()}
+    for t in base_ts:
+        earlier = [r for r in ref_ts if r <= t]
+        want = float(max(earlier) * 10) if earlier else None
+        assert got[t] == want, f"t={t}: {got[t]} != {want}"
