@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "lapsed_customers",
     "window_running_total",
     "sessionize_30m",
+    "conversion_funnel",
+    "weekly_cohort_retention",
     "events_sliding_1h",
     "events_pivot",
     "events_unpivot",

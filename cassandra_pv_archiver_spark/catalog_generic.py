@@ -1268,3 +1268,59 @@ SELECT day, event_type, n FROM (
 )
 ORDER BY day, event_type
 """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel depth per user (see
+    operators/events.conversion_funnel — one conditional-min aggregation,
+    no self-joins)."""
+    from .operators.events import conversion_funnel
+
+    return conversion_funnel(load_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+SQL_CONVERSION_FUNNEL = """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t0,
+         min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t2
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT CASE
+           WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                AND t2 IS NOT NULL AND t2 > t1 THEN 3
+           WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 THEN 2
+           WHEN t0 IS NOT NULL THEN 1
+           ELSE 0
+         END AS depth
+  FROM m
+)
+SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n_users
+FROM d GROUP BY depth ORDER BY depth
+"""
+
+
+def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (see
+    operators/events.weekly_cohort_retention)."""
+    from .operators.events import weekly_cohort_retention
+
+    return weekly_cohort_retention(load_events(spark, sf_dir))
+
+
+SQL_WEEKLY_COHORT_RETENTION = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {7 * 86_400 * 1_000_000_000} AS week
+  FROM events
+),
+c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""

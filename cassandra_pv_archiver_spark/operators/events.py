@@ -71,3 +71,61 @@ def sessionize(
             "total_value",
         )
     )
+
+
+def conversion_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the deepest prefix of ``steps``
+    completed IN ORDER (each step's first occurrence strictly after the
+    previous step's first occurrence). One conditional-min aggregation
+    per user — a single hash exchange, no self-joins, no iteration; the
+    ordered-sequence predicate is evaluated on the per-user first-times
+    row. Returns one row per funnel depth 0..len(steps): depth, n_users.
+    """
+    mins = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"_t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.select(user_col, "event_type", "ts").groupBy(user_col).agg(*mins)
+    depth = F.lit(0)
+    reached = F.lit(True)
+    prev = None
+    for i in range(len(steps)):
+        cond = F.col(f"_t{i}").isNotNull()
+        if prev is not None:
+            cond = cond & (F.col(f"_t{i}") > F.col(prev))
+        reached = reached & cond
+        depth = F.when(reached, F.lit(i + 1)).otherwise(depth)
+        prev = f"_t{i}"
+    return (
+        per_user.select(depth.alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+def weekly_cohort_retention(
+    events: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    each subsequent week they return. Two hash aggregations plus one
+    join of the (user, week) activity table against the tiny (user,
+    cohort) table — hashed on the user key; no per-week self-joins.
+    Weeks are epoch-week ints (ns // 7 days) — calendar-free, so the
+    arithmetic is identical in every engine.
+
+    Returns: cohort_week, week_offset, n_users.
+    """
+    wk = F.expr(f"ts div {7 * 86_400 * 1_000_000_000}")
+    uw = events.select(user_col, wk.alias("week")).distinct()
+    cohort = uw.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, user_col)
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

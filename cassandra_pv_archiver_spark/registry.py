@@ -85,6 +85,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_events_unpivot,
         catalog_generic.SQL_EVENTS_UNPIVOT,
     ),
+    "conversion_funnel": (
+        catalog_generic.q_conversion_funnel,
+        catalog_generic.SQL_CONVERSION_FUNNEL,
+    ),
+    "weekly_cohort_retention": (
+        catalog_generic.q_weekly_cohort_retention,
+        catalog_generic.SQL_WEEKLY_COHORT_RETENTION,
+    ),
     "lapsed_customers": (
         catalog_generic.q_lapsed_customers,
         catalog_generic.SQL_LAPSED_CUSTOMERS,

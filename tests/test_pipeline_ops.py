@@ -314,3 +314,44 @@ def test_sequence_packing_offsets_and_straddle(spark):
     assert {i: (r.pack_id, r.start_offset) for i, r in out.items()} == {
         i: (r.pack_id, r.start_offset) for i, r in again.items()
     }
+
+
+def test_conversion_funnel_requires_strict_order(spark):
+    from cassandra_pv_archiver_spark.operators.events import conversion_funnel
+
+    rows = [
+        # u1: full ordered funnel
+        (1, 100, "view", 0.0), (1, 200, "click", 0.0), (1, 300, "purchase", 0.0),
+        # u2: purchase BEFORE click -> depth 2 only
+        (2, 100, "view", 0.0), (2, 300, "click", 0.0), (2, 200, "purchase", 0.0),
+        # u3: starts at click (no view) -> depth 0
+        (3, 100, "click", 0.0), (3, 200, "purchase", 0.0),
+        # u4: view only -> depth 1
+        (4, 100, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, value double"
+    )
+    got = {r.depth: r.n_users for r in conversion_funnel(ev).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_weekly_cohort_retention_offsets(spark):
+    from cassandra_pv_archiver_spark.operators.events import (
+        weekly_cohort_retention,
+    )
+
+    WEEK = 7 * 86_400 * 1_000_000_000
+    rows = [
+        (1, 0, "click", 0.0), (1, 2 * WEEK, "click", 0.0),      # cohort 0, back wk2
+        (2, 0, "click", 0.0),                                    # cohort 0 only
+        (3, WEEK, "click", 0.0), (3, WEEK + 1, "click", 0.0),    # cohort 1, dedup
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, value double"
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in weekly_cohort_retention(ev).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1}

@@ -246,6 +246,20 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "conversion_funnel": (
+        3,  # ONE conditional-min hash agg per user + the depth re-agg +
+        # output sort; the ordered-sequence predicate is a row
+        # expression, no self-join
+        ["partial_min", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "weekly_cohort_retention": (
+        None,
+        # (user, week) distinct + cohort min + user-key join — no per-week
+        # self-joins, no cartesian
+        ["partial_", "codegen id"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     "events_unpivot": (
         None,
         # native unpivot = Expand (pure 1->N map) over the pivot result —
