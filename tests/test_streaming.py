@@ -344,3 +344,95 @@ def test_sequence_packing_stream_offsets_across_batches(spark, tmp_path):
     got = {r.doc_id: (r.start_offset, r.pack_id) for r in emitted}
     assert got == want, f"stream {got} != batch {want}"
     assert got[3][0] == 3000  # continued, not restarted
+
+
+def test_stream_static_registry_enrichment(spark, tmp_path):
+    """Stream-static join surface: a micro-batch stream of samples
+    enriched against the static channel registry (broadcast per
+    micro-batch — the dimension lookup J3 under streaming execution).
+    Disabled channels drop, options survive onto the stream rows."""
+    import os
+
+    from cassandra_pv_archiver_spark.management import (
+        ChannelConfig,
+        ChannelRegistry,
+    )
+
+    reg = ChannelRegistry(spark, str(tmp_path / "reg") + "/channels")
+    reg._channels = {
+        "X": ChannelConfig("X", enabled=True, options={"tier": "fast"}),
+        "Y": ChannelConfig("Y", enabled=False),
+    }
+    reg._flush()
+    dim = reg.to_df().select(
+        F.col("channel_name").alias("channel"), "enabled", "options"
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "channel string, t long, v double"
+    spark.createDataFrame(
+        [("X", 1, 1.0), ("Y", 2, 2.0), ("X", 3, 3.0)], schema
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "channel").filter(F.col("enabled"))
+    out = []
+    q = (
+        enriched.writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted((r.channel, r.t) for r in out) == [("X", 1), ("X", 3)]
+    assert all(dict(r.options)["tier"] == "fast" for r in out)
+
+
+def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup surface: dropDuplicatesWithinWatermark removes a
+    replayed (channel, t) sample arriving in a LATER micro-batch while
+    its event time is still inside the watermark window — the
+    at-least-once-source guard F5 needs under streaming execution."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "channel string, t long, v double"
+
+    def _write_file(rows, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    NS = 1_000_000_000
+    _write_file([("X", 10 * NS, 1.0), ("X", 20 * NS, 2.0)], "b1", 1_000_000_000)
+    # replay of t=10 plus a genuinely new sample
+    _write_file([("X", 10 * NS, 1.0), ("X", 30 * NS, 3.0)], "b2", 1_000_000_100)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("tts", F.timestamp_micros(F.expr("t div 1000")))
+        .withWatermark("tts", "1 hour")
+        .dropDuplicatesWithinWatermark(["channel", "t"])
+    )
+    out = []
+    q = (
+        stream.writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.t // NS for r in out) == [10, 20, 30]
