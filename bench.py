@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "heartbeat_1h",
     "severity_daily",
     "severity_rollup",
+    "channel_gap_stats",
     "fuzzy_channel_pairs",
     "channel_dim_join",
     "channel_regex",

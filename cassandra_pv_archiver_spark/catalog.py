@@ -1402,3 +1402,51 @@ FROM (SELECT channel, t // {DAY_NS} AS day, severity, v FROM samples)
 GROUP BY ROLLUP(channel, day)
 ORDER BY channel, day
 """
+
+
+GAP_THRESHOLD_NS = 30 * 1_000_000_000
+
+
+def q_channel_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel inter-sample gap analysis via the lag analytic: max
+    gap, mean gap (exact rational), and the count of gaps above the
+    disconnect threshold (30 s — the silence the marker operator T5
+    reacts to). One window over the (channel, t) ordering the load
+    already established — no extra exchange beyond the load's own
+    channel hash."""
+    s = load_samples(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("channel").orderBy("t")
+    g = s.withColumn("_gap", F.col("t") - F.lag("t").over(w)).filter(
+        F.col("_gap").isNotNull()
+    )
+    return (
+        g.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max("_gap").alias("max_gap"),
+            (F.sum("_gap") / F.count(F.lit(1))).alias("mean_gap"),
+            F.sum(
+                (F.col("_gap") > GAP_THRESHOLD_NS).cast("long")
+            ).alias("n_silent"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_CHANNEL_GAP_STATS = f"""
+WITH {SAMPLES_CTE},
+g AS (
+  SELECT channel, t - lag(t) OVER (PARTITION BY channel ORDER BY t) AS gap
+  FROM samples
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(max(gap) AS BIGINT) AS max_gap,
+       CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap,
+       CAST(sum(CASE WHEN gap > {GAP_THRESHOLD_NS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_silent
+FROM g WHERE gap IS NOT NULL
+GROUP BY channel ORDER BY channel
+"""

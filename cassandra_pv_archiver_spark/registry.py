@@ -57,6 +57,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "channel_dim_join": (catalog.q_channel_dim_join, catalog.SQL_CHANNEL_DIM_JOIN),
     "severity_daily": (catalog.q_severity_daily, catalog.SQL_SEVERITY_DAILY),
     "severity_rollup": (catalog.q_severity_rollup, catalog.SQL_SEVERITY_ROLLUP),
+    "channel_gap_stats": (
+        catalog.q_channel_gap_stats,
+        catalog.SQL_CHANNEL_GAP_STATS,
+    ),
     # --- generic relational surface ---
     "tpch_q1": (catalog_generic.q_tpch_q1, catalog_generic.SQL_TPCH_Q1),
     "tpch_q3": (catalog_generic.q_tpch_q3, catalog_generic.SQL_TPCH_Q3),

@@ -246,6 +246,12 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "channel_gap_stats": (
+        2,  # sample-load channel hash (reused by BOTH the lag window and
+        # the per-channel agg) + output sort — one data exchange total
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "conversion_funnel": (
         3,  # ONE conditional-min hash agg per user + the depth re-agg +
         # output sort; the ordered-sequence predicate is a row
