@@ -204,7 +204,12 @@ def test_results_invariant_under_shuffle_partitions(spark):
     sf_dir = "/root/testdata/sf0.001"
     names = ["sessionize_30m", "quality_filtered_stats", "vocab_topk",
              "dedup_incremental", "corpus_correlations",
-             "ann_kmeans_clusters"]
+             "ann_kmeans_clusters",
+             # second-session additions with order-sensitive constructions
+             # (window hold-forward, cumsum packing, tf/df rank, quantized
+             # decimal means, lag gaps)
+             "asof_pair_align", "sequence_packing", "distinctive_terms",
+             "cluster_quality_report", "channel_gap_stats"]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}
