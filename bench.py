@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "events_pivot",
     "events_unpivot",
     "dedup_exact",
+    "dedup_rate_by_source",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_incremental",

@@ -1405,3 +1405,88 @@ ORDER BY af.cluster, lang
 
 
 SQL_CLUSTER_QUALITY_REPORT = _sql_cluster_quality()
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: (labeled lang, predicted lang) cell
+    counts plus per-cell share of the label's row — the classifier-eval
+    report built on the lang_id operator. One hash aggregation over the
+    per-doc predictions; the share denominator is a label-level window
+    (no second scan)."""
+    from pyspark.sql import Window
+
+    preds = text.lang_id(load_table(spark, sf_dir, "documents"))
+    cell = preds.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang_label")
+    return (
+        cell.withColumn("label_total", F.sum("n").over(w))
+        .withColumn("share", F.col("n") / F.col("label_total"))
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
+def _sql_lang_confusion() -> str:
+    whens = []
+    for lang, markers in text.LANG_MARKERS:
+        cond = " OR ".join(f"x = '{m}'" for m in markers)
+        whens.append(f"WHEN len(list_filter(w, x -> {cond})) > 0 THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    return f"""
+WITH d AS (SELECT doc_id, lang AS lang_label, {_W_SQL} AS w FROM documents),
+cell AS (
+  SELECT lang_label, {case} AS lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY lang_label, lang_pred
+)
+SELECT lang_label, lang_pred, n,
+       CAST(sum(n) OVER (PARTITION BY lang_label) AS BIGINT) AS label_total,
+       n / CAST(sum(n) OVER (PARTITION BY lang_label) AS DOUBLE) AS share
+FROM cell ORDER BY lang_label, lang_pred
+"""
+
+
+SQL_LANG_CONFUSION = _sql_lang_confusion()
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: doc counts and exact-duplicate rates
+    (docs whose md5 digest appeared under a LOWER doc_id anywhere in the
+    corpus — cross-source duplicates count against the later copy). One
+    digest-key aggregation + a min-id window; the rate is an exact
+    int/int division."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.md5("text").alias("_dg"))
+    w = Window.partitionBy("_dg")
+    dup = d.withColumn("_keep", F.min("doc_id").over(w)).withColumn(
+        "_is_dup", (F.col("doc_id") != F.col("_keep")).cast("long")
+    )
+    return (
+        dup.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_is_dup").alias("n_dups"),
+            (F.sum("_is_dup") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DEDUP_RATE_BY_SOURCE = """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS dg FROM documents
+),
+k AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY dg)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       sum(is_dup) / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM k GROUP BY source ORDER BY source
+"""

@@ -139,6 +139,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "text_metrics": (catalog_data.q_text_metrics, catalog_data.SQL_TEXT_METRICS),
     "oov_rate": (catalog_data.q_oov_rate, catalog_data.SQL_OOV_RATE),
+    "lang_confusion": (
+        catalog_data.q_lang_confusion,
+        catalog_data.SQL_LANG_CONFUSION,
+    ),
+    "dedup_rate_by_source": (
+        catalog_data.q_dedup_rate_by_source,
+        catalog_data.SQL_DEDUP_RATE_BY_SOURCE,
+    ),
     "distinctive_terms": (
         catalog_data.q_distinctive_terms,
         catalog_data.SQL_DISTINCTIVE_TERMS,

@@ -246,6 +246,18 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "lang_confusion": (
+        None,
+        # one hash agg over per-doc predictions; the share denominator is
+        # a label-partition window over the tiny cell table
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "dedup_rate_by_source": (
+        3,  # digest-key window + source agg + output sort
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "channel_gap_stats": (
         2,  # sample-load channel hash (reused by BOTH the lag window and
         # the per-channel agg) + output sort — one data exchange total
