@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "weekly_cohort_retention",
     "events_sliding_1h",
     "events_pivot",
+    "events_dow_profile",
     "events_unpivot",
     "dedup_exact",
     "dedup_rate_by_source",
@@ -81,6 +82,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "vocab_topk",
     "doc_sample_10pct",
+    "balanced_sample_per_lang",
     "contamination_3gram",
     "stratified_split",
     "sequence_packing",

@@ -1490,3 +1490,39 @@ SELECT source,
        sum(is_dup) / CAST(count(*) AS DOUBLE) AS dup_rate
 FROM k GROUP BY source ORDER BY source
 """
+
+
+BALANCED_K = 20
+
+
+def q_balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota balanced sampling: exactly K docs per language, chosen
+    by deterministic md5-hash order (rank window per stratum) — the
+    balanced-eval-set draw. Reproducible on any cluster and in the
+    oracle; one hash exchange on the stratum key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("_h"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BALANCED_K)
+        .select("doc_id", "lang", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+SQL_BALANCED_SAMPLE_PER_LANG = f"""
+WITH h AS (
+  SELECT doc_id, lang, md5('bal:' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rank
+  FROM h)
+WHERE rank <= {BALANCED_K}
+ORDER BY lang, rank
+"""

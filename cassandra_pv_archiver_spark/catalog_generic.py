@@ -1324,3 +1324,33 @@ FROM uw JOIN c USING (user_id)
 GROUP BY cohort_week, week_offset
 ORDER BY cohort_week, week_offset
 """
+
+
+def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity profile. Calendar fields are derived with
+    pure epoch arithmetic (1970-01-01 was a Thursday: dow = (epoch_day +
+    4) % 7, 0 = Sunday) instead of engine date functions, whose
+    week-numbering conventions differ — the arithmetic is bit-identical
+    everywhere. One hash aggregation."""
+    ev = load_events(spark, sf_dir)
+    day = f"(ts div {86_400 * 1_000_000_000})"
+    hod = f"((ts div {3_600 * 1_000_000_000}) % 24)"
+    return (
+        ev.select(
+            F.expr(f"CAST(({day} + 4) % 7 AS INT)").alias("dow"),
+            F.expr(f"CAST({hod} AS INT)").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("dow", "hour")
+    )
+
+
+SQL_EVENTS_DOW_PROFILE = f"""
+SELECT CAST((epoch_ns(ts) // {86_400 * 1_000_000_000} + 4) % 7 AS INTEGER) AS dow,
+       CAST((epoch_ns(ts) // {3_600 * 1_000_000_000}) % 24 AS INTEGER) AS hour,
+       count(*) AS n_events
+FROM events
+GROUP BY dow, hour
+ORDER BY dow, hour
+"""

@@ -89,6 +89,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_events_unpivot,
         catalog_generic.SQL_EVENTS_UNPIVOT,
     ),
+    "events_dow_profile": (
+        catalog_generic.q_events_dow_profile,
+        catalog_generic.SQL_EVENTS_DOW_PROFILE,
+    ),
     "conversion_funnel": (
         catalog_generic.q_conversion_funnel,
         catalog_generic.SQL_CONVERSION_FUNNEL,
@@ -139,6 +143,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "text_metrics": (catalog_data.q_text_metrics, catalog_data.SQL_TEXT_METRICS),
     "oov_rate": (catalog_data.q_oov_rate, catalog_data.SQL_OOV_RATE),
+    "balanced_sample_per_lang": (
+        catalog_data.q_balanced_sample_per_lang,
+        catalog_data.SQL_BALANCED_SAMPLE_PER_LANG,
+    ),
     "lang_confusion": (
         catalog_data.q_lang_confusion,
         catalog_data.SQL_LANG_CONFUSION,

@@ -246,6 +246,16 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "events_dow_profile": (
+        2,  # pure epoch-arithmetic keys -> ONE partial-agg groupBy + sort
+        ["partial_count", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "balanced_sample_per_lang": (
+        2,  # one stratum-key exchange for the rank window + output sort
+        ["Window", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "lang_confusion": (
         None,
         # one hash agg over per-doc predictions; the share denominator is
