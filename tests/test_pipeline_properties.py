@@ -233,3 +233,38 @@ def test_asof_align_equals_per_row_probe(spark, tv):
         earlier = [r for r in ref_ts if r <= t]
         want = float(max(earlier) * 10) if earlier else None
         assert got[t] == want, f"t={t}: {got[t]} != {want}"
+
+
+packing_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=999),  # doc_id
+        st.integers(min_value=1, max_value=5000),  # n_tokens
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(packing_strategy)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sequence_packing_invariants(spark, rows):
+    """Packing invariants on random inputs: within each shard stream the
+    offsets are the exclusive prefix sums of doc_id-ordered token counts
+    (gapless, non-overlapping), and pack_id == start_offset // window."""
+    from cassandra_pv_archiver_spark.operators.sampling import sequence_packing
+
+    d = spark.createDataFrame(
+        [(i, "en", n) for i, n in rows], "doc_id long, lang string, n_tokens long"
+    )
+    out = sequence_packing(d, window_tokens=2048, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+        assert r.pack_id == r.start_offset // 2048
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        acc = 0
+        for r in rs:
+            assert r.start_offset == acc, (r, acc)
+            acc += r.n_tokens
