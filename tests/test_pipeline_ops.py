@@ -360,3 +360,24 @@ def test_weekly_cohort_retention_offsets(spark):
         for r in weekly_cohort_retention(ev).collect()
     }
     assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1}
+
+
+def test_channel_gap_stats_hand_computed(spark, tmp_path, monkeypatch):
+    from cassandra_pv_archiver_spark.catalog import q_channel_gap_stats
+    import cassandra_pv_archiver_spark.catalog as cat
+
+    NS = 1_000_000_000
+    # X: gaps 10s, 40s (one silent at >30s); Y: single sample, no gaps
+    rows = [("X", 0, 1.0), ("X", 10 * NS, 2.0), ("X", 50 * NS, 3.0),
+            ("Y", 5 * NS, 4.0)]
+    s = spark.createDataFrame(rows, "channel string, t long, v double")
+    monkeypatch.setattr(
+        cat, "load_samples", lambda spark_, sf_dir_, **kw: s
+    )
+    got = {r.channel: r for r in q_channel_gap_stats(spark, "unused").collect()}
+    assert set(got) == {"X"}  # Y has no gaps -> no row
+    x = got["X"]
+    assert x.n_gaps == 2
+    assert x.max_gap == 40 * NS
+    assert x.mean_gap == 25 * NS
+    assert x.n_silent == 1
