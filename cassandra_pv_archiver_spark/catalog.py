@@ -1450,3 +1450,134 @@ SELECT channel,
 FROM g WHERE gap IS NOT NULL
 GROUP BY channel ORDER BY channel
 """
+
+
+# ---------------------------------------------------------------------------
+# S6 retention sweep / S8 + C5 config round-trip (driver-checked)
+# ---------------------------------------------------------------------------
+
+def q_retention_sweep_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 driver-checked end-to-end: raw batch -> partitioned archive store
+    -> retention sweep at a data-derived cutoff -> per-channel survivor
+    stats. ``delete_older_than`` drops whole date partitions below the
+    cutoff date (metadata-only, the analog of the reference's bucket drops,
+    `ArchivedChannelDecimationLevel.java:1097-1320`) and rewrites only the
+    boundary partition with the exact ``t >= cutoff`` predicate, so the
+    read-back must equal a plain ``t >= cutoff`` filter over the input —
+    which is exactly what the oracle computes. Retention is ~half the span
+    (all integer ns arithmetic, reproduced bit-for-bit in SQL)."""
+    import tempfile
+
+    from .plans.jobs import retention_sweep
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(
+        spark, tempfile.mkdtemp(prefix="pvarch_ret_") + "/archive"
+    )
+    raw = load_samples(spark, sf_dir).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    tmin, tmax = raw.agg(F.min("t"), F.max("t")).first()
+    if tmin is None:
+        return spark.createDataFrame(
+            [], "channel string, n_kept long, t_first long, t_last long"
+        )
+    store.write_samples(raw, level=0)
+    retention_s = int((tmax - tmin) // (2 * NS) + 1)
+    now_ns = int(tmax + NS)
+    retention_sweep(store, {0: retention_s}, now_ns)
+    return (
+        store.read_samples(0)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("t").alias("t_first"),
+            F.max("t").alias("t_last"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_RETENTION_SWEEP_DAILY = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM samples),
+c AS (
+  SELECT tmax + {NS} - ((tmax - tmin) // (2 * {NS}) + 1) * {NS} AS cutoff
+  FROM b
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last
+FROM samples, c
+WHERE t >= c.cutoff
+GROUP BY channel ORDER BY channel
+"""
+
+
+def q_config_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 + C5 driver-checked: derive a deterministic per-channel
+    configuration from the corpus (enabled = even PV number; an extra 60 s
+    decimation level for every third channel; an option carrying the
+    url-encoded channel name), export it to the reference XML schema
+    (`ArchiveServerConfigurationXmlExport.java:55-190`), re-import, and
+    return the round-tripped table. The output matches the oracle only if
+    export -> import is lossless across every field family (attributes with
+    defaults omitted, decimation levels, control-system options) AND the
+    C5 url codec percent-encodes exactly like the oracle's ``replace``.
+
+    The channel list is a bounded dimension (the registry is driver-side
+    metadata by design, like the reference's channel config tables), so the
+    one ``collect()`` here is a dimension read, not a data-path collect."""
+    from . import management as M
+
+    chans = sorted(
+        r[0]
+        for r in load_samples(spark, sf_dir).select("channel").distinct().collect()
+    )
+    cfgs = []
+    for name in chans:
+        num = int(name.split(":", 1)[1])
+        levels = {0: 0, 3600: 30 * 86400}
+        if num % 3 == 0:
+            levels[60] = 86400
+        cfgs.append(
+            M.ChannelConfig(
+                channel_name=name,
+                enabled=(num % 2 == 0),
+                decimation_levels=levels,
+                options={"display_name": M.url_encode(name)},
+            )
+        )
+    back = M.import_xml(M.export_xml(cfgs))
+    rows = [
+        (
+            c.channel_name,
+            c.control_system_type,
+            c.enabled,
+            ",".join(
+                f"{p}:{r}" for p, r in sorted(c.decimation_levels.items())
+            ),
+            c.options["display_name"],
+        )
+        for c in back
+    ]
+    schema = (
+        "channel_name string, control_system_type string, enabled boolean,"
+        " levels string, display_name string"
+    )
+    return spark.createDataFrame(rows, schema).orderBy("channel_name")
+
+
+SQL_CONFIG_XML_ROUNDTRIP = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+ch AS (SELECT DISTINCT channel FROM samples),
+n AS (SELECT channel, CAST(substr(channel, 4) AS INTEGER) AS num FROM ch)
+SELECT channel AS channel_name,
+       'channel_access' AS control_system_type,
+       (num % 2 = 0) AS enabled,
+       CASE WHEN num % 3 = 0 THEN '0:0,60:86400,3600:2592000'
+            ELSE '0:0,3600:2592000' END AS levels,
+       replace(channel, ':', '%3A') AS display_name
+FROM n ORDER BY channel_name
+"""

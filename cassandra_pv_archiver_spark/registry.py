@@ -37,6 +37,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_archive_incremental_1h,
         catalog.SQL_ARCHIVE_INCREMENTAL_1H,
     ),
+    "retention_sweep_daily": (
+        catalog.q_retention_sweep_daily,
+        catalog.SQL_RETENTION_SWEEP_DAILY,
+    ),
+    "config_xml_roundtrip": (
+        catalog.q_config_xml_roundtrip,
+        catalog.SQL_CONFIG_XML_ROUNDTRIP,
+    ),
     "stream_lifecycle_1h": (
         catalog.q_stream_lifecycle_1h,
         catalog.SQL_STREAM_LIFECYCLE_1H,
