@@ -1581,3 +1581,86 @@ SELECT channel AS channel_name,
        replace(channel, ':', '%3A') AS display_name
 FROM n ORDER BY channel_name
 """
+
+
+def q_missing_level_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 driver-checked: reading a decimation level that was never
+    configured/written yields an EMPTY result with the level's stable
+    schema — not an error (`ArchiveAccessServiceImpl.java:794-805`). The
+    store is real (raw level written) so the path exercises the per-level
+    existence check, not a missing root. The driver compares the empty
+    frame's schema and (vacuous) value hash against the oracle's
+    zero-row projection, pinning both the emptiness AND the column
+    types."""
+    import tempfile
+
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(
+        spark, tempfile.mkdtemp(prefix="pvarch_f4_") + "/archive"
+    )
+    raw = load_samples(spark, sf_dir).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    store.write_samples(raw, level=0)
+    return store.read_samples(PERIOD_1H).select(
+        "channel", "t", "mean", "n_samples", "quality"
+    )
+
+
+SQL_MISSING_LEVEL_EMPTY = """
+SELECT CAST(NULL AS VARCHAR) AS channel,
+       CAST(NULL AS BIGINT) AS t,
+       CAST(NULL AS DOUBLE) AS mean,
+       CAST(NULL AS BIGINT) AS n_samples,
+       CAST(NULL AS VARCHAR) AS quality
+WHERE FALSE
+"""
+
+
+def q_compact_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7-analog driver-checked: the compaction pass (`archive_store.
+    compact`, the OPTIMIZE rewrite standing in for the reference's 96 MB
+    bucket-size rollover bookkeeping) must be LOSSLESS. The raw series is
+    written in two interleaved appends (fragmenting every date partition),
+    compacted to one sorted file per partition, and read back; per-channel
+    row counts, distinct-timestamp counts, and time bounds must equal a
+    straight aggregation over the input — any dropped, duplicated, or
+    corrupted row moves one of them."""
+    import tempfile
+
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(
+        spark, tempfile.mkdtemp(prefix="pvarch_cmp_") + "/archive"
+    )
+    raw = load_samples(spark, sf_dir).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    # two appends -> >= 2 files per touched date partition pre-compact
+    store.write_samples(raw.filter(F.expr("pmod(t div 1000, 2) = 0")), level=0)
+    store.write_samples(raw.filter(F.expr("pmod(t div 1000, 2) = 1")), level=0)
+    store.compact(0)
+    return (
+        store.read_samples(0)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("t").alias("n_ts"),
+            F.min("t").alias("t_first"),
+            F.max("t").alias("t_last"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_COMPACT_INVARIANCE = f"""
+WITH {SAMPLES_CTE.strip().rstrip()}
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_ts,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last
+FROM samples
+GROUP BY channel ORDER BY channel
+"""

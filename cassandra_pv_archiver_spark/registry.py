@@ -45,6 +45,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_config_xml_roundtrip,
         catalog.SQL_CONFIG_XML_ROUNDTRIP,
     ),
+    "missing_level_empty": (
+        catalog.q_missing_level_empty,
+        catalog.SQL_MISSING_LEVEL_EMPTY,
+    ),
+    "compact_invariance": (
+        catalog.q_compact_invariance,
+        catalog.SQL_COMPACT_INVARIANCE,
+    ),
     "stream_lifecycle_1h": (
         catalog.q_stream_lifecycle_1h,
         catalog.SQL_STREAM_LIFECYCLE_1H,
