@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "range_limit_modes",
     "decimate_1h",
     "decimate_cascade_6h",
+    "decimate_cascade_1d",
     "decimate_mixed_1h",
     "decimate_typed_1h",
     "json_v1_typed_1h",

@@ -1664,3 +1664,31 @@ SELECT channel,
 FROM samples
 GROUP BY channel ORDER BY channel
 """
+
+
+PERIOD_1D = 86400
+
+
+def q_decimate_cascade_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 at depth 3: raw -> 1 h -> 6 h -> 1 d, re-aggregating data that is
+    itself re-aggregated. The reference maintains arbitrary decimation-level
+    stacks this same way — each level is generated from the NEXT-FINER
+    level, never from raw (`ArchivedChannelDecimationLevel.java`
+    source-level selection) — so the algebra (weight = hold-forward
+    validity x covered_fraction, variance via Σw·(std²+mean²)) has to
+    recombine associatively through two stages. The oracle chains the same
+    CTE builder twice, so any drift between one- and two-stage
+    recombination (weight normalization, severity first-wins tie order,
+    hold-forward clipping at the high-water mark) breaks the hash."""
+    dec1h = decimate(load_samples(spark, sf_dir), PERIOD_1H)
+    dec6h = reaggregate(dec1h, PERIOD_1H, PERIOD_6H)
+    return reaggregate(dec6h, PERIOD_6H, PERIOD_1D).orderBy("channel", "t")
+
+
+SQL_DECIMATE_CASCADE_1D = f"""
+WITH {SAMPLES_CTE},
+{_dec_ctes(PERIOD_1H)},
+{_reagg_ctes(PERIOD_6H)},
+{_reagg_ctes(PERIOD_1D, src="reagg", out="reagg2")}
+SELECT * FROM reagg2 ORDER BY channel, t
+"""

@@ -27,6 +27,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_decimate_cascade_6h,
         catalog.SQL_DECIMATE_CASCADE_6H,
     ),
+    "decimate_cascade_1d": (
+        catalog.q_decimate_cascade_1d,
+        catalog.SQL_DECIMATE_CASCADE_1D,
+    ),
     "pick_first_1h": (catalog.q_pick_first_1h, catalog.SQL_PICK_FIRST_1H),
     "decimate_mixed_1h": (catalog.q_decimate_mixed_1h, catalog.SQL_DECIMATE_MIXED_1H),
     "decimate_typed_1h": (catalog.q_decimate_typed_1h, catalog.SQL_DECIMATE_TYPED_1H),
