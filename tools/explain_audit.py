@@ -35,6 +35,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["codegen id"],
         ["CartesianProduct"],
     ),
+    "decimate_cascade_1d": (
+        # hash(channel) from the load is reused by BOTH reaggregation
+        # stages — a depth-3 cascade still pays only the initial channel
+        # exchange + the output range sort (measured 2; budget 3)
+        3,
+        ["codegen id"],
+        ["CartesianProduct"],
+    ),
     "tpch_q3": (
         None,
         ["BroadcastHashJoin", "PushedFilters"],
