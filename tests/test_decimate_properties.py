@@ -161,3 +161,37 @@ def test_cascade_recombines_to_direct_decimation(spark, series):
         # boundary counts once per fine window it seeds — >= the direct
         # path's count of distinct weighted parts.
         assert r.n_samples >= d.n_samples
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(sample_series())
+def test_deep_cascade_recombines_to_direct_decimation(spark, series):
+    """Depth-3 stack (p -> 2p -> 4p) recombines to the direct 4p
+    decimation — the associativity the production level hierarchy relies
+    on (each level is built from the next-finer level, never from raw).
+    Tolerances match the single-stage test; quantization error compounds
+    once more through the second stage."""
+    df = spark.createDataFrame(
+        [("X", t, v, s, st_) for t, v, s, st_ in series],
+        "channel string, t long, v double, severity int, status int",
+    )
+    direct = {r.t: r for r in decimate(df, 4 * PERIOD_S).collect()}
+    fine = decimate(df, PERIOD_S)
+    mid = reaggregate(fine, PERIOD_S, 2 * PERIOD_S)
+    casc = {
+        r.t: r
+        for r in reaggregate(mid, 2 * PERIOD_S, 4 * PERIOD_S).collect()
+    }
+    assert set(casc) <= set(direct)
+    for t, r in casc.items():
+        d = direct[t]
+        assert abs(r.mean - d.mean) < 1e-2, (t, r.mean, d.mean)
+        assert abs(r.std - d.std) < 1e-1, (t, r.std, d.std)
+        assert r.vmin == d.vmin and r.vmax == d.vmax
+        assert abs(r.covered_fraction - d.covered_fraction) < 1e-3
+        assert r.severity == d.severity and r.status == d.status
+        assert r.n_samples >= d.n_samples
