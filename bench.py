@@ -140,17 +140,46 @@ def main() -> None:
             prev = timings.get(name)
             timings[name] = round(dt if prev is None else min(prev, dt), 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # Full per-query timings go to a sidecar file; the driver's stdout
+    # capture keeps only the LAST 2000 bytes, so the final printed line must
+    # stay comfortably under that (round 2 lost its bench record to a
+    # beheaded 2.5 kB line). The printed "queries" dict is filled with the
+    # slowest queries first until the serialized line would exceed the
+    # budget; bench_details.json always has all of them.
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+    )
+    with open(details_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+            },
+            fh,
         )
-    )
+
+    line_budget = 1600  # hard driver cap is 2000; leave margin for a \n etc.
+    shown: dict[str, float] = {}
+    base = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": shown,
+        "sf": sf,
+        "n_queries": len(timings),
+        "details": "bench_details.json",
+    }
+    for name in sorted(timings, key=timings.get, reverse=True):
+        shown[name] = timings[name]
+        if len(json.dumps(base, separators=(",", ":"))) > line_budget:
+            del shown[name]
+            break
+    print(json.dumps(base, separators=(",", ":")))
 
 
 if __name__ == "__main__":

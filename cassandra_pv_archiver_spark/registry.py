@@ -268,6 +268,38 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+#: Queries the driver already hash-verified green in CORRECTNESS_r02.json.
+#: The driver samples the registry front-to-back under a runtime budget
+#: (r02 covered exactly the first 50 entries), so the never-driver-checked
+#: queries are moved to the FRONT for round 3 to maximize fresh coverage;
+#: previously-green queries follow and re-verify if budget remains.
+_DRIVER_GREEN_R02 = [
+    "raw_scan", "raw_latest_n", "asof_before", "asof_after",
+    "asof_pair_align", "range_limit_modes", "decimate_1h",
+    "decimate_cascade_6h", "decimate_cascade_1d", "pick_first_1h",
+    "decimate_mixed_1h", "decimate_typed_1h", "json_v1_mixed_1h",
+    "json_v1_typed_1h", "json_v1_raw_typed", "archive_incremental_1h",
+    "retention_sweep_daily", "config_xml_roundtrip", "missing_level_empty",
+    "compact_invariance", "stream_lifecycle_1h", "union_levels",
+    "planner_fallback", "channel_glob", "channel_regex",
+    "fuzzy_channel_pairs", "enabling_link", "rate_limit_10m",
+    "heartbeat_1h", "markers_disconnect", "monotonic_stats",
+    "channel_dim_join", "severity_daily", "severity_rollup",
+    "channel_gap_stats", "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q22",
+]
+
+_checked = set(_DRIVER_GREEN_R02)
+REGISTRY = {
+    name: REGISTRY[name]
+    for name in (
+        [n for n in REGISTRY if n not in _checked]
+        + [n for n in _DRIVER_GREEN_R02 if n in REGISTRY]
+    )
+}
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
