@@ -903,15 +903,23 @@ ORDER BY id_a, id_b
 """
 
 
-#: SRP banding for the catalog corpus: 12-bit buckets (4096/band — expected
-#: occupancy 0.12 at sf0.01's 500 vectors, 0.5 at sf0.1's 2000) keep the
-#: same-bucket candidate set well under n·log2(n); 32 bands buy back recall
-#: (S-curve 1-(1-p^12)^32). Production entry point auto-sizes bits from the
-#: corpus (similarity.auto_srp_bits); the catalog pins them so the oracle
-#: SQL is a fixed string.
-SRP_N_BITS = 12
+#: SRP banding for the catalog corpus. τ=0.4 is the weak-gap LSH regime
+#: (p≈0.63/bit vs 0.5 for random pairs, LSH exponent ρ≈0.66): NO
+#: sign-projection banding is simultaneously high-recall and truly
+#: sub-quadratic here, so the catalog buys measured recall 0.508 (≥ the
+#: 0.5 floor pinned in tests/test_similarity.py) with 8-bit buckets +
+#: full Hamming-1 multi-probe at ~34 % of the quadratic candidate set at
+#: sf0.01 — the recall-vs-probes/bits trade is tabulated in PERF.md.
+#: Round 2's 12-bit no-probe config was an 8.5 %-recall detector at this
+#: same threshold. Production entry points auto-size bits from the corpus
+#: (similarity.auto_srp_bits, keeps candidates O(n) at near-dup
+#: thresholds); the catalog pins them so the oracle SQL is a fixed
+#: string. Probe buckets are integer XORs (bucket ^ (1<<k)), so the
+#: DuckDB oracle reproduces the pair set exactly.
+SRP_N_BITS = 8
 SRP_N_BANDS = 32
 SRP_SEED = 0x9E3779B9
+SRP_N_PROBES = SRP_N_BITS  # full Hamming-1 neighborhood
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,7 +930,8 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall floor vs the exact baseline pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.srp_near_pairs(
-        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS
+        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS,
+        n_probes=SRP_N_PROBES,
     ).orderBy("id_a", "id_b")
 
 
@@ -957,10 +966,18 @@ def _srp_pair_ctes(dim: int = 64, p: str = "") -> str:
   SELECT vec_id, g.band, {bucket} AS bucket
   FROM {p}sig, LATERAL (SELECT unnest(range(0, {SRP_N_BANDS})) AS band) g
 ),
+{p}probed AS (
+  SELECT vec_id, band,
+         unnest(list_prepend(bucket,
+           list_transform(range(0, {SRP_N_PROBES}),
+                          k -> xor(bucket, CAST(1 AS BIGINT) << k)))) AS bucket
+  FROM {p}banded
+),
 {p}cand AS (
-  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-  FROM {p}banded x JOIN {p}banded y
-    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+  SELECT DISTINCT least(x.vec_id, y.vec_id) AS id_a,
+                  greatest(x.vec_id, y.vec_id) AS id_b
+  FROM {p}probed x JOIN {p}banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id != y.vec_id
 ),
 {p}vpairs AS (
   SELECT c.id_a, c.id_b, round({_DOT_AB} / ({_N_A} * {_N_B}), 4) AS sim
@@ -982,7 +999,8 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (semantic dedup — the embedding analog of dedup_clusters)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.srp_near_pairs(
-        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS
+        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS,
+        n_probes=SRP_N_PROBES,
     )
     comp = dedup.connected_components(
         pairs, emb.select("vec_id"), id_col="vec_id"
@@ -1032,7 +1050,8 @@ def q_crossmodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ids), F.col("id_b") == ids["_eid"]).drop("_eid")
     )
     ep = similarity.srp_near_pairs(
-        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS
+        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS,
+        n_probes=SRP_N_PROBES,
     ).select(
         F.col("id_a").alias("_ea"), F.col("id_b").alias("_eb"), "sim"
     )

@@ -80,37 +80,58 @@ def test_ivf_recall_vs_exact(spark):
             assert abs(es[(r.q_id, r.vec_id)] - r.sim) < 1e-9
 
 
-def test_srp_candidates_subquadratic_at_catalog_params(spark):
-    """The catalog's banding (12-bit buckets, 32 bands) must keep the
-    same-bucket candidate set well under n*log2(n) on the real sf0.01
-    corpus (n=500) — the round-1 config (6-bit buckets) was ~n^2/64."""
-    from cassandra_pv_archiver_spark.catalog_data import SRP_N_BANDS, SRP_N_BITS
-
+def test_srp_candidates_subquadratic_at_auto_params(spark):
+    """Auto-sized no-probe banding (the production scale path) must keep
+    the same-bucket candidate set well under n*log2(n) on the real sf0.01
+    corpus (n=500) — the round-1 fixed-6-bit config was ~n^2/64."""
     emb = load_table(spark, SF_DIR, "embeddings")
     n = emb.count()
     n_cand = similarity.srp_candidate_pairs(
-        emb, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS
+        emb, n_bits=None, n_bands=32
     ).count()
     # c = 2: real embeddings have correlated dims, so projection buckets
     # are skewed ~8x above the uniform n^2*L/2^bits expectation (~1k);
-    # measured 7.7k at n=500 — still 16x under the old 6-bit config and
-    # O(n) in expectation thanks to auto-sized bucket width.
+    # measured 7.7k at n=500 — O(n) in expectation thanks to auto-sized
+    # bucket width (auto_srp_bits(500) = 12).
     budget = 2 * n * math.log2(n)
     assert n_cand <= budget, f"{n_cand} candidates > 2*n*log2(n) = {budget:.0f}"
 
 
+def test_srp_multiprobe_candidate_budget_at_catalog_params(spark):
+    """The catalog's recall-repair config (8-bit buckets + Hamming-1
+    probes, see catalog_data.SRP_*) deliberately spends more candidates
+    than the auto-sized path — the weak-gap τ=0.4 regime has no
+    high-recall sub-n^1.66 plan — but must stay well inside the
+    quadratic brute-force budget it exists to avoid. Measured 43k vs
+    n(n-1)/2 = 124.75k at n=500 (~34 %)."""
+    from cassandra_pv_archiver_spark.catalog_data import (
+        SRP_N_BANDS,
+        SRP_N_BITS,
+        SRP_N_PROBES,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    n_cand = similarity.srp_candidate_pairs(
+        emb, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS, n_probes=SRP_N_PROBES
+    ).count()
+    assert n_cand <= 0.40 * n * (n - 1) / 2, f"{n_cand} candidates"
+
+
 def test_srp_recall_floor_at_catalog_params(spark):
-    """Measured recall floor of the catalog LSH query vs the exact O(n^2)
-    baseline at tau=0.4. This threshold is the weak-gap LSH regime
-    (theta ~ 66 deg, p ~ 0.63 per bit vs 0.5 for random pairs) — no
-    sign-projection family is simultaneously high-recall and
-    sub-quadratic here, so the floor is modest BY DESIGN and documented;
-    the planted-near-dup test above shows recall ~ 1 where LSH applies
-    (tau >= 0.9)."""
+    """Measured recall of the catalog LSH query vs the exact O(n^2)
+    baseline at ITS OWN threshold tau=0.4 must be >= 0.5. tau=0.4 is the
+    weak-gap LSH regime (theta ~ 66 deg, p ~ 0.63 per bit vs 0.5 for
+    random pairs); round 2's plain 12-bit banding measured 0.085 here.
+    The catalog config (8-bit buckets + full Hamming-1 multi-probe, 32
+    bands) measures 0.508 — everything is deterministic (fixed seed,
+    fixed corpus), so the floor is exact, not flaky. The planted-near-dup
+    test above shows recall ~ 1 where plain LSH applies (tau >= 0.9)."""
     from cassandra_pv_archiver_spark.catalog_data import (
         NEAR_DUP_TAU,
         SRP_N_BANDS,
         SRP_N_BITS,
+        SRP_N_PROBES,
     )
 
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -121,14 +142,38 @@ def test_srp_recall_floor_at_catalog_params(spark):
     lsh = {
         (r.id_a, r.id_b)
         for r in similarity.srp_near_pairs(
-            emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS
+            emb,
+            NEAR_DUP_TAU,
+            n_bits=SRP_N_BITS,
+            n_bands=SRP_N_BANDS,
+            n_probes=SRP_N_PROBES,
         ).collect()
     }
     assert lsh <= brute  # precision 1 (exact verify)
     recall = len(lsh & brute) / len(brute)
-    # measured 0.085 at sf0.01 — the S-curve ceiling at these params is
-    # ~0.12-0.22 for sims in [0.40, 0.51]; floor stated with margin
-    assert recall >= 0.05, f"recall {recall} below documented floor"
+    assert recall >= 0.5, f"recall {recall} below 0.5 floor (measured 0.508)"
+
+
+def test_srp_multiprobe_superset_of_plain_banding(spark):
+    """Hamming-1 probing can only ADD candidate pairs: the multi-probe
+    verified pair set must contain the plain-banding pair set at
+    identical bits/bands (guaranteed because probe list is prepended with
+    the base bucket)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plain = {
+        (r.id_a, r.id_b)
+        for r in similarity.srp_near_pairs(
+            emb, 0.4, n_bits=8, n_bands=8, n_probes=0
+        ).collect()
+    }
+    probed = {
+        (r.id_a, r.id_b)
+        for r in similarity.srp_near_pairs(
+            emb, 0.4, n_bits=8, n_bands=8, n_probes=8
+        ).collect()
+    }
+    assert plain <= probed
+    assert len(probed) > len(plain)  # probes find strictly more at tau=0.4
 
 
 def test_auto_srp_bits_scales_with_corpus():
