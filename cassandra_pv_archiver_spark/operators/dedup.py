@@ -56,17 +56,38 @@ def shingles(
     )
 
 
+#: Same cap as similarity.EXACT_PAIRS_MAX_ROWS: the exact all-pairs
+#: baselines exist to anchor recall tests and oracles, not to run on a
+#: production corpus.
+EXACT_PAIRS_MAX_DOCS = 100_000
+
+
 def jaccard_pairs(
-    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_docs: int | None = EXACT_PAIRS_MAX_DOCS,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard over documents sharing >= 1 shingle.
 
     Exact but quadratic in per-shingle document frequency — the oracle
-    baseline; use :func:`minhash_lsh_pairs` at scale.  Jaccard stays an
-    unrounded int/int division: bit-identical across engines (rounding the
-    exact rational could land on decimal ties where engines disagree).
+    baseline; use :func:`minhash_lsh_pairs` at scale (corpora above
+    ``max_docs`` documents are refused with a pointer at it; the distinct
+    count is one bounded job). Jaccard stays an unrounded int/int
+    division: bit-identical across engines (rounding the exact rational
+    could land on decimal ties where engines disagree).
     Returns: id_a, id_b (a < b), jaccard, n_common.
     """
+    if max_docs is not None:
+        n_docs = sh.select(id_col).distinct().count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"jaccard_pairs: {n_docs} documents; the all-shared-shingle "
+                f"pair join is quadratic in per-shingle doc frequency and is "
+                f"capped at {max_docs} docs as an oracle baseline. Use "
+                "dedup.minhash_lsh_pairs (banded MinHash) for large corpora, "
+                "or pass max_docs=None to override deliberately."
+            )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

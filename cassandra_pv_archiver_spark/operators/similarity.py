@@ -61,16 +61,41 @@ def cosine_topk(
     )
 
 
+#: Refuse the exact all-pairs baselines above this input size: 100k rows is
+#: already 5e9 candidate pairs — far past where the LSH paths win, and a
+#: plausible accidental "run it on the corpus" foot-gun at real scale.
+EXACT_PAIRS_MAX_ROWS = 100_000
+
+
+def _guard_exact_pairs(n: int, op: str, alternative: str, max_rows: int | None):
+    if max_rows is not None and n > max_rows:
+        raise ValueError(
+            f"{op}: input has {n} rows; the exact all-pairs scan is O(n^2) "
+            f"and is capped at {max_rows} rows as a recall/oracle baseline. "
+            f"Use {alternative} for large corpora, or pass max_rows=None to "
+            "override deliberately."
+        )
+
+
 def cosine_near_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: all (a, b), a < b, with
     ``cos(a, b) >= threshold``. O(n²) baseline — the oracle/recall anchor
-    for the LSH-bucketed scale path. Returns: id_a, id_b, sim."""
+    for the LSH-bucketed scale path (:func:`srp_near_pairs`), and the ONE
+    place the plan audit permits a CartesianProduct. Inputs larger than
+    ``max_rows`` are refused with a pointer at the LSH path (the count is
+    a single bounded metadata job). Returns: id_a, id_b, sim."""
+    _guard_exact_pairs(
+        emb.count(), "cosine_near_pairs",
+        "similarity.srp_near_pairs (SRP-LSH buckets + exact verify)",
+        max_rows,
+    )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

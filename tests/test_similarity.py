@@ -230,3 +230,14 @@ def test_kmeans_ivf_recall_vs_exact(spark):
         kv.setdefault(r.q_id, set()).add(r.vec_id)
     recalls = [len(ex[q] & kv.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_exact_cosine_guard_refuses_large_corpus(spark):
+    """The O(n^2) exact baseline must refuse oversized inputs with a
+    pointer at the SRP-LSH scale path (VERDICT r2 #6)."""
+    import pytest
+
+    emb = _clustered_embeddings(spark, n_clusters=4, per_cluster=3)
+    with pytest.raises(ValueError, match="srp_near_pairs"):
+        similarity.cosine_near_pairs(emb, 0.9, max_rows=5).count()
+    assert similarity.cosine_near_pairs(emb, 0.9, max_rows=None).count() >= 0
