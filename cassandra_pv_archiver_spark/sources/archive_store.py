@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .fs import HadoopFS
+from .manifest import ManifestTable
 
 NS = 1_000_000_000
 DAY_NS = 86_400 * NS
@@ -80,12 +81,25 @@ class ArchiveStore:
     def _level_path(self, level: int) -> str:
         return f"{self.samples_path}/decimation_level={level}"
 
+    def _level_table(self, level: int) -> ManifestTable:
+        """Each decimation level is a ManifestTable: immutable data files
+        + one rename-committed manifest per version — the crash-safe
+        commit protocol (see sources/manifest.py; the reference's
+        pending-operations table, `ChannelMetaDataDAOImpl.java:
+        2124-2144`). Readers resolve the manifest, so append, compact and
+        retention swaps are atomic to them."""
+        return ManifestTable(self.spark, self._level_path(level))
+
     def _hwm_path(self, level: int) -> str:
         return f"{self.root}/meta/hwm_level={level}"
 
+    def _hwm_table(self, level: int) -> ManifestTable:
+        return ManifestTable(self.spark, self._hwm_path(level))
+
     # -- write (S5) ------------------------------------------------------
-    def write_samples(self, df: DataFrame, level: int, mode: str = "append") -> None:
-        """Append a sample batch to one decimation level.
+    def write_samples(self, df: DataFrame, level: int) -> None:
+        """Append a sample batch to one decimation level (commits one new
+        manifest version; concurrent appends commute).
 
         The batch is hash-distributed by ``(date, channel)`` (so one task
         owns one channel's day — co-locating later per-channel windowing)
@@ -102,12 +116,19 @@ class ArchiveStore:
                 .repartition("date", "channel")
                 .sortWithinPartitions("channel", "t")
             )
+            # stage-then-publish: Spark writes a fresh hidden staging dir,
+            # then the files move into the hive layout and ONE manifest
+            # rename makes them visible — a crashed writer leaves only
+            # unreferenced files for gc, never a half-visible batch
+            table = self._level_table(level)
+            stage = table.stage_dir()
             (
-                out.write.mode(mode)
+                out.write.mode("overwrite")
                 .option("maxRecordsPerFile", self.max_records_per_file)
                 .partitionBy("date")
-                .parquet(self._level_path(level))
+                .parquet(stage)
             )
+            table.publish_stage(stage)
             self._update_channel_hwm(df, level)
         finally:
             df.unpersist()
@@ -122,23 +143,29 @@ class ArchiveStore:
         local-FS-only). Readers fold the log with a groupBy max; the log
         is compacted in place once it passes ``HWM_COMPACT_THRESHOLD``
         files (one listStatus RPC to check)."""
-        path = self._hwm_path(level)
-        batch.groupBy("channel").agg(F.max("t").alias("hwm")).write.mode(
-            "append"
-        ).parquet(path)
-        if self.fs.count_files(path) > self.HWM_COMPACT_THRESHOLD:
+        table = self._hwm_table(level)
+        stage = table.stage_dir()
+        batch.groupBy("channel").agg(F.max("t").alias("hwm")).write.parquet(
+            stage
+        )
+        table.publish_stage(stage)
+        if len(table.files() or []) > self.HWM_COMPACT_THRESHOLD:
             self._compact_hwm(level)
 
     def _compact_hwm(self, level: int) -> None:
-        path = self._hwm_path(level)
+        table = self._hwm_table(level)
+        old = table.files() or []
         folded = (
-            self.spark.read.parquet(path)
+            self.spark.read.parquet(*table.paths())
             .groupBy("channel")
             .agg(F.max("hwm").alias("hwm"))
         )
-        tmp = path + ".tmp"
-        folded.coalesce(1).write.mode("overwrite").parquet(tmp)
-        self.fs.replace(tmp, path)
+        stage = table.stage_dir()
+        folded.coalesce(1).write.parquet(stage)
+        # one commit replaces the whole log; a concurrent hwm reader
+        # resolving the previous manifest still finds its files until gc
+        table.publish_stage(stage, remove=old)
+        table.gc(keep_versions=2)
 
     def _localize(self, df: DataFrame) -> DataFrame:
         """Materialize a BOUNDED metadata table into a driver-local
@@ -155,11 +182,11 @@ class ArchiveStore:
         """Per-channel high-water mark snapshot ``(channel, hwm)`` for one
         level, or None if the level has never been written. Folds the
         append-log (one small job over O(#channels x #appends) rows)."""
-        path = self._hwm_path(level)
-        if not self.fs.exists(path):
+        paths = self._hwm_table(level).paths()
+        if not paths:
             return None
         return self._localize(
-            self.spark.read.parquet(path)
+            self.spark.read.parquet(*paths)
             .groupBy("channel")
             .agg(F.max("hwm").alias("hwm"))
         )
@@ -172,16 +199,18 @@ class ArchiveStore:
         """Per-channel seed rows persisted by the last incremental
         decimation run targeting ``target_level`` (the decimator carry
         state — one full source row per channel)."""
-        path = self._seed_path(target_level)
-        if not self.fs.exists(path):
+        paths = ManifestTable(self.spark, self._seed_path(target_level)).paths()
+        if not paths:
             return None
-        return self._localize(self.spark.read.parquet(path))
+        return self._localize(self.spark.read.parquet(*paths))
 
     def write_seed_state(self, target_level: int, seeds: DataFrame) -> None:
-        path = self._seed_path(target_level)
-        tmp = path + ".tmp"
-        seeds.coalesce(1).write.mode("overwrite").parquet(tmp)
-        self.fs.replace(tmp, path)
+        table = ManifestTable(self.spark, self._seed_path(target_level))
+        old = table.files() or []
+        stage = table.stage_dir()
+        seeds.coalesce(1).write.parquet(stage)
+        table.publish_stage(stage, remove=old)
+        table.gc(keep_versions=2)
 
     # -- read (S1/S2) ----------------------------------------------------
     def read_samples(
@@ -195,28 +224,56 @@ class ArchiveStore:
         range + parquet predicate pushdown on (channel, t).
 
         F4: a level that was never configured/written yields an EMPTY
-        result, not an error (`ArchiveAccessServiceImpl.java:794-805`)."""
-        if not self.fs.exists(self._level_path(level)):
+        result, not an error (`ArchiveAccessServiceImpl.java:794-805`).
+
+        The file list comes from the level's manifest (atomic snapshot —
+        a concurrent append/compact/retention commit flips the pointer,
+        it never half-swaps a directory under this scan) and is pruned
+        DRIVER-SIDE on the date embedded in each path before Spark
+        touches a single parquet footer — Iceberg-style manifest
+        pruning; the t/channel predicates still push down to row
+        groups."""
+        files = self._level_files(
+            level,
+            None if lo_ns is None else _py_date(lo_ns),
+            None if hi_ns is None else _py_date(hi_ns),
+        )
+        if not files:
             schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
             return self.spark.createDataFrame([], schema)
-        try:
-            df = self.spark.read.parquet(self._level_path(level))
-        except Exception as ex:  # zero-file level dir (empty ingest) ≡ F4
-            if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
-                raise
-            schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
-            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("basePath", self._level_path(level)).parquet(
+            *files
+        )
         if lo_ns is not None:
-            df = df.filter(
-                (F.col("date") >= F.lit(_py_date(lo_ns))) & (F.col("t") >= lo_ns)
-            )
+            df = df.filter(F.col("t") >= lo_ns)
         if hi_ns is not None:
-            df = df.filter(
-                (F.col("date") <= F.lit(_py_date(hi_ns))) & (F.col("t") <= hi_ns)
-            )
+            df = df.filter(F.col("t") <= hi_ns)
         if channels is not None:
             df = df.filter(F.col("channel").isin(list(channels)))
         return df.drop("date")
+
+    def _level_files(
+        self,
+        level: int,
+        date_lo: str | None = None,
+        date_hi: str | None = None,
+    ) -> list[str]:
+        """Absolute data-file paths of one level's current manifest,
+        pruned to a [date_lo, date_hi] partition range via the path's
+        ``date=`` segment — zero storage RPCs beyond one manifest read."""
+        table = self._level_table(level)
+        rel = table.files()
+        if rel is None:
+            return []
+        out = []
+        for r in rel:
+            d = _file_date(r)
+            if date_lo is not None and d is not None and d < date_lo:
+                continue
+            if date_hi is not None and d is not None and d > date_hi:
+                continue
+            out.append(f"{table.root}/{r}")
+        return out
 
     def levels(self) -> list[int]:
         out = []
@@ -226,22 +283,20 @@ class ArchiveStore:
         return sorted(out)
 
     # -- high-water mark (W3) -------------------------------------------
+    def _level_dates(self, level: int) -> list[str]:
+        """Distinct date partitions in the level's current manifest."""
+        rel = self._level_table(level).files() or []
+        return sorted({d for d in (_file_date(r) for r in rel) if d is not None})
+
     def high_water_mark(self, level: int) -> int | None:
         """Max archived t for a level, scanning only the newest date
-        partition (partition pruning keeps this O(1 day) at any scale)."""
-        path = self._level_path(level)
-        dates = sorted(
-            d.split("=", 1)[1]
-            for d in self.fs.listdir(path)
-            if d.startswith("date=")
-        )
+        partition (manifest pruning keeps this O(1 day) at any scale)."""
+        dates = self._level_dates(level)
         if not dates:
             return None
-        df = self.spark.read.parquet(path)
+        files = self._level_files(level, dates[-1], dates[-1])
         row = (
-            df.filter(F.col("date") == dates[-1])
-            .agg(F.max("t").alias("hwm"))
-            .first()
+            self.spark.read.parquet(*files).agg(F.max("t").alias("hwm")).first()
         )
         return None if row is None or row.hwm is None else row.hwm
 
@@ -250,21 +305,12 @@ class ArchiveStore:
         time (newest first), the same shape as the reference's bucket-
         stepping backward probe (`ArchiveAccessServiceImpl.java:239-316`):
         typically touches exactly one partition regardless of archive size."""
-        path = self._level_path(level)
         limit = _py_date(ts_ns)
-        dates = sorted(
-            (
-                d.split("=", 1)[1]
-                for d in self.fs.listdir(path)
-                if d.startswith("date=")
-            ),
-            reverse=True,
-        )
-        for d in dates:
+        for d in reversed(self._level_dates(level)):
             if d > limit:
                 continue
             row = (
-                self.spark.read.parquet(f"{path}/date={d}")
+                self.spark.read.parquet(*self._level_files(level, d, d))
                 .filter(F.col("t") <= ts_ns)
                 .agg(F.max("t").alias("t"))
                 .first()
@@ -279,47 +325,73 @@ class ArchiveStore:
         date are removed (metadata-only, like the reference's bucket drops);
         the boundary partition is rewritten with the exact predicate.
         Returns the number of partitions dropped."""
-        path = self._level_path(level)
+        table = self._level_table(level)
         cutoff_date = _py_date(cutoff_ns)
-        dropped = 0
-        boundary = None
-        for name in sorted(self.fs.listdir(path)):
-            if not name.startswith("date="):
-                continue
-            d = name.split("=", 1)[1]
-            if d < cutoff_date:
-                self.fs.delete(f"{path}/{name}")
-                dropped += 1
-            elif d == cutoff_date:
-                boundary = f"{path}/{name}"
-        if boundary is not None:
-            kept = self.spark.read.parquet(boundary).filter(
+        rel = table.files() or []
+        expired = [
+            r for r in rel
+            if (_file_date(r) or "") < cutoff_date and _file_date(r) is not None
+        ]
+        dropped = len({_file_date(r) for r in expired})
+        boundary = [r for r in rel if _file_date(r) == cutoff_date]
+        if boundary:
+            # exact trim of the boundary partition: rewrite survivors to a
+            # stage dir, ONE commit swaps them in and drops both the
+            # boundary's old files and the expired partitions — readers
+            # see the pre- or post-retention table, never a partial sweep
+            kept = self.spark.read.option(
+                "basePath", table.root
+            ).parquet(*(f"{table.root}/{r}" for r in boundary)).filter(
                 F.col("t") >= cutoff_ns
             )
-            tmp = boundary + ".tmp"
-            kept.write.mode("overwrite").parquet(tmp)
-            self.fs.replace(tmp, boundary)
+            stage = table.stage_dir()
+            kept.withColumn("date", F.lit(cutoff_date)).write.partitionBy(
+                "date"
+            ).parquet(stage)
+            table.publish_stage(stage, remove=expired + boundary)
+        elif expired:
+            table.commit(remove=expired)  # metadata-only, like bucket drops
+        table.gc(keep_versions=2)
         return dropped
 
     # -- compaction (96 MB rollover analog) ------------------------------
     def compact(self, level: int, target_files_per_partition: int = 1) -> None:
         """Rewrite each date partition into ``target_files_per_partition``
-        sorted files (the OPTIMIZE pass for append-fragmented partitions)."""
-        path = self._level_path(level)
-        for name in sorted(self.fs.listdir(path)):
-            if not name.startswith("date="):
+        sorted files (the OPTIMIZE pass for append-fragmented partitions).
+
+        Each partition's rewrite is ONE manifest commit (new consolidated
+        files in, fragmented files out), so a concurrent reader always
+        resolves either the fragmented or the compacted file set — never
+        an empty/partial directory (the delete-then-rename failure mode
+        this store had before round 3). Replaced files survive until two
+        commits later (``gc(keep_versions=2)``) so in-flight readers of
+        the previous version finish cleanly."""
+        table = self._level_table(level)
+        for d in self._level_dates(level):
+            old = [r for r in (table.files() or []) if _file_date(r) == d]
+            if len(old) <= target_files_per_partition:
                 continue
-            part = f"{path}/{name}"
-            df = self.spark.read.parquet(part)
-            tmp = part + ".tmp"
+            df = self.spark.read.option("basePath", table.root).parquet(
+                *(f"{table.root}/{r}" for r in old)
+            )
+            stage = table.stage_dir()
             (
                 df.coalesce(target_files_per_partition)
                 .sortWithinPartitions("channel", "t")
-                .write.mode("overwrite")
+                .write.partitionBy("date")
                 .option("maxRecordsPerFile", self.max_records_per_file)
-                .parquet(tmp)
+                .parquet(stage)
             )
-            self.fs.replace(tmp, part)
+            table.publish_stage(stage, remove=old)
+        table.gc(keep_versions=2)
+
+
+def _file_date(rel_path: str) -> str | None:
+    """Extract the yyyy-MM-dd value from a ``date=...`` path segment."""
+    for seg in rel_path.split("/"):
+        if seg.startswith("date="):
+            return seg.split("=", 1)[1]
+    return None
 
 
 def _py_date(t_ns: int) -> str:

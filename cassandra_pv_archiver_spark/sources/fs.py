@@ -53,7 +53,60 @@ class HadoopFS:
 
     def replace(self, src: str, dst: str) -> None:
         """os.replace semantics: atomically swap ``dst`` to ``src``'s
-        content (delete-then-rename; atomic on HDFS, copy+delete on S3)."""
+        content (delete-then-rename; atomic on HDFS, copy+delete on S3).
+
+        NOTE: there is a window between delete and rename where ``dst``
+        does not exist — concurrent readers of ``dst`` can observe a torn
+        table. The archive store's reader-visible swap sites therefore go
+        through :class:`~..sources.manifest.ManifestTable` (immutable data
+        files + rename-committed manifest) instead; ``replace`` remains
+        for single-writer single-reader scratch swaps only."""
         self.delete(dst)
         if not self._fs.rename(self._Path(src), self._Path(dst)):
             raise IOError(f"rename failed: {src} -> {dst}")
+
+    def rename_no_overwrite(self, src: str, dst: str) -> bool:
+        """Plain FileSystem.rename: atomic, FAILS (returns False) if
+        ``dst`` exists — exactly the primitive a versioned-manifest commit
+        needs (the failed rename IS the optimistic-concurrency signal)."""
+        return bool(self._fs.rename(self._Path(src), self._Path(dst)))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def write_text(self, path: str, content: str) -> None:
+        """Create a small text file (overwrite)."""
+        out = self._fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str:
+        """Read a small text file fully."""
+        inp = self._fs.open(self._Path(path))
+        try:
+            # readAllBytes() needs Java 9+; Spark 4 runs on 17
+            data = bytes(inp.readAllBytes())
+        finally:
+            inp.close()
+        return data.decode("utf-8")
+
+    def list_files_recursive(self, path: str) -> list[str]:
+        """All data-file paths under ``path`` (skips _/. names), as paths
+        relative to it. One listFiles(recursive) iterator — the single
+        bulk-listing RPC pattern object stores optimize for."""
+        p = self._Path(path)
+        if not self._fs.exists(p):
+            return []
+        base = self._fs.getFileStatus(p).getPath().toString().rstrip("/")
+        out = []
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next().getPath().toString()
+            rel = f[len(base) + 1 :]
+            parts = rel.split("/")
+            if any(s.startswith(("_", ".")) for s in parts):
+                continue
+            out.append(rel)
+        return sorted(out)

@@ -1,0 +1,180 @@
+"""Crash-safe table commits without a table-format dependency.
+
+The reference keeps its sample-bucket bookkeeping crash-safe with a
+pending-operations table consulted before every mutation
+(``ChannelMetaDataDAOImpl.java:2124-2144``): a writer that dies mid-change
+leaves a pending record, and the next accessor rolls the change forward or
+back before trusting the data. SURVEY.md §1.5 maps that intent onto
+lakehouse ACID (Delta/Iceberg); this container has no such dependency, so
+:class:`ManifestTable` is the pure-FileSystem equivalent — the same
+snapshot/manifest design Iceberg uses, reduced to what the archive store
+needs:
+
+* **Data files are immutable.** Every write creates new, uniquely-named
+  files; nothing ever rewrites a file in place.
+* **The table state is ONE small manifest file** — a text list of the data
+  files (paths relative to the table root) that make up the current
+  version, named ``m-<version>``. Manifests are immutable too.
+* **Commit = one atomic rename** of a hidden temp file onto the next
+  version name. ``FileSystem.rename`` without overwrite is atomic on
+  POSIX and HDFS and *fails* if the destination exists — a failed rename
+  is the optimistic-concurrency signal (someone else committed version N
+  first; re-read and retry on N+1), the same protocol Iceberg's
+  HadoopTableOperations uses.
+* **Readers resolve the newest manifest** and read exactly the files it
+  lists. A reader can never observe a torn table: it either sees version
+  N's complete file list or version N+1's — never a half-swapped
+  directory (the failure mode of delete-then-rename, fs.py ``replace``).
+* **Crash safety needs no recovery step.** A writer that dies before its
+  commit rename leaves only invisible ``.tmp-*`` manifests and orphan
+  data files that no manifest references; :meth:`gc` removes both. A
+  writer that dies after the rename has committed.
+
+Scale: the manifest is O(#files) text, listed/read driver-side — the same
+order of metadata the reference keeps per channel in memory. At 100 TB
+with bounded file sizes (``maxRecordsPerFile``) and daily partitions this
+is ~10^5 lines per level — single-digit MB. Readers prune driver-side on
+the embedded partition path (``date=...``) before touching any parquet
+footer, which is Iceberg-style manifest pruning: partition filtering
+without one storage RPC.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from .fs import HadoopFS
+
+MANIFEST_DIR = "_manifests"
+
+
+class ManifestTable:
+    """Versioned file-list table over one root directory.
+
+    ``root`` holds the data files (any layout; hive-style ``k=v`` path
+    segments are preserved so Spark's partition discovery still works via
+    ``basePath``), ``root/_manifests`` holds the version history. The
+    underscore prefix keeps manifests invisible to Spark file listings.
+    """
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.fs = HadoopFS(spark, self.root)
+        self._mdir = f"{self.root}/{MANIFEST_DIR}"
+
+    # -- versions --------------------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for name in self.fs.listdir(self._mdir):
+            if name.startswith("m-"):
+                out.append(int(name[2:]))
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def files(self, version: int | None = None) -> list[str] | None:
+        """Relative data-file paths of ``version`` (default: newest), or
+        None if the table has no committed version."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                return None
+        text = self.fs.read_text(f"{self._mdir}/m-{version:020d}")
+        return [ln for ln in text.splitlines() if ln]
+
+    def paths(self, version: int | None = None) -> list[str] | None:
+        rel = self.files(version)
+        if rel is None:
+            return None
+        return [f"{self.root}/{r}" for r in rel]
+
+    # -- commit protocol -------------------------------------------------
+    def commit(
+        self,
+        add: list[str] = (),
+        remove: list[str] = (),
+        max_attempts: int = 20,
+    ) -> int:
+        """Commit the next version = current files − ``remove`` + ``add``
+        (relative paths). One atomic no-overwrite rename; on collision
+        (concurrent committer won the version) the base file list is
+        re-read and the attempt retried — add/remove semantics make
+        concurrent APPENDS commute, which is exactly the reference's
+        pending-ops guarantee for interleaved bucket writes. Returns the
+        committed version number."""
+        self.fs.mkdirs(self._mdir)
+        for _ in range(max_attempts):
+            cur = self.current_version()
+            base = self.files(cur) if cur is not None else []
+            drop = set(remove)
+            nxt = [f for f in base if f not in drop] + [
+                f for f in add if f not in base
+            ]
+            v = (cur if cur is not None else -1) + 1
+            tmp = f"{self._mdir}/.tmp-{uuid.uuid4().hex}"
+            self.fs.write_text(tmp, "\n".join(nxt) + "\n")
+            if self.fs.rename_no_overwrite(tmp, f"{self._mdir}/m-{v:020d}"):
+                return v
+            self.fs.delete(tmp)  # lost the race; rebase and retry
+        raise IOError(
+            f"manifest commit failed after {max_attempts} attempts: {self.root}"
+        )
+
+    # -- maintenance -----------------------------------------------------
+    def gc(self, keep_versions: int = 2) -> list[str]:
+        """Delete data files referenced by NO retained manifest (orphans
+        from crashed writers + files replaced more than ``keep_versions``
+        commits ago — kept that long so in-flight readers of recent
+        versions survive), stale ``.tmp`` manifests, and pruned manifest
+        files. Returns the deleted data-file paths."""
+        vs = self.versions()
+        keep = vs[-keep_versions:] if keep_versions > 0 else []
+        live: set[str] = set()
+        for v in keep:
+            live.update(self.files(v))
+        deleted = []
+        for rel in self.fs.list_files_recursive(self.root):
+            if rel not in live:
+                self.fs.delete(f"{self.root}/{rel}")
+                deleted.append(rel)
+        for name in self.fs.listdir(self._mdir):
+            if name.startswith(".tmp-"):
+                self.fs.delete(f"{self._mdir}/{name}")
+            elif name.startswith("m-") and int(name[2:]) not in keep:
+                self.fs.delete(f"{self._mdir}/{name}")
+        return deleted
+
+    # -- staged writes ---------------------------------------------------
+    def stage_dir(self) -> str:
+        """A fresh hidden staging directory under the table root — Spark
+        can write a full (partitioned) dataset here without any file
+        becoming visible to readers or listings."""
+        return f"{self.root}/_stage-{uuid.uuid4().hex}"
+
+    def publish_stage(self, stage: str, remove: list[str] = ()) -> list[str]:
+        """Move every data file written under ``stage`` into the table
+        layout (same relative path, a unique prefix on the file name) and
+        commit them, dropping ``remove``. File moves are per-file renames
+        of INVISIBLE files (their directories are not yet referenced by
+        any manifest — for hive-layout dirs Spark never lists the dir
+        itself, only manifest-listed paths), so order does not matter and
+        a crash mid-move leaves only unreferenced files for gc. Returns
+        the committed relative paths."""
+        tag = uuid.uuid4().hex[:12]
+        added = []
+        for rel in self.fs.list_files_recursive(stage):
+            parts = rel.split("/")
+            parts[-1] = f"{tag}-{parts[-1]}"
+            dst_rel = "/".join(parts)
+            dst = f"{self.root}/{dst_rel}"
+            if "/" in dst_rel:
+                self.fs.mkdirs(dst[: dst.rfind("/")])
+            if not self.fs.rename_no_overwrite(f"{stage}/{rel}", dst):
+                raise IOError(f"stage move failed: {rel}")
+            added.append(dst_rel)
+        self.fs.delete(stage)
+        self.commit(add=added, remove=remove)
+        return added

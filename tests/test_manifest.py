@@ -1,0 +1,170 @@
+"""ManifestTable commit-protocol tests: crash-safety and reader isolation.
+
+The reference keeps bucket mutations crash-safe with a pending-operations
+table (`ChannelMetaDataDAOImpl.java:2124-2144`); the Spark-side analog is
+immutable data files + a rename-committed manifest (sources/manifest.py).
+These tests pin the two properties that design buys:
+
+* a writer killed at ANY point before its commit rename leaves the table
+  bit-identical for readers (orphans invisible, gc-able);
+* a reader concurrent with repeated append/compact swaps never observes a
+  torn table (the delete-then-rename failure mode of round 2's
+  ``HadoopFS.replace``).
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.sources.archive_store import NS, ArchiveStore
+from cassandra_pv_archiver_spark.sources.manifest import ManifestTable
+
+
+def _mk(spark, root):
+    return ManifestTable(spark, root)
+
+
+def _write_files(spark, table, n, start=0):
+    stage = table.stage_dir()
+    spark.range(start, start + n).select(
+        F.col("id").alias("a")
+    ).repartition(n).write.parquet(stage)
+    return table.publish_stage(stage)
+
+
+def test_commit_and_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t1"))
+    assert t.files() is None and t.current_version() is None
+    _write_files(spark, t, 3)
+    assert t.current_version() == 0
+    assert len(t.files()) == 3
+    assert spark.read.parquet(*t.paths()).count() == 3
+    _write_files(spark, t, 2, start=3)
+    assert t.current_version() == 1
+    assert len(t.files()) == 5
+    assert spark.read.parquet(*t.paths()).count() == 5
+
+
+def test_crashed_writer_leaves_table_unchanged(spark, tmp_path):
+    """Simulate every pre-commit crash point: staged files without a
+    publish, and a written-but-never-renamed .tmp manifest. Readers see
+    the committed version only; gc removes the debris."""
+    t = _mk(spark, str(tmp_path / "t2"))
+    _write_files(spark, t, 3)
+    before_files = sorted(t.files())
+
+    # crash A: stage written, publish never ran
+    stage = t.stage_dir()
+    spark.range(100, 105).write.parquet(stage)
+
+    # crash B: files moved into the layout but commit rename never ran
+    # (equivalently: .tmp manifest written, rename lost)
+    t.fs.write_text(f"{t.root}/_manifests/.tmp-dead", "garbage-file.parquet\n")
+    spark.range(200, 203).coalesce(1).write.parquet(f"{t.root}/_orphan_probe")
+    orphan = t.fs.list_files_recursive(f"{t.root}/_orphan_probe")[0]
+    assert t.fs.rename_no_overwrite(
+        f"{t.root}/_orphan_probe/{orphan}", f"{t.root}/crashed-{orphan}"
+    )
+
+    # reader: same version, same files, same rows
+    assert sorted(t.files()) == before_files
+    assert spark.read.parquet(*t.paths()).count() == 3
+
+    deleted = t.gc(keep_versions=2)
+    assert any("crashed-" in d for d in deleted)
+    assert sorted(t.files()) == before_files
+    assert not any(
+        n.startswith(".tmp-") for n in t.fs.listdir(f"{t.root}/_manifests")
+    )
+
+
+def test_replaced_files_survive_until_gc(spark, tmp_path):
+    """A compacting commit must NOT delete the files it replaces — an
+    in-flight reader of the previous version still needs them."""
+    t = _mk(spark, str(tmp_path / "t3"))
+    _write_files(spark, t, 4)
+    v0_paths = t.paths()
+    old = t.files()
+    stage = t.stage_dir()
+    spark.read.parquet(*v0_paths).coalesce(1).write.parquet(stage)
+    t.publish_stage(stage, remove=old)
+    # v0's files still readable after the v1 commit
+    assert spark.read.parquet(*v0_paths).count() == 4
+    assert spark.read.parquet(*t.paths()).count() == 4
+    t.gc(keep_versions=1)
+    for p in v0_paths:
+        assert not t.fs.exists(p)
+
+
+def test_concurrent_committers_never_lose_an_append(spark, tmp_path):
+    """Two independent table handles appending concurrently: the
+    no-overwrite rename makes version claims race-free and add/remove
+    rebasing makes appends commute — every file lands in the final
+    manifest exactly once."""
+    root = str(tmp_path / "t4")
+    t1, t2 = _mk(spark, root), _mk(spark, root)
+    errs = []
+
+    def appender(t, start):
+        try:
+            for i in range(3):
+                _write_files(spark, t, 1, start=start + i)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th1 = threading.Thread(target=appender, args=(t1, 0))
+    th2 = threading.Thread(target=appender, args=(t2, 100))
+    th1.start(), th2.start()
+    th1.join(120), th2.join(120)
+    assert not errs
+    assert len(t1.files()) == 6
+    vals = {r.a for r in spark.read.parquet(*t1.paths()).collect()}
+    assert vals == {0, 1, 2, 100, 101, 102}
+
+
+def test_reader_never_sees_torn_store_during_compaction(spark, tmp_path):
+    """The VERDICT-r2 acceptance test: a reader hammering read_samples
+    while the store compacts (and re-fragments) repeatedly must always
+    see the full committed row count — with round 2's delete-then-rename
+    swap this reliably threw FileNotFound / returned partial counts."""
+    store = ArchiveStore(spark, str(tmp_path / "store"))
+    rows = [
+        (f"ch{i % 4}", (1_000 + i) * NS, float(i), 0, 0) for i in range(64)
+    ]
+    for k in range(4):  # fragmented: 4 append commits
+        batch = spark.createDataFrame(
+            rows[k * 16 : (k + 1) * 16],
+            "channel string, t long, v double, severity int, status int",
+        )
+        store.write_samples(batch, level=0)
+    assert store.read_samples(0).count() == 64
+
+    stop = threading.Event()
+    failures: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = store.read_samples(0).count()
+                if n != 64:
+                    failures.append(f"saw {n} rows")
+                    return
+            except Exception as e:  # noqa: BLE001
+                failures.append(repr(e))
+                return
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        store.compact(0, target_files_per_partition=1)  # 4 files -> 1
+        for _ in range(4):
+            # boundary-partition retention rewrite (cutoff below all data:
+            # row-preserving, but swaps the partition's file set each time)
+            store.delete_older_than(0, 0)
+    finally:
+        stop.set()
+        th.join(120)
+    assert not failures, failures
+    assert store.read_samples(0).count() == 64
