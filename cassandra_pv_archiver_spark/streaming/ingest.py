@@ -72,13 +72,26 @@ def start_file_ingest(
     checkpoint_dir: str,
     cascade_periods: list[int] | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    on_batch=None,
 ):
     """File-source ingestion stream (the test/demo stand-in for a live CA
-    monitor feed; swap ``readStream.format`` for Kafka in production)."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    monitor feed; swap ``readStream.format`` for Kafka in production).
+
+    ``on_batch(batch_id)`` runs AFTER the store write inside each
+    micro-batch — raising from it simulates a crash in the window between
+    the store commit and the checkpoint commit (the batch will replay on
+    restart; the monotonic guard makes the replay a no-op, which is the
+    exactly-once story tests/test_streaming.py pins)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         ingest_batch(store, batch, cascade_periods)
+        if on_batch is not None:
+            on_batch(batch_id)
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

@@ -436,3 +436,66 @@ def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r.t // NS for r in out) == [10, 20, 30]
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """T2/T3 recovery (`ArchivedChannelDecimatedSamplesDecimationLevel
+    .java:343-537`): kill the ingest stream in the WORST window — after
+    the store write of batch N but before its checkpoint commit — then
+    restart from the checkpoint. Batch N replays; the monotonic guard
+    makes the replay a no-op; the final store (raw level AND maintained
+    1 h cascade) must be row-identical to an uninterrupted run."""
+    raw = load_samples(spark, SF_DIR).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    tmin, tmax = raw.agg(F.min("t"), F.max("t")).first()
+    step = (tmax - tmin) // 4 + 1
+    src_dir = str(tmp_path / "incoming")
+    for i in range(4):  # 4 single-file chunks -> 4 micro-batches
+        raw.filter(
+            (F.col("t") >= tmin + i * step) & (F.col("t") < tmin + (i + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    # reference: uninterrupted run
+    ref_store = ArchiveStore(spark, str(tmp_path / "ref_archive"))
+    q = start_file_ingest(
+        spark, src_dir, raw.schema, ref_store,
+        checkpoint_dir=str(tmp_path / "ref_ckpt"), cascade_periods=[3600],
+    )
+    q.awaitTermination(180)
+
+    # crashing run: die inside micro-batch 1 (0-indexed), after the store
+    # write, before the checkpoint commit
+    store = ArchiveStore(spark, str(tmp_path / "archive"))
+
+    def _crash(batch_id: int) -> None:
+        if batch_id == 1:
+            raise RuntimeError("simulated crash before checkpoint commit")
+
+    q = start_file_ingest(
+        spark, src_dir, raw.schema, store,
+        checkpoint_dir=str(tmp_path / "ckpt"), cascade_periods=[3600],
+        max_files_per_trigger=1, on_batch=_crash,
+    )
+    crashed = False
+    try:
+        q.awaitTermination(180)
+    except Exception:  # StreamingQueryException wrapping our RuntimeError
+        crashed = True
+    assert crashed and not q.isActive
+    n_partial = store.read_samples(0).count()
+    assert 0 < n_partial < raw.count()  # died mid-stream for real
+
+    # restart from the same checkpoint: batch 1 replays (no-op under the
+    # guard), batches 2..3 process fresh
+    q = start_file_ingest(
+        spark, src_dir, raw.schema, store,
+        checkpoint_dir=str(tmp_path / "ckpt"), cascade_periods=[3600],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    for level in (0, 3600):
+        got = sorted(map(tuple, store.read_samples(level).collect()))
+        want = sorted(map(tuple, ref_store.read_samples(level).collect()))
+        assert got == want, f"level {level} differs after restart"
