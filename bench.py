@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "json_v1_typed_1h",
     "json_v1_raw_typed",
     "pick_first_1h",
+    "decimate_plugin_median_1h",
     "union_levels",
     "planner_fallback",
     "heartbeat_1h",

@@ -318,6 +318,61 @@ SELECT * FROM dec ORDER BY channel, t
 """
 
 
+def q_decimate_plugin_median_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension SPI (`ControlSystemSupport.createSampleDecimator`,
+    `ControlSystemSupport.java:180-182`): a third-party weighted-median
+    decimator plugin (operators/plugins.py) running through the engine's
+    hold-forward interval assignment with ZERO engine edits — the
+    decimator analog of a registered control-system plugin. Median =
+    smallest value whose cumulative validity covers half the interval's
+    covered time (attained, hence exactly SQL-oracle-able).
+
+    Scoped to an 8-channel slice: the SPI's per-interval Python dispatch
+    is the declared cost of a third-party decimator (the reference's
+    plugin decimators pay the same per-sample virtual call), so the
+    catalog exercises the contract, not corpus throughput — the built-in
+    Catalyst path (decimate_1h) remains the scale query."""
+    from .operators.plugins import decimate_with, make_median_plugin
+
+    return decimate_with(
+        load_samples(
+            spark, sf_dir, channels=_MEDIAN_CHANNELS, lo_ns=LO, hi_ns=HI
+        ),
+        PERIOD_1H,
+        make_median_plugin(PERIOD_1H),
+    ).orderBy("channel", "t")
+
+
+_MEDIAN_CHANNELS = [f"PV:{i}" for i in range(8)]
+
+SQL_DECIMATE_PLUGIN_MEDIAN_1H = f"""
+WITH {SAMPLES_CTE},
+psamples AS (
+  SELECT * FROM samples
+  WHERE channel IN ({", ".join(f"'PV:{i}'" for i in range(8))})
+    AND t >= {LO} AND t <= {HI}
+),
+{_dec_ctes(PERIOD_1H, src="psamples")},
+med_rows AS (
+  SELECT channel, win, v, t, ws_ns,
+         sum(ws_ns) OVER (PARTITION BY channel, win ORDER BY v, t
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(ws_ns) OVER (PARTITION BY channel, win) AS total,
+         count(*) OVER (PARTITION BY channel, win) AS n_samples
+  FROM dec_ex
+),
+med AS (
+  SELECT channel, win, min(v) AS median,
+         min(total) AS total, min(n_samples) AS n_samples
+  FROM med_rows WHERE 2 * cum >= total GROUP BY channel, win
+)
+SELECT channel, CAST(win * {PERIOD_1H * NS} AS BIGINT) AS t, median,
+       CAST(total AS DOUBLE) / {float(PERIOD_1H * NS)} AS covered_fraction,
+       n_samples
+FROM med ORDER BY channel, t
+"""
+
+
 def q_decimate_cascade_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: cascade — 1 h aggregates re-aggregated to 6 h (algebraic
     recombination, weight = validity × covered_fraction)."""

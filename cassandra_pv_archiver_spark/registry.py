@@ -32,6 +32,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.SQL_DECIMATE_CASCADE_1D,
     ),
     "pick_first_1h": (catalog.q_pick_first_1h, catalog.SQL_PICK_FIRST_1H),
+    "decimate_plugin_median_1h": (
+        catalog.q_decimate_plugin_median_1h,
+        catalog.SQL_DECIMATE_PLUGIN_MEDIAN_1H,
+    ),
     "decimate_mixed_1h": (catalog.q_decimate_mixed_1h, catalog.SQL_DECIMATE_MIXED_1H),
     "decimate_typed_1h": (catalog.q_decimate_typed_1h, catalog.SQL_DECIMATE_TYPED_1H),
     "json_v1_mixed_1h": (catalog.q_json_v1_mixed_1h, catalog.SQL_JSON_V1_MIXED_1H),
