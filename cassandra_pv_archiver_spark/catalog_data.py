@@ -406,6 +406,33 @@ ORDER BY lang, q
 """.replace("{stop}", _STOP_PRED)
 
 
+def q_quality_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-language quality quantiles — the skew-proof scale
+    path for quality_quantiles (PERF.md documents the exact variant's
+    single-giant-stratum sort limit). approx_percentile: one hash
+    aggregation with partial combine, no window sort; exact below the
+    sketch accuracy (which covers every test SF — pinned equal to the
+    exact query in tests), rank error ≤ 1e-5 beyond it."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.text_metrics(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return stats.group_approx_quantiles(
+        m, "lang", "quality_score", QUANTILE_QS
+    ).orderBy("lang", "q")
+
+
+SQL_QUALITY_QUANTILES_APPROX = f"""
+WITH {_QUALITY_CTES},
+g AS (
+  SELECT lang,
+         {", ".join(f"quantile_disc(quality_score, {q}) AS qv_{i}" for i, q in enumerate(QUANTILE_QS))}
+  FROM qual GROUP BY lang
+)
+SELECT * FROM (
+{" UNION ALL ".join(f"SELECT lang, {q} AS q, qv_{i} AS q_value FROM g" for i, q in enumerate(QUANTILE_QS))}
+) ORDER BY lang, q
+""".replace("{stop}", _STOP_PRED)
+
+
 def q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-derived quality cutoff IN USE: compute each language's p25
     quality score (exact discrete quantile), drop that stratum's bottom

@@ -5,9 +5,9 @@ group — NOT interpolated: picking an existing value keeps the result
 bit-identical across engines (no order-sensitive float interpolation)
 and is what you want for threshold selection anyway ("drop the bottom
 quartile" needs an attained value). One shuffle on the group key; the
-per-group sort is a window, so skewed groups are the scale limit — for
-a single giant group use approx_percentile instead (documented
-trade-off, not needed for per-language strata).
+per-group sort is a window, so skewed groups are the scale limit — the
+sketch-based :func:`group_approx_quantiles` is the giant-stratum path
+(exact below its accuracy, rank error ≤ 1/accuracy above it).
 """
 
 from __future__ import annotations
@@ -45,6 +45,43 @@ def group_discrete_quantiles(
             F.col("_rn") == F.ceil(F.col("q") * F.col("_n")),
         )
         .select(key_col, "q", "q_value")
+    )
+
+
+def group_approx_quantiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    qs: Sequence[float],
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """Sketch-based per-group quantiles — the 100 TB path for
+    :func:`group_discrete_quantiles`.
+
+    ``approx_percentile`` aggregates a Greenwald-Khanna sketch with
+    map-side partial combine: ONE hash aggregation, no per-group window
+    sort — so a skewed stratum (one language carrying half the corpus)
+    costs a bounded-size sketch merge instead of a single-task sort of
+    half the data. Guarantees: rank error ≤ 1/accuracy of the group size
+    (1e-5 by default); for groups SMALLER than ``accuracy`` the sketch
+    retains every value and the result is EXACT (verified equal to the
+    exact discrete quantiles at test scale — the rank convention,
+    value at row ceil(q·n), matches both the exact operator and DuckDB's
+    ``quantile_disc``, boundary cases probed in tests). Returns
+    (key_col, q, q_value), one row per (group, q).
+    """
+    qlist = ", ".join(repr(float(q)) for q in qs)
+    agg = F.expr(
+        f"approx_percentile({val_col}, array({qlist}), {accuracy})"
+    ).alias("_qv")
+    qdf = df.sparkSession.createDataFrame(
+        [(i, float(q)) for i, q in enumerate(qs)], "_i int, q double"
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(agg)
+        .join(F.broadcast(qdf))
+        .select(key_col, "q", F.expr("_qv[_i]").alias("q_value"))
     )
 
 

@@ -257,6 +257,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_quality_quantiles,
         catalog_data.SQL_QUALITY_QUANTILES,
     ),
+    "quality_quantiles_approx": (
+        catalog_data.q_quality_quantiles_approx,
+        catalog_data.SQL_QUALITY_QUANTILES_APPROX,
+    ),
     "quality_filtered_stats": (
         catalog_data.q_quality_filtered_stats,
         catalog_data.SQL_QUALITY_FILTERED_STATS,

@@ -381,3 +381,27 @@ def test_channel_gap_stats_hand_computed(spark, tmp_path, monkeypatch):
     assert x.max_gap == 40 * NS
     assert x.mean_gap == 25 * NS
     assert x.n_silent == 1
+
+
+def test_group_approx_quantiles_exact_below_accuracy_and_no_sort(spark):
+    """The sketch path must (a) agree exactly with the discrete-quantile
+    operator while groups fit in the sketch (the regime every test SF is
+    in), and (b) plan as ONE hash aggregation — no per-group Window sort,
+    which is precisely why it survives a single giant stratum."""
+    rows = [("a", float(v), v) for v in range(1, 101)] + [
+        ("b", float(v * 3), v) for v in range(1, 38)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, id long")
+    qs = (0.25, 0.5, 0.75, 0.9)
+    exact = {
+        (r.k, r.q): r.q_value
+        for r in stats.group_discrete_quantiles(df, "k", "v", qs, "id").collect()
+    }
+    approx = {
+        (r.k, r.q): r.q_value
+        for r in stats.group_approx_quantiles(df, "k", "v", qs).collect()
+    }
+    assert approx == exact
+    plan = stats.group_approx_quantiles(df, "k", "v", qs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan.split("Exchange")[0]

@@ -1,0 +1,88 @@
+"""Hot-channel skew fixture: one channel carrying 50 % of all rows.
+
+A PV archive is channel-partitioned everywhere (the reference serializes
+per-channel writes, SURVEY.md §3.2), so the worst realistic skew is one
+runaway channel dominating the corpus. These tests pin what actually
+happens in that regime — correctness is unaffected and the plan keeps the
+distributable stages distributed; the measured wall-clock cost lives in
+PERF.md ("Hot-channel skew" row: +47 % at 50 % skew — the per-channel
+stage after the single exchange serializes the hot channel's share).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.operators.decimate import NS, decimate
+
+BASE = 1_700_000_000 * NS
+
+
+def _skewed(spark, n=20_000, hot_share=0.5, n_cold=50):
+    """n samples, ``hot_share`` of them on channel HOT (1 Hz), the rest
+    round-robin over ``n_cold`` cold channels."""
+    n_hot = int(n * hot_share)
+    hot = spark.range(n_hot).select(
+        F.lit("HOT").alias("channel"),
+        (F.lit(BASE) + F.col("id") * F.lit(NS)).alias("t"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.lit(0).alias("severity"),
+        F.lit(0).alias("status"),
+    )
+    cold = spark.range(n - n_hot).select(
+        F.concat(F.lit("C"), (F.col("id") % n_cold).cast("string")).alias(
+            "channel"
+        ),
+        (
+            F.lit(BASE)
+            + (F.col("id") / n_cold).cast("long") * F.lit(n_cold * NS)
+        ).alias("t"),
+        (F.col("id") % 89).cast("double").alias("v"),
+        F.lit(0).alias("severity"),
+        F.lit(0).alias("status"),
+    )
+    return hot.unionAll(cold)
+
+
+def test_decimate_correct_under_hot_channel_skew(spark):
+    """Channel independence: decimating the skewed corpus must give the
+    hot channel exactly the rows decimating it ALONE gives (and likewise
+    for a cold channel) — skew can shift wall-clock, never results."""
+    df = _skewed(spark)
+    whole = decimate(df, 3600)
+    hot_alone = decimate(df.filter(F.col("channel") == "HOT"), 3600)
+    a = sorted(map(tuple, whole.filter(F.col("channel") == "HOT").collect()))
+    b = sorted(map(tuple, hot_alone.collect()))
+    assert a == b and len(a) > 0
+    cold_alone = decimate(df.filter(F.col("channel") == "C7"), 3600)
+    a = sorted(map(tuple, whole.filter(F.col("channel") == "C7").collect()))
+    b = sorted(map(tuple, cold_alone.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_skew_plan_shape_is_the_documented_one(spark):
+    """Pin the EXACT plan shape the PERF.md skew row reasons about:
+    ONE hash exchange on channel, then the whole per-channel pipeline
+    (window sort -> validity explode -> partial+final SortAggregate,
+    reusing the window's sort order so the aggregation costs no second
+    exchange) runs inside the channel's partition. Consequence, stated
+    honestly: a channel holding fraction f of the corpus serializes ~f of
+    this stage in one task (measured +47 % wall-clock at f=0.5, PERF.md);
+    AQE's skew splitting does not apply because there is no shuffle to
+    re-split — the defense at 100 TB is channel cardinality >> cores,
+    which physical PV archives satisfy by construction."""
+    plan = (
+        decimate(_skewed(spark), 3600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(channel" in plan
+    # the decimal moment sums + struct max_by plan as partial+final
+    # SortAggregate over the window's existing (channel, t->win) order
+    assert plan.count("SortAggregate") == 2, plan
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # no extra sort-merge machinery sneaks in
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
