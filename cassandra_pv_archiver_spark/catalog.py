@@ -160,6 +160,22 @@ def _reagg_ctes(target_s: int, src: str = "dec", out: str = "reagg") -> str:
 # ---------------------------------------------------------------------------
 
 
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree: scratch stores built by driver-checked
+    queries hold a full copy of the raw slice; without cleanup every
+    correctness/bench run leaked one per query (ADVICE r2). The dir must
+    outlive the RETURNED lazy DataFrame (the driver hashes it after this
+    function returns), so cleanup is process-exit, not scope-exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def q_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: time-ordered bucket-range scan for one channel
     (`ChannelAccessDatabaseAccess.java:283-311`); pushdown-checked."""
@@ -392,12 +408,11 @@ def q_archive_incremental_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6/W3/T3 end-to-end: raw batch -> partitioned archive store ->
     incremental decimation job -> pruned read-back. Output must equal the
     plain batch decimation (same oracle as decimate_1h)."""
-    import tempfile
 
     from .plans.jobs import incremental_decimation
     from .sources.archive_store import ArchiveStore
 
-    store = ArchiveStore(spark, tempfile.mkdtemp(prefix="pvarch_") + "/archive")
+    store = ArchiveStore(spark, _scratch_dir("pvarch_") + "/archive")
     raw = load_samples(spark, sf_dir).select("channel", "t", "v", "severity", "status")
     store.write_samples(raw, level=0)
     incremental_decimation(store, PERIOD_1H)
@@ -422,12 +437,11 @@ def q_stream_lifecycle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     path value-hash-checked, not just row-counted. (The §3.1 planner read
     over a streamed store is covered by tests/test_streaming.py; the
     planner's own selection logic is oracled by ``planner_fallback``.)"""
-    import tempfile
 
     from .sources.archive_store import ArchiveStore
     from .streaming.ingest import start_file_ingest
 
-    root = tempfile.mkdtemp(prefix="pvarch_stream_")
+    root = _scratch_dir("pvarch_stream_")
     raw = load_samples(spark, sf_dir).select(
         "channel", "t", "v", "severity", "status"
     )
@@ -1253,11 +1267,10 @@ def q_channel_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: channel dimension lookup as a broadcast hash join — resolve each
     sample's channel against the registry (enabled flag + type), keep
     enabled channels only (`ChannelInformationCache.java:91-226`)."""
-    import tempfile
 
     from .management import ChannelConfig, ChannelRegistry
 
-    reg = ChannelRegistry(spark, tempfile.mkdtemp(prefix="pvreg_") + "/channels")
+    reg = ChannelRegistry(spark, _scratch_dir("pvreg_") + "/channels")
     # bulk build (one flush) — add_channel flushes per call, too slow for 200
     reg._channels = {
         f"PV:{i}": ChannelConfig(
@@ -1521,13 +1534,12 @@ def q_retention_sweep_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-back must equal a plain ``t >= cutoff`` filter over the input —
     which is exactly what the oracle computes. Retention is ~half the span
     (all integer ns arithmetic, reproduced bit-for-bit in SQL)."""
-    import tempfile
 
     from .plans.jobs import retention_sweep
     from .sources.archive_store import ArchiveStore
 
     store = ArchiveStore(
-        spark, tempfile.mkdtemp(prefix="pvarch_ret_") + "/archive"
+        spark, _scratch_dir("pvarch_ret_") + "/archive"
     )
     raw = load_samples(spark, sf_dir).select(
         "channel", "t", "v", "severity", "status"
@@ -1643,16 +1655,16 @@ def q_missing_level_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     configured/written yields an EMPTY result with the level's stable
     schema — not an error (`ArchiveAccessServiceImpl.java:794-805`). The
     store is real (raw level written) so the path exercises the per-level
-    existence check, not a missing root. The driver compares the empty
-    frame's schema and (vacuous) value hash against the oracle's
-    zero-row projection, pinning both the emptiness AND the column
-    types."""
-    import tempfile
+    existence check, not a missing root. The driver row pins the
+    emptiness and the column NAMES (on a zero-row frame the value hash is
+    vacuous and pandas dtypes degrade to object, so column TYPES are not
+    checkable there — ADVICE r2); the type contract is pinned instead by
+    tests/test_archive_store.py's schema assertion on the same path."""
 
     from .sources.archive_store import ArchiveStore
 
     store = ArchiveStore(
-        spark, tempfile.mkdtemp(prefix="pvarch_f4_") + "/archive"
+        spark, _scratch_dir("pvarch_f4_") + "/archive"
     )
     raw = load_samples(spark, sf_dir).select(
         "channel", "t", "v", "severity", "status"
@@ -1679,15 +1691,16 @@ def q_compact_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-size rollover bookkeeping) must be LOSSLESS. The raw series is
     written in two interleaved appends (fragmenting every date partition),
     compacted to one sorted file per partition, and read back; per-channel
-    row counts, distinct-timestamp counts, and time bounds must equal a
-    straight aggregation over the input — any dropped, duplicated, or
-    corrupted row moves one of them."""
-    import tempfile
+    row counts, distinct-timestamp counts, time bounds, AND value/severity
+    checksums (exact scaled-int sums — order-insensitive, engine-exact)
+    must equal a straight aggregation over the input — any dropped,
+    duplicated, or value-corrupted row moves one of them (ADVICE r2: the
+    round-2 oracle was count/timestamp-only, blind to payload corruption)."""
 
     from .sources.archive_store import ArchiveStore
 
     store = ArchiveStore(
-        spark, tempfile.mkdtemp(prefix="pvarch_cmp_") + "/archive"
+        spark, _scratch_dir("pvarch_cmp_") + "/archive"
     )
     raw = load_samples(spark, sf_dir).select(
         "channel", "t", "v", "severity", "status"
@@ -1704,6 +1717,10 @@ def q_compact_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("t").alias("n_ts"),
             F.min("t").alias("t_first"),
             F.max("t").alias("t_last"),
+            F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).alias(
+                "v_checksum"
+            ),
+            F.sum(F.col("severity").cast("bigint")).alias("sev_checksum"),
         )
         .orderBy("channel")
     )
@@ -1715,7 +1732,9 @@ SELECT channel,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT t) AS BIGINT) AS n_ts,
        CAST(min(t) AS BIGINT) AS t_first,
-       CAST(max(t) AS BIGINT) AS t_last
+       CAST(max(t) AS BIGINT) AS t_last,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_checksum,
+       CAST(sum(severity) AS BIGINT) AS sev_checksum
 FROM samples
 GROUP BY channel ORDER BY channel
 """

@@ -134,7 +134,17 @@ def test_missing_level_yields_empty_not_error(spark, tmp_path):
     store = ArchiveStore(spark, str(tmp_path / "arch"))
     assert store.read_samples(0).count() == 0
     assert store.read_samples(900).count() == 0
-    assert "mean" in store.read_samples(900).columns
+    # full TYPE pin for the empty decimated frame (the driver's oracle row
+    # for missing_level_empty can only pin column names on zero rows)
+    dec = dict(store.read_samples(900).dtypes)
+    assert dec["channel"] == "string" and dec["t"] == "bigint"
+    assert dec["mean"] == "double" and dec["n_samples"] == "bigint"
+    assert dec["quality"] == "string"
+    raw = dict(store.read_samples(0).dtypes)
+    assert raw == {
+        "channel": "string", "t": "bigint", "v": "double",
+        "severity": "int", "status": "int",
+    }
 
 
 def test_store_module_free_of_local_fs_primitives():

@@ -37,9 +37,10 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
     ),
     "decimate_cascade_1d": (
         # hash(channel) from the load is reused by BOTH reaggregation
-        # stages — a depth-3 cascade still pays only the initial channel
-        # exchange + the output range sort (measured 2; budget 3)
-        3,
+        # stages — a depth-3 cascade pays only the initial channel
+        # exchange + the output range sort (budget == measured 2, so a
+        # 2->3 shuffle regression FAILS the audit)
+        2,
         ["codegen id"],
         ["CartesianProduct"],
     ),
