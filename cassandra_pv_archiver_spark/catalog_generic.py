@@ -1140,11 +1140,15 @@ ORDER BY s_name
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted; no receipt/commit dates, lateness =
     latest ship date in the order): NATION_5 suppliers who were the
-    UNIQUE last shipper on a finished multi-supplier order — the
-    EXISTS (another supplier) + NOT EXISTS (another supplier shipped
-    at/after them) pair, expressed as a left-semi and a left-anti
-    self-join on the per-(order, supplier) max-shipdate aggregate (both
-    joins hash on the order key — one shuffle each side, no cartesian)."""
+    UNIQUE last shipper on a finished multi-supplier order. The EXISTS
+    (another supplier) + NOT EXISTS (another supplier shipped at/after
+    them) pair is algebraically a per-order predicate over the
+    (order, supplier) max-shipdate aggregate — supplier count > 1, own
+    max == order max, exactly one supplier attains the max — so it runs
+    as ONE window over the aggregate instead of round 2's left-semi +
+    left-anti self-joins (3 hash joins -> 1 window; the window reuses
+    the aggregate's order-key clustering, saving two full shuffles of
+    `base` — sf0.01 wall-clock 10 s -> ~3 s in the driver's gate)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -1155,22 +1159,21 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("_mx"))
     )
-    other = base.select(
-        F.col("l_orderkey").alias("_ok"),
-        F.col("l_suppkey").alias("_sk"),
-        F.col("_mx").alias("_omx"),
+    w = Window.partitionBy("l_orderkey")
+    scored = (
+        base.withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("_omax", F.max("_mx").over(w))
+        .withColumn(
+            "_n_at_max",
+            F.sum(
+                F.when(F.col("_mx") == F.col("_omax"), 1).otherwise(0)
+            ).over(w),
+        )
     )
-    exists = base.join(
-        other,
-        (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
-        "left_semi",
-    )
-    lone_last = exists.join(
-        other,
-        (F.col("l_orderkey") == F.col("_ok"))
-        & (F.col("l_suppkey") != F.col("_sk"))
-        & (F.col("_omx") >= F.col("_mx")),
-        "left_anti",
+    lone_last = scored.filter(
+        (F.col("_n_supp") > 1)
+        & (F.col("_mx") == F.col("_omax"))
+        & (F.col("_n_at_max") == 1)
     )
     nat = (
         supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
