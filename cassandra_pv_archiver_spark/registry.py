@@ -298,11 +298,17 @@ _DRIVER_GREEN_R02 = [
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q22",
 ]
 
+#: Round-3 additions lead outright — brand-new operators should get their
+#: first driver row even if the budget cuts the tail of the fresh block.
+_NEW_R03 = ["decimate_plugin_median_1h", "quality_quantiles_approx"]
+
 _checked = set(_DRIVER_GREEN_R02)
+_front = set(_NEW_R03)
 REGISTRY = {
     name: REGISTRY[name]
     for name in (
-        [n for n in REGISTRY if n not in _checked]
+        _NEW_R03
+        + [n for n in REGISTRY if n not in _checked and n not in _front]
         + [n for n in _DRIVER_GREEN_R02 if n in REGISTRY]
     )
 }
