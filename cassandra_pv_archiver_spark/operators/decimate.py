@@ -94,12 +94,56 @@ AGGREGATABLE_TYPES = (
 MARKER_TYPES = ("disabled", "disconnected")
 
 
+def _lead_hwm_range_partitioned(
+    df: DataFrame, key: str, t: str
+) -> DataFrame:
+    """Skew-proof ``_t_next``/``_hwm``: the escalation path for a channel
+    so hot that the default per-channel window (one task per channel)
+    becomes the wall-clock floor (PERF.md "hot-channel skew").
+
+    Construction — the standard range-split lead with boundary fix-up:
+
+    1. range-partition by ``(key, t)``: a hot channel SPLITS across many
+       tasks (per-task work is bounded by partition size, not channel
+       size);
+    2. ``lead`` inside each (physical partition, key) slice — the window
+       partition is now at most one range partition, never one channel;
+    3. per-(partition, key) first timestamps form a tiny boundary table;
+       a ``lead`` over it (per key, by partition id) yields each slice's
+       successor timestamp, broadcast-joined back to close the seams;
+    4. ``_hwm`` comes from a partial-aggregated groupBy (skew-safe by
+       map-side combine) instead of an unbounded-frame window.
+
+    Exactly equal to the single-window formulation (property-pinned in
+    tests/test_skew.py); costs ~2 extra small exchanges + a broadcast, so
+    it is OPT-IN via ``skew_safe=True`` — the default plan is right for
+    the channel-balanced archive."""
+    d = df.repartitionByRange(F.col(key), F.col(t)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("_pid", key).orderBy(t)
+    d = d.withColumn("_t_next_local", F.lead(t).over(w_in))
+    bounds = d.groupBy("_pid", key).agg(F.min(t).alias("_first_t"))
+    wb = Window.partitionBy(key).orderBy("_pid")
+    bounds = bounds.withColumn(
+        "_next_first", F.lead("_first_t").over(wb)
+    ).select("_pid", key, "_next_first")
+    hwm = df.groupBy(key).agg(F.max(t).alias("_hwm"))
+    return (
+        d.join(F.broadcast(bounds), ["_pid", key], "left")
+        .join(F.broadcast(hwm), [key])
+        .withColumn("_t_next", F.coalesce("_t_next_local", "_next_first"))
+        .drop("_pid", "_t_next_local", "_next_first")
+    )
+
+
 def explode_validity_windows(
     df: DataFrame,
     period_ns: int,
     key: str = "channel",
     t: str = "t",
     max_gap_windows: int | None = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Assign each sample its hold-forward validity, split at window bounds.
 
@@ -113,14 +157,22 @@ def explode_validity_windows(
     is the channel's newest timestamp — mirroring the reference, which emits
     an interval only once a source sample at/after its end exists
     (`...DecimatedSamplesDecimationLevel.java:890-927`).
+
+    ``skew_safe=True`` swaps the per-channel lead/hwm windows for the
+    range-partitioned construction (:func:`_lead_hwm_range_partitioned`)
+    — same result, bounded per-task cost under a pathological hot channel.
     """
     p = F.lit(period_ns)
-    w_ord = Window.partitionBy(key).orderBy(t)
-    w_all = Window.partitionBy(key)
+    if skew_safe:
+        d = _lead_hwm_range_partitioned(df, key, t)
+    else:
+        w_ord = Window.partitionBy(key).orderBy(t)
+        w_all = Window.partitionBy(key)
+        d = df.withColumn("_t_next", F.lead(t).over(w_ord)).withColumn(
+            "_hwm", F.max(t).over(w_all)
+        )
     d = (
-        df.withColumn("_t_next", F.lead(t).over(w_ord))
-        .withColumn("_hwm", F.max(t).over(w_all))
-        .withColumn("_t_end", F.coalesce("_t_next", "_hwm"))
+        d.withColumn("_t_end", F.coalesce("_t_next", "_hwm"))
         .filter(F.col("_t_end") > F.col(t))
     )
     win_lo = F.expr(f"{t} div {period_ns}")
@@ -158,8 +210,13 @@ def decimate(
     round_to: int | None = None,
     v_decimals: int = 2,
     max_gap_windows: int | None = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Raw numeric samples -> aggregated samples at ``period_s``.
+
+    ``skew_safe=True``: range-partitioned validity windows (see
+    :func:`explode_validity_windows`) for corpora with a pathological hot
+    channel — identical output, bounded per-task cost.
 
     Input columns: ``channel, t, v, severity, status`` (one numeric scalar
     series per channel; strictly increasing t).
@@ -180,7 +237,10 @@ def decimate(
     (BigDecimal exact expansion vs scaled-multiply) legitimately disagree.
     """
     period_ns = period_s * NS
-    d = explode_validity_windows(df, period_ns, key=key, max_gap_windows=max_gap_windows)
+    d = explode_validity_windows(
+        df, period_ns, key=key, max_gap_windows=max_gap_windows,
+        skew_safe=skew_safe,
+    )
     vs = 10 ** v_decimals
     d = d.withColumn("_vi", F.expr(f"CAST(floor(v * {vs} + 0.5) AS BIGINT)"))
     _r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)

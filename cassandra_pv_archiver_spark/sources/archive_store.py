@@ -359,30 +359,49 @@ class ArchiveStore:
         """Rewrite each date partition into ``target_files_per_partition``
         sorted files (the OPTIMIZE pass for append-fragmented partitions).
 
-        Each partition's rewrite is ONE manifest commit (new consolidated
-        files in, fragmented files out), so a concurrent reader always
-        resolves either the fragmented or the compacted file set — never
-        an empty/partial directory (the delete-then-rename failure mode
-        this store had before round 3). Replaced files survive until two
-        commits later (``gc(keep_versions=2)``) so in-flight readers of
-        the previous version finish cleanly."""
+        ALL fragmented partitions rewrite in ONE Spark job and swap in via
+        ONE manifest commit (a per-partition loop was ~1 driver-side job
+        per date — 100 sequential jobs for 100 days; one hash-on-date
+        repartition rewrites every fragmented day in parallel and scales
+        with the cluster, not the partition count). A concurrent reader
+        always resolves either the fragmented or the compacted file set —
+        never an empty/partial directory (the delete-then-rename failure
+        mode this store had before round 3). Replaced files survive until
+        two commits later (``gc(keep_versions=2)``) so in-flight readers
+        of the previous version finish cleanly.
+
+        ``target_files_per_partition=1`` is exact (each date is owned by
+        one task); larger targets are a soft cap via (date, channel)
+        hashing."""
         table = self._level_table(level)
-        for d in self._level_dates(level):
-            old = [r for r in (table.files() or []) if _file_date(r) == d]
-            if len(old) <= target_files_per_partition:
-                continue
-            df = self.spark.read.option("basePath", table.root).parquet(
-                *(f"{table.root}/{r}" for r in old)
-            )
-            stage = table.stage_dir()
-            (
-                df.coalesce(target_files_per_partition)
-                .sortWithinPartitions("channel", "t")
-                .write.partitionBy("date")
-                .option("maxRecordsPerFile", self.max_records_per_file)
-                .parquet(stage)
-            )
-            table.publish_stage(stage, remove=old)
+        by_date: dict[str, list[str]] = {}
+        for r in table.files() or []:
+            d = _file_date(r)
+            if d is not None:
+                by_date.setdefault(d, []).append(r)
+        old = [
+            r
+            for files in by_date.values()
+            if len(files) > target_files_per_partition
+            for r in files
+        ]
+        if not old:
+            return
+        df = self.spark.read.option("basePath", table.root).parquet(
+            *(f"{table.root}/{r}" for r in old)
+        )
+        part_cols = (
+            ["date"] if target_files_per_partition == 1 else ["date", "channel"]
+        )
+        stage = table.stage_dir()
+        (
+            df.repartition(*part_cols)
+            .sortWithinPartitions("channel", "t")
+            .write.partitionBy("date")
+            .option("maxRecordsPerFile", self.max_records_per_file)
+            .parquet(stage)
+        )
+        table.publish_stage(stage, remove=old)
         table.gc(keep_versions=2)
 
 

@@ -84,5 +84,42 @@ def test_skew_plan_shape_is_the_documented_one(spark):
     assert plan.count("SortAggregate") == 2, plan
     assert "partial_sum" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    # no extra sort-merge machinery sneaks in
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_skew_safe_decimate_equals_default(spark):
+    """The range-partitioned lead/hwm construction (skew_safe=True) must
+    produce EXACTLY the default single-window result — on the skewed
+    fixture (seam-heavy for the hot channel: many range partitions), on a
+    small irregular series, and on a single-sample channel (degenerate
+    boundary: no successor anywhere)."""
+    for df in (
+        _skewed(spark, n=5_000),
+        _skewed(spark, n=400, hot_share=0.9, n_cold=3),
+        spark.createDataFrame(
+            [("solo", BASE, 1.0, 0, 0), ("duo", BASE, 2.0, 0, 0),
+             ("duo", BASE + 7200 * NS, 3.0, 0, 0)],
+            "channel string, t long, v double, severity int, status int",
+        ),
+    ):
+        a = sorted(map(tuple, decimate(df, 3600).collect()))
+        b = sorted(map(tuple, decimate(df, 3600, skew_safe=True).collect()))
+        assert a == b
+
+
+def test_skew_safe_plan_has_no_per_channel_window(spark):
+    """skew_safe's window partitions are (physical partition, channel) —
+    bounded by range-partition size — and hwm is a partial-agg groupBy,
+    so NO plan operator keys a window on channel alone (the hot-channel
+    serialization point of the default plan)."""
+    plan = (
+        decimate(_skewed(spark), 3600, skew_safe=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # every windowspecdefinition must include the partition id column
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "_pid" in spec, spec
+    assert "rangepartitioning" in plan
