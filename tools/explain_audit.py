@@ -386,11 +386,15 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "tpch_q21": (
-        None,
-        # EXISTS/NOT EXISTS = semi + anti self-joins hashed on the order
-        # key; the theta residual rides the hash join, never a cartesian
-        ["LeftSemi", "LeftAnti"],
-        ["CartesianProduct"],
+        # round 3: the EXISTS/NOT-EXISTS pair collapsed into ONE window
+        # over the (order, supplier) aggregate's own clustering — no semi/
+        # anti self-joins left (was 3 hash joins + 2 extra shuffles of the
+        # aggregate); 3 exchanges measured (budget == measured so a
+        # regression fails): the aggregate hash, the final groupBy, the
+        # top-k sort
+        3,
+        ["windowspecdefinition(l_orderkey", "BroadcastHashJoin"],
+        ["CartesianProduct", "LeftSemi", "LeftAnti"],
     ),
 }
 
