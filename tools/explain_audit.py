@@ -212,6 +212,23 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["Window", "BroadcastNestedLoopJoin"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
+    "quality_quantiles_approx": (
+        2,  # partial sketch -> one lang exchange -> final agg (+ out sort)
+        # the whole point of the sketch path: NO per-group rank window —
+        # approx_percentile partial-aggregates, so a giant stratum costs a
+        # sketch merge, not a single-task sort
+        ["approx_percentile", "partial_"],
+        ["Window", "CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "decimate_plugin_median_1h": (
+        None,
+        # §2.10 SPI: the per-interval plugin runs as ONE chunked
+        # FlatMapGroupsInPandas (declared Arrow crossing) over the same
+        # channel clustering as the built-in path; nothing else may enter
+        # Python and nothing may cartesian
+        ["FlatMapGroupsInPandas"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "vocab_topk": (
         1,  # token hash exchange; top-k is partial-heap TakeOrdered,
         # never a global sort
