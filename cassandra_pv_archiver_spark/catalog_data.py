@@ -1572,3 +1572,151 @@ SELECT doc_id, lang, CAST(rank AS INTEGER) AS rank FROM (
 WHERE rank <= {BALANCED_K}
 ORDER BY lang, rank
 """
+
+
+# --- round-3 additions: data recipe, exact-run decontam, best survivor ---
+
+#: Pretraining mix recipe as INTEGER ratios (4 en : 1 each of the rest) —
+#: integer quotas (w_l · min_l floor(n_l / w_l)) are bit-identical on any
+#: engine; float shares would round differently at quota boundaries.
+MIX_WEIGHTS = {"en": 4, "zh": 1, "es": 1, "de": 1, "fr": 1}
+
+
+def q_mix_corpus_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe mixing: the LARGEST sub-corpus whose language strata
+    follow MIX_WEIGHTS exactly, members chosen in deterministic md5
+    order. The binding stratum (supply/weight minimal) caps the total;
+    two passes — a tiny per-stratum count broadcast back, then one
+    md5-order rank window per stratum (operators/sampling.mix_to_ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mix_to_ratios(docs, MIX_WEIGHTS, salt="mix").orderBy(
+        "lang", "rank"
+    )
+
+
+_MIX_W_SQL = ", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())
+SQL_MIX_CORPUS_RATIOS = f"""
+WITH w(lang, wt) AS (VALUES {_MIX_W_SQL}),
+counts AS (
+  SELECT d.lang, wt, count(*) AS n
+  FROM documents d JOIN w USING (lang) GROUP BY d.lang, wt
+),
+m AS (SELECT min(n // wt) AS mmin FROM counts),
+quotas AS (SELECT lang, wt * mmin AS quota FROM counts, m),
+ranked AS (
+  SELECT doc_id, d.lang, quota,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents d JOIN quotas ON d.lang = quotas.lang
+)
+SELECT doc_id, lang, CAST(rank AS INTEGER) AS rank,
+       CAST(quota AS BIGINT) AS quota
+FROM ranked WHERE rank <= quota
+ORDER BY lang, rank
+"""
+
+
+#: exact-substring leakage threshold: a run of >= 3 consecutive shared
+#: 3-grams == a >= 5-token exact shared substring
+EXACT_RUN_MIN = 3
+
+
+def q_contamination_exact_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (positions, not bags): candidate
+    docs sharing a >= 5-token exact substring with the benchmark set
+    (docs with doc_id % 29 == 0), via gaps-and-islands over
+    benchmark-present 3-gram POSITIONS. contamination_3gram fires on
+    topical overlap; this is the "exact overlap >= K tokens" leakage rule
+    real decontamination uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    shp = dedup.positional_shingles(docs)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select("doc_id")
+    return dedup.contamination_exact_run(
+        shp, bench, min_run=EXACT_RUN_MIN
+    ).orderBy("doc_id")
+
+
+SQL_CONTAMINATION_EXACT_RUN = f"""
+WITH shp AS (
+  SELECT doc_id, g.i - 1 AS pos, w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS shingle
+  FROM (SELECT doc_id, {_W_SQL} AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+  WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT shingle FROM shp WHERE doc_id % {BENCH_MOD} = 0),
+hits AS (
+  SELECT doc_id, pos FROM shp
+  WHERE doc_id % {BENCH_MOD} != 0 AND shingle IN (SELECT shingle FROM bench)
+),
+isl AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+runs AS (SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY doc_id, grp)
+SELECT doc_id, max(run) AS max_run,
+       max(run) + 2 AS longest_tokens,
+       CAST(sum(run) AS BIGINT) AS n_hit_positions
+FROM runs GROUP BY doc_id
+HAVING max(run) >= {EXACT_RUN_MIN}
+ORDER BY doc_id
+"""
+
+
+def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: near-dup clusters
+    (MinHash-LSH pairs -> connected components) keep their HIGHEST-
+    QUALITY member instead of the minimum id — what a curation pipeline
+    actually wants from dedup (dedup_clusters' min-id is the bookkeeping
+    baseline). Ties break to the smaller id; quality is the
+    deterministic composite from text_metrics, so the arg-max is
+    engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    pairs = dedup.minhash_lsh_pairs(sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY)
+    comp = dedup.connected_components(pairs, docs.select("doc_id"))
+    qual = text.text_metrics(docs).select("doc_id", "quality_score")
+    return (
+        comp.join(qual, "doc_id")
+        .groupBy("comp")
+        .agg(
+            F.expr(
+                "max_by(doc_id, named_struct('q', quality_score,"
+                " 'negid', -doc_id))"
+            ).alias("keep_id"),
+            F.max("quality_score").alias("best_quality"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("comp")
+    )
+
+
+SQL_DEDUP_BEST_SURVIVOR = f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vpairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+),
+lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+{_QUALITY_CTES.strip().lstrip()},
+scored AS (
+  SELECT lab.comp, lab.id AS doc_id, qual.quality_score,
+         row_number() OVER (
+           PARTITION BY lab.comp
+           ORDER BY qual.quality_score DESC, lab.id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY lab.comp) AS n_docs,
+         max(qual.quality_score) OVER (PARTITION BY lab.comp) AS best_quality
+  FROM lab JOIN qual ON qual.doc_id = lab.id
+)
+SELECT comp, doc_id AS keep_id, best_quality, CAST(n_docs AS BIGINT) AS n_docs
+FROM scored WHERE rn = 1 ORDER BY comp
+""".replace("{stop}", _STOP_PRED)

@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -466,4 +466,66 @@ def simhash_near_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles WITH their token position: (id, pos, shingle),
+    one row per occurrence (no distinct — positions are the point).
+    Tokenization identical to :func:`shingles`."""
+    words = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')")
+    parts = ", ' ', ".join([f"_w[i + {j}]" for j in range(n)])
+    gram = f"transform(sequence(0, size(_w) - {n}), i -> concat({parts}))"
+    return (
+        df.select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(gram)).alias("pos", "shingle"),
+        )
+    )
+
+
+def contamination_exact_run(
+    sh_pos: DataFrame,
+    bench_ids: DataFrame,
+    id_col: str = "doc_id",
+    min_run: int = 1,
+) -> DataFrame:
+    """Exact-substring decontamination: the longest CONSECUTIVE run of
+    benchmark-present n-gram positions per candidate document.
+
+    :func:`contamination` counts shared shingles anywhere — a bag-of-
+    n-grams signal that fires on topical overlap. Real leakage policy
+    ("drop documents sharing a >= K-token exact substring with an eval
+    set") needs positions: a run of r consecutive shared 3-grams is an
+    exact shared substring of r + 2 tokens. Gaps-and-islands over the hit
+    positions: ``pos - row_number()`` is constant within a consecutive
+    run, one window per doc + two hash aggs. The benchmark shingle set
+    broadcasts (same scale story as :func:`contamination`); the corpus is
+    scanned once.
+
+    Returns (id, max_run, longest_tokens, n_hit_positions) for candidate
+    docs with ``max_run >= min_run``.
+    """
+    bench_sh = sh_pos.join(bench_ids, id_col).select("shingle").distinct()
+    cand = sh_pos.join(bench_ids, id_col, "left_anti")
+    hits = cand.join(F.broadcast(bench_sh), "shingle", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        hits.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_isl")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return (
+        runs.groupBy(id_col)
+        .agg(
+            F.max("_run").alias("max_run"),
+            F.sum("_run").alias("n_hit_positions"),
+        )
+        .withColumn("longest_tokens", F.col("max_run") + F.lit(2))
+        .filter(F.col("max_run") >= min_run)
+        .select(id_col, "max_run", "longest_tokens", "n_hit_positions")
     )

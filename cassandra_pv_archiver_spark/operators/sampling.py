@@ -9,7 +9,7 @@ costs one scan at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,4 +89,59 @@ def sequence_packing(
         "n_tokens",
     ).withColumn(
         "pack_id", (F.col("start_offset") / F.lit(window_tokens)).cast("long")
+    )
+
+
+def mix_to_ratios(
+    df: DataFrame,
+    weights: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Data-recipe mixing: draw the LARGEST corpus whose strata follow the
+    integer ratio ``weights`` exactly (e.g. {en: 4, zh: 1, ...} -> four
+    English docs for every Chinese doc), selecting members by
+    deterministic md5 order.
+
+    The pretraining "data recipe" operator: mixtures are specified as
+    ratios, and the binding stratum (the one whose supply runs out first)
+    caps the total. Math stays in INTEGERS end-to-end — the scale factor
+    is ``m = min_l floor(n_l / w_l)`` and each quota is ``w_l * m`` — so
+    quotas are bit-identical on any engine (no float shares to round).
+
+    Two passes, both skew-tolerant: a partial-combined count per stratum
+    (tiny, broadcast back), then one md5-order rank window per stratum to
+    take the quota. Strata absent from ``weights`` are dropped.
+
+    Returns: id, stratum, rank (1-based within stratum), quota.
+    """
+    counts = (
+        df.filter(F.col(stratum_col).isin(list(weights)))
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    scaled = counts.withColumn("_w", wmap[F.col(stratum_col)]).withColumn(
+        "_m", F.expr("_n div _w")
+    )
+    # the binding stratum: one tiny global agg, joined back broadcast
+    m = scaled.agg(F.min("_m").alias("_mmin"))
+    quotas = (
+        scaled.crossJoin(F.broadcast(m))
+        .select(
+            stratum_col, (F.col("_w") * F.col("_mmin")).alias("quota")
+        )
+    )
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    return (
+        df.select(id_col, stratum_col)
+        .join(F.broadcast(quotas), stratum_col)
+        .withColumn("_h", h)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= F.col("quota"))
+        .select(id_col, stratum_col, "rank", "quota")
     )

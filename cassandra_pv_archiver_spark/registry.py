@@ -261,6 +261,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_quality_quantiles_approx,
         catalog_data.SQL_QUALITY_QUANTILES_APPROX,
     ),
+    "mix_corpus_ratios": (
+        catalog_data.q_mix_corpus_ratios,
+        catalog_data.SQL_MIX_CORPUS_RATIOS,
+    ),
+    "contamination_exact_run": (
+        catalog_data.q_contamination_exact_run,
+        catalog_data.SQL_CONTAMINATION_EXACT_RUN,
+    ),
+    "dedup_best_survivor": (
+        catalog_data.q_dedup_best_survivor,
+        catalog_data.SQL_DEDUP_BEST_SURVIVOR,
+    ),
     "quality_filtered_stats": (
         catalog_data.q_quality_filtered_stats,
         catalog_data.SQL_QUALITY_FILTERED_STATS,
@@ -300,7 +312,13 @@ _DRIVER_GREEN_R02 = [
 
 #: Round-3 additions lead outright — brand-new operators should get their
 #: first driver row even if the budget cuts the tail of the fresh block.
-_NEW_R03 = ["decimate_plugin_median_1h", "quality_quantiles_approx"]
+_NEW_R03 = [
+    "decimate_plugin_median_1h",
+    "quality_quantiles_approx",
+    "mix_corpus_ratios",
+    "contamination_exact_run",
+    "dedup_best_survivor",
+]
 
 _checked = set(_DRIVER_GREEN_R02)
 _front = set(_NEW_R03)

@@ -405,3 +405,84 @@ def test_group_approx_quantiles_exact_below_accuracy_and_no_sort(spark):
     plan = stats.group_approx_quantiles(df, "k", "v", qs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Window" not in plan and "Sort" not in plan.split("Exchange")[0]
+
+
+def test_mix_to_ratios_integer_quotas(spark):
+    """m = min_l floor(n_l / w_l); quota_l = w_l * m — strata follow the
+    ratio EXACTLY and the binding stratum caps the total; unknown strata
+    drop; selection is deterministic md5 order."""
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(3)]
+    rows += [(900, "zz")]  # stratum not in the recipe
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.mix_to_ratios(df, {"a": 2, "b": 1}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r)
+    # m = min(10 div 2, 3 div 1) = 3 -> quotas a=6, b=3
+    assert len(by["a"]) == 6 and all(r.quota == 6 for r in by["a"])
+    assert len(by["b"]) == 3 and all(r.quota == 3 for r in by["b"])
+    assert "zz" not in by
+    # deterministic: same selection on re-run
+    again = {(r.doc_id, r.rank) for r in
+             sampling.mix_to_ratios(df, {"a": 2, "b": 1}).collect()}
+    assert again == {(r.doc_id, r.rank) for r in out}
+
+
+def test_contamination_exact_run_islands(spark):
+    """A 4-token exact shared substring == 2 consecutive shared 3-grams;
+    scattered single hits do not extend the run."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),          # benchmark (id % 29 == 0)
+            (1, "x y a b c d z"),      # shares 'a b c d' -> run 2
+            (2, "a b c q q q c d e"),  # two separate 1-runs
+            (3, "p q r s t"),          # clean
+        ],
+        "doc_id long, text string",
+    )
+    shp = dedup.positional_shingles(docs)
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select("doc_id")
+    out = {r.doc_id: r for r in
+           dedup.contamination_exact_run(shp, bench, min_run=1).collect()}
+    assert out[1].max_run == 2 and out[1].longest_tokens == 4
+    assert out[1].n_hit_positions == 2
+    assert out[2].max_run == 1 and out[2].n_hit_positions == 2
+    assert 3 not in out and 0 not in out
+    # threshold: min_run=2 keeps only the true exact-substring doc
+    kept = {r.doc_id for r in
+            dedup.contamination_exact_run(shp, bench, min_run=2).collect()}
+    assert kept == {1}
+
+
+def test_dedup_best_survivor_prefers_quality_over_min_id(spark):
+    """The survivor of a near-dup cluster must be the highest-quality
+    member, not the smallest id (regression vs the min-id baseline)."""
+    from cassandra_pv_archiver_spark.registry import REGISTRY
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            # cluster: doc 1 (short, lower quality) vs doc 2 (longer dup)
+            (1, base),
+            (2, base + " carrying seventeen delicious anagram sandwiches"),
+            (3, "completely unrelated text about spark partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    from cassandra_pv_archiver_spark.operators import text as text_ops
+
+    sh = dedup.shingles(docs)
+    pairs = dedup.minhash_lsh_pairs(sh, 8, 2, 0.2)
+    comp = dedup.connected_components(pairs, docs.select("doc_id"))
+    qual = text_ops.text_metrics(docs).select("doc_id", "quality_score")
+    out = (
+        comp.join(qual, "doc_id")
+        .groupBy("comp")
+        .agg(F.expr(
+            "max_by(doc_id, named_struct('q', quality_score,"
+            " 'negid', -doc_id))").alias("keep_id"))
+        .collect()
+    )
+    keeps = {r.keep_id for r in out}
+    assert 2 in keeps  # the longer (higher-quality) dup survives
+    assert 1 not in keeps
