@@ -496,6 +496,56 @@ def q_stream_lifecycle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_LIFECYCLE_1H = SQL_ARCHIVE_INCREMENTAL_1H
 
 
+def _text_format_roundtrip(spark, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared body for the CSV/JSONL ingestion round-trips: export the
+    30-channel raw slice to the text format, read it back through a
+    SCHEMA-d reader (never inference — int64 ns would degrade), decimate
+    to 1 h. Output must equal decimating the original parquet slice
+    (SQL_ARCHIVE_INCREMENTAL_1H), which pins that the text codec
+    round-trips every value bit-exactly: Spark writes shortest-round-trip
+    doubles, so v survives; t is integral.
+
+    Why it exists: the reference's migration surface is CSV/JSON exports
+    from other archivers (SURVEY §2.1 S7/S8 are the outbound analogs);
+    this is the inbound path a real switch-over runs."""
+    raw = load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    root = _scratch_dir(f"pvarch_{fmt}_")
+    path = f"{root}/{fmt}"
+    if fmt == "csv":
+        raw.write.option("header", True).csv(path)
+        back = (
+            spark.read.schema(
+                "channel string, t long, v double, severity int, status int"
+            )
+            .option("header", True)
+            .csv(path)
+        )
+    else:
+        raw.write.json(path)
+        back = spark.read.schema(
+            "channel string, t long, v double, severity int, status int"
+        ).json(path)
+    return decimate(back, PERIOD_1H).orderBy("channel", "t")
+
+
+def q_csv_ingest_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source format: export -> schema'd read-back -> decimate; equals
+    the parquet-path decimation bit-for-bit (same oracle)."""
+    return _text_format_roundtrip(spark, sf_dir, "csv")
+
+
+def q_jsonl_ingest_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source format: export -> schema'd read-back -> decimate;
+    equals the parquet-path decimation bit-for-bit (same oracle)."""
+    return _text_format_roundtrip(spark, sf_dir, "jsonl")
+
+
+SQL_CSV_INGEST_ROUNDTRIP_1H = SQL_ARCHIVE_INCREMENTAL_1H
+SQL_JSONL_INGEST_ROUNDTRIP_1H = SQL_ARCHIVE_INCREMENTAL_1H
+
+
 def q_pick_first_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: pick-first decimation of a non-aggregatable (string) series
     (`PickFirstSampleAggregator.java:50-76`)."""

@@ -65,6 +65,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_stream_lifecycle_1h,
         catalog.SQL_STREAM_LIFECYCLE_1H,
     ),
+    "csv_ingest_roundtrip_1h": (
+        catalog.q_csv_ingest_roundtrip_1h,
+        catalog.SQL_CSV_INGEST_ROUNDTRIP_1H,
+    ),
+    "jsonl_ingest_roundtrip_1h": (
+        catalog.q_jsonl_ingest_roundtrip_1h,
+        catalog.SQL_JSONL_INGEST_ROUNDTRIP_1H,
+    ),
     "union_levels": (catalog.q_union_levels, catalog.SQL_UNION_LEVELS),
     "planner_fallback": (catalog.q_planner_fallback, catalog.SQL_PLANNER_FALLBACK),
     "channel_glob": (catalog.q_channel_glob, catalog.SQL_CHANNEL_GLOB),
@@ -318,6 +326,8 @@ _NEW_R03 = [
     "mix_corpus_ratios",
     "contamination_exact_run",
     "dedup_best_survivor",
+    "csv_ingest_roundtrip_1h",
+    "jsonl_ingest_roundtrip_1h",
 ]
 
 _checked = set(_DRIVER_GREEN_R02)
