@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "events_dow_profile",
     "events_unpivot",
     "dedup_exact",
+    "dedup_best_survivor",
+    "mix_corpus_ratios",
+    "contamination_exact_run",
     "dedup_rate_by_source",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -229,6 +229,25 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["FlatMapGroupsInPandas"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
+    "mix_corpus_ratios": (
+        None,
+        # quota table broadcast back (tiny), md5-rank window per stratum;
+        # the corpus never sort-merges for the recipe
+        ["BroadcastHashJoin", "Window"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+    ),
+    "contamination_exact_run": (
+        None,
+        # benchmark shingles broadcast as a semi-join probe; islands are
+        # one per-doc window — no shingle-table self-join
+        ["BroadcastHashJoin", "LeftSemi", "Window"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "dedup_best_survivor": (
+        None,
+        ["codegen id"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     "vocab_topk": (
         1,  # token hash exchange; top-k is partial-heap TakeOrdered,
         # never a global sort
