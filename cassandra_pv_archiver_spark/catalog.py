@@ -1834,3 +1834,95 @@ WITH {SAMPLES_CTE},
 {_reagg_ctes(PERIOD_1D, src="reagg", out="reagg2")}
 SELECT * FROM reagg2 ORDER BY channel, t
 """
+
+
+# --- round-3: N-way aligned channel correlation matrix -------------------
+
+#: the correlation-plot channel set (6 channels -> 15 pairs) over the
+#: LO..HI probe range
+_CORR_CHANNELS = [f"PV:{i}" for i in range(6)]
+
+
+def q_channel_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way correlation-plot primitive: every pairwise Pearson r between
+    as-of-aligned channels (hold-forward onto the union time grid, J1
+    boundary semantics at every grid point), with exact decimal moments
+    so r is bit-stable at any parallelism. One grid pass + one window per
+    channel + ONE moment aggregation for all 15 pairs
+    (operators/stats.aligned_channel_correlations)."""
+    from .operators.stats import aligned_channel_correlations
+
+    s = load_samples(
+        spark, sf_dir, channels=_CORR_CHANNELS, lo_ns=LO, hi_ns=HI
+    )
+    return aligned_channel_correlations(s, _CORR_CHANNELS).orderBy(
+        "ch_a", "ch_b"
+    )
+
+
+def _sql_channel_corr_matrix() -> str:
+    from .operators.decimate import big_to_double_duck
+
+    chans = _CORR_CHANNELS
+    n = len(chans)
+    in_list = ", ".join(f"'{c}'" for c in chans)
+    vals = ", ".join(f"('{c}')" for c in chans)
+    piv = ",\n         ".join(
+        f"max(CASE WHEN channel = '{c}' THEN h END) AS c{i}"
+        for i, c in enumerate(chans)
+    )
+    notnull = " AND ".join(f"c{i} IS NOT NULL" for i in range(n))
+    sums = ["CAST(count(*) AS HUGEINT) AS n_"]
+    for i in range(n):
+        sums.append(f"sum(c{i}) AS s{i}")
+        sums.append(f"sum(c{i} * c{i}) AS q{i}")
+    for i in range(n):
+        for j in range(i + 1, n):
+            sums.append(f"sum(c{i} * c{j}) AS x{i}_{j}")
+    outs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            num = big_to_double_duck(f"(n_ * x{i}_{j} - s{i} * s{j})")
+            dx = big_to_double_duck(f"(n_ * q{i} - s{i} * s{i})")
+            dy = big_to_double_duck(f"(n_ * q{j} - s{j} * s{j})")
+            outs.append(
+                f"SELECT '{chans[i]}' AS ch_a, '{chans[j]}' AS ch_b,"
+                f" ({num}) / (sqrt({dx}) * sqrt({dy})) AS r,"
+                " CAST(n_ AS BIGINT) AS n_points FROM mm"
+            )
+    union = "\nUNION ALL\n".join(outs)
+    return f"""
+WITH {SAMPLES_CTE},
+cs AS (
+  SELECT channel, t, CAST(floor(v * 100 + 0.5) AS HUGEINT) AS vi
+  FROM samples
+  WHERE channel IN ({in_list}) AND t >= {LO} AND t <= {HI}
+),
+grid AS (SELECT DISTINCT t FROM cs),
+chans(channel) AS (VALUES {vals}),
+u AS (
+  SELECT g.t, g.channel, cs.vi
+  FROM (SELECT grid.t, chans.channel FROM grid CROSS JOIN chans) g
+  LEFT JOIN cs ON cs.channel = g.channel AND cs.t = g.t
+),
+held AS (
+  SELECT t, channel,
+         last_value(vi IGNORE NULLS) OVER (
+           PARTITION BY channel ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+  FROM u
+),
+mat AS (
+  SELECT t,
+         {piv}
+  FROM held GROUP BY t
+),
+mat2 AS (SELECT * FROM mat WHERE {notnull}),
+mm AS (SELECT {", ".join(sums)} FROM mat2)
+SELECT * FROM (
+{union}
+) ORDER BY ch_a, ch_b
+"""
+
+
+SQL_CHANNEL_CORRELATION_MATRIX = _sql_channel_corr_matrix()

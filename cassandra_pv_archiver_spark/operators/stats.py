@@ -142,3 +142,96 @@ def sql_exact_corr(table: str, x_col: str, y_col: str, alias: str) -> str:
          sum(CAST({y_col} AS HUGEINT) * CAST({y_col} AS HUGEINT)) AS syy
   FROM {table}))
 """
+
+
+def aligned_channel_correlations(
+    samples: DataFrame,
+    channels: list[str],
+    v_decimals: int = 2,
+    key: str = "channel",
+) -> DataFrame:
+    """Correlation matrix over as-of-ALIGNED channels — the reference
+    UI's correlation-plot primitive (`ArchiveAccessServiceImpl.java:
+    756-813` boundary semantics), N-way and exact.
+
+    Channels sample at unrelated times, so correlating raw rows is
+    meaningless; each channel is first held forward onto the UNION time
+    grid of all requested channels (J1 at-or-before semantics at every
+    grid point). Construction, one pass:
+
+      1. grid = distinct sample timestamps of the requested channels ×
+         the channel list (broadcast — N is a user query parameter, not
+         data-sized);
+      2. one ``last(v) IGNORE NULLS`` window per channel over the grid
+         (the same union-merge hold-forward as :func:`asof.asof_align`,
+         N-way);
+      3. pivot to one row per grid timestamp (drop leading rows where
+         any channel has no sample yet);
+      4. ONE aggregation computes every pairwise Pearson: values
+         quantize to exact ints (``floor(v·10^d + 0.5)``, the engine's
+         decimation convention), moments are exact DECIMAL(38,0) sums
+         (order-insensitive — bit-stable at any parallelism), and only
+         the final r converts to double via ``big_to_double``.
+
+    Scale: grid rows = N × distinct-ts; the window partitions per
+    channel (bounded by the query's time range, as the reference's
+    correlation plots are); the moment aggregation is one map-side-
+    combined pass. Returns (ch_a, ch_b, r, n_points) for a < b.
+    """
+    from .decimate import big_to_double
+
+    vs = 10 ** v_decimals
+    s = samples.filter(F.col(key).isin(channels)).select(
+        key, "t", F.expr(f"CAST(floor(v * {vs} + 0.5) AS DECIMAL(19,0))").alias("_vi")
+    )
+    grid = s.select("t").distinct()
+    chans = samples.sparkSession.createDataFrame(
+        [(c,) for c in channels], f"{key} string"
+    )
+    g = grid.crossJoin(F.broadcast(chans))
+    u = g.join(s, [key, "t"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    held = u.select(
+        key, "t", F.last("_vi", ignorenulls=True).over(w).alias("_h")
+    )
+    cols = {
+        c: F.max(F.when(F.col(key) == c, F.col("_h"))).alias(f"_c{i}")
+        for i, c in enumerate(channels)
+    }
+    mat = (
+        held.groupBy("t")
+        .agg(*cols.values())
+        .na.drop()  # leading grid points before some channel's first sample
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for i in range(len(channels)):
+        aggs.append(F.sum(f"_c{i}").alias(f"_s{i}"))
+        aggs.append(F.sum(F.expr(f"_c{i} * _c{i}")).alias(f"_q{i}"))
+    for i in range(len(channels)):
+        for j in range(i + 1, len(channels)):
+            aggs.append(F.sum(F.expr(f"_c{i} * _c{j}")).alias(f"_x{i}_{j}"))
+    m = mat.agg(*aggs)
+    outs = []
+    for i in range(len(channels)):
+        for j in range(i + 1, len(channels)):
+            num = big_to_double(
+                f"CAST(_n * _x{i}_{j} - _s{i} * _s{j} AS DECIMAL(38,0))"
+            )
+            dx = big_to_double(f"CAST(_n * _q{i} - _s{i} * _s{i} AS DECIMAL(38,0))")
+            dy = big_to_double(f"CAST(_n * _q{j} - _s{j} * _s{j} AS DECIMAL(38,0))")
+            outs.append(
+                F.struct(
+                    F.lit(channels[i]).alias("ch_a"),
+                    F.lit(channels[j]).alias("ch_b"),
+                    F.expr(f"({num}) / (sqrt({dx}) * sqrt({dy}))").alias("r"),
+                    F.col("_n").cast("long").alias("n_points"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*outs)).alias("_p"))
+        .select("_p.ch_a", "_p.ch_b", "_p.r", "_p.n_points")
+    )

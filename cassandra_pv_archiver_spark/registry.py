@@ -93,6 +93,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_channel_gap_stats,
         catalog.SQL_CHANNEL_GAP_STATS,
     ),
+    "channel_correlation_matrix": (
+        catalog.q_channel_correlation_matrix,
+        catalog.SQL_CHANNEL_CORRELATION_MATRIX,
+    ),
     # --- generic relational surface ---
     "tpch_q1": (catalog_generic.q_tpch_q1, catalog_generic.SQL_TPCH_Q1),
     "tpch_q3": (catalog_generic.q_tpch_q3, catalog_generic.SQL_TPCH_Q3),
@@ -328,6 +332,7 @@ _NEW_R03 = [
     "dedup_best_survivor",
     "csv_ingest_roundtrip_1h",
     "jsonl_ingest_roundtrip_1h",
+    "channel_correlation_matrix",
 ]
 
 _checked = set(_DRIVER_GREEN_R02)

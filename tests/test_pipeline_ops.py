@@ -486,3 +486,48 @@ def test_dedup_best_survivor_prefers_quality_over_min_id(spark):
     keeps = {r.keep_id for r in out}
     assert 2 in keeps  # the longer (higher-quality) dup survives
     assert 1 not in keeps
+
+
+def test_aligned_channel_correlations_known_values(spark):
+    """Exact r for linear relations on a shared grid (+1 / -1), and a
+    hand-checked staggered pair where hold-forward alignment is what
+    makes the correlation well-defined at all."""
+    import math
+
+    from cassandra_pv_archiver_spark.operators.stats import (
+        aligned_channel_correlations,
+    )
+
+    NS = 1_000_000_000
+    rows = []
+    for k, t in enumerate(range(0, 40, 10)):
+        rows += [("A", t * NS, float(k + 1)),
+                 ("B", t * NS, float(2 * (k + 1))),     # B = 2A -> r=1
+                 ("C", t * NS, float(10 - (k + 1)))]    # C = 10-A -> r=-1
+    for t, v in ((5, 2.0), (15, 4.0), (25, 6.0)):       # D staggered
+        rows.append(("D", t * NS, v))
+    df = spark.createDataFrame(rows, "channel string, t long, v double")
+    out = {(r.ch_a, r.ch_b): r for r in aligned_channel_correlations(
+        df, ["A", "B", "C", "D"]).collect()}
+    # sqrt(dx)*sqrt(dy) rounds in the last ulp, so +-1 is attained only
+    # to ~1e-15 even with exact moments
+    assert abs(out[("A", "B")].r - 1.0) < 1e-12
+    assert abs(out[("A", "C")].r + 1.0) < 1e-12
+    # staggered pair: grid points where both exist = {5,10,15,20,25,30};
+    # held A = [1,2,2,3,3,4], held D = [2,2,4,4,6,6] -> r by hand
+    a = [1, 2, 2, 3, 3, 4]
+    d = [2, 2, 4, 4, 6, 6]
+    n = len(a)
+    num = n * sum(x * y for x, y in zip(a, d)) - sum(a) * sum(d)
+    dx = n * sum(x * x for x in a) - sum(a) ** 2
+    dy = n * sum(y * y for y in d) - sum(d) ** 2
+    want = num / (math.sqrt(dx) * math.sqrt(dy))
+    got = out[("A", "D")]
+    assert got.n_points == 6
+    assert abs(got.r - want) < 1e-12
+    # scaled values (x100 quantization) must not change any r
+    df2 = df.withColumn("v", F.col("v") / 100)
+    out2 = {(r.ch_a, r.ch_b): r.r for r in aligned_channel_correlations(
+        df2, ["A", "B", "C", "D"]).collect()}
+    assert abs(out2[("A", "B")] - 1.0) < 1e-12
+    assert abs(out2[("A", "C")] + 1.0) < 1e-12
