@@ -1720,3 +1720,43 @@ scored AS (
 SELECT comp, doc_id AS keep_id, best_quality, CAST(n_docs AS BIGINT) AS n_docs
 FROM scored WHERE rn = 1 ORDER BY comp
 """.replace("{stop}", _STOP_PRED)
+
+
+REPS_PER_CLUSTER = 5
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset selection: the 5 vectors closest to each K-Means centroid
+    (deterministic Lloyd fit, quantized sequential-fold distances) — the
+    standard mode-covering eval/inspection subset, as opposed to blind
+    sampling. One centroid broadcast + one per-cluster rank window; the
+    oracle re-ranks with the identical unrolled-Lloyd SQL chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_cluster_representatives(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, per_cluster=REPS_PER_CLUSTER
+    ).orderBy("cluster", "rank")
+
+
+def _sql_cluster_representatives() -> str:
+    body, last = _sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+    d2 = (
+        "list_sum(list_transform(range(1, 65), i ->"
+        f" (CAST(v.vq[i] AS DOUBLE) - {last}.c[i])"
+        f" * (CAST(v.vq[i] AS DOUBLE) - {last}.c[i])))"
+    )
+    return f"""
+WITH {body},
+scored AS (
+  SELECT af.cluster, af.id,
+         row_number() OVER (PARTITION BY af.cluster ORDER BY {d2}, af.id)
+           AS rank
+  FROM af JOIN v ON v.id = af.id
+          JOIN {last} ON {last}.cluster = af.cluster
+)
+SELECT cluster, CAST(rank AS INTEGER) AS rank, id AS vec_id
+FROM scored WHERE rank <= {REPS_PER_CLUSTER}
+ORDER BY cluster, rank
+"""
+
+
+SQL_CLUSTER_REPRESENTATIVES = _sql_cluster_representatives()

@@ -599,3 +599,40 @@ def kmeans_assignments(
     Returns: ``id_col``, cluster."""
     a, _ = _kmeans_fit(emb, k, iters, id_col, vec_col)
     return a.select(F.col("_id").alias(id_col), "cluster")
+
+
+def kmeans_cluster_representatives(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    per_cluster: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Representative subset ("coreset") selection: the ``per_cluster``
+    members closest to their cluster's centroid, from the deterministic
+    Lloyd fit — the standard recipe for a small eval/inspection set that
+    covers the corpus's modes instead of sampling blindly.
+
+    Ranking uses the same sequential-fold quantized distance the
+    assignment step uses (the oracle's rank-1 equivalence extends to
+    rank-R; ties break by id). One broadcast of k centroids + one
+    per-cluster rank window over the assignment table — no new shuffle
+    shape beyond :func:`kmeans_assignments`. Returns (cluster, rank,
+    id_col).
+    """
+    assigned, cent = _kmeans_fit(emb, k, iters, id_col, vec_col)
+    to_d = "transform(_vq, x -> CAST(x AS DOUBLE))"
+    dist2 = (
+        f"aggregate(zip_with({to_d}, _c, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    d = assigned.join(F.broadcast(cent), "cluster").withColumn(
+        "_d2", F.expr(dist2)
+    )
+    w = Window.partitionBy("cluster").orderBy("_d2", "_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cluster)
+        .select("cluster", "rank", F.col("_id").alias(id_col))
+    )

@@ -225,6 +225,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_ann_kmeans_ivf_topk,
         catalog_data.SQL_ANN_KMEANS_IVF_TOPK,
     ),
+    "cluster_representatives": (
+        catalog_data.q_cluster_representatives,
+        catalog_data.SQL_CLUSTER_REPRESENTATIVES,
+    ),
     "embedding_near_dup": (
         catalog_data.q_embedding_near_dup,
         catalog_data.SQL_EMBEDDING_NEAR_DUP,
@@ -333,6 +337,7 @@ _NEW_R03 = [
     "csv_ingest_roundtrip_1h",
     "jsonl_ingest_roundtrip_1h",
     "channel_correlation_matrix",
+    "cluster_representatives",
 ]
 
 _checked = set(_DRIVER_GREEN_R02)

@@ -241,3 +241,35 @@ def test_exact_cosine_guard_refuses_large_corpus(spark):
     with pytest.raises(ValueError, match="srp_near_pairs"):
         similarity.cosine_near_pairs(emb, 0.9, max_rows=5).count()
     assert similarity.cosine_near_pairs(emb, 0.9, max_rows=None).count() >= 0
+
+
+def test_cluster_representatives_are_nearest_members(spark):
+    """Each cluster's rank-1 representative must be at least as close to
+    the centroid as every member of that cluster (spot-verified with a
+    driver-side recomputation on the clustered fixture)."""
+    emb = _clustered_embeddings(spark, n_clusters=4, per_cluster=6)
+    k, iters = 4, 2
+    reps = similarity.kmeans_cluster_representatives(
+        emb, k=k, iters=iters, per_cluster=2
+    ).collect()
+    assigned, cent = similarity._kmeans_fit(emb, k, iters, "vec_id", "embedding")
+    centroids = {r.cluster: r._c for r in cent.collect()}
+    members = [(r.cluster, r._id, r._vq) for r in assigned.collect()]
+
+    def d2(vq, c):
+        return sum((float(x) - y) ** 2 for x, y in zip(vq, c))
+
+    by_cluster = {}
+    for cl, vid, vq in members:
+        by_cluster.setdefault(cl, []).append((vid, d2(vq, centroids[cl])))
+    for r in reps:
+        if r.rank != 1:
+            continue
+        dists = dict(by_cluster[r.cluster])
+        assert dists[r.vec_id] <= min(dists.values()) + 1e-9
+    # ranks are dense 1..per_cluster per cluster
+    seen = {}
+    for r in reps:
+        seen.setdefault(r.cluster, []).append(r.rank)
+    for cl, ranks in seen.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
