@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_kmeans_clusters",
     "ann_kmeans_ivf_topk",
+    "cluster_representatives",
+    "channel_correlation_matrix",
     "cluster_quality_report",
     "embedding_near_dup_lsh",
     "embedding_dedup_clusters",

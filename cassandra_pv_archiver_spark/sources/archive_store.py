@@ -275,6 +275,32 @@ class ArchiveStore:
             out.append(f"{table.root}/{r}")
         return out
 
+    def stats(self) -> list[dict]:
+        """Per-level table statistics from MANIFESTS ALONE — zero data
+        reads, zero directory walks (the DESCRIBE DETAIL analog; the
+        reference answers the same questions from its bucket bookkeeping
+        tables, `ChannelMetaDataDAOImpl.java:2092-2123`). Returns one dict
+        per level: level, version, n_files, n_partitions, date_min,
+        date_max."""
+        out = []
+        for level in self.levels():
+            table = self._level_table(level)
+            rel = table.files() or []
+            dates = sorted(
+                {d for d in (_file_date(r) for r in rel) if d is not None}
+            )
+            out.append(
+                {
+                    "level": level,
+                    "version": table.current_version(),
+                    "n_files": len(rel),
+                    "n_partitions": len(dates),
+                    "date_min": dates[0] if dates else None,
+                    "date_max": dates[-1] if dates else None,
+                }
+            )
+        return out
+
     def levels(self) -> list[int]:
         out = []
         for name in self.fs.listdir(self.samples_path):

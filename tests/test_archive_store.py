@@ -192,3 +192,25 @@ def test_hadoop_fs_facade_roundtrip(spark, tmp_path):
     assert fs.exists(root + "/y") and not fs.exists(root + "/x")
     fs.delete(root + "/y")
     assert not fs.exists(root + "/y")
+
+
+def test_store_stats_metadata_only(spark, tmp_path):
+    """stats() answers file/partition/version questions from manifests
+    alone; counts move with appends and compaction as expected."""
+    store = _store(spark, tmp_path)
+    raw = load_samples(spark, SF_DIR).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    store.write_samples(raw, level=0)
+    s1 = {s["level"]: s for s in store.stats()}[0]
+    assert s1["version"] == 0 and s1["n_files"] >= s1["n_partitions"] >= 1
+    assert s1["date_min"] <= s1["date_max"]
+    store.write_samples(
+        raw.withColumn("t", F.col("t") + 1), level=0
+    )  # fragment
+    s2 = {s["level"]: s for s in store.stats()}[0]
+    assert s2["version"] == 1 and s2["n_files"] > s1["n_files"]
+    store.compact(0)
+    s3 = {s["level"]: s for s in store.stats()}[0]
+    assert s3["n_files"] == s3["n_partitions"]  # 1 file per date
+    assert s3["version"] > s2["version"]
