@@ -283,6 +283,7 @@ def reaggregate(
     input_scale: int = 4,
     round_to: int | None = None,
     max_gap_windows: int | None = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """A4: aggregated samples -> coarser aggregated samples (cascade).
 
@@ -305,7 +306,9 @@ def reaggregate(
             " cf. ArchivedChannel.java:766-793"
         )
     period_ns = target_period_s * NS
-    d = explode_validity_windows(df, period_ns, key=key, max_gap_windows=max_gap_windows)
+    d = explode_validity_windows(df, period_ns, key=key,
+                                 max_gap_windows=max_gap_windows,
+                                 skew_safe=skew_safe)
     rs = 10 ** input_scale
     d = (
         d.withColumn("_m", F.expr(f"CAST(floor(mean * {rs} + 0.5) AS BIGINT)"))
@@ -355,6 +358,7 @@ def pick_first(
     payload: str = "sval",
     key: str = "channel",
     max_gap_windows: int | None = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """A5: non-aggregatable series -> re-stamped copy of the sample valid at
     each interval start (`PickFirstSampleAggregator.java:50-76`).
@@ -366,7 +370,9 @@ def pick_first(
     sample' rule.
     """
     period_ns = period_s * NS
-    d = explode_validity_windows(df, period_ns, key=key, max_gap_windows=max_gap_windows)
+    d = explode_validity_windows(df, period_ns, key=key,
+                                 max_gap_windows=max_gap_windows,
+                                 skew_safe=skew_safe)
     out = d.groupBy(key, "win").agg(
         F.expr(f"min_by({payload}, clip)").alias(payload),
         F.count(F.lit(1)).alias("n_samples"),

@@ -81,6 +81,7 @@ def decimate_mixed(
     key: str = "channel",
     v_decimals: int = 2,
     max_gap_windows: int | None = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Mixed-type hold-forward decimation (A6 + A1/A2/A3/A5/W1/W2).
 
@@ -94,7 +95,9 @@ def decimate_mixed(
     for c, typ in OPTIONAL_PAYLOADS.items():
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast(typ))
-    d = explode_validity_windows(df, period_ns, key=key, max_gap_windows=max_gap_windows)
+    d = explode_validity_windows(df, period_ns, key=key,
+                                 max_gap_windows=max_gap_windows,
+                                 skew_safe=skew_safe)
     vs = 10**v_decimals
     agg_list = ", ".join(f"'{x}'" for x in AGGREGATABLE_TYPES)
     marker_list = ", ".join(f"'{x}'" for x in MARKER_TYPES)

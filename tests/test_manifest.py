@@ -168,3 +168,46 @@ def test_reader_never_sees_torn_store_during_compaction(spark, tmp_path):
         th.join(120)
     assert not failures, failures
     assert store.read_samples(0).count() == 64
+
+
+def test_commit_sequences_match_set_model(spark, tmp_path):
+    """Model-based check of the commit protocol: any sequence of
+    add/remove/gc operations must leave the manifest equal to a plain
+    python-set model — and after every step the CURRENT manifest's files
+    all physically exist (a reader can always materialize the table).
+    Deterministic op sequences generated from a seeded RNG (hypothesis'
+    process-global DB does not mix well with one shared SparkSession, so
+    the generator is inlined)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    t = ManifestTable(spark, str(tmp_path / "model"))
+    model: set[str] = set()
+    counter = 0
+    for step in range(40):
+        op = rng.choice(["add", "add", "remove", "gc"])
+        if op == "add":
+            n = rng.randint(1, 3)
+            stage = t.stage_dir()
+            spark.range(counter, counter + n).repartition(n).write.parquet(
+                stage
+            )
+            counter += n
+            added = t.publish_stage(stage)
+            assert len(added) == n
+            model |= set(added)
+        elif op == "remove" and model:
+            drop = set(rng.sample(sorted(model), rng.randint(1, len(model))))
+            t.commit(remove=sorted(drop))
+            model -= drop
+        elif op == "gc":
+            t.gc(keep_versions=rng.randint(1, 3))
+        if t.current_version() is not None:
+            files = set(t.files())
+            assert files == model, f"step {step}: {files} != {model}"
+            for rel in files:
+                assert t.fs.exists(f"{t.root}/{rel}"), rel
+    # final: a full gc leaves exactly the live files on disk
+    t.gc(keep_versions=1)
+    on_disk = set(t.fs.list_files_recursive(t.root))
+    assert on_disk == model

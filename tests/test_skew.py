@@ -123,3 +123,48 @@ def test_skew_safe_plan_has_no_per_channel_window(spark):
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "_pid" in spec, spec
     assert "rangepartitioning" in plan
+
+
+def test_skew_safe_passthrough_all_decimation_paths(spark):
+    """Every decimation family member accepts skew_safe and produces the
+    default-plan result (mixed decimation, pick-first, reaggregation)."""
+    from cassandra_pv_archiver_spark.operators.decimate import (
+        pick_first,
+        reaggregate,
+    )
+    from cassandra_pv_archiver_spark.operators.decimate_mixed import (
+        decimate_mixed,
+    )
+
+    # mixed-type series
+    rows = [
+        ("X", 0, "scalar_double", 1.0, None, 0, 0),
+        ("X", 30 * NS, "scalar_string", None, "hello", 0, 0),
+        ("X", 200 * NS, "scalar_double", 2.0, None, 0, 0),
+        ("Y", 0, "scalar_double", 5.0, None, 0, 0),
+        ("Y", 150 * NS, "scalar_double", 6.0, None, 0, 0),
+    ]
+    mx = spark.createDataFrame(
+        rows,
+        "channel string, t long, type string, v double, sval string,"
+        " severity int, status int",
+    )
+    a = sorted(map(tuple, decimate_mixed(mx, 100).collect()))
+    b = sorted(map(tuple, decimate_mixed(mx, 100, skew_safe=True).collect()))
+    assert a == b and a
+
+    sv = spark.createDataFrame(
+        [("X", 0, "a", 0, 0), ("X", 150 * NS, "b", 0, 0),
+         ("X", 250 * NS, "c", 0, 0)],
+        "channel string, t long, sval string, severity int, status int",
+    )
+    a = sorted(map(tuple, pick_first(sv, 100).collect()))
+    b = sorted(map(tuple, pick_first(sv, 100, skew_safe=True).collect()))
+    assert a == b and a
+
+    # hot channel spans ~5.5 h at 1 Hz -> several complete 2 h targets
+    dec = decimate(_skewed(spark, n=40_000), 3600)
+    a = sorted(map(tuple, reaggregate(dec, 3600, 7200).collect()))
+    b = sorted(map(tuple,
+                   reaggregate(dec, 3600, 7200, skew_safe=True).collect()))
+    assert a == b and a
