@@ -1921,7 +1921,7 @@ mat2 AS (SELECT * FROM mat WHERE {notnull}),
 mm AS (SELECT {", ".join(sums)} FROM mat2)
 SELECT * FROM (
 {union}
-) ORDER BY ch_a, ch_b
+) WHERE n_points >= 2 ORDER BY ch_a, ch_b
 """
 
 

@@ -234,4 +234,7 @@ def aligned_channel_correlations(
     return (
         m.select(F.explode(F.array(*outs)).alias("_p"))
         .select("_p.ch_a", "_p.ch_b", "_p.r", "_p.n_points")
+        # Pearson is undefined below 2 aligned points: emit nothing
+        # (not a null-r row) for an empty/degenerate grid
+        .filter(F.col("n_points") >= 2)
     )
