@@ -211,3 +211,33 @@ def test_commit_sequences_match_set_model(spark, tmp_path):
     t.gc(keep_versions=1)
     on_disk = set(t.fs.list_files_recursive(t.root))
     assert on_disk == model
+
+
+def test_concurrent_store_appends_commute(spark, tmp_path):
+    """Two ingest threads appending DIFFERENT batches to the same level:
+    the manifest add-rebase makes the appends commute — no lost rows, no
+    duplicates, HWM folds to the global max."""
+    store = ArchiveStore(spark, str(tmp_path / "cstore"))
+    mk = lambda lo, hi, ch: spark.createDataFrame(
+        [(ch, t * NS, float(t), 0, 0) for t in range(lo, hi)],
+        "channel string, t long, v double, severity int, status int",
+    )
+    errs = []
+
+    def writer(lo, hi, ch):
+        try:
+            for k in range(3):
+                step = (hi - lo) // 3
+                store.write_samples(mk(lo + k * step, lo + (k + 1) * step, ch),
+                                    level=0)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th1 = threading.Thread(target=writer, args=(1_000, 1_030, "A"))
+    th2 = threading.Thread(target=writer, args=(2_000, 2_030, "B"))
+    th1.start(), th2.start()
+    th1.join(180), th2.join(180)
+    assert not errs, errs
+    assert store.read_samples(0).count() == 60
+    hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
+    assert hwm == {"A": 1_029 * NS, "B": 2_029 * NS}
