@@ -96,7 +96,7 @@ class ManifestTable:
         self,
         add: list[str] = (),
         remove: list[str] = (),
-        max_attempts: int = 20,
+        max_attempts: int = 50,
     ) -> int:
         """Commit the next version = current files − ``remove`` + ``add``
         (relative paths). One atomic no-overwrite rename; on collision
@@ -105,8 +105,14 @@ class ManifestTable:
         concurrent APPENDS commute, which is exactly the reference's
         pending-ops guarantee for interleaved bucket writes. Returns the
         committed version number."""
+        import random
+        import time
+
         self.fs.mkdirs(self._mdir)
-        for _ in range(max_attempts):
+        for attempt in range(max_attempts):
+            if attempt:  # jittered backoff after a lost race: contention
+                # is committer-count-bounded (writers, not data size)
+                time.sleep(random.uniform(0, 0.02 * min(attempt, 10)))
             cur = self.current_version()
             base = self.files(cur) if cur is not None else []
             drop = set(remove)

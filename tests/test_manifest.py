@@ -241,3 +241,28 @@ def test_concurrent_store_appends_commute(spark, tmp_path):
     assert store.read_samples(0).count() == 60
     hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
     assert hwm == {"A": 1_029 * NS, "B": 2_029 * NS}
+
+
+def test_four_concurrent_committers_stress(spark, tmp_path):
+    """4 writers x 4 appends each racing on one table: the jittered
+    retry absorbs version-claim collisions; all 16 files commit exactly
+    once."""
+    root = str(tmp_path / "t5")
+    tables = [_mk(spark, root) for _ in range(4)]
+    errs = []
+
+    def appender(t, start):
+        try:
+            for i in range(4):
+                _write_files(spark, t, 1, start=start + i)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ths = [threading.Thread(target=appender, args=(t, 100 * i))
+           for i, t in enumerate(tables)]
+    [th.start() for th in ths]
+    [th.join(240) for th in ths]
+    assert not errs, errs
+    assert len(tables[0].files()) == 16
+    vals = {r.a for r in spark.read.parquet(*tables[0].paths()).collect()}
+    assert vals == {100 * i + j for i in range(4) for j in range(4)}
