@@ -75,14 +75,42 @@ MINHASH_BAND = 2
 MINHASH_VERIFY = 0.2
 
 
+#: Session-level materialized pair tables. Five registry queries consume
+#: the MinHash-LSH pair set and three consume the SRP-LSH pair set at
+#: identical parameters; recomputing the shingle explode + signatures +
+#: verify per query was the dominant repeated work in the driver's
+#: correctness gate (round-2 ADVICE). A production deployment would
+#: PERSIST the pair table as a maintained artifact next to the corpus —
+#: this cache is that materialized view at session scope. Keyed by
+#: (Spark application, sf_dir); pair tables are tiny (O(near-dup pairs)).
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    df = _PAIR_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _PAIR_CACHE[key] = df
+    return df
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        sh = dedup.shingles(docs)
+        return dedup.minhash_lsh_pairs(
+            sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY
+        )
+
+    return _cached(spark, sf_dir, "minhash_pairs", build)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands of 2) candidates, verified by true Jaccard
-    >= 0.2 — the 100 TB-safe near-dup plan."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs)
-    return dedup.minhash_lsh_pairs(
-        sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY
-    ).orderBy("id_a", "id_b")
+    >= 0.2 — the 100 TB-safe near-dup plan. (Pair table materialized once
+    per session — see _PAIR_CACHE.)"""
+    return _minhash_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def _minhash_pair_ctes() -> str:
@@ -148,8 +176,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no near-dup are singleton components. Oracle = DuckDB recursive-CTE
     transitive closure over the identical pair set."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs)
-    pairs = dedup.minhash_lsh_pairs(sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY)
+    pairs = _minhash_pairs(spark, sf_dir)
     return dedup.dedup_clusters(pairs, docs).orderBy("comp")
 
 
@@ -492,8 +519,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), transitive clustering (hash-min CC), quality scoring
     (Catalyst expressions), final stats (one groupBy)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs)
-    pairs = dedup.minhash_lsh_pairs(sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY)
+    pairs = _minhash_pairs(spark, sf_dir)
     comp = dedup.connected_components(pairs, docs)
     keep = comp.filter(F.col("doc_id") == F.col("comp")).select("doc_id")
     m = text.text_metrics(docs).join(docs.select("doc_id", "lang"), "doc_id")
@@ -949,17 +975,24 @@ SRP_SEED = 0x9E3779B9
 SRP_N_PROBES = SRP_N_BITS  # full Hamming-1 neighborhood
 
 
+def _srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.srp_near_pairs(
+            emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS,
+            n_probes=SRP_N_PROBES,
+        )
+
+    return _cached(spark, sf_dir, "srp_pairs", build)
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH near-duplicate pairs (scale path): banded sign-projection
     buckets -> ids-only equi-join candidates -> exact cosine verify.
     Deterministic banding (closed-form integer-mix hyperplane signs), so
     the whole pipeline has an exact SQL oracle. Precision 1 by verify;
     recall floor vs the exact baseline pinned in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.srp_near_pairs(
-        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS,
-        n_probes=SRP_N_PROBES,
-    ).orderBy("id_a", "id_b")
+    return _srp_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def _srp_pair_ctes(dim: int = 64, p: str = "") -> str:
@@ -1025,10 +1058,7 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs -> connected components -> one surviving vector per component
     (semantic dedup — the embedding analog of dedup_clusters)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.srp_near_pairs(
-        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS,
-        n_probes=SRP_N_PROBES,
-    )
+    pairs = _srp_pairs(spark, sf_dir)
     comp = dedup.connected_components(
         pairs, emb.select("vec_id"), id_col="vec_id"
     )
@@ -1067,19 +1097,13 @@ def q_crossmodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-table sized (tiny next to the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    sh = dedup.shingles(docs)
-    tp = dedup.minhash_lsh_pairs(
-        sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY
-    ).select("id_a", "id_b", "jaccard")
+    tp = _minhash_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
     ids = emb.select(F.col("vec_id").alias("_eid"))
     tp = (
         tp.join(F.broadcast(ids), tp["id_a"] == ids["_eid"]).drop("_eid")
         .join(F.broadcast(ids), F.col("id_b") == ids["_eid"]).drop("_eid")
     )
-    ep = similarity.srp_near_pairs(
-        emb, NEAR_DUP_TAU, n_bits=SRP_N_BITS, n_bands=SRP_N_BANDS,
-        n_probes=SRP_N_PROBES,
-    ).select(
+    ep = _srp_pairs(spark, sf_dir).select(
         F.col("id_a").alias("_ea"), F.col("id_b").alias("_eb"), "sim"
     )
     j = tp.join(
@@ -1674,8 +1698,7 @@ def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic composite from text_metrics, so the arg-max is
     engine-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs)
-    pairs = dedup.minhash_lsh_pairs(sh, MINHASH_K, MINHASH_BAND, MINHASH_VERIFY)
+    pairs = _minhash_pairs(spark, sf_dir)
     comp = dedup.connected_components(pairs, docs.select("doc_id"))
     qual = text.text_metrics(docs).select("doc_id", "quality_score")
     return (
