@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "events_dow_profile",
     "events_unpivot",
     "dedup_exact",
+    "materialize_minhash_pairs",
+    "materialize_srp_pairs",
     "dedup_best_survivor",
     "mix_corpus_ratios",
     "contamination_exact_run",
@@ -116,8 +118,37 @@ BENCH_QUERIES = [
 WARMUP_DIR = "/root/testdata/sf0.001"
 
 
+def _materialize(kind: str):
+    """Bench-only entries timing the COLD build of the session-level LSH
+    pair tables (catalog_data._PAIR_CACHE). The registry queries that
+    consume a pair table measure their INCREMENTAL cost (the
+    materialized-view usage model); these two entries keep the one-time
+    build cost visible in the record instead of letting min-of-two-passes
+    absorb it silently."""
+    from cassandra_pv_archiver_spark import catalog_data as cd
+
+    def run(spark, sf_dir):
+        key = (spark.sparkContext.applicationId, sf_dir, kind)
+        df = cd._PAIR_CACHE.pop(key, None)
+        if df is not None:
+            df.unpersist()
+        if kind == "minhash_pairs":
+            return cd._minhash_pairs(spark, sf_dir)
+        return cd._srp_pairs(spark, sf_dir)
+
+    return run
+
+
+#: bench-only callables (not registry queries — no oracle of their own;
+#: their outputs ARE the oracled pair queries)
+SPECIAL = {
+    "materialize_minhash_pairs": _materialize("minhash_pairs"),
+    "materialize_srp_pairs": _materialize("srp_pairs"),
+}
+
+
 def run_one(spark, name: str, sf_dir: str) -> float:
-    fn = REGISTRY[name][0]
+    fn = SPECIAL.get(name) or REGISTRY[name][0]
     t0 = time.time()
     df = fn(spark, sf_dir)
     df.count()
