@@ -217,3 +217,23 @@ def test_exact_jaccard_guard_refuses_large_corpus(spark):
     # explicit override and under-cap both run
     assert dedup.jaccard_pairs(sh, 0.5, max_docs=None).count() >= 0
     assert dedup.jaccard_pairs(sh, 0.5, max_docs=50).count() >= 0
+
+
+def test_minhash_lsh_recall_vs_exact_at_catalog_params(spark):
+    """The SRP-side weak-gap honesty treatment applied to the text LSH:
+    measured recall of the catalog MinHash config (k=8, bands of 2,
+    verify 0.2) against the exact all-pairs Jaccard baseline on the real
+    sf0.01 corpus. Unlike embeddings at tau=0.4, the text corpus's
+    near-dup pairs are all solidly above the S-curve's steep region —
+    measured recall is 1.000 at every threshold in {0.2, 0.5, 0.8};
+    floor pinned at 0.95 (deterministic hashes + corpus, so this is
+    exact, not statistical)."""
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sh = dedup.shingles(docs).persist()
+    exact = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs(sh, 0.2).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in dedup.minhash_lsh_pairs(sh, 8, 2, 0.2).collect()}
+    assert exact, "fixture must contain near-dup pairs"
+    assert lsh <= exact  # precision 1 (exact verify)
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall} (measured 1.000)"
