@@ -113,6 +113,13 @@ BENCH_QUERIES = [
     "embedding_dedup_clusters",
     "crossmodal_pairs",
     "multimodal_frames",
+    # round 4
+    "semantic_dedup",
+    "pii_scan_by_source",
+    "substring_dup_spans",
+    "embedding_quantize_audit",
+    "dsir_importance",
+    "threshold_crossings",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -513,7 +513,14 @@ def _text_format_roundtrip(spark, sf_dir: str, fmt: str) -> DataFrame:
     )
     root = _scratch_dir(f"pvarch_{fmt}_")
     path = f"{root}/{fmt}"
-    if fmt == "csv":
+    if fmt == "orc":
+        raw.write.orc(path)
+        # explicit schema: an empty write leaves no ORC footers to infer
+        # from (and pinning it documents the contract, as the text paths do)
+        back = spark.read.schema(
+            "channel string, t long, v double, severity int, status int"
+        ).orc(path)
+    elif fmt == "csv":
         raw.write.option("header", True).csv(path)
         back = (
             spark.read.schema(
@@ -542,8 +549,63 @@ def q_jsonl_ingest_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text_format_roundtrip(spark, sf_dir, "jsonl")
 
 
+def q_orc_ingest_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source format (Spark-native columnar alternative to parquet):
+    export -> read-back (typed natively, no schema string needed) ->
+    decimate; equals the parquet-path decimation bit-for-bit (same
+    oracle). Rounds out the inbound migration surface: parquet / CSV /
+    JSON-lines / ORC."""
+    return _text_format_roundtrip(spark, sf_dir, "orc")
+
+
 SQL_CSV_INGEST_ROUNDTRIP_1H = SQL_ARCHIVE_INCREMENTAL_1H
 SQL_JSONL_INGEST_ROUNDTRIP_1H = SQL_ARCHIVE_INCREMENTAL_1H
+SQL_ORC_INGEST_ROUNDTRIP_1H = SQL_ARCHIVE_INCREMENTAL_1H
+
+
+def q_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alarm-limit threshold crossings per channel: the archiver-side
+    analog of EPICS limit alarms (the reference stores per-sample
+    warn/alarm limits in display metadata,
+    `ChannelAccessSampleValueAccess.java:98-132`, and severity encodes
+    limit violations) — here the limit is data-derived (the channel's
+    (min+max)/2 midpoint) and every upward/downward crossing of it is
+    detected with a lag window.
+
+    100 TB shape: the unbounded min/max window, the lag window, and the
+    final per-channel aggregation ALL reuse the load's single channel
+    hash partitioning — one data exchange total, same guarantee as
+    channel_gap_stats (audit-pinned). Returns per channel: thr, n_up,
+    n_down, t_first_cross, t_last_cross.
+    """
+    from .operators.stats import threshold_crossings
+
+    s = load_samples(spark, sf_dir).select("channel", "t", "v")
+    return threshold_crossings(s).orderBy("channel")
+
+
+SQL_THRESHOLD_CROSSINGS = f"""
+WITH {SAMPLES_CTE},
+x AS (
+  SELECT channel, t, v,
+         (min(v) OVER (PARTITION BY channel)
+          + max(v) OVER (PARTITION BY channel)) / 2 AS thr,
+         lag(v) OVER (PARTITION BY channel ORDER BY t) AS v_prev
+  FROM samples
+)
+SELECT channel, max(thr) AS thr,
+       CAST(sum(CASE WHEN v_prev IS NOT NULL AND v_prev < thr AND v >= thr
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(sum(CASE WHEN v_prev IS NOT NULL AND v_prev >= thr AND v < thr
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       min(CASE WHEN v_prev IS NOT NULL AND
+                     ((v_prev < thr AND v >= thr) OR (v_prev >= thr AND v < thr))
+                THEN t END) AS t_first_cross,
+       max(CASE WHEN v_prev IS NOT NULL AND
+                     ((v_prev < thr AND v >= thr) OR (v_prev >= thr AND v < thr))
+                THEN t END) AS t_last_cross
+FROM x GROUP BY channel ORDER BY channel
+"""
 
 
 def q_pick_first_1h(spark: SparkSession, sf_dir: str) -> DataFrame:

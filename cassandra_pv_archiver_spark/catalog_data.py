@@ -1783,3 +1783,301 @@ ORDER BY cluster, rank
 
 
 SQL_CLUSTER_REPRESENTATIVES = _sql_cluster_representatives()
+
+
+# ---------------------------------------------------------------------------
+# Round 4: semantic dedup, PII scrubbing, exact substring spans,
+# quantization audit, importance resampling
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al.): K-Means clusters as the blocking key,
+    exact pairwise cosine WITHIN each cluster only, drop every vector
+    with a smaller-id neighbor at sim >= tau. The scalable embedding-
+    dedup recipe real pipelines use between "exact hash" and "global
+    LSH": candidate cost is sum of cluster sizes squared, controlled by
+    k ~ n/target_cluster_size. All arithmetic is the deterministic
+    quantized-fold kind (bit-identical at any parallelism; oracle
+    unrolls the identical Lloyd chain in SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, SEMDEDUP_TAU, k=KMEANS_K, iters=KMEANS_ITERS
+    ).orderBy("cluster")
+
+
+def _sql_semantic_dedup(dim: int = 64) -> str:
+    body, _last = _sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS, dim)
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i] * {b}[i]))"
+        )
+
+    def nrm(a: str) -> str:
+        return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+    return f"""
+WITH {body},
+vd AS (SELECT id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS d FROM v),
+p0 AS (
+  SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+         round({dot("da.d", "db.d")} / ({nrm("da.d")} * {nrm("db.d")}), 4) AS sim
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.id < b.id
+  JOIN vd da ON da.id = a.id
+  JOIN vd db ON db.id = b.id
+),
+p AS (SELECT * FROM p0 WHERE sim >= {SEMDEDUP_TAU}),
+sizes AS (SELECT cluster, count(*) AS n_vecs FROM af GROUP BY cluster),
+st AS (
+  SELECT cluster, count(*) AS n_dup_pairs, count(DISTINCT id_b) AS n_dropped
+  FROM p GROUP BY cluster
+)
+SELECT s.cluster, s.n_vecs,
+       coalesce(st.n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(st.n_dropped, 0) AS n_dropped,
+       s.n_vecs - coalesce(st.n_dropped, 0) AS n_kept
+FROM sizes s LEFT JOIN st ON st.cluster = s.cluster
+ORDER BY s.cluster
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """Deterministic PII augmentation: the synthetic corpus contains no
+    digits or '@' at all (checked), so the PII detectors would be
+    vacuous on it. Both the Spark query and the DuckDB oracle append
+    the SAME doc_id-derived email/phone/IP strings to a subset of
+    docs — a self-consistent fixture INSIDE the query, not synthetic
+    test data on disk; the operator under test is the regex scan/redact
+    that must then find exactly these spans."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call +49-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", aug.alias("text"))
+
+
+_SQL_PII_AUG = """
+aug AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +49-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def q_pii_scan_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit per source: detector counts (email / phone /
+    IPv4) + exact redaction char delta, aggregated per source — the
+    pre-publication compliance report a training-data pipeline emits.
+    Detection and redaction are pure Catalyst regexp expressions (zero
+    Python, zero extra shuffles beyond the one tiny source aggregation);
+    patterns are a Java-regex/RE2-portable subset so both engines match
+    identical spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pii_report(_pii_augmented(docs)).orderBy("source")
+
+
+def _sql_pii() -> str:
+    pats = {name: pat for name, pat, _ in text.PII_PATTERNS}
+    red = "text"
+    for _name, pat, r in text.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{r}', 'g')"
+    return f"""
+WITH {_SQL_PII_AUG.strip()},
+scan AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{pats["email"]}')) AS n_email,
+         len(regexp_extract_all(text, '{pats["phone"]}')) AS n_phone,
+         len(regexp_extract_all(text, '{pats["ipv4"]}')) AS n_ipv4,
+         length(text) - length({red}) AS chars_delta
+  FROM aug
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(chars_delta) AS BIGINT) AS chars_delta
+FROM scan GROUP BY source ORDER BY source
+"""
+
+
+SQL_PII_SCAN_BY_SOURCE = _sql_pii()
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span measurement per near-dup pair (the pairwise
+    form of Lee et al.'s exact substring dedup): for each MinHash-LSH
+    candidate pair, the longest exact shared token run via diagonal
+    gaps-and-islands over positional 3-grams. The LSH pair table (shared
+    session materialization) is the blocking structure — the shingle
+    match join is pair-restricted, never shingle x shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    shp = dedup.positional_shingles(docs)
+    pairs = _minhash_pairs(spark, sf_dir)
+    return dedup.pair_substring_spans(shp, pairs, min_run=1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_SUBSTRING_DUP_SPANS = f"""
+WITH {_minhash_pair_ctes()},
+shp AS (
+  SELECT doc_id, g.i - 1 AS pos, w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS shingle
+  FROM (SELECT doc_id, {_W_SQL} AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+  WHERE len(w) >= 3
+),
+m AS (
+  SELECT p.id_a, p.id_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM vpairs p
+  JOIN shp a ON a.doc_id = p.id_a
+  JOIN shp b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+),
+isl AS (
+  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+         pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+                                    ORDER BY pos_a) AS grp
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b, diag, grp, count(*) AS run
+  FROM isl GROUP BY id_a, id_b, diag, grp
+)
+SELECT id_a, id_b, max(run) + 2 AS max_shared_tokens,
+       CAST(sum(run) AS BIGINT) AS n_match_positions
+FROM runs GROUP BY id_a, id_b
+HAVING max(run) >= 1
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit per label: the 4x storage/
+    serving compression step with its reconstruction error measured in
+    EXACT integer arithmetic (round-half-up int8 codes computed without
+    any float division, error sums integral until one final divide) —
+    so the audit itself is bit-identical on any engine/parallelism.
+    Pure map + ONE label aggregation; no joins, no windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_audit(emb).orderBy("label")
+
+
+SQL_EMBEDDING_QUANTIZE_AUDIT = """
+WITH x AS (
+  SELECT label,
+         list_transform(embedding, c ->
+           CAST(floor(CAST(c AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xi
+  FROM embeddings
+),
+s AS (
+  SELECT label, xi,
+         greatest(list_max(list_transform(xi, v -> abs(v))),
+                  CAST(1 AS BIGINT)) AS s
+  FROM x
+),
+e AS (
+  SELECT label,
+         list_max(list_transform(range(1, 65), i ->
+           abs(xi[i] * 127 -
+               (CASE WHEN xi[i] < 0 THEN -1 WHEN xi[i] > 0 THEN 1 ELSE 0 END)
+               * ((abs(xi[i]) * 254 + s) // (2 * s)) * s))) AS vmax
+  FROM s
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN vmax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(max(vmax) AS DOUBLE) / 127000000.0 AS max_abs_err,
+       CAST(sum(vmax) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * 127000000.0) AS mean_max_abs_err
+FROM e GROUP BY label ORDER BY label
+"""
+
+
+DSIR_TARGET = "lang = 'en'"
+DSIR_BUCKETS = 64
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (hashed unigram features, target =
+    English docs): the importance-resampling scorer for steering a raw
+    corpus toward a target distribution. Exact ratio-of-sums surrogate
+    (no ln — engines differ in the last ulp and the gate hashes bits);
+    two tiny bucket aggregations broadcast back over one token scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.importance_weights(
+        docs, DSIR_TARGET, n_buckets=DSIR_BUCKETS
+    ).orderBy("doc_id")
+
+
+_SQL_TOK_BUCKET = (
+    "CAST(list_sum(list_transform(range(0, 4), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(tok), i + 1, 1)) - 1 AS BIGINT)"
+    f" << (4 * (3 - i)))) AS BIGINT) % {DSIR_BUCKETS}"
+)
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t, unnest(w) AS tok
+  FROM (SELECT doc_id, lang, {_W_SQL} AS w FROM documents)
+),
+bt AS (SELECT doc_id, is_t, {_SQL_TOK_BUCKET} AS bucket FROM toks),
+qt AS (SELECT bucket, count(*) AS q_cnt FROM bt GROUP BY bucket),
+pt AS (SELECT bucket, count(*) AS p_cnt FROM bt WHERE is_t GROUP BY bucket),
+b AS (
+  SELECT qt.bucket, qt.q_cnt, coalesce(pt.p_cnt, 0) AS p_cnt
+  FROM qt LEFT JOIN pt ON pt.bucket = qt.bucket
+),
+tot AS (
+  SELECT sum(p_cnt) + {DSIR_BUCKETS} AS tp, sum(q_cnt) + {DSIR_BUCKETS} AS tq
+  FROM b
+),
+pd AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(p_cnt + 1) AS sp, sum(q_cnt + 1) AS sq
+  FROM bt JOIN b ON b.bucket = bt.bucket
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(sp * tq AS DOUBLE) / CAST(sq * tp AS DOUBLE) AS importance
+FROM pd, tot ORDER BY doc_id
+"""

@@ -488,6 +488,65 @@ def positional_shingles(
     )
 
 
+def pair_substring_spans(
+    sh_pos: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    min_run: int = 1,
+    n: int = 3,
+) -> DataFrame:
+    """Longest shared EXACT token substring per candidate pair — the
+    pairwise form of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a run of ``r``
+    consecutive shared positional ``n``-grams along one (pos_a − pos_b)
+    diagonal is an exact shared substring of ``r + n − 1`` tokens.
+
+    The pair list (MinHash-LSH candidates — already sub-quadratic) is
+    the blocking structure: positional shingles join pairs on the id
+    keys first, then shingle equality WITHIN the pair — never the
+    quadratic shingle⋈shingle join. Diagonal gaps-and-islands (island =
+    ``pos_a − row_number()`` per (pair, pos_a−pos_b), one window) finds
+    the runs; per-pair cost is O(len_a + matches).
+
+    Returns (id_a, id_b, max_shared_tokens, n_match_positions) for pairs
+    whose longest run reaches ``min_run`` shingles.
+    """
+    a = sh_pos.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "shingle"
+    )
+    b = sh_pos.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "shingle"
+    )
+    m = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .select("id_a", "id_b", "pos_a", "pos_b")
+    )
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    runs = (
+        m.withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("_diag"), "_isl")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.max("_run").alias("_max_run"),
+            F.sum("_run").alias("n_match_positions"),
+        )
+        .filter(F.col("_max_run") >= min_run)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_max_run") + F.lit(n - 1)).alias("max_shared_tokens"),
+            "n_match_positions",
+        )
+    )
+
+
 def contamination_exact_run(
     sh_pos: DataFrame,
     bench_ids: DataFrame,

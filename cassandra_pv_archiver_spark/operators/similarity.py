@@ -601,6 +601,186 @@ def kmeans_assignments(
     return a.select(F.col("_id").alias(id_col), "cluster")
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: pairwise cosine is
+    computed only WITHIN each K-Means cluster of the deterministic Lloyd
+    fit (:func:`kmeans_clusters`) — the clustering is the blocking key
+    that makes embedding-level dedup tractable (Abbas et al., SemDeDup;
+    also the LAION dedup recipe).
+
+    100 TB shape: the per-cluster self-join is an equi-join on the
+    cluster id, so total candidate cost is Σ|cluster|² — controlled by
+    picking ``k`` proportional to n (constant target cluster size), at
+    which point cost is O(n·cluster_size), not O(n²). Unlike the SRP-LSH
+    path this has no recall S-curve *within* a cluster (every
+    intra-cluster pair is verified exactly); misses are exactly the near
+    pairs the quantizer separates — the same trade the published
+    pipelines accept. Vectors do enter the cluster-key shuffle, which is
+    why real deployments persist the assignment table once (here: the
+    Lloyd fit is shared via ``_kmeans_fit``).
+
+    Cosine runs over the quantized integer components with sequential
+    folds (same order as the SQL oracle), so the pair set is
+    bit-reproducible at any parallelism. Returns (cluster, id_a, id_b,
+    sim) with ``sim >= threshold``, id_a < id_b.
+    """
+    assigned, _ = _kmeans_fit(emb, k, iters, id_col, vec_col)
+    return _semantic_pairs_from_assigned(assigned, threshold, round_to)
+
+
+def _semantic_pairs_from_assigned(
+    assigned: DataFrame, threshold: float, round_to: int = 4
+) -> DataFrame:
+    """Within-cluster verified pairs from a precomputed Lloyd assignment
+    (``_kmeans_fit`` output) — split out so summary queries can share ONE
+    fit instead of re-running the iteration chain per consumer."""
+    to_d = "transform({c}, x -> CAST(x AS DOUBLE))"
+
+    def fold_dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    def fold_norm(a: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({a}, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        )
+
+    a = assigned.select(
+        "cluster", F.col("_id").alias("id_a"),
+        F.expr(to_d.format(c="_vq")).alias("_da"),
+    )
+    b = assigned.select(
+        "cluster", F.col("_id").alias("id_b"),
+        F.expr(to_d.format(c="_vq")).alias("_db"),
+    )
+    sim = F.round(
+        F.expr(
+            f"{fold_dot('_da', '_db')} / ({fold_norm('_da')} * {fold_norm('_db')})"
+        ),
+        round_to,
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep/drop summary per cluster: a vector is DROPPED when a
+    smaller-id vector in the same cluster has cosine >= threshold ("keep
+    the first copy" — deterministic, order-free). Returns (cluster,
+    n_vecs, n_dup_pairs, n_dropped, n_kept). The Lloyd fit runs ONCE
+    (persisted assignment shared by the size and pair branches)."""
+    assigned, _ = _kmeans_fit(emb, k, iters, id_col, vec_col)
+    assigned = assigned.persist()
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    pairs = _semantic_pairs_from_assigned(assigned, threshold)
+    stats = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    return (
+        sizes.join(stats, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+    )
+
+
+#: input quantization scale for the int8 audit: 6 decimal places holds
+#: every float32 embedding component exactly enough that the audit's
+#: "ground truth" is the 1e-6-gridded input on EVERY engine.
+_Q_IN = 1_000_000
+
+
+def quantize_audit(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 embedding quantization audit — the storage/serving
+    compression step (float32 -> int8 + per-vector scale, 4x smaller)
+    with its reconstruction error measured EXACTLY.
+
+    Arithmetic is engineered for bit-identical results on any engine and
+    any parallelism (the audit feeds a value-hash gate):
+
+    - components grid to int64 at 1e-6 (``floor(x·1e6 + 0.5)``) — the
+      gridded value is the audit's ground truth;
+    - per-vector scale ``s = max |xi|``; int8 code
+      ``q = sign(xi) · ((|xi|·254 + s) div (2s))`` — round-half-up in
+      pure integer arithmetic (no float division whose midpoint rounding
+      engines could disagree on), q ∈ [-127, 127] by construction;
+    - per-component reconstruction error ``|xi·127 − q·s|`` is an EXACT
+      int64 (units of 127e-6); per-vector max and per-label sums stay
+      integral until the single final division.
+
+    100 TB shape: pure map over the vector column + ONE hash aggregation
+    on the label — no joins, no windows; the error sums are partial-agg
+    friendly. Returns (label, n_vecs, n_exact, max_abs_err,
+    mean_max_abs_err) where errors are in original embedding units.
+    """
+    xi = f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q_IN}.0 + 0.5) AS BIGINT))"
+    d = emb.select(F.col(label_col).alias("label"), F.expr(xi).alias("_xi"))
+    d = d.withColumn(
+        "_s",
+        F.expr("greatest(array_max(transform(_xi, x -> abs(x))), CAST(1 AS BIGINT))"),
+    )
+    q = (
+        "transform(_xi, x -> CAST(sign(x) AS BIGINT)"
+        " * ((abs(x) * 254 + _s) div (2 * _s)))"
+    )
+    err = "zip_with(_xi, _q, (x, q) -> abs(x * 127 - q * _s))"
+    d = (
+        d.withColumn("_q", F.expr(q))
+        .withColumn("_vmax_err", F.expr(f"array_max({err})"))
+    )
+    scale = 127.0 * _Q_IN
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("_vmax_err") == 0).cast("long")).alias("n_exact"),
+            F.max("_vmax_err").alias("_max_i"),
+            F.sum("_vmax_err").alias("_sum_i"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_exact",
+            (F.col("_max_i").cast("double") / F.lit(scale)).alias("max_abs_err"),
+            (
+                F.col("_sum_i").cast("double")
+                / (F.col("n_vecs").cast("double") * F.lit(scale))
+            ).alias("mean_max_abs_err"),
+        )
+    )
+
+
 def kmeans_cluster_representatives(
     emb: DataFrame,
     k: int = 8,

@@ -238,3 +238,38 @@ def aligned_channel_correlations(
         # (not a null-r row) for an empty/degenerate grid
         .filter(F.col("n_points") >= 2)
     )
+
+
+def threshold_crossings(samples: DataFrame) -> DataFrame:
+    """Alarm-limit threshold crossings per channel (the EPICS limit-alarm
+    analog — the reference carries warn/alarm limits in display metadata,
+    `ChannelAccessSampleValueAccess.java:98-132`): the limit is the
+    channel's (min+max)/2 midpoint, and every upward/downward crossing
+    is detected via a lag window.
+
+    100 TB shape: the unbounded min/max window, the lag window, and the
+    per-channel aggregation all reuse one hash(channel) partitioning —
+    one data exchange total when the input arrives channel-hashed (the
+    sample load's layout; audit-pinned like channel_gap_stats).
+
+    Input: (channel, t, v). Returns per channel: thr, n_up, n_down,
+    t_first_cross, t_last_cross (nulls when no crossing).
+    """
+    wch = Window.partitionBy("channel")
+    wt = Window.partitionBy("channel").orderBy("t")
+    thr = (F.min("v").over(wch) + F.max("v").over(wch)) / 2
+    d = (
+        samples.withColumn("thr", thr)
+        .withColumn("v_prev", F.lag("v").over(wt))
+    )
+    has_prev = F.col("v_prev").isNotNull()
+    up = has_prev & (F.col("v_prev") < F.col("thr")) & (F.col("v") >= F.col("thr"))
+    down = has_prev & (F.col("v_prev") >= F.col("thr")) & (F.col("v") < F.col("thr"))
+    cross = up | down
+    return d.groupBy("channel").agg(
+        F.max("thr").alias("thr"),
+        F.sum(up.cast("long")).alias("n_up"),
+        F.sum(down.cast("long")).alias("n_down"),
+        F.min(F.when(cross, F.col("t"))).alias("t_first_cross"),
+        F.max(F.when(cross, F.col("t"))).alias("t_last_cross"),
+    )

@@ -185,6 +185,160 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     )
 
 
+#: PII detector patterns (name, regex, replacement). Deliberately a
+#: dialect-portable regex subset (char classes + bounded quantifiers, no
+#: \b, no lookaround) so Java regex (Spark) and RE2 (DuckDB) match the
+#: same spans byte-for-byte. Redaction applies in list order: emails
+#: first (their local parts would otherwise feed the narrower patterns).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def _spark_re(pat: str) -> str:
+    # Spark SQL string literals eat one level of backslashes; DuckDB's don't.
+    return pat.replace("\\", "\\\\")
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII detection counts (email / phone / IPv4 shapes) —
+    the scrubbing pre-pass every training-data pipeline runs before
+    publication. Pure Catalyst ``regexp_count``-style expressions (size
+    of ``regexp_extract_all``), zero shuffles, zero Python.
+
+    Returns: doc_id, n_email, n_phone, n_ipv4, n_pii.
+    """
+    cols = [F.col("doc_id")]
+    total = F.lit(0)
+    for name, pat, _ in PII_PATTERNS:
+        c = F.expr(
+            f"size(regexp_extract_all({text_col}, '{_spark_re(pat)}', 0))"
+        )
+        cols.append(c.alias(f"n_{name}"))
+        total = total + c
+    return docs.select(*cols, total.alias("n_pii"))
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: chained ``regexp_replace`` in :data:`PII_PATTERNS`
+    order (emails before the narrower numeric shapes). Returns doc_id,
+    ``text_redacted``, and the exact char delta vs the input."""
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        # Python-API regexp_replace takes the raw Java-regex pattern (no
+        # SQL-literal escaping — that's only for F.expr strings).
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        (F.length(text_col) - F.length(red)).alias("chars_delta"),
+    )
+
+
+def pii_report(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group PII compliance report in ONE pass: detector counts plus
+    the exact redaction char delta, aggregated by ``group_col`` — ZERO
+    joins (scan and redact are projections over the same row), one
+    partial-agg groupBy. This is the publication-gate report shape; the
+    per-doc surfaces are :func:`pii_scan` / :func:`pii_redact`.
+
+    Returns: source, n_docs, docs_with_pii, n_email, n_phone, n_ipv4,
+    chars_delta.
+    """
+    red = F.col("text")
+    counts = {}
+    total = F.lit(0)
+    for name, pat, repl in PII_PATTERNS:
+        c = F.expr(f"size(regexp_extract_all(text, '{_spark_re(pat)}', 0))")
+        counts[name] = c
+        total = total + c
+        red = F.regexp_replace(red, pat, repl)
+    d = docs.select(
+        F.col(group_col).alias("source"),
+        *[c.alias(f"n_{n}") for n, c in counts.items()],
+        total.alias("n_pii"),
+        (F.length("text") - F.length(red)).alias("chars_delta"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_pii") > 0).cast("long")).alias("docs_with_pii"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("chars_delta").alias("chars_delta"),
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style importance weights over hashed unigram features
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling"): score each document by how target-like its hashed
+    token-bucket profile is, for importance sampling a raw corpus toward
+    a target distribution.
+
+    Exactness: DSIR's score is Σ c_b·(ln p̂_b − ln q̂_b); ``ln`` differs
+    in the last ulp across libms and this engine's outputs are
+    value-hash-gated, so the score here is the RATIO-OF-SUMS surrogate
+    with add-one smoothing — importance = (Σ_tokens (p_cnt+1) · Q) /
+    (Σ_tokens (q_cnt+1) · P) — exact int64 sums and products (< 2^53 at
+    any test SF; at real scale the same expression runs in DECIMAL(38))
+    with ONE IEEE division at the end. Monotone in the same
+    target-vs-raw evidence, engine-exact, rank-stable.
+
+    100 TB shape: two hash aggregations build the tiny bucket tables
+    (p: target, q: corpus), which broadcast back over one more token
+    scan; the per-doc sums are ONE groupBy on doc_id. Returns (doc_id,
+    n_tokens, importance) for every document.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"CAST({target_pred} AS BOOLEAN)").alias("_is_target"),
+        F.explode(F.expr(_WORDS)).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"CAST(conv(substr(md5(tok), 1, 4), 16, 10) AS BIGINT) % {n_buckets}"),
+    )
+    q_tab = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("q_cnt"))
+    p_tab = (
+        toks.filter("_is_target")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("p_cnt"))
+    )
+    buckets = (
+        q_tab.join(p_tab, "bucket", "left")
+        .select(
+            "bucket", "q_cnt", F.coalesce("p_cnt", F.lit(0)).alias("p_cnt")
+        )
+    )
+    totals = buckets.agg(
+        (F.sum("p_cnt") + F.lit(n_buckets)).alias("_P"),
+        (F.sum("q_cnt") + F.lit(n_buckets)).alias("_Q"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(buckets), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("p_cnt") + F.lit(1)).alias("_sp"),
+            F.sum(F.col("q_cnt") + F.lit(1)).alias("_sq"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("_sp") * F.col("_Q")).cast("double")
+            / (F.col("_sq") * F.col("_P")).cast("double")
+        ).alias("importance"),
+    )
+
+
 def oov_rate(docs: DataFrame, top_n: int = 100) -> DataFrame:
     """Out-of-vocabulary rate per document: the fraction of tokens outside
     the corpus's top-``top_n`` vocabulary — the two-pass corpus-statistic

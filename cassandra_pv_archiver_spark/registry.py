@@ -15,6 +15,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- round 4 additions ---
+    "semantic_dedup": (catalog_data.q_semantic_dedup, catalog_data.SQL_SEMANTIC_DEDUP),
+    "pii_scan_by_source": (
+        catalog_data.q_pii_scan_by_source,
+        catalog_data.SQL_PII_SCAN_BY_SOURCE,
+    ),
+    "substring_dup_spans": (
+        catalog_data.q_substring_dup_spans,
+        catalog_data.SQL_SUBSTRING_DUP_SPANS,
+    ),
+    "embedding_quantize_audit": (
+        catalog_data.q_embedding_quantize_audit,
+        catalog_data.SQL_EMBEDDING_QUANTIZE_AUDIT,
+    ),
+    "dsir_importance": (
+        catalog_data.q_dsir_importance,
+        catalog_data.SQL_DSIR_IMPORTANCE,
+    ),
+    "threshold_crossings": (
+        catalog.q_threshold_crossings,
+        catalog.SQL_THRESHOLD_CROSSINGS,
+    ),
+    "orc_ingest_roundtrip_1h": (
+        catalog.q_orc_ingest_roundtrip_1h,
+        catalog.SQL_ORC_INGEST_ROUNDTRIP_1H,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -326,6 +352,17 @@ _DRIVER_GREEN_R02 = [
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q22",
 ]
 
+#: Round-4 additions lead outright (same rationale as _NEW_R03 below).
+_NEW_R04 = [
+    "semantic_dedup",
+    "pii_scan_by_source",
+    "substring_dup_spans",
+    "embedding_quantize_audit",
+    "dsir_importance",
+    "threshold_crossings",
+    "orc_ingest_roundtrip_1h",
+]
+
 #: Round-3 additions lead outright — brand-new operators should get their
 #: first driver row even if the budget cuts the tail of the fresh block.
 _NEW_R03 = [
@@ -341,11 +378,12 @@ _NEW_R03 = [
 ]
 
 _checked = set(_DRIVER_GREEN_R02)
-_front = set(_NEW_R03)
+_front = set(_NEW_R04) | set(_NEW_R03)
 REGISTRY = {
     name: REGISTRY[name]
     for name in (
-        _NEW_R03
+        _NEW_R04
+        + _NEW_R03
         + [n for n in REGISTRY if n not in _checked and n not in _front]
         + [n for n in _DRIVER_GREEN_R02 if n in REGISTRY]
     )

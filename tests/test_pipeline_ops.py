@@ -209,7 +209,12 @@ def test_results_invariant_under_shuffle_partitions(spark):
              # (window hold-forward, cumsum packing, tf/df rank, quantized
              # decimal means, lag gaps)
              "asof_pair_align", "sequence_packing", "distinctive_terms",
-             "cluster_quality_report", "channel_gap_stats"]
+             "cluster_quality_report", "channel_gap_stats",
+             # round-4 additions (quantized folds, exact-integer audits,
+             # diagonal islands, ratio-of-sums scores, lag crossings)
+             "semantic_dedup", "embedding_quantize_audit",
+             "substring_dup_spans", "dsir_importance",
+             "threshold_crossings"]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}

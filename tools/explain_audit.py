@@ -421,6 +421,54 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["Window", "LeftSemi"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    "semantic_dedup": (
+        None,
+        # within-cluster pairwise verify rides the cluster-key equi-join
+        # (SMJ/hash on the blocking key is the intended shape); centroid
+        # broadcasts are the only NLJ (k tiny rows); nothing may cartesian
+        # and nothing may enter Python
+        ["codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "pii_scan_by_source": (
+        2,  # partial agg -> one source exchange -> final agg + output sort
+        # scan + redact are projections over the SAME row: zero joins of
+        # any kind, zero Python — regex stays whole-stage-codegen'd
+        ["partial_", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BroadcastNestedLoopJoin", "Window", "BatchEvalPython"],
+    ),
+    "substring_dup_spans": (
+        None,
+        # pair-restricted shingle matching: the pair table joins FIRST
+        # (broadcast at test scale), then shingle equality within the
+        # pair; islands are one window — never shingle x shingle, never
+        # cartesian
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "embedding_quantize_audit": (
+        2,  # pure map over the vector column -> one label exchange + sort
+        ["partial_", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BroadcastNestedLoopJoin", "Window", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "dsir_importance": (
+        None,
+        # the 64-row bucket table and the 1-row totals broadcast back over
+        # the token scan; per-doc sums are hash aggs — the corpus never
+        # sort-merges
+        ["BroadcastHashJoin", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "threshold_crossings": (
+        2,  # sample-load channel hash reused by the min/max window, the
+        # lag window AND the per-channel agg + output sort — one data
+        # exchange total (same guarantee as channel_gap_stats)
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
     "tpch_q21": (
         # round 3: the EXISTS/NOT-EXISTS pair collapsed into ONE window
         # over the (order, supplier) aggregate's own clustering — no semi/
