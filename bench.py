@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "embedding_quantize_audit",
     "dsir_importance",
     "threshold_crossings",
+    "approx_distinct_audit",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -1870,6 +1870,82 @@ GROUP BY channel ORDER BY channel
 """
 
 
+def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation time travel over the manifest store (the
+    `VERSION AS OF` surface of sources/manifest.py's Iceberg-lite commit
+    protocol; the reference's crash-safe pending-ops intent,
+    `ChannelMetaDataDAOImpl.java:2124-2144`, extended to readable
+    history). Two appends then a compaction produce three retained
+    snapshots; each is read back via ``read_samples(at_version=...)`` and
+    checksummed per channel. The oracle recomputes every snapshot from
+    the raw slice: snapshot 1 = first append only, snapshot 2 = both
+    appends, snapshot 3 = both appends again (compaction rewrites layout,
+    never content). Any snapshot bleeding rows into another — the torn
+    read this store exists to prevent — or a compaction altering payload
+    breaks the hash. Data files are immutable, so an old manifest IS the
+    old table bit-for-bit; the cost of the horizon is just the replaced
+    files the old manifests pin (VACUUM economics)."""
+
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(
+        spark, _scratch_dir("pvarch_tt_") + "/archive", keep_versions=3
+    )
+    raw = load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    store.write_samples(raw.filter(F.expr("pmod(t div 1000, 2) = 0")), level=0)
+    store.write_samples(raw.filter(F.expr("pmod(t div 1000, 2) = 1")), level=0)
+    store.compact(0)
+    # oldest first; len 3 by design (2 appends + compact). On an EMPTY
+    # input slice compact no-ops, leaving 2 empty snapshots — the per-
+    # channel aggregation is empty either way, matching the empty oracle.
+    versions = store.level_versions(0)
+    snaps = []
+    for ordinal, v in enumerate(versions, start=1):
+        snaps.append(
+            store.read_samples(0, at_version=v)
+            .groupBy("channel")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("t").alias("t_first"),
+                F.max("t").alias("t_last"),
+                F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).alias(
+                    "v_checksum"
+                ),
+                F.sum(F.col("severity").cast("bigint")).alias("sev_checksum"),
+            )
+            .select(F.lit(ordinal).alias("snapshot"), "*")
+        )
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("snapshot", "channel")
+
+
+SQL_STORE_TIME_TRAVEL = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+lsamples AS (
+  SELECT * FROM samples
+  WHERE channel IN ({", ".join(f"'PV:{i}'" for i in range(30))})
+),
+snap AS (
+  SELECT 1 AS snapshot, * FROM lsamples WHERE (t // 1000) % 2 = 0
+  UNION ALL
+  SELECT 2 AS snapshot, * FROM lsamples
+  UNION ALL
+  SELECT 3 AS snapshot, * FROM lsamples
+)
+SELECT CAST(snapshot AS INTEGER) AS snapshot, channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_checksum,
+       CAST(sum(severity) AS BIGINT) AS sev_checksum
+FROM snap GROUP BY snapshot, channel ORDER BY snapshot, channel
+"""
+
+
 PERIOD_1D = 86400
 
 

@@ -16,6 +16,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- round 4 additions ---
+    "store_time_travel": (catalog.q_store_time_travel, catalog.SQL_STORE_TIME_TRAVEL),
+    "approx_distinct_audit": (
+        catalog_generic.q_approx_distinct_audit,
+        catalog_generic.SQL_APPROX_DISTINCT_AUDIT,
+    ),
     "semantic_dedup": (catalog_data.q_semantic_dedup, catalog_data.SQL_SEMANTIC_DEDUP),
     "pii_scan_by_source": (
         catalog_data.q_pii_scan_by_source,

@@ -65,10 +65,17 @@ class ArchiveStore:
     """Batch read/write surface over the partitioned samples table."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 max_records_per_file: int = 4_000_000):
+                 max_records_per_file: int = 4_000_000,
+                 keep_versions: int = 2):
         self.spark = spark
         self.root = root.rstrip("/")
         self.max_records_per_file = max_records_per_file
+        #: manifest versions (snapshots) retained through compaction gc —
+        #: the time-travel horizon. 2 = just enough for in-flight readers
+        #: of the previous version; raise it to keep older snapshots
+        #: readable via read_samples(at_version=...) (VACUUM-retention
+        #: analog: storage cost = the replaced files those manifests pin)
+        self.keep_versions = keep_versions
         #: all metadata path ops go through Hadoop FileSystem so the store
         #: works on file:/hdfs:/s3a: alike — no local-FS-only primitives
         self.fs = HadoopFS(spark, self.root)
@@ -219,6 +226,7 @@ class ArchiveStore:
         lo_ns: int | None = None,
         hi_ns: int | None = None,
         channels=None,
+        at_version: int | None = None,
     ) -> DataFrame:
         """Pruned scan of one level: date-partition pruning from the time
         range + parquet predicate pushdown on (channel, t).
@@ -232,11 +240,28 @@ class ArchiveStore:
         DRIVER-SIDE on the date embedded in each path before Spark
         touches a single parquet footer — Iceberg-style manifest
         pruning; the t/channel predicates still push down to row
-        groups."""
+        groups.
+
+        ``at_version`` time-travels the scan to an older retained
+        snapshot (Iceberg/Delta ``VERSION AS OF``): the manifest history
+        IS a version log, and because data files are immutable, reading
+        version N's file list reproduces version N's table bit-exactly.
+        Snapshots older than ``keep_versions`` commits are pruned by
+        compaction/retention gc; asking for one raises with the retained
+        range (the VACUUM-horizon error lakehouses give)."""
+        if at_version is not None:
+            retained = self._level_table(level).versions()
+            if at_version not in retained:
+                raise ValueError(
+                    f"version {at_version} of level {level} is not "
+                    f"retained (available: {retained}); raise "
+                    f"keep_versions to widen the time-travel horizon"
+                )
         files = self._level_files(
             level,
             None if lo_ns is None else _py_date(lo_ns),
             None if hi_ns is None else _py_date(hi_ns),
+            at_version=at_version,
         )
         if not files:
             schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
@@ -257,12 +282,14 @@ class ArchiveStore:
         level: int,
         date_lo: str | None = None,
         date_hi: str | None = None,
+        at_version: int | None = None,
     ) -> list[str]:
-        """Absolute data-file paths of one level's current manifest,
-        pruned to a [date_lo, date_hi] partition range via the path's
-        ``date=`` segment — zero storage RPCs beyond one manifest read."""
+        """Absolute data-file paths of one level's current (or
+        time-travelled) manifest, pruned to a [date_lo, date_hi] partition
+        range via the path's ``date=`` segment — zero storage RPCs beyond
+        one manifest read."""
         table = self._level_table(level)
-        rel = table.files()
+        rel = table.files(at_version)
         if rel is None:
             return []
         out = []
@@ -274,6 +301,12 @@ class ArchiveStore:
                 continue
             out.append(f"{table.root}/{r}")
         return out
+
+    def level_versions(self, level: int) -> list[int]:
+        """Retained snapshot versions of one level, oldest first — the
+        time-travel surface (`DESCRIBE HISTORY` analog). Each entry is
+        readable via ``read_samples(level, at_version=v)``."""
+        return self._level_table(level).versions()
 
     def stats(self) -> list[dict]:
         """Per-level table statistics from MANIFESTS ALONE — zero data
@@ -377,7 +410,7 @@ class ArchiveStore:
             table.publish_stage(stage, remove=expired + boundary)
         elif expired:
             table.commit(remove=expired)  # metadata-only, like bucket drops
-        table.gc(keep_versions=2)
+        table.gc(keep_versions=self.keep_versions)
         return dropped
 
     # -- compaction (96 MB rollover analog) ------------------------------
@@ -428,7 +461,7 @@ class ArchiveStore:
             .parquet(stage)
         )
         table.publish_stage(stage, remove=old)
-        table.gc(keep_versions=2)
+        table.gc(keep_versions=self.keep_versions)
 
 
 def _file_date(rel_path: str) -> str | None:

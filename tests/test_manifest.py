@@ -266,3 +266,65 @@ def test_four_concurrent_committers_stress(spark, tmp_path):
     assert len(tables[0].files()) == 16
     vals = {r.a for r in spark.read.parquet(*tables[0].paths()).collect()}
     assert vals == {100 * i + j for i in range(4) for j in range(4)}
+
+
+def _mini_samples(spark, parity=None, n=200):
+    df = spark.range(n).select(
+        F.concat(F.lit("PV:"), (F.col("id") % 3).cast("string")).alias(
+            "channel"
+        ),
+        (F.col("id") * 1000 * NS).alias("t"),
+        (F.col("id") * 1.5).alias("v"),
+        F.lit(0).alias("severity"),
+        F.lit(0).alias("status"),
+    )
+    if parity is not None:
+        df = df.filter((F.col("id") % 2) == parity)
+    return df
+
+
+def test_time_travel_reads_retained_snapshots(spark, tmp_path):
+    """VERSION AS OF over the manifest history: each retained snapshot
+    reads back bit-identical to the table state at its commit — appends
+    layer on, compaction changes layout but never content."""
+    store = ArchiveStore(spark, str(tmp_path / "tt"), keep_versions=3)
+    a = _mini_samples(spark, parity=0)
+    b = _mini_samples(spark, parity=1)
+    store.write_samples(a, level=0)
+    store.write_samples(b, level=0)
+    store.compact(0)
+    versions = store.level_versions(0)
+    assert len(versions) == 3
+    v1, v2, v3 = versions
+    n_a = a.count()
+    n_all = _mini_samples(spark).count()
+    assert store.read_samples(0, at_version=v1).count() == n_a
+    # snapshot 1 is exactly chunk A (not just the same size)
+    got = sorted(
+        (r.channel, r.t, r.v)
+        for r in store.read_samples(0, at_version=v1).collect()
+    )
+    want = sorted((r.channel, r.t, r.v) for r in a.collect())
+    assert got == want
+    assert store.read_samples(0, at_version=v2).count() == n_all
+    assert store.read_samples(0, at_version=v3).count() == n_all
+    # compaction preserved content exactly, only the layout changed
+    pre = sorted(map(tuple, store.read_samples(0, at_version=v2).collect()))
+    post = sorted(map(tuple, store.read_samples(0, at_version=v3).collect()))
+    assert pre == post
+
+
+def test_time_travel_pruned_version_raises(spark, tmp_path):
+    """Asking for a snapshot outside the retention horizon fails loudly
+    with the retained range (the VACUUM-horizon contract), never serves
+    a partially-gc'd table."""
+    import pytest
+
+    store = ArchiveStore(spark, str(tmp_path / "tt2"))  # keep_versions=2
+    store.write_samples(_mini_samples(spark, parity=0), level=0)
+    store.write_samples(_mini_samples(spark, parity=1), level=0)
+    store.compact(0)
+    versions = store.level_versions(0)
+    assert len(versions) == 2  # v0 pruned by compaction gc
+    with pytest.raises(ValueError, match="not\\s+retained"):
+        store.read_samples(0, at_version=0)

@@ -480,6 +480,23 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["windowspecdefinition(l_orderkey", "BroadcastHashJoin"],
         ["CartesianProduct", "LeftSemi", "LeftAnti"],
     ),
+    "approx_distinct_audit": (
+        None,  # expand-based exact distinct sets the exchange count;
+        # what matters: sketches partial-aggregate map-side (hll_sketch_agg
+        # in a partial_ stage), the merged 5-row table broadcasts back,
+        # and nothing cartesians or enters Python
+        ["hll_sketch_agg", "partial_", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "store_time_travel": (
+        None,  # 3 unioned per-snapshot aggs over manifest-resolved scans;
+        # each snapshot is a plain pruned parquet scan + partial agg —
+        # no joins at all, no Python, no cartesian
+        ["partial_", "Union"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BroadcastNestedLoopJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
 }
 
 
