@@ -1946,6 +1946,135 @@ FROM snap GROUP BY snapshot, channel ORDER BY snapshot, channel
 """
 
 
+PERIOD_6H_S = 6 * 3600
+
+
+def q_plot_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 plot downsampling (Jugel et al., VLDB 2014): per (channel,
+    6 h pixel bucket) the first/last/min/max samples — the reduction
+    that rasterizes identically to the full series on a plot of that
+    width. The archiver UI problem the reference solves with decimation
+    levels (`manual/index.xml:222-256`) has this as its display-side
+    complement. ONE hash aggregation of min/max/min_by/max_by selectors,
+    all map-side combinable; value ties resolve to the earliest t, so
+    the result is deterministic at any parallelism."""
+    from .operators.resample import m4_downsample
+
+    return m4_downsample(load_samples(spark, sf_dir), PERIOD_6H_S)
+
+
+_M4_P_NS = PERIOD_6H_S * NS
+
+SQL_PLOT_DOWNSAMPLE_M4 = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+b AS (
+  SELECT channel, (t // {_M4_P_NS}) * {_M4_P_NS} AS bucket, t, v FROM samples
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY channel, bucket ORDER BY t) AS rf,
+    row_number() OVER (PARTITION BY channel, bucket ORDER BY t DESC) AS rl,
+    row_number() OVER (PARTITION BY channel, bucket ORDER BY v, t) AS rmin,
+    row_number() OVER (PARTITION BY channel, bucket ORDER BY v DESC, t) AS rmax
+  FROM b
+)
+SELECT channel, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN rf = 1 THEN t END) AS BIGINT) AS t_first,
+       max(CASE WHEN rf = 1 THEN v END) AS v_first,
+       CAST(max(CASE WHEN rmin = 1 THEN t END) AS BIGINT) AS t_min,
+       max(CASE WHEN rmin = 1 THEN v END) AS v_min,
+       CAST(max(CASE WHEN rmax = 1 THEN t END) AS BIGINT) AS t_max,
+       max(CASE WHEN rmax = 1 THEN v END) AS v_max,
+       CAST(max(CASE WHEN rl = 1 THEN t END) AS BIGINT) AS t_last,
+       max(CASE WHEN rl = 1 THEN v END) AS v_last
+FROM r GROUP BY channel, bucket ORDER BY channel, bucket
+"""
+
+
+def q_counter_rate_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring ``rate()`` over the sample series: per (channel, 6 h
+    window) the per-second increase of a monotonic counter, counting a
+    value drop as a counter reset (the increase restarts from the new
+    value). Exact scaled-integer increase sums (order-insensitive), one
+    IEEE divide per window; the lag window and the window aggregation
+    reuse the load's channel hash — one data exchange total."""
+    from .operators.resample import counter_rate
+
+    return counter_rate(load_samples(spark, sf_dir), PERIOD_6H_S)
+
+
+SQL_COUNTER_RATE_6H = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+q AS (
+  SELECT channel, t, CAST(floor(v * 100 + 0.5) AS BIGINT) AS qv FROM samples
+),
+l AS (
+  SELECT *, lag(qv) OVER (PARTITION BY channel ORDER BY t) AS prev FROM q
+)
+SELECT channel, CAST((t // {_M4_P_NS}) * {_M4_P_NS} AS BIGINT) AS w_start,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN qv < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(sum(CASE WHEN qv >= prev THEN qv - prev ELSE qv END) AS DOUBLE)
+         / {100 * PERIOD_6H_S} AS rate_per_s
+FROM l WHERE prev IS NOT NULL
+GROUP BY channel, w_start ORDER BY channel, w_start
+"""
+
+
+def q_resample_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto the epoch-aligned 1 h grid — the
+    "linear" retrieval operator archiver HTTP APIs expose next to raw
+    and LOCF (the reference's own decimation is strictly hold-forward,
+    `AbstractStatefulSampleDecimator.java:74-92`; display stacks
+    interpolate). Segments emit their covered grid points via the same
+    sequence+explode construction decimate.py uses for window splitting;
+    the interpolation expression tree is fixed, so any IEEE engine
+    reproduces the bits. Nothing is extrapolated past the last sample."""
+    from .operators.resample import resample_linear
+
+    return resample_linear(
+        load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS), PERIOD_1H
+    )
+
+
+_RL_P_NS = PERIOD_1H * NS
+_RL_CAP = 100_000
+
+SQL_RESAMPLE_LINEAR_1H = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+lsamples AS (
+  SELECT * FROM samples
+  WHERE channel IN ({", ".join(f"'PV:{i}'" for i in range(30))})
+),
+l AS (
+  SELECT channel, t, v,
+         lead(t) OVER (PARTITION BY channel ORDER BY t) AS t_next,
+         lead(v) OVER (PARTITION BY channel ORDER BY t) AS v_next
+  FROM lsamples
+),
+segs AS (
+  SELECT *, ((t + {_RL_P_NS} - 1) // {_RL_P_NS}) * {_RL_P_NS} AS g0,
+    CASE WHEN t_next IS NOT NULL
+         THEN least(t_next - 1,
+                    ((t + {_RL_P_NS} - 1) // {_RL_P_NS}) * {_RL_P_NS}
+                    + {(_RL_CAP - 1) * _RL_P_NS})
+         WHEN t % {_RL_P_NS} = 0 THEN t END AS g_stop
+  FROM l
+),
+pts AS (
+  SELECT channel, t, v, t_next, v_next,
+         unnest(generate_series(g0, g_stop, {_RL_P_NS})) AS g
+  FROM segs WHERE g_stop IS NOT NULL AND g0 <= g_stop
+)
+SELECT channel, CAST(g AS BIGINT) AS t,
+       CASE WHEN t_next IS NOT NULL
+            THEN v + (v_next - v) * (CAST(g - t AS DOUBLE)
+                                     / CAST(t_next - t AS DOUBLE))
+            ELSE v END AS v_interp
+FROM pts ORDER BY channel, t
+"""
+
+
 PERIOD_1D = 86400
 
 

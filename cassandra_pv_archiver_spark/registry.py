@@ -16,6 +16,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- round 4 additions ---
+    "plot_downsample_m4": (
+        catalog.q_plot_downsample_m4,
+        catalog.SQL_PLOT_DOWNSAMPLE_M4,
+    ),
+    "counter_rate_6h": (catalog.q_counter_rate_6h, catalog.SQL_COUNTER_RATE_6H),
+    "resample_linear_1h": (
+        catalog.q_resample_linear_1h,
+        catalog.SQL_RESAMPLE_LINEAR_1H,
+    ),
     "store_time_travel": (catalog.q_store_time_travel, catalog.SQL_STORE_TIME_TRAVEL),
     "approx_distinct_audit": (
         catalog_generic.q_approx_distinct_audit,

@@ -480,6 +480,30 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["windowspecdefinition(l_orderkey", "BroadcastHashJoin"],
         ["CartesianProduct", "LeftSemi", "LeftAnti"],
     ),
+    "plot_downsample_m4": (
+        2,  # measured: the load's channel hash (reused by its F5 dedup
+        # window AND the (channel,bucket) agg) + output sort; every
+        # selector (min/max/min_by/max_by) partial-aggregates
+        ["partial_", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "counter_rate_6h": (
+        2,  # lag window + (channel,window) agg + sort all reuse the
+        # load's channel hash — one data exchange (channel_gap_stats
+        # guarantee extended to the rate() analytic)
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "resample_linear_1h": (
+        2,  # lead window rides the load's channel hash; + output sort.
+        # sequence+explode fan-out happens AFTER the window, pipelined —
+        # no extra exchange for the grid
+        ["Window", "Generate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "approx_distinct_audit": (
         None,  # expand-based exact distinct sets the exchange count;
         # what matters: sketches partial-aggregate map-side (hll_sketch_agg
