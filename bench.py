@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "dsir_importance",
     "threshold_crossings",
     "approx_distinct_audit",
+    "plot_query_240px",
     "plot_downsample_m4",
     "counter_rate_6h",
     "resample_linear_1h",

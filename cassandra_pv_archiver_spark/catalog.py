@@ -2075,6 +2075,76 @@ FROM pts ORDER BY channel, t
 """
 
 
+def q_plot_query_240px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archiver UI's plot request end-to-end: §4 aggregate navigation
+    (count-driven decimation-level selection, `Api10Controller.java:
+    396-442`) composed with M4 display reduction. A 240-pixel plot of
+    [LO, HI) (10 days) has a perfect period of exactly 3600 s, so the
+    planner must choose the materialized 1 h level — the oracle is built
+    statically against that level, which pins the selection itself: if
+    the planner ever picked raw or 6 h, the values (time-weighted means
+    vs raw samples) would hash-mismatch. The chosen level is then
+    M4-reduced at one bucket per pixel. At 100 TB this is THE dashboard
+    query: the level table is ~period× smaller than raw, the M4 agg is
+    one exchange, and the answer ships 4 points per pixel."""
+    from .operators.resample import m4_downsample
+    from .plans.planner import select_decimation_level
+
+    pixels = 240
+    bucket_s = (HI - LO) // (pixels * NS)  # 3600
+    best = select_decimation_level([0, PERIOD_1H, PERIOD_6H], LO, HI, pixels)
+    raw = load_samples(spark, sf_dir, channels=["PV:3"])
+    if best == 0:
+        src = raw.select("channel", "t", "v")
+    elif best == PERIOD_1H:
+        src = decimate(raw, PERIOD_1H).select(
+            "channel", "t", F.col("mean").alias("v")
+        )
+    else:
+        src = reaggregate(decimate(raw, PERIOD_1H), PERIOD_1H, PERIOD_6H).select(
+            "channel", "t", F.col("mean").alias("v")
+        )
+    # a decimated sample stamped t represents [t, t+period): the plot
+    # range is the half-open [LO, HI)
+    sel = src.filter(F.col("t").between(LO, HI - 1))
+    return m4_downsample(sel, bucket_s).withColumn(
+        "level", F.lit(best).cast("int")
+    )
+
+
+SQL_PLOT_QUERY_240PX = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+samples3 AS (SELECT * FROM samples WHERE channel = 'PV:3'),
+{_dec_ctes(PERIOD_1H, src="samples3", out="dec")},
+src AS (
+  SELECT channel, t, mean AS v FROM dec WHERE t BETWEEN {LO} AND {HI - 1}
+),
+b AS (
+  SELECT channel, (t // {PERIOD_1H * NS}) * {PERIOD_1H * NS} AS bucket, t, v
+  FROM src
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY channel, bucket ORDER BY t) AS rf,
+    row_number() OVER (PARTITION BY channel, bucket ORDER BY t DESC) AS rl,
+    row_number() OVER (PARTITION BY channel, bucket ORDER BY v, t) AS rmin,
+    row_number() OVER (PARTITION BY channel, bucket ORDER BY v DESC, t) AS rmax
+  FROM b
+)
+SELECT channel, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN rf = 1 THEN t END) AS BIGINT) AS t_first,
+       max(CASE WHEN rf = 1 THEN v END) AS v_first,
+       CAST(max(CASE WHEN rmin = 1 THEN t END) AS BIGINT) AS t_min,
+       max(CASE WHEN rmin = 1 THEN v END) AS v_min,
+       CAST(max(CASE WHEN rmax = 1 THEN t END) AS BIGINT) AS t_max,
+       max(CASE WHEN rmax = 1 THEN v END) AS v_max,
+       CAST(max(CASE WHEN rl = 1 THEN t END) AS BIGINT) AS t_last,
+       max(CASE WHEN rl = 1 THEN v END) AS v_last,
+       CAST({PERIOD_1H} AS INTEGER) AS level
+FROM r GROUP BY channel, bucket ORDER BY channel, bucket
+"""
+
+
 PERIOD_1D = 86400
 
 

@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- round 4 additions ---
+    "plot_query_240px": (catalog.q_plot_query_240px, catalog.SQL_PLOT_QUERY_240PX),
     "plot_downsample_m4": (
         catalog.q_plot_downsample_m4,
         catalog.SQL_PLOT_DOWNSAMPLE_M4,

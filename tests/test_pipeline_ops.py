@@ -214,7 +214,12 @@ def test_results_invariant_under_shuffle_partitions(spark):
              # diagonal islands, ratio-of-sums scores, lag crossings)
              "semantic_dedup", "embedding_quantize_audit",
              "substring_dup_spans", "dsir_importance",
-             "threshold_crossings"]
+             "threshold_crossings",
+             # retrieval-side resampling (argmin/argmax tie-breaks, lag
+             # resets, IEEE interpolation trees) + the HLL sketch audit
+             # (sketch merge across different partial groupings)
+             "plot_downsample_m4", "counter_rate_6h",
+             "resample_linear_1h", "approx_distinct_audit"]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}

@@ -97,3 +97,19 @@ def test_empty_levels_yield_empty_plan(spark):
     l1 = _series(spark, 60, [])
     out = plan_samples({0: l0, 60: l1}, 0, 100 * NS, count=100)
     assert out.count() == 0
+
+
+def test_plot_query_level_selection_pins():
+    """The 240-px plot of [LO, HI) lands exactly on the 1 h level (perfect
+    period == 3600 s); more pixels than samples falls back to raw; 40 px
+    lands exactly on 6 h. Pins the selection the plot_query_240px oracle
+    assumes statically (`Api10Controller.java:396-442`)."""
+    from cassandra_pv_archiver_spark.params import HI, LO, PERIOD_1H, PERIOD_6H
+    from cassandra_pv_archiver_spark.plans.planner import (
+        select_decimation_level,
+    )
+
+    levels = [0, PERIOD_1H, PERIOD_6H]
+    assert select_decimation_level(levels, LO, HI, 240) == PERIOD_1H
+    assert select_decimation_level(levels, LO, HI, 40) == PERIOD_6H
+    assert select_decimation_level(levels, LO, HI, 100_000) == 0

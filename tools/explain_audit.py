@@ -480,6 +480,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["windowspecdefinition(l_orderkey", "BroadcastHashJoin"],
         ["CartesianProduct", "LeftSemi", "LeftAnti"],
     ),
+    "plot_query_240px": (
+        2,  # the full dashboard path (decimate to the planner-chosen 1 h
+        # level + M4 reduction + sort) still rides ONE channel hash —
+        # composing MV selection with display reduction adds no shuffle
+        ["partial_", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "plot_downsample_m4": (
         2,  # measured: the load's channel hash (reused by its F5 dedup
         # window AND the (channel,bucket) agg) + output sort; every
