@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "threshold_crossings",
     "approx_distinct_audit",
     "plot_query_240px",
+    "value_histogram",
+    "channel_outliers_mad",
     "plot_downsample_m4",
     "counter_rate_6h",
     "resample_linear_1h",

@@ -2145,6 +2145,141 @@ FROM r GROUP BY channel, bucket ORDER BY channel, bucket
 """
 
 
+N_HIST_BINS = 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel equal-width value histogram (the archive viewer's
+    distribution panel): 20 bins between the channel's own min/max.
+    Two hash aggregations over one scan — per-channel bounds, broadcast
+    back, then (channel, bin) counts. Bin assignment is a fixed IEEE
+    expression tree ((v - lo) / (hi - lo) * bins, floored), so every
+    engine bins identically; a constant channel degenerates to bin 0."""
+    s = load_samples(spark, sf_dir).select("channel", "v")
+    bounds = s.groupBy("channel").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = s.join(F.broadcast(bounds), "channel").withColumn(
+        "bin",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(N_HIST_BINS - 1),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * N_HIST_BINS
+                ),
+            )
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("channel", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("channel", "bin")
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+bounds AS (
+  SELECT channel, min(v) AS lo, max(v) AS hi FROM samples GROUP BY channel
+),
+binned AS (
+  SELECT s.channel,
+         CAST(CASE WHEN b.hi = b.lo THEN 0
+              ELSE least({N_HIST_BINS - 1},
+                         floor((s.v - b.lo) / (b.hi - b.lo) * {N_HIST_BINS}))
+              END AS INTEGER) AS bin
+  FROM samples s JOIN bounds b USING (channel)
+)
+SELECT channel, bin, count(*) AS n
+FROM binned GROUP BY channel, bin ORDER BY channel, bin
+"""
+
+
+def q_channel_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-channel outlier detection: discrete (attained) median
+    and MAD — median absolute deviation — then count samples beyond
+    3×MAD and locate the worst one (the alarm-forensics query an
+    operator runs on a misbehaving PV). Discrete quantiles keep every
+    statistic an attained value (bit-portable, no interpolation); the
+    two tiny per-channel statistic tables broadcast back over the scan,
+    so the series shuffles only for its own channel clustering."""
+    from .operators.stats import group_discrete_quantiles
+
+    s = load_samples(spark, sf_dir).select("channel", "t", "v")
+    med = group_discrete_quantiles(s, "channel", "v", [0.5], "t").select(
+        "channel", F.col("q_value").alias("med")
+    )
+    dev = s.join(F.broadcast(med), "channel").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = group_discrete_quantiles(dev, "channel", "adev", [0.5], "t").select(
+        "channel", F.col("q_value").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "channel")
+    return (
+        flagged.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            # worst sample: max |deviation|, earliest t on exact ties
+            F.max_by(
+                "t", F.struct(F.col("adev"), (-F.col("t")).alias("nt"))
+            ).alias("worst_t"),
+            F.max_by(
+                "v", F.struct(F.col("adev"), (-F.col("t")).alias("nt"))
+            ).alias("worst_v"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_CHANNEL_OUTLIERS_MAD = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+r AS (
+  SELECT channel, t, v,
+         row_number() OVER (PARTITION BY channel ORDER BY v, t) AS rn,
+         count(*) OVER (PARTITION BY channel) AS n
+  FROM samples
+),
+med AS (
+  SELECT channel, v AS med FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+),
+dev AS (
+  SELECT s.channel, s.t, s.v, m.med, abs(s.v - m.med) AS adev
+  FROM samples s JOIN med m USING (channel)
+),
+rd AS (
+  SELECT *, row_number() OVER (PARTITION BY channel ORDER BY adev, t) AS rn,
+         count(*) OVER (PARTITION BY channel) AS n
+  FROM dev
+),
+mad AS (
+  SELECT channel, adev AS mad FROM rd WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+),
+fl AS (
+  SELECT d.*, md.mad,
+         row_number() OVER (PARTITION BY d.channel ORDER BY d.adev DESC, d.t)
+           AS rworst
+  FROM dev d JOIN mad md ON d.channel = md.channel
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n,
+       max(med) AS median,
+       max(mad) AS mad,
+       CAST(sum(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(max(CASE WHEN rworst = 1 THEN t END) AS BIGINT) AS worst_t,
+       max(CASE WHEN rworst = 1 THEN v END) AS worst_v
+FROM fl GROUP BY channel ORDER BY channel
+"""
+
+
 PERIOD_1D = 86400
 
 

@@ -16,6 +16,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- round 4 additions ---
+    "value_histogram": (catalog.q_value_histogram, catalog.SQL_VALUE_HISTOGRAM),
+    "channel_outliers_mad": (
+        catalog.q_channel_outliers_mad,
+        catalog.SQL_CHANNEL_OUTLIERS_MAD,
+    ),
     "plot_query_240px": (catalog.q_plot_query_240px, catalog.SQL_PLOT_QUERY_240PX),
     "plot_downsample_m4": (
         catalog.q_plot_downsample_m4,

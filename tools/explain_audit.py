@@ -480,6 +480,21 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["windowspecdefinition(l_orderkey", "BroadcastHashJoin"],
         ["CartesianProduct", "LeftSemi", "LeftAnti"],
     ),
+    "value_histogram": (
+        None,  # bounds agg -> broadcast back over the scan -> bin agg;
+        # the series never sort-merges against its own statistics (the
+        # only Window in the plan is the load's F5 dedup)
+        ["BroadcastHashJoin", "partial_"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "channel_outliers_mad": (
+        None,  # two discrete-quantile windows ride the channel hash; the
+        # tiny median/MAD tables broadcast back — no SMJ, no Python
+        ["Window", "BroadcastHashJoin", "partial_"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "plot_query_240px": (
         2,  # the full dashboard path (decimate to the planner-chosen 1 h
         # level + M4 reduction + sort) still rides ONE channel hash —
