@@ -1946,9 +1946,6 @@ FROM snap GROUP BY snapshot, channel ORDER BY snapshot, channel
 """
 
 
-PERIOD_6H_S = 6 * 3600
-
-
 def q_plot_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 plot downsampling (Jugel et al., VLDB 2014): per (channel,
     6 h pixel bucket) the first/last/min/max samples — the reduction
@@ -1960,10 +1957,10 @@ def q_plot_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is deterministic at any parallelism."""
     from .operators.resample import m4_downsample
 
-    return m4_downsample(load_samples(spark, sf_dir), PERIOD_6H_S)
+    return m4_downsample(load_samples(spark, sf_dir), PERIOD_6H)
 
 
-_M4_P_NS = PERIOD_6H_S * NS
+_M4_P_NS = PERIOD_6H * NS
 
 SQL_PLOT_DOWNSAMPLE_M4 = f"""
 WITH {SAMPLES_CTE.strip().rstrip()},
@@ -2000,7 +1997,7 @@ def q_counter_rate_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse the load's channel hash — one data exchange total."""
     from .operators.resample import counter_rate
 
-    return counter_rate(load_samples(spark, sf_dir), PERIOD_6H_S)
+    return counter_rate(load_samples(spark, sf_dir), PERIOD_6H)
 
 
 SQL_COUNTER_RATE_6H = f"""
@@ -2015,7 +2012,7 @@ SELECT channel, CAST((t // {_M4_P_NS}) * {_M4_P_NS} AS BIGINT) AS w_start,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST(sum(CASE WHEN qv < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
        CAST(sum(CASE WHEN qv >= prev THEN qv - prev ELSE qv END) AS DOUBLE)
-         / {100 * PERIOD_6H_S} AS rate_per_s
+         / {100 * PERIOD_6H} AS rate_per_s
 FROM l WHERE prev IS NOT NULL
 GROUP BY channel, w_start ORDER BY channel, w_start
 """

@@ -39,7 +39,9 @@ def m4_downsample(s: DataFrame, period_s: int) -> DataFrame:
     min/max/min_by/max_by, so a hot channel's bucket combines map-side
     before the single shuffle."""
     p_ns = period_s * NS
-    b = s.withColumn("bucket", F.expr(f"(t div {p_ns}) * {p_ns}"))
+    # floor-aligned bucket (t - pmod(t, p) floors for negative ns too,
+    # matching the oracle's // semantics; plain `div` truncates toward 0)
+    b = s.withColumn("bucket", F.expr(f"t - pmod(t, {p_ns})"))
     return (
         b.groupBy("channel", "bucket")
         .agg(
@@ -83,7 +85,7 @@ def counter_rate(s: DataFrame, period_s: int) -> DataFrame:
                 F.col("_qv") >= F.col("_prev"), F.col("_qv") - F.col("_prev")
             ).otherwise(F.col("_qv")),
         )
-        .withColumn("w_start", F.expr(f"(t div {p_ns}) * {p_ns}"))
+        .withColumn("w_start", F.expr(f"t - pmod(t, {p_ns})"))  # floor
     )
     return (
         g.groupBy("channel", "w_start")
@@ -122,8 +124,9 @@ def resample_linear(
     seg = (
         s.withColumn("t_next", F.lead("t").over(w))
         .withColumn("v_next", F.lead("v").over(w))
-        # first aligned grid point at/after t (ceil; t >= 0 in ns epoch)
-        .withColumn("g0", F.expr(f"((t + {p_ns} - 1) div {p_ns}) * {p_ns}"))
+        # first aligned grid point at/after t (ceil via pmod — exact
+        # floor/ceil semantics for negative ns too)
+        .withColumn("g0", F.expr(f"t + pmod(-t, {p_ns})"))
         .withColumn(
             "g_stop",
             F.when(
@@ -132,7 +135,7 @@ def resample_linear(
                     F.col("t_next") - 1,
                     F.col("g0") + F.lit((max_points_per_gap - 1) * p_ns),
                 ),
-            ).otherwise(F.when(F.expr(f"t % {p_ns} = 0"), F.col("t"))),
+            ).otherwise(F.when(F.expr(f"pmod(t, {p_ns}) = 0"), F.col("t"))),
         )
     )
     pts = (

@@ -75,6 +75,11 @@ class ArchiveStore:
         #: of the previous version; raise it to keep older snapshots
         #: readable via read_samples(at_version=...) (VACUUM-retention
         #: analog: storage cost = the replaced files those manifests pin)
+        if keep_versions < 1:
+            raise ValueError(
+                f"keep_versions must be >= 1, got {keep_versions} "
+                "(0 would let gc collect every manifest and data file)"
+            )
         self.keep_versions = keep_versions
         #: all metadata path ops go through Hadoop FileSystem so the store
         #: works on file:/hdfs:/s3a: alike — no local-FS-only primitives
@@ -426,8 +431,9 @@ class ArchiveStore:
         always resolves either the fragmented or the compacted file set —
         never an empty/partial directory (the delete-then-rename failure
         mode this store had before round 3). Replaced files survive until
-        two commits later (``gc(keep_versions=2)``) so in-flight readers
-        of the previous version finish cleanly.
+        ``keep_versions`` commits later (gc), so in-flight readers of
+        recent versions — and time-travel reads inside the horizon —
+        finish cleanly.
 
         ``target_files_per_partition=1`` is exact (each date is owned by
         one task); larger targets are a soft cap via (date, channel)

@@ -328,3 +328,12 @@ def test_time_travel_pruned_version_raises(spark, tmp_path):
     assert len(versions) == 2  # v0 pruned by compaction gc
     with pytest.raises(ValueError, match="not\\s+retained"):
         store.read_samples(0, at_version=0)
+
+
+def test_keep_versions_zero_rejected(spark, tmp_path):
+    """keep_versions=0 would let gc collect every manifest and data file
+    (an empty retained set) — the constructor refuses it."""
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        ArchiveStore(spark, str(tmp_path / "kv0"), keep_versions=0)

@@ -102,3 +102,18 @@ def test_resample_linear_gap_cap_bounds_fanout(spark):
     out = resample_linear(_df(spark, rows), 10, max_points_per_gap=10).collect()
     ts = sorted(r.t for r in out)
     assert ts == [i * 10 * NS for i in range(10)] + [10_000 * NS]
+
+
+def test_negative_timestamps_floor_align(spark):
+    """Pre-1970 timestamps bucket by FLOOR (matching the SQL oracles'
+    `//`), not truncation toward zero: t=-1ns with a 10s bucket belongs
+    to bucket -10s, and the first grid point at/after it is 0."""
+    p = 10
+    rows = [("a", -1, 5.0), ("a", 5 * NS, 7.0)]
+    m4 = m4_downsample(_df(spark, rows), p).collect()
+    assert [r.bucket for r in m4] == [-10 * NS, 0]
+    rl = {r.t: r.v_interp for r in resample_linear(_df(spark, rows), p).collect()}
+    # segment [-1, 5s) covers exactly grid point 0
+    assert set(rl) == {0}
+    cr = counter_rate(_df(spark, rows), p).collect()
+    assert [r.w_start for r in cr] == [0]
