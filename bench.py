@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "approx_distinct_audit",
     "plot_query_240px",
     "value_histogram",
+    "lagged_correlation_1h",
     "channel_outliers_mad",
     "plot_downsample_m4",
     "counter_rate_6h",

@@ -2277,6 +2277,84 @@ FROM fl GROUP BY channel ORDER BY channel
 """
 
 
+_XCORR_LAGS = [-21600, -3600, 0, 3600, 21600]
+
+
+def q_lagged_correlation_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between two channels on the regular 1 h
+    hold-forward grid — the "which PV leads which, and by how much"
+    analysis that follows a correlation-matrix hit. Each lag's pairing is
+    a hash equi-join on the computed key t + lag (never a range join);
+    Pearson moments are exact DECIMAL sums per lag, bit-stable at any
+    parallelism (operators/stats.lagged_channel_correlation)."""
+    from .operators.stats import lagged_channel_correlation
+
+    s = load_samples(spark, sf_dir, channels=["PV:3", "PV:7"])
+    return lagged_channel_correlation(
+        s, "PV:3", "PV:7", PERIOD_1H, _XCORR_LAGS
+    ).orderBy("lag_s")
+
+
+def _sql_lagged_corr() -> str:
+    from .operators.decimate import big_to_double_duck
+
+    p = PERIOD_1H * NS
+    lag_vals = ", ".join(f"({l})" for l in _XCORR_LAGS)
+    num = big_to_double_duck("(n_ * sxy - sx * sy)")
+    dx = big_to_double_duck("(n_ * sxx - sx * sx)")
+    dy = big_to_double_duck("(n_ * syy - sy * sy)")
+    return f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+s AS (
+  SELECT channel, t, CAST(floor(v * 100 + 0.5) AS HUGEINT) AS vi
+  FROM samples WHERE channel IN ('PV:3', 'PV:7')
+),
+bnd AS (SELECT min(t) AS lo, max(t) AS hi FROM s),
+grid AS (
+  SELECT unnest(generate_series(lo + (((-lo) % {p}) + {p}) % {p},
+                                hi - ((hi % {p}) + {p}) % {p}, {p})) AS t
+  FROM bnd WHERE lo IS NOT NULL
+),
+gc AS (
+  SELECT g.t, c.channel
+  FROM grid g CROSS JOIN (VALUES ('PV:3'), ('PV:7')) c(channel)
+),
+rows_ AS (
+  SELECT channel, t, vi, 0 AS g FROM s
+  UNION ALL
+  SELECT channel, t, NULL, 1 FROM gc
+),
+held AS (
+  SELECT channel, t, g,
+         last_value(vi IGNORE NULLS) OVER (
+           PARTITION BY channel ORDER BY t, g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+  FROM rows_
+),
+gv AS (SELECT channel, t, h FROM held WHERE g = 1 AND h IS NOT NULL),
+a AS (SELECT t, h AS va FROM gv WHERE channel = 'PV:3'),
+bb AS (SELECT t AS tb, h AS vb FROM gv WHERE channel = 'PV:7'),
+pairs AS (
+  SELECT l.lag_s, a.va, bb.vb
+  FROM a CROSS JOIN (VALUES {lag_vals}) l(lag_s)
+  JOIN bb ON a.t + CAST(l.lag_s AS BIGINT) * {NS} = bb.tb
+),
+mo AS (
+  SELECT lag_s, CAST(count(*) AS HUGEINT) AS n_,
+         sum(va) AS sx, sum(vb) AS sy, sum(va * vb) AS sxy,
+         sum(va * va) AS sxx, sum(vb * vb) AS syy
+  FROM pairs GROUP BY lag_s
+)
+SELECT CAST(lag_s AS BIGINT) AS lag_s,
+       ({num}) / (sqrt({dx}) * sqrt({dy})) AS r,
+       CAST(n_ AS BIGINT) AS n_points
+FROM mo WHERE n_ >= 2 ORDER BY lag_s
+"""
+
+
+SQL_LAGGED_CORRELATION_1H = _sql_lagged_corr()
+
+
 PERIOD_1D = 86400
 
 

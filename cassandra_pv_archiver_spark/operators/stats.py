@@ -273,3 +273,110 @@ def threshold_crossings(samples: DataFrame) -> DataFrame:
         F.min(F.when(cross, F.col("t"))).alias("t_first_cross"),
         F.max(F.when(cross, F.col("t"))).alias("t_last_cross"),
     )
+
+
+def lagged_channel_correlation(
+    samples: DataFrame,
+    ch_a: str,
+    ch_b: str,
+    period_s: int,
+    lags_s: Sequence[int],
+    v_decimals: int = 2,
+) -> DataFrame:
+    """Lead/lag cross-correlation between two channels — "does B follow
+    A, and by how much?", the next question after the correlation matrix
+    (:func:`aligned_channel_correlations`) says two PVs co-move.
+
+    Both channels are held forward onto ONE regular ``period_s`` grid
+    (J1 at-or-before semantics at every grid point — the same
+    construction as the matrix, but a regular grid so that shifting by a
+    lag maps grid points onto grid points exactly). For each lag L,
+    ``r(L) = corr(a(t), b(t+L))`` — positive L with max r means B trails
+    A by L seconds. The shifted pairing is a hash EQUI-join on the
+    computed key ``t + L`` (never a range/theta join); moments are exact
+    DECIMAL(38,0) sums per lag, so every r is bit-stable at any
+    parallelism. Returns (lag_s, r, n_points), lags with < 2 aligned
+    points omitted.
+    """
+    from .decimate import NS, big_to_double
+
+    vs = 10 ** v_decimals
+    p_ns = period_s * NS
+    s = samples.filter(F.col("channel").isin([ch_a, ch_b])).select(
+        "channel",
+        "t",
+        F.expr(f"CAST(floor(v * {vs} + 0.5) AS DECIMAL(19,0))").alias("_vi"),
+    )
+    # aligned grid spanning [ceil(min t), floor(max t)] — built
+    # distributed from the 1-row bounds agg (empty input -> empty grid)
+    grid = (
+        s.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"sequence(lo + pmod(-lo, {p_ns}),"
+                    f" hi - pmod(hi, {p_ns}), {p_ns})"
+                )
+            ).alias("t")
+        )
+    )
+    chans = samples.sparkSession.createDataFrame(
+        [(ch_a,), (ch_b,)], "channel string"
+    )
+    gc = grid.crossJoin(F.broadcast(chans))
+    rows = s.withColumn("_g", F.lit(0)).unionByName(
+        gc.select(
+            "channel",
+            "t",
+            F.lit(None).cast("decimal(19,0)").alias("_vi"),
+            F.lit(1).alias("_g"),
+        )
+    )
+    # grid row at an exact sample timestamp sorts AFTER the sample
+    # (t, _g) so last-ignorenulls picks the sample's value up
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("t", "_g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    held = rows.select(
+        "channel",
+        "t",
+        "_g",
+        F.last("_vi", ignorenulls=True).over(w).alias("_h"),
+    ).filter((F.col("_g") == 1) & F.col("_h").isNotNull())
+    a_ser = held.filter(F.col("channel") == ch_a).select(
+        "t", F.col("_h").alias("_va")
+    )
+    b_ser = held.filter(F.col("channel") == ch_b).select(
+        F.col("t").alias("_tb"), F.col("_h").alias("_vb")
+    )
+    lag_col = F.explode(
+        F.array(*[F.lit(int(l)) for l in lags_s])
+    ).alias("lag_s")
+    shifted = a_ser.select("*", lag_col).withColumn(
+        "_key", F.col("t") + F.col("lag_s").cast("long") * F.lit(NS)
+    )
+    # the grid series is bounded by the query's time range / grid period
+    # (a correlation-plot parameter, not data-sized) — broadcast it so the
+    # lag pairing is a hash join, not a sort-merge of two tiny tables
+    pairs = shifted.join(F.broadcast(b_ser), F.col("_key") == F.col("_tb"))
+    m = pairs.groupBy("lag_s").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_va").alias("_sx"),
+        F.sum("_vb").alias("_sy"),
+        F.sum(F.expr("_va * _vb")).alias("_sxy"),
+        F.sum(F.expr("_va * _va")).alias("_sxx"),
+        F.sum(F.expr("_vb * _vb")).alias("_syy"),
+    )
+    num = big_to_double("CAST(_n * _sxy - _sx * _sy AS DECIMAL(38,0))")
+    dx = big_to_double("CAST(_n * _sxx - _sx * _sx AS DECIMAL(38,0))")
+    dy = big_to_double("CAST(_n * _syy - _sy * _sy AS DECIMAL(38,0))")
+    return (
+        m.select(
+            F.col("lag_s").cast("long").alias("lag_s"),
+            F.expr(f"({num}) / (sqrt({dx}) * sqrt({dy}))").alias("r"),
+            F.col("_n").cast("long").alias("n_points"),
+        )
+        .filter(F.col("n_points") >= 2)
+    )

@@ -16,6 +16,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- round 4 additions ---
+    "lagged_correlation_1h": (
+        catalog.q_lagged_correlation_1h,
+        catalog.SQL_LAGGED_CORRELATION_1H,
+    ),
     "value_histogram": (catalog.q_value_histogram, catalog.SQL_VALUE_HISTOGRAM),
     "channel_outliers_mad": (
         catalog.q_channel_outliers_mad,

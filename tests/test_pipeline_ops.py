@@ -219,7 +219,8 @@ def test_results_invariant_under_shuffle_partitions(spark):
              # resets, IEEE interpolation trees) + the HLL sketch audit
              # (sketch merge across different partial groupings)
              "plot_downsample_m4", "counter_rate_6h",
-             "resample_linear_1h", "approx_distinct_audit"]
+             "resample_linear_1h", "approx_distinct_audit",
+             "lagged_correlation_1h"]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results = {}

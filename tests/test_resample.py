@@ -117,3 +117,23 @@ def test_negative_timestamps_floor_align(spark):
     assert set(rl) == {0}
     cr = counter_rate(_df(spark, rows), p).collect()
     assert [r.w_start for r in cr] == [0]
+
+
+def test_lagged_correlation_detects_known_lag(spark):
+    """B is A delayed by exactly 3600s: r peaks (==1 to ulp) at lag +3600
+    and the pairing count shrinks by the lag overlap."""
+    from cassandra_pv_archiver_spark.operators.stats import (
+        lagged_channel_correlation,
+    )
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    rows = [("A", i * 3600 * NS, v) for i, v in enumerate(vals)]
+    rows += [("B", (i + 1) * 3600 * NS, v) for i, v in enumerate(vals)]
+    out = {
+        r.lag_s: r
+        for r in lagged_channel_correlation(
+            _df(spark, rows), "A", "B", 3600, [-3600, 0, 3600]
+        ).collect()
+    }
+    assert abs(out[3600].r - 1.0) < 1e-12
+    assert out[3600].r > out[0].r and out[3600].r > out[-3600].r

@@ -480,6 +480,15 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["windowspecdefinition(l_orderkey", "BroadcastHashJoin"],
         ["CartesianProduct", "LeftSemi", "LeftAnti"],
     ),
+    "lagged_correlation_1h": (
+        None,  # the lag pairing is a broadcast hash EQUI-join on the
+        # computed t+lag key — never a range/theta join or a sort-merge
+        # of the two grid series. The only BNLJs are the literal-sized
+        # fan-outs (1-row bounds -> grid, 2-row channel list)
+        ["Window", "partial_", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "value_histogram": (
         None,  # bounds agg -> broadcast back over the scan -> bin agg;
         # the series never sort-merges against its own statistics (the
