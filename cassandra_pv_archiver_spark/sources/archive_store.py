@@ -123,10 +123,19 @@ class ArchiveStore:
         """
         df = df.persist()
         try:
+            # "date" MUST lead the sort: the V1 parquet writer requires
+            # its partition columns as a sort prefix, and when the
+            # existing order does not satisfy that, it inserts its own
+            # (date)-only sort — and Catalyst's EliminateSorts then drops
+            # THIS sort as redundant, silently writing files in input
+            # order (no channel/t clustering at all; caught by
+            # test_files_are_channel_time_sorted). With the prefix, the
+            # writer's requirement is already satisfied and the order
+            # survives to the files.
             out = (
                 df.withColumn("date", _date_expr("t"))
                 .repartition("date", "channel")
-                .sortWithinPartitions("channel", "t")
+                .sortWithinPartitions("date", "channel", "t")
             )
             # stage-then-publish: Spark writes a fresh hidden staging dir,
             # then the files move into the hive layout and ONE manifest
@@ -409,9 +418,12 @@ class ArchiveStore:
                 F.col("t") >= cutoff_ns
             )
             stage = table.stage_dir()
-            kept.withColumn("date", F.lit(cutoff_date)).write.partitionBy(
-                "date"
-            ).parquet(stage)
+            (
+                kept.withColumn("date", F.lit(cutoff_date))
+                .sortWithinPartitions("date", "channel", "t")
+                .write.partitionBy("date")
+                .parquet(stage)
+            )
             table.publish_stage(stage, remove=expired + boundary)
         elif expired:
             table.commit(remove=expired)  # metadata-only, like bucket drops
@@ -419,7 +431,35 @@ class ArchiveStore:
         return dropped
 
     # -- compaction (96 MB rollover analog) ------------------------------
-    def compact(self, level: int, target_files_per_partition: int = 1) -> None:
+    @staticmethod
+    def zorder_key_expr(channel_col: str = "channel", t_col: str = "t") -> str:
+        """Morton (Z-order) interleave of (hash(channel), within-day t) as
+        a pure Catalyst expression — the multi-dimensional clustering
+        option for :meth:`compact`.
+
+        The default layout sorts files by (channel, t): perfect channel
+        pruning, but every file's t min/max spans the whole day, so a
+        "narrow time slice across ALL channels" scan (correlation plots,
+        incident forensics) can skip nothing. Z-order interleaves 16 bits
+        of ``xxhash64(channel)`` with 16 bits of the within-day offset
+        (~1.3 s resolution), so each written file covers a small rectangle
+        in (channel-hash × time) space and BOTH predicate shapes prune at
+        the file/row-group level — the same trade Delta's OPTIMIZE ZORDER
+        makes. Pure shifts/masks/ors: whole-stage-codegen'd, no UDF."""
+        x = f"(xxhash64({channel_col}) & 65535)"
+        y = f"(pmod({t_col}, {DAY_NS}) div {DAY_NS // 65536})"  # 2^16/day
+        terms = []
+        for i in range(16):
+            terms.append(f"(shiftleft(shiftright({x}, {i}) & 1, {2 * i + 1}))")
+            terms.append(f"(shiftleft(shiftright({y}, {i}) & 1, {2 * i}))")
+        return " | ".join(terms)
+
+    def compact(
+        self,
+        level: int,
+        target_files_per_partition: int = 1,
+        zorder: bool = False,
+    ) -> None:
         """Rewrite each date partition into ``target_files_per_partition``
         sorted files (the OPTIMIZE pass for append-fragmented partitions).
 
@@ -459,10 +499,23 @@ class ArchiveStore:
             ["date"] if target_files_per_partition == 1 else ["date", "channel"]
         )
         stage = table.stage_dir()
+        if zorder:
+            # multi-dim clustering: files cover (channel-hash x time)
+            # rectangles so BOTH channel-slice and time-slice scans prune
+            out = (
+                df.withColumn("_z", F.expr(self.zorder_key_expr()))
+                .repartition(*part_cols)
+                # "date" prefix: see write_samples — without it the
+                # writer's own partition sort evicts this one
+                .sortWithinPartitions("date", "_z")
+                .drop("_z")
+            )
+        else:
+            out = df.repartition(*part_cols).sortWithinPartitions(
+                "date", "channel", "t"
+            )
         (
-            df.repartition(*part_cols)
-            .sortWithinPartitions("channel", "t")
-            .write.partitionBy("date")
+            out.write.partitionBy("date")
             .option("maxRecordsPerFile", self.max_records_per_file)
             .parquet(stage)
         )

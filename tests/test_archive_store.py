@@ -214,3 +214,110 @@ def test_store_stats_metadata_only(spark, tmp_path):
     s3 = {s["level"]: s for s in store.stats()}[0]
     assert s3["n_files"] == s3["n_partitions"]  # 1 file per date
     assert s3["version"] > s2["version"]
+
+
+def test_zorder_compaction_prunes_time_slices(spark, tmp_path):
+    """compact(zorder=True) interleaves channel-hash and within-day time
+    bits, so a narrow time slice across ALL channels skips most files by
+    parquet footer min/max — which the default (channel, t) sort cannot
+    (every channel-sorted file spans the whole day). Content must be
+    identical either way (compaction is a layout-only operation)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cassandra_pv_archiver_spark.sources.archive_store import (
+        DAY_NS,
+        ArchiveStore,
+    )
+
+    n_ch, n_t = 64, 512
+    rows = spark.range(n_ch * n_t).select(
+        F.concat(F.lit("PV:"), (F.col("id") % n_ch).cast("string")).alias(
+            "channel"
+        ),
+        ((F.col("id") / n_ch).cast("long") * (DAY_NS // n_t)).alias("t"),
+        (F.col("id") * 0.5).alias("v"),
+        F.lit(0).alias("severity"),
+        F.lit(0).alias("status"),
+    )
+
+    def _build(root, zorder):
+        st = ArchiveStore(spark, root, max_records_per_file=2048)
+        st.write_samples(rows.filter(F.expr("pmod(t div 1000, 2) = 0")), 0)
+        st.write_samples(rows.filter(F.expr("pmod(t div 1000, 2) = 1")), 0)
+        st.compact(0, zorder=zorder)
+        return st
+
+    def _files_overlapping(st, lo, hi):
+        hit, total = 0, 0
+        for f in st._level_files(0):
+            md = pq.ParquetFile(f.replace("file:", "")).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "t"
+            )
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit, total
+
+    st_sorted = _build(str(tmp_path / "plain"), zorder=False)
+    st_z = _build(str(tmp_path / "zorder"), zorder=True)
+
+    lo, hi = int(DAY_NS * 0.40), int(DAY_NS * 0.45)  # a 5% time slice
+    hit_s, tot_s = _files_overlapping(st_sorted, lo, hi)
+    hit_z, tot_z = _files_overlapping(st_z, lo, hi)
+    assert tot_s > 4 and tot_z > 4  # layout actually split into files
+    assert hit_s == tot_s  # channel-sort: every file spans the day
+    assert hit_z <= tot_z // 2, (hit_z, tot_z)  # z-order: most files skip
+
+    # layout-only: both layouts read back the identical table
+    a = sorted(map(tuple, st_sorted.read_samples(0).collect()))
+    b = sorted(map(tuple, st_z.read_samples(0).collect()))
+    assert a == b
+
+
+def test_files_are_channel_time_sorted(spark, tmp_path):
+    """The layout contract the row-group-pruning story rests on: data
+    files are PHYSICALLY ordered by (channel, t). Regression for the
+    sort-eviction bug: the V1 writer's own partition-column sort caused
+    EliminateSorts to drop sortWithinPartitions(channel, t), silently
+    writing input order (t-major), which voids channel min/max pruning."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cassandra_pv_archiver_spark.sources.archive_store import (
+        DAY_NS,
+        ArchiveStore,
+    )
+
+    n_ch, n_t = 16, 256  # generation order is t-major (worst case)
+    rows = spark.range(n_ch * n_t).select(
+        F.concat(F.lit("PV:"), (F.col("id") % n_ch).cast("string")).alias(
+            "channel"
+        ),
+        ((F.col("id") / n_ch).cast("long") * (2 * DAY_NS // n_t)).alias("t"),
+        (F.col("id") * 0.5).alias("v"),
+        F.lit(0).alias("severity"),
+        F.lit(0).alias("status"),
+    )
+    st = ArchiveStore(spark, str(tmp_path / "srt"))
+    st.write_samples(rows, 0)
+    st.write_samples(rows.withColumn("t", F.col("t") + 1000), 0)
+    st.compact(0)
+    files = st._level_files(0)
+    assert len(files) >= 2  # 2 dates
+    for f in files:
+        tb = pq.read_table(
+            f.replace("file:", ""), columns=["channel", "t"]
+        ).to_pandas()
+        got = list(tb.itertuples(index=False))
+        assert got == sorted(got, key=lambda r: (r.channel, r.t)), f
