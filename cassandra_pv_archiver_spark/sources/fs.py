@@ -27,10 +27,12 @@ class HadoopFS:
 
     def __init__(self, spark, root: str):
         jvm = spark._jvm
+        self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(root).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
+        self._is_local = self._fs.getUri().getScheme() == "file"
 
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._Path(path)))
@@ -66,9 +68,35 @@ class HadoopFS:
             raise IOError(f"rename failed: {src} -> {dst}")
 
     def rename_no_overwrite(self, src: str, dst: str) -> bool:
-        """Plain FileSystem.rename: atomic, FAILS (returns False) if
-        ``dst`` exists — exactly the primitive a versioned-manifest commit
-        needs (the failed rename IS the optimistic-concurrency signal)."""
+        """Atomically claim ``dst`` with ``src``'s content; return False
+        (leaving ``src`` in place) if ``dst`` already exists — the
+        optimistic-concurrency primitive the versioned-manifest commit
+        protocol needs.
+
+        On HDFS, ``FileSystem.rename`` has exactly these semantics. On
+        the LOCAL filesystem it does NOT: Hadoop's RawLocalFileSystem
+        delegates to ``File.renameTo`` → POSIX ``rename(2)``, which
+        silently REPLACES an existing destination — two racing
+        committers would both "succeed" and one committed version would
+        vanish (a lost append; caught by the 4-writer stress test). The
+        true atomic-exclusive primitive on POSIX is ``link(2)``, so for
+        ``file:`` URIs we hard-link src onto dst (fails with EEXIST if
+        dst exists — atomic in the kernel) and unlink src."""
+        if self._is_local:
+            local = lambda p: p[len("file:"):] if p.startswith("file:") else p  # noqa: E731
+            jpath = lambda p: self._jvm.java.io.File(local(p)).toPath()  # noqa: E731
+            try:
+                self._jvm.java.nio.file.Files.createLink(
+                    jpath(dst), jpath(src)
+                )
+            except Exception as e:  # noqa: BLE001
+                jexc = getattr(e, "java_exception", None)
+                name = jexc.getClass().getName() if jexc is not None else ""
+                if "FileAlreadyExistsException" in name:
+                    return False
+                raise
+            self._fs.delete(self._Path(src), False)
+            return True
         return bool(self._fs.rename(self._Path(src), self._Path(dst)))
 
     def mkdirs(self, path: str) -> None:

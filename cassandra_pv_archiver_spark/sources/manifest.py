@@ -15,11 +15,13 @@ needs:
 * **The table state is ONE small manifest file** — a text list of the data
   files (paths relative to the table root) that make up the current
   version, named ``m-<version>``. Manifests are immutable too.
-* **Commit = one atomic rename** of a hidden temp file onto the next
-  version name. ``FileSystem.rename`` without overwrite is atomic on
-  POSIX and HDFS and *fails* if the destination exists — a failed rename
-  is the optimistic-concurrency signal (someone else committed version N
-  first; re-read and retry on N+1), the same protocol Iceberg's
+* **Commit = one atomic claim** of the next version name from a hidden
+  temp file (``HadoopFS.rename_no_overwrite``): HDFS rename fails if the
+  destination exists; on local POSIX filesystems — where ``rename(2)``
+  would silently replace it — the claim is a hard ``link(2)``, which the
+  kernel rejects with EEXIST atomically. A failed claim is the
+  optimistic-concurrency signal (someone else committed version N first;
+  re-read and retry on N+1), the same protocol Iceberg's
   HadoopTableOperations uses.
 * **Readers resolve the newest manifest** and read exactly the files it
   lists. A reader can never observe a torn table: it either sees version
