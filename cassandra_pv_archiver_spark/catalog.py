@@ -1870,6 +1870,41 @@ GROUP BY channel ORDER BY channel
 """
 
 
+def q_compact_zorder_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact(zorder=True) — the Morton (channel-hash × time) clustering
+    rewrite — must be exactly as LOSSLESS as the default channel-major
+    compaction: layout is the only thing allowed to change. Same
+    fragmented-append construction and the same per-channel count/bound/
+    checksum oracle as ``compact_invariance``; the pruning benefit the
+    layout buys is measured separately
+    (`test_zorder_compaction_prunes_time_slices`)."""
+
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, _scratch_dir("pvarch_zc_") + "/archive")
+    raw = load_samples(spark, sf_dir).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    store.write_samples(raw.filter(F.expr("pmod(t div 1000, 2) = 0")), level=0)
+    store.write_samples(raw.filter(F.expr("pmod(t div 1000, 2) = 1")), level=0)
+    store.compact(0, zorder=True)
+    return (
+        store.read_samples(0)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("t").alias("n_ts"),
+            F.min("t").alias("t_first"),
+            F.max("t").alias("t_last"),
+            F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).alias(
+                "v_checksum"
+            ),
+            F.sum(F.col("severity").cast("bigint")).alias("sev_checksum"),
+        )
+        .orderBy("channel")
+    )
+
+
 def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation time travel over the manifest store (the
     `VERSION AS OF` surface of sources/manifest.py's Iceberg-lite commit

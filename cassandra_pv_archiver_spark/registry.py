@@ -35,6 +35,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_resample_linear_1h,
         catalog.SQL_RESAMPLE_LINEAR_1H,
     ),
+    "compact_zorder_invariance": (
+        catalog.q_compact_zorder_invariance,
+        catalog.SQL_COMPACT_INVARIANCE,
+    ),
     "store_time_travel": (catalog.q_store_time_travel, catalog.SQL_STORE_TIME_TRAVEL),
     "approx_distinct_audit": (
         catalog_generic.q_approx_distinct_audit,
