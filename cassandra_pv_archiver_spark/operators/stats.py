@@ -300,6 +300,13 @@ def lagged_channel_correlation(
     """
     from .decimate import NS, big_to_double
 
+    bad_lags = [l for l in lags_s if int(l) % period_s != 0]
+    if bad_lags:
+        raise ValueError(
+            f"lags {bad_lags} are not multiples of period_s={period_s}; "
+            "a non-grid lag can never pair grid points and would silently "
+            "produce no row for that lag"
+        )
     vs = 10 ** v_decimals
     p_ns = period_s * NS
     s = samples.filter(F.col("channel").isin([ch_a, ch_b])).select(
@@ -309,13 +316,20 @@ def lagged_channel_correlation(
     )
     # aligned grid spanning [ceil(min t), floor(max t)] — built
     # distributed from the 1-row bounds agg (empty input -> empty grid)
+    # guard: a span with no aligned point inside makes start > stop,
+    # which sequence() rejects (the oracle's generate_series returns
+    # empty) — emit an empty grid instead; NULL bounds (empty input)
+    # fall through to the empty branch the same way
     grid = (
         s.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
         .select(
             F.explode(
                 F.expr(
-                    f"sequence(lo + pmod(-lo, {p_ns}),"
-                    f" hi - pmod(hi, {p_ns}), {p_ns})"
+                    f"CASE WHEN lo + pmod(-lo, {p_ns})"
+                    f"          <= hi - pmod(hi, {p_ns})"
+                    f" THEN sequence(lo + pmod(-lo, {p_ns}),"
+                    f"               hi - pmod(hi, {p_ns}), {p_ns})"
+                    f" ELSE array() END"
                 )
             ).alias("t")
         )
@@ -339,12 +353,14 @@ def lagged_channel_correlation(
         .orderBy("t", "_g")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # persist: both series views below branch from this subtree, and the
+    # broadcast side would otherwise recompute the full scan+window pass
     held = rows.select(
         "channel",
         "t",
         "_g",
         F.last("_vi", ignorenulls=True).over(w).alias("_h"),
-    ).filter((F.col("_g") == 1) & F.col("_h").isNotNull())
+    ).filter((F.col("_g") == 1) & F.col("_h").isNotNull()).persist()
     a_ser = held.filter(F.col("channel") == ch_a).select(
         "t", F.col("_h").alias("_va")
     )

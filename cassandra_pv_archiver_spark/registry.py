@@ -382,6 +382,16 @@ _DRIVER_GREEN_R02 = [
 
 #: Round-4 additions lead outright (same rationale as _NEW_R03 below).
 _NEW_R04 = [
+    "compact_zorder_invariance",
+    "lagged_correlation_1h",
+    "value_histogram",
+    "channel_outliers_mad",
+    "plot_query_240px",
+    "plot_downsample_m4",
+    "counter_rate_6h",
+    "resample_linear_1h",
+    "store_time_travel",
+    "approx_distinct_audit",
     "semantic_dedup",
     "pii_scan_by_source",
     "substring_dup_spans",

@@ -241,10 +241,15 @@ def test_zorder_compaction_prunes_time_slices(spark, tmp_path):
         F.lit(0).alias("status"),
     )
 
+    step = DAY_NS // n_t
+
     def _build(root, zorder):
         st = ArchiveStore(spark, root, max_records_per_file=2048)
-        st.write_samples(rows.filter(F.expr("pmod(t div 1000, 2) = 0")), 0)
-        st.write_samples(rows.filter(F.expr("pmod(t div 1000, 2) = 1")), 0)
+        # parity on the t-slot index: t div 1000 was always even for
+        # these synthetic timestamps, making the second append EMPTY
+        # (review catch) — slot parity actually interleaves the appends
+        st.write_samples(rows.filter(F.expr(f"pmod(t div {step}, 2) = 0")), 0)
+        st.write_samples(rows.filter(F.expr(f"pmod(t div {step}, 2) = 1")), 0)
         st.compact(0, zorder=zorder)
         return st
 

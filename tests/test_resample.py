@@ -137,3 +137,24 @@ def test_lagged_correlation_detects_known_lag(spark):
     }
     assert abs(out[3600].r - 1.0) < 1e-12
     assert out[3600].r > out[0].r and out[3600].r > out[-3600].r
+
+
+def test_lagged_correlation_guards(spark):
+    """Review-pinned corners: a span with no aligned grid point yields an
+    EMPTY result (sequence() would reject start > stop), and non-grid
+    lags are a loud usage error, not silently missing rows."""
+    import pytest
+
+    from cassandra_pv_archiver_spark.operators.stats import (
+        lagged_channel_correlation,
+    )
+
+    # both channels live inside (610s, 655s): no multiple of 3600s there
+    rows = [("A", 610 * NS, 1.0), ("A", 650 * NS, 2.0),
+            ("B", 615 * NS, 3.0), ("B", 655 * NS, 4.0)]
+    out = lagged_channel_correlation(
+        _df(spark, rows), "A", "B", 3600, [0]
+    ).collect()
+    assert out == []
+    with pytest.raises(ValueError, match="multiples of period_s"):
+        lagged_channel_correlation(_df(spark, rows), "A", "B", 3600, [1800])
