@@ -1189,12 +1189,12 @@ c0 AS (
 ),
 e0 AS (SELECT min(t) AS m FROM c0),
 c1 AS (
-  SELECT * FROM l1 WHERE t BETWEEN {_PLAN_START} AND (SELECT m - 1 FROM e0)
+  SELECT * FROM l1 WHERE t BETWEEN {_PLAN_START} AND (SELECT least(m - 1, {HI}) FROM e0)
   UNION SELECT * FROM (SELECT * FROM l1 WHERE t <= {_PLAN_START} ORDER BY t DESC LIMIT 1)
 ),
 e1 AS (SELECT min(t) AS m FROM c1),
 c2 AS (
-  SELECT * FROM l2 WHERE t BETWEEN {_PLAN_START} AND (SELECT m - 1 FROM e1)
+  SELECT * FROM l2 WHERE t BETWEEN {_PLAN_START} AND (SELECT least(m - 1, {HI}) FROM e1)
   UNION SELECT * FROM (SELECT * FROM l2 WHERE t <= {_PLAN_START} ORDER BY t DESC LIMIT 1)
 )
 SELECT * FROM c2 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c0
@@ -2000,7 +2000,7 @@ _M4_P_NS = PERIOD_6H * NS
 SQL_PLOT_DOWNSAMPLE_M4 = f"""
 WITH {SAMPLES_CTE.strip().rstrip()},
 b AS (
-  SELECT channel, (t // {_M4_P_NS}) * {_M4_P_NS} AS bucket, t, v FROM samples
+  SELECT channel, t - ((t % {_M4_P_NS} + {_M4_P_NS}) % {_M4_P_NS}) AS bucket, t, v FROM samples
 ),
 r AS (
   SELECT *,
@@ -2043,7 +2043,7 @@ q AS (
 l AS (
   SELECT *, lag(qv) OVER (PARTITION BY channel ORDER BY t) AS prev FROM q
 )
-SELECT channel, CAST((t // {_M4_P_NS}) * {_M4_P_NS} AS BIGINT) AS w_start,
+SELECT channel, CAST(t - ((t % {_M4_P_NS} + {_M4_P_NS}) % {_M4_P_NS}) AS BIGINT) AS w_start,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST(sum(CASE WHEN qv < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
        CAST(sum(CASE WHEN qv >= prev THEN qv - prev ELSE qv END) AS DOUBLE)
@@ -2085,12 +2085,13 @@ l AS (
   FROM lsamples
 ),
 segs AS (
-  SELECT *, ((t + {_RL_P_NS} - 1) // {_RL_P_NS}) * {_RL_P_NS} AS g0,
+  SELECT *, t + (((-t) % {_RL_P_NS} + {_RL_P_NS}) % {_RL_P_NS}) AS g0,
     CASE WHEN t_next IS NOT NULL
          THEN least(t_next - 1,
-                    ((t + {_RL_P_NS} - 1) // {_RL_P_NS}) * {_RL_P_NS}
+                    t + (((-t) % {_RL_P_NS} + {_RL_P_NS}) % {_RL_P_NS})
                     + {(_RL_CAP - 1) * _RL_P_NS})
-         WHEN t % {_RL_P_NS} = 0 THEN t END AS g_stop
+         WHEN ((t % {_RL_P_NS}) + {_RL_P_NS}) % {_RL_P_NS} = 0 THEN t
+         END AS g_stop
   FROM l
 ),
 pts AS (

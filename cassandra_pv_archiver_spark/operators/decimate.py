@@ -175,8 +175,16 @@ def explode_validity_windows(
         d.withColumn("_t_end", F.coalesce("_t_next", "_hwm"))
         .filter(F.col("_t_end") > F.col(t))
     )
-    win_lo = F.expr(f"{t} div {period_ns}")
-    win_hi = F.expr(f"(_t_end - 1) div {period_ns}")
+    # FLOOR window index, not truncation: `x div p` truncates toward zero,
+    # which mis-assigns pre-1970 (negative ns) samples by one window (a
+    # sample at -5s belongs to window [-30s, 0s)); subtracting pmod first
+    # makes the numerator an exact multiple, where div == floor for any
+    # sign. (The testdata oracles keep `//` — DuckDB's integer `//` also
+    # truncates — which agrees on the t >= 0 domain they run on.)
+    win_lo = F.expr(f"({t} - pmod({t}, {period_ns})) div {period_ns}")
+    win_hi = F.expr(
+        f"((_t_end - 1) - pmod(_t_end - 1, {period_ns})) div {period_ns}"
+    )
     if max_gap_windows is not None:
         win_hi = F.least(win_hi, win_lo + F.lit(max_gap_windows))
     d = (

@@ -39,8 +39,9 @@ def m4_downsample(s: DataFrame, period_s: int) -> DataFrame:
     min/max/min_by/max_by, so a hot channel's bucket combines map-side
     before the single shuffle."""
     p_ns = period_s * NS
-    # floor-aligned bucket (t - pmod(t, p) floors for negative ns too,
-    # matching the oracle's // semantics; plain `div` truncates toward 0)
+    # floor-aligned bucket: t - pmod(t, p) floors for ANY sign (plain `div`
+    # — and DuckDB's integer `//` — truncate toward zero; the oracles use
+    # the same pmod-safe form so both engines floor)
     b = s.withColumn("bucket", F.expr(f"t - pmod(t, {p_ns})"))
     return (
         b.groupBy("channel", "bucket")

@@ -61,6 +61,21 @@ def incremental_decimation(
         source_level = pick_source_level(store.levels(), target_period_s)
     hwm_df = store.channel_hwm(target_period_s)
     state = store.read_seed_state(target_period_s)
+    # seed state is only meaningful for the source level it was derived
+    # from: after a topology change (an intermediate level appears and
+    # pick_source_level switches edges) the persisted rows have the OTHER
+    # level's schema — unioning them would crash every subsequent run.
+    # Discard mismatched (or legacy untagged) state: the scan falls back
+    # to a one-time full rescan and the hwm filter keeps outputs exact.
+    if state is not None:
+        if "_src_level" in state.columns:
+            tag = state.select("_src_level").first()
+            if tag is None or tag._src_level != source_level:
+                state = None
+            else:
+                state = state.drop("_src_level")
+        else:
+            state = None
 
     if hwm_df is None:
         src_all = store.read_samples(source_level)
@@ -72,6 +87,27 @@ def incremental_decimation(
             lo_row = state.agg(F.min("t").alias("m")).first()
             lo = lo_row.m if lo_row is not None else None
         scan = store.read_samples(source_level, lo_ns=lo)
+        if state is not None and lo is not None:
+            # channels this edge has never seeded can carry history OLDER
+            # than the scan bound (a newly onboarded channel arriving with
+            # a backlog): scan their FULL history, channel-pruned. The
+            # channel sets come from the two tiny metadata tables — a
+            # bounded driver-side set difference, not a data scan.
+            src_hwm = store.channel_hwm(source_level)
+            if src_hwm is not None:
+                known = {
+                    r.channel
+                    for r in state.select("channel").distinct().collect()
+                }
+                newcomers = sorted(
+                    r.channel
+                    for r in src_hwm.select("channel").collect()
+                    if r.channel not in known
+                )
+                if newcomers:
+                    scan = scan.unionByName(
+                        store.read_samples(source_level, channels=newcomers)
+                    )
         if state is not None:
             scan = scan.unionByName(state).dropDuplicates(["channel", "t"])
         w = Window.partitionBy("channel").orderBy("t")
@@ -107,9 +143,12 @@ def incremental_decimation(
         new_hwm = store.channel_hwm(target_period_s)
         if new_hwm is not None:
             cols = src_all.columns
-            seeds = (
-                src_all.join(F.broadcast(new_hwm), "channel", "left")
-                .filter(F.col("hwm").isNull() | (F.col("t") <= F.col("hwm") + period_ns))
+            j = src_all.join(F.broadcast(new_hwm), "channel", "left")
+            mature = (
+                j.filter(
+                    F.col("hwm").isNotNull()
+                    & (F.col("t") <= F.col("hwm") + period_ns)
+                )
                 .groupBy("channel")
                 .agg(
                     F.expr(
@@ -119,6 +158,15 @@ def incremental_decimation(
                     ).alias("_s")
                 )
                 .select("channel", *[F.col(f"_s.{c}").alias(c) for c in cols if c != "channel"])
+            )
+            # channels with NO completed window yet: every scanned row is
+            # still inside the first (incomplete) interval — persist them
+            # ALL, not just the latest (collapsing them computed the first
+            # window from its tail rows only once it finally closed).
+            # Bounded: no completed window ⇒ the rows span < ~2 periods.
+            young = j.filter(F.col("hwm").isNull()).select(*cols)
+            seeds = mature.unionByName(young).withColumn(
+                "_src_level", F.lit(source_level)
             )
             store.write_seed_state(target_period_s, seeds)
         dec.unpersist()

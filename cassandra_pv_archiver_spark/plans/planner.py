@@ -86,34 +86,68 @@ def plan_samples(
     # ONE probe job for every level (the reference issues one bucket-index
     # lookup per level too, but those are single-partition metadata reads;
     # a Spark job per level would serialize driver round-trips). Each
-    # level's "earliest available sample" decision needs only:
-    #   bt   = min over keys of (latest t <= start)   [backward probes]
+    # level's "earliest available sample" decision needs, PER KEY:
+    #   bt   = latest t <= start   [backward probes]
     #   rmin = min t in [start, end]                  [core range]
-    #   ft   = min t >= end                           [forward probes]
+    #   ft   = min t >= end       [forward probes]
     # because every backward probe row has t <= start <= rmin <= ft.
+    # Stats stay per-key (the reference plans per channel): folding them
+    # to a global min would let a channel whose FINE data starts later
+    # than the globally earliest channel silently lose its coarse-level
+    # coverage. The collect is bounded: keys are the channels the request
+    # names, not data-sized.
+    #
+    # Scale note: these probes are conditional aggregates over each
+    # level's DataFrame — at archive scale the `t <= start` arm reads
+    # history partitions (no lower bound exists to push down). That
+    # mirrors running the planner against raw tables; a store-backed
+    # deployment answers the same three questions from manifest metadata
+    # (`ArchiveStore.latest_at_or_before` / `high_water_mark`) without
+    # touching data files.
     stats_df = None
     for period in usable:
         df = levels[period]
         per_key = df.groupBy(key).agg(
-            F.max(F.when(F.col("t") <= start_ns, F.col("t"))).alias("bt_k"),
+            F.max(F.when(F.col("t") <= start_ns, F.col("t"))).alias("bt"),
             F.min(
                 F.when(F.col("t").between(start_ns, end_ns), F.col("t"))
-            ).alias("rmin_k"),
-            F.min(F.when(F.col("t") >= end_ns, F.col("t"))).alias("ft_k"),
-        )
-        st = per_key.agg(
-            F.min("bt_k").alias("bt"),
-            F.min("rmin_k").alias("rmin"),
-            F.min("ft_k").alias("ft"),
-        ).select(F.lit(period).alias("period"), "bt", "rmin", "ft")
-        stats_df = st if stats_df is None else stats_df.unionByName(st)
-    stats = {r.period: r for r in stats_df.collect()}
+            ).alias("rmin"),
+            F.min(F.when(F.col("t") >= end_ns, F.col("t"))).alias("ft"),
+        ).select(F.lit(period).alias("period"), key, "bt", "rmin", "ft")
+        stats_df = per_key if stats_df is None else stats_df.unionByName(per_key)
+    stats: dict[tuple[int, str], object] = {
+        (r.period, r[key]): r for r in stats_df.collect()
+    }
+    keys = sorted({k for (_, k) in stats})
 
+    pieces: list[DataFrame] = []
+    for kv in keys:
+        pieces.extend(
+            _plan_one_key(
+                levels, usable, kv, stats, start_ns, end_ns, key
+            )
+        )
+    if not pieces:
+        # empty plan with the right schema
+        some = next(iter(levels.values()))
+        return some.limit(0)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(key, "t")
+
+
+def _plan_one_key(levels, usable, kv, stats, start_ns, end_ns, key):
+    """The reference's per-channel fallback walk
+    (`Api10Controller.java:443-518`) for one key: finest level first,
+    coarser levels each serving only the still-uncovered earlier range."""
     pieces: list[DataFrame] = []  # oldest-range first
     earliest: int | None = None
     for period in usable:
-        df = levels[period]
-        r = stats[period]
+        r = stats.get((period, kv))
+        if r is None:
+            continue
+        df = levels[period].filter(F.col(key) == kv)
         if not pieces:
             cand = asof.get_samples(
                 df, start_ns, end_ns, asof.AT_OR_BEFORE, asof.AT_OR_AFTER, key=key
@@ -122,9 +156,14 @@ def plan_samples(
                 r.rmin if r.rmin is not None else r.ft
             )
         else:
-            # upper mode AT_OR_BEFORE = plain capped range (no forward probe);
-            # rows in (end, cap] cannot exist: cap < ft, the smallest t > end
-            cap = earliest - 1
+            # upper mode AT_OR_BEFORE = plain capped range (no forward
+            # probe). The cap is clamped to the query end: when the finer
+            # level's ONLY contribution was a forward probe (earliest =
+            # ft > end), an unclamped earliest-1 would let this coarser
+            # level serve arbitrarily many rows in (end, ft) — violating
+            # the at-most-one-row-past-hi limit-mode contract
+            # (`ArchiveAccessService.java:77-103`) across the union.
+            cap = min(earliest - 1, end_ns)
             cand = asof.get_samples(
                 df, start_ns, cap, asof.AT_OR_BEFORE, asof.AT_OR_BEFORE, key=key
             )
@@ -138,11 +177,4 @@ def plan_samples(
             earliest = first
         if first <= start_ns:
             break
-    if not pieces:
-        # empty plan with the right schema
-        some = next(iter(levels.values()))
-        return some.limit(0)
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.orderBy(key, "t")
+    return pieces

@@ -51,17 +51,50 @@ def ingest_batch(
     cascade_periods: list[int] | None = None,
 ) -> int:
     """One micro-batch: guard -> append -> cascade catch-up. Returns rows
-    written."""
+    written.
+
+    Exactly-once has TWO layers. The hwm fast path drops replayed rows
+    cheaply, but ``write_samples`` commits the data manifest and the hwm
+    metadata in two separate commits — a crash between them leaves the
+    hwm stale, and a replayed batch would pass the fast path and append
+    duplicates. The second layer closes that window exactly: surviving
+    rows anti-join against the rows already present in the batch's own
+    time range (a pruned scan of the recent date partitions only, cost
+    bounded by the batch span). If the anti-join drops everything the
+    fast path kept, the data commit had landed but the hwm commit had
+    not — the hwm metadata is healed from the replayed rows so the fast
+    path recovers (the hwm log is fold-max, so healing is idempotent)."""
     guarded = monotonic_guard(batch, store.channel_hwm(0)).persist()
+    final = guarded
     try:
-        n = guarded.count()
+        n_fast = guarded.count()
+        if n_fast:
+            bounds = guarded.agg(
+                F.min("t").alias("mn"), F.max("t").alias("mx")
+            ).first()
+            existing = store.read_samples(
+                0, lo_ns=bounds.mn, hi_ns=bounds.mx
+            ).select("channel", "t")
+            final = guarded.join(
+                existing, ["channel", "t"], "left_anti"
+            ).persist()
+        n = final.count() if n_fast else 0
         if n:
-            store.write_samples(guarded, level=0)
+            store.write_samples(final, level=0)
+        elif n_fast:
+            store._update_channel_hwm(guarded, 0)  # heal after crash
+        # the cascade runs even for an empty/fully-deduped batch ON
+        # PURPOSE: a crash after the level-0 write but before the cascade
+        # leaves the decimated levels behind, and the replayed batch
+        # (n == 0) is the first chance to catch them up — skipping it
+        # would delay T3 recovery until the next data arrival
         for period in cascade_periods or []:
             incremental_decimation(store, period)
         return n
     finally:
         guarded.unpersist()
+        if final is not guarded:
+            final.unpersist()
 
 
 def start_file_ingest(

@@ -326,3 +326,108 @@ def test_files_are_channel_time_sorted(spark, tmp_path):
         ).to_pandas()
         got = list(tb.itertuples(index=False))
         assert got == sorted(got, key=lambda r: (r.channel, r.t)), f
+
+
+def _mini_raw(spark, channel, ts_vals):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return spark.createDataFrame(
+        [(channel, int(t), float(i), 0, 0) for i, t in enumerate(ts_vals)],
+        "channel string, t long, v double, severity int, status int",
+    )
+
+
+def test_incremental_onboards_channel_with_backlog(spark, tmp_path):
+    """Review-pinned: a channel first seen AFTER the edge has steady state
+    may arrive with history OLDER than the scan's seed bound; its backlog
+    must be scanned (channel-pruned full history) and decimated, not
+    silently skipped or computed from partial rows."""
+    from pyspark.sql import functions as F
+
+    from cassandra_pv_archiver_spark.operators.decimate import NS, decimate
+    from cassandra_pv_archiver_spark.plans.jobs import incremental_decimation
+    from cassandra_pv_archiver_spark.sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, str(tmp_path / "ob"))
+    h = 3600 * NS
+    # channel A: recent data only -> its seed sits near "now"
+    a = _mini_raw(spark, "A", [10 * h + k * h // 4 for k in range(12)])
+    store.write_samples(a, 0)
+    assert incremental_decimation(store, 3600) > 0
+
+    # channel B onboards with a BACKLOG entirely below A's seed
+    b = _mini_raw(spark, "B", [k * h // 4 for k in range(12)])
+    store.write_samples(b, 0)
+    assert incremental_decimation(store, 3600) > 0
+
+    # equivalence with from-scratch batch decimation of BOTH channels
+    raw = a.unionByName(b)
+    full = decimate(raw, 3600).select("channel", "t", "mean", "n_samples")
+    inc = store.read_samples(3600).select("channel", "t", "mean", "n_samples")
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_incremental_first_window_accumulates_across_runs(spark, tmp_path):
+    """Review-pinned: a channel whose first batches never complete a
+    window must carry ALL its rows in seed state — once the window finally
+    closes, its aggregate covers every row, not just the latest one."""
+    from cassandra_pv_archiver_spark.operators.decimate import NS, decimate
+    from cassandra_pv_archiver_spark.plans.jobs import incremental_decimation
+    from cassandra_pv_archiver_spark.sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, str(tmp_path / "fw"))
+    h = 3600 * NS
+    # an ESTABLISHED channel with completed windows, so the target hwm
+    # exists and the young channel goes through the seed-state path (not
+    # the no-hwm full-rescan path)
+    est = _mini_raw(spark, "A", [k * h // 4 for k in range(12)])
+    early = [0, 10 * 60 * NS, 20 * 60 * NS]              # window 0 only
+    late = [40 * 60 * NS, h, h + 10 * 60 * NS]           # closes window 0
+    store.write_samples(est, 0)
+    assert incremental_decimation(store, 3600) > 0       # A materializes
+    store.write_samples(_mini_raw(spark, "C", early), 0)
+    assert incremental_decimation(store, 3600) == 0      # C: none complete
+    store.write_samples(_mini_raw(spark, "C", late), 0)
+    assert incremental_decimation(store, 3600) > 0
+
+    # same values the batches carried (v enumerates per batch)
+    raw = (
+        est
+        .unionByName(_mini_raw(spark, "C", early))
+        .unionByName(_mini_raw(spark, "C", late))
+    )
+    full = {(r.channel, r.t): r for r in decimate(raw, 3600).collect()}
+    inc = {(r.channel, r.t): r for r in store.read_samples(3600).collect()}
+    assert set(inc) == set(full)
+    for k in full:
+        assert abs(inc[k].mean - full[k].mean) < 1e-9, k
+        assert inc[k].n_samples == full[k].n_samples, k
+
+
+def test_incremental_survives_source_level_switch(spark, tmp_path):
+    """Review-pinned: persisted seed state is tagged with its source
+    level; when the edge's source switches (an intermediate level appears),
+    stale state is discarded instead of unioning incompatible schemas —
+    the run completes and outputs stay exact."""
+    from cassandra_pv_archiver_spark.operators.decimate import NS, decimate
+    from cassandra_pv_archiver_spark.plans.jobs import (
+        incremental_decimation,
+        pick_source_level,
+    )
+    from cassandra_pv_archiver_spark.sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, str(tmp_path / "sw"))
+    h = 3600 * NS
+    rows = _mini_raw(spark, "D", [k * h // 2 for k in range(30)])
+    store.write_samples(rows, 0)
+    # 6h edge first runs against raw (no 1h level exists yet)
+    assert incremental_decimation(store, 21600, source_level=0) >= 0
+    # the 1h level appears; the 6h edge now re-sources from it
+    assert incremental_decimation(store, 3600) > 0
+    assert pick_source_level(store.levels(), 21600) == 3600
+    # new data arrives; the switched edge must not crash on stale state
+    more = _mini_raw(spark, "D", [15 * h + k * h // 2 for k in range(12)])
+    store.write_samples(more, 0)
+    assert incremental_decimation(store, 3600) >= 0
+    n = incremental_decimation(store, 21600)  # source now 3600
+    assert n >= 0  # completes without AnalysisException

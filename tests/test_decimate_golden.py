@@ -170,3 +170,30 @@ def test_severity_first_max_wins(spark):
     )
     r = _one(decimate(df, 60), 0)
     assert r.severity == 2 and r.status == 11
+
+
+def test_decimate_negative_timestamps_floor_windows(spark):
+    """Pre-1970 samples align to FLOOR windows (matching the oracle's
+    `//`), not truncation: a sample at t=-5s with 30s windows belongs to
+    window start -30s, and its validity over [-5s, 0) weights window -1,
+    not window 0."""
+    from cassandra_pv_archiver_spark.operators.decimate import NS, decimate
+
+    rows = [
+        ("a", -5 * NS, 10.0, 0, 0),
+        ("a", 10 * NS, 40.0, 0, 0),
+        ("a", 65 * NS, 70.0, 0, 0),  # hwm: closes window [30, 60)
+    ]
+    df = spark.createDataFrame(
+        rows, "channel string, t long, v double, severity int, status int"
+    )
+    out = {r.t: r for r in decimate(df, 30).collect()}
+    # window -30s..0: only the -5s sample, valid [-5, 0) -> 5s of 30
+    assert set(out) == {-30 * NS, 0, 30 * NS}
+    w_neg = out[-30 * NS]
+    assert w_neg.mean == 10.0
+    assert abs(w_neg.covered_fraction - 5 / 30) < 1e-12
+    # window 0..30: -5s sample holds [0,10), then 40.0 holds [10,30)
+    w0 = out[0]
+    assert abs(w0.mean - (10.0 * 10 + 40.0 * 20) / 30) < 1e-9
+    assert abs(w0.covered_fraction - 1.0) < 1e-12

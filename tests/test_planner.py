@@ -113,3 +113,69 @@ def test_plot_query_level_selection_pins():
     assert select_decimation_level(levels, LO, HI, 240) == PERIOD_1H
     assert select_decimation_level(levels, LO, HI, 40) == PERIOD_6H
     assert select_decimation_level(levels, LO, HI, 100_000) == 0
+
+
+def test_fallback_cap_clamped_to_query_end(spark):
+    """Review-pinned: when the finest level's only contribution is a
+    FORWARD probe (its first sample lies after the query end), the coarser
+    fallback level must still stop at the query end — not serve the whole
+    gap up to that probe (the at-most-one-row-past-hi contract,
+    `ArchiveAccessService.java:77-103`, holds across the union)."""
+    NS = 1_000_000_000
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            [("c", t, float(v), lvl) for (t, v, lvl) in rows],
+            "channel string, t long, value double, level int",
+        )
+
+    # fine level: data only AFTER the query end (retention ate the rest)
+    l0 = _mk([(900 * NS, 1.0, 0), (950 * NS, 2.0, 0)])
+    # coarse level: covers everything, including (end, 900s)
+    l1 = _mk([(t * NS, 10.0 + t, 60) for t in range(0, 1000, 60)])
+    out = plan_samples({0: l0, 60: l1}, 100 * NS, 300 * NS, count=10**6)
+    rows = out.collect()
+    past_end = [r for r in rows if r.t > 300 * NS]
+    # exactly the fine level's forward probe — nothing else past end
+    assert len(past_end) == 1 and past_end[0].level == 0
+    assert past_end[0].t == 900 * NS
+    # the coarse level serves [start, end] (plus its backward probe)
+    coarse = sorted(r.t for r in rows if r.level == 60)
+    assert coarse[0] == 60 * NS  # backward probe at/before start
+    assert max(coarse) <= 300 * NS
+
+
+def test_fallback_planned_per_channel(spark):
+    """Review-pinned: fallback coverage is decided PER channel (as the
+    reference does per request). Channel A has raw back to t=0; channel B
+    has raw only from t=900s but coarse data everywhere — B's early range
+    must come from the coarse level even though A's raw reaches start."""
+    NS = 1_000_000_000
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            [(c, t * NS, float(v), lvl) for (c, t, v, lvl) in rows],
+            "channel string, t long, value double, level int",
+        )
+
+    l0 = _mk(
+        [("A", t, 1.0, 0) for t in range(0, 1200, 50)]
+        + [("B", t, 2.0, 0) for t in range(900, 1200, 50)]
+    )
+    l1 = _mk(
+        [("A", t, 10.0, 60) for t in range(0, 1200, 60)]
+        + [("B", t, 20.0, 60) for t in range(0, 1200, 60)]
+    )
+    out = plan_samples({0: l0, 60: l1}, 100 * NS, 1100 * NS, count=10**6)
+    rows = out.collect()
+    # A: raw covers everything -> no coarse rows for A
+    assert not [r for r in rows if r.channel == "A" and r.level == 60]
+    # B: raw serves [900, 1100]; the coarse level serves [100, 900)
+    b_coarse = sorted(r.t for r in rows if r.channel == "B" and r.level == 60)
+    assert b_coarse and b_coarse[0] == 60 * NS  # backward probe
+    assert max(b_coarse) < 900 * NS
+    b_raw = sorted(r.t for r in rows if r.channel == "B" and r.level == 0)
+    assert b_raw[0] == 900 * NS
+    # B's full requested range is covered with no holes at the seam
+    all_b = sorted(r.t for r in rows if r.channel == "B")
+    assert 840 * NS in all_b and 900 * NS in all_b

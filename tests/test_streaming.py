@@ -499,3 +499,57 @@ def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
         got = sorted(map(tuple, store.read_samples(level).collect()))
         want = sorted(map(tuple, ref_store.read_samples(level).collect()))
         assert got == want, f"level {level} differs after restart"
+
+
+def test_replay_after_crash_between_data_and_hwm_commit(spark, tmp_path):
+    """Review-pinned: write_samples commits the data manifest and the hwm
+    metadata separately; a crash BETWEEN them leaves a stale hwm, and the
+    replayed batch passes the fast-path guard. The anti-join layer must
+    drop the replay exactly (no duplicate rows) and heal the hwm metadata
+    so the fast path recovers for later batches."""
+    from pyspark.sql import functions as F
+
+    from cassandra_pv_archiver_spark.sources.archive_store import (
+        NS,
+        ArchiveStore,
+    )
+    from cassandra_pv_archiver_spark.streaming.ingest import ingest_batch
+
+    store = ArchiveStore(spark, str(tmp_path / "crash"))
+    batch = spark.createDataFrame(
+        [("P", k * NS, float(k), 0, 0) for k in range(10)],
+        "channel string, t long, v double, severity int, status int",
+    )
+    # crash the hwm commit once: data lands, metadata does not
+    real_update = store._update_channel_hwm
+    calls = {"n": 0}
+
+    def crashing(batch_df, level):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise IOError("simulated crash between data and hwm commits")
+        return real_update(batch_df, level)
+
+    store._update_channel_hwm = crashing
+    try:
+        import pytest
+
+        with pytest.raises(IOError, match="simulated crash"):
+            ingest_batch(store, batch)
+        assert store.read_samples(0).count() == 10  # data committed
+        assert store.channel_hwm(0) is None         # metadata did not
+
+        # "restart": the streaming engine replays the SAME batch
+        n = ingest_batch(store, batch)
+        assert n == 0                               # exact replay drop
+        rows = store.read_samples(0).collect()
+        assert len(rows) == 10                      # NO duplicates
+        hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
+        assert hwm == {"P": 9 * NS}                 # metadata healed
+
+        # a later batch flows normally through the recovered fast path
+        nxt = batch.withColumn("t", F.col("t") + 100 * NS)
+        assert ingest_batch(store, nxt) == 10
+        assert store.read_samples(0).count() == 20
+    finally:
+        store._update_channel_hwm = real_update
