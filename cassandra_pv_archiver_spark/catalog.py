@@ -989,7 +989,7 @@ SELECT channel, t,
        END AS value_arr,
        CAST(NULL AS DOUBLE) AS minimum,
        CAST(NULL AS DOUBLE) AS maximum,
-       CASE WHEN is_enum THEN 'enum'
+       CASE WHEN is_enum AND labels IS NOT NULL THEN 'enum'
             WHEN has_meta THEN 'numeric' END AS meta_type,
        CAST(CASE WHEN has_meta AND int_fam THEN 0
             WHEN has_meta THEN coalesce(meta."precision", 0) END AS INTEGER)
@@ -1001,7 +1001,7 @@ SELECT channel, t,
        CASE WHEN has_meta THEN meta.upper_warning_limit END AS meta_warn_hi,
        CASE WHEN has_meta THEN meta.lower_alarm_limit END AS meta_alarm_lo,
        CASE WHEN has_meta THEN meta.upper_alarm_limit END AS meta_alarm_hi,
-       CASE WHEN is_enum THEN array_to_string(labels, ',') END AS meta_states
+       CASE WHEN is_enum AND labels IS NOT NULL THEN array_to_string(labels, ',') END AS meta_states
 FROM jb ORDER BY channel, t
 """
 
@@ -1067,7 +1067,7 @@ SELECT channel, win * {_P1H} AS t,
        END AS value_arr,
        CASE WHEN is_agg THEN vmin END AS minimum,
        CASE WHEN is_agg THEN vmax END AS maximum,
-       CASE WHEN is_enum THEN 'enum'
+       CASE WHEN is_enum AND labels IS NOT NULL THEN 'enum'
             WHEN has_meta THEN 'numeric' END AS meta_type,
        CAST(CASE WHEN has_meta AND int_fam THEN 0
             WHEN has_meta THEN coalesce(meta."precision", 0) END AS INTEGER)
@@ -1079,7 +1079,7 @@ SELECT channel, win * {_P1H} AS t,
        CASE WHEN has_meta THEN meta.upper_warning_limit END AS meta_warn_hi,
        CASE WHEN has_meta THEN meta.lower_alarm_limit END AS meta_alarm_lo,
        CASE WHEN has_meta THEN meta.upper_alarm_limit END AS meta_alarm_hi,
-       CASE WHEN is_enum THEN array_to_string(labels, ',') END AS meta_states
+       CASE WHEN is_enum AND labels IS NOT NULL THEN array_to_string(labels, ',') END AS meta_states
 FROM jb ORDER BY channel, t
 """
 

@@ -52,11 +52,14 @@ def severity_level(col: Column) -> Column:
 
 def status_label(col: Column) -> Column:
     """int16 alarm-status code -> EPICS label; unknown codes render as the
-    decimal code string (defensive; the reference would have thrown)."""
-    expr: Column = col.cast("string")
-    for code, label in reversed(list(enumerate(STATUS_LABELS))):
-        expr = F.when(col == code, F.lit(label)).otherwise(expr)
-    return expr
+    decimal code string (defensive; the reference would have thrown).
+    One O(1) array lookup — a 22-level CASE chain bloats every codegen'd
+    family projection for the same mapping."""
+    labels = F.array(*[F.lit(s) for s in STATUS_LABELS])
+    return F.when(
+        col.between(0, len(STATUS_LABELS) - 1),
+        F.element_at(labels, col.cast("int") + 1),
+    ).otherwise(col.cast("string"))
 
 
 def _common(time: Column, sev_level: Column, has_value: Column, status: Column,
@@ -376,7 +379,10 @@ def render_columns(df: DataFrame, raw: bool = False) -> DataFrame:
         (
             F.lit(None).cast("double") if raw else F.when(is_agg, F.col("vmax"))
         ).alias("maximum"),
-        F.when(is_enum, F.lit("enum"))
+        # enum metaData exists only when labels do — enum_to_json omits
+        # the metaData block for null labels, and this projection (the
+        # oracle surface) must state the same fact
+        F.when(is_enum & F.col("labels").isNotNull(), F.lit("enum"))
         .when(has_meta, F.lit("numeric"))
         .alias("meta_type"),
         F.when(has_meta & int_fam, F.lit(0))
@@ -389,7 +395,10 @@ def render_columns(df: DataFrame, raw: bool = False) -> DataFrame:
         F.when(has_meta, meta["upper_warning_limit"]).alias("meta_warn_hi"),
         F.when(has_meta, meta["lower_alarm_limit"]).alias("meta_alarm_lo"),
         F.when(has_meta, meta["upper_alarm_limit"]).alias("meta_alarm_hi"),
-        F.when(is_enum, F.concat_ws(",", F.col("labels"))).alias("meta_states"),
+        F.when(
+            is_enum & F.col("labels").isNotNull(),
+            F.concat_ws(",", F.col("labels")),
+        ).alias("meta_states"),
     )
 
 
@@ -450,4 +459,16 @@ def mixed_decimated_to_json(df: DataFrame) -> DataFrame:
     out = out.unionByName(
         string_to_json(str_arr, value_col="asval").select(cols)
     )
-    return out
+    # residual branch: a type tag matching NO family above (a raw scalar
+    # numeric leaking into decimated output, a future/misspelled tag) must
+    # not silently vanish — render it through the string fallback, the
+    # same catch-all convention the non-full-union branch uses
+    residual = df.filter(
+        ~t.startswith("aggregated_")
+        & ~t.isin(
+            "disabled", "disconnected", "scalar_enum", "array_enum",
+            "array_double", "array_float", "array_char", "array_short",
+            "array_long", "scalar_string", "array_string",
+        )
+    )
+    return out.unionByName(string_to_json(residual).select(cols))

@@ -35,10 +35,19 @@ AT_OR_AFTER = "AT_OR_AFTER"
 
 
 def _probe(df: DataFrame, key: str, agg: str) -> DataFrame:
-    """One row per key: arg-min/arg-max of the full row by t."""
+    """One row per key: arg-min/arg-max of the full row by t.
+
+    The whole row is selected with ONE max_by/min_by of a struct —
+    per-column independent aggregates could each break a duplicate-t tie
+    differently and stitch together a chimera row that never existed."""
     cols = [c for c in df.columns if c != key]
-    aggs = [F.expr(f"{agg}({c}, t)").alias(c) for c in cols]
-    return df.groupBy(key).agg(*aggs).select(df.columns)
+    packed = "named_struct(" + ", ".join(f"'{c}', {c}" for c in cols) + ")"
+    return (
+        df.groupBy(key)
+        .agg(F.expr(f"{agg}({packed}, t)").alias("_r"))
+        .select(key, *[F.col(f"_r.{c}").alias(c) for c in cols])
+        .select(df.columns)
+    )
 
 
 def asof_before(df: DataFrame, ts: int, key: str = "channel") -> DataFrame:
@@ -80,10 +89,19 @@ def get_samples(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = out.dropDuplicates([key, "t"]).orderBy(key, "t")
+    out = out.dropDuplicates([key, "t"])
     if limit is not None and limit >= 0:
-        out = out.limit(limit)
-    return out
+        # the reference's client LIMIT is PER CHANNEL (each getSamples
+        # call serves one channel's series); a global .limit() after the
+        # (key, t) sort would starve all but the first channels of a
+        # multi-channel query
+        wk = Window.partitionBy(key).orderBy("t")
+        out = (
+            out.withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn")
+        )
+    return out.orderBy(key, "t")
 
 
 def enabling_filter(

@@ -45,6 +45,7 @@ from .decimate import (
     AGGREGATABLE_TYPES,
     MARKER_TYPES,
     NS,
+    _severity_agg,
     big_to_double,
     explode_validity_windows,
 )
@@ -119,10 +120,7 @@ def decimate_mixed(
         swv2.alias("_swv2"),
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
-        F.expr(
-            "max_by(named_struct('severity', severity, 'status', status),"
-            " named_struct('sev', severity, 'negt', -t))"
-        ).alias("_sevpick"),
+        _severity_agg(),  # A2: shared with decimate — ONE tie-break rule
         F.expr(
             "min_by(named_struct('sval', sval, 'aval', aval, 'eval', eval,"
             " 'labels', labels, 'asval', asval, 'meta', meta,"

@@ -78,8 +78,15 @@ def min_update_period_stream(
 
     def _fn(key_, pdf_iter, state: GroupState):
         last = state.get[0] if state.exists else None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(t)
+        # the group arrives as MULTIPLE Arrow chunks in shuffle order for
+        # large micro-batches (> arrow maxRecordsPerBatch rows): sorting
+        # each chunk independently would run the greedy filter out of
+        # time order and keep/drop the wrong rows — concatenate the whole
+        # group first (state stays one long; the batch buffer is the same
+        # memory the batch operator needs)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(t)
             keep = []
             for ti in pdf[t].to_numpy():
                 if last is None or ti - last >= min_ns:

@@ -65,8 +65,10 @@ def disconnect_markers_stream(
 
     NS = 1_000_000_000
     silence_ns = silence_s * NS
+    # integer div, never double division: ns values exceed 2^53, and a
+    # float-rounded event time near the watermark flips late-row handling
     src = stream.withColumn(
-        "_ts", F.timestamp_micros((F.col(t) / 1000).cast("long"))
+        "_ts", F.timestamp_micros(F.expr(f"{t} div 1000"))
     ).withWatermark("_ts", "0 seconds")
     out_schema = f"{key} string, {t} long, type string"
 
@@ -81,10 +83,28 @@ def disconnect_markers_stream(
             )
             return
         last = state.get[0] if state.exists else None
-        for pdf in pdf_iter:
-            if len(pdf):
-                mx = int(pdf[t].max())
-                last = mx if last is None else max(last, mx)
+        # Silence gaps BETWEEN rows of this batch (and between the carried
+        # state and the batch's first row) must emit markers too: a fast
+        # replay can deliver hours of data in one micro-batch, and the
+        # timeout below only watches the gap AFTER the newest row — without
+        # the intra-batch scan, replay would emit fewer markers than the
+        # live run did (pacing-dependent results).
+        ts_all = sorted(
+            int(v) for pdf in pdf_iter for v in pdf[t].tolist()
+        )
+        marks = []
+        for ts in ts_all:
+            if last is not None and ts - last > silence_ns:
+                marks.append(last + silence_ns)
+            last = ts if last is None else max(last, ts)
+        if marks:
+            yield pd.DataFrame(
+                {
+                    key: [key_[0]] * len(marks),
+                    t: marks,
+                    "type": ["disconnected"] * len(marks),
+                }
+            )
         if last is not None:
             state.update((int(last),))
             state.setTimeoutTimestamp((last + silence_ns) // 1_000_000)

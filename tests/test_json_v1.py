@@ -220,3 +220,29 @@ def test_aggregated_metadata_and_full_union_dispatch(spark):
     assert out[T + 2]["type"] == "enum" and out[T + 2]["value"] == [1]
     assert out[T + 2]["metaData"] == {"type": "enum", "states": ["A", "B"]}
     assert out[T + 3]["type"] == "long" and out[T + 3]["value"] == [7, 8]
+
+
+def test_mixed_dispatch_is_total_on_unknown_types(spark):
+    """Review-pinned: a full-union row whose type matches no family must
+    surface through the string fallback, never silently vanish."""
+    from cassandra_pv_archiver_spark.operators.decimate_mixed import (
+        OPTIONAL_PAYLOADS,
+    )
+    from cassandra_pv_archiver_spark.functions.json_v1 import (
+        mixed_decimated_to_json,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("c", 0, "totally_unknown_type", 0, 0, "Original", None, 1.0, 0.0,
+          0.0, 0.0, 1.0)],
+        "channel string, t long, type string, severity int, status int,"
+        " quality string, sval string, mean double, std double,"
+        " vmin double, vmax double, covered_fraction double",
+    )
+    for c, typ in OPTIONAL_PAYLOADS.items():
+        if c not in base.columns:
+            base = base.withColumn(c, F.lit(None).cast(typ))
+    out = mixed_decimated_to_json(base).collect()
+    assert len(out) == 1
+    assert '"type":"string"' in out[0].json.replace(" ", "")

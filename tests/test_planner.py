@@ -179,3 +179,17 @@ def test_fallback_planned_per_channel(spark):
     # B's full requested range is covered with no holes at the seam
     all_b = sorted(r.t for r in rows if r.channel == "B")
     assert 840 * NS in all_b and 900 * NS in all_b
+
+
+def test_probe_row_is_atomic_under_duplicate_timestamps(spark):
+    """Review-pinned: the as-of probe picks ONE physical row; duplicate
+    timestamps must never yield a chimera mixing fields of two rows."""
+    from cassandra_pv_archiver_spark.operators import asof
+
+    df = spark.createDataFrame(
+        [("c", 100, 1.0, 0), ("c", 100, 2.0, 5)],
+        "channel string, t long, v double, severity int",
+    )
+    got = asof.asof_before(df, 100).collect()
+    assert len(got) == 1
+    assert (got[0].v, got[0].severity) in {(1.0, 0), (2.0, 5)}

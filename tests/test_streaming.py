@@ -240,9 +240,19 @@ def test_disconnect_markers_stream_event_time_timeout(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    # X fell silent at t=base -> marker at base + 30 s; Y kept updating
-    # (its timeout never passed the final watermark before the drain)
-    assert got == [("X", base + 30 * NS, "disconnected")], f"got {got}"
+    # X fell silent at t=base -> marker at base + 30 s (timeout-fired).
+    # Y's updates are 100 s apart: each inter-update gap exceeds the 30 s
+    # silence, so the intra-batch gap scan emits a marker per gap too
+    # (replay-DETERMINISTIC: the same markers whether those rows arrive
+    # paced over minutes or replayed in one batch). Y's trailing gap never
+    # times out before the drain.
+    assert sorted(got) == sorted(
+        [
+            ("X", base + 30 * NS, "disconnected"),
+            ("Y", base + 30 * NS, "disconnected"),
+            ("Y", base + 130 * NS, "disconnected"),
+        ]
+    ), f"got {got}"
 
 
 def test_planner_reads_streamed_store(spark, tmp_path):
@@ -553,3 +563,59 @@ def test_replay_after_crash_between_data_and_hwm_commit(spark, tmp_path):
         assert store.read_samples(0).count() == 20
     finally:
         store._update_channel_hwm = real_update
+
+
+def test_min_update_period_stream_group_spanning_arrow_chunks(spark, tmp_path):
+    """Review-pinned: a group larger than the Arrow batch size arrives as
+    MULTIPLE chunks in shuffle order; the greedy filter must run over the
+    whole time-sorted group, not per chunk, to match the batch operator."""
+    import os
+    import shutil
+
+    from cassandra_pv_archiver_spark.streaming.limits import (
+        NS,
+        min_update_period,
+        min_update_period_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "channel string, t long, v double"
+    # one channel, 40 rows at 1 s spacing, written in REVERSE time order
+    rows = [("X", k * NS, float(k)) for k in range(39, -1, -1)]
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+    part = next(
+        f for f in os.listdir(stage)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    shutil.copy(os.path.join(stage, part), os.path.join(src, "b1.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        limited = min_update_period_stream(stream, 4)
+        got = []
+
+        def _sink(batch_df, batch_id):
+            got.extend((r.channel, r.t) for r in batch_df.collect())
+
+        q = (
+            limited.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    batch_ref = sorted(
+        (r.channel, r.t)
+        for r in min_update_period(
+            spark.createDataFrame(rows, schema), 4
+        ).collect()
+    )
+    assert sorted(got) == batch_ref
+    assert [t for (_, t) in batch_ref] == [k * 4 * NS for k in range(10)]
