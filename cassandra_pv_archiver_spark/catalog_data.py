@@ -1382,11 +1382,16 @@ n_oov AS (
   FROM toks ANTI JOIN top USING (tok)
   GROUP BY doc_id
 )
-SELECT a.doc_id, n_tokens,
+SELECT doc.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
        coalesce(n_oov, 0) AS n_oov,
-       coalesce(n_oov, 0) / CAST(n_tokens AS DOUBLE) AS oov_rate
-FROM n_all a LEFT JOIN n_oov o ON a.doc_id = o.doc_id
-ORDER BY a.doc_id
+       CASE WHEN coalesce(n_tokens, 0) > 0
+            THEN coalesce(n_oov, 0) / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END AS oov_rate
+FROM documents doc
+LEFT JOIN n_all a ON a.doc_id = doc.doc_id
+LEFT JOIN n_oov o ON o.doc_id = doc.doc_id
+ORDER BY doc.doc_id
 """
 
 
@@ -1622,8 +1627,8 @@ _MIX_W_SQL = ", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())
 SQL_MIX_CORPUS_RATIOS = f"""
 WITH w(lang, wt) AS (VALUES {_MIX_W_SQL}),
 counts AS (
-  SELECT d.lang, wt, count(*) AS n
-  FROM documents d JOIN w USING (lang) GROUP BY d.lang, wt
+  SELECT w.lang, wt, count(d.doc_id) AS n
+  FROM w LEFT JOIN documents d USING (lang) GROUP BY w.lang, wt
 ),
 m AS (SELECT min(n // wt) AS mmin FROM counts),
 quotas AS (SELECT lang, wt * mmin AS quota FROM counts, m),
@@ -1917,17 +1922,25 @@ def q_pii_scan_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pii() -> str:
-    pats = {name: pat for name, pat, _ in text.PII_PATTERNS}
-    red = "text"
+    # sequential counts mirroring pii_scan: pattern k counts on the text
+    # with patterns 1..k-1 already redacted (one entity, one detector)
+    stages = ["text"]
     for _name, pat, r in text.PII_PATTERNS:
-        red = f"regexp_replace({red}, '{pat}', '{r}', 'g')"
+        stages.append(
+            f"regexp_replace({stages[-1]}, '{pat}', '{r}', 'g')"
+        )
+    red = stages[-1]
+    n_by = {
+        name: f"len(regexp_extract_all({stages[i]}, '{pat}'))"
+        for i, (name, pat, _r) in enumerate(text.PII_PATTERNS)
+    }
     return f"""
 WITH {_SQL_PII_AUG.strip()},
 scan AS (
   SELECT doc_id, source,
-         len(regexp_extract_all(text, '{pats["email"]}')) AS n_email,
-         len(regexp_extract_all(text, '{pats["phone"]}')) AS n_phone,
-         len(regexp_extract_all(text, '{pats["ipv4"]}')) AS n_ipv4,
+         {n_by["email"]} AS n_email,
+         {n_by["phone"]} AS n_phone,
+         {n_by["ipv4"]} AS n_ipv4,
          length(text) - length({red}) AS chars_delta
   FROM aug
 )
@@ -2061,11 +2074,10 @@ WITH toks AS (
   FROM (SELECT doc_id, lang, {_W_SQL} AS w FROM documents)
 ),
 bt AS (SELECT doc_id, is_t, {_SQL_TOK_BUCKET} AS bucket FROM toks),
-qt AS (SELECT bucket, count(*) AS q_cnt FROM bt GROUP BY bucket),
-pt AS (SELECT bucket, count(*) AS p_cnt FROM bt WHERE is_t GROUP BY bucket),
 b AS (
-  SELECT qt.bucket, qt.q_cnt, coalesce(pt.p_cnt, 0) AS p_cnt
-  FROM qt LEFT JOIN pt ON pt.bucket = qt.bucket
+  SELECT bucket, count(*) AS q_cnt,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS p_cnt
+  FROM bt GROUP BY bucket
 ),
 tot AS (
   SELECT sum(p_cnt) + {DSIR_BUCKETS} AS tp, sum(q_cnt) + {DSIR_BUCKETS} AS tq
@@ -2077,7 +2089,11 @@ pd AS (
   FROM bt JOIN b ON b.bucket = bt.bucket
   GROUP BY doc_id
 )
-SELECT doc_id, n_tokens,
-       CAST(sp * tq AS DOUBLE) / CAST(sq * tp AS DOUBLE) AS importance
-FROM pd, tot ORDER BY doc_id
+SELECT doc.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(CAST(sp * tq AS DOUBLE) / CAST(sq * tp AS DOUBLE), 1.0)
+         AS importance
+FROM documents doc LEFT JOIN (SELECT * FROM pd, tot) s
+  ON s.doc_id = doc.doc_id
+ORDER BY doc.doc_id
 """

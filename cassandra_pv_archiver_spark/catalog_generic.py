@@ -1303,8 +1303,10 @@ d AS (
          END AS depth
   FROM m
 )
-SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n_users
-FROM d GROUP BY depth ORDER BY depth
+SELECT s.depth, CAST(count(d.depth) AS BIGINT) AS n_users
+FROM (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS depth) s
+LEFT JOIN d ON d.depth = s.depth
+GROUP BY s.depth ORDER BY s.depth
 """
 
 

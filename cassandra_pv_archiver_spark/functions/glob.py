@@ -9,7 +9,7 @@ mapping: prefer SQL ``LIKE`` (Catalyst rewrites prefix patterns like
 
 from __future__ import annotations
 
-import fnmatch
+import re
 
 
 def glob_to_like(pattern: str) -> str:
@@ -28,5 +28,18 @@ def glob_to_like(pattern: str) -> str:
 
 
 def glob_to_regex(pattern: str) -> str:
-    """Translate a glob to a Java-compatible anchored regex for ``rlike``."""
-    return fnmatch.translate(pattern)
+    """Translate a glob to a Java-compatible anchored regex for ``rlike``.
+
+    ONLY ``*`` and ``?`` are special — exactly the reference's rule
+    (`Api10Controller.compileGlobPattern:307-345`). ``fnmatch.translate``
+    was wrong here: it also interprets ``[seq]`` character classes, so
+    ``PV[1]`` matched ``PV1`` instead of the literal name ``PV[1]``."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "(?s)\A" + "".join(out) + "\Z"

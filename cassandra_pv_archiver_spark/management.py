@@ -88,6 +88,19 @@ class ChannelRegistry:
         self.spark = spark
         self.path = path.rstrip("/")
         self._channels: dict[str, ChannelConfig] = {}
+        # crash recovery for the _flush swap: a writer killed mid-swap
+        # leaves either (tmp complete, live renamed to .bak) or (live
+        # missing, .bak present). The NEW content (tmp) wins if it is
+        # complete; otherwise the backup is restored — the registry never
+        # silently restarts empty.
+        tmp, bak = self.path + ".tmp", self.path + ".bak"
+        if not os.path.isdir(self.path):
+            if os.path.isdir(tmp) and os.listdir(tmp):
+                os.rename(tmp, self.path)
+            elif os.path.isdir(bak):
+                os.rename(bak, self.path)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
         if os.path.isdir(self.path):
             import pyarrow.parquet as pq
 
@@ -119,14 +132,22 @@ class ChannelRegistry:
             for c in self._channels.values()
         ]
         table = pa.Table.from_pylist(rows, schema=_pa_schema())
-        tmp = self.path + ".tmp"
+        tmp, bak = self.path + ".tmp", self.path + ".bak"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+        # swap via backup rename, never rmtree-the-live-dir-first (a crash
+        # in that window would lose every channel config): rename live ->
+        # .bak, tmp -> live, then drop the backup. __init__ repairs either
+        # crash window from tmp/.bak.
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
         if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
-        os.replace(tmp, self.path)
+            os.rename(self.path, bak)
+        os.rename(tmp, self.path)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
 
     def to_df(self) -> DataFrame:
         """The dimension table as a DataFrame (for broadcast joins, J3)."""
@@ -160,6 +181,10 @@ class ChannelRegistry:
     def rename_channel(self, old_name: str, new_name: str) -> None:
         """Rename keeps the channel_data_id, so archived data (keyed by the
         id in the reference, by name partition here) stays reachable."""
+        if old_name == new_name:
+            if old_name not in self._channels:
+                raise KeyError(old_name)
+            return  # renaming to itself is a no-op, not a collision
         if new_name in self._channels:
             raise ValueError(f"channel exists: {new_name}")
         cfg = self._channels.pop(old_name, None)
@@ -259,12 +284,16 @@ def url_encode(s: str) -> str:
 def url_decode(s: str) -> str:
     buf = bytearray()
     i = 0
+    hexdigits = set("0123456789abcdefABCDEF")
     while i < len(s):
         c = s[i]
         if c == "%":
-            if i + 2 >= len(s) + 1:
-                raise ValueError("truncated percent escape")
-            buf.append(int(s[i + 1 : i + 3], 16))
+            hx = s[i + 1 : i + 3]
+            # int(x, 16) accepts signs/whitespace and a short slice hides
+            # truncation — validate the two hex digits explicitly
+            if len(hx) != 2 or not set(hx) <= hexdigits:
+                raise ValueError(f"malformed percent escape at {i}: {s!r}")
+            buf.append(int(hx, 16))
             i += 3
         else:
             buf.append(ord(c))

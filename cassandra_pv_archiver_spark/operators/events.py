@@ -100,10 +100,20 @@ def conversion_funnel(
         reached = reached & cond
         depth = F.when(reached, F.lit(i + 1)).otherwise(depth)
         prev = f"_t{i}"
-    return (
+    observed = (
         per_user.select(depth.alias("depth"))
         .groupBy("depth")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    # fixed output shape: one row per depth 0..len(steps) even when no
+    # user reached it (a missing depth row breaks fixed-shape consumers
+    # and reads as "no data" instead of "zero users")
+    spine = events.sparkSession.createDataFrame(
+        [(d,) for d in range(len(steps) + 1)], "depth int"
+    )
+    return (
+        spine.join(observed, "depth", "left")
+        .select("depth", F.coalesce("n_users", F.lit(0)).alias("n_users"))
         .orderBy("depth")
     )
 

@@ -16,11 +16,20 @@ from pyspark.sql import functions as F
 def hash_bucket16(id_col: str, salt: str) -> Column:
     """First 16 bits of md5(salt ':' id) as an int in [0, 65536) —
     uniform, deterministic, engine-portable (same construction is
-    expressible in DuckDB for the oracles)."""
-    return F.expr(
-        f"CAST(conv(substring(md5(concat('{salt}:', CAST({id_col} AS STRING))),"
-        " 1, 4), 16, 10) AS INT)"
-    )
+    expressible in DuckDB for the oracles). Column API, not an
+    interpolated SQL string: a quote in the salt must be data, never
+    expression text."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
 
 
 def split_assign(
@@ -116,16 +125,23 @@ def mix_to_ratios(
 
     Returns: id, stratum, rank (1-based within stratum), quota.
     """
+    spark = df.sparkSession
+    # counts LEFT-join from the WEIGHTS spine: a weighted stratum with
+    # ZERO rows must still bind the minimum (m = 0 -> empty corpus is the
+    # largest one honoring the ratio); computing min only over present
+    # strata would silently return a corpus violating the recipe
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in weights.items()], f"{stratum_col} string, _w int"
+    )
     counts = (
         df.filter(F.col(stratum_col).isin(list(weights)))
         .groupBy(stratum_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
-    wmap = F.create_map(
-        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(int(v)))]
-    )
-    scaled = counts.withColumn("_w", wmap[F.col(stratum_col)]).withColumn(
-        "_m", F.expr("_n div _w")
+    scaled = (
+        wdf.join(counts, stratum_col, "left")
+        .withColumn("_n", F.coalesce("_cnt", F.lit(0)))
+        .withColumn("_m", F.expr("_n div _w"))
     )
     # the binding stratum: one tiny global agg, joined back broadcast
     m = scaled.agg(F.min("_m").alias("_mmin"))

@@ -208,16 +208,24 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     publication. Pure Catalyst ``regexp_count``-style expressions (size
     of ``regexp_extract_all``), zero shuffles, zero Python.
 
+    Counts are SEQUENTIAL, matching :func:`pii_redact` exactly: each
+    pattern counts on the text with all earlier patterns already redacted,
+    so a span matching two detectors (an email whose local part looks
+    like an IPv4) is charged to exactly one of them — the one that would
+    actually redact it. Counting every pattern on the raw text would
+    report entities the redactor never touches, making the report's
+    counts and its chars_delta mutually inconsistent.
+
     Returns: doc_id, n_email, n_phone, n_ipv4, n_pii.
     """
     cols = [F.col("doc_id")]
     total = F.lit(0)
-    for name, pat, _ in PII_PATTERNS:
-        c = F.expr(
-            f"size(regexp_extract_all({text_col}, '{_spark_re(pat)}', 0))"
-        )
+    cur = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
         cols.append(c.alias(f"n_{name}"))
         total = total + c
+        cur = F.regexp_replace(cur, pat, repl)
     return docs.select(*cols, total.alias("n_pii"))
 
 
@@ -304,17 +312,12 @@ def importance_weights(
         "bucket",
         F.expr(f"CAST(conv(substr(md5(tok), 1, 4), 16, 10) AS BIGINT) % {n_buckets}"),
     )
-    q_tab = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("q_cnt"))
-    p_tab = (
-        toks.filter("_is_target")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("p_cnt"))
-    )
-    buckets = (
-        q_tab.join(p_tab, "bucket", "left")
-        .select(
-            "bucket", "q_cnt", F.coalesce("p_cnt", F.lit(0)).alias("p_cnt")
-        )
+    # ONE conditional aggregation builds BOTH bucket tables (a separate
+    # filtered agg for p was a second full token scan that exchange reuse
+    # could never merge with q's)
+    buckets = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("q_cnt"),
+        F.sum(F.col("_is_target").cast("long")).alias("p_cnt"),
     )
     totals = buckets.agg(
         (F.sum("p_cnt") + F.lit(n_buckets)).alias("_P"),
@@ -329,13 +332,21 @@ def importance_weights(
             F.sum(F.col("q_cnt") + F.lit(1)).alias("_sq"),
         )
     )
-    return per_doc.crossJoin(F.broadcast(totals)).select(
+    scored = per_doc.crossJoin(F.broadcast(totals)).select(
         "doc_id",
         "n_tokens",
         (
             (F.col("_sp") * F.col("_Q")).cast("double")
             / (F.col("_sq") * F.col("_P")).cast("double")
         ).alias("importance"),
+    )
+    # "for every document" means EVERY document: a token-less doc has no
+    # exploded rows, so it must re-enter via the doc spine with the
+    # neutral weight (zero evidence -> importance 1)
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("importance", F.lit(1.0)).alias("importance"),
     )
 
 
@@ -369,12 +380,17 @@ def oov_rate(docs: DataFrame, top_n: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_oov"))
     )
     return (
-        n_all.join(n_oov, "doc_id", "left")
+        docs.select("doc_id")  # spine: token-less docs keep their row
+        .join(n_all, "doc_id", "left")
+        .join(n_oov, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
-            (F.coalesce("n_oov", F.lit(0)) / F.col("n_tokens")).alias("oov_rate"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.coalesce("n_oov", F.lit(0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)).alias("oov_rate"),
         )
     )
 

@@ -90,3 +90,66 @@ def test_url_codec_roundtrip():
     assert url_decode(enc) == name
     assert url_encode("abc-DEF_123") == "abc-DEF_123"
     assert url_encode("a b") == "a%20b"
+
+
+def test_url_decode_rejects_malformed_escapes():
+    import pytest
+
+    from cassandra_pv_archiver_spark.management import url_decode
+
+    for bad in ["%A", "%", "%+41", "% 41", "%G1"]:
+        with pytest.raises(ValueError):
+            url_decode(bad)
+    assert url_decode("%41") == "A"
+
+
+def test_rename_channel_same_name_noop(spark, tmp_path):
+    import pytest
+
+    from cassandra_pv_archiver_spark.management import (
+        ChannelConfig,
+        ChannelRegistry,
+    )
+
+    reg = ChannelRegistry(spark, str(tmp_path / "reg"))
+    reg.add_channel(ChannelConfig(channel_name="a"))
+    reg.rename_channel("a", "a")  # no-op, not a collision error
+    assert reg.get_channel("a") is not None
+    with pytest.raises(KeyError):
+        reg.rename_channel("missing", "missing")
+
+
+def test_glob_brackets_are_literal():
+    """Reference glob: only * and ? are special — brackets match
+    themselves, never act as character classes."""
+    import re
+
+    from cassandra_pv_archiver_spark.functions.glob import glob_to_regex
+
+    rx = re.compile(glob_to_regex("PV[1]"))
+    assert rx.match("PV[1]")
+    assert not rx.match("PV1")
+    assert re.compile(glob_to_regex("P*[?]")).match("Pxx[y]")
+
+
+def test_registry_flush_survives_crash_mid_swap(spark, tmp_path):
+    """A writer killed between the live->bak and tmp->live renames must
+    not lose the registry: recovery prefers the complete new content."""
+    import os
+
+    from cassandra_pv_archiver_spark.management import (
+        ChannelConfig,
+        ChannelRegistry,
+    )
+
+    path = str(tmp_path / "reg")
+    reg = ChannelRegistry(spark, path)
+    reg.add_channel(ChannelConfig(channel_name="a"))
+    reg.add_channel(ChannelConfig(channel_name="b"))
+    # simulate the crash window: live renamed away, tmp complete
+    os.rename(path, path + ".bak")
+    os.makedirs(path + ".tmp", exist_ok=True)
+    for f in os.listdir(path + ".bak"):
+        os.link(os.path.join(path + ".bak", f), os.path.join(path + ".tmp", f))
+    reg2 = ChannelRegistry(spark, path)  # recovery runs in __init__
+    assert {c.channel_name for c in reg2.list_channels()} == {"a", "b"}

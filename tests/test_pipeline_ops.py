@@ -246,8 +246,15 @@ def test_all_queries_tolerate_empty_tables(spark, tmp_path):
               "lineitem", "events", "documents", "embeddings"]:
         (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
          .limit(0).write.mode("overwrite").parquet(f"{tmp}/{t}.parquet"))
+    # queries with a FIXED report shape emit their full spine with zero
+    # counts even over empty input (deliberate: "zero users at depth 3"
+    # is a different fact than "no data") — for those, assert the zeros
+    FIXED_SHAPE = {"conversion_funnel": "n_users"}
     for name, (fn, _) in REGISTRY.items():
         rows = fn(spark, tmp).collect()  # must not raise
+        if name in FIXED_SHAPE:
+            assert all(r[FIXED_SHAPE[name]] == 0 for r in rows), name
+            continue
         # global aggregations (no GROUP BY) correctly return ONE summary
         # row over empty input (count=0 / NULL sums) — anything more
         # means a query invented data
