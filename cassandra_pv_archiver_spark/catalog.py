@@ -2339,6 +2339,7 @@ def _sql_lagged_corr() -> str:
     num = big_to_double_duck("(n_ * sxy - sx * sy)")
     dx = big_to_double_duck("(n_ * sxx - sx * sx)")
     dy = big_to_double_duck("(n_ * syy - sy * sy)")
+    zero = "(n_ * sxx - sx * sx = 0 OR n_ * syy - sy * sy = 0)"
     return f"""
 WITH {SAMPLES_CTE.strip().rstrip()},
 s AS (
@@ -2382,7 +2383,8 @@ mo AS (
   FROM pairs GROUP BY lag_s
 )
 SELECT CAST(lag_s AS BIGINT) AS lag_s,
-       ({num}) / (sqrt({dx}) * sqrt({dy})) AS r,
+       CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)
+            ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END AS r,
        CAST(n_ AS BIGINT) AS n_points
 FROM mo WHERE n_ >= 2 ORDER BY lag_s
 """
@@ -2468,9 +2470,14 @@ def _sql_channel_corr_matrix() -> str:
             num = big_to_double_duck(f"(n_ * x{i}_{j} - s{i} * s{j})")
             dx = big_to_double_duck(f"(n_ * q{i} - s{i} * s{i})")
             dy = big_to_double_duck(f"(n_ * q{j} - s{j} * s{j})")
+            zero = (
+                f"(n_ * q{i} - s{i} * s{i} = 0"
+                f" OR n_ * q{j} - s{j} * s{j} = 0)"
+            )
             outs.append(
                 f"SELECT '{chans[i]}' AS ch_a, '{chans[j]}' AS ch_b,"
-                f" ({num}) / (sqrt({dx}) * sqrt({dy})) AS r,"
+                f" CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)"
+                f" ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END AS r,"
                 " CAST(n_ AS BIGINT) AS n_points FROM mm"
             )
     union = "\nUNION ALL\n".join(outs)

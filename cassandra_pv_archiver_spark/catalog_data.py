@@ -428,7 +428,7 @@ r AS (
 )
 SELECT lang, qs.q, quality_score AS q_value
 FROM r JOIN (VALUES {_QS_VALUES}) qs(q)
-  ON rn = CAST(ceil(qs.q * n) AS BIGINT)
+  ON rn = CAST(ceil(round(qs.q * n, 9)) AS BIGINT)
 ORDER BY lang, q
 """.replace("{stop}", _STOP_PRED)
 

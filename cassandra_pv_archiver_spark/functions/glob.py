@@ -42,4 +42,4 @@ def glob_to_regex(pattern: str) -> str:
             out.append(".")
         else:
             out.append(re.escape(ch))
-    return "(?s)\A" + "".join(out) + "\Z"
+    return "(?s)\\A" + "".join(out) + "\\Z"

@@ -56,14 +56,26 @@ def decode_stub(blob: bytes, fake: bool = True) -> tuple[int, int, int]:
     return (n % 640 + 1, n % 480 + 1, n % 16 + 1)
 
 
-def extract_features(blobs: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_features(
+    blobs: DataFrame, batch_size: int | None = None
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched; one output row per blob with decoded metadata. The UDF
     body is where a real image/audio feature extractor would run.
+
+    ``batch_size`` sets ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    — a SESSION-WIDE conf that Spark reads lazily at ACTION time, so it
+    governs every Arrow UDF executed afterwards, not just this pipeline
+    (and a later builder call would override an earlier one). Default
+    None leaves the session setting alone; pass a value only when you
+    own the session and want blob batches bounded.
     """
     spark = blobs.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    if batch_size is not None:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,7 +98,7 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_fp string"
 
 
 def sample_frames(
-    blobs: DataFrame, stride: int = 4, batch_size: int = 256
+    blobs: DataFrame, stride: int = 4, batch_size: int | None = None
 ) -> DataFrame:
     """Frame sampling: every ``stride``-th frame of each payload, one
     output row per sampled frame — the 1→N ``mapInPandas`` fan-out that
@@ -98,7 +110,10 @@ def sample_frames(
     import hashlib
 
     spark = blobs.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    if batch_size is not None:  # see extract_features: session-wide conf
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -28,6 +28,17 @@ def _norm(a: str) -> F.Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cosine(a: str, b: str) -> F.Column:
+    """Zero-norm-safe cosine: a degenerate (all-zero) vector gets sim 0.0
+    instead of a DIVIDE_BY_ZERO under Spark's default ANSI mode (neutral:
+    it never clears a similarity threshold and ranks last). The DuckDB
+    oracles leave the division bare — the fixture embeddings are
+    non-degenerate — mirror this CASE if your data can contain zero
+    vectors."""
+    den = _norm(a) * _norm(b)
+    return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(_dot(a, b) / den)
+
+
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("norm", _norm(vec_col))
 
@@ -49,7 +60,7 @@ def cosine_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     joined = emb.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("q_id"))
-    sim = _dot("q_vec", vec_col) / (_norm("q_vec") * _norm(vec_col))
+    sim = _cosine("q_vec", vec_col)
     scored = joined.select(
         "q_id", F.col(id_col), F.round(sim, round_to).alias("sim")
     )
@@ -67,8 +78,11 @@ def cosine_topk(
 EXACT_PAIRS_MAX_ROWS = 100_000
 
 
-def _guard_exact_pairs(n: int, op: str, alternative: str, max_rows: int | None):
-    if max_rows is not None and n > max_rows:
+def _guard_exact_pairs(df, op: str, alternative: str, max_rows: int | None):
+    if max_rows is None:
+        return  # guard disabled: do not pay the count job either
+    n = df.count()
+    if n > max_rows:
         raise ValueError(
             f"{op}: input has {n} rows; the exact all-pairs scan is O(n^2) "
             f"and is capped at {max_rows} rows as a recall/oracle baseline. "
@@ -92,14 +106,14 @@ def cosine_near_pairs(
     ``max_rows`` are refused with a pointer at the LSH path (the count is
     a single bounded metadata job). Returns: id_a, id_b, sim."""
     _guard_exact_pairs(
-        emb.count(), "cosine_near_pairs",
+        emb, "cosine_near_pairs",
         "similarity.srp_near_pairs (SRP-LSH buckets + exact verify)",
         max_rows,
     )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    sim = F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), round_to)
+    sim = F.round(_cosine("va", "vb"), round_to)
     return (
         pairs.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
@@ -334,7 +348,10 @@ def srp_near_pairs(
         b = np.stack(vb.to_numpy()).astype(np.float64)
         num = (a * b).sum(axis=1)
         den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        return pd.Series(num / den)
+        # zero-norm guard: NaN would PASS `sim >= threshold` (NaN compares
+        # greater in Spark) and rank first — 0.0 is the neutral value
+        safe = np.where(den == 0.0, 1.0, den)
+        return pd.Series(np.where(den == 0.0, 0.0, num / safe))
 
     sim = F.round(_batch_cosine(F.col("va"), F.col("vb")), round_to)
     return (
@@ -392,7 +409,7 @@ def ivf_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     qc = q.crossJoin(F.broadcast(cent))
-    csim = _dot("q_vec", "centroid") / (_norm("q_vec") * _norm("centroid"))
+    csim = _cosine("q_vec", "centroid")
     wq = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.col(label_col))
     probes = (
         qc.withColumn("csim", csim)
@@ -403,7 +420,7 @@ def ivf_topk(
     cand = emb.join(
         F.broadcast(probes), on=label_col
     ).filter(F.col(id_col) != F.col("q_id"))
-    sim = _dot("q_vec", vec_col) / (_norm("q_vec") * _norm(vec_col))
+    sim = _cosine("q_vec", vec_col)
     scored = cand.select("q_id", F.col(id_col), F.round(sim, round_to).alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
     return (
@@ -469,10 +486,17 @@ def _kmeans_fit(
     )
     v = emb.select(F.col(id_col).alias("_id"), q.alias("_vq"))
     to_d = "transform(_vq, x -> CAST(x AS DOUBLE))"
+    # seeds = the first k vectors BY ID ORDER (not ids < k, which yields
+    # fewer/zero seeds for 1-based or hashed id spaces): TakeOrdered pulls
+    # the k smallest ids scale-safely, then cluster ordinals come from a
+    # window over just those k rows. For dense 0-based ids (the fixtures)
+    # cluster == id, bit-identical to the unrolled SQL oracle.
+    seeds = v.orderBy("_id").limit(k)
+    wseed = Window.orderBy("_id")
     cent = (
-        v.filter(F.col("_id") < k)
+        seeds.withColumn("_rn", F.row_number().over(wseed))
         .select(
-            F.col("_id").cast("int").alias("cluster"),
+            (F.col("_rn") - 1).cast("int").alias("cluster"),
             F.expr(to_d).alias("_c"),
         )
     )
@@ -562,7 +586,11 @@ def kmeans_ivf_topk(
     )
     qc = qv.crossJoin(F.broadcast(cent)).withColumn(
         "_csim",
-        F.expr(f"{fold_dot('_qd', '_c')} / ({fold_norm('_qd')} * {fold_norm('_c')})"),
+        F.expr(
+            f"CASE WHEN ({fold_norm('_qd')} * {fold_norm('_c')}) = 0.0"
+            f" THEN 0.0 ELSE {fold_dot('_qd', '_c')}"
+            f" / ({fold_norm('_qd')} * {fold_norm('_c')}) END"
+        ),
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("_csim"), "cluster")
     probes = (
@@ -575,7 +603,11 @@ def kmeans_ivf_topk(
     )
     vd = to_d.format(c="_vq")
     sim = F.round(
-        F.expr(f"{fold_dot('_qd', vd)} / ({fold_norm('_qd')} * {fold_norm(vd)})"),
+        F.expr(
+            f"CASE WHEN ({fold_norm('_qd')} * {fold_norm(vd)}) = 0.0"
+            f" THEN 0.0 ELSE {fold_dot('_qd', vd)}"
+            f" / ({fold_norm('_qd')} * {fold_norm(vd)}) END"
+        ),
         4,
     )
     scored = cand.select("q_id", F.col("_id").alias("vec_id"), sim.alias("sim"))
@@ -666,7 +698,9 @@ def _semantic_pairs_from_assigned(
     )
     sim = F.round(
         F.expr(
-            f"{fold_dot('_da', '_db')} / ({fold_norm('_da')} * {fold_norm('_db')})"
+            f"CASE WHEN ({fold_norm('_da')} * {fold_norm('_db')}) = 0.0"
+            f" THEN 0.0 ELSE {fold_dot('_da', '_db')}"
+            f" / ({fold_norm('_da')} * {fold_norm('_db')}) END"
         ),
         round_to,
     )

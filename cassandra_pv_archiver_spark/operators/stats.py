@@ -42,7 +42,11 @@ def group_discrete_quantiles(
     return (
         r.join(
             F.broadcast(qdf),
-            F.col("_rn") == F.ceil(F.col("q") * F.col("_n")),
+            # round before ceil: IEEE products like 0.07*100 =
+            # 7.000000000000001 would otherwise overshoot to row 8; the
+            # 9-decimal round strips float noise identically on both
+            # engines (the oracle mirrors it)
+            F.col("_rn") == F.ceil(F.round(F.col("q") * F.col("_n"), 9)),
         )
         .select(key_col, "q", "q_value")
     )
@@ -120,8 +124,17 @@ def exact_corr(
     num = big_to_double("CAST(_n * _sxy - _sx * _sy AS DECIMAL(38,0))")
     dx = big_to_double("CAST(_n * _sxx - _sx * _sx AS DECIMAL(38,0))")
     dy = big_to_double("CAST(_n * _syy - _sy * _sy AS DECIMAL(38,0))")
+    # zero-variance guard (a CONSTANT series): Pearson r is undefined and
+    # under Spark's default ANSI mode the division THROWS — emit NULL,
+    # the SQL corr() convention, via an exact decimal zero test
+    zero = (
+        "(_n * _sxx - _sx * _sx = 0 OR _n * _syy - _sy * _sy = 0)"
+    )
     return m.select(
-        F.expr(f"({num}) / (sqrt({dx}) * sqrt({dy}))").alias(alias)
+        F.expr(
+            f"CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)"
+            f" ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END"
+        ).alias(alias)
     )
 
 
@@ -132,8 +145,10 @@ def sql_exact_corr(table: str, x_col: str, y_col: str, alias: str) -> str:
     num = big_to_double_duck("(n_ * sxy - sx * sy)")
     dx = big_to_double_duck("(n_ * sxx - sx * sx)")
     dy = big_to_double_duck("(n_ * syy - sy * sy)")
+    zero = "(n_ * sxx - sx * sx = 0 OR n_ * syy - sy * sy = 0)"
     return f"""
-(SELECT ({num}) / (sqrt({dx}) * sqrt({dy})) AS {alias} FROM (
+(SELECT CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)
+        ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END AS {alias} FROM (
   SELECT CAST(count(*) AS HUGEINT) AS n_,
          sum(CAST({x_col} AS HUGEINT)) AS sx,
          sum(CAST({y_col} AS HUGEINT)) AS sy,
@@ -202,6 +217,20 @@ def aligned_channel_correlations(
         c: F.max(F.when(F.col(key) == c, F.col("_h"))).alias(f"_c{i}")
         for i, c in enumerate(channels)
     }
+    # a requested channel with ZERO rows would NULL its pivot column on
+    # every grid row and na.drop() would silently empty the whole matrix —
+    # fail loudly instead (almost always a typo'd channel name)
+    present = {r[key] for r in s.select(key).distinct().collect()}
+    missing = [c for c in channels if c not in present]
+    if missing and len(missing) < len(channels):
+        # SOME channels have data and some do not: almost always a typo'd
+        # name, and the pivot would silently drop every row — fail loudly.
+        # (ALL channels empty = an empty store / over-narrow range: the
+        # F4 convention applies and the empty result falls through.)
+        raise ValueError(
+            f"channels with no samples in range: {missing} — the pivoted "
+            "matrix would silently drop every row"
+        )
     mat = (
         held.groupBy("t")
         .agg(*cols.values())
@@ -223,11 +252,18 @@ def aligned_channel_correlations(
             )
             dx = big_to_double(f"CAST(_n * _q{i} - _s{i} * _s{i} AS DECIMAL(38,0))")
             dy = big_to_double(f"CAST(_n * _q{j} - _s{j} * _s{j} AS DECIMAL(38,0))")
+            zero = (
+                f"(_n * _q{i} - _s{i} * _s{i} = 0"
+                f" OR _n * _q{j} - _s{j} * _s{j} = 0)"
+            )
             outs.append(
                 F.struct(
                     F.lit(channels[i]).alias("ch_a"),
                     F.lit(channels[j]).alias("ch_b"),
-                    F.expr(f"({num}) / (sqrt({dx}) * sqrt({dy}))").alias("r"),
+                    F.expr(
+                        f"CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)"
+                        f" ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END"
+                    ).alias("r"),
                     F.col("_n").cast("long").alias("n_points"),
                 )
             )
@@ -388,10 +424,14 @@ def lagged_channel_correlation(
     num = big_to_double("CAST(_n * _sxy - _sx * _sy AS DECIMAL(38,0))")
     dx = big_to_double("CAST(_n * _sxx - _sx * _sx AS DECIMAL(38,0))")
     dy = big_to_double("CAST(_n * _syy - _sy * _sy AS DECIMAL(38,0))")
+    zero = "(_n * _sxx - _sx * _sx = 0 OR _n * _syy - _sy * _sy = 0)"
     return (
         m.select(
             F.col("lag_s").cast("long").alias("lag_s"),
-            F.expr(f"({num}) / (sqrt({dx}) * sqrt({dy}))").alias("r"),
+            F.expr(
+                f"CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)"
+                f" ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END"
+            ).alias("r"),
             F.col("_n").cast("long").alias("n_points"),
         )
         .filter(F.col("n_points") >= 2)

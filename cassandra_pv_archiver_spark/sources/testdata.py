@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 
 NS = 1_000_000_000  # ns per second
 
-_SEVERITY = {"error": 2, "signup": 1}  # else 0; status = severity * 6
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -294,7 +293,7 @@ typed_samples AS (
   SELECT channel, t, type, v, aval, eval, labels, asval, sval, meta,
          severity, status, event_id FROM (
     SELECT 'PV:' || CAST(user_id AS VARCHAR) AS channel,
-           epoch_ns(ts) AS t,
+           (epoch_ns(ts) // 1000) * 1000 AS t,
            CASE WHEN event_type = 'click' THEN 'scalar_double'
                 WHEN event_type = 'view' THEN 'array_double'
                 WHEN event_type = 'purchase' AND event_id % 2 = 0 THEN 'scalar_enum'
@@ -333,7 +332,7 @@ typed_samples AS (
            CAST(CASE WHEN event_type IN ('click','view','purchase','signup')
                 THEN (event_id % 4) * 6 END AS INTEGER) AS status,
            event_id,
-           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+           row_number() OVER (PARTITION BY user_id, (epoch_ns(ts) // 1000) * 1000 ORDER BY event_id) AS _rn
     FROM events) WHERE _rn = 1
 )
 """
@@ -343,7 +342,7 @@ MIXED_SAMPLES_CTE = """
 mixed_samples AS (
   SELECT channel, t, type, v, sval, severity, status, event_id FROM (
     SELECT 'PV:' || CAST(user_id AS VARCHAR) AS channel,
-           epoch_ns(ts) AS t,
+           (epoch_ns(ts) // 1000) * 1000 AS t,
            CASE WHEN event_type IN ('click','view') THEN 'scalar_double'
                 WHEN event_type = 'purchase' THEN 'scalar_long'
                 WHEN event_type = 'signup' THEN 'scalar_string'
@@ -357,25 +356,30 @@ mixed_samples AS (
            CAST(CASE WHEN event_type IN ('click','view','purchase','signup')
                 THEN (event_id % 4) * 6 END AS INTEGER) AS status,
            event_id,
-           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+           row_number() OVER (PARTITION BY user_id, (epoch_ns(ts) // 1000) * 1000 ORDER BY event_id) AS _rn
     FROM events) WHERE _rn = 1
 )
 """
 
 
 # DuckDB-side mirror of load_samples(); prepend to oracle SQL as
-# `WITH samples AS (...)`.  epoch_ns(ts) == unix_micros(ts)*1000 because the
+# `WITH samples AS (...)`.  t truncates epoch_ns(ts) to the µs grid the
+# Spark loaders use ((ts div 1000)*1000): under a TIMESTAMP(MICROS) file
+# both forms are identical, and under a TIMESTAMP(NANOS) file (which
+# DuckDB reads at full ns precision while Spark's loaders truncate) the
+# truncation keeps the two engines' t values — and their dedup groups —
+# in lockstep.  epoch_ns(ts) == unix_micros(ts)*1000 because the
 # parquet timestamps are µs precision.
 SAMPLES_CTE = """
 samples AS (
   SELECT channel, t, v, severity, status, event_id FROM (
     SELECT 'PV:' || CAST(user_id AS VARCHAR) AS channel,
-           epoch_ns(ts) AS t,
+           (epoch_ns(ts) // 1000) * 1000 AS t,
            value AS v,
            CAST(CASE event_type WHEN 'error' THEN 2 WHEN 'signup' THEN 1 ELSE 0 END AS INTEGER) AS severity,
            CAST(6 * (CASE event_type WHEN 'error' THEN 2 WHEN 'signup' THEN 1 ELSE 0 END) AS INTEGER) AS status,
            event_id,
-           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+           row_number() OVER (PARTITION BY user_id, (epoch_ns(ts) // 1000) * 1000 ORDER BY event_id) AS _rn
     FROM events) WHERE _rn = 1
 )
 """
@@ -384,10 +388,10 @@ STRING_SAMPLES_CTE = """
 string_samples AS (
   SELECT channel, t, sval, event_id FROM (
     SELECT 'EVT:' || CAST(user_id AS VARCHAR) AS channel,
-           epoch_ns(ts) AS t,
+           (epoch_ns(ts) // 1000) * 1000 AS t,
            event_type AS sval,
            event_id,
-           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+           row_number() OVER (PARTITION BY user_id, (epoch_ns(ts) // 1000) * 1000 ORDER BY event_id) AS _rn
     FROM events) WHERE _rn = 1
 )
 """

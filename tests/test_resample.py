@@ -158,3 +158,26 @@ def test_lagged_correlation_guards(spark):
     assert out == []
     with pytest.raises(ValueError, match="multiples of period_s"):
         lagged_channel_correlation(_df(spark, rows), "A", "B", 3600, [1800])
+
+
+def test_correlations_flat_channel_yields_null_not_crash(spark):
+    """Review-pinned (verified live): Spark 4 runs with ANSI mode ON, so
+    the correlation divisions THREW DIVIDE_BY_ZERO for a constant (flat)
+    channel. Zero variance now yields NULL r — the SQL corr() convention
+    — in all three correlation operators."""
+    from cassandra_pv_archiver_spark.operators.stats import (
+        aligned_channel_correlations,
+        exact_corr,
+        lagged_channel_correlation,
+    )
+
+    d = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
+    assert exact_corr(d, "x", "y", "r").collect()[0].r is None
+    rows = [("A", i * NS, 5.0) for i in range(5)] + [
+        ("B", i * NS, float(i)) for i in range(5)
+    ]
+    s = _df(spark, rows)
+    m = aligned_channel_correlations(s, ["A", "B"]).collect()
+    assert len(m) == 1 and m[0].r is None and m[0].n_points == 5
+    lg = lagged_channel_correlation(s, "A", "B", 1, [0]).collect()
+    assert len(lg) == 1 and lg[0].r is None

@@ -273,3 +273,40 @@ def test_cluster_representatives_are_nearest_members(spark):
         seen.setdefault(r.cluster, []).append(r.rank)
     for cl, ranks in seen.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_zero_norm_vector_is_neutral_everywhere(spark):
+    """Review-pinned: an all-zero embedding must neither crash (ANSI
+    divide-by-zero on the JVM paths) nor pass thresholds as NaN (numpy
+    path: NaN >= tau is true in Spark) — its similarity is 0.0."""
+    from cassandra_pv_archiver_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tk = {r.vec_id: r.sim for r in cosine_topk(emb, [0], k=3).collect()}
+    assert tk[1] == 0.0
+    pairs = cosine_near_pairs(emb, 0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 2)}
+
+
+def test_kmeans_seeds_first_k_by_id_order(spark):
+    """Review-pinned: seeding takes the first k vectors BY ID ORDER, so
+    1-based (or sparse) id spaces still produce exactly k centroids."""
+    import random
+
+    from cassandra_pv_archiver_spark.operators.similarity import _kmeans_fit
+
+    rnd = random.Random(7)
+    rows = [
+        (100 + 2 * i, [rnd.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cent = _kmeans_fit(emb, 5, 2, "vec_id", "embedding")
+    assert cent.count() == 5  # was 0 with the old `_id < k` filter
+    got = {r.cluster for r in assigned.select("cluster").distinct().collect()}
+    assert got <= set(range(5)) and len(got) >= 1
