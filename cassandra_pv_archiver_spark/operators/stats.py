@@ -244,32 +244,59 @@ def aligned_channel_correlations(
         for j in range(i + 1, len(channels)):
             aggs.append(F.sum(F.expr(f"_c{i} * _c{j}")).alias(f"_x{i}_{j}"))
     m = mat.agg(*aggs)
-    outs = []
-    for i in range(len(channels)):
-        for j in range(i + 1, len(channels)):
-            num = big_to_double(
-                f"CAST(_n * _x{i}_{j} - _s{i} * _s{j} AS DECIMAL(38,0))"
-            )
-            dx = big_to_double(f"CAST(_n * _q{i} - _s{i} * _s{i} AS DECIMAL(38,0))")
-            dy = big_to_double(f"CAST(_n * _q{j} - _s{j} * _s{j} AS DECIMAL(38,0))")
-            zero = (
-                f"(_n * _q{i} - _s{i} * _s{i} = 0"
-                f" OR _n * _q{j} - _s{j} * _s{j} = 0)"
-            )
-            outs.append(
-                F.struct(
-                    F.lit(channels[i]).alias("ch_a"),
-                    F.lit(channels[j]).alias("ch_b"),
-                    F.expr(
-                        f"CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)"
-                        f" ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END"
-                    ).alias("r"),
-                    F.col("_n").cast("long").alias("n_points"),
-                )
-            )
+    n_ch = len(channels)
+    # Fold the moment columns into arrays and expand pairs through a
+    # broadcast (i, j, pair) index table, so the Pearson arithmetic below
+    # is ONE generic expression regardless of N. The previous form inlined
+    # the full CASE/sqrt/big_to_double chain once PER PAIR inside a single
+    # explode — an O(N^2)-sized generated method that janino refuses to
+    # compile beyond ~7 channels (the BENCH_r03 codegen-fallback trace),
+    # silently dropping the stage to interpreted execution.
+    marr = m.select(
+        "_n",
+        F.array(*[F.col(f"_s{i}") for i in range(n_ch)]).alias("_sa"),
+        F.array(*[F.col(f"_q{i}") for i in range(n_ch)]).alias("_qa"),
+        F.array(
+            *[
+                F.col(f"_x{i}_{j}")
+                for i in range(n_ch)
+                for j in range(i + 1, n_ch)
+            ]
+        ).alias("_xa"),
+    )
+    pair_rows = []
+    for i in range(n_ch):
+        for j in range(i + 1, n_ch):
+            # 1-based indices: element_at
+            pair_rows.append((channels[i], channels[j], i + 1, j + 1,
+                              len(pair_rows) + 1))
+    pairs = samples.sparkSession.createDataFrame(
+        pair_rows, "ch_a string, ch_b string, _i int, _j int, _p int"
+    )
+    # one moment row x the pair-index literal: a broadcast nested-loop of
+    # 1 x N(N-1)/2 rows (same tiny-literal pattern as the grid x channel
+    # crossJoin above) — never data-sized
+    e = marr.crossJoin(F.broadcast(pairs))
+    si, sj = "element_at(_sa, _i)", "element_at(_sa, _j)"
+    qi, qj = "element_at(_qa, _i)", "element_at(_qa, _j)"
+    xij = "element_at(_xa, _p)"
+    num = big_to_double(f"CAST(_n * {xij} - {si} * {sj} AS DECIMAL(38,0))")
+    dx = big_to_double(f"CAST(_n * {qi} - {si} * {si} AS DECIMAL(38,0))")
+    dy = big_to_double(f"CAST(_n * {qj} - {sj} * {sj} AS DECIMAL(38,0))")
+    zero = (
+        f"(_n * {qi} - {si} * {si} = 0"
+        f" OR _n * {qj} - {sj} * {sj} = 0)"
+    )
     return (
-        m.select(F.explode(F.array(*outs)).alias("_p"))
-        .select("_p.ch_a", "_p.ch_b", "_p.r", "_p.n_points")
+        e.select(
+            "ch_a",
+            "ch_b",
+            F.expr(
+                f"CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)"
+                f" ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END"
+            ).alias("r"),
+            F.col("_n").cast("long").alias("n_points"),
+        )
         # Pearson is undefined below 2 aligned points: emit nothing
         # (not a null-r row) for an empty/degenerate grid
         .filter(F.col("n_points") >= 2)
@@ -389,14 +416,22 @@ def lagged_channel_correlation(
         .orderBy("t", "_g")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # persist: both series views below branch from this subtree, and the
-    # broadcast side would otherwise recompute the full scan+window pass
+    # both series views below branch from this subtree, and the broadcast
+    # side would otherwise recompute the full scan+window pass. An eager
+    # localCheckpoint (not persist) materializes it WITHOUT registering in
+    # the session CacheManager: the blocks are released by the
+    # ContextCleaner once the result DataFrame is garbage-collected, so
+    # repeated invocations don't accumulate cached blocks for the session
+    # lifetime (ADVICE r3). The checkpointed series is grid-sized (query
+    # range / grid period x 2 channels), not data-sized.
     held = rows.select(
         "channel",
         "t",
         "_g",
         F.last("_vi", ignorenulls=True).over(w).alias("_h"),
-    ).filter((F.col("_g") == 1) & F.col("_h").isNotNull()).persist()
+    ).filter(
+        (F.col("_g") == 1) & F.col("_h").isNotNull()
+    ).localCheckpoint(eager=True)
     a_ser = held.filter(F.col("channel") == ch_a).select(
         "t", F.col("_h").alias("_va")
     )

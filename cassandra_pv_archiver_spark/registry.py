@@ -358,72 +358,48 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: Queries the driver already hash-verified green in CORRECTNESS_r02.json.
 #: The driver samples the registry front-to-back under a runtime budget
-#: (r02 covered exactly the first 50 entries), so the never-driver-checked
-#: queries are moved to the FRONT for round 3 to maximize fresh coverage;
-#: previously-green queries follow and re-verify if budget remains.
-_DRIVER_GREEN_R02 = [
-    "raw_scan", "raw_latest_n", "asof_before", "asof_after",
-    "asof_pair_align", "range_limit_modes", "decimate_1h",
-    "decimate_cascade_6h", "decimate_cascade_1d", "pick_first_1h",
-    "decimate_mixed_1h", "decimate_typed_1h", "json_v1_mixed_1h",
-    "json_v1_typed_1h", "json_v1_raw_typed", "archive_incremental_1h",
-    "retention_sweep_daily", "config_xml_roundtrip", "missing_level_empty",
-    "compact_invariance", "stream_lifecycle_1h", "union_levels",
-    "planner_fallback", "channel_glob", "channel_regex",
-    "fuzzy_channel_pairs", "enabling_link", "rate_limit_10m",
-    "heartbeat_1h", "markers_disconnect", "monotonic_stats",
-    "channel_dim_join", "severity_daily", "severity_rollup",
-    "channel_gap_stats", "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5",
-    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q22",
+#: (~50 queries per round), so ordering decides which queries get fresh
+#: CORRECTNESS rows. Round-5 front: the 19 queries never driver-checked in
+#: r01–r03 plus the 2 queries red in r01 and fixed since (all 21 verify
+#: green against the DuckDB oracle locally), then this round's new ops,
+#: then the long tail of previously-green queries for re-verification.
+_NEVER_DRIVER_CHECKED = [
+    "oov_rate",
+    "balanced_sample_per_lang",
+    "lang_confusion",
+    "dedup_rate_by_source",
+    "distinctive_terms",
+    "cluster_quality_report",
+    "sequence_packing",
+    "repetition_metrics",
+    "ann_kmeans_clusters",
+    "ann_kmeans_ivf_topk",
+    "crossmodal_pairs",
+    "corpus_correlations",
+    "multimodal_frames",
+    "contamination_3gram",
+    "stratified_split",
+    "quality_quantiles",
+    "quality_filtered_stats",
+    "embedding_dedup_clusters",
+    "curate_corpus",
+    # red in CORRECTNESS_r01, fixed in round 3, never re-sampled since:
+    "ann_ivf_topk",
+    "embedding_near_dup_lsh",
 ]
 
-#: Round-4 additions lead outright (same rationale as _NEW_R03 below).
-_NEW_R04 = [
-    "compact_zorder_invariance",
-    "lagged_correlation_1h",
-    "value_histogram",
-    "channel_outliers_mad",
-    "plot_query_240px",
-    "plot_downsample_m4",
-    "counter_rate_6h",
-    "resample_linear_1h",
-    "store_time_travel",
-    "approx_distinct_audit",
-    "semantic_dedup",
-    "pii_scan_by_source",
-    "substring_dup_spans",
-    "embedding_quantize_audit",
-    "dsir_importance",
-    "threshold_crossings",
-    "orc_ingest_roundtrip_1h",
-]
+#: New operators added this round — first driver row right after the
+#: never-checked block.
+_NEW_R05: list[str] = []
 
-#: Round-3 additions lead outright — brand-new operators should get their
-#: first driver row even if the budget cuts the tail of the fresh block.
-_NEW_R03 = [
-    "decimate_plugin_median_1h",
-    "quality_quantiles_approx",
-    "mix_corpus_ratios",
-    "contamination_exact_run",
-    "dedup_best_survivor",
-    "csv_ingest_roundtrip_1h",
-    "jsonl_ingest_roundtrip_1h",
-    "channel_correlation_matrix",
-    "cluster_representatives",
-]
-
-_checked = set(_DRIVER_GREEN_R02)
-_front = set(_NEW_R04) | set(_NEW_R03)
+_front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05)
 REGISTRY = {
     name: REGISTRY[name]
     for name in (
-        _NEW_R04
-        + _NEW_R03
-        + [n for n in REGISTRY if n not in _checked and n not in _front]
-        + [n for n in _DRIVER_GREEN_R02 if n in REGISTRY]
+        _NEVER_DRIVER_CHECKED
+        + _NEW_R05
+        + [n for n in REGISTRY if n not in _front]
     )
 }
 
