@@ -2153,7 +2153,12 @@ src AS (
   SELECT channel, t, mean AS v FROM dec WHERE t BETWEEN {LO} AND {HI - 1}
 ),
 b AS (
-  SELECT channel, (t // {PERIOD_1H * NS}) * {PERIOD_1H * NS} AS bucket, t, v
+  -- floor-aligned bucket via pmod (t - ((t % P + P) % P)), matching the
+  -- Spark m4_downsample path for t < 0 too; DuckDB's // truncates toward
+  -- zero on hugeint-free BIGINTs only for t >= 0 (ADVICE r3)
+  SELECT channel,
+         t - ((t % {PERIOD_1H * NS} + {PERIOD_1H * NS}) % {PERIOD_1H * NS})
+           AS bucket, t, v
   FROM src
 ),
 r AS (

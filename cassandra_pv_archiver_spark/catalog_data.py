@@ -684,11 +684,25 @@ _EN = (
     "sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),"
     " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
 )
+
+
+def _cos_sql(dot: str, na: str, nb: str) -> str:
+    """Zero-norm-guarded cosine division — the DuckDB mirror of
+    ``operators.similarity._cosine``'s sim-0.0 convention for degenerate
+    all-zero vectors, so the engines stay in lockstep if the embedding
+    fixtures ever gain one (ADVICE r3; previously the oracle divided
+    bare and would throw/diverge)."""
+    return (
+        f"(CASE WHEN {na} * {nb} = 0 THEN 0.0"
+        f" ELSE {dot} / ({na} * {nb}) END)"
+    )
+
+
 SQL_ANN_COSINE_TOPK = f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
            WHERE vec_id IN ({_IDS})),
 scored AS (
-  SELECT q.q_id, e.vec_id, round({_DOT} / ({_QN} * {_EN}), 4) AS sim
+  SELECT q.q_id, e.vec_id, round({_cos_sql(_DOT, _QN, _EN)}, 4) AS sim
   FROM embeddings e, q WHERE e.vec_id != q.q_id
 )
 SELECT q_id, vec_id, sim, rank FROM (
@@ -750,7 +764,7 @@ q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
       WHERE vec_id IN ({_IDS})),
 qc AS (
   SELECT q.q_id, q.q_vec, cv.label,
-         {dot_qc} / ({n_q} * {n_c}) AS csim
+         {_cos_sql(dot_qc, n_q, n_c)} AS csim
   FROM q, centv cv
 ),
 probes AS (
@@ -760,7 +774,7 @@ probes AS (
   WHERE crank <= {IVF_N_PROBE}
 ),
 scored AS (
-  SELECT p.q_id, e.vec_id, round({dot_qe} / ({n_p} * {n_e}), 4) AS sim
+  SELECT p.q_id, e.vec_id, round({_cos_sql(dot_qe, n_p, n_e)}, 4) AS sim
   FROM embeddings e JOIN probes p ON e.label = p.label AND e.vec_id != p.q_id
 )
 SELECT q_id, vec_id, sim, rank FROM (
@@ -893,7 +907,7 @@ vd AS (SELECT id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS d FROM v),
 qd AS (SELECT id AS q_id, d AS q FROM vd WHERE id IN ({_IDS})),
 qc AS (
   SELECT qd.q_id, qd.q, t.cluster,
-         {dot("qd.q", "t.c")} / ({nrm("qd.q")} * {nrm("t.c")}) AS csim
+         {_cos_sql(dot("qd.q", "t.c"), nrm("qd.q"), nrm("t.c"))} AS csim
   FROM qd, {last} t
 ),
 probes AS (
@@ -910,7 +924,7 @@ cand AS (
 ),
 scored AS (
   SELECT q_id, id AS vec_id,
-         round({dot("q", "w")} / ({nrm("q")} * {nrm("w")}), 4) AS sim
+         round({_cos_sql(dot("q", "w"), nrm("q"), nrm("w"))}, 4) AS sim
   FROM cand
 )
 SELECT q_id, vec_id, sim, rank FROM (
@@ -948,10 +962,10 @@ _N_B = (
 )
 SQL_EMBEDDING_NEAR_DUP = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_DOT_AB} / ({_N_A} * {_N_B}), 4) AS sim
+       round({_cos_sql(_DOT_AB, _N_A, _N_B)}, 4) AS sim
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
-  AND round({_DOT_AB} / ({_N_A} * {_N_B}), 4) >= {NEAR_DUP_TAU}
+  AND round({_cos_sql(_DOT_AB, _N_A, _N_B)}, 4) >= {NEAR_DUP_TAU}
 ORDER BY id_a, id_b
 """
 
@@ -1040,10 +1054,10 @@ def _srp_pair_ctes(dim: int = 64, p: str = "") -> str:
     ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id != y.vec_id
 ),
 {p}vpairs AS (
-  SELECT c.id_a, c.id_b, round({_DOT_AB} / ({_N_A} * {_N_B}), 4) AS sim
+  SELECT c.id_a, c.id_b, round({_cos_sql(_DOT_AB, _N_A, _N_B)}, 4) AS sim
   FROM {p}cand c JOIN embeddings a ON a.vec_id = c.id_a
                  JOIN embeddings b ON b.vec_id = c.id_b
-  WHERE round({_DOT_AB} / ({_N_A} * {_N_B}), 4) >= {NEAR_DUP_TAU}
+  WHERE round({_cos_sql(_DOT_AB, _N_A, _N_B)}, 4) >= {NEAR_DUP_TAU}
 )"""
 
 
@@ -1830,7 +1844,7 @@ WITH {body},
 vd AS (SELECT id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS d FROM v),
 p0 AS (
   SELECT a.cluster, a.id AS id_a, b.id AS id_b,
-         round({dot("da.d", "db.d")} / ({nrm("da.d")} * {nrm("db.d")}), 4) AS sim
+         round({_cos_sql(dot("da.d", "db.d"), nrm("da.d"), nrm("db.d"))}, 4) AS sim
   FROM af a JOIN af b ON a.cluster = b.cluster AND a.id < b.id
   JOIN vd da ON da.id = a.id
   JOIN vd db ON db.id = b.id

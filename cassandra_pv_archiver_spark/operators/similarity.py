@@ -32,9 +32,7 @@ def _cosine(a: str, b: str) -> F.Column:
     """Zero-norm-safe cosine: a degenerate (all-zero) vector gets sim 0.0
     instead of a DIVIDE_BY_ZERO under Spark's default ANSI mode (neutral:
     it never clears a similarity threshold and ranks last). The DuckDB
-    oracles leave the division bare — the fixture embeddings are
-    non-degenerate — mirror this CASE if your data can contain zero
-    vectors."""
+    oracles mirror this via ``catalog_data._cos_sql``'s CASE guard."""
     den = _norm(a) * _norm(b)
     return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(_dot(a, b) / den)
 

@@ -355,9 +355,10 @@ def lagged_channel_correlation(
     construction as the matrix, but a regular grid so that shifting by a
     lag maps grid points onto grid points exactly). For each lag L,
     ``r(L) = corr(a(t), b(t+L))`` — positive L with max r means B trails
-    A by L seconds. The shifted pairing is a hash EQUI-join on the
-    computed key ``t + L`` (never a range/theta join); moments are exact
-    DECIMAL(38,0) sums per lag, so every r is bit-stable at any
+    A by L seconds. The shifted pairing is a ``lead``/``lag`` window over
+    the pivoted grid (a lag of L seconds IS a row offset of L/period on a
+    regular grid — no self-join, no cached intermediate); moments are
+    exact DECIMAL(38,0) sums per lag, so every r is bit-stable at any
     parallelism. Returns (lag_s, r, n_points), lags with < 2 aligned
     points omitted.
     """
@@ -416,38 +417,48 @@ def lagged_channel_correlation(
         .orderBy("t", "_g")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # both series views below branch from this subtree, and the broadcast
-    # side would otherwise recompute the full scan+window pass. An eager
-    # localCheckpoint (not persist) materializes it WITHOUT registering in
-    # the session CacheManager: the blocks are released by the
-    # ContextCleaner once the result DataFrame is garbage-collected, so
-    # repeated invocations don't accumulate cached blocks for the session
-    # lifetime (ADVICE r3). The checkpointed series is grid-sized (query
-    # range / grid period x 2 channels), not data-sized.
     held = rows.select(
         "channel",
         "t",
         "_g",
         F.last("_vi", ignorenulls=True).over(w).alias("_h"),
-    ).filter(
-        (F.col("_g") == 1) & F.col("_h").isNotNull()
-    ).localCheckpoint(eager=True)
-    a_ser = held.filter(F.col("channel") == ch_a).select(
-        "t", F.col("_h").alias("_va")
+    ).filter(F.col("_g") == 1)
+    # Pivot both channels onto one row per grid point, then express every
+    # lag as a lead/lag WINDOW over the grid: the grid is regular and the
+    # lags are multiples of its period (checked above), so shifting by L
+    # is exactly a row offset of L/period — no self-join of the two
+    # series, hence nothing to persist/checkpoint (the round-3 persist
+    # leaked CacheManager blocks per invocation, ADVICE r3) and one
+    # window pass instead of two branches over the held subtree. The
+    # no-partition window is bounded: grid rows = query range / grid
+    # period, a correlation-plot parameter, never data-sized.
+    g = held.groupBy("t").agg(
+        F.max(F.when(F.col("channel") == ch_a, F.col("_h"))).alias("_va"),
+        F.max(F.when(F.col("channel") == ch_b, F.col("_h"))).alias("_vb"),
     )
-    b_ser = held.filter(F.col("channel") == ch_b).select(
-        F.col("t").alias("_tb"), F.col("_h").alias("_vb")
-    )
-    lag_col = F.explode(
-        F.array(*[F.lit(int(l)) for l in lags_s])
-    ).alias("lag_s")
-    shifted = a_ser.select("*", lag_col).withColumn(
-        "_key", F.col("t") + F.col("lag_s").cast("long") * F.lit(NS)
-    )
-    # the grid series is bounded by the query's time range / grid period
-    # (a correlation-plot parameter, not data-sized) — broadcast it so the
-    # lag pairing is a hash join, not a sort-merge of two tiny tables
-    pairs = shifted.join(F.broadcast(b_ser), F.col("_key") == F.col("_tb"))
+    wg = Window.orderBy("t")
+    shift_cols = []
+    for idx, l in enumerate(lags_s):
+        k = int(l) // period_s
+        c = F.lead("_vb", k).over(wg) if k >= 0 else F.lag("_vb", -k).over(wg)
+        shift_cols.append(c.alias(f"_b{idx}"))
+    shifted = g.select("_va", *shift_cols)
+    pairs = shifted.select(
+        "_va",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(l)).alias("lag_s"),
+                        F.col(f"_b{idx}").alias("_vb"),
+                    )
+                    for idx, l in enumerate(lags_s)
+                ]
+            )
+        ).alias("_p"),
+    ).select(
+        "_va", F.col("_p.lag_s").alias("lag_s"), F.col("_p._vb").alias("_vb")
+    ).filter(F.col("_va").isNotNull() & F.col("_vb").isNotNull())
     m = pairs.groupBy("lag_s").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
         F.sum("_va").alias("_sx"),

@@ -120,13 +120,28 @@ def plan_samples(
     }
     keys = sorted({k for (_, k) in stats})
 
-    pieces: list[DataFrame] = []
+    # Decide each key's fallback walk in PURE PYTHON first (it only needs
+    # the probe stats), then GROUP keys whose decisions are identical and
+    # build ONE IN-filtered sub-plan per (decision, piece). Per-key
+    # sub-plans would put O(#keys x #levels) filtered branches (each with
+    # its own asof probe aggregations) into one Catalyst plan — correct,
+    # but plan size and driver planning time explode for requests naming
+    # hundreds of channels (ADVICE r3). Decisions coincide for every key
+    # whose finest usable level reaches back to ``start`` — the common
+    # case — so a typical wide request plans 1 group, not #keys.
+    by_decision: dict[tuple, list] = {}
     for kv in keys:
-        pieces.extend(
-            _plan_one_key(
-                levels, usable, kv, stats, start_ns, end_ns, key
+        spec = _decide_one_key(usable, kv, stats, start_ns, end_ns)
+        if spec:
+            by_decision.setdefault(spec, []).append(kv)
+
+    pieces: list[DataFrame] = []
+    for spec, group in by_decision.items():
+        for period, lo, hi, lo_mode, hi_mode in spec:
+            df = levels[period].filter(F.col(key).isin(group))
+            pieces.append(
+                asof.get_samples(df, lo, hi, lo_mode, hi_mode, key=key)
             )
-        )
     if not pieces:
         # empty plan with the right schema
         some = next(iter(levels.values()))
@@ -137,21 +152,21 @@ def plan_samples(
     return out.orderBy(key, "t")
 
 
-def _plan_one_key(levels, usable, kv, stats, start_ns, end_ns, key):
+def _decide_one_key(usable, kv, stats, start_ns, end_ns):
     """The reference's per-channel fallback walk
-    (`Api10Controller.java:443-518`) for one key: finest level first,
-    coarser levels each serving only the still-uncovered earlier range."""
-    pieces: list[DataFrame] = []  # oldest-range first
+    (`Api10Controller.java:443-518`) for one key, decided from the probe
+    stats alone: finest level first, coarser levels each serving only the
+    still-uncovered earlier range. Returns the piece specs oldest-range
+    first as ``(period, lo, hi, lo_mode, hi_mode)`` tuples — hashable, so
+    keys with identical walks share one IN-filtered sub-plan."""
+    specs: list[tuple] = []  # oldest-range first
     earliest: int | None = None
     for period in usable:
         r = stats.get((period, kv))
         if r is None:
             continue
-        df = levels[period].filter(F.col(key) == kv)
-        if not pieces:
-            cand = asof.get_samples(
-                df, start_ns, end_ns, asof.AT_OR_BEFORE, asof.AT_OR_AFTER, key=key
-            )
+        if not specs:
+            spec = (period, start_ns, end_ns, asof.AT_OR_BEFORE, asof.AT_OR_AFTER)
             first = r.bt if r.bt is not None else (
                 r.rmin if r.rmin is not None else r.ft
             )
@@ -164,17 +179,15 @@ def _plan_one_key(levels, usable, kv, stats, start_ns, end_ns, key):
             # the at-most-one-row-past-hi limit-mode contract
             # (`ArchiveAccessService.java:77-103`) across the union.
             cap = min(earliest - 1, end_ns)
-            cand = asof.get_samples(
-                df, start_ns, cap, asof.AT_OR_BEFORE, asof.AT_OR_BEFORE, key=key
-            )
+            spec = (period, start_ns, cap, asof.AT_OR_BEFORE, asof.AT_OR_BEFORE)
             first = r.bt if r.bt is not None else (
                 r.rmin if r.rmin is not None and r.rmin <= cap else None
             )
         if first is None:
             continue
-        if not pieces or first < earliest:
-            pieces.insert(0, cand)
+        if not specs or first < earliest:
+            specs.insert(0, spec)
             earliest = first
         if first <= start_ns:
             break
-    return pieces
+    return tuple(specs)

@@ -81,8 +81,17 @@ def ingest_batch(
         n = final.count() if n_fast else 0
         if n:
             store.write_samples(final, level=0)
-        elif n_fast:
-            store._update_channel_hwm(guarded, 0)  # heal after crash
+        if n < n_fast:
+            # The anti-join dropped crash-replayed rows for at least one
+            # channel whose hwm commit never landed. write_samples above
+            # advances the hwm only for channels in `final`, so a MIXED
+            # batch (new rows for channel Q, replayed rows for channel P)
+            # would leave P's hwm stale indefinitely — correct (the
+            # anti-join still guards), but P would pay the anti-join scan
+            # on every later batch. Heal from the full guarded batch; the
+            # hwm log is fold-max, so the overlap with write_samples'
+            # update is idempotent.
+            store._update_channel_hwm(guarded, 0)
         # the cascade runs even for an empty/fully-deduped batch ON
         # PURPOSE: a crash after the level-0 write but before the cascade
         # leaves the decimated levels behind, and the replayed batch

@@ -481,11 +481,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "LeftSemi", "LeftAnti"],
     ),
     "lagged_correlation_1h": (
-        None,  # the lag pairing is a broadcast hash EQUI-join on the
-        # computed t+lag key — never a range/theta join or a sort-merge
-        # of the two grid series. The only BNLJs are the literal-sized
-        # fan-outs (1-row bounds -> grid, 2-row channel list)
-        ["Window", "partial_", "BroadcastHashJoin"],
+        None,  # the lag pairing is a lead/lag WINDOW over the pivoted
+        # regular grid (a lag of L seconds = a row offset of L/period) —
+        # never a self-join of the two series, so no hash/sort-merge join
+        # of grid against grid at all. The only BNLJs are the
+        # literal-sized fan-outs (1-row bounds -> grid, 2-row channel
+        # list)
+        ["Window", "partial_"],
         ["CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
