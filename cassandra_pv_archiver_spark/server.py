@@ -1,0 +1,210 @@
+"""Thin HTTP serving shim for the reference's archive-access REST API
+(SURVEY.md §3.1) — the ~100-line handler that binds the already-tested
+library layers end-to-end: URL codec -> channel resolution -> §4 planner
+(level selection + retention fallback) -> limit-mode range scans ->
+JSON V1 serialization.
+
+Reference surface (`Api10Controller.java`):
+
+  GET /archive-access/api/1.0/archive/
+      archive listing (`:121-164`) — one archive (key 1) in this engine.
+  GET /archive-access/api/1.0/archive/1/channels/
+      all channel names (`:166-211`).
+  GET /archive-access/api/1.0/archive/1/channels-by-pattern/{glob}
+      glob search over channel names (C1/F2).
+  GET /archive-access/api/1.0/archive/1/channels/{channel}/samples
+          ?start=<ns>&end=<ns>[&count=<n>]
+      the time-range sample query (`:235-279`): 400 unless
+      0 <= start <= end and count > 0; 404 for an unknown channel;
+      response = JSON array of V1 sample objects (`:520-532`).
+
+This is deliberately a *shim*: every decision it makes is one call into
+the library (`plan_samples`, `ChannelRegistry`, `json_v1`), so the HTTP
+layer adds no semantics of its own — the reference's controller is the
+same shape over its service beans. The stdlib ``ThreadingHTTPServer``
+stands in for the servlet container; any WSGI/ASGI frontend could bind
+``ArchiveApp`` the same way.
+
+Serving-at-scale note: a query's response is bounded by the planner's
+limit modes + ``count`` (dashboard-sized), so the final ``collect()`` is
+a client-result fetch, not a data-sized materialization — the heavy
+lifting stays in Spark executors.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import functions as F
+
+from .management import ChannelRegistry, url_decode
+from .plans.planner import plan_samples
+from .sources.archive_store import ArchiveStore
+
+_PREFIX = "/archive-access/api/1.0/archive"
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+class ArchiveApp:
+    """Request -> response-dict dispatcher (HTTP-framework-free, so tests
+    can call it directly and any server can host it)."""
+
+    def __init__(self, store: ArchiveStore, registry: ChannelRegistry):
+        self.store = store
+        self.registry = registry
+
+    # -- routing ----------------------------------------------------------
+    def handle(self, path: str, query: dict[str, list[str]]):
+        if not path.startswith(_PREFIX):
+            raise ApiError(404, f"unknown path: {path}")
+        rest = [p for p in path[len(_PREFIX):].split("/") if p]
+        if not rest:
+            return self.archive_info()
+        if rest[0] != "1":
+            raise ApiError(404, f"unknown archive key: {rest[0]}")
+        if len(rest) == 1 or (len(rest) == 2 and rest[1] == "channels"):
+            return self.channels()
+        if len(rest) == 3 and rest[1] == "channels-by-pattern":
+            return self.channels_by_pattern(url_decode(rest[2]))
+        if len(rest) == 4 and rest[1] == "channels" and rest[3] == "samples":
+            return self.samples(url_decode(rest[2]), query)
+        raise ApiError(404, f"unknown path: {path}")
+
+    # -- endpoints ---------------------------------------------------------
+    def archive_info(self):
+        """`Api10Controller.java:121-164`: archive listing — this engine
+        serves exactly one archive (the reference's default key 1)."""
+        return [
+            {
+                "key": 1,
+                "name": "Archive",
+                "description": "PySpark archive store",
+                "channelCount": len(self.registry.list_channels()),
+            }
+        ]
+
+    def channels(self):
+        """`Api10Controller.java:166-211`: all channel names, sorted."""
+        return sorted(c.channel_name for c in self.registry.list_channels())
+
+    def channels_by_pattern(self, pattern: str):
+        """C1/F2 glob search (brackets literal, per the reference)."""
+        return sorted(
+            c.channel_name for c in self.registry.channels_by_glob(pattern)
+        )
+
+    def samples(self, channel: str, query: dict[str, list[str]]):
+        """`Api10Controller.java:235-279` + `sendSamples:382-518`."""
+        try:
+            start = int(query["start"][0])
+            end = int(query["end"][0])
+        except (KeyError, ValueError, IndexError):
+            raise ApiError(400, "start and end are required integer ns") from None
+        count = None
+        if "count" in query:
+            try:
+                count = int(query["count"][0])
+            except (ValueError, IndexError):
+                raise ApiError(400, "count must be an integer") from None
+            if count <= 0:
+                raise ApiError(400, "count must be positive")
+        if not (0 <= start <= end):
+            raise ApiError(400, "need 0 <= start <= end")
+        if self.registry.get_channel(channel) is None:
+            raise ApiError(404, f"unknown channel: {channel}")
+
+        levels = self._aligned_levels(channel)
+        plan = plan_samples(levels, start, end, count=count)
+        rendered = _render_plan_json_v1(plan)
+        return [
+            json.loads(r.json)
+            for r in rendered.orderBy("t", "level").select("json", "level",
+                                                           "t").collect()
+        ]
+
+    def _aligned_levels(self, channel: str):
+        """Store levels, column-aligned for the planner: raw rows carry v,
+        decimated rows carry mean/vmin/vmax; both get a ``level`` tag the
+        serializer dispatches on (raw -> double, decimated ->
+        minMaxDouble)."""
+        cols = [
+            "channel", "t", "v", "severity", "status",
+            "mean", "vmin", "vmax", "quality", "level",
+        ]
+        out = {}
+        for period in self.store.levels():
+            df = self.store.read_samples(period, channels=[channel])
+            if period == 0:
+                df = df.select(
+                    "channel", "t", "v", "severity", "status",
+                    F.lit(None).cast("double").alias("mean"),
+                    F.lit(None).cast("double").alias("vmin"),
+                    F.lit(None).cast("double").alias("vmax"),
+                    F.lit(None).cast("string").alias("quality"),
+                    F.lit(0).alias("level"),
+                )
+            else:
+                df = df.select(
+                    "channel", "t",
+                    F.lit(None).cast("double").alias("v"),
+                    "severity", "status", "mean", "vmin", "vmax", "quality",
+                    F.lit(period).alias("level"),
+                )
+            out[period] = df.select(cols)
+        return out
+
+
+def _render_plan_json_v1(plan):
+    """One ``json`` column per planned row: raw rows through the raw
+    double serializer, decimated rows through minMaxDouble
+    (`ChannelAccessSampleValueAccess.java:238-316,413-514`)."""
+    from .functions.json_v1 import aggregated_to_json, raw_double_to_json
+
+    cols = ["channel", "t", "level", "json"]
+    raw = plan.filter(F.col("level") == 0)
+    dec = plan.filter(F.col("level") != 0)
+    out = raw_double_to_json(raw).select(cols)
+    return out.unionByName(aggregated_to_json(dec).select(cols))
+
+
+class _Handler(BaseHTTPRequestHandler):
+    app: ArchiveApp  # set by serve()
+
+    def do_GET(self):  # noqa: N802 (stdlib API name)
+        u = urlparse(self.path)
+        try:
+            body = self.app.handle(u.path, parse_qs(u.query))
+            payload = json.dumps(body).encode("utf-8")
+            status = 200
+        except ApiError as e:
+            payload = json.dumps({"error": str(e)}).encode("utf-8")
+            status = e.status
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *args):  # quiet test runs
+        pass
+
+
+def serve(app: ArchiveApp, host: str = "127.0.0.1", port: int = 0):
+    """Start the shim on (host, port); port 0 picks an ephemeral port.
+    Returns the server object (``server_address[1]`` has the bound port;
+    ``shutdown()`` stops it). Runs in a daemon thread — the Spark session
+    and driver own process lifetime, matching the reference's embedded
+    servlet container."""
+    handler = type("Handler", (_Handler,), {"app": app})
+    srv = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

@@ -118,7 +118,8 @@ def start_file_ingest(
     on_batch=None,
 ):
     """File-source ingestion stream (the test/demo stand-in for a live CA
-    monitor feed; swap ``readStream.format`` for Kafka in production).
+    monitor feed): builds the file ``readStream`` and hands it to the
+    source-agnostic :func:`start_ingest`.
 
     ``on_batch(batch_id)`` runs AFTER the store write inside each
     micro-batch — raising from it simulates a crash in the window between
@@ -129,7 +130,33 @@ def start_file_ingest(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
+    return start_ingest(
+        stream,
+        store,
+        checkpoint_dir,
+        cascade_periods=cascade_periods,
+        available_now=available_now,
+        on_batch=on_batch,
+    )
 
+
+def start_ingest(
+    stream: DataFrame,
+    store: ArchiveStore,
+    checkpoint_dir: str,
+    cascade_periods: list[int] | None = None,
+    available_now: bool = True,
+    on_batch=None,
+    processing_time: str | None = None,
+):
+    """Source-agnostic ingestion: ANY streaming DataFrame with the sample
+    schema (channel, t, v, ...) drains through the same guarded
+    ``foreachBatch`` sink — file source in tests, rate source for load/
+    soak runs, Kafka for a production message bus (the reference's
+    `SampleListener.java` role is played by whatever produced the
+    stream). Exactly-once needs only a REPLAYABLE source (file/Kafka/
+    rate all are): the sink's hwm fast path + anti-join make replays
+    no-ops regardless of where the rows came from."""
     def _sink(batch: DataFrame, batch_id: int) -> None:
         ingest_batch(store, batch, cascade_periods)
         if on_batch is not None:
@@ -140,4 +167,129 @@ def start_file_ingest(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def rate_to_samples(
+    rate: DataFrame,
+    n_channels: int,
+    base_ns: int = 0,
+    period_ns: int = 1_000_000_000,
+) -> DataFrame:
+    """Map the built-in rate/rate-micro-batch source's (timestamp, value)
+    rows onto the sample schema — the live-feed simulator for load and
+    soak testing (the reference ships a comparable CA simulator for its
+    integration tests). Pure column transform, so the same function is
+    unit-testable on a batch DataFrame.
+
+    Deterministic from ``value`` alone: row ``value`` becomes channel
+    ``PV:<value % n_channels>`` at ``t = base_ns + (value div n_channels)
+    * period_ns`` — strictly monotonic per channel (so nothing trips the
+    F5 guard) with a smooth sine-ish signal. Wall-clock ``timestamp`` is
+    deliberately unused: replays regenerate identical rows."""
+    step = F.col("value") % n_channels
+    seq = F.expr(f"value div {n_channels}")  # exact long arithmetic
+    return rate.select(
+        F.concat(F.lit("PV:"), step.cast("string")).alias("channel"),
+        (F.lit(base_ns) + seq * F.lit(period_ns)).alias("t"),
+        (
+            F.sin(F.col("value").cast("double") / 100.0)
+            + step.cast("double")
+        ).alias("v"),
+        F.lit(0).alias("severity"),
+        F.lit(0).alias("status"),
+    )
+
+
+def start_rate_ingest(
+    spark,
+    store: ArchiveStore,
+    checkpoint_dir: str,
+    rows_per_batch: int = 1000,
+    n_channels: int = 10,
+    base_ns: int = 0,
+    period_ns: int = 1_000_000_000,
+    cascade_periods: list[int] | None = None,
+    on_batch=None,
+    processing_time: str | None = "1 second",
+):
+    """Rate-source ingestion (SURVEY §1.5 "rate/Kafka/file source"): the
+    deterministic ``rate-micro-batch`` source generates ``rows_per_batch``
+    rows per trigger with replay-stable ``value``s, mapped onto samples by
+    :func:`rate_to_samples`. Continuous trigger (no availableNow — the
+    source is unbounded); callers stop the query when done. Stopping
+    interrupts any in-flight batch, possibly between the level-0 write
+    and the cascade — run ``incremental_decimation`` once after stop (or
+    just restart the stream) to catch the decimated levels up, exactly
+    the T3 crash-recovery contract."""
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    stream = rate_to_samples(rate, n_channels, base_ns, period_ns)
+    return start_ingest(
+        stream,
+        store,
+        checkpoint_dir,
+        cascade_periods=cascade_periods,
+        available_now=False,
+        on_batch=on_batch,
+        processing_time=processing_time,
+    )
+
+
+#: sample-event JSON schema on the message bus (one event per CA monitor
+#: update, the `SampleListener.java` payload shape)
+KAFKA_VALUE_SCHEMA = (
+    "channel string, t long, v double, severity int, status int"
+)
+
+
+def parse_kafka_samples(df: DataFrame) -> DataFrame:
+    """Decode Kafka records (binary ``value`` holding one JSON sample
+    event) into the sample schema. Pure column transform — unit-testable
+    on a batch DataFrame with the same (value binary) column; malformed
+    events produce NULL channel/t and are dropped rather than poisoning
+    the stream (dead-lettering can tee them before this filter)."""
+    parsed = df.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_VALUE_SCHEMA).alias("s")
+    ).select("s.*")
+    return parsed.filter(
+        F.col("channel").isNotNull() & F.col("t").isNotNull()
+    )
+
+
+def start_kafka_ingest(
+    spark,
+    store: ArchiveStore,
+    checkpoint_dir: str,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    cascade_periods: list[int] | None = None,
+    on_batch=None,
+):
+    """Kafka ingestion (production path for the reference's
+    `SampleListener` feed): requires the spark-sql-kafka connector on the
+    classpath (not bundled in this sandbox — the stream construction
+    raises Spark's own AnalysisException if absent; the value-parsing and
+    sink layers are the same code the file/rate tests pin)."""
+    kafka = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    stream = parse_kafka_samples(kafka)
+    return start_ingest(
+        stream,
+        store,
+        checkpoint_dir,
+        cascade_periods=cascade_periods,
+        available_now=False,
+        on_batch=on_batch,
+    )

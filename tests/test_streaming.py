@@ -619,3 +619,89 @@ def test_min_update_period_stream_group_spanning_arrow_chunks(spark, tmp_path):
     )
     assert sorted(got) == batch_ref
     assert [t for (_, t) in batch_ref] == [k * 4 * NS for k in range(10)]
+
+
+def test_rate_source_ingest_with_cascade(spark, tmp_path):
+    """Source-agnosticism (SURVEY §1.5 rate/Kafka/file): the SAME guarded
+    sink + cascade maintenance behind a rate-micro-batch source — the 1h
+    level must equal batch decimation of whatever level-0 received, and a
+    second run from the same checkpoint must not duplicate rows."""
+    from cassandra_pv_archiver_spark.streaming.ingest import start_rate_ingest
+
+    store = ArchiveStore(spark, str(tmp_path / "archive"))
+    q = start_rate_ingest(
+        spark,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        rows_per_batch=2000,
+        n_channels=5,
+        period_ns=600 * NS,  # 10 min spacing -> several 1h buckets
+        cascade_periods=[3600],
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and store.read_samples(0).count() < 4000:
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    # stop() may interrupt a batch between the level-0 write and its
+    # cascade step — one catch-up pass is the T3 recovery contract (a
+    # restarted stream's first batch would do the same)
+    from cassandra_pv_archiver_spark.plans.jobs import incremental_decimation
+
+    incremental_decimation(store, 3600)
+
+    stored = store.read_samples(0)
+    n0 = stored.count()
+    assert n0 >= 4000
+    # per-channel t strictly monotonic and unique (guard held)
+    assert stored.select("channel", "t").distinct().count() == n0
+    # continuously-maintained 1h level == batch decimation of level 0
+    inc = store.read_samples(3600).select("channel", "t", "mean")
+    full = decimate(
+        stored.select("channel", "t", "v", "severity", "status"), 3600
+    ).select("channel", "t", F.col("mean").alias("m2"))
+    j = inc.join(full, ["channel", "t"], "full")
+    assert j.filter(F.col("mean").isNull() | F.col("m2").isNull()).count() == 0
+    assert j.filter(F.abs(F.col("mean") - F.col("m2")) > 1e-9).count() == 0
+
+
+def test_rate_to_samples_deterministic(spark):
+    """rate_to_samples is a pure function of `value`: replays regenerate
+    identical rows (the exactly-once precondition for the rate source)."""
+    from cassandra_pv_archiver_spark.streaming.ingest import rate_to_samples
+
+    rate = spark.range(0, 100).select(
+        F.current_timestamp().alias("timestamp"), F.col("id").alias("value")
+    )
+    a = {tuple(r) for r in rate_to_samples(rate, 7, base_ns=5, period_ns=3).collect()}
+    b = {tuple(r) for r in rate_to_samples(rate, 7, base_ns=5, period_ns=3).collect()}
+    assert a == b
+    # channel PV:0 gets values 0,7,14,... -> t = 5 + k*3, strictly monotonic
+    ts = sorted(t for (ch, t, *_rest) in a if ch == "PV:0")
+    assert ts == [5 + k * 3 for k in range(len(ts))]
+    assert len(ts) == 15  # ceil(100/7)
+
+
+def test_parse_kafka_samples_batch(spark):
+    """The Kafka value decoder is a pure column transform: valid JSON
+    events parse to typed samples, malformed ones are dropped."""
+    from cassandra_pv_archiver_spark.streaming.ingest import parse_kafka_samples
+
+    events = [
+        ('{"channel":"PV:1","t":1000,"v":1.5,"severity":0,"status":0}',),
+        ('{"channel":"PV:2","t":2000,"v":-3.25,"severity":2,"status":7}',),
+        ("not json at all",),
+        ('{"t":3000,"v":0.0}',),  # missing channel -> dropped
+    ]
+    df = spark.createDataFrame(events, "raw string").select(
+        F.col("raw").cast("binary").alias("value")
+    )
+    out = {tuple(r) for r in parse_kafka_samples(df).collect()}
+    assert out == {
+        ("PV:1", 1000, 1.5, 0, 0),
+        ("PV:2", 2000, -3.25, 2, 7),
+    }
+    got = parse_kafka_samples(df)
+    assert [f.name for f in got.schema.fields] == [
+        "channel", "t", "v", "severity", "status",
+    ]
