@@ -128,6 +128,12 @@ BENCH_QUERIES = [
     "plot_downsample_m4",
     "counter_rate_6h",
     "resample_linear_1h",
+    # round 5
+    "store_cdc_diff",
+    "ngram_novelty",
+    "context_chunks",
+    "group_split_guard",
+    "curriculum_bins",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

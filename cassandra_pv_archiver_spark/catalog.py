@@ -1937,6 +1937,58 @@ def q_compact_zorder_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-data feed between two retained snapshots
+    (`ArchiveStore.read_changes` — the Delta CDF / Iceberg
+    incremental-read analog): the rows appended by the second commit of
+    the shared base store, read from the MANIFEST FILE DIFF alone (cost
+    proportional to the delta, never the table — the incremental-
+    consumer economics a 100 TB replication/cascade job needs). The
+    base store's two commits partition the raw slice by (t div 1000)
+    parity, so the oracle is exactly the odd-parity half, checksummed
+    per channel. Read-only on the shared fixture."""
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(
+        spark, _fragmented_store_root(spark, sf_dir) + "/archive"
+    )
+    versions = store.level_versions(0)
+    if len(versions) < 2:  # empty slice: appends of nothing commit nothing
+        return spark.createDataFrame(
+            [],
+            "channel string, n_added long, t_first long, t_last long,"
+            " v_checksum long, sev_checksum long",
+        )
+    added = store.read_changes(0, versions[0], versions[-1])
+    return (
+        added.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_added"),
+            F.min("t").alias("t_first"),
+            F.max("t").alias("t_last"),
+            F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).alias(
+                "v_checksum"
+            ),
+            F.sum(F.col("severity").cast("bigint")).alias("sev_checksum"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_STORE_CDC_DIFF = f"""
+WITH {SAMPLES_CTE.strip().rstrip()}
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_added,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_checksum,
+       CAST(sum(severity) AS BIGINT) AS sev_checksum
+FROM samples
+WHERE (t // 1000) % 2 = 1
+GROUP BY channel ORDER BY channel
+"""
+
+
 def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation time travel over the manifest store (the
     `VERSION AS OF` surface of sources/manifest.py's Iceberg-lite commit

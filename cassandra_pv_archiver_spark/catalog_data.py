@@ -2111,3 +2111,187 @@ FROM documents doc LEFT JOIN (SELECT * FROM pd, tot) s
   ON s.doc_id = doc.doc_id
 ORDER BY doc.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: n-gram novelty, context chunking, group split guard,
+# curriculum binning
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scoring: mean corpus frequency of each document's
+    word-bigrams (integer-exact — see operators/text.ngram_novelty)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_novelty(docs).orderBy("doc_id")
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH d AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+bi AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM d WHERE len(w) >= 2
+),
+c AS (SELECT bg, count(*) AS c FROM bi GROUP BY bg),
+p AS (
+  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c) AS BIGINT) AS freq_sum
+  FROM bi JOIN c USING (bg) GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(freq_sum, 0) AS BIGINT) AS freq_sum,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN freq_sum / CAST(n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS avg_bigram_freq
+FROM documents doc LEFT JOIN p USING (doc_id)
+ORDER BY doc.doc_id
+"""
+
+
+CHUNK_WINDOW, CHUNK_STRIDE = 128, 96
+
+
+def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (128-token windows every 96
+    tokens) — the RAG-passage / long-context splitter; zero-shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.expr(f"size({text._WORDS})").alias("n_tokens"))
+    return sampling.context_chunks(
+        d, window_tokens=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+SQL_CONTEXT_CHUNKS = f"""
+WITH d AS (SELECT doc_id, len({_W_SQL}) AS n FROM documents)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS chunk_idx,
+       CAST(k * {CHUNK_STRIDE} AS BIGINT) AS tok_start,
+       CAST(least({CHUNK_WINDOW}, n - k * {CHUNK_STRIDE}) AS BIGINT) AS tok_len
+FROM (SELECT doc_id, n, unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS k
+      FROM d WHERE n > 0)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def _sql_h16_on(salt: str, col: str) -> str:
+    """DuckDB mirror of sampling.hash_bucket16 over an arbitrary column."""
+    return (
+        "CAST(list_sum(list_transform(range(0, 4), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5('{salt}:' || "
+        f"CAST({col} AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)"
+        " << (4 * (3 - i)))) AS INTEGER)"
+    )
+
+
+def q_group_split_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level train/val/test split audit: the hash threshold applies
+    to the SOURCE, so a source's documents can never straddle splits (the
+    leakage guard; near-duplicates cluster within a source). Output is
+    the audit a pipeline runs before training: per split, how many
+    sources and documents landed there — plus max_splits_per_source,
+    which the construction forces to 1 (a >1 value would be the leakage
+    alarm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.group_split_assign(
+        docs, group_col="source", salt="gsplit",
+        train_pct=SPLIT_TRAIN_PCT, val_pct=SPLIT_VAL_PCT,
+    )
+    per_source = s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    guard = per_source.groupBy("source").agg(
+        F.countDistinct("split").alias("_k")
+    ).agg(F.max("_k").alias("max_splits_per_source"))
+    return (
+        per_source.groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(guard))
+        .orderBy("split")
+    )
+
+
+SQL_GROUP_SPLIT_GUARD = f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {_sql_h16_on("gsplit", "source")} < {_T_THR} THEN 'train'
+              WHEN {_sql_h16_on("gsplit", "source")} < {_V_THR} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+ps AS (SELECT source, split, count(*) AS n_docs FROM s GROUP BY 1, 2),
+g AS (SELECT max(k) AS max_splits_per_source FROM
+        (SELECT source, count(DISTINCT split) AS k FROM ps GROUP BY source))
+SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       g.max_splits_per_source
+FROM ps, g GROUP BY split, g.max_splits_per_source ORDER BY split
+"""
+
+
+CURRICULUM_QS = (0.25, 0.5, 0.75)
+
+
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: per-language quality-score quartile cutoffs
+    (exact type-1 quantiles — the same machinery quality_quantiles pins),
+    broadcast back to assign every document a difficulty bin 1-4
+    (bin = 1 + #cutoffs strictly below the doc's score; boundary ties
+    stay in the lower bin — a pure value rule, identical on any engine).
+    This is the two-pass shape that scales: cutoffs are a tiny aggregate,
+    assignment is map-only — never a global sort/ntile over the corpus.
+    Returns per (lang, bin): n_docs, n_tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.text_metrics(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = stats.group_discrete_quantiles(
+        m, "lang", "quality_score", CURRICULUM_QS, tiebreak_col="doc_id"
+    )
+    binned = (
+        m.join(F.broadcast(cuts), "lang")
+        .groupBy("doc_id", "lang", "n_tokens")
+        .agg(
+            (
+                1 + F.sum((F.col("quality_score") > F.col("q_value")).cast("int"))
+            ).alias("bin")
+        )
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+_CURR_QS_VALUES = ", ".join(f"({q})" for q in CURRICULUM_QS)
+SQL_CURRICULUM_BINS = f"""
+WITH {_QUALITY_CTES},
+r AS (
+  SELECT lang, quality_score,
+         row_number() OVER (PARTITION BY lang ORDER BY quality_score, doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM qual
+),
+cuts AS (
+  SELECT lang, qs.q, quality_score AS q_value
+  FROM r JOIN (VALUES {_CURR_QS_VALUES}) qs(q)
+    ON rn = CAST(ceil(round(qs.q * n, 9)) AS BIGINT)
+),
+binned AS (
+  SELECT q.doc_id, q.lang, q.n_tokens,
+         1 + sum(CASE WHEN q.quality_score > c.q_value THEN 1 ELSE 0 END)
+           AS bin
+  FROM qual q JOIN cuts c USING (lang)
+  GROUP BY q.doc_id, q.lang, q.n_tokens
+)
+SELECT lang, CAST(bin AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM binned GROUP BY lang, bin ORDER BY lang, bin
+""".replace("{stop}", _STOP_PRED)

@@ -161,3 +161,74 @@ def mix_to_ratios(
         .filter(F.col("rank") <= F.col("quota"))
         .select(id_col, stratum_col, "rank", "quota")
     )
+
+
+def context_chunks(
+    docs: DataFrame,
+    n_tokens: Column | str = "n_tokens",
+    id_col: str = "doc_id",
+    window_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Overlapping context-window chunking: every document splits into
+    windows of ``window_tokens`` tokens starting every ``stride`` tokens
+    (the RAG-passage / long-context training-example splitter — the
+    sibling of :func:`sequence_packing`, which CONCATENATES short docs;
+    this SPLITS long ones).
+
+    Chunk starts are ``k * stride`` for ``k = 0 .. (n-1) div stride``
+    (every token is covered; the final chunk is short). Pure per-row
+    arithmetic + one ``sequence``/``explode`` fan-out: no shuffle at all
+    — the operator is embarrassingly parallel at any scale, and the
+    output inherits the input's partitioning for the downstream
+    tokenizer stage. Token-less docs emit no chunks.
+
+    Returns: id, chunk_idx, tok_start, tok_len.
+    """
+    if stride <= 0 or window_tokens <= 0:
+        raise ValueError("window_tokens and stride must be positive")
+    n = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    d = docs.select(F.col(id_col), n.cast("long").alias("_n"))
+    return (
+        d.filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_n",
+            F.explode(
+                F.expr(f"sequence(0L, (_n - 1) div {stride})")
+            ).alias("_k"),
+        )
+        .select(
+            id_col,
+            F.col("_k").cast("int").alias("chunk_idx"),
+            (F.col("_k") * stride).alias("tok_start"),
+            F.least(
+                F.lit(window_tokens).cast("long"),
+                F.col("_n") - F.col("_k") * stride,
+            ).alias("tok_len"),
+        )
+    )
+
+
+def group_split_assign(
+    df: DataFrame,
+    group_col: str = "source",
+    salt: str = "gsplit",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """GROUP-level split: the hash threshold is applied to the group key
+    (source/domain/url-host), so every document of a group lands in ONE
+    split — the leakage guard a row-level split cannot give (near-
+    duplicate documents cluster within a source; letting a source
+    straddle train/val leaks). Same engine-portable md5 threshold as
+    :func:`split_assign`, same zero-shuffle map-only cost."""
+    b = hash_bucket16(group_col, salt)
+    t_thr = 65536 * train_pct // 100
+    v_thr = 65536 * (train_pct + val_pct) // 100
+    split = (
+        F.when(b < t_thr, F.lit("train"))
+        .when(b < v_thr, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

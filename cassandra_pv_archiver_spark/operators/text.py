@@ -8,7 +8,7 @@ semantics-identical to the DuckDB oracle (same regexes, same arithmetic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny stopword lists per language for the n-gram/stopword language-ID
@@ -347,6 +347,51 @@ def importance_weights(
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("importance", F.lit(1.0)).alias("importance"),
+    )
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """Per-document boilerplate signal: the mean corpus frequency of the
+    document's word-bigrams. Generic/templated text is built from
+    bigrams the corpus repeats constantly (high mean frequency); novel
+    text sits in the tail — the integer-exact cousin of an n-gram LM
+    perplexity score (log-prob sums are float-order-sensitive across
+    engines; occurrence-count sums are BIGINT-exact, so the oracle is
+    bit-checkable).
+
+    100 TB shape: bigram corpus frequency is a COUNT window over the
+    bigram key (one hash(bg) exchange with no join — the count rides
+    back on the same partitioning), then one groupBy(doc_id) exchange;
+    token-less/one-token docs re-enter via the doc spine with zero
+    counts. Returns: doc_id, n_bigrams, freq_sum, avg_bigram_freq.
+    """
+    d = docs.select("doc_id", F.expr(_WORDS).alias("_w"))
+    bi = d.filter(F.size("_w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_w) - 2),"
+                " i -> concat(_w[i], ' ', _w[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    wbg = Window.partitionBy("bg")
+    per_doc = (
+        bi.withColumn("_c", F.count(F.lit(1)).over(wbg))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_c").alias("freq_sum"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("freq_sum", F.lit(0)).alias("freq_sum"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.col("freq_sum") / F.col("n_bigrams"),
+        ).otherwise(F.lit(0.0)).alias("avg_bigram_freq"),
     )
 
 

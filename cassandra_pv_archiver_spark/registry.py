@@ -69,6 +69,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_orc_ingest_roundtrip_1h,
         catalog.SQL_ORC_INGEST_ROUNDTRIP_1H,
     ),
+    # --- round 5 additions ---
+    "store_cdc_diff": (catalog.q_store_cdc_diff, catalog.SQL_STORE_CDC_DIFF),
+    "ngram_novelty": (
+        catalog_data.q_ngram_novelty,
+        catalog_data.SQL_NGRAM_NOVELTY,
+    ),
+    "context_chunks": (
+        catalog_data.q_context_chunks,
+        catalog_data.SQL_CONTEXT_CHUNKS,
+    ),
+    "group_split_guard": (
+        catalog_data.q_group_split_guard,
+        catalog_data.SQL_GROUP_SPLIT_GUARD,
+    ),
+    "curriculum_bins": (
+        catalog_data.q_curriculum_bins,
+        catalog_data.SQL_CURRICULUM_BINS,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -391,7 +409,13 @@ _NEVER_DRIVER_CHECKED = [
 
 #: New operators added this round — first driver row right after the
 #: never-checked block.
-_NEW_R05: list[str] = []
+_NEW_R05: list[str] = [
+    "store_cdc_diff",
+    "ngram_novelty",
+    "context_chunks",
+    "group_split_guard",
+    "curriculum_bins",
+]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05)
 REGISTRY = {

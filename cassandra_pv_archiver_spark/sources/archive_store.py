@@ -322,6 +322,52 @@ class ArchiveStore:
         readable via ``read_samples(level, at_version=v)``."""
         return self._level_table(level).versions()
 
+    def read_changes(
+        self, level: int, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Changed-data feed between two retained snapshots (the Delta
+        CDF / Iceberg incremental-read analog): the rows APPENDED in
+        ``(from_version, to_version]``, computed from the MANIFEST DIFF
+        alone — data files are immutable, so the rows added between two
+        append commits are exactly the contents of the files added, and
+        the scan reads ONLY those files (an incremental consumer's cost
+        is proportional to the delta, never the table — the property
+        that makes downstream cascade/replication jobs O(new data) at
+        100 TB; the store's own incremental decimation gets the same
+        economics through the hwm instead).
+
+        Raises if a file present in ``from_version`` is gone in
+        ``to_version`` (a compaction/retention rewrite in the window):
+        across rewrites "what changed" is no longer expressible as a
+        file set and callers must diff snapshots semantically
+        (read_samples(at_version) + anti-join) instead."""
+        table = self._level_table(level)
+        retained = table.versions()
+        for v in (from_version, to_version):
+            if v not in retained:
+                raise ValueError(
+                    f"version {v} of level {level} is not retained "
+                    f"(available: {retained})"
+                )
+        before = set(table.files(from_version) or [])
+        after = table.files(to_version) or []
+        removed = before - set(after)
+        if removed:
+            raise ValueError(
+                f"level {level} versions {from_version}->{to_version} "
+                f"rewrote {len(removed)} file(s) (compaction/retention); "
+                "append-only CDC does not apply — diff the snapshots via "
+                "read_samples(at_version=...) instead"
+            )
+        added = [f"{self._level_path(level)}/{r}" for r in after if r not in before]
+        if not added:
+            schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option(
+            "basePath", self._level_path(level)
+        ).parquet(*added)
+        return df.drop("date")
+
     def stats(self) -> list[dict]:
         """Per-level table statistics from MANIFESTS ALONE — zero data
         reads, zero directory walks (the DESCRIBE DETAIL analog; the

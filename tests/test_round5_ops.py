@@ -1,0 +1,126 @@
+"""Round-5 operator semantics: n-gram novelty, context chunking,
+group-level split guard, curriculum bins, and manifest-diff CDC."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.operators.sampling import (
+    context_chunks,
+    group_split_assign,
+)
+from cassandra_pv_archiver_spark.operators.text import ngram_novelty
+from cassandra_pv_archiver_spark.sources.archive_store import ArchiveStore
+
+
+def test_ngram_novelty_known_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),      # bigrams: "a b", "b c"
+            (2, "a b a b"),    # bigrams: "a b", "b a", "a b"
+            (3, "x"),          # no bigrams
+            (4, ""),           # no tokens at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    # corpus counts: "a b" x3, "b c" x1, "b a" x1
+    assert (out[1].n_bigrams, out[1].freq_sum) == (2, 3 + 1)
+    assert out[1].avg_bigram_freq == pytest.approx(2.0)
+    assert (out[2].n_bigrams, out[2].freq_sum) == (3, 3 + 1 + 3)
+    assert out[2].avg_bigram_freq == pytest.approx(7 / 3)
+    assert (out[3].n_bigrams, out[3].freq_sum, out[3].avg_bigram_freq) == (0, 0, 0.0)
+    assert (out[4].n_bigrams, out[4].freq_sum, out[4].avg_bigram_freq) == (0, 0, 0.0)
+
+
+def test_context_chunks_boundaries(spark):
+    docs = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 128), (4, 129), (5, 96 * 2)],
+        "doc_id long, n_tokens long",
+    )
+    rows = context_chunks(docs, window_tokens=128, stride=96).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append((r.tok_start, r.tok_len))
+    assert 1 not in by_doc                      # token-less: no chunks
+    assert by_doc[2] == [(0, 1)]
+    assert by_doc[3] == [(0, 128), (96, 32)]    # start 96 < 128 -> short tail
+    assert by_doc[4] == [(0, 128), (96, 33)]
+    assert by_doc[5] == [(0, 128), (96, 96)]    # n = 192: second chunk full
+    # every token covered: max(start+len) == n
+    assert max(s + n for s, n in by_doc[4]) == 129
+
+
+def test_context_chunks_rejects_bad_params(spark):
+    docs = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        context_chunks(docs, stride=0)
+
+
+def test_group_split_no_leakage(spark):
+    rows = [(i, f"src{i % 7}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    s = group_split_assign(docs, group_col="source")
+    k = (
+        s.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert k == 1  # no source straddles splits
+    # and the assignment is the pure hash of the source (stable rerun)
+    a = {(r.doc_id, r.split) for r in s.collect()}
+    b = {(r.doc_id, r.split) for r in group_split_assign(docs, "source").collect()}
+    assert a == b
+
+
+def test_read_changes_manifest_diff(spark, tmp_path):
+    store = ArchiveStore(spark, str(tmp_path / "arch"))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "channel string, t long, v double, severity int, status int"
+    )
+    store.write_samples(mk([("A", 1, 1.0, 0, 0), ("A", 2, 2.0, 0, 0)]), 0)
+    store.write_samples(mk([("A", 3, 3.0, 0, 0), ("B", 1, 9.0, 0, 0)]), 0)
+    v1, v2 = store.level_versions(0)
+    got = {(r.channel, r.t, r.v) for r in store.read_changes(0, v1, v2).collect()}
+    assert got == {("A", 3, 3.0), ("B", 1, 9.0)}
+    # same-version diff is empty with the right schema
+    assert store.read_changes(0, v2, v2).count() == 0
+    # a rewrite (compaction) in the window breaks append-only CDC: refuse
+    store2 = ArchiveStore(spark, str(tmp_path / "arch"), keep_versions=3)
+    store2.compact(0)
+    vs = store2.level_versions(0)
+    with pytest.raises(ValueError, match="rewrote"):
+        store2.read_changes(0, vs[0], vs[-1])
+    with pytest.raises(ValueError, match="not retained"):
+        store2.read_changes(0, 999_999, vs[-1])
+
+
+def test_curriculum_bin_boundary_ties(spark):
+    """Docs exactly AT a cutoff stay in the lower bin (score > cutoff is
+    strict) — the rule both engines state identically."""
+    from cassandra_pv_archiver_spark.operators.stats import (
+        group_discrete_quantiles,
+    )
+
+    # 8 docs, scores 1..8 -> type-1 quartile cutoffs at ranks 2, 4, 6
+    rows = [(i, "en", float(i)) for i in range(1, 9)]
+    m = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    cuts = group_discrete_quantiles(
+        m, "lang", "score", (0.25, 0.5, 0.75), tiebreak_col="doc_id"
+    )
+    assert {(r.q, r.q_value) for r in cuts.collect()} == {
+        (0.25, 2.0), (0.5, 4.0), (0.75, 6.0),
+    }
+    binned = (
+        m.join(F.broadcast(cuts), "lang")
+        .groupBy("doc_id")
+        .agg(
+            (1 + F.sum((F.col("score") > F.col("q_value")).cast("int")))
+            .alias("bin")
+        )
+    )
+    bins = {r.doc_id: r.bin for r in binned.collect()}
+    # score == cutoff stays LOW: doc 2 -> bin 1, doc 4 -> bin 2, doc 6 -> bin 3
+    assert bins == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}

@@ -555,6 +555,43 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "BroadcastNestedLoopJoin", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "store_cdc_diff": (
+        2,  # manifest-diff scan of ONLY the appended files -> one
+        # per-channel agg exchange + the output sort; the delta is never
+        # joined against the table (incremental-consumer economics)
+        ["partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "ngram_novelty": (
+        None,  # bigram corpus frequency is a COUNT window on hash(bg)
+        # (no bigram⋈bigram join), then one doc_id agg + the doc spine
+        # re-entry join
+        ["Window", "partial_"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "context_chunks": (
+        1,  # pure per-row sequence/explode fan-out: the ONLY exchange is
+        # the output presentation sort — a shuffle appearing in the chunker
+        # itself is a regression
+        ["Generate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "Window", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "group_split_guard": (
+        None,  # split assignment is a pure map (md5 threshold); the only
+        # joinish node is the 1-row guard broadcast
+        ["partial_"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "curriculum_bins": (
+        None,  # cutoffs are a tiny per-lang aggregate BROADCAST back over
+        # the metrics (two-pass corpus statistic); never a global
+        # sort/ntile of the corpus
+        ["BroadcastHashJoin", "partial_"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
 }
 
 
