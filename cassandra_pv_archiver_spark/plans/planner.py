@@ -65,12 +65,20 @@ def select_decimation_level(
     return shorter
 
 
+class _Stats:
+    __slots__ = ("bt", "rmin", "ft")
+
+    def __init__(self, bt, rmin, ft):
+        self.bt, self.rmin, self.ft = bt, rmin, ft
+
+
 def plan_samples(
     levels: Mapping[int, DataFrame],
     start_ns: int,
     end_ns: int,
     count: int | None = None,
     key: str = "channel",
+    stats: Mapping[tuple[int, str], tuple] | None = None,
 ) -> DataFrame:
     """Build the (possibly multi-level) sample query plan for one channel
     series per key.
@@ -79,9 +87,25 @@ def plan_samples(
     (columns must be aligned across levels; include a ``level`` column if
     callers need provenance). Returns the ordered concatenation of disjoint
     per-level range queries per `Api10Controller.java:443-518`.
+
+    ``stats`` optionally supplies the per-(period, key) probe triples
+    ``(bt, rmin, ft)`` — latest t <= start / min t in range / min t >=
+    end — skipping the generic probe job entirely. Store-backed callers
+    get them from partition-bounded manifest walks
+    (``ArchiveStore.probe_stats``), which is the planner's serving-path
+    fast lane: the generic probe's ``t <= start`` arm has no lower bound
+    to push down and reads history partitions at archive scale.
     """
     best = select_decimation_level(levels.keys(), start_ns, end_ns, count)
     usable = [p for p in sorted(levels) if p >= best]
+    if stats is not None:
+        norm = {
+            pk: _Stats(*v) for pk, v in stats.items()
+            if any(x is not None for x in v)
+        }
+        return _plan_from_stats(
+            levels, usable, norm, start_ns, end_ns, key
+        )
 
     # ONE probe job for every level (the reference issues one bucket-index
     # lookup per level too, but those are single-partition metadata reads;
@@ -115,9 +139,13 @@ def plan_samples(
             F.min(F.when(F.col("t") >= end_ns, F.col("t"))).alias("ft"),
         ).select(F.lit(period).alias("period"), key, "bt", "rmin", "ft")
         stats_df = per_key if stats_df is None else stats_df.unionByName(per_key)
-    stats: dict[tuple[int, str], object] = {
+    stats_map: dict[tuple[int, str], object] = {
         (r.period, r[key]): r for r in stats_df.collect()
     }
+    return _plan_from_stats(levels, usable, stats_map, start_ns, end_ns, key)
+
+
+def _plan_from_stats(levels, usable, stats, start_ns, end_ns, key):
     keys = sorted({k for (_, k) in stats})
 
     # Decide each key's fallback walk in PURE PYTHON first (it only needs

@@ -122,7 +122,18 @@ class ArchiveApp:
             raise ApiError(404, f"unknown channel: {channel}")
 
         levels = self._aligned_levels(channel)
-        plan = plan_samples(levels, start, end, count=count)
+        # serving fast lane: probe triples from partition-bounded manifest
+        # walks (typically ONE date partition per level), so plan_samples
+        # skips its generic probe aggregation — whose `t <= start` arm
+        # would scan history partitions at archive scale
+        stats = {
+            (period, ch): triple
+            for period in self.store.levels()
+            for ch, triple in self.store.probe_stats(
+                period, start, end, [channel]
+            ).items()
+        }
+        plan = plan_samples(levels, start, end, count=count, stats=stats)
         rendered = _render_plan_json_v1(plan)
         return [
             json.loads(r.json)

@@ -419,6 +419,103 @@ class ArchiveStore:
         )
         return None if row is None or row.hwm is None else row.hwm
 
+    def probe_stats(
+        self,
+        level: int,
+        start_ns: int,
+        end_ns: int,
+        channels: list[str],
+        max_backward_partitions: int = 64,
+    ) -> dict[str, tuple[int | None, int | None, int | None]]:
+        """Per-channel planner probes — ``(bt, rmin, ft)`` = latest t <=
+        start / min t in [start, end] / min t >= end — answered from
+        PARTITION-BOUNDED scans driven by the manifest, for
+        ``plans.planner.plan_samples(stats=...)``:
+
+          * ``rmin`` reads only the [start, end] date partitions (the
+            range a query touches anyway);
+          * ``bt`` steps BACKWARD one date partition at a time from
+            ``start`` (the reference's reverse bucket walk,
+            `ArchiveAccessServiceImpl.java:239-316`) and stops as soon as
+            every requested channel resolved — at any archive size the
+            common case touches ONE partition, where the generic probe
+            aggregation's ``t <= start`` arm must scan all history (no
+            lower bound to push down). The walk is capped at
+            ``max_backward_partitions`` date-steps; unresolved channels
+            then get one final scan over the remaining older partitions
+            (correct, just no longer incremental — the pathological
+            sparse-channel case);
+          * ``ft`` steps FORWARD from ``end`` symmetrically (uncapped:
+            the future side is normally short).
+
+        Returns {channel: (bt, rmin, ft)} with None for missing probes.
+        """
+        chans = list(channels)
+        out: dict[str, list] = {c: [None, None, None] for c in chans}
+        dates = self._level_dates(level)
+        d_start, d_end = _py_date(start_ns), _py_date(end_ns)
+
+        in_range = [d for d in dates if d_start <= d <= d_end]
+        if in_range:
+            df = self.spark.read.parquet(
+                *self._level_files(level, in_range[0], in_range[-1])
+            )
+            rows = (
+                df.filter(
+                    F.col("channel").isin(chans)
+                    & F.col("t").between(start_ns, end_ns)
+                )
+                .groupBy("channel")
+                .agg(F.min("t").alias("rmin"))
+                .collect()
+            )
+            for r in rows:
+                out[r.channel][1] = r.rmin
+
+        def _walk(cands: list[str], pending: set[str], slot: int,
+                  agg, pred, cap: int | None):
+            steps = 0
+            for i, d in enumerate(cands):
+                if not pending:
+                    return
+                if cap is not None and steps >= cap:
+                    # one bounded fallback scan over everything left
+                    rest = cands[i:]
+                    if not rest:
+                        return
+                    files = self._level_files(level, rest[-1], rest[0]) \
+                        if slot == 0 else self._level_files(level, rest[0], rest[-1])
+                    df = self.spark.read.parquet(*files)
+                    rows = (
+                        df.filter(F.col("channel").isin(list(pending)) & pred)
+                        .groupBy("channel").agg(agg.alias("x")).collect()
+                    )
+                    for r in rows:
+                        if r.x is not None:
+                            out[r.channel][slot] = r.x
+                    return
+                df = self.spark.read.parquet(*self._level_files(level, d, d))
+                rows = (
+                    df.filter(F.col("channel").isin(list(pending)) & pred)
+                    .groupBy("channel").agg(agg.alias("x")).collect()
+                )
+                for r in rows:
+                    if r.x is not None:
+                        out[r.channel][slot] = r.x
+                        pending.discard(r.channel)
+                steps += 1
+
+        _walk(
+            [d for d in reversed(dates) if d <= d_start],
+            set(chans), 0, F.max("t"), F.col("t") <= start_ns,
+            max_backward_partitions,
+        )
+        _walk(
+            [d for d in dates if d >= d_end],
+            set(chans), 2, F.min("t"), F.col("t") >= end_ns, None,
+        )
+        return {c: tuple(v) for c, v in out.items()}
+
     def latest_at_or_before(self, level: int, ts_ns: int) -> int | None:
         """Max t with ``t <= ts`` — steps backward one date partition at a
         time (newest first), the same shape as the reference's bucket-

@@ -193,3 +193,74 @@ def test_probe_row_is_atomic_under_duplicate_timestamps(spark):
     got = asof.asof_before(df, 100).collect()
     assert len(got) == 1
     assert (got[0].v, got[0].severity) in {(1.0, 0), (2.0, 5)}
+
+
+def test_stats_injection_reproduces_probe_plan(spark):
+    """plan_samples(stats=...) must produce exactly the plan the generic
+    probe job produces — same per-channel fallback fixture as above, with
+    the probe triples handed in precomputed."""
+    NS = 1_000_000_000
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            [(c, t * NS, float(v), lvl) for (c, t, v, lvl) in rows],
+            "channel string, t long, value double, level int",
+        )
+
+    l0 = _mk(
+        [("A", t, 1.0, 0) for t in range(0, 1200, 50)]
+        + [("B", t, 2.0, 0) for t in range(900, 1200, 50)]
+    )
+    l1 = _mk(
+        [("A", t, 10.0, 60) for t in range(0, 1200, 60)]
+        + [("B", t, 20.0, 60) for t in range(0, 1200, 60)]
+    )
+    lo, hi = 100 * NS, 1100 * NS
+    baseline = {
+        tuple(r)
+        for r in plan_samples({0: l0, 60: l1}, lo, hi, count=10**6).collect()
+    }
+    # probe triples computed by hand from the fixture:
+    #   bt = latest t <= 100s, rmin = min t in [100s, 1100s], ft = min >= 1100s
+    stats = {
+        (0, "A"): (100 * NS, 100 * NS, 1100 * NS),
+        (0, "B"): (None, 900 * NS, 1100 * NS),
+        (60, "A"): (60 * NS, 120 * NS, 1140 * NS),
+        (60, "B"): (60 * NS, 120 * NS, 1140 * NS),
+    }
+    injected = {
+        tuple(r)
+        for r in plan_samples(
+            {0: l0, 60: l1}, lo, hi, count=10**6, stats=stats
+        ).collect()
+    }
+    assert injected == baseline
+
+
+def test_store_probe_stats_matches_scan(spark, tmp_path):
+    """ArchiveStore.probe_stats (partition-bounded manifest walk) returns
+    the same triples as a full-scan aggregation."""
+    from cassandra_pv_archiver_spark.sources.archive_store import ArchiveStore
+
+    DAY = 86_400 * NS
+    rows = [
+        ("A", 0 * DAY + 5, 1.0, 0, 0),
+        ("A", 3 * DAY + 7, 2.0, 0, 0),   # bt target (days 1-2 empty)
+        ("A", 5 * DAY + 1, 3.0, 0, 0),   # rmin
+        ("A", 7 * DAY + 9, 4.0, 0, 0),   # ft
+        ("B", 5 * DAY + 2, 9.0, 0, 0),   # only in-range data
+    ]
+    raw = spark.createDataFrame(
+        rows, "channel string, t long, v double, severity int, status int"
+    )
+    store = ArchiveStore(spark, str(tmp_path / "arch"))
+    store.write_samples(raw, level=0)
+    got = store.probe_stats(0, 5 * DAY, 6 * DAY, ["A", "B", "MISSING"])
+    assert got["A"] == (3 * DAY + 7, 5 * DAY + 1, 7 * DAY + 9)
+    assert got["B"] == (None, 5 * DAY + 2, None)
+    assert got["MISSING"] == (None, None, None)
+    # capped backward walk falls back to one bounded scan, same answer
+    got2 = store.probe_stats(
+        0, 5 * DAY, 6 * DAY, ["A"], max_backward_partitions=1
+    )
+    assert got2["A"] == got["A"]
