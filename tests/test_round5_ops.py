@@ -124,3 +124,85 @@ def test_curriculum_bin_boundary_ties(spark):
     bins = {r.doc_id: r.bin for r in binned.collect()}
     # score == cutoff stays LOW: doc 2 -> bin 1, doc 4 -> bin 2, doc 6 -> bin 3
     assert bins == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @given(
+        ns=st.lists(st.integers(min_value=0, max_value=500),
+                    min_size=1, max_size=12),
+        window=st.integers(min_value=1, max_value=64),
+        stride_frac=st.integers(min_value=1, max_value=64),
+    )
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_context_chunks_cover_every_token(spark, ns, window, stride_frac):
+        """Invariants for any (window, stride <= window): chunk starts are
+        k*stride, lengths in (0, window], the union of chunks covers
+        exactly [0, n), and consecutive chunks overlap by window-stride
+        (except the short tail)."""
+        stride = max(1, min(window, stride_frac))
+        docs = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(ns)], "doc_id long, n_tokens long"
+        )
+        from cassandra_pv_archiver_spark.operators.sampling import context_chunks
+
+        rows = context_chunks(
+            docs, window_tokens=window, stride=stride
+        ).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, n in enumerate(ns):
+            chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+            if n == 0:
+                assert not chunks
+                continue
+            covered = set()
+            for j, r in enumerate(chunks):
+                assert r.chunk_idx == j
+                assert r.tok_start == j * stride
+                assert 0 < r.tok_len <= window
+                assert r.tok_start + r.tok_len <= n
+                covered.update(range(r.tok_start, r.tok_start + r.tok_len))
+            assert covered == set(range(n))
+
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=12),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_ngram_novelty_conservation(spark, texts):
+        """Sum of freq_sum over docs == sum over distinct bigrams of
+        count^2 (each of the c occurrences of a bigram contributes c),
+        and n_bigrams == max(0, tokens - 1) per doc."""
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        from cassandra_pv_archiver_spark.operators.text import ngram_novelty
+
+        out = ngram_novelty(docs).collect()
+        toks = [t.split() for t in texts]
+        for r in out:
+            assert r.n_bigrams == max(0, len(toks[r.doc_id]) - 1)
+        from collections import Counter
+
+        c = Counter(
+            " ".join(p)
+            for ws in toks
+            for p in zip(ws, ws[1:])
+        )
+        assert sum(r.freq_sum for r in out) == sum(v * v for v in c.values())
