@@ -2594,3 +2594,181 @@ SELECT * FROM (
 
 
 SQL_CHANNEL_CORRELATION_MATRIX = _sql_channel_corr_matrix()
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: CUSUM changepoints, distribution drift, SAX motifs
+# ---------------------------------------------------------------------------
+
+CUSUM_LAMBDA = 8
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel CUSUM changepoint alarms — the classic mean-shift
+    detector, made declarative via the prefix-sum closed form and exact
+    integer arithmetic throughout (operators/stats.cusum_alarms)."""
+    from .operators.stats import cusum_alarms
+
+    return cusum_alarms(load_samples(spark, sf_dir), lam=CUSUM_LAMBDA)
+
+
+SQL_CUSUM_CHANGEPOINTS = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+base AS (
+  SELECT channel, t,
+         CAST(floor(v * 100 + 0.5) AS HUGEINT) AS vi
+  FROM samples
+),
+dev AS (
+  SELECT channel, t,
+         count(*) OVER (PARTITION BY channel) AS n,
+         count(*) OVER (PARTITION BY channel) * vi
+           - sum(vi) OVER (PARTITION BY channel) AS d
+  FROM base
+),
+pfx AS (
+  SELECT channel, t, n, d,
+         sum(abs(d)) OVER (PARTITION BY channel) AS a,
+         sum(d) OVER (PARTITION BY channel ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM dev
+),
+cus AS (
+  SELECT channel, t, n, a,
+         p - min(p) OVER (PARTITION BY channel ORDER BY t) AS cpos,
+         max(p) OVER (PARTITION BY channel ORDER BY t) - p AS cneg
+  FROM pfx
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN cpos * n > {CUSUM_LAMBDA} * a THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pos_alarms,
+       CAST(sum(CASE WHEN cneg * n > {CUSUM_LAMBDA} * a THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neg_alarms,
+       min(CASE WHEN cpos * n > {CUSUM_LAMBDA} * a
+                  OR cneg * n > {CUSUM_LAMBDA} * a THEN t END)
+         AS first_alarm_t,
+       ({big_to_double_duck("max(cpos)")}) / (CAST(max(n) AS DOUBLE) * 100.0)
+         AS max_pos_dev,
+       ({big_to_double_duck("max(cneg)")}) / (CAST(max(n) AS DOUBLE) * 100.0)
+         AS max_neg_dev
+FROM cus GROUP BY channel ORDER BY channel
+"""
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-half vs second-half value-distribution drift per channel as
+    exact total-variation distance (operators/stats.distribution_drift)."""
+    from .operators.stats import distribution_drift
+
+    return distribution_drift(load_samples(spark, sf_dir), n_bins=N_HIST_BINS)
+
+
+SQL_DISTRIBUTION_DRIFT = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+bounds AS (
+  SELECT channel, min(v) AS lo, max(v) AS hi,
+         min(t) AS tlo, max(t) AS thi
+  FROM samples GROUP BY channel
+),
+binned AS (
+  SELECT s.channel,
+         CAST(CASE WHEN b.hi = b.lo THEN 0
+              ELSE least({N_HIST_BINS - 1},
+                         floor((s.v - b.lo) / (b.hi - b.lo) * {N_HIST_BINS}))
+              END AS INTEGER) AS bin,
+         CASE WHEN s.t * 2 < b.tlo + b.thi THEN 1 ELSE 0 END AS fst
+  FROM samples s JOIN bounds b USING (channel)
+),
+per_bin AS (
+  SELECT channel, bin,
+         CAST(sum(fst) AS HUGEINT) AS a,
+         CAST(sum(1 - fst) AS HUGEINT) AS b
+  FROM binned GROUP BY channel, bin
+),
+tot AS (
+  SELECT channel, bin, a, b,
+         sum(a) OVER (PARTITION BY channel) AS na,
+         sum(b) OVER (PARTITION BY channel) AS nb
+  FROM per_bin
+)
+SELECT channel,
+       CAST(max(na) AS BIGINT) AS n_first,
+       CAST(max(nb) AS BIGINT) AS n_second,
+       CASE WHEN max(na) = 0 OR max(nb) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE ({big_to_double_duck("sum(abs(a * nb - b * na))")})
+               / ({big_to_double_duck("(2 * max(na) * max(nb))")}) END AS tvd
+FROM tot GROUP BY channel ORDER BY channel
+"""
+
+
+SAX_PERIOD_NS = PERIOD_1H * NS
+SAX_SYMBOLS, SAX_WORD_LEN = 4, 3
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX/PAA symbolic motif discovery: most frequent 3-window symbol
+    word per channel over 1 h PAA windows (operators/stats.sax_motifs)."""
+    from .operators.stats import sax_motifs
+
+    return sax_motifs(
+        load_samples(spark, sf_dir),
+        period_ns=SAX_PERIOD_NS,
+        n_symbols=SAX_SYMBOLS,
+        word_len=SAX_WORD_LEN,
+    )
+
+
+_SAX_P = PERIOD_1H * NS
+SQL_SAX_MOTIFS = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+paa AS (
+  SELECT channel,
+         CAST((t - ((t % {_SAX_P} + {_SAX_P}) % {_SAX_P})) AS BIGINT)
+           // {_SAX_P} AS win,
+         CAST(sum(CAST(floor(v * 100 + 0.5) AS HUGEINT)) AS HUGEINT) AS sv,
+         count(*) AS c
+  FROM samples GROUP BY channel, win
+),
+pm AS (
+  SELECT channel, win,
+         ({big_to_double_duck("sv")}) / CAST(c AS DOUBLE) AS m
+  FROM paa
+),
+bounds AS (
+  SELECT channel, min(m) AS lo, max(m) AS hi FROM pm GROUP BY channel
+),
+sym AS (
+  SELECT pm.channel, pm.win,
+         CAST(CASE WHEN b.hi = b.lo THEN 0
+              ELSE least({SAX_SYMBOLS - 1},
+                         floor((pm.m - b.lo) / (b.hi - b.lo) * {SAX_SYMBOLS}))
+              END AS INTEGER) AS s,
+         count(*) OVER (PARTITION BY pm.channel) AS n_windows
+  FROM pm JOIN bounds b ON b.channel = pm.channel
+),
+words AS (
+  SELECT channel, n_windows,
+         CAST(s AS VARCHAR)
+           || CAST(lead(s, 1) OVER w AS VARCHAR)
+           || CAST(lead(s, 2) OVER w AS VARCHAR) AS word,
+         lead(win, 1) OVER w = win + 1
+           AND lead(win, 2) OVER w = win + 2 AS ok
+  FROM sym WINDOW w AS (PARTITION BY channel ORDER BY win)
+),
+counts AS (
+  SELECT channel, n_windows, word, count(*) AS n_occ
+  FROM words WHERE ok AND word IS NOT NULL
+  GROUP BY channel, n_windows, word
+),
+ranked AS (
+  SELECT channel, n_windows, word, n_occ,
+         row_number() OVER (PARTITION BY channel
+                            ORDER BY n_occ DESC, word) AS rn
+  FROM counts
+)
+SELECT channel, word AS motif,
+       CAST(n_occ AS BIGINT) AS n_occurrences,
+       CAST(n_windows AS BIGINT) AS n_windows
+FROM ranked WHERE rn = 1 ORDER BY channel
+"""

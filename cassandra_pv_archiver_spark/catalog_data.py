@@ -2295,3 +2295,105 @@ SELECT lang, CAST(bin AS INTEGER) AS bin,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM binned GROUP BY lang, bin ORDER BY lang, bin
 """.replace("{stop}", _STOP_PRED)
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: content-defined chunk dedup, temperature allocation
+# ---------------------------------------------------------------------------
+
+CDC_AVG_WORDS = 16
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit per source: word-level
+    FastCDC-style boundaries, chunk digests, corpus-wide duplicate-chunk
+    ratio (operators/dedup.cdc_chunk_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cdc_chunk_stats(docs, avg_chunk_words=CDC_AVG_WORDS)
+
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH d AS (SELECT doc_id, source, {_W_SQL} AS w FROM documents),
+tok AS (
+  SELECT doc_id, source, i - 1 AS pos, w[i] AS word
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+  WHERE len(w) > 0
+),
+b AS (
+  SELECT doc_id, source, pos, word,
+         CASE WHEN {_sql_h16_on("cdc", "word")} % {CDC_AVG_WORDS} = 0
+              THEN 1 ELSE 0 END AS bnd
+  FROM tok
+),
+ch AS (
+  SELECT doc_id, source,
+         coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id,
+         pos, word
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, source, chunk_id,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS digest
+  FROM ch GROUP BY doc_id, source, chunk_id
+),
+cc AS (
+  SELECT source, count(*) OVER (PARTITION BY digest) AS c
+  FROM chunks
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_chunk_ratio
+FROM cc GROUP BY source ORDER BY source
+"""
+
+
+ALLOC_BUDGET = 1_000_000
+
+
+def q_mixture_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α = 1/2) token-budget allocation across
+    languages with exact integer square roots and largest-remainder
+    apportionment (operators/sampling.temperature_alloc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_alloc(
+        docs, budget_tokens=ALLOC_BUDGET, group_col="lang", size_col="n_chars"
+    )
+
+
+SQL_MIXTURE_TEMPERATURE_ALLOC = f"""
+WITH g AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS group_size
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, group_size,
+         s0 - CASE WHEN s0 * s0 > group_size THEN 1 ELSE 0 END
+            + CASE WHEN (s0 + 1) * (s0 + 1) <= group_size THEN 1 ELSE 0 END
+           AS weight
+  FROM (SELECT lang, group_size,
+               CAST(floor(sqrt(CAST(group_size AS DOUBLE))) AS BIGINT) AS s0
+        FROM g)
+),
+ap AS (
+  SELECT lang, group_size, weight,
+         ({ALLOC_BUDGET} * weight) // sum(weight) OVER () AS base,
+         ({ALLOC_BUDGET} * weight) % sum(weight) OVER () AS rem
+  FROM w
+),
+fin AS (
+  SELECT lang, group_size, weight, base,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rn,
+         {ALLOC_BUDGET} - sum(base) OVER () AS deficit
+  FROM ap
+)
+SELECT lang, group_size, weight,
+       CAST(base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens,
+       CAST(base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS DOUBLE)
+         / {ALLOC_BUDGET} AS share
+FROM fin ORDER BY lang
+"""

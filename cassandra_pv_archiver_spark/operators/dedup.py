@@ -588,3 +588,84 @@ def contamination_exact_run(
         .filter(F.col("max_run") >= min_run)
         .select(id_col, "max_run", "longest_tokens", "n_hit_positions")
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    avg_chunk_words: int = 16,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking dedup audit (the rsync/LBFS/FastCDC idea
+    applied at word granularity): a chunk boundary falls AFTER any word
+    whose salted hash lands in 1/``avg_chunk_words`` of the hash space,
+    so boundaries are a pure function of local content — insert one
+    sentence into a document and only the chunks touching it change,
+    unlike fixed-width chunking where every downstream chunk shifts.
+    Duplicate chunks across documents are then exact-dedupable by
+    digest. Reported per ``group_col``: how much of the corpus is
+    chunk-level duplicated.
+
+    Engine-portability: the boundary hash is the md5-nibble
+    ``hash_bucket16`` (mirrored in the DuckDB oracle), chunk text is
+    reassembled in explicit position order (sort_array over (pos, word)
+    structs — never collect_list's arbitrary order), and the dup ratio
+    is one exact integer division.
+
+    100 TB shape: token explode is narrow (no shuffle); ONE
+    hash(doc_id) exchange drives both the boundary prefix-sum window
+    and the chunk reassembly groupBy; the corpus-wide chunk count is a
+    count-window on the digest key (shuffle of one short digest row per
+    chunk, map-side combinable via the groupBy that precedes it). No
+    pair joins anywhere — dedup detection is O(chunks), not O(chunks²).
+
+    Returns: group_col, n_chunks, n_dup_chunks, dup_chunk_ratio.
+    """
+    from .sampling import hash_bucket16
+    from .text import _WORDS
+
+    tok = docs.select(
+        "doc_id",
+        F.col(group_col),
+        F.posexplode(F.expr(_WORDS.replace("text", text_col))).alias(
+            "pos", "word"
+        ),
+    )
+    boundary = (hash_bucket16("word", salt) % avg_chunk_words == 0).cast("int")
+    wex = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = (
+        tok.withColumn(
+            "chunk_id",
+            F.coalesce(F.sum(boundary).over(wex), F.lit(0)).cast("int"),
+        )
+        .groupBy("doc_id", group_col, "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, word))),"
+                    " s -> s.word)"
+                ),
+            ).alias("chunk_text")
+        )
+        .withColumn("digest", F.md5("chunk_text"))
+    )
+    wdg = Window.partitionBy("digest")
+    per = chunks.withColumn("_c", F.count(F.lit(1)).over(wdg))
+    return (
+        per.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_c") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_ratio",
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks"),
+        )
+        .orderBy(group_col)
+    )

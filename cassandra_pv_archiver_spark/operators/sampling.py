@@ -232,3 +232,67 @@ def group_split_assign(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def temperature_alloc(
+    docs: DataFrame,
+    budget_tokens: int = 1_000_000,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-scaled sampling allocation across corpus groups
+    (the multilingual-LM mixture rule p_i ∝ c_i^α with α = 1/2, as in
+    the public mBERT/XLM-R exponent-smoothing scheme): big languages
+    are down-weighted, small ones boosted, and a fixed token budget is
+    split proportionally to √(group size).
+
+    Exactness: √ goes through the INTEGER square root (floor(sqrt(c))
+    corrected by one exact comparison on each side, so the IEEE sqrt's
+    ±1-ulp slack at perfect-square boundaries can never flip it), and
+    the budget split is largest-remainder apportionment in pure integer
+    arithmetic — allocations always sum to exactly the budget, ties
+    break on the group key, and every number is bit-identical on any
+    engine and any cluster size.
+
+    100 TB shape: one map-side-combined groupBy over the corpus; the
+    apportionment runs on the collapsed per-group table (a handful of
+    rows), where the global windows cost nothing.
+
+    Returns: group_col, group_size, weight, alloc_tokens, share.
+    """
+    g = docs.groupBy(group_col).agg(
+        F.sum(size_col).cast("long").alias("group_size")
+    )
+    s0 = F.expr("CAST(floor(sqrt(CAST(group_size AS DOUBLE))) AS BIGINT)")
+    g = g.withColumn("_s0", s0).withColumn(
+        "weight",
+        F.expr(
+            "_s0 - CAST(_s0 * _s0 > group_size AS BIGINT)"
+            " + CAST((_s0 + 1) * (_s0 + 1) <= group_size AS BIGINT)"
+        ),
+    )
+    # post-aggregation table: one row per group — global windows are free
+    wall = Window.partitionBy()
+    worder = Window.partitionBy().orderBy(
+        F.col("_rem").desc(), F.col(group_col)
+    )
+    b = F.lit(int(budget_tokens))
+    g = (
+        g.withColumn("_w", F.sum("weight").over(wall))
+        .withColumn("_base", F.expr(f"({budget_tokens} * weight) div _w"))
+        .withColumn("_rem", F.expr(f"({budget_tokens} * weight) % _w"))
+        .withColumn("_deficit", b - F.sum("_base").over(wall))
+        .withColumn("_rn", F.row_number().over(worder))
+    )
+    return g.select(
+        group_col,
+        "group_size",
+        "weight",
+        (F.col("_base") + (F.col("_rn") <= F.col("_deficit")).cast("long"))
+        .alias("alloc_tokens"),
+        (
+            (F.col("_base") + (F.col("_rn") <= F.col("_deficit")).cast("long"))
+            .cast("double")
+            / float(budget_tokens)
+        ).alias("share"),
+    ).orderBy(group_col)

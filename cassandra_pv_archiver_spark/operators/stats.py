@@ -482,3 +482,268 @@ def lagged_channel_correlation(
         )
         .filter(F.col("n_points") >= 2)
     )
+
+
+def cusum_alarms(samples: DataFrame, lam: int = 8) -> DataFrame:
+    """Exact one-sided CUSUM changepoint alarms per channel.
+
+    The textbook recursion C_t = max(0, C_{t-1} + (x_t - mean)) is not a
+    window function, but its closed form is: with P_t = prefix-sum of
+    deviations, C_t = P_t - min_{j<=t} P_j (and the downward side is
+    running-max - P_t). Both prefix aggregates ARE window functions, so
+    the whole detector stays declarative — no applyInPandas, no
+    per-channel driver loop.
+
+    Everything is integer-exact: values scale to vi = floor(v*100+0.5),
+    the deviation is d_t = n*vi - S (n, S = per-channel count/sum, so
+    d is n*(x_t - mean) with no division), prefix sums accumulate in
+    DECIMAL(38,0) (order-insensitive), and the alarm rule
+    ``C_t * n > lam * A`` (A = sum|d|) compares C against ``lam`` mean
+    absolute deviations with exact integer cross-multiplication — the
+    oracle reproduces every comparison bit-for-bit in HUGEINT.
+
+    100 TB shape: ONE hash(channel) exchange feeds all four windows
+    (the unordered n/S/A windows and the ordered prefix windows share
+    the partitioning) and the final per-channel aggregation reuses it;
+    channels are independent, so the plan is embarrassingly parallel
+    across executors and the per-channel sort is the only superlinear
+    term. A constant channel has A = 0 and never alarms.
+
+    Returns: channel, n_samples, n_pos_alarms, n_neg_alarms,
+    first_alarm_t (nullable), max_pos_dev, max_neg_dev (double,
+    in value units: C / (n * 100)).
+    """
+    from .decimate import big_to_double
+
+    wc = Window.partitionBy("channel")
+    wo = (
+        Window.partitionBy("channel")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        samples.select(
+            "channel",
+            "t",
+            F.expr("CAST(floor(v * 100 + 0.5) AS DECIMAL(19,0))").alias("_vi"),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wc).cast("decimal(19,0)"))
+        .withColumn("_s", F.sum("_vi").over(wc))
+        .withColumn(
+            "_d", F.expr("CAST(_n * _vi - _s AS DECIMAL(38,0))")
+        )
+        .withColumn("_a", F.sum(F.abs(F.col("_d"))).over(wc))
+        .withColumn("_p", F.sum("_d").over(wo))
+        .withColumn("_cpos", F.expr("_p - min(_p) OVER "
+                                    "(PARTITION BY channel ORDER BY t)"))
+        .withColumn("_cneg", F.expr("max(_p) OVER "
+                                    "(PARTITION BY channel ORDER BY t) - _p"))
+    )
+    alarm_pos = F.expr(f"_cpos * _n > {lam} * _a")
+    alarm_neg = F.expr(f"_cneg * _n > {lam} * _a")
+    mx = big_to_double("CAST(max(_cpos) AS DECIMAL(38,0))")
+    mn = big_to_double("CAST(max(_cneg) AS DECIMAL(38,0))")
+    return (
+        d.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(alarm_pos.cast("long")).alias("n_pos_alarms"),
+            F.sum(alarm_neg.cast("long")).alias("n_neg_alarms"),
+            F.min(
+                F.when(alarm_pos | alarm_neg, F.col("t"))
+            ).alias("first_alarm_t"),
+            F.expr(
+                f"({mx}) / (CAST(max(_n) AS DOUBLE) * 100.0)"
+            ).alias("max_pos_dev"),
+            F.expr(
+                f"({mn}) / (CAST(max(_n) AS DOUBLE) * 100.0)"
+            ).alias("max_neg_dev"),
+        )
+        .orderBy("channel")
+    )
+
+
+def distribution_drift(samples: DataFrame, n_bins: int = 20) -> DataFrame:
+    """Per-channel distribution drift between the first and second half
+    of the channel's time range, as exact total-variation distance over
+    a shared equal-width histogram.
+
+    TVD = 1/2 Σ|a_i/Na - b_i/Nb| is the drift metric that stays
+    integer-exact: the per-bin term cross-multiplies to
+    |a_i*Nb - b_i*Na| (BIGINT), the Σ is order-insensitive, and only
+    the final value divides by 2*Na*Nb (one ``big_to_double`` divide) —
+    unlike PSI/KL, no per-bin log whose float summation order would
+    break the cross-engine hash. Bins are the value_histogram
+    construction (fixed IEEE expression tree over the channel's own
+    min/max), the half-split is the integer midpoint of the channel's
+    time range (ties to the second half).
+
+    100 TB shape: one bounds aggregation broadcast back over one scan,
+    then all reductions are over (channel × bins) rows — thousands,
+    regardless of input size. A channel entirely inside one half (or a
+    constant-time channel) yields NULL tvd rather than a division error.
+
+    Returns: channel, n_first, n_second, tvd.
+    """
+    from .decimate import big_to_double
+
+    s = samples.select("channel", "t", "v")
+    bounds = s.groupBy("channel").agg(
+        F.min("v").alias("_lo"),
+        F.max("v").alias("_hi"),
+        F.min("t").alias("_tlo"),
+        F.max("t").alias("_thi"),
+    )
+    binned = (
+        s.join(F.broadcast(bounds), "channel")
+        .withColumn(
+            "_bin",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col("v") - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo"))
+                        * n_bins
+                    ),
+                )
+            )
+            .cast("int"),
+        )
+        .withColumn(
+            "_first", (F.col("t") * 2 < F.col("_tlo") + F.col("_thi")).cast("int")
+        )
+    )
+    per_bin = binned.groupBy("channel", "_bin").agg(
+        F.sum("_first").cast("decimal(19,0)").alias("_a"),
+        F.sum(F.expr("1 - _first")).cast("decimal(19,0)").alias("_b"),
+    )
+    wc = Window.partitionBy("channel")
+    per_bin = per_bin.withColumn("_na", F.sum("_a").over(wc)).withColumn(
+        "_nb", F.sum("_b").over(wc)
+    )
+    num = big_to_double(
+        "CAST(sum(abs(_a * _nb - _b * _na)) AS DECIMAL(38,0))"
+    )
+    den = big_to_double("CAST(2 * max(_na) * max(_nb) AS DECIMAL(38,0))")
+    return (
+        per_bin.groupBy("channel")
+        .agg(
+            F.max("_na").cast("long").alias("n_first"),
+            F.max("_nb").cast("long").alias("n_second"),
+            F.expr(
+                "CASE WHEN max(_na) = 0 OR max(_nb) = 0"
+                " THEN CAST(NULL AS DOUBLE)"
+                f" ELSE ({num}) / ({den}) END"
+            ).alias("tvd"),
+        )
+        .orderBy("channel")
+    )
+
+
+def sax_motifs(
+    samples: DataFrame,
+    period_ns: int,
+    n_symbols: int = 4,
+    word_len: int = 3,
+) -> DataFrame:
+    """SAX-style symbolic motif discovery per channel (Lin et al.,
+    "A Symbolic Representation of Time Series", DMKD 2007 — the public
+    SAX/PAA construction): PAA-reduce each channel to per-window means,
+    quantize each mean into ``n_symbols`` equal-width bins over the
+    channel's own mean range, and report the most frequent word of
+    ``word_len`` CONSECUTIVE window symbols.
+
+    Engine-portability: the window mean converts once through
+    ``big_to_double`` (exact DECIMAL sum of scaled-int values) and the
+    bin is the value_histogram fixed IEEE expression tree, so symbols —
+    and therefore words and counts — are bit-identical on any engine.
+    Consecutiveness is enforced on the window INDEX (lead(win) == win+k),
+    so gaps in sparse channels never fabricate words. Top word per
+    channel picks min(struct(-count, word)) — a total order, stable on
+    any cluster.
+
+    100 TB shape: one hash(channel) exchange for the PAA aggregation;
+    the lead() windows and the word count ride the same partitioning
+    (word count keys on (channel, word) but data per channel has already
+    collapsed to windows — thousands of rows — so the second exchange
+    moves near-nothing).
+
+    Returns: channel, motif, n_occurrences, n_windows.
+    """
+    from .decimate import big_to_double
+
+    p = int(period_ns)
+    win_expr = f"CAST((t - ((t % {p} + {p}) % {p})) AS BIGINT) div {p}"
+    paa = (
+        samples.select(
+            "channel",
+            F.expr(win_expr).alias("win"),
+            F.expr("CAST(floor(v * 100 + 0.5) AS DECIMAL(19,0))").alias("_vi"),
+        )
+        .groupBy("channel", "win")
+        .agg(
+            F.sum("_vi").alias("_sv"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .withColumn(
+            "_m",
+            F.expr(
+                f"({big_to_double('CAST(_sv AS DECIMAL(38,0))')})"
+                " / CAST(_c AS DOUBLE)"
+            ),
+        )
+    )
+    bounds = paa.groupBy("channel").agg(
+        F.min("_m").alias("_lo"), F.max("_m").alias("_hi")
+    )
+    sym = paa.join(F.broadcast(bounds), "channel").withColumn(
+        "_sym",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_symbols - 1),
+                F.floor(
+                    (F.col("_m") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * n_symbols
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    wo = Window.partitionBy("channel").orderBy("win")
+    parts = [F.col("_sym").cast("string")]
+    cond = F.lit(True)
+    for k in range(1, word_len):
+        parts.append(F.lead("_sym", k).over(wo).cast("string"))
+        cond = cond & (F.lead("win", k).over(wo) == F.col("win") + k)
+    words = (
+        sym.select(
+            "channel",
+            "win",
+            F.concat(*parts).alias("word"),
+            cond.alias("_ok"),
+            F.count(F.lit(1)).over(Window.partitionBy("channel")).alias(
+                "n_windows"
+            ),
+        )
+        .filter(F.col("_ok") & F.col("word").isNotNull())
+    )
+    counts = words.groupBy("channel", "n_windows", "word").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    return (
+        counts.groupBy("channel", "n_windows")
+        .agg(
+            F.min(F.struct((-F.col("n_occ")).alias("_neg"), "word")).alias("_t")
+        )
+        .select(
+            "channel",
+            F.col("_t.word").alias("motif"),
+            (-F.col("_t._neg")).cast("long").alias("n_occurrences"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+        .orderBy("channel")
+    )

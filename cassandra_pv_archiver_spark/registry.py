@@ -87,6 +87,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_curriculum_bins,
         catalog_data.SQL_CURRICULUM_BINS,
     ),
+    # --- round 6 additions ---
+    "cusum_changepoints": (
+        catalog.q_cusum_changepoints,
+        catalog.SQL_CUSUM_CHANGEPOINTS,
+    ),
+    "distribution_drift": (
+        catalog.q_distribution_drift,
+        catalog.SQL_DISTRIBUTION_DRIFT,
+    ),
+    "sax_motifs": (catalog.q_sax_motifs, catalog.SQL_SAX_MOTIFS),
+    "cdc_chunk_dedup": (
+        catalog_data.q_cdc_chunk_dedup,
+        catalog_data.SQL_CDC_CHUNK_DEDUP,
+    ),
+    "mixture_temperature_alloc": (
+        catalog_data.q_mixture_temperature_alloc,
+        catalog_data.SQL_MIXTURE_TEMPERATURE_ALLOC,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -417,12 +435,23 @@ _NEW_R05: list[str] = [
     "curriculum_bins",
 ]
 
-_front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05)
+#: New operators added in round 6 — right behind the round-5 block so the
+#: driver's ~50-query budget still reaches every never-attested row.
+_NEW_R06: list[str] = [
+    "cusum_changepoints",
+    "distribution_drift",
+    "sax_motifs",
+    "cdc_chunk_dedup",
+    "mixture_temperature_alloc",
+]
+
+_front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)
 REGISTRY = {
     name: REGISTRY[name]
     for name in (
         _NEVER_DRIVER_CHECKED
         + _NEW_R05
+        + _NEW_R06
         + [n for n in REGISTRY if n not in _front]
     )
 }
