@@ -596,6 +596,45 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "cusum_changepoints": (
+        2,  # ONE hash(channel) exchange shared by all four windows AND
+        # the final per-channel aggregation (+ the output sort) — the
+        # CUSUM closed form must never add a per-side shuffle
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "distribution_drift": (
+        None,  # per-channel bounds BROADCAST back over one scan; every
+        # reduction after the (channel,bin) collapse runs on ~channels×20
+        # rows, so exchange count is not the scale axis — join shape is
+        ["BroadcastHashJoin", "partial_"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "sax_motifs": (
+        None,  # PAA collapse first (channel-hash agg), THEN symbols/words
+        # on the thousands-of-rows window table; mean-range bounds
+        # broadcast, never sort-merge
+        ["BroadcastHashJoin", "Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "cdc_chunk_dedup": (
+        None,  # boundary prefix-sum window + chunk reassembly share the
+        # hash(doc_id) exchange; corpus dup detection is a COUNT window on
+        # the digest key — no chunk⋈chunk pair join anywhere
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "mixture_temperature_alloc": (
+        None,  # one map-side-combined groupBy(lang) over the corpus; the
+        # apportionment windows run on the collapsed per-lang rows
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
 }
 
 
