@@ -134,6 +134,13 @@ BENCH_QUERIES = [
     "context_chunks",
     "group_split_guard",
     "curriculum_bins",
+    # round 6
+    "cusum_changepoints",
+    "distribution_drift",
+    "sax_motifs",
+    "cdc_chunk_dedup",
+    "mixture_temperature_alloc",
+    "image_dhash_near_dup",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

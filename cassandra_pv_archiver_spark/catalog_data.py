@@ -2397,3 +2397,110 @@ SELECT lang, group_size, weight,
          / {ALLOC_BUDGET} AS share
 FROM fin ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# image perceptual near-dup: dHash over the REAL PNG codec roundtrip
+# ---------------------------------------------------------------------------
+
+_NIB = "0123456789abcdef"
+DHASH_HAM_MAX = 3  # 4 bands x 14 bits: pigeonhole-complete for ham <= 3
+
+
+def _dhash_word_sql(i: str) -> str:
+    """DuckDB cell value: first byte of md5(word_i) ('' beyond length)."""
+    w = f"CASE WHEN {i} < len(w) THEN w[{i} + 1] ELSE '' END"
+    return (
+        f"(strpos('{_NIB}', substr(md5({w}), 1, 1)) - 1) * 16"
+        f" + (strpos('{_NIB}', substr(md5({w}), 2, 1)) - 1)"
+    )
+
+
+def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup over the REAL PNG codec: each document
+    renders to a deterministic 9x7 grayscale thumbnail (cell = first
+    md5 byte of the word at that grid position), is encoded as an actual
+    PNG, decoded back by the pure-stdlib decoder, and dHashed from the
+    DECODED pixels (operators/multimodal.image_dhash_table). Near-dup
+    pairs are found by pigeonhole banding (4 x 14-bit bands -> any pair
+    with Hamming distance <= 3 shares at least one exact band), then
+    verified with bit_count(xor) — COMPLETE, not approximate, for the
+    reported threshold.
+
+    The oracle computes the same 56-bit hash straight from the cell
+    values with NO codec and brute-forces all pairs — so a single pixel
+    the encoder or decoder corrupts flips hash bits and fails the
+    value-hash gate: the codec roundtrip itself is driver-attested.
+
+    100 TB shape: one Arrow-batched Python crossing for the codec (tiny
+    fixed-size payloads), then the banded self-equi-join — never an
+    all-pairs comparison; near-dup docs cluster by text, so band keys
+    stay low-skew.
+    """
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.select(
+        "doc_id", F.expr(text._WORDS).alias("_w")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 62), i -> CAST(conv(substring(md5("
+            "CASE WHEN i < size(_w) THEN _w[i] ELSE '' END), 1, 2),"
+            " 16, 10) AS INT))"
+        ).alias("cells"),
+    )
+    dh = multimodal.image_dhash_table(cells)
+    bands = dh.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), k -> struct(k AS k,"
+                " CAST(shiftright(dhash, 14 * k) & 16383 AS INT) AS band))"
+            )
+        ).alias("_b"),
+    ).select("doc_id", "dhash", F.col("_b.k").alias("k"), F.col("_b.band").alias("band"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= DHASH_HAM_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_IMAGE_DHASH_NEAR_DUP = f"""
+WITH d AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+cells AS (
+  SELECT doc_id,
+         list_transform(range(0, 63), i -> {_dhash_word_sql("i")}) AS cell
+  FROM d
+),
+h AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 56), b ->
+           CASE WHEN cell[(b // 8) * 9 + (b % 8) + 2]
+                   > cell[(b // 8) * 9 + (b % 8) + 1]
+                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+           AS dhash
+  FROM cells
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""

@@ -73,9 +73,13 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, list[float]]:
+def decode_png(
+    blob: bytes, return_pixels: bool = False
+) -> tuple[int, int, int, list[float] | bytes]:
     """REAL pure-stdlib PNG decode -> (width, height, n_channels,
-    per-channel mean pixel value in [0, 1]).
+    per-channel mean pixel value in [0, 1]) — or, with
+    ``return_pixels=True``, the raw unfiltered sample bytes (palette
+    resolved to RGB), for consumers that need actual pixels (dHash).
 
     Implements the PNG spec's critical-chunk path: chunk walk (IHDR,
     PLTE, IDAT+, IEND), zlib inflate, and per-scanline unfiltering
@@ -148,6 +152,12 @@ def decode_png(blob: bytes) -> tuple[int, int, int, list[float]]:
     if ctype == 3:  # palette -> RGB
         if plte is None:
             raise ValueError("palette PNG without PLTE")
+        if return_pixels:
+            rgb = bytearray()
+            for idx in out:
+                base = idx * 3
+                rgb += plte[base:base + 3]
+            return width, height, 3, bytes(rgb)
         sums, n = [0, 0, 0], width * height
         for idx in out:
             base = idx * 3
@@ -155,6 +165,9 @@ def decode_png(blob: bytes) -> tuple[int, int, int, list[float]]:
             sums[1] += plte[base + 1]
             sums[2] += plte[base + 2]
         return width, height, 3, [s / n / 255.0 for s in sums]
+
+    if return_pixels:
+        return width, height, ch, bytes(out)
 
     n = width * height
     sums = [0] * ch
@@ -167,6 +180,85 @@ def decode_png(blob: bytes) -> tuple[int, int, int, list[float]]:
             sums[(i // 2) % ch] += (out[i] << 8) | out[i + 1]
         scale = 65535.0
     return width, height, ch, [s / n / scale for s in sums]
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL pure-stdlib PNG encoder for 8-bit grayscale (color type 0,
+    filter 0 scanlines, one zlib IDAT) — the inverse of
+    :func:`decode_png` used to pin the codec roundtrip bit-for-bit."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width:(y + 1) * width] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+#: dHash geometry: a GRID_W x GRID_H grayscale thumbnail gives
+#: (GRID_W - 1) * GRID_H horizontal-gradient bits = 56, inside a signed
+#: 64-bit long (a full 8x9 grid's bit 63 would wrap negative)
+DHASH_GRID_W, DHASH_GRID_H = 9, 7
+DHASH_BITS = (DHASH_GRID_W - 1) * DHASH_GRID_H
+
+
+def dhash56(pixels: bytes, width: int = DHASH_GRID_W) -> int:
+    """Difference hash over a grayscale thumbnail: bit b (row r = b//8,
+    col c = b%8) is set when the right neighbour is brighter — the
+    classic perceptual dHash, gradient-based so it survives uniform
+    brightness shifts."""
+    h = 0
+    for b in range(DHASH_BITS):
+        r, c = b // (width - 1), b % (width - 1)
+        if pixels[r * width + c + 1] > pixels[r * width + c]:
+            h |= 1 << b
+    return h
+
+
+def image_dhash_table(cells: DataFrame) -> DataFrame:
+    """(doc_id, cells array<int>) -> (doc_id, dhash long) through the
+    FULL image codec path: each row's cell grid is encoded as a real
+    grayscale PNG, decoded back by :func:`decode_png`, and dHashed from
+    the DECODED pixels. Any bit the encoder or decoder mangles flips
+    dHash bits — which is exactly what the value oracle (computing the
+    same hash from the cell values directly, no codec) then catches.
+
+    One declared Arrow-batched Python crossing (PERF.md); thumbnails are
+    tiny (63 bytes), so batches are bounded by row count, not payload.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cs in pdf["cells"]:
+                png = encode_png_gray(
+                    DHASH_GRID_W, DHASH_GRID_H, bytes(int(v) for v in cs)
+                )
+                w, h, _ch, pix = decode_png(png, return_pixels=True)
+                assert (w, h) == (DHASH_GRID_W, DHASH_GRID_H)
+                out.append(dhash56(pix))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return cells.mapInPandas(_hash, schema="doc_id long, dhash long")
 
 
 def decode(blob: bytes, fake: bool = False) -> tuple[int, int, int]:

@@ -105,6 +105,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_mixture_temperature_alloc,
         catalog_data.SQL_MIXTURE_TEMPERATURE_ALLOC,
     ),
+    "image_dhash_near_dup": (
+        catalog_data.q_image_dhash_near_dup,
+        catalog_data.SQL_IMAGE_DHASH_NEAR_DUP,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -443,6 +447,7 @@ _NEW_R06: list[str] = [
     "sax_motifs",
     "cdc_chunk_dedup",
     "mixture_temperature_alloc",
+    "image_dhash_near_dup",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)

@@ -198,3 +198,53 @@ class TestTemperatureAlloc:
         by_lang = {r.lang: r for r in out}
         for k, v in enumerate([1, 3, 4, 8, 9, 10, 10**12]):
             assert by_lang[f"l{k}"].weight == math.isqrt(v), (k, v)
+
+
+class TestImageDhash:
+    def test_png_roundtrip_all_values(self, spark):
+        from cassandra_pv_archiver_spark.operators.multimodal import (
+            decode_png,
+            encode_png_gray,
+        )
+
+        pix = bytes((i * 37) % 256 for i in range(9 * 7))
+        w, h, ch, back = decode_png(
+            encode_png_gray(9, 7, pix), return_pixels=True
+        )
+        assert (w, h, ch) == (9, 7, 1)
+        assert back == pix
+
+    def test_dhash_brightness_invariance(self, spark):
+        # uniform brightness shift preserves every gradient sign
+        from cassandra_pv_archiver_spark.operators.multimodal import dhash56
+
+        base = bytes((i * 3) % 200 for i in range(63))
+        shifted = bytes(min(255, b + 50) for b in base)
+        assert dhash56(base) == dhash56(shifted)
+
+    def test_banding_finds_exact_dup_pairs(self, spark):
+        # identical texts must appear as a hamming-0 pair; a totally
+        # different doc must not pair with them at ham <= 3
+        from cassandra_pv_archiver_spark import catalog_data as cd
+        import pyspark.sql.functions as F
+
+        text1 = " ".join(f"w{i}" for i in range(80))
+        text2 = " ".join(f"z{i}" for i in range(80))
+        docs = spark.createDataFrame(
+            [(1, text1), (2, text1), (3, text2)], "doc_id long, text string"
+        )
+
+        # reuse the query's construction on an in-memory docs table
+        from cassandra_pv_archiver_spark.operators import multimodal, text
+
+        cells = docs.select("doc_id", F.expr(text._WORDS).alias("_w")).select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 62), i -> CAST(conv(substring(md5("
+                "CASE WHEN i < size(_w) THEN _w[i] ELSE '' END), 1, 2),"
+                " 16, 10) AS INT))"
+            ).alias("cells"),
+        )
+        dh = {r.doc_id: r.dhash for r in multimodal.image_dhash_table(cells).collect()}
+        assert dh[1] == dh[2]
+        assert bin(dh[1] ^ dh[3]).count("1") > 3

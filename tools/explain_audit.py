@@ -635,6 +635,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "image_dhash_near_dup": (
+        None,  # the ONE declared Arrow crossing (MapInPandas codec
+        # roundtrip), then the banded self-equi-join — an all-pairs
+        # cartesian in the candidate stage is the scale regression this
+        # pins against
+        ["MapInPandas"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
 }
 
 
