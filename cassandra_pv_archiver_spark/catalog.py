@@ -778,13 +778,31 @@ s1v AS (
   FROM (SELECT *, CASE WHEN is_agg THEN
           {big_to_double_duck("swv")} / CAST(cov AS DOUBLE) / 100.0 END AS md FROM s1)
 ),
-s2 AS (
+keysel AS (
+  -- key selection + join-back instead of arg_min/arg_max(STRUCT, HUGEINT):
+  -- DuckDB's struct-payload argmin aggregate allocates per ROW (1M+ rows
+  -- at sf0.1 => ~65k retained VMAs, tripping vm.max_map_count with a
+  -- spurious "bad allocation"). Selecting the winning SCALAR keys first
+  -- and equi-joining the winners back never routes a struct through an
+  -- aggregate state. Both keys are UNIQUE within (channel, win) --
+  -- validity intervals partition time, so clip values never tie --
+  -- making the selection deterministic and the joins 1:1.
   SELECT channel, win,
-         arg_min(S, first_clip) AS first_row,
-         arg_max(S, CAST(cov AS HUGEINT) * 10000000000000000000 - first_clip)
-           FILTER (WHERE is_agg) AS best_row,
+         min(first_clip) AS kf,
+         max(CASE WHEN is_agg THEN
+             CAST(cov AS HUGEINT) * 10000000000000000000 - first_clip END)
+           AS kb,
          max(CASE WHEN NOT is_agg AND NOT is_marker THEN 1 ELSE 0 END) AS veto
   FROM s1v GROUP BY channel, win
+),
+s2 AS (
+  SELECT k.channel, k.win, f.S AS first_row, b.S AS best_row, k.veto
+  FROM keysel k
+  JOIN s1v f ON f.channel = k.channel AND f.win = k.win
+            AND f.first_clip = k.kf
+  LEFT JOIN s1v b ON b.channel = k.channel AND b.win = k.win AND b.is_agg
+            AND CAST(b.cov AS HUGEINT) * 10000000000000000000 - b.first_clip
+                = k.kb
 ),
 ch AS (
   SELECT channel, win,
@@ -905,13 +923,31 @@ s1v AS (
   FROM (SELECT *, CASE WHEN is_agg THEN
           {big_to_double_duck("swv")} / CAST(cov AS DOUBLE) / 100.0 END AS md FROM s1)
 ),
-s2 AS (
+keysel AS (
+  -- key selection + join-back instead of arg_min/arg_max(STRUCT, HUGEINT):
+  -- DuckDB's struct-payload argmin aggregate allocates per ROW (1M+ rows
+  -- at sf0.1 => ~65k retained VMAs, tripping vm.max_map_count with a
+  -- spurious "bad allocation"). Selecting the winning SCALAR keys first
+  -- and equi-joining the winners back never routes a struct through an
+  -- aggregate state. Both keys are UNIQUE within (channel, win) --
+  -- validity intervals partition time, so clip values never tie --
+  -- making the selection deterministic and the joins 1:1.
   SELECT channel, win,
-         arg_min(S, first_clip) AS first_row,
-         arg_max(S, CAST(cov AS HUGEINT) * 10000000000000000000 - first_clip)
-           FILTER (WHERE is_agg) AS best_row,
+         min(first_clip) AS kf,
+         max(CASE WHEN is_agg THEN
+             CAST(cov AS HUGEINT) * 10000000000000000000 - first_clip END)
+           AS kb,
          max(CASE WHEN NOT is_agg AND NOT is_marker THEN 1 ELSE 0 END) AS veto
   FROM s1v GROUP BY channel, win
+),
+s2 AS (
+  SELECT k.channel, k.win, f.S AS first_row, b.S AS best_row, k.veto
+  FROM keysel k
+  JOIN s1v f ON f.channel = k.channel AND f.win = k.win
+            AND f.first_clip = k.kf
+  LEFT JOIN s1v b ON b.channel = k.channel AND b.win = k.win AND b.is_agg
+            AND CAST(b.cov AS HUGEINT) * 10000000000000000000 - b.first_clip
+                = k.kb
 ),
 ch AS (
   SELECT channel, win,

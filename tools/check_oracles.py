@@ -11,6 +11,14 @@ import os
 import sys
 import time
 
+# DuckDB's vendored jemalloc RETAINS every VMA it ever maps (retain:true);
+# the heavy oracles cumulatively touch ~17 GB => ~65k maps and die at the
+# kernel's vm.max_map_count with a spurious "bad allocation". retain:false
+# unmaps on free and keeps the count bounded (verified: decimate_mixed_1h
+# at sf0.1 completes in ~107 s with it, dies without it). Must be set
+# BEFORE the duckdb shared object loads.
+os.environ.setdefault("MALLOC_CONF", "retain:false")
+
 import duckdb
 import pandas as pd
 
@@ -62,6 +70,40 @@ def compare(name: str, spark_df: pd.DataFrame, ora_df: pd.DataFrame) -> list[str
     return problems
 
 
+def oracle_in_subprocess(sql: str, sf_dir: str) -> pd.DataFrame:
+    """Run one oracle in a FRESH python process and ship the result back
+    as parquet. The long-lived sweep process accumulates memory maps
+    (py4j + pandas results + DuckDB's jemalloc purging splits VMAs) until
+    vm.max_map_count kills heavyweight oracles with a spurious
+    'bad allocation' — decimate_mixed_1h at sf0.1 peaks ~17 GB / >65k
+    maps in-process but runs clean standalone. A clean address space is
+    the reliable fix; the subprocess pays ~1 s startup, so it is only the
+    RETRY path."""
+    import subprocess
+    import tempfile
+    import textwrap
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "oracle.parquet")
+        sql_path = os.path.join(tmp, "oracle.sql")
+        with open(sql_path, "w") as fh:
+            fh.write(sql)
+        script = textwrap.dedent(
+            f"""
+            import duckdb
+            con = duckdb.connect()
+            for t in {TABLES!r}:
+                con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '{sf_dir}/{{t}}.parquet'")
+            sql = open({sql_path!r}).read()
+            con.sql(f"COPY ({{sql}}) TO {out!r} (FORMAT parquet)")
+            """
+        )
+        subprocess.run(
+            [sys.executable, "-c", script], check=True, capture_output=True
+        )
+        return pd.read_parquet(out)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -71,6 +113,12 @@ def main() -> int:
 
     spark = get_spark("check-oracles")
     con = duckdb.connect()
+    # the sweep shares one process with a multi-GB Spark JVM; the heavy
+    # oracles (decimate_mixed at sf0.1 peaks ~17 GB RSS standalone) must
+    # SPILL under pressure, not die in malloc — cap DuckDB well below the
+    # box and give it a temp dir so the cap is survivable
+    con.sql("SET memory_limit='24GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -91,9 +139,13 @@ def main() -> int:
         try:
             odf = con.sql(sql).df()
         except Exception as e:  # noqa: BLE001
-            print(f"[FAIL] {name}: oracle error: {e}")
-            failures += 1
-            continue
+            try:  # clean-address-space retry (see oracle_in_subprocess)
+                odf = oracle_in_subprocess(sql, sf_dir)
+                print(f"[note] {name}: oracle retried in subprocess ({e})")
+            except Exception:  # noqa: BLE001
+                print(f"[FAIL] {name}: oracle error: {e}")
+                failures += 1
+                continue
         problems = compare(name, sdf, odf)
         dt = time.time() - t0
         if problems:
