@@ -248,3 +248,79 @@ class TestImageDhash:
         dh = {r.doc_id: r.dhash for r in multimodal.image_dhash_table(cells).collect()}
         assert dh[1] == dh[2]
         assert bin(dh[1] ^ dh[3]).count("1") > 3
+
+
+class TestStreamCusum:
+    def test_stream_matches_sequential_reference(self, spark, tmp_path):
+        """Online CUSUM alarms over two micro-batches must equal the
+        row-at-a-time reference — state carries across batches."""
+        import os
+        import shutil
+
+        from cassandra_pv_archiver_spark.streaming.detect import (
+            batch_cusum_reference,
+            cusum_baseline,
+            stream_cusum,
+        )
+
+        # channel X: calm history around 5.0, then a +5 shift mid-stream;
+        # channel Y: stays calm throughout
+        rows = (
+            [("X", i, 5.0 + (0.1 if i % 2 else -0.1)) for i in range(20)]
+            + [("X", 20 + i, 10.0) for i in range(10)]
+            + [("Y", i, 3.0) for i in range(30)]
+        )
+        schema = "channel string, t long, v double"
+        hist = spark.createDataFrame(rows[:15] + rows[-30:], schema)
+        base_df = cusum_baseline(hist)
+        base = {
+            r.channel: (r.mu_scaled, r.mad_scaled) for r in base_df.collect()
+        }
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+
+        def _write_file(chunk, name, mtime):
+            stage = str(tmp_path / ("stage_" + name))
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(src, name + ".parquet")
+            shutil.copy(os.path.join(stage, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        # split mid-shift so the accumulating evidence spans micro-batches
+        _write_file(rows[:24], "b1", 1_000_000_000)
+        _write_file(rows[24:], "b2", 1_000_000_100)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        alarms = stream_cusum(stream, base_df)
+        got = []
+
+        def _sink(batch_df, batch_id):
+            got.extend(
+                (r.channel, r.t, r.side, r.cusum_scaled, r.threshold_scaled)
+                for r in batch_df.collect()
+            )
+
+        q = (
+            alarms.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        want = batch_cusum_reference(rows, base)
+        assert sorted(got) == want
+        # the engineered shift must actually alarm on X and not on Y
+        assert any(ch == "X" and side == "pos" for ch, _, side, _, _ in want)
+        assert not any(ch == "Y" for ch, _, _, _, _ in want)
