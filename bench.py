@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "cdc_chunk_dedup",
     "mixture_temperature_alloc",
     "image_dhash_near_dup",
+    "channel_acf_1h",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -2808,3 +2808,82 @@ SELECT channel, word AS motif,
        CAST(n_windows AS BIGINT) AS n_windows
 FROM ranked WHERE rn = 1 ORDER BY channel
 """
+
+
+# --- round-6: per-channel autocorrelation function -----------------------
+
+_ACF_LAGS = [3600, 7200, 21600, 43200]  # 1h, 2h, 6h, 12h on the 1h grid
+
+
+def q_channel_acf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF per channel on the 1 h hold-forward grid: how fast each PV
+    decorrelates / whether it is periodic (operators/stats.channel_acf —
+    the all-channels, channel-partitioned cousin of the two-channel
+    lead/lag operator)."""
+    from .operators.stats import channel_acf
+
+    return channel_acf(
+        load_samples(spark, sf_dir), PERIOD_1H, _ACF_LAGS
+    ).orderBy("channel", "lag_s")
+
+
+def _sql_channel_acf() -> str:
+    from .operators.decimate import big_to_double_duck
+
+    p = PERIOD_1H * NS
+    lag_vals = ", ".join(f"({l})" for l in _ACF_LAGS)
+    num = big_to_double_duck("(n_ * sxy - sx * sy)")
+    dx = big_to_double_duck("(n_ * sxx - sx * sx)")
+    dy = big_to_double_duck("(n_ * syy - sy * sy)")
+    zero = "(n_ * sxx - sx * sx = 0 OR n_ * syy - sy * sy = 0)"
+    return f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+s AS (
+  SELECT channel, t, CAST(floor(v * 100 + 0.5) AS HUGEINT) AS vi
+  FROM samples
+),
+bnd AS (SELECT min(t) AS lo, max(t) AS hi FROM s),
+grid AS (
+  SELECT unnest(generate_series(lo + (((-lo) % {p}) + {p}) % {p},
+                                hi - ((hi % {p}) + {p}) % {p}, {p})) AS t
+  FROM bnd WHERE lo IS NOT NULL
+),
+gc AS (
+  SELECT g.t, c.channel
+  FROM grid g CROSS JOIN (SELECT DISTINCT channel FROM s) c
+),
+rows_ AS (
+  SELECT channel, t, vi, 0 AS g FROM s
+  UNION ALL
+  SELECT channel, t, NULL, 1 FROM gc
+),
+held AS (
+  SELECT channel, t, g,
+         last_value(vi IGNORE NULLS) OVER (
+           PARTITION BY channel ORDER BY t, g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+  FROM rows_
+),
+gv AS (SELECT channel, t, h FROM held WHERE g = 1),
+pairs AS (
+  SELECT a.channel, l.lag_s, a.h AS va, b.h AS vb
+  FROM gv a CROSS JOIN (VALUES {lag_vals}) l(lag_s)
+  JOIN gv b ON b.channel = a.channel
+           AND b.t = a.t + CAST(l.lag_s AS BIGINT) * {NS}
+  WHERE a.h IS NOT NULL AND b.h IS NOT NULL
+),
+mo AS (
+  SELECT channel, lag_s, CAST(count(*) AS HUGEINT) AS n_,
+         sum(va) AS sx, sum(vb) AS sy, sum(va * vb) AS sxy,
+         sum(va * va) AS sxx, sum(vb * vb) AS syy
+  FROM pairs GROUP BY channel, lag_s
+)
+SELECT channel, CAST(lag_s AS BIGINT) AS lag_s,
+       CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)
+            ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END AS r,
+       CAST(n_ AS BIGINT) AS n_points
+FROM mo WHERE n_ >= 2 ORDER BY channel, lag_s
+"""
+
+
+SQL_CHANNEL_ACF_1H = _sql_channel_acf()

@@ -747,3 +747,132 @@ def sax_motifs(
         )
         .orderBy("channel")
     )
+
+
+def channel_acf(
+    samples: DataFrame,
+    period_s: int,
+    lags_s: Sequence[int],
+    v_decimals: int = 2,
+) -> DataFrame:
+    """Autocorrelation function per channel: r(L) = corr(x(t), x(t+L))
+    on the regular hold-forward grid — the self-correlation diagnostic
+    (is this PV periodic / how fast does it decorrelate) that precedes
+    any cross-channel analysis.
+
+    Same construction as :func:`lagged_channel_correlation` but for ALL
+    channels at once with per-channel PARTITIONED windows: one global
+    grid (so row offsets equal time offsets everywhere), hold-forward
+    per channel, each lag a lead() row offset within the channel
+    partition, exact DECIMAL moments per (channel, lag). Unlike the
+    two-channel operator's global window, every step here partitions by
+    channel — the plan scales horizontally with the channel count.
+
+    Grid points before a channel's first sample hold NULL and drop from
+    the moments (pairs need both ends). Returns (channel, lag_s, r,
+    n_points), pairs with < 2 points omitted; constant channels give
+    NULL r (the SQL corr convention).
+    """
+    from .decimate import NS, big_to_double
+
+    bad = [l for l in lags_s if int(l) % period_s != 0 or int(l) < 0]
+    if bad:
+        raise ValueError(
+            f"lags {bad} must be non-negative multiples of period_s"
+        )
+    vs = 10 ** v_decimals
+    p_ns = period_s * NS
+    s = samples.select(
+        "channel",
+        "t",
+        F.expr(f"CAST(floor(v * {vs} + 0.5) AS DECIMAL(19,0))").alias("_vi"),
+    )
+    grid = (
+        s.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN lo + pmod(-lo, {p_ns})"
+                    f"          <= hi - pmod(hi, {p_ns})"
+                    f" THEN sequence(lo + pmod(-lo, {p_ns}),"
+                    f"               hi - pmod(hi, {p_ns}), {p_ns})"
+                    f" ELSE array() END"
+                )
+            ).alias("t")
+        )
+    )
+    chans = samples.select("channel").distinct()
+    gc = grid.crossJoin(F.broadcast(chans))
+    rows = s.withColumn("_g", F.lit(0)).unionByName(
+        gc.select(
+            "channel",
+            "t",
+            F.lit(None).cast("decimal(19,0)").alias("_vi"),
+            F.lit(1).alias("_g"),
+        )
+    )
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("t", "_g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    held = rows.select(
+        "channel",
+        "t",
+        "_g",
+        F.last("_vi", ignorenulls=True).over(w).alias("_h"),
+    ).filter(F.col("_g") == 1)
+    wg = Window.partitionBy("channel").orderBy("t")
+    shift_cols = [
+        F.lead("_h", int(l) // period_s).over(wg).alias(f"_b{idx}")
+        for idx, l in enumerate(lags_s)
+    ]
+    pairs = (
+        held.select("channel", F.col("_h").alias("_va"), *shift_cols)
+        .select(
+            "channel",
+            "_va",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(l)).alias("lag_s"),
+                            F.col(f"_b{idx}").alias("_vb"),
+                        )
+                        for idx, l in enumerate(lags_s)
+                    ]
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "channel",
+            "_va",
+            F.col("_p.lag_s").alias("lag_s"),
+            F.col("_p._vb").alias("_vb"),
+        )
+        .filter(F.col("_va").isNotNull() & F.col("_vb").isNotNull())
+    )
+    m = pairs.groupBy("channel", "lag_s").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_va").alias("_sx"),
+        F.sum("_vb").alias("_sy"),
+        F.sum(F.expr("_va * _vb")).alias("_sxy"),
+        F.sum(F.expr("_va * _va")).alias("_sxx"),
+        F.sum(F.expr("_vb * _vb")).alias("_syy"),
+    )
+    num = big_to_double("CAST(_n * _sxy - _sx * _sy AS DECIMAL(38,0))")
+    dx = big_to_double("CAST(_n * _sxx - _sx * _sx AS DECIMAL(38,0))")
+    dy = big_to_double("CAST(_n * _syy - _sy * _sy AS DECIMAL(38,0))")
+    zero = "(_n * _sxx - _sx * _sx = 0 OR _n * _syy - _sy * _sy = 0)"
+    return (
+        m.select(
+            "channel",
+            F.col("lag_s").cast("long").alias("lag_s"),
+            F.expr(
+                f"CASE WHEN {zero} THEN CAST(NULL AS DOUBLE)"
+                f" ELSE ({num}) / (sqrt({dx}) * sqrt({dy})) END"
+            ).alias("r"),
+            F.col("_n").cast("long").alias("n_points"),
+        )
+        .filter(F.col("n_points") >= 2)
+    )

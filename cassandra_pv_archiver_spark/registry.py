@@ -109,6 +109,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_image_dhash_near_dup,
         catalog_data.SQL_IMAGE_DHASH_NEAR_DUP,
     ),
+    "channel_acf_1h": (catalog.q_channel_acf_1h, catalog.SQL_CHANNEL_ACF_1H),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -448,6 +449,7 @@ _NEW_R06: list[str] = [
     "cdc_chunk_dedup",
     "mixture_temperature_alloc",
     "image_dhash_near_dup",
+    "channel_acf_1h",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)

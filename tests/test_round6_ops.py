@@ -324,3 +324,41 @@ class TestStreamCusum:
         # the engineered shift must actually alarm on X and not on Y
         assert any(ch == "X" and side == "pos" for ch, _, side, _, _ in want)
         assert not any(ch == "Y" for ch, _, _, _, _ in want)
+
+
+class TestChannelAcf:
+    def test_periodic_signal_peaks_at_its_period(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import channel_acf
+
+        # period-2h square wave sampled hourly: r(2h)=+1, r(1h)=-1
+        rows = [
+            ("c", h * HOUR, 1.0 if (h // 1) % 2 == 0 else -1.0, 0, 0)
+            for h in range(48)
+        ]
+        out = {
+            r.lag_s: r.r
+            for r in channel_acf(
+                _samples(spark, rows), 3600, [3600, 7200]
+            ).collect()
+        }
+        assert abs(out[7200] - 1.0) < 1e-9
+        assert abs(out[3600] + 1.0) < 1e-9
+
+    def test_constant_channel_null_r(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import channel_acf
+
+        rows = [("c", h * HOUR, 5.0, 0, 0) for h in range(10)]
+        out = channel_acf(_samples(spark, rows), 3600, [3600]).collect()
+        assert len(out) == 1 and out[0].r is None
+
+    def test_late_starting_channel_drops_leading_grid(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import channel_acf
+
+        # channel d starts 5h after c: its leading grid points hold NULL
+        # and must not contribute pairs
+        rows = [("c", h * HOUR, float(h % 3), 0, 0) for h in range(12)] + [
+            ("d", (5 + h) * HOUR, float(h % 2), 0, 0) for h in range(7)
+        ]
+        out = channel_acf(_samples(spark, rows), 3600, [3600]).collect()
+        pts = {r.channel: r.n_points for r in out}
+        assert pts["c"] > pts["d"]

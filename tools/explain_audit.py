@@ -635,6 +635,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "channel_acf_1h": (
+        None,  # every step partitions by channel (grid broadcast in);
+        # the channel-partitioned windows + one (channel, lag) moment agg —
+        # no pair self-join, no global window
+        ["Window", "partial_", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "image_dhash_near_dup": (
         None,  # the ONE declared Arrow crossing (MapInPandas codec
         # roundtrip), then the banded self-equi-join — an all-pairs
