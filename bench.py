@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "mixture_temperature_alloc",
     "image_dhash_near_dup",
     "channel_acf_1h",
+    "channel_trend_1h",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -2887,3 +2887,56 @@ FROM mo WHERE n_ >= 2 ORDER BY channel, lag_s
 
 
 SQL_CHANNEL_ACF_1H = _sql_channel_acf()
+
+
+def q_channel_trend_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel OLS drift: slope per hour, intercept, R² with exact
+    decimal moments (operators/stats.channel_trend)."""
+    from .operators.stats import channel_trend
+
+    return channel_trend(load_samples(spark, sf_dir), PERIOD_1H * NS)
+
+
+def _sql_channel_trend() -> str:
+    from .operators.decimate import big_to_double_duck
+
+    p = PERIOD_1H * NS
+    num = big_to_double_duck("(n_ * sxy - sx * sy)")
+    dx = big_to_double_duck("(n_ * sxx - sx * sx)")
+    dy = big_to_double_duck("(n_ * syy - sy * sy)")
+    syd = big_to_double_duck("sy")
+    sxd = big_to_double_duck("sx")
+    nd = big_to_double_duck("n_")
+    return f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+w0 AS (
+  SELECT channel,
+         CAST((t - ((t % {p} + {p}) % {p})) AS BIGINT) // {p} AS w,
+         CAST(floor(v * 100 + 0.5) AS HUGEINT) AS y
+  FROM samples
+),
+rel AS (
+  SELECT channel, y,
+         CAST(w - min(w) OVER (PARTITION BY channel) AS HUGEINT) AS x
+  FROM w0
+),
+mo AS (
+  SELECT channel, CAST(count(*) AS HUGEINT) AS n_,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM rel GROUP BY channel
+)
+SELECT channel, CAST(n_ AS BIGINT) AS n_samples,
+       CASE WHEN n_ * sxx - sx * sx = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE (({num}) / ({dx})) / 100.0 END AS slope_per_period,
+       CASE WHEN n_ * sxx - sx * sx = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE (({syd}) / ({nd}) - (({num}) / ({dx}))
+                  * (({sxd}) / ({nd}))) / 100.0 END AS intercept,
+       CASE WHEN n_ * sxx - sx * sx = 0 OR n_ * syy - sy * sy = 0
+            THEN CAST(NULL AS DOUBLE)
+            ELSE (({num}) * ({num})) / (({dx}) * ({dy})) END AS r2
+FROM mo ORDER BY channel
+"""
+
+
+SQL_CHANNEL_TREND_1H = _sql_channel_trend()

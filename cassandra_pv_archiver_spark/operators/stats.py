@@ -876,3 +876,75 @@ def channel_acf(
         )
         .filter(F.col("n_points") >= 2)
     )
+
+
+def channel_trend(samples: DataFrame, period_ns: int) -> DataFrame:
+    """Per-channel OLS trend: slope (value units per period), intercept
+    at the channel's own first-window origin, and R² — the drift
+    diagnostic behind every "is this PV slowly walking away" dashboard.
+
+    Exactness: the regressor is the WINDOW INDEX relative to the
+    channel's first sample (small integers — raw ns timestamps squared
+    would overflow DECIMAL(38)), values are scaled ints, all five
+    moments are exact DECIMAL sums, and the closed-form slope/intercept/
+    R² convert once through ``big_to_double``. Constant channels (zero
+    x- or y-variance) give NULL slope/r2 rather than a division error.
+
+    100 TB shape: one map-side-combined groupBy(channel) over one scan —
+    the minimum possible plan; the per-channel origin comes from the
+    same aggregation (min window index), not a second pass.
+
+    Returns: channel, n_samples, slope_per_period, intercept, r2.
+    """
+    from .decimate import big_to_double
+
+    p = int(period_ns)
+    win = f"CAST((t - ((t % {p} + {p}) % {p})) AS BIGINT) div {p}"
+    d = samples.select(
+        "channel",
+        F.expr(win).alias("_w"),
+        F.expr("CAST(floor(v * 100 + 0.5) AS DECIMAL(19,0))").alias("_y"),
+    )
+    # two-level: x must be relative to the channel's min window so x² sums
+    # stay small; min(_w) rides the same grouping via a window on channel
+    wc = Window.partitionBy("channel")
+    d = d.withColumn("_x", (F.col("_w") - F.min("_w").over(wc)).cast(
+        "decimal(19,0)"
+    ))
+    m = d.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.expr("_x * _y")).alias("_sxy"),
+        F.sum(F.expr("_x * _x")).alias("_sxx"),
+        F.sum(F.expr("_y * _y")).alias("_syy"),
+    )
+    num = big_to_double("CAST(_n * _sxy - _sx * _sy AS DECIMAL(38,0))")
+    dx = big_to_double("CAST(_n * _sxx - _sx * _sx AS DECIMAL(38,0))")
+    dy = big_to_double("CAST(_n * _syy - _sy * _sy AS DECIMAL(38,0))")
+    sy = big_to_double("CAST(_sy AS DECIMAL(38,0))")
+    sx = big_to_double("CAST(_sx AS DECIMAL(38,0))")
+    n_ = big_to_double("CAST(_n AS DECIMAL(38,0))")
+    zx = "(_n * _sxx - _sx * _sx = 0)"
+    zy = "(_n * _syy - _sy * _sy = 0)"
+    slope = f"(({num}) / ({dx})) / 100.0"
+    return (
+        m.select(
+            "channel",
+            F.col("_n").cast("long").alias("n_samples"),
+            F.expr(
+                f"CASE WHEN {zx} THEN CAST(NULL AS DOUBLE)"
+                f" ELSE {slope} END"
+            ).alias("slope_per_period"),
+            F.expr(
+                f"CASE WHEN {zx} THEN CAST(NULL AS DOUBLE)"
+                f" ELSE (({sy}) / ({n_}) - (({num}) / ({dx}))"
+                f" * (({sx}) / ({n_}))) / 100.0 END"
+            ).alias("intercept"),
+            F.expr(
+                f"CASE WHEN {zx} OR {zy} THEN CAST(NULL AS DOUBLE)"
+                f" ELSE (({num}) * ({num})) / (({dx}) * ({dy})) END"
+            ).alias("r2"),
+        )
+        .orderBy("channel")
+    )

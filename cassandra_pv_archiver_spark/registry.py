@@ -110,6 +110,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.SQL_IMAGE_DHASH_NEAR_DUP,
     ),
     "channel_acf_1h": (catalog.q_channel_acf_1h, catalog.SQL_CHANNEL_ACF_1H),
+    "channel_trend_1h": (
+        catalog.q_channel_trend_1h,
+        catalog.SQL_CHANNEL_TREND_1H,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -450,6 +454,7 @@ _NEW_R06: list[str] = [
     "mixture_temperature_alloc",
     "image_dhash_near_dup",
     "channel_acf_1h",
+    "channel_trend_1h",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)

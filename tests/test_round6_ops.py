@@ -362,3 +362,36 @@ class TestChannelAcf:
         out = channel_acf(_samples(spark, rows), 3600, [3600]).collect()
         pts = {r.channel: r.n_points for r in out}
         assert pts["c"] > pts["d"]
+
+
+class TestChannelTrend:
+    def test_exact_line_recovers_slope(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import channel_trend
+
+        # v = 2 + 0.5 * hour, exactly linear in the window index
+        rows = [("c", h * HOUR + 5, 2.0 + 0.5 * h, 0, 0) for h in range(24)]
+        r = channel_trend(_samples(spark, rows), HOUR).collect()[0]
+        assert abs(r.slope_per_period - 0.5) < 1e-9
+        assert abs(r.intercept - 2.0) < 1e-9
+        assert abs(r.r2 - 1.0) < 1e-9
+
+    def test_constant_channel_null(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import channel_trend
+
+        rows = [("c", h * HOUR, 7.0, 0, 0) for h in range(10)]
+        r = channel_trend(_samples(spark, rows), HOUR).collect()[0]
+        # x varies but y does not: slope is exactly 0, r2 undefined
+        assert r.slope_per_period == 0.0
+        assert r.r2 is None
+
+    def test_origin_is_channel_relative(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import channel_trend
+
+        # same line, but the channel starts at hour 1000 — the relative
+        # origin must keep the intercept at the first window's value
+        rows = [
+            ("c", (1000 + h) * HOUR, 3.0 + 1.0 * h, 0, 0) for h in range(12)
+        ]
+        r = channel_trend(_samples(spark, rows), HOUR).collect()[0]
+        assert abs(r.slope_per_period - 1.0) < 1e-9
+        assert abs(r.intercept - 3.0) < 1e-9

@@ -635,6 +635,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "channel_trend_1h": (
+        3,  # channel hash (min-window window + moments reuse it) + agg +
+        # output sort — the minimum one-scan regression plan
+        ["Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "channel_acf_1h": (
         None,  # every step partitions by channel (grid broadcast in);
         # the channel-partitioned windows + one (channel, lag) moment agg —
