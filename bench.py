@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "image_dhash_near_dup",
     "channel_acf_1h",
     "channel_trend_1h",
+    "ann_recall_audit",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -2504,3 +2504,112 @@ FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAM_MAX}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: measure the approximate index against the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the learned K-Means IVF index vs the brute-force
+    cosine baseline, per query — the "measure, don't guess" evaluation
+    every approximate index needs before it replaces the exact path.
+    Both rankings are deterministic (round-4 attested individually), so
+    the overlap count is value-hash-checkable; the exact side is the
+    guarded small-scale baseline, the IVF side is the 100 TB plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, ANN_QUERY_IDS, k=10).select(
+        "q_id", "vec_id"
+    )
+    approx = similarity.kmeans_ivf_topk(
+        emb, ANN_QUERY_IDS, k=10, n_clusters=KMEANS_K,
+        iters=KMEANS_ITERS, n_probe=KMEANS_N_PROBE,
+    ).select("q_id", "vec_id")
+    overlap = (
+        exact.join(approx, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) / 10.0).alias("recall_at_10"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _sql_ann_recall(dim: int = 64) -> str:
+    body, last = _sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS, dim)
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {a}[i] * {b}[i]))"
+        )
+
+    def nrm(a: str) -> str:
+        return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+    return f"""
+WITH {body},
+vd AS (SELECT id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS d FROM v),
+qd AS (SELECT id AS q_id, d AS q FROM vd WHERE id IN ({_IDS})),
+qc AS (
+  SELECT qd.q_id, qd.q, t.cluster,
+         {_cos_sql(dot("qd.q", "t.c"), nrm("qd.q"), nrm("t.c"))} AS csim
+  FROM qd, {last} t
+),
+probes AS (
+  SELECT q_id, q, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY csim DESC, cluster) AS crank
+    FROM qc) WHERE crank <= {KMEANS_N_PROBE}
+),
+cand AS (
+  SELECT p.q_id, p.q, a.id, v2.d AS w
+  FROM probes p
+  JOIN af a ON a.cluster = p.cluster AND a.id != p.q_id
+  JOIN vd v2 ON v2.id = a.id
+),
+kscored AS (
+  SELECT q_id, id AS vec_id,
+         round({_cos_sql(dot("q", "w"), nrm("q"), nrm("w"))}, 4) AS sim
+  FROM cand
+),
+ktop AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id) AS rank
+    FROM kscored) WHERE rank <= 10
+),
+bq AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       WHERE vec_id IN ({_IDS})),
+bscored AS (
+  SELECT bq.q_id, e.vec_id, round({_cos_sql(
+      _DOT.replace("q.q_vec", "bq.q_vec"),
+      _QN.replace("q.q_vec", "bq.q_vec"),
+      _EN)}, 4) AS sim
+  FROM embeddings e, bq WHERE e.vec_id != bq.q_id
+),
+btop AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id) AS rank
+    FROM bscored) WHERE rank <= 10
+)
+SELECT b.q_id,
+       CAST(count(k.vec_id) AS BIGINT) AS n_overlap,
+       count(k.vec_id) / 10.0 AS recall_at_10
+FROM btop b LEFT JOIN ktop k ON k.q_id = b.q_id AND k.vec_id = b.vec_id
+GROUP BY b.q_id ORDER BY b.q_id
+"""
+
+
+SQL_ANN_RECALL_AUDIT = _sql_ann_recall()

@@ -114,6 +114,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_channel_trend_1h,
         catalog.SQL_CHANNEL_TREND_1H,
     ),
+    "ann_recall_audit": (
+        catalog_data.q_ann_recall_audit,
+        catalog_data.SQL_ANN_RECALL_AUDIT,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -455,6 +459,7 @@ _NEW_R06: list[str] = [
     "image_dhash_near_dup",
     "channel_acf_1h",
     "channel_trend_1h",
+    "ann_recall_audit",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)
