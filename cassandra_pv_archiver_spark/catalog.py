@@ -2670,9 +2670,13 @@ pfx AS (
   FROM dev
 ),
 cus AS (
+  -- the running min/max anchors at the EMPTY prefix (P_{-1} = 0), the
+  -- exact closed form of the max(0, C + d) recursion
   SELECT channel, t, n, a,
-         p - min(p) OVER (PARTITION BY channel ORDER BY t) AS cpos,
-         max(p) OVER (PARTITION BY channel ORDER BY t) - p AS cneg
+         p - least(min(p) OVER (PARTITION BY channel ORDER BY t),
+                   CAST(0 AS HUGEINT)) AS cpos,
+         greatest(max(p) OVER (PARTITION BY channel ORDER BY t),
+                  CAST(0 AS HUGEINT)) - p AS cneg
   FROM pfx
 )
 SELECT channel,

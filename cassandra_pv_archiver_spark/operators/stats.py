@@ -534,10 +534,17 @@ def cusum_alarms(samples: DataFrame, lam: int = 8) -> DataFrame:
         )
         .withColumn("_a", F.sum(F.abs(F.col("_d"))).over(wc))
         .withColumn("_p", F.sum("_d").over(wo))
-        .withColumn("_cpos", F.expr("_p - min(_p) OVER "
-                                    "(PARTITION BY channel ORDER BY t)"))
-        .withColumn("_cneg", F.expr("max(_p) OVER "
-                                    "(PARTITION BY channel ORDER BY t) - _p"))
+        # the running min/max must include the EMPTY prefix (P_{-1} = 0):
+        # C_t = P_t - min(0, min_{j<=t} P_j) is the exact closed form of
+        # max(0, C_{t-1} + d_t); without the 0 anchor a series whose
+        # prefix sums start positive under-reports the excursion
+        # (hypothesis counterexample: vals=[0, -1])
+        .withColumn("_cpos", F.expr(
+            "_p - least(min(_p) OVER (PARTITION BY channel ORDER BY t),"
+            " CAST(0 AS DECIMAL(38,0)))"))
+        .withColumn("_cneg", F.expr(
+            "greatest(max(_p) OVER (PARTITION BY channel ORDER BY t),"
+            " CAST(0 AS DECIMAL(38,0))) - _p"))
     )
     alarm_pos = F.expr(f"_cpos * _n > {lam} * _a")
     alarm_neg = F.expr(f"_cneg * _n > {lam} * _a")

@@ -395,3 +395,55 @@ class TestChannelTrend:
         r = channel_trend(_samples(spark, rows), HOUR).collect()[0]
         assert abs(r.slope_per_period - 1.0) < 1e-9
         assert abs(r.intercept - 3.0) < 1e-9
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP6 = True
+except ImportError:  # pragma: no cover
+    _HYP6 = False
+
+
+if _HYP6:
+
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-500, max_value=500), min_size=2, max_size=40
+        )
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_cusum_closed_form_matches_recursion(spark, vals):
+        """The window closed form (P_t - running min / running max - P_t)
+        must equal the textbook recursion C_t = max(0, C_{t-1} + d_t)
+        for every series — including the alarm counts derived from it."""
+        rows = [("c", i, v / 100.0, 0, 0) for i, v in enumerate(vals)]
+        r = cusum_alarms(_samples(spark, rows), lam=8).collect()[0]
+
+        n = len(vals)
+        s = sum(vals)
+        ds = [n * v - s for v in vals]
+        a = sum(abs(d) for d in ds)
+        cp = cn = 0
+        pos_alarms = neg_alarms = 0
+        first_t = None
+        max_p = max_n = 0
+        for i, d in enumerate(ds):
+            cp = max(0, cp + d)
+            cn = max(0, cn - d)
+            max_p, max_n = max(max_p, cp), max(max_n, cn)
+            if cp * n > 8 * a:
+                pos_alarms += 1
+                if first_t is None:
+                    first_t = i
+            if cn * n > 8 * a:
+                neg_alarms += 1
+                if first_t is None:
+                    first_t = i
+        assert r.n_pos_alarms == pos_alarms
+        assert r.n_neg_alarms == neg_alarms
+        assert r.first_alarm_t == first_t
+        assert abs(r.max_pos_dev - max_p / (n * 100.0)) < 1e-9
+        assert abs(r.max_neg_dev - max_n / (n * 100.0)) < 1e-9
