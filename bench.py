@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "channel_acf_1h",
     "channel_trend_1h",
     "ann_recall_audit",
+    "cms_heavy_hitters",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -2613,3 +2613,63 @@ GROUP BY b.q_id ORDER BY b.q_id
 
 
 SQL_ANN_RECALL_AUDIT = _sql_ann_recall()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy-hitter audit
+# ---------------------------------------------------------------------------
+
+CMS_TOP_K = 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS heavy-hitter audit: sketch estimate vs exact count for the
+    true top-20 tokens (operators/sketches.cms_heavy_hitter_audit). The
+    mergeable-summaries pattern quantified: overestimate >= 0 always,
+    bounded by eps*N in expectation."""
+    from .operators.sketches import cms_heavy_hitter_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitter_audit(docs, top_k=CMS_TOP_K)
+
+
+def _sql_cms(depth: int = 4, width: int = 1024, top_k: int = 20) -> str:
+    b = (
+        "(CAST(list_sum(list_transform(range(0, 4), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('cms' || CAST({r} AS VARCHAR)"
+        " || ':' || token), i + 1, 1)) - 1 AS BIGINT)"
+        " << (4 * (3 - i)))) AS INTEGER)) % " + str(width)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({_W_SQL}) AS token FROM documents
+),
+exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token),
+top AS (
+  SELECT token, exact_n FROM exact
+  ORDER BY exact_n DESC, token LIMIT {top_k}
+),
+rows_ AS (
+  SELECT token, unnest(range(0, {depth})) AS r FROM toks
+),
+counters AS (
+  SELECT r, {b.format(r="r")} AS bucket, count(*) AS c
+  FROM rows_ GROUP BY 1, 2
+),
+probes AS (
+  SELECT token, exact_n, unnest(range(0, {depth})) AS r FROM top
+),
+est AS (
+  SELECT p.token, p.exact_n, min(c.c) AS cms_est
+  FROM probes p JOIN counters c
+    ON c.r = p.r AND c.bucket = {b.format(r="p.r")}
+  GROUP BY p.token, p.exact_n
+)
+SELECT token, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_n AS BIGINT) AS overestimate
+FROM est ORDER BY exact_n DESC, token
+"""
+
+
+SQL_CMS_HEAVY_HITTERS = _sql_cms()

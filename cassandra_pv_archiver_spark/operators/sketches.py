@@ -1,0 +1,99 @@
+"""Count-Min sketch heavy-hitter audit (Cormode & Muthukrishnan 2005).
+
+The 100 TB motivation: exact token counts need a full token-key shuffle;
+a CMS is d×w counters that partial-aggregate map-side and merge by
+addition — the mergeable-summaries pattern (same family as the HLL
+distinct audit). The audit quantifies what that buys and costs: for the
+TRUE top-k tokens (exact counts), report the sketch estimate and the
+overestimate. CMS guarantees estimate >= exact always, and
+overestimate <= eps*N with probability 1-delta (eps = e/w) — the first
+invariant is hard (the oracle and tests pin it row by row), the second
+is checked in expectation by the unit test.
+
+Engine-portability: the d row-hashes are the md5-nibble construction
+(`sampling.hash_bucket16` with per-row salts) so DuckDB reproduces every
+bucket assignment and therefore every counter and estimate bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_heavy_hitter_audit(
+    docs: DataFrame,
+    top_k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a CMS over the corpus token stream and audit it against the
+    exact counts of the true top-``top_k`` tokens.
+
+    Plan shape: ONE token scan feeds both sides — the exact top-k (one
+    token-key hash agg + TakeOrdered-style rank) and the sketch (tokens
+    × depth rows → groupBy(row, bucket): d·w counters, thousands of
+    rows, map-side combined). The probe is a broadcast join of the tiny
+    top-k token set against the tiny counter table. At 100 TB the exact
+    side is the expensive baseline being audited; production keeps only
+    the sketch.
+
+    Returns: token, exact_n, cms_est, overestimate (>= 0 by the CMS
+    guarantee — a negative value anywhere is a bug, and the oracle
+    hash-checks every row).
+    """
+    from .sampling import hash_bucket16
+    from .text import _WORDS
+
+    toks = docs.select(F.explode(F.expr(_WORDS)).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "token").limit(top_k)
+
+    rows = toks.select(
+        "token",
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row"),
+    )
+    # per-row salted bucket: md5 nibbles, mod width — mirrored in SQL
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("row").cast("string"),
+                        F.lit(":"),
+                        F.col("token"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % width
+    )
+    counters = (
+        rows.withColumn("bucket", bucket)
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = top.select(
+        "token",
+        "exact_n",
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row"),
+    ).withColumn("bucket", bucket)
+    est = (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+    ).orderBy(F.col("exact_n").desc(), "token")

@@ -118,6 +118,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_ann_recall_audit,
         catalog_data.SQL_ANN_RECALL_AUDIT,
     ),
+    "cms_heavy_hitters": (
+        catalog_data.q_cms_heavy_hitters,
+        catalog_data.SQL_CMS_HEAVY_HITTERS,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -460,6 +464,7 @@ _NEW_R06: list[str] = [
     "channel_acf_1h",
     "channel_trend_1h",
     "ann_recall_audit",
+    "cms_heavy_hitters",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)

@@ -447,3 +447,42 @@ if _HYP6:
         assert r.first_alarm_t == first_t
         assert abs(r.max_pos_dev - max_p / (n * 100.0)) < 1e-9
         assert abs(r.max_neg_dev - max_n / (n * 100.0)) < 1e-9
+
+
+class TestCmsHeavyHitters:
+    def test_overestimate_invariant_and_bound(self, spark):
+        from cassandra_pv_archiver_spark.operators.sketches import (
+            cms_heavy_hitter_audit,
+        )
+
+        # skewed corpus: 'hot' dominates, long tail of singletons
+        rows = [(0, "hot " * 200)] + [
+            (i, f"w{i}a w{i}b w{i}c") for i in range(1, 200)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = cms_heavy_hitter_audit(docs, top_k=5).collect()
+        n_total = 200 + 199 * 3
+        for r in out:
+            assert r.overestimate >= 0, r  # the hard CMS guarantee
+            assert r.cms_est == r.exact_n + r.overestimate
+        top = out[0]
+        assert top.token == "hot" and top.exact_n == 200
+        # eps = e/w ~ 0.0027; with N ~ 800 the expected overestimate is
+        # ~2 tokens; allow generous slack, it just must not be huge
+        assert all(r.overestimate <= n_total * 0.05 for r in out)
+
+    def test_estimate_exact_when_no_collisions(self, spark):
+        from cassandra_pv_archiver_spark.operators.sketches import (
+            cms_heavy_hitter_audit,
+        )
+
+        # few distinct tokens in a wide sketch: min over 4 rows should be
+        # exact unless all 4 buckets collide (astronomically unlikely)
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma alpha beta alpha")],
+            "doc_id long, text string",
+        )
+        out = {r.token: r for r in cms_heavy_hitter_audit(docs, top_k=3).collect()}
+        assert out["alpha"].cms_est == 3
+        assert out["beta"].cms_est == 2
+        assert out["gamma"].cms_est == 1

@@ -650,6 +650,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "cms_heavy_hitters": (
+        None,  # one token scan feeds exact top-k AND the d*w counter
+        # table (map-side combined); the probe broadcasts — the sketch
+        # side must never shuffle tokens by key
+        ["partial_", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "image_dhash_near_dup": (
         None,  # the ONE declared Arrow crossing (MapInPandas codec
         # roundtrip), then the banded self-equi-join — an all-pairs
