@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "channel_trend_1h",
     "ann_recall_audit",
     "cms_heavy_hitters",
+    "lsh_recall_audit",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

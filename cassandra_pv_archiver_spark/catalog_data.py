@@ -2673,3 +2673,84 @@ FROM est ORDER BY exact_n DESC, token
 
 
 SQL_CMS_HEAVY_HITTERS = _sql_cms()
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit: banding measured against the exact Jaccard baseline
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH near-dup path at the catalog
+    threshold, measured against the exact (guarded, quadratic) Jaccard
+    baseline — the text-dedup twin of `ann_recall_audit`. Because the
+    LSH path verifies candidates with TRUE Jaccard, precision is 1.0 by
+    construction (the audit proves it rather than assuming it); recall
+    < 1 comes only from banding misses, which is exactly the knob
+    (bands × rows) this number tunes.
+
+    Run at validation scale: the exact side is the O(n²)-guarded
+    baseline; production keeps only the banded plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    truth = dedup.jaccard_pairs(sh, JACCARD_THRESHOLD).select("id_a", "id_b")
+    lsh = (
+        _minhash_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    matched = truth.join(lsh, ["id_a", "id_b"], "left_semi")
+    agg = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_matched")))
+    )
+    return agg.select(
+        "n_truth",
+        "n_lsh",
+        "n_matched",
+        F.expr(
+            "CASE WHEN n_truth = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE n_matched / CAST(n_truth AS DOUBLE) END"
+        ).alias("recall"),
+        F.expr(
+            "CASE WHEN n_lsh = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE n_matched / CAST(n_lsh AS DOUBLE) END"
+        ).alias("precision"),
+    )
+
+
+SQL_LSH_RECALL_AUDIT = f"""
+WITH {_minhash_pair_ctes()},
+tp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT id_a, id_b
+  FROM tp JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+),
+lsh AS (
+  SELECT id_a, id_b FROM vpairs WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+m AS (
+  SELECT count(*) AS n_matched
+  FROM truth t JOIN lsh l ON l.id_a = t.id_a AND l.id_b = t.id_b
+),
+c AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM lsh) AS n_lsh,
+         (SELECT n_matched FROM m) AS n_matched
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CASE WHEN n_truth = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE n_matched / CAST(n_truth AS DOUBLE) END AS recall,
+       CASE WHEN n_lsh = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE n_matched / CAST(n_lsh AS DOUBLE) END AS precision
+FROM c
+"""

@@ -122,6 +122,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_cms_heavy_hitters,
         catalog_data.SQL_CMS_HEAVY_HITTERS,
     ),
+    "lsh_recall_audit": (
+        catalog_data.q_lsh_recall_audit,
+        catalog_data.SQL_LSH_RECALL_AUDIT,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -465,6 +469,7 @@ _NEW_R06: list[str] = [
     "channel_trend_1h",
     "ann_recall_audit",
     "cms_heavy_hitters",
+    "lsh_recall_audit",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)
