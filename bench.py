@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "ann_recall_audit",
     "cms_heavy_hitters",
     "lsh_recall_audit",
+    "quality_ks_by_source",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

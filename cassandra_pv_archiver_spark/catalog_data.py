@@ -2754,3 +2754,53 @@ SELECT CAST(n_truth AS BIGINT) AS n_truth,
             ELSE n_matched / CAST(n_lsh AS DOUBLE) END AS precision
 FROM c
 """
+
+
+def q_quality_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance of the quality-score distribution,
+    each source vs the rest of the corpus (operators/text.
+    ks_drift_by_group) — the distribution-shape drift audit behind
+    'this crawl snapshot looks different'."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.text_metrics(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "quality_score")
+    return text.ks_drift_by_group(
+        m, "source", "quality_score", "doc_id"
+    )
+
+
+def _sql_quality_ks() -> str:
+    from .operators.decimate import big_to_double_duck
+
+    return f"""
+WITH {_QUALITY_CTES.replace("lang", "source")},
+g AS (SELECT DISTINCT source AS grp FROM qual),
+e AS (
+  SELECT q.doc_id, q.quality_score, q.source, g.grp,
+         CASE WHEN q.source = g.grp THEN 1 ELSE 0 END AS ind
+  FROM qual q CROSS JOIN g
+),
+c AS (
+  SELECT grp,
+         CAST(sum(ind) OVER w AS HUGEINT) AS cs,
+         CAST(sum(1 - ind) OVER w AS HUGEINT) AS cr,
+         CAST(sum(ind) OVER p AS HUGEINT) AS ns,
+         CAST(sum(1 - ind) OVER p AS HUGEINT) AS nr
+  FROM e
+  WINDOW w AS (PARTITION BY grp ORDER BY quality_score, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         p AS (PARTITION BY grp)
+)
+SELECT grp AS source,
+       CAST(max(ns) AS BIGINT) AS n_group,
+       CAST(max(nr) AS BIGINT) AS n_rest,
+       CAST(max(abs(cs * nr - cr * ns)) AS BIGINT) AS ks_num,
+       CASE WHEN max(ns) = 0 OR max(nr) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE ({big_to_double_duck("max(abs(cs * nr - cr * ns))")})
+               / ({big_to_double_duck("(max(ns) * max(nr))")}) END AS ks
+FROM c GROUP BY grp ORDER BY grp
+""".replace("{stop}", _STOP_PRED)
+
+
+SQL_QUALITY_KS_BY_SOURCE = _sql_quality_ks()

@@ -472,3 +472,71 @@ def distinctive_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "tok", "tf", "df", "score", "rank")
     )
+
+
+def ks_drift_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance of ``value_col``
+    for each group vs the REST of the corpus — "is this source's quality
+    distribution shaped like everyone else's", the distributional twin
+    of the mean/quantile per-source audits.
+
+    Exactness: D = max|F_g - F_rest| cross-multiplies to
+    max|c_g·n_rest - c_rest·n_g| over the totally-ordered rows
+    ((value, tiebreak) — a total order, so tie handling is a fixed
+    convention, identical on any engine), all BIGINT until one final
+    divide. No sampling, no binning.
+
+    Shape: rows × groups via a broadcast of the tiny group list; one
+    hash(group) exchange drives the per-group cumulative windows and the
+    final max. The row×group fan-out is the validation-scale audit cost
+    (like the exact dedup baselines) — at extreme group counts, run per
+    cohort or switch to binned TVD (`stats.distribution_drift`).
+
+    Returns: group, n_group, n_rest, ks_num, ks.
+    """
+    from .decimate import big_to_double
+
+    groups = df.select(F.col(group_col).alias("_grp")).distinct()
+    e = df.select(
+        F.col(group_col).alias("_g0"),
+        F.col(value_col).alias("_v"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).crossJoin(F.broadcast(groups))
+    win = (
+        Window.partitionBy("_grp")
+        .orderBy("_v", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("_grp")
+    e = (
+        e.withColumn("_in", (F.col("_g0") == F.col("_grp")).cast("long"))
+        .withColumn("_cs", F.sum("_in").over(win).cast("decimal(19,0)"))
+        .withColumn(
+            "_cr", F.sum(1 - F.col("_in")).over(win).cast("decimal(19,0)")
+        )
+        .withColumn("_ns", F.sum("_in").over(wn).cast("decimal(19,0)"))
+        .withColumn("_nr", F.sum(1 - F.col("_in")).over(wn).cast("decimal(19,0)"))
+    )
+    num = big_to_double("CAST(max(abs(_cs * _nr - _cr * _ns)) AS DECIMAL(38,0))")
+    den = big_to_double("CAST(max(_ns) * max(_nr) AS DECIMAL(38,0))")
+    return (
+        e.groupBy(F.col("_grp").alias(group_col))
+        .agg(
+            F.max("_ns").cast("long").alias("n_group"),
+            F.max("_nr").cast("long").alias("n_rest"),
+            F.max(F.expr("abs(_cs * _nr - _cr * _ns)"))
+            .cast("long")
+            .alias("ks_num"),
+            F.expr(
+                "CASE WHEN max(_ns) = 0 OR max(_nr) = 0"
+                " THEN CAST(NULL AS DOUBLE)"
+                f" ELSE ({num}) / ({den}) END"
+            ).alias("ks"),
+        )
+        .orderBy(group_col)
+    )

@@ -126,6 +126,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_lsh_recall_audit,
         catalog_data.SQL_LSH_RECALL_AUDIT,
     ),
+    "quality_ks_by_source": (
+        catalog_data.q_quality_ks_by_source,
+        catalog_data.SQL_QUALITY_KS_BY_SOURCE,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -470,6 +474,7 @@ _NEW_R06: list[str] = [
     "ann_recall_audit",
     "cms_heavy_hitters",
     "lsh_recall_audit",
+    "quality_ks_by_source",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)

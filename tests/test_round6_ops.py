@@ -486,3 +486,49 @@ class TestCmsHeavyHitters:
         assert out["alpha"].cms_est == 3
         assert out["beta"].cms_est == 2
         assert out["gamma"].cms_est == 1
+
+
+class TestKsDrift:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, src string, v double")
+
+    def test_identical_distributions_near_zero(self, spark):
+        from cassandra_pv_archiver_spark.operators.text import ks_drift_by_group
+
+        # both groups sample the same values interleaved: D = 1/n at most
+        rows = [(i, "a" if i % 2 == 0 else "b", float(i // 2)) for i in range(40)]
+        out = {r.src: r for r in
+               ks_drift_by_group(self._df(spark, rows), "src", "v", "doc_id").collect()}
+        assert out["a"].ks <= 0.06
+        assert out["b"].ks <= 0.06
+
+    def test_disjoint_distributions_full_distance(self, spark):
+        from cassandra_pv_archiver_spark.operators.text import ks_drift_by_group
+
+        rows = [(i, "lo", float(i)) for i in range(10)] + [
+            (100 + i, "hi", 1000.0 + i) for i in range(10)
+        ]
+        out = {r.src: r for r in
+               ks_drift_by_group(self._df(spark, rows), "src", "v", "doc_id").collect()}
+        assert out["lo"].ks == 1.0 and out["hi"].ks == 1.0
+
+    def test_matches_scipy_style_reference(self, spark):
+        from cassandra_pv_archiver_spark.operators.text import ks_drift_by_group
+
+        import itertools
+        vals_a = [0.1, 0.4, 0.4, 0.9, 2.0]
+        vals_b = [0.2, 0.3, 1.1, 1.5]
+        rows = [(i, "a", v) for i, v in enumerate(vals_a)] + [
+            (100 + i, "b", v) for i, v in enumerate(vals_b)
+        ]
+        out = {r.src: r for r in
+               ks_drift_by_group(self._df(spark, rows), "src", "v", "doc_id").collect()}
+        # reference D: max over all points of |F_a - F_b|
+        pts = sorted(set(vals_a + vals_b))
+        d = max(
+            abs(sum(v <= p for v in vals_a) / len(vals_a)
+                - sum(v <= p for v in vals_b) / len(vals_b))
+            for p in pts
+        )
+        assert abs(out["a"].ks - d) < 1e-9
+        assert abs(out["b"].ks - d) < 1e-9
