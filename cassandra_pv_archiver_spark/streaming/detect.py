@@ -158,3 +158,132 @@ def batch_cusum_reference(
                 out.append((ch, ti, "neg", s_neg, thr))
                 s_neg = 0
     return sorted(out)
+
+
+#: drift output: one row per (channel, micro-batch trigger)
+DRIFT_SCHEMA = (
+    "channel string, n_seen long, tvd_num long, tvd_den long, tvd double"
+)
+
+
+def histogram_baseline(samples: DataFrame, n_bins: int = 20) -> DataFrame:
+    """Batch profile for the streaming drift monitor: per-channel value
+    bounds (fixing the bin edges forever — a live monitor cannot rebin)
+    and the baseline bin counts.
+
+    Returns: channel, lo, hi, counts array<long> (length n_bins).
+    """
+    s = samples.select("channel", "v")
+    bounds = s.groupBy("channel").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = s.join(F.broadcast(bounds), "channel").withColumn(
+        "_bin",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * n_bins
+                    ),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    per_bin = binned.groupBy("channel", "lo", "hi", "_bin").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # densify to a fixed-length array via a map lookup — an aggregate
+    # inside a transform() lambda is NOT legal Spark (codegen NPEs), so
+    # collect the sparse (bin, count) pairs first, then look them up
+    return (
+        per_bin.groupBy("channel", "lo", "hi")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_bin", "_c")))
+            ).alias("_m")
+        )
+        .select(
+            "channel",
+            "lo",
+            "hi",
+            F.expr(
+                f"transform(sequence(0, {n_bins - 1}),"
+                " b -> coalesce(try_element_at(_m, b), 0L))"
+            ).alias("counts"),
+        )
+    )
+
+
+def stream_histogram_drift(
+    stream: DataFrame,
+    baseline: DataFrame,
+    n_bins: int = 20,
+    key: str = "channel",
+) -> DataFrame:
+    """Live distribution-drift monitor: per-channel streaming histogram
+    accumulated in ``GroupState`` (one long per bin), compared against
+    the batch baseline with the SAME integer-exact total-variation
+    distance as the batch operator (`operators/stats.distribution_drift`)
+    — emitted once per channel per micro-batch, so a dashboard sees the
+    drift trajectory converge as evidence accumulates.
+
+    Values outside the baseline's range clamp into the edge bins (a live
+    monitor cannot rebin; a persistent edge-bin spike IS the drift
+    signal). State is ``n_bins`` longs per channel — O(#channels)
+    cluster-wide.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    enriched = stream.join(F.broadcast(baseline), key).select(
+        key,
+        "v",
+        "lo",
+        "hi",
+        F.expr(
+            f"CASE WHEN hi = lo THEN 0 ELSE CAST(least({n_bins - 1},"
+            f" greatest(0, floor((v - lo) / (hi - lo) * {n_bins})))"
+            " AS INT) END"
+        ).alias("bin"),
+        "counts",
+    )
+
+    def _fn(key_, pdf_iter, state: GroupState):
+        seen = list(state.get) if state.exists else [0] * n_bins
+        base = None
+        got = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            got = True
+            if base is None:
+                base = list(pdf["counts"].iloc[0])
+            for b in pdf["bin"]:
+                seen[int(b)] += 1
+        if got:
+            na, nb = sum(seen), sum(base)
+            num = sum(abs(a * nb - b * na) for a, b in zip(seen, base))
+            den = 2 * na * nb
+            yield pd.DataFrame(
+                {
+                    "channel": [key_[0]],
+                    "n_seen": [na],
+                    "tvd_num": [num],
+                    "tvd_den": [den],
+                    "tvd": [num / den if den else float("nan")],
+                }
+            )
+        state.update(tuple(seen))
+
+    return enriched.groupBy(key).applyInPandasWithState(
+        _fn,
+        DRIFT_SCHEMA,
+        ", ".join(f"b{i} long" for i in range(n_bins)),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -532,3 +532,83 @@ class TestKsDrift:
         )
         assert abs(out["a"].ks - d) < 1e-9
         assert abs(out["b"].ks - d) < 1e-9
+
+
+class TestStreamDrift:
+    def test_stream_drift_converges_to_batch_tvd(self, spark, tmp_path):
+        """Replaying a drifted stream must end at exactly the TVD the
+        batch formula gives for (seen, baseline) — state carries bin
+        counts across micro-batches."""
+        import os
+        import shutil
+
+        from cassandra_pv_archiver_spark.streaming.detect import (
+            histogram_baseline,
+            stream_histogram_drift,
+        )
+
+        schema = "channel string, t long, v double"
+        # baseline: uniform over [0, 10); live: everything in the top bins
+        hist_rows = [("X", i, float(i % 10), ) for i in range(100)]
+        base_df = histogram_baseline(
+            spark.createDataFrame([(c, t, v) for c, t, v in hist_rows], schema)
+        )
+        live = [("X", 1000 + i, 9.0) for i in range(20)]
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+
+        def _write_file(chunk, name, mtime):
+            stage = str(tmp_path / ("stage_" + name))
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(src, name + ".parquet")
+            shutil.copy(os.path.join(stage, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        _write_file(live[:8], "b1", 1_000_000_000)
+        _write_file(live[8:], "b2", 1_000_000_100)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        drift = stream_histogram_drift(stream, base_df)
+        got = []
+
+        def _sink(batch_df, batch_id):
+            got.extend(batch_df.collect())
+
+        q = (
+            drift.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        assert len(got) == 2  # one emission per micro-batch
+        final = max(got, key=lambda r: r.n_seen)
+        assert final.n_seen == 20
+        # reference: seen = 20 in the last bin; base = 10 per bin of 20 bins?
+        # baseline uses 20 bins over [0,9]: values 0..9 spread; compute the
+        # exact formula on the collected baseline
+        base = {r.channel: r for r in base_df.collect()}["X"]
+        seen = [0] * 20
+        lo, hi = base.lo, base.hi
+        for _, _, v in live:
+            b = min(19, max(0, int((v - lo) / (hi - lo) * 20)))
+            seen[b] += 1
+        na, nb = sum(seen), sum(base.counts)
+        num = sum(abs(a * nb - b * na) for a, b in zip(seen, base.counts))
+        assert final.tvd_num == num
+        assert final.tvd_den == 2 * na * nb
+        assert abs(final.tvd - num / (2 * na * nb)) < 1e-12
+        # drift direction sanity: concentrated stream vs uniform base
+        assert final.tvd > 0.5
