@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "lsh_recall_audit",
     "quality_ks_by_source",
+    "array_elementwise_stats",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

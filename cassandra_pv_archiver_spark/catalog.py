@@ -2944,3 +2944,64 @@ FROM mo ORDER BY channel
 
 
 SQL_CHANNEL_TREND_1H = _sql_channel_trend()
+
+
+def q_array_elementwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise statistics over ARRAY-typed channels (the ARRAY_*
+    half of the reference's type system, `ChannelAccessSampleType.java`
+    18-129): per (channel, element index), count / exact mean / min /
+    max of the array_double samples. The reference never DECIMATES
+    arrays (aggregation covers only numeric scalars) — this is the
+    natural Spark extension: posexplode is a narrow 1→N map, the
+    aggregation partial-combines on (channel, idx), and the mean goes
+    through exact DECIMAL sums + big_to_double so the hash is bit-stable
+    at any parallelism."""
+    from .operators.decimate import big_to_double
+    from .sources.testdata import load_typed_samples
+
+    s = load_typed_samples(spark, sf_dir).filter(F.col("type") == "array_double")
+    e = s.select(
+        "channel", F.posexplode("aval").alias("idx", "_v")
+    ).withColumn("_vi", F.expr("CAST(floor(_v * 100 + 0.5) AS DECIMAL(19,0))"))
+    m = e.groupBy("channel", "idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_vi").alias("_s"),
+        F.min("_v").alias("vmin"),
+        F.max("_v").alias("vmax"),
+    )
+    mean = big_to_double("CAST(_s AS DECIMAL(38,0))")
+    return m.select(
+        "channel",
+        "idx",
+        "n",
+        F.expr(f"({mean}) / (CAST(n AS DOUBLE) * 100.0)").alias("mean"),
+        "vmin",
+        "vmax",
+    ).orderBy("channel", "idx")
+
+
+def _sql_array_elementwise() -> str:
+    from .operators.decimate import big_to_double_duck
+
+    return f"""
+WITH {TYPED_SAMPLES_CTE},
+e AS (
+  SELECT channel, i - 1 AS idx, aval[i] AS v
+  FROM typed_samples, LATERAL (
+    SELECT unnest(generate_series(1, len(aval))) AS i)
+  WHERE type = 'array_double'
+),
+m AS (
+  SELECT channel, idx, count(*) AS n,
+         CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s,
+         min(v) AS vmin, max(v) AS vmax
+  FROM e GROUP BY channel, idx
+)
+SELECT channel, CAST(idx AS INTEGER) AS idx, CAST(n AS BIGINT) AS n,
+       ({big_to_double_duck("s")}) / (CAST(n AS DOUBLE) * 100.0) AS mean,
+       vmin, vmax
+FROM m ORDER BY channel, idx
+"""
+
+
+SQL_ARRAY_ELEMENTWISE_STATS = _sql_array_elementwise()

@@ -130,6 +130,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_quality_ks_by_source,
         catalog_data.SQL_QUALITY_KS_BY_SOURCE,
     ),
+    "array_elementwise_stats": (
+        catalog.q_array_elementwise_stats,
+        catalog.SQL_ARRAY_ELEMENTWISE_STATS,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -475,6 +479,7 @@ _NEW_R06: list[str] = [
     "cms_heavy_hitters",
     "lsh_recall_audit",
     "quality_ks_by_source",
+    "array_elementwise_stats",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)
