@@ -612,3 +612,27 @@ class TestStreamDrift:
         assert abs(final.tvd - num / (2 * na * nb)) < 1e-12
         # drift direction sanity: concentrated stream vs uniform base
         assert final.tvd > 0.5
+
+
+class TestArrayElementwise:
+    def test_fixture_array_structure_preserved(self, spark):
+        """The typed fixture's array_double payloads are (x, 2x, 3x):
+        element-wise means must preserve that exact ratio, which any
+        index mix-up or partial-agg bug would destroy."""
+        from cassandra_pv_archiver_spark.catalog import (
+            q_array_elementwise_stats,
+        )
+
+        out = q_array_elementwise_stats(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by_ch = {}
+        for r in out:
+            by_ch.setdefault(r.channel, {})[r.idx] = r
+        assert by_ch
+        for ch, idxs in by_ch.items():
+            assert set(idxs) == {0, 1, 2}
+            m0 = idxs[0].mean
+            assert abs(idxs[1].mean - 2 * m0) < 1e-9, ch
+            assert abs(idxs[2].mean - 3 * m0) < 1e-9, ch
+            assert idxs[0].n == idxs[1].n == idxs[2].n
