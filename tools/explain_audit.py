@@ -650,6 +650,28 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "lsh_recall_audit": (
+        None,  # truth side is the guarded quadratic baseline (shingle
+        # equi-join); the LSH side must stay banded; the overlap is a
+        # semi-join of two tiny pair tables
+        ["partial_", "LeftSemi"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "quality_ks_by_source": (
+        None,  # rows x groups via a BROADCAST of the tiny group list;
+        # per-group cumulative windows + one max agg — the fan-out is the
+        # documented validation-scale cost, the join must never shuffle
+        ["BroadcastNestedLoopJoin", "Window", "partial_"],
+        ["CartesianProduct", "SortMergeJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "array_elementwise_stats": (
+        2,  # posexplode is narrow; one (channel, idx) hash agg + the
+        # output sort
+        ["Generate", "partial_"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "cms_heavy_hitters": (
         None,  # one token scan feeds exact top-k AND the d*w counter
         # table (map-side combined); the probe broadcasts — the sketch
