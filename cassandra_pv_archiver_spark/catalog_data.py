@@ -2634,10 +2634,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cms(depth: int = 4, width: int = 1024, top_k: int = 20) -> str:
+    # bucket for row r: 16-bit slice r of md5(token) (nibbles 4r+1..4r+4)
     b = (
         "(CAST(list_sum(list_transform(range(0, 4), i -> "
-        "CAST(strpos('0123456789abcdef', substr(md5('cms' || CAST({r} AS VARCHAR)"
-        " || ':' || token), i + 1, 1)) - 1 AS BIGINT)"
+        "CAST(strpos('0123456789abcdef', substr(md5(token),"
+        " 4 * {r} + i + 1, 1)) - 1 AS BIGINT)"
         " << (4 * (3 - i)))) AS INTEGER)) % " + str(width)
     )
     return f"""
