@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "lsh_recall_audit",
     "quality_ks_by_source",
     "array_elementwise_stats",
+    "containment_pairs",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

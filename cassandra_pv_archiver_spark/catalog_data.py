@@ -2805,3 +2805,41 @@ FROM c GROUP BY grp ORDER BY grp
 
 
 SQL_QUALITY_KS_BY_SOURCE = _sql_quality_ks()
+
+
+CONTAIN_C, CONTAIN_JMAX = 0.15, 0.5
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (Broder containment) near-dup pairs that symmetric
+    Jaccard misses: C(small in big) >= 0.15 while J < 0.5
+    (operators/dedup.containment_pairs — the quote-inside-article
+    detector; threshold set to the fixture's asymmetric-overlap tail,
+    production would run 0.8+)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    return dedup.containment_pairs(sh, CONTAIN_C, CONTAIN_JMAX)
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT id_a, id_b, n_common, sa.n_sh AS na, sb.n_sh AS nb,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard,
+         n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+  FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_small,
+       CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_big,
+       containment, jaccard, CAST(n_common AS BIGINT) AS n_common
+FROM e
+WHERE containment >= {CONTAIN_C} AND jaccard < {CONTAIN_JMAX}
+ORDER BY id_small, id_big
+"""

@@ -669,3 +669,78 @@ def cdc_chunk_stats(
         )
         .orderBy(group_col)
     )
+
+
+def containment_pairs(
+    sh: DataFrame,
+    c_threshold: float = 0.8,
+    j_max: float = 0.5,
+    id_col: str = "doc_id",
+    max_docs: int | None = EXACT_PAIRS_MAX_DOCS,
+) -> DataFrame:
+    """Asymmetric near-dup: Broder CONTAINMENT C(A in B) = |A∩B| / |A| —
+    the quote-inside-article / doc-embedded-in-digest case that
+    resemblance (Jaccard) structurally misses: a 50-shingle doc fully
+    inside a 5000-shingle doc has J ≈ 0.01 but C = 1.0. Reported pairs
+    have max-direction containment >= ``c_threshold`` AND Jaccard <
+    ``j_max`` — i.e. exactly the dups the symmetric pipeline does NOT
+    already catch, so the two operators compose without double counting.
+
+    Both ratios stay unrounded int/int divisions (bit-identical across
+    engines). Exact and quadratic in per-shingle document frequency —
+    the same guarded validation-scale baseline as :func:`jaccard_pairs`;
+    the scale path bands on the SMALLER side's signature (containment
+    LSH), which this baseline exists to validate.
+
+    Returns: id_small (the contained side), id_big, containment,
+    jaccard, n_common.
+    """
+    if max_docs is not None:
+        n_docs = sh.select(id_col).distinct().count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"containment_pairs: {n_docs} documents exceeds the "
+                f"{max_docs}-doc cap of the exact baseline; band on the "
+                "smaller side's MinHash signature at scale."
+            )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("_nb"))
+    e = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_common")
+            / F.least(F.col("_na"), F.col("_nb")).cast("double"),
+        )
+    )
+    return (
+        e.filter(
+            (F.col("containment") >= c_threshold) & (F.col("jaccard") < j_max)
+        )
+        .select(
+            F.when(F.col("_na") <= F.col("_nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_small"),
+            F.when(F.col("_na") <= F.col("_nb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_big"),
+            "containment",
+            "jaccard",
+            "n_common",
+        )
+        .orderBy("id_small", "id_big")
+    )

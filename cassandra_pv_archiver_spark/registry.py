@@ -134,6 +134,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_array_elementwise_stats,
         catalog.SQL_ARRAY_ELEMENTWISE_STATS,
     ),
+    "containment_pairs": (
+        catalog_data.q_containment_pairs,
+        catalog_data.SQL_CONTAINMENT_PAIRS,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -480,6 +484,7 @@ _NEW_R06: list[str] = [
     "lsh_recall_audit",
     "quality_ks_by_source",
     "array_elementwise_stats",
+    "containment_pairs",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)

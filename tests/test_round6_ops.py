@@ -636,3 +636,39 @@ class TestArrayElementwise:
             assert abs(idxs[1].mean - 2 * m0) < 1e-9, ch
             assert abs(idxs[2].mean - 3 * m0) < 1e-9, ch
             assert idxs[0].n == idxs[1].n == idxs[2].n
+
+
+class TestContainment:
+    def test_quote_inside_article_found(self, spark):
+        """A short doc fully contained in a long doc: J tiny, C = 1.0 —
+        the case resemblance dedup structurally misses."""
+        from cassandra_pv_archiver_spark.operators.dedup import (
+            containment_pairs,
+            shingles,
+        )
+
+        quote = " ".join(f"q{i}" for i in range(20))
+        article = quote + " " + " ".join(f"a{i}" for i in range(400))
+        other = " ".join(f"z{i}" for i in range(50))
+        docs = spark.createDataFrame(
+            [(1, quote), (2, article), (3, other)], "doc_id long, text string"
+        )
+        out = containment_pairs(shingles(docs), 0.8, 0.5).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.id_small, r.id_big) == (1, 2)
+        assert r.containment == 1.0
+        assert r.jaccard < 0.1
+
+    def test_identical_docs_excluded_by_jmax(self, spark):
+        # exact dups have J = 1.0: symmetric dedup's territory, not ours
+        from cassandra_pv_archiver_spark.operators.dedup import (
+            containment_pairs,
+            shingles,
+        )
+
+        t = " ".join(f"w{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, t), (2, t)], "doc_id long, text string"
+        )
+        assert containment_pairs(shingles(docs), 0.8, 0.5).count() == 0
