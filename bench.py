@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "quality_ks_by_source",
     "array_elementwise_stats",
     "containment_pairs",
+    "pack_efficiency",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

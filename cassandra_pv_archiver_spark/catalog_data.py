@@ -2843,3 +2843,64 @@ FROM e
 WHERE containment >= {CONTAIN_C} AND jaccard < {CONTAIN_JMAX}
 ORDER BY id_small, id_big
 """
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit per (lang, shard): pack count, token
+    total, nominal capacity, fill factor — the number a training team
+    watches (wasted pad tokens are wasted FLOPs). Fill can exceed 1.0
+    when a shard's last document straddles its final window boundary
+    (offset-assigned packs spill, they do not truncate) — that, too, is
+    a number worth seeing."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.expr(f"size({text._WORDS})").alias("n_tokens")
+    )
+    packed = sampling.sequence_packing(
+        d, window_tokens=PACK_WINDOW, n_shards=PACK_SHARDS
+    )
+    return (
+        packed.groupBy("lang", "shard")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .select(
+            "lang",
+            "shard",
+            "n_packs",
+            "shard_tokens",
+            (F.col("n_packs") * PACK_WINDOW).alias("capacity_tokens"),
+            (
+                F.col("shard_tokens")
+                / (F.col("n_packs") * PACK_WINDOW).cast("double")
+            ).alias("fill_factor"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+SQL_PACK_EFFICIENCY = f"""
+WITH d AS (
+  SELECT doc_id, lang, len({_W_SQL}) AS n_tokens,
+         {_SQL_PACK_H16} % {PACK_SHARDS} AS shard
+  FROM documents
+),
+w AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM d
+),
+p AS (
+  SELECT lang, shard, start_offset // {PACK_WINDOW} AS pack_id, n_tokens
+  FROM w
+)
+SELECT lang, CAST(shard AS INTEGER) AS shard,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(count(DISTINCT pack_id) * {PACK_WINDOW} AS BIGINT)
+         AS capacity_tokens,
+       sum(n_tokens) / CAST(count(DISTINCT pack_id) * {PACK_WINDOW} AS DOUBLE)
+         AS fill_factor
+FROM p GROUP BY lang, shard ORDER BY lang, shard
+"""

@@ -138,6 +138,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_containment_pairs,
         catalog_data.SQL_CONTAINMENT_PAIRS,
     ),
+    "pack_efficiency": (
+        catalog_data.q_pack_efficiency,
+        catalog_data.SQL_PACK_EFFICIENCY,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
@@ -485,6 +489,7 @@ _NEW_R06: list[str] = [
     "quality_ks_by_source",
     "array_elementwise_stats",
     "containment_pairs",
+    "pack_efficiency",
 ]
 
 _front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)
