@@ -2787,18 +2787,25 @@ c AS (
          CAST(sum(ind) OVER w AS HUGEINT) AS cs,
          CAST(sum(1 - ind) OVER w AS HUGEINT) AS cr,
          CAST(sum(ind) OVER p AS HUGEINT) AS ns,
-         CAST(sum(1 - ind) OVER p AS HUGEINT) AS nr
+         CAST(sum(1 - ind) OVER p AS HUGEINT) AS nr,
+         -- textbook tie handling: the ECDF gap counts only at the LAST
+         -- row of an equal-value run (mid-tie prefixes overshoot)
+         (lead(quality_score) OVER o IS NULL
+          OR lead(quality_score) OVER o <> quality_score) AS is_step
   FROM e
   WINDOW w AS (PARTITION BY grp ORDER BY quality_score, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         o AS (PARTITION BY grp ORDER BY quality_score, doc_id),
          p AS (PARTITION BY grp)
 )
 SELECT grp AS source,
        CAST(max(ns) AS BIGINT) AS n_group,
        CAST(max(nr) AS BIGINT) AS n_rest,
-       CAST(max(abs(cs * nr - cr * ns)) AS BIGINT) AS ks_num,
+       CAST(max(CASE WHEN is_step THEN abs(cs * nr - cr * ns) END) AS BIGINT)
+         AS ks_num,
        CASE WHEN max(ns) = 0 OR max(nr) = 0 THEN CAST(NULL AS DOUBLE)
-            ELSE ({big_to_double_duck("max(abs(cs * nr - cr * ns))")})
+            ELSE ({big_to_double_duck(
+                "max(CASE WHEN is_step THEN abs(cs * nr - cr * ns) END)")})
                / ({big_to_double_duck("(max(ns) * max(nr))")}) END AS ks
 FROM c GROUP BY grp ORDER BY grp
 """.replace("{stop}", _STOP_PRED)
@@ -2842,6 +2849,148 @@ SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_small,
 FROM e
 WHERE containment >= {CONTAIN_C} AND jaccard < {CONTAIN_JMAX}
 ORDER BY id_small, id_big
+"""
+
+
+#: bottom-k sketch width for the containment-LSH production path; at the
+#: catalog's loose c=0.15 the per-pair candidate-miss probability is
+#: ~0.85^32 ≈ 0.004 (at a production c=0.8 it is ~1e-22)
+CONTAIN_K = 32
+
+
+def q_containment_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs via the PRODUCTION path
+    (operators/dedup.containment_lsh_pairs — bottom-k probe banding on
+    the smaller side's signature + exact verification), same thresholds
+    as the exact `containment_pairs` baseline it is audited against."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    return dedup.containment_lsh_pairs(
+        sh, CONTAIN_C, CONTAIN_JMAX, k=CONTAIN_K
+    )
+
+
+#: candidate chain shared by the LSH query and the recall audit: bottom-K
+#: probe shingles per doc (by md5 order) joined against the full inverted
+#: shingle index, verified exactly on full shingle sets
+_CONTAIN_LSH_CTES = f"""
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+probes AS (
+  SELECT doc_id AS probe_id, shingle FROM (
+    SELECT doc_id, shingle,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY md5(shingle), shingle) AS rn
+    FROM sh) WHERE rn <= {CONTAIN_K}
+),
+cand AS (
+  SELECT DISTINCT least(p.probe_id, s.doc_id) AS id_a,
+                  greatest(p.probe_id, s.doc_id) AS id_b
+  FROM probes p JOIN sh s
+    ON p.shingle = s.shingle AND p.probe_id <> s.doc_id
+),
+lcommon AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+le AS (
+  SELECT id_a, id_b, n_common, sa.n_sh AS na, sb.n_sh AS nb,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard,
+         n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+  FROM lcommon JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+)"""
+
+
+SQL_CONTAINMENT_PAIRS_LSH = f"""
+WITH {SHINGLES_CTE},
+{_CONTAIN_LSH_CTES}
+SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_small,
+       CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_big,
+       containment, jaccard, CAST(n_common AS BIGINT) AS n_common
+FROM le
+WHERE containment >= {CONTAIN_C} AND jaccard < {CONTAIN_JMAX}
+ORDER BY id_small, id_big
+"""
+
+
+def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the containment-LSH production path
+    against the exact `containment_pairs` baseline at catalog
+    parameters — the asymmetric twin of `lsh_recall_audit`. Precision
+    is 1.0 by construction (candidates are exact-verified with the same
+    thresholds); the audit ATTESTS it rather than assuming it."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    ex = (
+        dedup.containment_pairs(sh, CONTAIN_C, CONTAIN_JMAX)
+        .select("id_small", "id_big")
+        .withColumn("_e", F.lit(1).cast("long"))
+    )
+    ls = (
+        dedup.containment_lsh_pairs(sh, CONTAIN_C, CONTAIN_JMAX, k=CONTAIN_K)
+        .select("id_small", "id_big")
+        .withColumn("_m", F.lit(1).cast("long"))
+    )
+    j = ex.join(ls, ["id_small", "id_big"], "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum("_m"), F.lit(0)).alias("n_lsh"),
+        F.coalesce(F.sum(F.col("_e") * F.col("_m")), F.lit(0)).alias(
+            "n_matched"
+        ),
+        F.expr(
+            "CASE WHEN coalesce(sum(_e), 0) = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE coalesce(sum(_e * _m), 0) / sum(_e) END"
+        ).alias("recall"),
+        F.expr(
+            "CASE WHEN coalesce(sum(_m), 0) = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE coalesce(sum(_e * _m), 0) / sum(_m) END"
+        ).alias("prec"),
+    )
+
+
+SQL_CONTAINMENT_RECALL_AUDIT = f"""
+WITH {SHINGLES_CTE},
+{_CONTAIN_LSH_CTES},
+xpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+xe AS (
+  SELECT id_a, id_b, n_common, sa.n_sh AS na, sb.n_sh AS nb,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard,
+         n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+  FROM xpairs JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+),
+exact_pairs AS (
+  SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_small,
+         CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_big
+  FROM xe WHERE containment >= {CONTAIN_C} AND jaccard < {CONTAIN_JMAX}
+),
+lsh_pairs AS (
+  SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_small,
+         CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_big
+  FROM le WHERE containment >= {CONTAIN_C} AND jaccard < {CONTAIN_JMAX}
+),
+j AS (
+  SELECT CASE WHEN e.id_small IS NOT NULL THEN 1 END AS e,
+         CASE WHEN l.id_small IS NOT NULL THEN 1 END AS m
+  FROM exact_pairs e FULL JOIN lsh_pairs l
+    ON e.id_small = l.id_small AND e.id_big = l.id_big
+)
+SELECT CAST(coalesce(sum(e), 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(sum(m), 0) AS BIGINT) AS n_lsh,
+       CAST(coalesce(sum(e * m), 0) AS BIGINT) AS n_matched,
+       CASE WHEN coalesce(sum(e), 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE coalesce(sum(e * m), 0) / sum(e) END AS recall,
+       CASE WHEN coalesce(sum(m), 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE coalesce(sum(e * m), 0) / sum(m) END AS prec
+FROM j
 """
 
 

@@ -689,8 +689,10 @@ def containment_pairs(
     Both ratios stay unrounded int/int divisions (bit-identical across
     engines). Exact and quadratic in per-shingle document frequency —
     the same guarded validation-scale baseline as :func:`jaccard_pairs`;
-    the scale path bands on the SMALLER side's signature (containment
-    LSH), which this baseline exists to validate.
+    the scale path is :func:`containment_lsh_pairs` (bands on the
+    SMALLER side's bottom-k signature), which this baseline exists to
+    validate — `containment_recall_audit` measures the two against each
+    other.
 
     Returns: id_small (the contained side), id_big, containment,
     jaccard, n_common.
@@ -700,8 +702,8 @@ def containment_pairs(
         if n_docs > max_docs:
             raise ValueError(
                 f"containment_pairs: {n_docs} documents exceeds the "
-                f"{max_docs}-doc cap of the exact baseline; band on the "
-                "smaller side's MinHash signature at scale."
+                f"{max_docs}-doc cap of the exact baseline; use "
+                "containment_lsh_pairs (bottom-k probe banding) at scale."
             )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -725,6 +727,121 @@ def containment_pairs(
             "containment",
             F.col("n_common")
             / F.least(F.col("_na"), F.col("_nb")).cast("double"),
+        )
+    )
+    return (
+        e.filter(
+            (F.col("containment") >= c_threshold) & (F.col("jaccard") < j_max)
+        )
+        .select(
+            F.when(F.col("_na") <= F.col("_nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_small"),
+            F.when(F.col("_na") <= F.col("_nb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_big"),
+            "containment",
+            "jaccard",
+            "n_common",
+        )
+        .orderBy("id_small", "id_big")
+    )
+
+
+def containment_lsh_pairs(
+    sh: DataFrame,
+    c_threshold: float = 0.8,
+    j_max: float = 0.5,
+    k: int = 32,
+    min_hits: int = 1,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment near-dup pairs at scale: band on the SMALLER side's
+    signature — the production path :func:`containment_pairs` (the exact,
+    100k-capped quadratic baseline) exists to validate.
+
+    Why symmetric MinHash-LSH can't serve here: banding collides two
+    docs with probability ~J^band_size per band, and the asymmetric dups
+    this operator hunts (quote inside article) have J ≈ |A|/|B| → 0 as
+    the big side grows, however high C(A in B) is. The fix is to probe
+    with a sketch whose collision rate tracks C, not J: each document's
+    bottom-``k`` MinHash sketch (its k smallest shingles by md5 order —
+    a uniform without-replacement sample of ITS OWN shingle set, i.e.
+    the small side's signature) is joined against the full inverted
+    shingle index. For a true pair with containment c measured on the
+    probing side, each probe shingle lands in the partner with
+    probability c, so the pair is missed only with probability
+    ~(1-c)^k — at c=0.8, k=32 that is ~1e-22; even at a loose c=0.15
+    it is 0.85^32 ≈ 0.004. Both docs probe, and the small side's probe
+    is the high-recall direction, so pair recall is bounded by the
+    SMALL side's hit probability — exactly the asymmetry wanted.
+
+    Candidates are then verified EXACTLY (full shingle-set intersection,
+    same unrounded int/int containment + Jaccard as the baseline) and
+    filtered by the same thresholds, so output ⊆ the exact baseline's
+    output: precision 1.0 by construction, recall measured by
+    `containment_recall_audit`.
+
+    100 TB shape: probe side is ``k`` rows/doc; the only joins are the
+    shingle-key equi-join (cost k × E[df] per doc, df = per-shingle doc
+    frequency) and id-keyed verification joins — no quadratic pair
+    blowup. A ubiquity cap ``max_df`` optionally drops
+    shared-boilerplate shingles from the INDEX side of candidate
+    generation (verification still uses full sets); recall for docs
+    made mostly of ubiquitous shingles degrades — measure with the
+    audit before enabling. ``min_hits`` > 1 demands that many probe
+    hits in one direction before a pair becomes a candidate
+    (sharpening selectivity at recall cost ~P[Bin(k,c) < min_hits]).
+
+    Returns: id_small, id_big, containment, jaccard, n_common — same
+    schema and semantics as :func:`containment_pairs`.
+    """
+    # probes + index + verification all read the shingle table: one scan
+    sh = sh.persist()
+    wk = Window.partitionBy(id_col).orderBy(F.md5("shingle"), "shingle")
+    probes = (
+        sh.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select(F.col(id_col).alias("_probe"), "shingle")
+    )
+    index = sh.select(F.col(id_col).alias("_index"), "shingle")
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        index = index.join(
+            dfreq.filter(F.col("_df") <= max_df).select("shingle"), "shingle"
+        )
+    hits = (
+        probes.join(index, "shingle")
+        .filter(F.col("_probe") != F.col("_index"))
+        .groupBy("_probe", "_index")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") >= min_hits)
+    )
+    cand = hits.select(
+        F.least("_probe", "_index").alias("id_a"),
+        F.greatest("_probe", "_index").alias("id_b"),
+    ).distinct()
+    doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
+    e = (
+        cand.join(
+            doc_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("sa")),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("sb")),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")).cast("long"))
+        .withColumn("_na", F.size("sa").cast("long"))
+        .withColumn("_nb", F.size("sb").cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least("_na", "_nb").cast("double"),
         )
     )
     return (

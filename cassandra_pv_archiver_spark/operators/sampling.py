@@ -258,6 +258,11 @@ def temperature_alloc(
     apportionment runs on the collapsed per-group table (a handful of
     rows), where the global windows cost nothing.
 
+    Degenerate input: if every group's weight is 0 (all group sizes 0,
+    so there is nothing to apportion), every group gets alloc_tokens=0
+    and share=0.0 — an explicit convention instead of the NULLs a bare
+    division by the zero weight-sum would produce.
+
     Returns: group_col, group_size, weight, alloc_tokens, share.
     """
     g = docs.groupBy(group_col).agg(
@@ -279,9 +284,28 @@ def temperature_alloc(
     b = F.lit(int(budget_tokens))
     g = (
         g.withColumn("_w", F.sum("weight").over(wall))
-        .withColumn("_base", F.expr(f"({budget_tokens} * weight) div _w"))
-        .withColumn("_rem", F.expr(f"({budget_tokens} * weight) % _w"))
-        .withColumn("_deficit", b - F.sum("_base").over(wall))
+        # all-zero weights: nothing to apportion — allocate 0 everywhere
+        # rather than letting div-by-zero NULLs escape
+        .withColumn(
+            "_base",
+            F.expr(
+                f"CASE WHEN _w = 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE ({budget_tokens} * weight) div _w END"
+            ),
+        )
+        .withColumn(
+            "_rem",
+            F.expr(
+                f"CASE WHEN _w = 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE ({budget_tokens} * weight) % _w END"
+            ),
+        )
+        .withColumn(
+            "_deficit",
+            F.when(F.col("_w") == 0, F.lit(0)).otherwise(
+                b - F.sum("_base").over(wall)
+            ),
+        )
         .withColumn("_rn", F.row_number().over(worder))
     )
     return g.select(

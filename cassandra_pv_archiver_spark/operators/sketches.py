@@ -10,9 +10,11 @@ overestimate <= eps*N with probability 1-delta (eps = e/w) — the first
 invariant is hard (the oracle and tests pin it row by row), the second
 is checked in expectation by the unit test.
 
-Engine-portability: the d row-hashes are the md5-nibble construction
-(`sampling.hash_bucket16` with per-row salts) so DuckDB reproduces every
-bucket assignment and therefore every counter and estimate bit-for-bit.
+Engine-portability: the d row-buckets are disjoint 16-bit slices of ONE
+``md5(token)`` digest (row j reads hex nibbles [4j, 4j+4), reduced mod
+width) — one hash call per token instead of d salted calls, and DuckDB
+reproduces every bucket assignment and therefore every counter and
+estimate bit-for-bit from the same digest slices.
 """
 
 from __future__ import annotations

@@ -486,10 +486,13 @@ def ks_drift_by_group(
     of the mean/quantile per-source audits.
 
     Exactness: D = max|F_g - F_rest| cross-multiplies to
-    max|c_g·n_rest - c_rest·n_g| over the totally-ordered rows
-    ((value, tiebreak) — a total order, so tie handling is a fixed
-    convention, identical on any engine), all BIGINT until one final
-    divide. No sampling, no binning.
+    max|c_g·n_rest - c_rest·n_g|, all BIGINT until one final divide. No
+    sampling, no binning. Ties are aggregated the textbook way: rows are
+    totally ordered by (value, tiebreak) for deterministic cumulatives,
+    but the gap is evaluated ONLY at the last row of each equal-value
+    run — the ECDF step after all rows of that value — so the statistic
+    matches the classical two-sample KS (and scipy) even when the same
+    value occurs in both the group and the rest.
 
     Shape: rows × groups via a broadcast of the tiny group list; one
     hash(group) exchange drives the per-group cumulative windows and the
@@ -513,6 +516,7 @@ def ks_drift_by_group(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wn = Window.partitionBy("_grp")
+    wlead = Window.partitionBy("_grp").orderBy("_v", "_tb")
     e = (
         e.withColumn("_in", (F.col("_g0") == F.col("_grp")).cast("long"))
         .withColumn("_cs", F.sum("_in").over(win).cast("decimal(19,0)"))
@@ -521,15 +525,26 @@ def ks_drift_by_group(
         )
         .withColumn("_ns", F.sum("_in").over(wn).cast("decimal(19,0)"))
         .withColumn("_nr", F.sum(1 - F.col("_in")).over(wn).cast("decimal(19,0)"))
+        # ECDF step position: last row of an equal-value run — the only
+        # places the textbook KS statistic is evaluated (mid-tie prefixes
+        # overshoot when a value occurs in both samples)
+        .withColumn(
+            "_vnext", F.lead("_v").over(wlead)
+        )
+        .withColumn(
+            "_step",
+            F.col("_vnext").isNull() | (F.col("_vnext") != F.col("_v")),
+        )
     )
-    num = big_to_double("CAST(max(abs(_cs * _nr - _cr * _ns)) AS DECIMAL(38,0))")
+    step_gap = "CASE WHEN _step THEN abs(_cs * _nr - _cr * _ns) END"
+    num = big_to_double(f"CAST(max({step_gap}) AS DECIMAL(38,0))")
     den = big_to_double("CAST(max(_ns) * max(_nr) AS DECIMAL(38,0))")
     return (
         e.groupBy(F.col("_grp").alias(group_col))
         .agg(
             F.max("_ns").cast("long").alias("n_group"),
             F.max("_nr").cast("long").alias("n_rest"),
-            F.max(F.expr("abs(_cs * _nr - _cr * _ns)"))
+            F.max(F.expr(step_gap))
             .cast("long")
             .alias("ks_num"),
             F.expr(

@@ -138,6 +138,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_containment_pairs,
         catalog_data.SQL_CONTAINMENT_PAIRS,
     ),
+    # --- round 7 additions ---
+    "containment_pairs_lsh": (
+        catalog_data.q_containment_pairs_lsh,
+        catalog_data.SQL_CONTAINMENT_PAIRS_LSH,
+    ),
+    "containment_recall_audit": (
+        catalog_data.q_containment_recall_audit,
+        catalog_data.SQL_CONTAINMENT_RECALL_AUDIT,
+    ),
     "pack_efficiency": (
         catalog_data.q_pack_efficiency,
         catalog_data.SQL_PACK_EFFICIENCY,

@@ -25,10 +25,13 @@ same shape over its service beans. The stdlib ``ThreadingHTTPServer``
 stands in for the servlet container; any WSGI/ASGI frontend could bind
 ``ArchiveApp`` the same way.
 
-Serving-at-scale note: a query's response is bounded by the planner's
-limit modes + ``count`` (dashboard-sized), so the final ``collect()`` is
-a client-result fetch, not a data-sized materialization — the heavy
-lifting stays in Spark executors.
+Serving-at-scale note: count-driven queries are dashboard-sized, but a
+raw query (no ``count``) over a long range is unbounded — so the samples
+endpoint STREAMS: ``toLocalIterator()`` holds one partition at a time on
+the driver and the HTTP handler chunk-writes each sample, mirroring the
+reference's per-sample servlet streaming
+(`Api10Controller.sendSamples:520-532`). Driver memory stays bounded
+regardless of result size; the heavy lifting stays in Spark executors.
 """
 
 from __future__ import annotations
@@ -135,11 +138,14 @@ class ArchiveApp:
         }
         plan = plan_samples(levels, start, end, count=count, stats=stats)
         rendered = _render_plan_json_v1(plan)
-        return [
-            json.loads(r.json)
-            for r in rendered.orderBy("t", "level").select("json", "level",
-                                                           "t").collect()
-        ]
+        # Stream, don't collect: the reference writes sample-by-sample
+        # through the servlet stream (`Api10Controller.sendSamples:520-532`)
+        # precisely because a raw query (no ``count``) over a long range
+        # is unbounded — toLocalIterator holds one partition at a time
+        # driver-side, and the HTTP handler chunk-writes each sample, so
+        # driver memory stays bounded regardless of result size.
+        rows = rendered.orderBy("t", "level").select("json").toLocalIterator()
+        return (json.loads(r.json) for r in rows)
 
     def _aligned_levels(self, channel: str):
         """Store levels, column-aligned for the planner: raw rows carry v,
@@ -188,21 +194,46 @@ def _render_plan_json_v1(plan):
 
 class _Handler(BaseHTTPRequestHandler):
     app: ArchiveApp  # set by serve()
+    protocol_version = "HTTP/1.1"  # needed for chunked transfer encoding
 
     def do_GET(self):  # noqa: N802 (stdlib API name)
         u = urlparse(self.path)
         try:
             body = self.app.handle(u.path, parse_qs(u.query))
-            payload = json.dumps(body).encode("utf-8")
-            status = 200
         except ApiError as e:
             payload = json.dumps({"error": str(e)}).encode("utf-8")
-            status = e.status
+            self._send_whole(e.status, payload)
+            return
+        if isinstance(body, (list, dict)):
+            self._send_whole(200, json.dumps(body).encode("utf-8"))
+        else:
+            # iterator body (the samples endpoint): chunked streaming,
+            # one JSON element at a time — byte-identical to
+            # ``json.dumps(list(body))`` but never materializing the list
+            # (`Api10Controller.sendSamples:520-532` streams the same way)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            self._write_chunk(b"[")
+            for i, item in enumerate(body):
+                sep = b", " if i else b""
+                self._write_chunk(sep + json.dumps(item).encode("utf-8"))
+            self._write_chunk(b"]")
+            self.wfile.write(b"0\r\n\r\n")
+
+    def _send_whole(self, status: int, payload: bytes):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
         self.end_headers()
         self.wfile.write(payload)
+
+    def _write_chunk(self, data: bytes):
+        if data:
+            self.wfile.write(f"{len(data):X}\r\n".encode("ascii"))
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
 
     def log_message(self, *args):  # quiet test runs
         pass

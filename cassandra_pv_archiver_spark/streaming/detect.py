@@ -90,7 +90,11 @@ def stream_cusum(
         s_pos, s_neg = state.get if state.exists else (0, 0)
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks).sort_values(t)
+            # sort by (t, vi) so tie order at duplicate timestamps is a
+            # fixed convention shared with batch_cusum_reference's (t, v)
+            # sort: vi is monotone in v and equal-vi rows commute in the
+            # recursion, so the two orders accumulate identically
+            pdf = pd.concat(chunks).sort_values([t, "vi"])
             out = {c: [] for c in
                    ("channel", "t", "side", "cusum_scaled", "threshold_scaled")}
             for ti, vi, mu, mad in zip(

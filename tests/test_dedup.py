@@ -237,3 +237,51 @@ def test_minhash_lsh_recall_vs_exact_at_catalog_params(spark):
     assert lsh <= exact  # precision 1 (exact verify)
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.95, f"recall {recall} (measured 1.000)"
+
+
+def test_containment_lsh_finds_embedded_doc(spark):
+    """A short doc fully embedded in a long one has J ~ |A|/|B| (below
+    any symmetric threshold) but C = 1.0 — the LSH path must surface it
+    via the small side's bottom-k probes."""
+    small = " ".join(f"w{i}" for i in range(20))
+    big = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"x{i}" for i in range(400)
+    )
+    other = " ".join(f"y{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string"
+    )
+    sh = dedup.shingles(docs)
+    out = dedup.containment_lsh_pairs(sh, 0.8, 0.5, k=16).collect()
+    assert [(r.id_small, r.id_big) for r in out] == [(1, 2)]
+    assert out[0].containment == 1.0
+    assert out[0].jaccard < 0.5
+
+
+def test_containment_lsh_subset_of_exact(spark):
+    """Exact verification with identical thresholds makes the LSH output
+    a subset of the exact baseline's (precision 1.0 by construction);
+    at k=32 on the sf0.001 corpus it is the FULL set (recall 1.0)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = dedup.shingles(docs).persist()
+    exact = {(r.id_small, r.id_big)
+             for r in dedup.containment_pairs(sh, 0.15, 0.5).collect()}
+    lsh = {(r.id_small, r.id_big)
+           for r in dedup.containment_lsh_pairs(sh, 0.15, 0.5, k=32).collect()}
+    assert exact, "fixture must contain containment pairs"
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.95
+
+
+def test_containment_lsh_max_df_drops_ubiquitous_shingles(spark):
+    """With max_df=1 every shared shingle is excluded from the index, so
+    candidate generation finds nothing — the documented recall/ubiquity
+    trade-off in its most extreme setting."""
+    small = " ".join(f"w{i}" for i in range(20))
+    big = small + " " + " ".join(f"x{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    sh = dedup.shingles(docs)
+    assert dedup.containment_lsh_pairs(sh, 0.5, 0.9, k=8, max_df=1).count() == 0
+    assert dedup.containment_lsh_pairs(sh, 0.5, 0.9, k=8, max_df=2).count() == 1

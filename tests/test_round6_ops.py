@@ -199,6 +199,15 @@ class TestTemperatureAlloc:
         for k, v in enumerate([1, 3, 4, 8, 9, 10, 10**12]):
             assert by_lang[f"l{k}"].weight == math.isqrt(v), (k, v)
 
+    def test_all_zero_weights_allocates_zero(self, spark):
+        # every group size 0 -> weight sum 0: the documented convention is
+        # 0 tokens / 0.0 share everywhere, not NULLs from a zero divide
+        docs = self._docs(spark, {"en": [0, 0], "fr": [0]})
+        out = temperature_alloc(docs).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r.alloc_tokens == 0 and r.share == 0.0
+
 
 class TestImageDhash:
     def test_png_roundtrip_all_values(self, spark):
@@ -532,6 +541,19 @@ class TestKsDrift:
         )
         assert abs(out["a"].ks - d) < 1e-9
         assert abs(out["b"].ks - d) < 1e-9
+
+    def test_cross_group_ties_textbook(self, spark):
+        """When the same value occurs in BOTH groups, the statistic must
+        be the ECDF gap AFTER the full tie run (textbook / scipy), not a
+        mid-tie prefix: a=[1,1], b=[1,2] has D=0.5 (at v=1), while the
+        mid-tie prefix after a's two rows would claim 1.0."""
+        from cassandra_pv_archiver_spark.operators.text import ks_drift_by_group
+
+        rows = [(0, "a", 1.0), (1, "a", 1.0), (100, "b", 1.0), (101, "b", 2.0)]
+        out = {r.src: r for r in
+               ks_drift_by_group(self._df(spark, rows), "src", "v", "doc_id").collect()}
+        assert abs(out["a"].ks - 0.5) < 1e-12
+        assert abs(out["b"].ks - 0.5) < 1e-12
 
 
 class TestStreamDrift:

@@ -172,3 +172,68 @@ def test_app_direct_no_http(spark, api):
 
     with pytest.raises(ApiError):
         ArchiveApp(None, None).handle("/nope", {})
+
+
+def test_samples_stream_chunked_no_collect(api, monkeypatch):
+    """The samples endpoint must stream (chunked transfer, one sample per
+    chunk-write) with NO full-result collect(): driver memory stays
+    bounded on raw queries over long ranges, the case the reference
+    streams through the servlet (`Api10Controller.sendSamples:520-532`).
+    collect() is poisoned for the whole request to prove the egress path
+    never materializes the result."""
+    import pyspark.sql
+
+    def _no_collect(self):
+        raise AssertionError("server egress must not collect() results")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _no_collect)
+    start, end = 3660 * NS, 3780 * NS
+    req = urllib.request.Request(
+        api
+        + "/archive-access/api/1.0/archive/1/channels/PV%3AA/samples"
+        + f"?start={start}&end={end}"
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Transfer-Encoding") == "chunked"
+        assert resp.headers.get("Content-Length") is None
+        body = json.loads(resp.read())
+    assert [s["time"] for s in body] == [3540 * NS, 7200 * NS]
+
+
+def test_samples_stream_bytes_match_dumps(api):
+    """Streamed chunks must reassemble to byte-identical
+    ``json.dumps(list_of_samples)`` output (", " separators, same field
+    order) — the byte-golden contract extended to the chunked path."""
+    start, end = 400 * NS, 600 * NS
+    with urllib.request.urlopen(
+        api
+        + "/archive-access/api/1.0/archive/1/channels/PV%3AB/samples"
+        + f"?start={start}&end={end}"
+    ) as resp:
+        raw = resp.read()
+    assert raw == json.dumps(json.loads(raw)).encode("utf-8")
+    assert json.loads(raw)[0]["value"] == [42.0]
+
+
+def test_samples_empty_iterator_streams_empty_array():
+    """An empty iterator body must still stream a valid JSON `[]` (a
+    truly empty samples response is rare — boundary probes usually pull
+    a row — so the egress contract is pinned against the handler
+    directly with a stub app)."""
+    from cassandra_pv_archiver_spark.server import serve
+
+    class _EmptyApp:
+        def handle(self, path, query):
+            return iter(())
+
+    srv = serve(_EmptyApp())
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/anything"
+        ) as resp:
+            assert resp.headers.get("Transfer-Encoding") == "chunked"
+            assert json.loads(resp.read()) == []
+    finally:
+        srv.shutdown()
