@@ -1479,6 +1479,77 @@ FROM gated GROUP BY channel ORDER BY channel
 """
 
 
+def q_enabling_link_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 generalized: PER-CHANNEL enabling links
+    (asof.enabling_filter_linked; `ConfigurationOptions.java:76` lets
+    every channel name its own enabling PV). Even-numbered channels
+    follow PV:0, odd follow PV:1, every third channel is unlinked
+    (always archived) — covering the gated-true / gated-false /
+    ungated paths in one result."""
+    s = load_samples(spark, sf_dir).filter(
+        ~F.col("channel").isin("PV:0", "PV:1")
+    )
+    en = load_samples(spark, sf_dir, channels=["PV:0", "PV:1"]).select(
+        "channel", "t", (F.col("v") >= 0.5).alias("en")
+    )
+    links = (
+        s.select("channel")
+        .distinct()
+        .withColumn(
+            "_n", F.regexp_extract("channel", "(\\d+)$", 1).cast("int")
+        )
+        .filter(F.col("_n") % 3 != 2)
+        .select(
+            "channel",
+            F.when(F.col("_n") % 2 == 0, F.lit("PV:0"))
+            .otherwise(F.lit("PV:1"))
+            .alias("enabling_channel"),
+        )
+    )
+    gated = asof.enabling_filter_linked(s, en, links)
+    return (
+        gated.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("t").alias("t_min"),
+            F.max("t").alias("t_max"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_ENABLING_LINK_MULTI = f"""
+WITH {{SAMPLES}},
+ch AS (
+  SELECT DISTINCT channel,
+         CAST(regexp_extract(channel, '(\\d+)$', 1) AS INT) AS n
+  FROM samples WHERE channel NOT IN ('PV:0', 'PV:1')
+),
+links AS (
+  SELECT channel,
+         CASE WHEN n % 2 = 0 THEN 'PV:0' ELSE 'PV:1' END AS ech
+  FROM ch WHERE n % 3 <> 2
+),
+e AS (SELECT channel AS ech, t, v >= 0.5 AS en
+      FROM samples WHERE channel IN ('PV:0', 'PV:1')),
+iv AS (SELECT ech, t AS et, en,
+              lead(t) OVER (PARTITION BY ech ORDER BY t) AS et_next FROM e),
+base AS (
+  SELECT s.channel, s.t, l.ech FROM samples s
+  LEFT JOIN links l ON s.channel = l.channel
+  WHERE s.channel NOT IN ('PV:0', 'PV:1')
+),
+gated AS (
+  SELECT b.channel, b.t FROM base b
+  LEFT JOIN iv ON b.ech = iv.ech AND b.t >= iv.et
+              AND (b.t < iv.et_next OR iv.et_next IS NULL)
+  WHERE b.ech IS NULL OR coalesce(iv.en, FALSE)
+)
+SELECT channel, count(*) AS n_kept, min(t) AS t_min, max(t) AS t_max
+FROM gated GROUP BY channel ORDER BY channel
+""".replace("{SAMPLES}", SAMPLES_CTE)
+
+
 def q_channel_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: channel dimension lookup as a broadcast hash join — resolve each
     sample's channel against the registry (enabled flag + type), keep

@@ -112,32 +112,98 @@ def enabling_filter(
 ) -> DataFrame:
     """J4: gate archiving on another PV's live value
     (`channelaccess/internal/EnablingChannel.java`; option
-    `ConfigurationOptions.java:76`).
+    `ConfigurationOptions.java:76`) — the single-gate form: ONE enabling
+    series gates every row of ``samples``. Thin wrapper over
+    :func:`enabling_filter_linked`'s shared gate core (a synthetic link
+    key). Catalyst folds the constant key out of the interval window —
+    one PV's transition series is inherently a single ordered partition
+    (bounded: transitions, not samples); the linked form is the scale
+    path, where the window parallelizes across enabling channels.
 
-    A row of ``samples`` is kept iff the most recent ``enabling`` row at its
-    timestamp (t_e <= t, backward as-of) has ``flag_col`` true; rows before
-    the first enabling sample are dropped (the reference treats a
+    A row of ``samples`` is kept iff the most recent ``enabling`` row at
+    its timestamp (t_e <= t, backward as-of) has ``flag_col`` true; rows
+    before the first enabling sample are dropped (the reference treats a
     never-seen enabling PV as disabled).
+    """
+    fact = samples.withColumn("_ech", F.lit("__gate__"))
+    en = enabling.select(
+        F.lit("__gate__").alias("_ech"),
+        F.col("t").alias("_et"),
+        F.col(flag_col).alias("_en"),
+    )
+    return _enabling_gate(fact, en, samples.columns, bucket_s)
 
-    Scale shape: the enabling series is ONE channel — tiny next to the
-    fact table — so it is compiled into validity intervals ``[t, t_next)``
-    and **broadcast**; the fact side never shuffles. Naively this is a
-    BroadcastNestedLoopJoin probing EVERY fact row against ALL intervals —
-    O(fact × transitions), which hurts for a chatty gate PV. Instead the
-    closed intervals are **exploded into coarse time buckets**
-    (``bucket_s``-wide) and the join is an EQUI-join on the bucket key
-    (BroadcastHashJoin) with the exact range predicate as a residual: each
-    fact row probes only the few intervals overlapping its bucket. The one
-    open tail interval (no ``t_next``) cannot be bucket-bounded and joins
-    as a single broadcast row — O(fact × 1). Intervals are disjoint, so
-    the two paths union without dedup.
+
+def enabling_filter_linked(
+    samples: DataFrame,
+    enabling: DataFrame,
+    links: DataFrame,
+    flag_col: str = "en",
+    bucket_s: int = 86_400,
+    channel_col: str = "channel",
+    enabling_channel_col: str = "enabling_channel",
+) -> DataFrame:
+    """J4 generalized: PER-CHANNEL enabling links — the reference lets
+    every archived channel name its own enabling PV
+    (`ConfigurationOptions.java:76`), so the gate is a relation, not a
+    single series.
+
+    ``links`` maps ``channel_col`` -> ``enabling_channel_col`` (a
+    registry-sized dim, broadcast); ``enabling`` carries (channel, t,
+    ``flag_col``) rows for ALL enabling PVs. A sample is kept iff its
+    channel has no link (no enabling PV configured -> always archived,
+    the reference default) or the linked PV's most recent ``flag_col``
+    at the sample's timestamp is true (rows before the linked PV's first
+    sample are dropped — never-seen means disabled).
+
+    Scale shape: the interval build (`lead` over (channel, t)) is
+    PARTITIONED BY ENABLING CHANNEL — a flappy gate PV's transition
+    series parallelizes across its time range's windows per channel and
+    never single-tasks the whole relation. Intervals explode into
+    coarse ``bucket_s`` time buckets and join as a BroadcastHashJoin on
+    (bucket, enabling channel) with the exact range as a residual; the
+    per-channel OPEN tail intervals join as a second broadcast equi-join
+    on the enabling-channel key alone (replacing the old driver-side
+    collect of the single open row). The fact side never shuffles.
+    """
+    fact = samples.join(
+        F.broadcast(
+            links.select(
+                F.col(channel_col),
+                F.col(enabling_channel_col).alias("_ech"),
+            )
+        ),
+        channel_col,
+        "left",
+    )
+    en = enabling.select(
+        F.col(channel_col).alias("_ech"),
+        F.col("t").alias("_et"),
+        F.col(flag_col).alias("_en"),
+    )
+    return _enabling_gate(fact, en, samples.columns, bucket_s)
+
+
+def _enabling_gate(
+    fact: DataFrame, en: DataFrame, out_cols: list, bucket_s: int
+) -> DataFrame:
+    """Shared gate core: ``fact`` rows tagged with their enabling key
+    ``_ech`` (NULL = ungated), ``en`` = (_ech, _et, _en) transition rows.
+
+    Closed validity intervals ``[_et, _et_next)`` are exploded into
+    ``bucket_s``-wide time buckets and broadcast: the join is an
+    EQUI-join on (bucket, enabling channel) — BroadcastHashJoin with the
+    exact range predicate as a residual — so each fact row probes only
+    the few intervals overlapping its bucket, not every transition.
+    Each channel's one OPEN tail interval (no ``_et_next``) cannot be
+    bucket-bounded; those rows (one per enabling channel — a bounded,
+    registry-sized set) join as a second broadcast equi-join on the
+    channel key with ``t >= start`` residual. Intervals are disjoint per
+    channel, so at most one side matches any fact row.
     """
     bucket_ns = bucket_s * 1_000_000_000
-    iv = (
-        enabling.select(
-            F.col("t").alias("_et"), F.col(flag_col).alias("_en")
-        )
-        .withColumn("_et_next", F.lead("_et").over(Window.orderBy("_et")))
+    iv = en.withColumn(
+        "_et_next", F.lead("_et").over(Window.partitionBy("_ech").orderBy("_et"))
     )
     closed = (
         iv.filter(F.col("_et_next").isNotNull())
@@ -149,29 +215,37 @@ def enabling_filter(
                 )
             ),
         )
+        .select(
+            F.col("_ech").alias("_cech"),
+            F.col("_b").alias("_cb"),
+            "_et",
+            "_et_next",
+            F.col("_en").alias("_cen"),
+        )
     )
-    # The single open tail interval (no t_next) can't be bucket-bounded;
-    # its (start, flag) is ONE row of a tiny series — read driver-side and
-    # folded into the gate predicate as literals (same bounded-metadata
-    # pattern as plans/planner.py), so the fact table is scanned ONCE and
-    # the only join is the bucket-keyed BroadcastHashJoin.
-    open_rows = iv.filter(F.col("_et_next").isNull()).select("_et", "_en").collect()
-    fact = samples.withColumn("_b", F.expr(f"t div {bucket_ns}"))
-    joined = fact.join(
+    open_iv = iv.filter(F.col("_et_next").isNull()).select(
+        F.col("_ech").alias("_oech"),
+        F.col("_et").alias("_ot"),
+        F.col("_en").alias("_oen"),
+    )
+    fb = fact.withColumn("_b", F.expr(f"t div {bucket_ns}"))
+    j = fb.join(
         F.broadcast(closed),
-        (fact["_b"] == closed["_b"])
+        (fb["_b"] == closed["_cb"])
+        & (fb["_ech"] == closed["_cech"])
         & (F.col("t") >= F.col("_et"))
         & (F.col("t") < F.col("_et_next")),
         "left",
     )
-    if open_rows:
-        open_gate = (F.col("t") >= F.lit(open_rows[0]["_et"])) & F.lit(
-            bool(open_rows[0]["_en"])
-        )
-    else:
-        open_gate = F.lit(False)
-    gate = F.coalesce(F.col("_en"), open_gate, F.lit(False))
-    return joined.filter(gate).select(*samples.columns)
+    j = j.join(
+        F.broadcast(open_iv),
+        (j["_ech"] == open_iv["_oech"]) & (F.col("t") >= F.col("_ot")),
+        "left",
+    )
+    gate = F.col("_ech").isNull() | F.coalesce(
+        F.col("_cen"), F.col("_oen"), F.lit(False)
+    )
+    return j.filter(gate).select(*out_cols)
 
 
 def union_levels(

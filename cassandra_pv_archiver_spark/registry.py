@@ -139,6 +139,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.SQL_CONTAINMENT_PAIRS,
     ),
     # --- round 7 additions ---
+    "enabling_link_multi": (
+        catalog.q_enabling_link_multi,
+        catalog.SQL_ENABLING_LINK_MULTI,
+    ),
     "containment_pairs_lsh": (
         catalog_data.q_containment_pairs_lsh,
         catalog_data.SQL_CONTAINMENT_PAIRS_LSH,

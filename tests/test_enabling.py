@@ -65,3 +65,51 @@ def test_asof_align_boundary_and_leading_null(spark):
     assert got[("X", 10)].ref_v == 1.0
     assert got[("X", 20)].ref_v == 2.0
     assert got[("Y", 10)].ref_v is None
+
+
+def test_enabling_filter_linked_per_channel_gates(spark):
+    """Per-channel links (`ConfigurationOptions.java:76`): X follows E1,
+    Y follows E2, Z has no link (always archived), W links to a PV that
+    never reported (never-seen -> disabled, everything dropped)."""
+    from cassandra_pv_archiver_spark.operators.asof import enabling_filter_linked
+
+    samples = _df(
+        spark,
+        [(ch, t) for ch in ("X", "Y", "Z", "W") for t in [5, 15, 25]],
+        "channel string, t long",
+    )
+    enabling = _df(
+        spark,
+        [("E1", 10, True), ("E1", 20, False), ("E2", 0, False), ("E2", 20, True)],
+        "channel string, t long, en boolean",
+    )
+    links = _df(
+        spark,
+        [("X", "E1"), ("Y", "E2"), ("W", "E-silent")],
+        "channel string, enabling_channel string",
+    )
+    got = sorted(
+        (r.channel, r.t)
+        for r in enabling_filter_linked(samples, enabling, links).collect()
+    )
+    assert got == [
+        ("X", 15),            # E1 on [10,20); 5 predates, 25 disabled
+        ("Y", 25),            # E2 off [0,20), on from 20
+        ("Z", 5), ("Z", 15), ("Z", 25),  # unlinked -> always kept
+    ]
+
+
+def test_enabling_gate_window_is_partitioned(spark):
+    """The interval-build window must be keyed by enabling channel —
+    a long transition series never single-tasks (VERDICT r4 #3)."""
+    from cassandra_pv_archiver_spark.operators.asof import enabling_filter_linked
+
+    samples = _df(spark, [("X", 5)], "channel string, t long")
+    enabling = _df(spark, [("E1", 1, True)], "channel string, t long, en boolean")
+    links = _df(spark, [("X", "E1")], "channel string, enabling_channel string")
+    plan = enabling_filter_linked(samples, enabling, links)._jdf.queryExecution().executedPlan().toString()
+    lead_lines = [ln for ln in plan.splitlines() if "lead(_et" in ln]
+    assert lead_lines, plan
+    for ln in lead_lines:
+        # partition spec leads the windowspecdefinition: (_ech, _et ASC ...)
+        assert "windowspecdefinition(_ech" in ln, ln

@@ -104,8 +104,19 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         # closed validity intervals bucket-exploded and equi-joined on the
         # time bucket (BroadcastHashJoin keyed on _b) — each fact row
         # probes only its bucket's intervals, not every transition; the
-        # fact side never shuffles for the gate
+        # fact side never shuffles for the gate. (The single-gate lead
+        # window folds its constant key away — one PV's transition series
+        # is inherently one partition; the partitioned-window pin lives
+        # on enabling_link_multi, the scale path.)
         ["BroadcastHashJoin [_b", "codegen id"],
+        ["SortMergeJoin", "CartesianProduct"],
+    ),
+    "enabling_link_multi": (
+        None,
+        # same gate core with a real link relation: bucket+channel-keyed
+        # BroadcastHashJoin for closed intervals, broadcast equi-join for
+        # the per-channel open tails, partitioned interval window
+        ["BroadcastHashJoin [_b", "windowspecdefinition(_ech"],
         ["SortMergeJoin", "CartesianProduct"],
     ),
     "decimate_typed_1h": (
