@@ -201,6 +201,47 @@ FROM lab GROUP BY comp ORDER BY comp
 DELTA_NEW_MOD = 10  # docs with doc_id % 10 == 0 play the "new batch"
 
 
+def q_pair_table_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH pair table as a PERSISTED, CDC-maintained materialized
+    view (sources/pair_store.py): the corpus commits to an append-only
+    manifest table (batch 1 = doc_id % 10 != 0, batch 2 = the rest),
+    the pair view is built from snapshot v0, then maintained from the
+    `read_changes` manifest-diff feed of commit v1 — O(batch) cross +
+    within-batch pairs appended, corpus ⋈ corpus never recomputed. The
+    oracle is the FULL-corpus rebuild (SQL_DEDUP_MINHASH_LSH's chain):
+    a value-hash match proves rebuild-vs-incremental equivalence."""
+    from .sources.pair_store import DocTable, PairTableView
+
+    def build():
+        from .catalog import _scratch_dir
+
+        root = _scratch_dir("pvpairs_")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        dt = DocTable(spark, root + "/docs", "doc_id bigint, text string")
+        v0 = dt.append(docs.filter(F.col("doc_id") % DELTA_NEW_MOD != 0))
+        v1 = dt.append(docs.filter(F.col("doc_id") % DELTA_NEW_MOD == 0))
+        view = PairTableView(
+            spark, root + "/pairs", MINHASH_K, MINHASH_BAND, MINHASH_VERIFY
+        )
+        view.rebuild(dedup.shingles(dt.read(at_version=v0)))
+        batch = dt.read_changes(v0, v1)  # CDC: only the delta's files
+        view.apply_batch(
+            dedup.shingles(dt.read(at_version=v0)), dedup.shingles(batch)
+        )
+        return view.read().persist()
+
+    return _cached(spark, sf_dir, "pair_table_incremental", build).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_PAIR_TABLE_INCREMENTAL = f"""
+WITH {_minhash_pair_ctes()}
+SELECT id_a, id_b, jaccard, CAST(n_common AS BIGINT) AS n_common
+FROM vpairs ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: MinHash-LSH pairs between the 'new batch'
     (doc_id % 10 == 0) and the existing corpus only — band join is

@@ -151,6 +151,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_containment_recall_audit,
         catalog_data.SQL_CONTAINMENT_RECALL_AUDIT,
     ),
+    "pair_table_incremental": (
+        catalog_data.q_pair_table_incremental,
+        catalog_data.SQL_PAIR_TABLE_INCREMENTAL,
+    ),
     "pack_efficiency": (
         catalog_data.q_pack_efficiency,
         catalog_data.SQL_PACK_EFFICIENCY,

@@ -337,3 +337,75 @@ def test_keep_versions_zero_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_versions"):
         ArchiveStore(spark, str(tmp_path / "kv0"), keep_versions=0)
+
+
+class TestPairStore:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_doc_table_cdc_reads_only_delta(self, spark, tmp_path):
+        from cassandra_pv_archiver_spark.sources.pair_store import DocTable
+
+        dt = DocTable(spark, str(tmp_path / "docs"), "doc_id bigint, text string")
+        v0 = dt.append(self._docs(spark, [(1, "a b c d")]))
+        v1 = dt.append(self._docs(spark, [(2, "e f g h")]))
+        assert {r.doc_id for r in dt.read().collect()} == {1, 2}
+        assert {r.doc_id for r in dt.read(at_version=v0).collect()} == {1}
+        delta = dt.read_changes(v0, v1)
+        assert {r.doc_id for r in delta.collect()} == {2}
+
+    def test_incremental_view_equals_rebuild(self, spark, tmp_path):
+        """The materialized-view invariant: rebuild(v0) + apply_batch(CDC
+        delta) == rebuild(full corpus), exactly (same band candidates,
+        same exact verification, unioned over pair categories)."""
+        from cassandra_pv_archiver_spark.operators import dedup
+        from cassandra_pv_archiver_spark.sources.pair_store import (
+            DocTable,
+            PairTableView,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, base),
+            (2, base + " extra"),           # near-dup of 1 (old ⋈ old)
+            (10, base + " more stuff"),     # near-dup crossing batches
+            (11, base + " more things"),    # near-dup within the batch
+            (3, " ".join(f"q{i}" for i in range(12))),  # unrelated
+        ]
+        old = self._docs(spark, [r for r in rows if r[0] < 10])
+        new = self._docs(spark, [r for r in rows if r[0] >= 10])
+        dt = DocTable(spark, str(tmp_path / "docs"), "doc_id bigint, text string")
+        v0 = dt.append(old)
+        v1 = dt.append(new)
+        view = PairTableView(spark, str(tmp_path / "pairs"))
+        view.rebuild(dedup.shingles(dt.read(at_version=v0)))
+        view.apply_batch(
+            dedup.shingles(dt.read(at_version=v0)),
+            dedup.shingles(dt.read_changes(v0, v1)),
+        )
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 12), r.n_common)
+            for r in view.read().collect()
+        }
+        want = {
+            (r.id_a, r.id_b, round(r.jaccard, 12), r.n_common)
+            for r in dedup.minhash_lsh_pairs(
+                dedup.shingles(self._docs(spark, rows)), 8, 2, 0.2
+            ).collect()
+        }
+        assert got == want and want, (got, want)
+
+    def test_doc_table_cdc_refuses_rewrites(self, spark, tmp_path):
+        import pytest
+
+        from cassandra_pv_archiver_spark.sources.pair_store import DocTable
+
+        dt = DocTable(spark, str(tmp_path / "docs"), "doc_id bigint, text string")
+        v0 = dt.append(self._docs(spark, [(1, "a b c")]))
+        # simulate a compaction: drop v0's files, add a rewritten one
+        stage = dt.table.stage_dir()
+        self._docs(spark, [(1, "a b c")]).write.mode("overwrite").parquet(stage)
+        dt.table.publish_stage(stage, remove=dt.table.files())
+        v2 = dt.table.current_version()
+        with pytest.raises(ValueError, match="append-only CDC"):
+            dt.read_changes(v0, v2)
