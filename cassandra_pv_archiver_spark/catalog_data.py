@@ -2457,7 +2457,9 @@ def _dhash_word_sql(i: str) -> str:
     )
 
 
-def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_image_dhash_near_dup(
+    spark: SparkSession, sf_dir: str, codec: str = "png"
+) -> DataFrame:
     """Perceptual image near-dup over the REAL PNG codec: each document
     renders to a deterministic 9x7 grayscale thumbnail (cell = first
     md5 byte of the word at that grid position), is encoded as an actual
@@ -2491,7 +2493,7 @@ def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 16, 10) AS INT))"
         ).alias("cells"),
     )
-    dh = multimodal.image_dhash_table(cells)
+    dh = multimodal.image_dhash_table(cells, codec=codec)
     bands = dh.select(
         "doc_id",
         "dhash",
@@ -2521,6 +2523,17 @@ def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def q_image_dhash_mixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash near-dup query over MIXED PNG/BASELINE-JPEG blobs:
+    even doc_ids ride the lossless PNG path, odd doc_ids a real SOF0
+    JPEG (block-flat upsampled thumbnail, FLAT_EXACT_QTABLE — DC-only
+    blocks roundtrip exactly, see multimodal.image_dhash_table). Same
+    codec-free oracle as image_dhash_near_dup: the JPEG marker walk,
+    huffman entropy coder, dequantizer, and IDCT DC path are all
+    driver-attested by the value hash."""
+    return q_image_dhash_near_dup(spark, sf_dir, codec="mixed")
 
 
 SQL_IMAGE_DHASH_NEAR_DUP = f"""

