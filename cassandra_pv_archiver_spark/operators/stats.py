@@ -761,6 +761,7 @@ def channel_acf(
     period_s: int,
     lags_s: Sequence[int],
     v_decimals: int = 2,
+    max_grid_work: int | None = 50_000_000,
 ) -> DataFrame:
     """Autocorrelation function per channel: r(L) = corr(x(t), x(t+L))
     on the regular hold-forward grid — the self-correlation diagnostic
@@ -779,6 +780,15 @@ def channel_acf(
     the moments (pairs need both ends). Returns (channel, lag_s, r,
     n_points), pairs with < 2 points omitted; constant channels give
     NULL r (the SQL corr convention).
+
+    Cost envelope: the materialized grid is ``n_grid_points ×
+    n_channels`` rows and every lag walks it once, so total work is
+    ``n_grid × n_channels × n_lags``. ``max_grid_work`` bounds that
+    product (two bounded metadata jobs: one min/max agg, one channel
+    count — the `max_gap_windows` / `max_points_per_gap` guard pattern);
+    a span/lag combination that exceeds it is refused with a pointer at
+    coarser ``period_s`` or fewer lags rather than silently launching a
+    runaway fan-out. ``None`` disables the check.
     """
     from .decimate import NS, big_to_double
 
@@ -787,6 +797,20 @@ def channel_acf(
         raise ValueError(
             f"lags {bad} must be non-negative multiples of period_s"
         )
+    if max_grid_work is not None:
+        bounds = samples.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+        if bounds["lo"] is not None:
+            n_grid = (bounds["hi"] - bounds["lo"]) // (period_s * NS) + 1
+            n_ch = samples.select("channel").distinct().count()
+            work = n_grid * n_ch * max(1, len(lags_s))
+            if work > max_grid_work:
+                raise ValueError(
+                    f"channel_acf: grid work {work} (= {n_grid} grid points"
+                    f" x {n_ch} channels x {len(lags_s)} lags) exceeds"
+                    f" max_grid_work={max_grid_work}; coarsen period_s,"
+                    " restrict the time range/lag list, or raise the bound"
+                    " deliberately"
+                )
     vs = 10 ** v_decimals
     p_ns = period_s * NS
     s = samples.select(

@@ -694,3 +694,20 @@ class TestContainment:
             [(1, t), (2, t)], "doc_id long, text string"
         )
         assert containment_pairs(shingles(docs), 0.8, 0.5).count() == 0
+
+
+class TestAcfWorkBound:
+    def test_acf_refuses_runaway_grid(self, spark):
+        """The max_grid_work envelope (grid x channels x lags) must
+        refuse a span/lag combination before launching the fan-out."""
+        from cassandra_pv_archiver_spark.operators.stats import channel_acf
+
+        NS = 1_000_000_000
+        rows = [("A", 0, 1.0), ("A", 86_400_000 * NS, 2.0)]  # 1000-day span
+        s = spark.createDataFrame(rows, "channel string, t long, v double")
+        with pytest.raises(ValueError, match="max_grid_work"):
+            channel_acf(s, period_s=1, lags_s=[1, 2, 3]).collect()
+        # bound disabled or generous: plan builds fine
+        assert channel_acf(
+            s, period_s=86_400_000, lags_s=[86_400_000]
+        ).count() >= 0
