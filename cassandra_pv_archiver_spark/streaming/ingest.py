@@ -262,6 +262,32 @@ def parse_kafka_samples(df: DataFrame) -> DataFrame:
     )
 
 
+def ingest_kafka_records(
+    kafka_records: DataFrame,
+    store: ArchiveStore,
+    checkpoint_dir: str,
+    cascade_periods: list[int] | None = None,
+    available_now: bool = False,
+    on_batch=None,
+):
+    """Everything downstream of the Kafka connector's ``.load()``: value
+    decode (:func:`parse_kafka_samples`, malformed events dead-lettered
+    by NULL-drop) + the shared archive sink/cascade. The broker stand-in
+    test drives THIS with a Kafka-SHAPED file stream (identical columns:
+    key/value/topic/partition/offset/timestamp), so the only line of the
+    production path it cannot attest is the connector binding itself —
+    which the broker-gated test covers when one is available."""
+    stream = parse_kafka_samples(kafka_records)
+    return start_ingest(
+        stream,
+        store,
+        checkpoint_dir,
+        cascade_periods=cascade_periods,
+        available_now=available_now,
+        on_batch=on_batch,
+    )
+
+
 def start_kafka_ingest(
     spark,
     store: ArchiveStore,
@@ -275,8 +301,9 @@ def start_kafka_ingest(
     """Kafka ingestion (production path for the reference's
     `SampleListener` feed): requires the spark-sql-kafka connector on the
     classpath (not bundled in this sandbox — the stream construction
-    raises Spark's own AnalysisException if absent; the value-parsing and
-    sink layers are the same code the file/rate tests pin)."""
+    raises Spark's own AnalysisException if absent; everything after
+    ``.load()`` is :func:`ingest_kafka_records`, pinned by the
+    stand-in cascade-parity test)."""
     kafka = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -284,9 +311,8 @@ def start_kafka_ingest(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    stream = parse_kafka_samples(kafka)
-    return start_ingest(
-        stream,
+    return ingest_kafka_records(
+        kafka,
         store,
         checkpoint_dir,
         cascade_periods=cascade_periods,

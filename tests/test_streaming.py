@@ -3,7 +3,10 @@ file-source ingestion with cascade maintenance and replay idempotence."""
 
 from __future__ import annotations
 
+import os
 import time
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -705,3 +708,135 @@ def test_parse_kafka_samples_batch(spark):
     assert [f.name for f in got.schema.fields] == [
         "channel", "t", "v", "severity", "status",
     ]
+
+
+def test_kafka_shaped_ingest_cascade_parity(spark, tmp_path):
+    """The Kafka seam minus the broker: a structured stream of
+    Kafka-SHAPED records (key/value binary, topic, partition, offset,
+    timestamp — the connector's exact output schema) built from files
+    drives streaming/ingest.ingest_kafka_records, i.e. every line of
+    start_kafka_ingest downstream of `.load()`: JSON value decode,
+    malformed-event dead-lettering, archive sink, cascade. Parity
+    asserted against batch decimation, same as the file/rate sources.
+    The connector binding itself is covered by the broker-gated test
+    below when a real Kafka is configured."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from cassandra_pv_archiver_spark.streaming.ingest import (
+        ingest_kafka_records,
+    )
+
+    raw = load_samples(spark, SF_DIR).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    events = raw.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.encode(
+            F.to_json(F.struct("channel", "t", "v", "severity", "status")),
+            "utf-8",
+        ).alias("value"),
+        F.lit("pv-samples").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    # one malformed event: must dead-letter (NULL-drop), not poison
+    junk = spark.createDataFrame(
+        [(None, bytearray(b"{not json"), "pv-samples", 0, -1)],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).select(
+        "key", "value", "topic", "partition", "offset",
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    src_dir = str(tmp_path / "kafka_records")
+    events.unionByName(junk).write.mode("overwrite").parquet(src_dir)
+
+    kafka_schema = StructType(
+        [
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("timestampType", IntegerType()),
+        ]
+    )
+    records = spark.readStream.schema(kafka_schema).parquet(src_dir)
+    store = ArchiveStore(spark, str(tmp_path / "archive"))
+    q = ingest_kafka_records(
+        records,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        cascade_periods=[3600],
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    stored = store.read_samples(0)
+    assert stored.count() == raw.count()  # junk dropped, nothing lost
+    inc = store.read_samples(3600).select("channel", "t", "mean")
+    full = decimate(raw, 3600).select("channel", "t", F.col("mean").alias("m2"))
+    j = inc.join(full, ["channel", "t"], "full")
+    assert j.filter(F.col("mean").isNull() | F.col("m2").isNull()).count() == 0
+    assert j.filter(F.abs(F.col("mean") - F.col("m2")) > 1e-9).count() == 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP_SERVERS"),
+    reason="no Kafka broker configured: set KAFKA_BOOTSTRAP_SERVERS (and "
+    "KAFKA_TEST_TOPIC) with the spark-sql-kafka connector on the "
+    "classpath to run the connector-binding leg end-to-end; everything "
+    "downstream of .load() is pinned broker-free by "
+    "test_kafka_shaped_ingest_cascade_parity",
+)
+def test_kafka_ingest_real_broker(spark, tmp_path):
+    from cassandra_pv_archiver_spark.streaming.ingest import start_kafka_ingest
+
+    servers = os.environ["KAFKA_BOOTSTRAP_SERVERS"]
+    topic = os.environ.get("KAFKA_TEST_TOPIC", "pv-samples-test")
+    raw = load_samples(spark, SF_DIR).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    (
+        raw.select(
+            F.encode(
+                F.to_json(F.struct("channel", "t", "v", "severity", "status")),
+                "utf-8",
+            ).alias("value")
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .save()
+    )
+    store = ArchiveStore(spark, str(tmp_path / "archive"))
+    q = start_kafka_ingest(
+        spark,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bootstrap_servers=servers,
+        topic=topic,
+        cascade_periods=[3600],
+    )
+    try:
+        import time as _time
+
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if store.levels() and store.read_samples(0).count() >= raw.count():
+                break
+            _time.sleep(2)
+        assert store.read_samples(0).count() >= raw.count()
+    finally:
+        q.stop()
