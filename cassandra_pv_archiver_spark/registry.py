@@ -458,69 +458,168 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: r01–r03 plus the 2 queries red in r01 and fixed since (all 21 verify
 #: green against the DuckDB oracle locally), then this round's new ops,
 #: then the long tail of previously-green queries for re-verification.
-_NEVER_DRIVER_CHECKED = [
-    "oov_rate",
-    "balanced_sample_per_lang",
-    "lang_confusion",
-    "dedup_rate_by_source",
-    "distinctive_terms",
-    "cluster_quality_report",
-    "sequence_packing",
-    "repetition_metrics",
-    "ann_kmeans_clusters",
-    "ann_kmeans_ivf_topk",
-    "crossmodal_pairs",
-    "corpus_correlations",
-    "multimodal_frames",
-    "contamination_3gram",
-    "stratified_split",
-    "quality_quantiles",
-    "quality_filtered_stats",
-    "embedding_dedup_clusters",
-    "curate_corpus",
-    # red in CORRECTNESS_r01, fixed in round 3, never re-sampled since:
-    "ann_ivf_topk",
-    "embedding_near_dup_lsh",
-]
+#: Driver-attestation ledger: query -> round of its latest CORRECTNESS
+#: row (regenerated each round from the CORRECTNESS_r*.json records).
+#: The driver samples the registry front-to-back with a ~50-query
+#: budget, so REGISTRY is ordered never-checked-first, then ascending
+#: staleness — each round refreshes the oldest rows and no row ages
+#: past ~3 rounds (VERDICT r4 "Next round" #4).
+_LAST_DRIVER_CHECKED = {
+    "ann_cosine_topk": 1,
+    "ann_ivf_topk": 4,
+    "ann_kmeans_clusters": 4,
+    "ann_kmeans_ivf_topk": 4,
+    "ann_recall_audit": 4,
+    "approx_distinct_audit": 3,
+    "archive_incremental_1h": 2,
+    "array_elementwise_stats": 4,
+    "asof_after": 2,
+    "asof_before": 2,
+    "asof_pair_align": 2,
+    "balanced_sample_per_lang": 4,
+    "cdc_chunk_dedup": 4,
+    "channel_acf_1h": 4,
+    "channel_correlation_matrix": 3,
+    "channel_dim_join": 2,
+    "channel_gap_stats": 2,
+    "channel_glob": 2,
+    "channel_outliers_mad": 4,
+    "channel_regex": 2,
+    "channel_trend_1h": 4,
+    "cluster_quality_report": 4,
+    "cluster_representatives": 3,
+    "cms_heavy_hitters": 4,
+    "compact_invariance": 2,
+    "compact_zorder_invariance": 4,
+    "config_xml_roundtrip": 2,
+    "containment_pairs": 4,
+    "contamination_3gram": 4,
+    "contamination_exact_run": 3,
+    "context_chunks": 4,
+    "conversion_funnel": 3,
+    "corpus_correlations": 4,
+    "counter_rate_6h": 4,
+    "crossmodal_pairs": 4,
+    "csv_ingest_roundtrip_1h": 3,
+    "curate_corpus": 4,
+    "curriculum_bins": 4,
+    "cusum_changepoints": 4,
+    "decimate_1h": 2,
+    "decimate_cascade_1d": 2,
+    "decimate_cascade_6h": 2,
+    "decimate_mixed_1h": 2,
+    "decimate_plugin_median_1h": 3,
+    "decimate_typed_1h": 2,
+    "dedup_best_survivor": 3,
+    "dedup_clusters": 3,
+    "dedup_exact": 3,
+    "dedup_incremental": 3,
+    "dedup_minhash_lsh": 3,
+    "dedup_ngram_jaccard": 3,
+    "dedup_rate_by_source": 4,
+    "distinctive_terms": 4,
+    "distribution_drift": 4,
+    "doc_fingerprint": 1,
+    "doc_sample_10pct": 3,
+    "dsir_importance": 3,
+    "embedding_dedup_clusters": 4,
+    "embedding_label_stats": 1,
+    "embedding_near_dup": 1,
+    "embedding_near_dup_lsh": 4,
+    "embedding_quantize_audit": 3,
+    "enabling_link": 2,
+    "events_dow_profile": 3,
+    "events_pivot": 3,
+    "events_sliding_1h": 3,
+    "events_unpivot": 3,
+    "fuzzy_channel_pairs": 2,
+    "group_split_guard": 4,
+    "heartbeat_1h": 2,
+    "image_dhash_near_dup": 4,
+    "json_v1_mixed_1h": 2,
+    "json_v1_raw_typed": 2,
+    "json_v1_typed_1h": 2,
+    "jsonl_ingest_roundtrip_1h": 3,
+    "lagged_correlation_1h": 4,
+    "lang_confusion": 4,
+    "lang_id": 1,
+    "lapsed_customers": 3,
+    "lsh_recall_audit": 4,
+    "markers_disconnect": 2,
+    "missing_level_empty": 2,
+    "mix_corpus_ratios": 3,
+    "mixture_temperature_alloc": 4,
+    "monotonic_stats": 2,
+    "multimodal_frames": 4,
+    "multimodal_meta": 1,
+    "ngram_novelty": 4,
+    "oov_rate": 4,
+    "orc_ingest_roundtrip_1h": 3,
+    "pack_efficiency": 4,
+    "pick_first_1h": 2,
+    "pii_scan_by_source": 3,
+    "planner_fallback": 2,
+    "plot_downsample_m4": 4,
+    "plot_query_240px": 4,
+    "quality_filtered_stats": 4,
+    "quality_ks_by_source": 4,
+    "quality_quantiles": 4,
+    "quality_quantiles_approx": 3,
+    "range_limit_modes": 2,
+    "rate_limit_10m": 2,
+    "raw_latest_n": 2,
+    "raw_scan": 2,
+    "repetition_metrics": 4,
+    "resample_linear_1h": 4,
+    "retention_sweep_daily": 2,
+    "sax_motifs": 4,
+    "semantic_dedup": 3,
+    "sequence_packing": 4,
+    "sessionize_30m": 3,
+    "severity_daily": 2,
+    "severity_rollup": 2,
+    "simhash_near_pairs": 3,
+    "store_cdc_diff": 4,
+    "store_time_travel": 4,
+    "stratified_split": 4,
+    "stream_lifecycle_1h": 2,
+    "substring_dup_spans": 3,
+    "text_metrics": 1,
+    "threshold_crossings": 3,
+    "token_count_bpe": 1,
+    "tpch_q1": 2,
+    "tpch_q10": 2,
+    "tpch_q11": 3,
+    "tpch_q12": 3,
+    "tpch_q13": 2,
+    "tpch_q14": 2,
+    "tpch_q15": 2,
+    "tpch_q16": 2,
+    "tpch_q17": 2,
+    "tpch_q18": 3,
+    "tpch_q19": 2,
+    "tpch_q2": 3,
+    "tpch_q20": 3,
+    "tpch_q21": 3,
+    "tpch_q22": 2,
+    "tpch_q3": 2,
+    "tpch_q4": 2,
+    "tpch_q5": 2,
+    "tpch_q6": 2,
+    "tpch_q7": 2,
+    "tpch_q8": 2,
+    "tpch_q9": 3,
+    "union_levels": 2,
+    "value_histogram": 4,
+    "vocab_topk": 3,
+    "weekly_cohort_retention": 3,
+    "window_running_total": 3,
+}
 
-#: New operators added this round — first driver row right after the
-#: never-checked block.
-_NEW_R05: list[str] = [
-    "store_cdc_diff",
-    "ngram_novelty",
-    "context_chunks",
-    "group_split_guard",
-    "curriculum_bins",
-]
-
-#: New operators added in round 6 — right behind the round-5 block so the
-#: driver's ~50-query budget still reaches every never-attested row.
-_NEW_R06: list[str] = [
-    "cusum_changepoints",
-    "distribution_drift",
-    "sax_motifs",
-    "cdc_chunk_dedup",
-    "mixture_temperature_alloc",
-    "image_dhash_near_dup",
-    "channel_acf_1h",
-    "channel_trend_1h",
-    "ann_recall_audit",
-    "cms_heavy_hitters",
-    "lsh_recall_audit",
-    "quality_ks_by_source",
-    "array_elementwise_stats",
-    "containment_pairs",
-    "pack_efficiency",
-]
-
-_front = set(_NEVER_DRIVER_CHECKED) | set(_NEW_R05) | set(_NEW_R06)
 REGISTRY = {
     name: REGISTRY[name]
-    for name in (
-        _NEVER_DRIVER_CHECKED
-        + _NEW_R05
-        + _NEW_R06
-        + [n for n in REGISTRY if n not in _front]
+    for name in sorted(
+        REGISTRY, key=lambda n: (_LAST_DRIVER_CHECKED.get(n, 0), n)
     )
 }
 
