@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "containment_recall_audit",
     "pair_table_incremental",
     "pair_table_update",
+    "ca_ingest_roundtrip_1h",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -613,6 +613,39 @@ SQL_JSONL_INGEST_ROUNDTRIP_1H = SQL_ARCHIVE_INCREMENTAL_1H
 SQL_ORC_INGEST_ROUNDTRIP_1H = SQL_ARCHIVE_INCREMENTAL_1H
 
 
+def q_ca_ingest_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPICS Channel Access WIRE source — the reference's actual front
+    door (`ChannelAccessArchivingChannel.java` subscribes over CA and
+    archives every monitor event): the raw slice is rendered as real
+    CA_PROTO_EVENT_ADD frames (big-endian header + DBR_TIME_DOUBLE,
+    1990-epoch timestamps — functions/ca_wire.py), decoded back by the
+    wire decoder, sid-resolved through the broadcast subscription dim,
+    and decimated. Equals the parquet-path decimation bit-for-bit (same
+    oracle), so every header field, the epoch shift, and the IEEE
+    payload layout are driver-attested; the byte offsets themselves are
+    spec-pinned in tests/test_ca_wire.py."""
+    from .functions import ca_wire
+
+    raw = load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    subs = (
+        raw.select("channel")
+        .distinct()
+        .withColumn(
+            "sid",
+            F.expr("CAST(conv(substring(md5(channel), 1, 8), 16, 10) AS BIGINT)"),
+        )
+    )
+    frames = ca_wire.encode_samples(raw, subs)
+    events = ca_wire.decode_monitor_events(frames)
+    back = ca_wire.resolve_subscriptions(events, subs)
+    return decimate(back, PERIOD_1H).orderBy("channel", "t")
+
+
+SQL_CA_INGEST_ROUNDTRIP_1H = SQL_ARCHIVE_INCREMENTAL_1H
+
+
 def q_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alarm-limit threshold crossings per channel: the archiver-side
     analog of EPICS limit alarms (the reference stores per-sample

@@ -159,6 +159,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_image_dhash_mixed_codec,
         catalog_data.SQL_IMAGE_DHASH_NEAR_DUP,
     ),
+    "ca_ingest_roundtrip_1h": (
+        catalog.q_ca_ingest_roundtrip_1h,
+        catalog.SQL_CA_INGEST_ROUNDTRIP_1H,
+    ),
     "pack_efficiency": (
         catalog_data.q_pack_efficiency,
         catalog_data.SQL_PACK_EFFICIENCY,
