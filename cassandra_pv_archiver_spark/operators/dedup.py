@@ -797,13 +797,26 @@ def containment_lsh_pairs(
     Returns: id_small, id_big, containment, jaccard, n_common — same
     schema and semantics as :func:`containment_pairs`.
     """
-    # probes + index + verification all read the shingle table: one scan
+    # probes + index + verification all read the shingle table: one scan;
+    # the bottom-k probe selection rides the SAME doc-keyed aggregation
+    # the verification sets need (array_sort over the per-doc set instead
+    # of a second window shuffle — identical (md5, shingle) order, so the
+    # selected probes are byte-identical to a row_number formulation)
     sh = sh.persist()
-    wk = Window.partitionBy(id_col).orderBy(F.md5("shingle"), "shingle")
-    probes = (
-        sh.withColumn("_rn", F.row_number().over(wk))
-        .filter(F.col("_rn") <= k)
-        .select(F.col(id_col).alias("_probe"), "shingle")
+    doc_sets = (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sset"))
+        .persist()
+    )
+    probes = doc_sets.select(
+        F.col(id_col).alias("_probe"),
+        F.explode(
+            F.expr(
+                "transform(slice(array_sort(transform(sset,"
+                f" s -> struct(md5(s) AS h, s AS s))), 1, {int(k)}),"
+                " x -> x.s)"
+            )
+        ).alias("shingle"),
     )
     index = sh.select(F.col(id_col).alias("_index"), "shingle")
     if max_df is not None:
@@ -822,7 +835,6 @@ def containment_lsh_pairs(
         F.least("_probe", "_index").alias("id_a"),
         F.greatest("_probe", "_index").alias("id_b"),
     ).distinct()
-    doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
     e = (
         cand.join(
             doc_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("sa")),

@@ -262,6 +262,13 @@ def image_dhash_table(cells: DataFrame, codec: str = "png") -> DataFrame:
     if codec not in ("png", "mixed"):
         raise ValueError(f"unknown codec mode: {codec}")
 
+    # the codec crossing is CPU-bound Python: a small documents table
+    # often arrives as one parquet split, which would single-thread the
+    # whole batch — spread rows across the executor cores first (tiny
+    # shuffle, thumbnails are fixed-size)
+    par = cells.sparkSession.sparkContext.defaultParallelism
+    cells = cells.repartition(par)
+
     def _cells_via_jpeg(cs: bytes) -> bytes:
         up = bytearray(72 * 56)
         for r in range(DHASH_GRID_H):
@@ -687,16 +694,20 @@ def _decode_scan(
                             coeffs[zz] = _extend(br.receive(s), s) * q[zz]
                             k += 1
                         if cid == lc[0]:
-                            pix = _idct8x8(coeffs)
+                            # np.rint is round-half-even, same convention
+                            # as the scalar round() it replaces
+                            pix = (
+                                _np.clip(
+                                    _np.rint(_idct8x8(coeffs)) + 128, 0, 255
+                                )
+                                .astype(_np.uint8)
+                                .reshape(8, 8)
+                            )
                             ox = (mx * lc[1] + bx) * 8
                             oy = (my * lc[2] + by) * 8
                             for yy in range(8):
                                 row = (oy + yy) * lw + ox
-                                for xx in range(8):
-                                    p = int(round(pix[yy * 8 + xx])) + 128
-                                    luma[row + xx] = 0 if p < 0 else (
-                                        255 if p > 255 else p
-                                    )
+                                luma[row:row + 8] = pix[yy].tobytes()
             mcu_count += 1
     out = bytearray(width * height)
     for y in range(height):
@@ -769,6 +780,18 @@ def encode_jpeg_gray(
     bx, by = (width + 7) // 8, (height + 7) // 8
     dc_codes = _huff_codes(*_STD_DC_LUMA)
     ac_codes = _huff_codes(*_STD_AC_LUMA)
+    # level-shifted image, edge-replicated to whole 8x8 blocks
+    img = (
+        _np.frombuffer(bytes(pixels), dtype=_np.uint8)
+        .reshape(height, width)
+        .astype(_np.float64)
+        - 128.0
+    )
+    img = _np.pad(
+        img, ((0, by * 8 - height), (0, bx * 8 - width)), mode="edge"
+    )
+    _zz_idx = _np.array(_ZIGZAG)
+    q_zz = _np.array(q, dtype=_np.float64)[_zz_idx]
     bw = _BitWriter()
     pred = 0
     mcu_count = 0
@@ -781,24 +804,20 @@ def encode_jpeg_gray(
                 rst = (rst + 1) & 7
                 pred = 0
             mcu_count += 1
-            block = [0.0] * 64
-            for yy in range(8):
-                sy = min(my * 8 + yy, height - 1)
-                for xx in range(8):
-                    sx = min(mx * 8 + xx, width - 1)  # edge replicate
-                    block[yy * 8 + xx] = pixels[sy * width + sx] - 128
-            coeffs = _fdct8x8(block)
-            zz = [int(round(coeffs[_ZIGZAG[k]] / q[_ZIGZAG[k]]))
-                  for k in range(64)]
-            diff = zz[0] - pred
-            pred = zz[0]
+            block = img[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
+            coeffs = (_DCT_A @ block @ _DCT_A.T).ravel()
+            # np.rint = round-half-even, the same convention as round()
+            zz = _np.rint(coeffs[_zz_idx] / q_zz).astype(_np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
             t, code = _category(diff)
             hc, hl = dc_codes[t]
             bw.put(hc, hl)
             if t:
                 bw.put(code, t)
             run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            nz = _np.nonzero(zz[1:])[0]
+            last_nz = int(nz[-1]) + 1 if len(nz) else 0
             for k in range(1, last_nz + 1):
                 if zz[k] == 0:
                     run += 1
@@ -807,7 +826,7 @@ def encode_jpeg_gray(
                     hc, hl = ac_codes[0xF0]  # ZRL
                     bw.put(hc, hl)
                     run -= 16
-                t, code = _category(zz[k])
+                t, code = _category(int(zz[k]))
                 hc, hl = ac_codes[(run << 4) | t]
                 bw.put(hc, hl)
                 bw.put(code, t)

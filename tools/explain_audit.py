@@ -68,6 +68,39 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["codegen id"],
         ["CartesianProduct"],
     ),
+    "containment_pairs_lsh": (
+        None,
+        # production containment path: candidates come from the
+        # shingle-key equi-join of bottom-k probes vs the inverted
+        # index — never an all-pairs product
+        ["codegen id"],
+        ["CartesianProduct"],
+    ),
+    "containment_recall_audit": (
+        None,
+        ["codegen id"],
+        ["CartesianProduct"],
+    ),
+    "pair_table_incremental": (
+        None,
+        # the materialized view reads back as a scan of the committed
+        # pair files (session-persisted after the lifecycle build) — no
+        # recompute, no join in the read path
+        ["codegen id"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "ca_ingest_roundtrip_1h": (
+        None,
+        # sid->channel resolution must broadcast (registry-sized dim);
+        # decode itself is the declared Arrow crossing
+        ["BroadcastHashJoin", "MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "image_dhash_mixed_codec": (
+        None,
+        ["codegen id"],
+        ["CartesianProduct"],
+    ),
     "embedding_near_dup_lsh": (
         None,
         ["codegen id"],
