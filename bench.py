@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "pair_table_incremental",
     "pair_table_update",
     "ca_ingest_roundtrip_1h",
+    "bloom_decontam_audit",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -378,6 +378,69 @@ ORDER BY s.doc_id
 """
 
 
+def q_bloom_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom-filter prefilter,
+    audited per source against the exact membership join
+    (operators/sketches.bloom_contamination_audit): zero false negatives
+    by construction, measured false-positive rate and filter fill — the
+    membership member of the mergeable-sketch family. Same benchmark
+    fixture as contamination_3gram (doc_id % {BENCH_MOD} == 0)."""
+    from .operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select("doc_id")
+    return sketches.bloom_contamination_audit(sh, bench, group_col="source")
+
+
+SQL_BLOOM_DECONTAM_AUDIT = f"""
+WITH {SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+bbits AS (
+  SELECT DISTINCT CAST(bit AS INTEGER) AS bit FROM (
+    SELECT unnest(list_distinct(list_transform(range(0, 4), j ->
+      list_sum(list_transform(range(0, 4), i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), 4*j + i + 1, 1)) - 1 AS BIGINT) << (4 * (3 - i))))))) AS bit
+    FROM bench)
+),
+probes AS (
+  SELECT s.doc_id, s.shingle, d.source,
+         list_distinct(list_transform(range(0, 4), j ->
+           CAST(list_sum(list_transform(range(0, 4), i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), 4*j + i + 1, 1)) - 1 AS BIGINT) << (4 * (3 - i)))) AS INTEGER))) AS pos
+  FROM sh s JOIN documents d USING (doc_id)
+  WHERE s.doc_id % {BENCH_MOD} <> 0
+),
+pbits AS (
+  SELECT doc_id, shingle, len(pos) AS npos, unnest(pos) AS bit FROM probes
+),
+hits AS (
+  SELECT doc_id, shingle FROM pbits JOIN bbits USING (bit)
+  GROUP BY doc_id, shingle, npos HAVING count(*) = npos
+)
+SELECT p.source AS grp,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL AND b.shingle IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CASE WHEN count(*) = sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            THEN CAST(NULL AS DOUBLE)
+            ELSE sum(CASE WHEN h.doc_id IS NOT NULL AND b.shingle IS NULL
+                     THEN 1 ELSE 0 END)
+               / (count(*) - sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END))
+       END AS fp_rate,
+       CAST((SELECT count(*) FROM bbits) AS BIGINT) AS bits_set,
+       (SELECT count(*) FROM bbits) / 65536.0 AS fill
+FROM probes p
+LEFT JOIN bench b ON p.shingle = b.shingle
+LEFT JOIN hits h ON h.doc_id = p.doc_id AND h.shingle = p.shingle
+GROUP BY p.source ORDER BY grp
+"""
+
+
 SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 10
 

@@ -84,3 +84,120 @@ def cms_heavy_hitter_audit(
         "cms_est",
         (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
     ).orderBy(F.col("exact_n").desc(), "token")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership screen (Bloom 1970; the decontamination
+# prefilter shape)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 4        # hash functions
+
+
+def bloom_contamination_audit(
+    sh: DataFrame,
+    bench_ids: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER prefilter, audited
+    against the exact membership join — the membership member of the
+    mergeable-sketch family (with the HLL distinct, CMS heavy-hitter, and
+    GK quantile audits).
+
+    The 100 TB motivation: the exact screen broadcasts the benchmark's
+    full distinct-shingle set to every executor — its size grows with the
+    benchmark. A Bloom filter is ``m`` BITS regardless of benchmark size
+    (union-mergeable across benchmark partitions, the same map-side
+    economics as the other sketches), guarantees NO false negatives, and
+    admits a bounded false-positive rate ≈ (1 - e^{-kn/m})^k that this
+    audit MEASURES per group instead of assuming.
+
+    Engine-portability: hash j of a shingle is the j-th disjoint 16-bit
+    slice of ONE md5(shingle), reduced mod ``m`` — the CMS row-bucket
+    construction, so DuckDB reproduces every bit index, the whole filter,
+    and every probe verdict bit-for-bit. The filter is represented as the
+    distinct set of SET BIT POSITIONS (≤ m small ints, broadcast); a
+    dense bitmap is the obvious physical packing at deploy time, with
+    identical verdicts.
+
+    A probe gram is bloom-positive iff ALL its (distinct) bit positions
+    are set; md5-slice collisions within one gram are handled by
+    comparing against the gram's own distinct-position count. Benchmark
+    membership itself is the exact broadcast join — the audit reports,
+    per ``group_col`` (default: corpus-wide under group '*'): probe gram
+    occurrences, exact hits, bloom hits, false positives, measured FP
+    rate among true negatives, and the filter's fill (bits set / m).
+
+    Requires 4 * k <= 32 (md5 hex budget, same bound as CMS depth).
+    """
+    if 4 * k > 32:
+        raise ValueError("bloom k too large for one md5 (4*k hex chars > 32)")
+    pos_expr = (
+        f"array_distinct(transform(sequence(0, {k - 1}), j ->"
+        f" CAST(CAST(conv(substring(md5(shingle), 1 + 4 * j, 4), 16, 10)"
+        f" AS INT) % {m} AS INT)))"
+    )
+    bench_sh = (
+        sh.join(bench_ids.select(id_col), id_col)
+        .select("shingle")
+        .distinct()
+    )
+    bloom_bits = (
+        bench_sh.select(F.explode(F.expr(pos_expr)).alias("bit")).distinct()
+    )
+    n_bits = bloom_bits.count()  # bounded: <= m rows (one tiny job)
+    bench_grams = bench_sh.withColumn("_ex", F.lit(1))
+    probes = (
+        sh.join(bench_ids.select(id_col), id_col, "left_anti")
+        .withColumn("_pos", F.expr(pos_expr))
+        .withColumn("_npos", F.size("_pos"))
+    )
+    hit = (
+        probes.select(
+            id_col,
+            "shingle",
+            "_npos",
+            *( [group_col] if group_col else [] ),
+            F.explode("_pos").alias("bit"),
+        )
+        .join(F.broadcast(bloom_bits), "bit")
+        .groupBy(id_col, "shingle", "_npos", *([group_col] if group_col else []))
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+        .filter(F.col("_nhit") == F.col("_npos"))
+        .select(id_col, "shingle", *([group_col] if group_col else []))
+        .withColumn("_bl", F.lit(1))
+    )
+    base = probes.select(
+        id_col, "shingle", *([group_col] if group_col else [])
+    )
+    j = base.join(
+        hit.select(id_col, "shingle", "_bl"), [id_col, "shingle"], "left"
+    ).join(F.broadcast(bench_grams), "shingle", "left")
+    gcol = F.col(group_col) if group_col else F.lit("*")
+    out = (
+        j.groupBy(gcol.alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_ex"), F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce(F.sum("_bl"), F.lit(0)).cast("long").alias("n_bloom"),
+            F.coalesce(
+                F.sum(F.when(F.col("_bl").isNotNull() & F.col("_ex").isNull(), 1)),
+                F.lit(0),
+            ).cast("long").alias("n_false_pos"),
+        )
+        .withColumn(
+            "fp_rate",
+            F.expr(
+                "CASE WHEN n_grams - n_exact = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE n_false_pos / (n_grams - n_exact) END"
+            ),
+        )
+        .withColumn("bits_set", F.lit(n_bits).cast("long"))
+        .withColumn("fill", F.lit(n_bits / m).cast("double"))
+        .orderBy("grp")
+    )
+    return out

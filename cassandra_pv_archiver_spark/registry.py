@@ -163,6 +163,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_ca_ingest_roundtrip_1h,
         catalog.SQL_CA_INGEST_ROUNDTRIP_1H,
     ),
+    "bloom_decontam_audit": (
+        catalog_data.q_bloom_decontam_audit,
+        catalog_data.SQL_BLOOM_DECONTAM_AUDIT,
+    ),
     "pack_efficiency": (
         catalog_data.q_pack_efficiency,
         catalog_data.SQL_PACK_EFFICIENCY,

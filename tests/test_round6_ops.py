@@ -711,3 +711,59 @@ class TestAcfWorkBound:
         assert channel_acf(
             s, period_s=86_400_000, lags_s=[86_400_000]
         ).count() >= 0
+
+
+class TestBloomDecontam:
+    def _fixture(self, spark):
+        base = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (0, "bench", base),                       # benchmark doc
+            (1, "a", base + " eta theta"),            # contaminated
+            (2, "b", " ".join(f"q{i}" for i in range(10))),  # clean
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        from cassandra_pv_archiver_spark.operators import dedup
+
+        sh = dedup.shingles(docs).join(docs.select("doc_id", "source"), "doc_id")
+        bench = docs.filter("doc_id = 0").select("doc_id")
+        return sh, bench
+
+    def test_no_false_negatives_and_exact_counts(self, spark):
+        from cassandra_pv_archiver_spark.operators.sketches import (
+            bloom_contamination_audit,
+        )
+
+        sh, bench = self._fixture(spark)
+        out = {r.grp: r for r in
+               bloom_contamination_audit(sh, bench, group_col="source").collect()}
+        # contaminated doc shares the benchmark's 3-gram run; the Bloom
+        # screen must flag at least every exact hit (no false negatives)
+        assert out["a"].n_exact > 0
+        for r in out.values():
+            assert r.n_bloom >= r.n_exact
+            assert r.n_false_pos == r.n_bloom - r.n_exact
+
+    def test_tiny_filter_forces_false_positives(self, spark):
+        """m=4 bits saturates the filter: everything becomes
+        bloom-positive, exact membership stays the truth — the audit's
+        reason to exist."""
+        from cassandra_pv_archiver_spark.operators.sketches import (
+            bloom_contamination_audit,
+        )
+
+        sh, bench = self._fixture(spark)
+        out = {r.grp: r for r in
+               bloom_contamination_audit(sh, bench, m=4, k=2,
+                                         group_col="source").collect()}
+        assert out["b"].n_exact == 0
+        assert out["b"].n_false_pos == out["b"].n_grams  # saturated filter
+        assert out["b"].fp_rate == 1.0
+
+    def test_k_budget_guard(self, spark):
+        from cassandra_pv_archiver_spark.operators.sketches import (
+            bloom_contamination_audit,
+        )
+
+        sh, bench = self._fixture(spark)
+        with pytest.raises(ValueError, match="md5"):
+            bloom_contamination_audit(sh, bench, k=9)

@@ -95,9 +95,8 @@ def main() -> int:
             failures.append("bench.py produced no JSON line")
         else:
             rec = json.loads(line)
-            print(
-                f"  {rec['value']}s total, {len(rec['queries'])} queries"
-            )
+            n = rec.get("n_queries", len(rec["queries"]))
+            print(f"  {rec['value']}s total, {n} queries")
             if prev_copy:
                 rc2, out2 = run(
                     [
