@@ -112,7 +112,9 @@ class PairTableView:
         self.verify_threshold = verify_threshold
         self.table = ManifestTable(spark, self.root)
 
-    def _publish(self, pairs: DataFrame, remove: list[str]) -> None:
+    def _publish(
+        self, pairs: DataFrame, remove: list[str], marker: str | None = None
+    ) -> None:
         out = pairs.select(
             F.col("id_a").cast("bigint"),
             F.col("id_b").cast("bigint"),
@@ -121,6 +123,9 @@ class PairTableView:
         )
         stage = self.table.stage_dir()
         out.write.mode("overwrite").parquet(stage)
+        if marker is not None:
+            self.table.fs.mkdirs(f"{stage}/applied")
+            self.table.fs.write_text(f"{stage}/applied/{marker}", "")
         self.table.publish_stage(stage, remove=remove)
 
     def rebuild(self, sh: DataFrame) -> int:
@@ -132,11 +137,25 @@ class PairTableView:
         self._publish(pairs, remove=self.table.files() or [])
         return self.table.current_version()
 
-    def apply_batch(self, sh_corpus: DataFrame, sh_batch: DataFrame) -> int:
+    def apply_batch(
+        self,
+        sh_corpus: DataFrame,
+        sh_batch: DataFrame,
+        marker: str | None = None,
+    ) -> int:
         """Incremental maintenance for one ingest batch: append the
         cross (corpus ⋈ batch) and within-batch pairs — O(batch), the
         corpus is only probed through the band equi-join, never
-        re-paired against itself."""
+        re-paired against itself.
+
+        ``marker`` makes the append IDEMPOTENT for replay-prone callers
+        (Structured Streaming ``foreachBatch`` re-runs a batch after a
+        crash): a zero-byte ``applied/<marker>`` file rides the SAME
+        atomic manifest commit as the pair files, and a later call with
+        the same marker is a no-op — the pair table can never
+        double-apply a batch."""
+        if marker is not None and self.has_marker(marker):
+            return self.table.current_version()
         cross = dedup.minhash_lsh_delta_pairs(
             sh_corpus,
             sh_batch,
@@ -152,13 +171,86 @@ class PairTableView:
         within = dedup.minhash_lsh_pairs(
             sh_batch, self.num_hashes, self.band_size, self.verify_threshold
         ).select("id_a", "id_b", "jaccard", "n_common")
-        self._publish(cross.unionByName(within), remove=[])
+        self._publish(
+            cross.unionByName(within), remove=[], marker=marker
+        )
         return self.table.current_version()
 
+    def has_marker(self, marker: str) -> bool:
+        """True iff a commit carrying ``applied/<marker>`` is visible
+        (publish_stage prefixes file names with a unique tag, hence the
+        suffix match)."""
+        return any(
+            r.startswith("applied/") and r.endswith(f"-{marker}")
+            for r in self.table.files() or []
+        )
+
     def read(self) -> DataFrame:
-        rel = self.table.files() or []
+        rel = [
+            r
+            for r in self.table.files() or []
+            if not r.startswith("applied/")
+        ]
         if not rel:
             return self.spark.createDataFrame([], PAIR_SCHEMA)
         return self.spark.read.schema(PAIR_SCHEMA).parquet(
             *(f"{self.root}/{r}" for r in rel)
         )
+
+
+def start_pair_table_maintenance(
+    doc_stream: DataFrame,
+    doc_table: DocTable,
+    view: PairTableView,
+    checkpoint_dir: str,
+    shingle_fn=None,
+    available_now: bool = True,
+):
+    """Continuous pair-table maintenance: a streaming DataFrame of
+    documents drives one ``PairTableView.apply_batch`` per micro-batch —
+    the operational (streaming) leg of the materialized-view lifecycle
+    the batch `pair_table_incremental` query proves.
+
+    Exactly-once under crash/replay, without cross-table transactions:
+
+    * PAIRS commit first, carrying an ``applied/batch-<id>`` marker in
+      the same atomic manifest commit — a ``foreachBatch`` replay of the
+      same batch id is a no-op on the pair side;
+    * DOCS append second, replay-guarded by an exact ``doc_id``
+      anti-join against the current corpus (the `streaming/ingest.py`
+      replay-guard pattern);
+    * a crash between the two commits leaves pairs applied and docs
+      missing — the replay skips the pair step (marker) and heals the
+      doc append; Structured Streaming replays the interrupted batch
+      before advancing, so later batches always see a healed corpus.
+
+    The cross join inside ``apply_batch`` uses the corpus AS OF before
+    this batch (it reads ``doc_table`` at call time, pre-append), so
+    batch ⋈ batch pairs come from the within-batch leg exactly once.
+    """
+    from ..operators import dedup as _dedup
+
+    sh_fn = shingle_fn or _dedup.shingles
+
+    def _maintain(batch_df, batch_id):
+        corpus = doc_table.read()
+        fresh = batch_df.join(
+            corpus.select("doc_id"), "doc_id", "left_anti"
+        ).persist()
+        try:
+            if fresh.count() == 0:
+                return
+            view.apply_batch(
+                sh_fn(corpus), sh_fn(fresh), marker=f"batch-{batch_id}"
+            )
+            doc_table.append(fresh)
+        finally:
+            fresh.unpersist()
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

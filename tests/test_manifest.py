@@ -409,3 +409,78 @@ class TestPairStore:
         v2 = dt.table.current_version()
         with pytest.raises(ValueError, match="append-only CDC"):
             dt.read_changes(v0, v2)
+
+    def test_streaming_maintenance_equals_rebuild(self, spark, tmp_path):
+        """start_pair_table_maintenance replaying a 2-batch doc stream
+        must land the view on EXACTLY the full-rebuild pair set, and a
+        marker-replayed batch must be a no-op (exactly-once)."""
+        import os
+        import shutil
+
+        from cassandra_pv_archiver_spark.operators import dedup
+        from cassandra_pv_archiver_spark.sources.pair_store import (
+            DocTable,
+            PairTableView,
+            start_pair_table_maintenance,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, base),
+            (2, base + " extra"),
+            (10, base + " more stuff"),
+            (11, base + " more things"),
+            (3, " ".join(f"q{i}" for i in range(12))),
+        ]
+        schema = "doc_id long, text string"
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+
+        def _write_file(batch, name, mtime):
+            stage = str(tmp_path / ("stage_" + name))
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            dst = os.path.join(src, name + ".parquet")
+            shutil.copy(os.path.join(stage, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        _write_file([r for r in rows if r[0] < 10], "b1", 1_000_000_000)
+        _write_file([r for r in rows if r[0] >= 10], "b2", 1_000_000_100)
+
+        dt = DocTable(spark, str(tmp_path / "docs"), schema)
+        view = PairTableView(spark, str(tmp_path / "pairs"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_pair_table_maintenance(
+            stream, dt, view, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 12), r.n_common)
+            for r in view.read().collect()
+        }
+        want = {
+            (r.id_a, r.id_b, round(r.jaccard, 12), r.n_common)
+            for r in dedup.minhash_lsh_pairs(
+                dedup.shingles(spark.createDataFrame(rows, schema)), 8, 2, 0.2
+            ).collect()
+        }
+        assert got == want and want, (got, want)
+        assert {r.doc_id for r in dt.read().collect()} == {1, 2, 3, 10, 11}
+
+        # replaying an already-applied batch is a no-op (marker guard)
+        v_before = view.table.current_version()
+        n_before = view.read().count()
+        sh = dedup.shingles(spark.createDataFrame(rows[:2], schema))
+        view.apply_batch(sh, sh, marker="batch-1")
+        assert view.table.current_version() == v_before
+        assert view.read().count() == n_before
