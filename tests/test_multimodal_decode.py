@@ -304,3 +304,66 @@ def test_decode_dispatch_jpeg():
 
     jp = encode_jpeg_gray(8, 8, bytes([7] * 64))
     assert decode(jp) == (8, 8, 1)
+
+
+def test_jpeg_three_component_interleaved_scan_luma():
+    """The decoder's multi-component MCU walk: a hand-built 4:4:4 YCbCr
+    SOF0 frame (8x8, all three components DC-only) must decode every
+    component's bits in interleave order and return the LUMA plane —
+    wrong component sequencing would desynchronize the entropy stream
+    and corrupt the values."""
+    import struct as _s
+
+    from cassandra_pv_archiver_spark.operators.multimodal import (
+        _STD_AC_LUMA,
+        _STD_DC_LUMA,
+        _BitWriter,
+        _category,
+        _huff_codes,
+    )
+
+    dc_codes = _huff_codes(*_STD_DC_LUMA)
+    ac_codes = _huff_codes(*_STD_AC_LUMA)
+    q_dc = 8
+
+    def put_dc_only_block(bw, dc_quantized, pred):
+        diff = dc_quantized - pred
+        t, code = _category(diff)
+        hc, hl = dc_codes[t]
+        bw.put(hc, hl)
+        if t:
+            bw.put(code, t)
+        hc, hl = ac_codes[0x00]  # EOB
+        bw.put(hc, hl)
+        return dc_quantized
+
+    # flat Y=200, Cb=100, Cr=50: DC coeff = 8*(v-128), quantized by 8
+    bw = _BitWriter()
+    for v in (200, 100, 50):
+        put_dc_only_block(bw, v - 128, 0)  # per-component predictor
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    zig_q = bytes([q_dc] + [16] * 63)  # DQT is in zigzag order; DC first
+    dqt = bytes([0x00]) + zig_q
+    sof = _s.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht_dc = bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1])
+    dht_ac = bytes([0x10]) + bytes(_STD_AC_LUMA[0]) + bytes(_STD_AC_LUMA[1])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    jp = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+    w, h, ch, pix = decode_jpeg_gray(jp, return_pixels=True)
+    assert (w, h, ch) == (8, 8, 1)
+    assert set(pix) == {200}  # luma only, exact (DC-only, q_dc=8)
