@@ -109,11 +109,18 @@ def decode_monitor_events(frames: DataFrame, frame_col: str = "frame") -> DataFr
                 b = bytes(raw)
                 if len(b) < 16:
                     raise ValueError("truncated CA header")
-                cmd, psize, dtype, _count, _p1, sid = struct.unpack(
+                cmd, psize, dtype, count, _p1, sid = struct.unpack(
                     ">HHHHII", b[:16]
                 )
                 if cmd != CA_PROTO_EVENT_ADD or dtype != DBR_TIME_DOUBLE:
                     continue
+                if count != 1:
+                    # waveform PVs (count > 1) need an array sample type;
+                    # silently reading element 0 would misrepresent them
+                    raise NotImplementedError(
+                        f"CA event with {count} elements: array (waveform)"
+                        " samples are not supported by this decoder"
+                    )
                 if len(b) < 16 + psize or psize < 24:
                     raise ValueError("truncated CA payload")
                 status, severity, epics_secs, nsec = struct.unpack(

@@ -149,8 +149,11 @@ def enabling_filter_linked(
     single series.
 
     ``links`` maps ``channel_col`` -> ``enabling_channel_col`` (a
-    registry-sized dim, broadcast); ``enabling`` carries (channel, t,
-    ``flag_col``) rows for ALL enabling PVs. A sample is kept iff its
+    registry-sized dim, broadcast; ONE row per channel — the reference's
+    config allows one enabling PV per channel, and a duplicate link row
+    here would duplicate that channel's samples through the left join).
+    ``enabling`` carries (channel, t, ``flag_col``) rows for ALL
+    enabling PVs. A sample is kept iff its
     channel has no link (no enabling PV configured -> always archived,
     the reference default) or the linked PV's most recent ``flag_col``
     at the sample's timestamp is true (rows before the linked PV's first

@@ -117,3 +117,14 @@ def test_truncated_frame_raises(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         decode_monitor_events(frames).collect()
+
+
+def test_waveform_count_rejected(spark):
+    """count > 1 (waveform PV) must raise, not silently truncate to
+    element 0."""
+    good = encode_monitor_event(1, (EPICS_EPOCH_OFFSET_S + 1) * NS, 1.0)
+    hacked = bytearray(good)
+    hacked[6:8] = struct.pack(">H", 3)  # claim 3 elements
+    frames = spark.createDataFrame([(bytes(hacked),)], "frame binary")
+    with pytest.raises(Exception, match="waveform"):
+        decode_monitor_events(frames).collect()
