@@ -384,7 +384,7 @@ def q_bloom_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketches.bloom_contamination_audit): zero false negatives
     by construction, measured false-positive rate and filter fill — the
     membership member of the mergeable-sketch family. Same benchmark
-    fixture as contamination_3gram (doc_id % {BENCH_MOD} == 0)."""
+    fixture as contamination_3gram (doc_id % 29 == 0)."""
     from .operators import sketches
 
     docs = load_table(spark, sf_dir, "documents")
