@@ -589,6 +589,9 @@ def decode_jpeg_gray(blob: bytes, return_pixels: bool = False):
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             break

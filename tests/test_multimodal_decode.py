@@ -367,3 +367,13 @@ def test_jpeg_three_component_interleaved_scan_luma():
     w, h, ch, pix = decode_jpeg_gray(jp, return_pixels=True)
     assert (w, h, ch) == (8, 8, 1)
     assert set(pix) == {200}  # luma only, exact (DC-only, q_dc=8)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker — a stream
+    with padding between segments must still parse."""
+    jp = encode_jpeg_gray(8, 8, bytes([42] * 64))
+    i = jp.index(b"\xff\xc0")  # pad before SOF0
+    padded = jp[:i] + b"\xff\xff\xff" + jp[i:]
+    w, h, _ch, pix = decode_jpeg_gray(padded, return_pixels=True)
+    assert (w, h) == (8, 8) and set(pix) == {42}
