@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "pair_table_update",
     "ca_ingest_roundtrip_1h",
     "bloom_decontam_audit",
+    "ca_array_roundtrip_stats",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

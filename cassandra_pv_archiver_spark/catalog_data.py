@@ -378,6 +378,51 @@ ORDER BY s.doc_id
 """
 
 
+def q_ca_array_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform (array) Channel Access roundtrip: every embedding vector
+    rides a real DBR_TIME_DOUBLE monitor event with count=64
+    (functions/ca_wire.encode_monitor_event_array), is decoded back by
+    the waveform decoder, and summarized per subscription —
+    integer-scaled checksum (order-free, engine-portable) + exact
+    min/max/length. A value-hash match against the codec-free oracle
+    attests the array payload layout; the EXTENDED-header form is pinned
+    separately in tests/test_ca_wire.py. The reference archives array
+    channels through the same DBR path
+    (`ChannelAccessSampleValueAccess.java` array accessors)."""
+    from .functions import ca_wire
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    frames = ca_wire.encode_vector_table(emb)
+    events = ca_wire.decode_monitor_event_arrays(frames)
+    return (
+        events.select(
+            "sid",
+            "t",
+            F.size("varr").alias("n_elems"),
+            F.expr(
+                "aggregate(varr, CAST(0 AS BIGINT), (acc, x) ->"
+                " acc + CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+            ).alias("checksum"),
+            F.array_min("varr").alias("vmin"),
+            F.array_max("varr").alias("vmax"),
+        )
+        .orderBy("sid")
+    )
+
+
+SQL_CA_ARRAY_ROUNDTRIP_STATS = """
+SELECT vec_id AS sid,
+       CAST((631152000 + vec_id) * 1000000000 AS BIGINT) AS t,
+       CAST(len(embedding) AS INTEGER) AS n_elems,
+       CAST(list_sum(list_transform(embedding, x ->
+         CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+         AS BIGINT) AS checksum,
+       CAST(list_min(embedding) AS DOUBLE) AS vmin,
+       CAST(list_max(embedding) AS DOUBLE) AS vmax
+FROM embeddings ORDER BY sid
+"""
+
+
 def q_bloom_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination through a Bloom-filter prefilter,
     audited per source against the exact membership join

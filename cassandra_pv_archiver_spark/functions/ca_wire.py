@@ -184,3 +184,153 @@ def encode_samples(samples: DataFrame, subscriptions: DataFrame) -> DataFrame:
             yield pd.DataFrame({"frame": pd.Series(frames, dtype=object)})
 
     return tagged.mapInPandas(_encode, schema="frame binary")
+
+
+# ---------------------------------------------------------------------------
+# Waveform (array) monitor events — DBR_TIME_DOUBLE with count > 1
+# ---------------------------------------------------------------------------
+
+#: decoded array events (waveform PVs: one value vector per update)
+CA_ARRAY_EVENT_SCHEMA = (
+    "sid long, t long, varr array<double>, severity int, status int"
+)
+
+#: a standard header's 16-bit payload field saturates here; larger
+#: payloads use the EXTENDED header (psize=0xFFFF, count=0, followed by
+#: uint32 payload size + uint32 element count — 24 header bytes total)
+_EXT_MARKER = 0xFFFF
+
+
+def encode_monitor_event_array(
+    sid: int,
+    t_ns: int,
+    values,
+    severity: int = 0,
+    status: int = 0,
+    force_extended: bool = False,
+) -> bytes:
+    """CA_PROTO_EVENT_ADD carrying a DBR_TIME_DOUBLE waveform (``count``
+    = len(values)): the monitor update an array PV pushes. Uses the
+    standard 16-byte header while the payload fits its 16-bit size
+    field, the extended header (spec: psize=0xFFFF, count=0, then uint32
+    size + uint32 count) beyond — ``force_extended`` exercises that path
+    at small sizes."""
+    n = len(values)
+    if n < 1:
+        raise ValueError("CA element count must be >= 1")
+    secs, nsec = divmod(t_ns, _NS)
+    epics_secs = secs - EPICS_EPOCH_OFFSET_S
+    if not (0 <= epics_secs < 2**32):
+        raise ValueError(f"timestamp {t_ns} outside the CA epoch range")
+    payload = struct.pack(
+        f">hhII4x{n}d", status, severity, epics_secs, nsec, *values
+    )
+    if force_extended or len(payload) >= _EXT_MARKER or n >= _EXT_MARKER:
+        header = struct.pack(
+            ">HHHHIIII",
+            CA_PROTO_EVENT_ADD,
+            _EXT_MARKER,
+            DBR_TIME_DOUBLE,
+            0,
+            1,
+            sid,
+            len(payload),
+            n,
+        )
+    else:
+        header = struct.pack(
+            ">HHHHII",
+            CA_PROTO_EVENT_ADD,
+            len(payload),
+            DBR_TIME_DOUBLE,
+            n,
+            1,
+            sid,
+        )
+    return header + payload
+
+
+def decode_monitor_event_arrays(
+    frames: DataFrame, frame_col: str = "frame"
+) -> DataFrame:
+    """(.., frame binary) -> CA_ARRAY_EVENT_SCHEMA rows: the waveform
+    sibling of :func:`decode_monitor_events` — accepts any element count
+    >= 1 and BOTH header forms (standard and extended). Non-EVENT_ADD /
+    non-DBR_TIME_DOUBLE frames are dropped; truncation raises."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sids, ts, vas, sevs, stats = [], [], [], [], []
+            for raw in pdf[frame_col]:
+                b = bytes(raw)
+                if len(b) < 16:
+                    raise ValueError("truncated CA header")
+                cmd, psize, dtype, count, _p1, sid = struct.unpack(
+                    ">HHHHII", b[:16]
+                )
+                off = 16
+                if psize == _EXT_MARKER and count == 0:  # extended header
+                    if len(b) < 24:
+                        raise ValueError("truncated CA extended header")
+                    psize, count = struct.unpack(">II", b[16:24])
+                    off = 24
+                if cmd != CA_PROTO_EVENT_ADD or dtype != DBR_TIME_DOUBLE:
+                    continue
+                if count < 1:
+                    raise ValueError("CA element count must be >= 1")
+                need = 16 + 8 * count
+                if len(b) < off + psize or psize < need:
+                    raise ValueError("truncated CA payload")
+                status, severity, epics_secs, nsec = struct.unpack(
+                    ">hhII", b[off:off + 12]
+                )
+                vals = struct.unpack(
+                    f">{count}d", b[off + 16:off + 16 + 8 * count]
+                )
+                sids.append(sid)
+                ts.append((epics_secs + EPICS_EPOCH_OFFSET_S) * _NS + nsec)
+                vas.append(list(vals))
+                sevs.append(severity)
+                stats.append(status)
+            yield pd.DataFrame(
+                {
+                    "sid": pd.Series(sids, dtype="int64"),
+                    "t": pd.Series(ts, dtype="int64"),
+                    "varr": pd.Series(vas, dtype=object),
+                    "severity": pd.Series(sevs, dtype="int32"),
+                    "status": pd.Series(stats, dtype="int32"),
+                }
+            )
+
+    return frames.select(frame_col).mapInPandas(
+        _decode, schema=CA_ARRAY_EVENT_SCHEMA
+    )
+
+
+def encode_vector_table(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    force_extended: bool = False,
+) -> DataFrame:
+    """(id, array<numeric>) -> (frame binary): each row becomes one
+    waveform monitor event (sid = id, timestamp = EPICS epoch + id
+    seconds — deterministic, collision-free) — the capture builder for
+    the array roundtrip query and tests."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                encode_monitor_event_array(
+                    int(i),
+                    (EPICS_EPOCH_OFFSET_S + int(i)) * _NS,
+                    [float(x) for x in vec],
+                    force_extended=force_extended,
+                )
+                for i, vec in zip(pdf[id_col], pdf[vec_col])
+            ]
+            yield pd.DataFrame({"frame": pd.Series(frames, dtype=object)})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        _encode, schema="frame binary"
+    )

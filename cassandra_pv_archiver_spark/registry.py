@@ -167,6 +167,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_bloom_decontam_audit,
         catalog_data.SQL_BLOOM_DECONTAM_AUDIT,
     ),
+    "ca_array_roundtrip_stats": (
+        catalog_data.q_ca_array_roundtrip_stats,
+        catalog_data.SQL_CA_ARRAY_ROUNDTRIP_STATS,
+    ),
     "pack_efficiency": (
         catalog_data.q_pack_efficiency,
         catalog_data.SQL_PACK_EFFICIENCY,

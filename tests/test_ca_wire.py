@@ -128,3 +128,66 @@ def test_waveform_count_rejected(spark):
     frames = spark.createDataFrame([(bytes(hacked),)], "frame binary")
     with pytest.raises(Exception, match="waveform"):
         decode_monitor_events(frames).collect()
+
+
+def test_array_event_layout_and_roundtrip(spark):
+    from cassandra_pv_archiver_spark.functions.ca_wire import (
+        decode_monitor_event_arrays,
+        encode_monitor_event_array,
+    )
+
+    vals = [1.5, -2.25, 3.0]
+    t = (EPICS_EPOCH_OFFSET_S + 7) * NS + 9
+    frame = encode_monitor_event_array(42, t, vals, severity=1, status=3)
+    # standard header: count=3, payload = 16 + 3*8 = 40
+    assert struct.unpack(">H", frame[2:4])[0] == 40
+    assert struct.unpack(">H", frame[6:8])[0] == 3
+    assert struct.unpack(">3d", frame[32:56]) == tuple(vals)
+    out = decode_monitor_event_arrays(
+        spark.createDataFrame([(frame,)], "frame binary")
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.sid, r.t, r.severity, r.status) == (42, t, 1, 3)
+    assert list(r.varr) == vals
+
+
+def test_array_event_extended_header(spark):
+    """The extended-header form (psize=0xFFFF sentinel, count=0, uint32
+    size + count follow) must decode identically — forced at a small
+    size so the test stays cheap; payloads past 64 KiB take this path
+    automatically."""
+    from cassandra_pv_archiver_spark.functions.ca_wire import (
+        decode_monitor_event_arrays,
+        encode_monitor_event_array,
+    )
+
+    vals = [float(i) for i in range(5)]
+    t = (EPICS_EPOCH_OFFSET_S + 1) * NS
+    std = encode_monitor_event_array(9, t, vals)
+    ext = encode_monitor_event_array(9, t, vals, force_extended=True)
+    assert ext != std and len(ext) == len(std) + 8
+    assert struct.unpack(">H", ext[2:4])[0] == 0xFFFF
+    assert struct.unpack(">H", ext[6:8])[0] == 0
+    assert struct.unpack(">II", ext[16:24]) == (16 + 5 * 8, 5)
+    rows = decode_monitor_event_arrays(
+        spark.createDataFrame([(std,), (ext,)], "frame binary")
+    ).collect()
+    assert len(rows) == 2
+    assert all(list(r.varr) == vals and r.t == t for r in rows)
+
+
+def test_array_event_rejects_empty_and_truncated(spark):
+    from cassandra_pv_archiver_spark.functions.ca_wire import (
+        decode_monitor_event_arrays,
+        encode_monitor_event_array,
+    )
+
+    with pytest.raises(ValueError, match=">= 1"):
+        encode_monitor_event_array(1, (EPICS_EPOCH_OFFSET_S + 1) * NS, [])
+    good = encode_monitor_event_array(
+        1, (EPICS_EPOCH_OFFSET_S + 1) * NS, [1.0, 2.0]
+    )
+    frames = spark.createDataFrame([(good[:30],)], "frame binary")
+    with pytest.raises(Exception, match="truncated"):
+        decode_monitor_event_arrays(frames).collect()
