@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "ca_ingest_roundtrip_1h",
     "bloom_decontam_audit",
     "ca_array_roundtrip_stats",
+    "epoch_shuffle",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

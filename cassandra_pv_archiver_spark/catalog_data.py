@@ -423,6 +423,41 @@ FROM embeddings ORDER BY sid
 """
 
 
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle
+    (operators/sampling.epoch_shuffle): every doc gets a reproducible
+    (shard, pos) address — hash shard assignment + per-shard md5-order
+    rank, no global sort, same bytes on any cluster or run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(docs, EPOCH_SHUFFLE_SHARDS, seed="epoch0")
+
+
+#: DuckDB mirror of sampling.hash_bucket16 (defined inline — the shared
+#: _sql_h16 helper is declared later in this module)
+_EPOCH_H16 = (
+    "CAST(list_sum(list_transform(range(0, 4), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5('epoch0:' || "
+    "CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)"
+    " << (4 * (3 - i)))) AS INTEGER)"
+)
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h,
+         ({_EPOCH_H16}) % {EPOCH_SHUFFLE_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM s ORDER BY shard, pos
+"""
+
+
 def q_bloom_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination through a Bloom-filter prefilter,
     audited per source against the exact membership join

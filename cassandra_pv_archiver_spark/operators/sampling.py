@@ -320,3 +320,40 @@ def temperature_alloc(
             / float(budget_tokens)
         ).alias("share"),
     ).orderBy(group_col)
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_shards: int,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    (shard, pos) address for one training epoch — reproducible on any
+    cluster, any partitioning, any run.
+
+    A naive global ``ORDER BY random()`` is neither reproducible nor
+    scalable (one total sort, nondeterministic tiebreaks). Instead the
+    address is pure hashing: ``shard = first-16-md5-bits(seed:id) mod
+    n_shards`` (a map-only column), and ``pos`` ranks ``(md5(seed:id),
+    id)`` WITHIN the shard — per-shard windows over ~N/n_shards rows,
+    the same partitioned-window discipline as everything else here. A
+    new ``seed`` reshuffles everything; the same seed replays the exact
+    epoch order byte-for-byte (the reproducibility a training run's
+    data-order ablation or crash-resume needs).
+
+    Returns: id_col, shard (int), pos (long, 0-based within shard).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        docs.select(F.col(id_col), h.alias("_h"))
+        .withColumn(
+            "shard", (hash_bucket16(id_col, seed) % n_shards).cast("int")
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+        .orderBy("shard", "pos")
+    )

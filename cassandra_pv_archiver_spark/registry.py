@@ -171,6 +171,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_ca_array_roundtrip_stats,
         catalog_data.SQL_CA_ARRAY_ROUNDTRIP_STATS,
     ),
+    "epoch_shuffle": (
+        catalog_data.q_epoch_shuffle,
+        catalog_data.SQL_EPOCH_SHUFFLE,
+    ),
     "pack_efficiency": (
         catalog_data.q_pack_efficiency,
         catalog_data.SQL_PACK_EFFICIENCY,

@@ -3,6 +3,7 @@ contamination operators."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cassandra_pv_archiver_spark.operators import dedup, sampling, stats
@@ -549,3 +550,41 @@ def test_aligned_channel_correlations_known_values(spark):
         df2, ["A", "B", "C", "D"]).collect()}
     assert abs(out2[("A", "B")] - 1.0) < 1e-12
     assert abs(out2[("A", "C")] + 1.0) < 1e-12
+
+
+class TestEpochShuffle:
+    def _docs(self, spark, n=40):
+        return spark.range(n).selectExpr("id AS doc_id", "'x' AS text")
+
+    def test_partition_of_ids_and_dense_positions(self, spark):
+        from cassandra_pv_archiver_spark.operators.sampling import epoch_shuffle
+
+        out = epoch_shuffle(self._docs(spark), 4).collect()
+        assert len(out) == 40
+        assert {r.doc_id for r in out} == set(range(40))  # a permutation
+        by_shard: dict = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for shard, poss in by_shard.items():
+            assert 0 <= shard < 4
+            assert sorted(poss) == list(range(len(poss)))  # dense 0..k-1
+
+    def test_same_seed_replays_different_seed_reshuffles(self, spark):
+        from cassandra_pv_archiver_spark.operators.sampling import epoch_shuffle
+
+        a1 = {(r.doc_id, r.shard, r.pos)
+              for r in epoch_shuffle(self._docs(spark), 4, seed="e1").collect()}
+        a2 = {(r.doc_id, r.shard, r.pos)
+              for r in epoch_shuffle(self._docs(spark), 4, seed="e1").collect()}
+        b = {(r.doc_id, r.shard, r.pos)
+             for r in epoch_shuffle(self._docs(spark), 4, seed="e2").collect()}
+        assert a1 == a2      # reproducible replay
+        assert a1 != b       # a new seed is a new order
+
+    def test_single_shard_is_total_order(self, spark):
+        from cassandra_pv_archiver_spark.operators.sampling import epoch_shuffle
+
+        out = epoch_shuffle(self._docs(spark, 10), 1).collect()
+        assert sorted(r.pos for r in out) == list(range(10))
+        with pytest.raises(ValueError):
+            epoch_shuffle(self._docs(spark), 0)
