@@ -112,21 +112,28 @@ def decode_monitor_events(frames: DataFrame, frame_col: str = "frame") -> DataFr
                 cmd, psize, dtype, count, _p1, sid = struct.unpack(
                     ">HHHHII", b[:16]
                 )
+                off = 16
+                if psize == 0xFFFF and count == 0:  # extended header
+                    if len(b) < 24:
+                        raise ValueError("truncated CA extended header")
+                    psize, count = struct.unpack(">II", b[16:24])
+                    off = 24
                 if cmd != CA_PROTO_EVENT_ADD or dtype != DBR_TIME_DOUBLE:
                     continue
                 if count != 1:
-                    # waveform PVs (count > 1) need an array sample type;
-                    # silently reading element 0 would misrepresent them
+                    # waveform PVs (count > 1) need the array decoder
+                    # (decode_monitor_event_arrays); silently reading
+                    # element 0 would misrepresent them
                     raise NotImplementedError(
-                        f"CA event with {count} elements: array (waveform)"
-                        " samples are not supported by this decoder"
+                        f"CA event with {count} elements: use"
+                        " decode_monitor_event_arrays for waveform samples"
                     )
-                if len(b) < 16 + psize or psize < 24:
+                if len(b) < off + psize or psize < 24:
                     raise ValueError("truncated CA payload")
                 status, severity, epics_secs, nsec = struct.unpack(
-                    ">hhII", b[16:28]
+                    ">hhII", b[off:off + 12]
                 )
-                (v,) = struct.unpack(">d", b[32:40])
+                (v,) = struct.unpack(">d", b[off + 16:off + 24])
                 # epics_secs came out of an unsigned unpack; the
                 # reference's signed-wrap correction is the same value
                 t = (epics_secs + EPICS_EPOCH_OFFSET_S) * _NS + nsec

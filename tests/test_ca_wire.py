@@ -191,3 +191,17 @@ def test_array_event_rejects_empty_and_truncated(spark):
     frames = spark.createDataFrame([(good[:30],)], "frame binary")
     with pytest.raises(Exception, match="truncated"):
         decode_monitor_event_arrays(frames).collect()
+
+
+def test_scalar_decoder_accepts_extended_header(spark):
+    from cassandra_pv_archiver_spark.functions.ca_wire import (
+        encode_monitor_event_array,
+    )
+
+    t = (EPICS_EPOCH_OFFSET_S + 5) * NS + 1
+    ext = encode_monitor_event_array(7, t, [4.5], force_extended=True)
+    out = decode_monitor_events(
+        spark.createDataFrame([(ext,)], "frame binary")
+    ).collect()
+    assert len(out) == 1 and out[0].sid == 7 and out[0].v == 4.5
+    assert out[0].t == t
