@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "bloom_decontam_audit",
     "ca_array_roundtrip_stats",
     "epoch_shuffle",
+    "audio_features_wav",
+    "video_frame_sample",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -3250,3 +3250,155 @@ SELECT lang, CAST(shard AS INTEGER) AS shard,
          AS fill_factor
 FROM p GROUP BY lang, shard ORDER BY lang, shard
 """
+
+
+# ---------------------------------------------------------------------------
+# audio features over the REAL WAV codec roundtrip
+# ---------------------------------------------------------------------------
+
+#: md5 blocks per synthesized clip (16 bytes -> 16 samples each)
+AUDIO_BLOCKS = 8
+AUDIO_N_SAMPLES = AUDIO_BLOCKS * 16
+
+#: Spark expression: deterministic per-doc PCM clip on the b*257-32768
+#: lattice (byte j of md5(text#k) -> one full-range 16-bit sample).
+#: Lattice membership is what makes the 8-bit WAV leg exact (audio.py).
+_AUDIO_SAMPLES = (
+    f"transform(sequence(0, {AUDIO_N_SAMPLES - 1}), i -> "
+    "CAST(conv(substring(md5(concat(text, '#', CAST(i div 16 AS STRING))), "
+    "(i % 16) * 2 + 1, 2), 16, 10) AS INT) * 257 - 32768)"
+)
+
+
+def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features over the REAL WAV codec: each document synthesizes
+    a deterministic 128-sample PCM clip (md5-derived, full amplitude
+    range), is encoded as an actual RIFF/WAVE file, decoded back by the
+    chunk-walking parser, and featurized from the DECODED samples
+    (operators/audio.audio_feature_table). Even doc_ids ride the 8-bit
+    PCM leg (quantize + normalize, exact on the synthesis lattice), odd
+    doc_ids ride 16-bit — so ONE value-hashed query attests both sample
+    widths plus the RIFF chunk walk.
+
+    The oracle computes the same integer-exact features straight from
+    the synthesized sample values with NO codec — any byte the WAV
+    encoder or decoder mangles shifts a moment/crossing count and fails
+    the value gate: the codec roundtrip itself is driver-attested (the
+    same pattern image_dhash_near_dup uses for PNG/JPEG).
+
+    100 TB shape: one Arrow-batched Python crossing, zero shuffles
+    beyond the deliberate core-spreading repartition; features are a
+    pure row-local map, so the plan scales embarrassingly."""
+    from .operators import audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    sam = docs.select("doc_id", F.expr(_AUDIO_SAMPLES).alias("samples"))
+    return audio.audio_feature_table(sam, codec="mixed").orderBy("doc_id")
+
+
+_NIBS = "0123456789abcdef"
+
+SQL_AUDIO_FEATURES_WAV = f"""
+WITH sam AS (
+  SELECT d.doc_id, t.i,
+         ((strpos('{_NIBS}', substr(md5(d.text || '#' || (t.i // 16)),
+                                    (t.i % 16) * 2 + 1, 1)) - 1) * 16
+          + (strpos('{_NIBS}', substr(md5(d.text || '#' || (t.i // 16)),
+                                      (t.i % 16) * 2 + 2, 1)) - 1)
+         ) * 257 - 32768 AS s
+  FROM documents d, range(0, {AUDIO_N_SAMPLES}) t(i)
+),
+x AS (
+  SELECT doc_id, i, s,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM sam
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+       CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (s < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(sum(CASE WHEN s >= 32767 OR s <= -32768 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       CAST(coalesce(min(CASE WHEN abs(s) > 512 THEN i END),
+                     {AUDIO_N_SAMPLES}) AS BIGINT) AS lead_silence
+FROM x GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling over the REAL AVI/MJPEG container
+# ---------------------------------------------------------------------------
+
+VIDEO_MAX_FRAMES = 5  # n_frames in 2..5 (md5-derived)
+VIDEO_EVERY_NTH = 2
+
+#: Spark expression: per-doc frame count (2..5) and per-frame 4x4 cell
+#: grids (byte j of md5(text@f)); data-dependent fan-out like real video.
+_VIDEO_NFRAMES = (
+    "(CAST(conv(substring(md5(text), 1, 2), 16, 10) AS INT) % 4) + 2"
+)
+_VIDEO_FRAMES = (
+    f"transform(sequence(0, {_VIDEO_NFRAMES} - 1), f -> "
+    "transform(sequence(0, 15), j -> "
+    "CAST(conv(substring(md5(concat(text, '@', CAST(f AS STRING))), "
+    "j * 2 + 1, 2), 16, 10) AS INT)))"
+)
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over a REAL container: each document
+    synthesizes 2-5 deterministic 32x32 frames (md5-derived 4x4 flat
+    block grids), every frame is encoded as a real baseline JPEG, the
+    clip is muxed into a real RIFF AVI (hdrl/movi/idx1), demuxed back by
+    the chunk walker, frame-sampled every 2nd frame, JPEG-decoded, and
+    featurized from cells read back at block centers
+    (operators/multimodal.video_frame_table). Flat blocks are DC-only
+    and roundtrip baseline JPEG exactly, so the codec-free oracle
+    value-attests the ENTIRE mux/demux/entropy-decode chain — this
+    retires the last stubbed leg of the multimodal story (images: PNG +
+    JPEG attested; video: AVI/MJPEG attested; audio: WAV attested).
+
+    100 TB shape: one Arrow-batched Python crossing; the 1->N frame
+    fan-out happens inside the batch (row-local), never as a join."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    fr = docs.select("doc_id", F.expr(_VIDEO_FRAMES).alias("frames"))
+    return multimodal.video_frame_table(
+        fr, every_nth=VIDEO_EVERY_NTH
+    ).orderBy("doc_id", "frame_idx")
+
+
+SQL_VIDEO_FRAME_SAMPLE = f"""
+WITH nf AS (
+  SELECT doc_id, text,
+         ((strpos('{_NIBS}', substr(md5(text), 1, 1)) - 1) * 16
+          + (strpos('{_NIBS}', substr(md5(text), 2, 1)) - 1)) % 4 + 2
+           AS n_frames
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, text, n_frames, t.f
+  FROM nf, range(0, {VIDEO_MAX_FRAMES + 1}) t(f)
+  WHERE t.f < n_frames AND t.f % {VIDEO_EVERY_NTH} = 0
+),
+cells AS (
+  SELECT doc_id, f, n_frames,
+         (strpos('{_NIBS}', substr(md5(text || '@' || f),
+                                   u.j * 2 + 1, 1)) - 1) * 16
+         + (strpos('{_NIBS}', substr(md5(text || '@' || f),
+                                     u.j * 2 + 2, 1)) - 1) AS v
+  FROM fr, range(0, 16) u(j)
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(sum(v) AS BIGINT) AS cell_sum,
+       CAST(min(v) AS INTEGER) AS cell_min,
+       CAST(max(v) AS INTEGER) AS cell_max
+FROM cells GROUP BY doc_id, f, n_frames ORDER BY doc_id, frame_idx
+"""

@@ -1,0 +1,254 @@
+"""Real WAV (RIFF/PCM) audio codec + integer-exact audio features.
+
+The reference archiver has no audio surface; this module belongs to the
+training-data-pipeline half of the repo (multimodal binary columns) and
+extends the attested-codec pattern ``multimodal.py`` established for
+PNG/JPEG to the container a real audio corpus actually carries:
+
+  * **WAV encode/decode is REAL** (:func:`encode_wav` /
+    :func:`decode_wav`): a pure-stdlib RIFF chunk walker — ``fmt `` /
+    ``data`` chunks, unknown-chunk skipping (``LIST``/``fact``/...),
+    odd-size pad bytes, PCM 8-bit-unsigned and 16-bit-signed-LE, mono
+    and interleaved stereo. Compressed format tags (IEEE float, ALAW,
+    ULAW, ADPCM, extensible) raise ``NotImplementedError`` loudly.
+  * 8-bit samples are normalized to the 16-bit lattice ``b * 257 -
+    32768`` on decode (the exact-roundtrip convention: encoding a
+    lattice value stores its high byte and decodes back bit-identically,
+    so the value oracle can attest the 8-bit path too).
+  * Features are **integer-exact** (peak / sum-abs / energy / zero
+    crossings / clip count / leading-silence run) so a DuckDB oracle
+    reproduces them bit-for-bit with NO codec — any byte the encoder or
+    decoder mangles changes a feature and fails the value-hash gate.
+
+100 TB shape: same as the image path — blobs dominate bytes, so
+metadata filters run before the single Arrow-batched Python crossing,
+and the crossing itself is a pure row-local map (zero shuffles; the
+`repartition(defaultParallelism)` below is the only exchange and exists
+to spread a CPU-bound codec across cores when the input arrives as one
+parquet split).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+#: |sample| at or below this is "silence" for the leading-run feature
+SILENCE_THRESHOLD = 512
+
+#: PCM format tag (RIFF spec); everything else raises
+_WAVE_FORMAT_PCM = 1
+_KNOWN_COMPRESSED = {
+    3: "IEEE float",
+    6: "ALAW",
+    7: "ULAW",
+    17: "IMA ADPCM",
+    65534: "WAVE_FORMAT_EXTENSIBLE",
+}
+
+
+def encode_wav(
+    samples: Sequence[int],
+    sample_rate: int = 8000,
+    bits: int = 16,
+    channels: int = 1,
+) -> bytes:
+    """Encode normalized 16-bit samples (interleaved if stereo) as a
+    real RIFF/WAVE file.
+
+    ``bits=16`` stores samples verbatim (signed LE). ``bits=8`` stores
+    the unsigned high byte ``(s + 32768) >> 8`` — exact for samples on
+    the ``b * 257 - 32768`` lattice, quantizing otherwise (documented
+    convention, mirrored by :func:`decode_wav`).
+    """
+    if bits not in (8, 16):
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    if channels not in (1, 2):
+        raise ValueError(f"channels must be 1 or 2, got {channels}")
+    if len(samples) % channels:
+        raise ValueError("interleaved sample count not divisible by channels")
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes((int(s) + 32768) >> 8 for s in samples)
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH",
+        _WAVE_FORMAT_PCM,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    chunks = b"".join(
+        struct.pack("<4sI", cid, len(payload)) + payload + (b"\x00" if len(payload) % 2 else b"")
+        for cid, payload in ((b"fmt ", fmt), (b"data", data))
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
+    """Parse a RIFF/WAVE blob -> (sample_rate, channels, bits, samples).
+
+    Samples are normalized to the signed 16-bit range: 16-bit PCM is
+    verbatim, 8-bit PCM maps ``b -> b * 257 - 32768`` (so an 8-bit
+    encode of a lattice value roundtrips bit-identically). Walks the
+    chunk list properly: unknown chunks are skipped, odd-size chunks
+    consume their pad byte, ``fmt `` must precede ``data``.
+    """
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    riff_size = struct.unpack_from("<I", blob, 4)[0]
+    end = min(len(blob), 8 + riff_size)
+    pos = 12
+    fmt: tuple[int, int, int, int] | None = None  # (channels, rate, align, bits)
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        pos += 8
+        if pos + size > end:
+            raise ValueError(f"truncated {cid!r} chunk")
+        payload = blob[pos : pos + size]
+        pos += size + (size % 2)  # odd chunks carry a pad byte
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            tag, channels, rate, _brate, align, bits = struct.unpack_from(
+                "<HHIIHH", payload, 0
+            )
+            if tag != _WAVE_FORMAT_PCM:
+                name = _KNOWN_COMPRESSED.get(tag, f"format tag {tag}")
+                raise NotImplementedError(
+                    f"non-PCM WAV ({name}); only integer PCM decodes here"
+                )
+            if bits not in (8, 16):
+                raise NotImplementedError(f"{bits}-bit PCM not supported")
+            if channels not in (1, 2):
+                raise NotImplementedError(f"{channels}-channel WAV not supported")
+            if align != channels * (bits // 8):
+                raise ValueError("blockAlign inconsistent with channels/bits")
+            fmt = (channels, rate, align, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            channels, rate, _align, bits = fmt
+            if bits == 16:
+                if size % 2:
+                    raise ValueError("odd 16-bit PCM data size")
+                samples = list(struct.unpack(f"<{size // 2}h", payload))
+            else:
+                samples = [b * 257 - 32768 for b in payload]
+            if len(samples) % channels:
+                raise ValueError("sample count not divisible by channels")
+            return (rate, channels, bits, samples)
+        # else: skip LIST / fact / cue / bext / ... chunks
+    raise ValueError("no data chunk found")
+
+
+def audio_features(samples: Sequence[int]) -> dict[str, int]:
+    """Integer-exact features over a mono normalized-16-bit sample run.
+
+    Every feature is closed over the integers (no float until a consumer
+    divides), so a SQL oracle reproduces them bit-for-bit:
+
+      * ``peak_abs`` / ``sum_abs`` / ``energy`` — amplitude moments
+      * ``zero_crossings`` — count of sign-region changes, where a
+        sample is "negative" iff ``s < 0`` (zero is non-negative)
+      * ``n_clipped`` — samples pinned at either rail
+      * ``lead_silence`` — length of the leading run with
+        ``|s| <= SILENCE_THRESHOLD``
+    """
+    n = len(samples)
+    peak = 0
+    sum_abs = 0
+    energy = 0
+    crossings = 0
+    clipped = 0
+    lead = n
+    prev_neg: bool | None = None
+    for i, s in enumerate(samples):
+        a = -s if s < 0 else s
+        if a > peak:
+            peak = a
+        sum_abs += a
+        energy += s * s
+        neg = s < 0
+        if prev_neg is not None and neg != prev_neg:
+            crossings += 1
+        prev_neg = neg
+        if s >= 32767 or s <= -32768:
+            clipped += 1
+        if lead == n and a > SILENCE_THRESHOLD:
+            lead = i
+    return {
+        "n_samples": n,
+        "peak_abs": peak,
+        "sum_abs": sum_abs,
+        "energy": energy,
+        "zero_crossings": crossings,
+        "n_clipped": clipped,
+        "lead_silence": lead,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, bits int, n_samples long, peak_abs long, sum_abs long, "
+    "energy long, zero_crossings long, n_clipped long, lead_silence long"
+)
+
+
+def audio_feature_table(
+    sam: DataFrame, codec: str = "pcm16", sample_rate: int = 8000
+) -> DataFrame:
+    """(doc_id, samples array<int>) -> audio features through the FULL
+    WAV codec path: each row's samples are encoded as a real RIFF/WAVE
+    file, decoded back by the chunk-walking parser, and featurized from
+    the DECODED samples — so the value oracle (same integer features
+    straight from the sample values, no codec) attests the codec itself.
+
+    ``codec="pcm16"``: every row rides 16-bit PCM.
+    ``codec="mixed"``: even doc_ids ride the 8-bit leg instead — their
+    samples must sit on the ``b * 257 - 32768`` lattice (true for the
+    md5-derived synthesis in the catalog query), making the 8-bit
+    quantize/normalize path exact and therefore oracle-attestable.
+
+    One declared Arrow-batched Python crossing (PERF.md); payloads are
+    tiny fixed-size WAVs, so batches are bounded by row count.
+    """
+    if codec not in ("pcm16", "mixed"):
+        raise ValueError(f"unknown codec mode: {codec}")
+
+    par = sam.sparkSession.sparkContext.defaultParallelism
+    sam = sam.repartition(par)
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, xs in zip(pdf["doc_id"], pdf["samples"]):
+                vals = [int(v) for v in xs]
+                bits = 8 if (codec == "mixed" and int(doc_id) % 2 == 0) else 16
+                wav = encode_wav(vals, sample_rate=sample_rate, bits=bits)
+                rate, channels, got_bits, decoded = decode_wav(wav)
+                assert (rate, channels, got_bits) == (sample_rate, 1, bits)
+                f = audio_features(decoded)
+                rows.append({"doc_id": int(doc_id), "bits": bits, **f})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "bits",
+                    "n_samples",
+                    "peak_abs",
+                    "sum_abs",
+                    "energy",
+                    "zero_crossings",
+                    "n_clipped",
+                    "lead_silence",
+                ],
+            )
+
+    return sam.mapInPandas(_feat, schema=AUDIO_FEATURE_SCHEMA)

@@ -179,6 +179,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_pack_efficiency,
         catalog_data.SQL_PACK_EFFICIENCY,
     ),
+    "audio_features_wav": (
+        catalog_data.q_audio_features_wav,
+        catalog_data.SQL_AUDIO_FEATURES_WAV,
+    ),
+    "video_frame_sample": (
+        catalog_data.q_video_frame_sample,
+        catalog_data.SQL_VIDEO_FRAME_SAMPLE,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

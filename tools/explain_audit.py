@@ -732,6 +732,22 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["MapInPandas"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "audio_features_wav": (
+        2,  # the core-spreading repartition + the output sort; the WAV
+        # codec is the ONE declared Arrow crossing, features are
+        # row-local — any join/agg shuffle here is a plan regression
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "HashAggregate", "BatchEvalPython"],
+    ),
+    "video_frame_sample": (
+        2,  # same shape: repartition + output sort around the ONE
+        # Arrow-batched mux/demux/JPEG crossing; the 1->N frame fan-out
+        # must stay inside the batch (no Generate/join)
+        ["MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "HashAggregate", "BatchEvalPython"],
+    ),
 }
 
 
