@@ -646,6 +646,59 @@ def q_ca_ingest_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CA_INGEST_ROUNDTRIP_1H = SQL_ARCHIVE_INCREMENTAL_1H
 
 
+def q_ca_live_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE EPICS Channel Access client lifecycle, driver-attested: an
+    embedded CA server (IOC stand-in holding the raw slice as its
+    monitor schedule) accepts a REAL TCP connection from the production
+    -shaped client (streaming/ca_client.py), which walks the full
+    protocol — VERSION exchange, CLIENT_NAME/HOST_NAME, CREATE_CHAN per
+    channel (sid learned from the live response, never precomputed),
+    EVENT_ADD subscriptions, fragment-reassembled monitor stream,
+    EVENT_CANCEL with payload-0 confirms, CLEAR_CHANNEL teardown. The
+    captured frames then take the DISTRIBUTED path: Spark-side wire
+    decode, broadcast sid resolution, 1 h decimation. Equals the
+    parquet-path decimation bit-for-bit (same oracle), so every
+    handshake step that could drop/duplicate/corrupt an event is
+    value-hash-checked.
+
+    The schedule collect is bounded validation-scale metadata (30
+    lifecycle channels x ~67 rows at any SF — the sim must hold its
+    feed in memory like any IOC); the 100 TB path is captured frames as
+    a table (`ca_ingest_roundtrip_1h`), where decode stays fully
+    distributed. Reference: `ChannelAccessArchivingChannel.java`
+    (connection lifecycle), `SampleListener.java` (monitor callback)."""
+    from .functions import ca_wire
+    from .streaming.ca_client import CAServerSim, ca_subscribe
+
+    raw = load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    sched: dict[str, list[tuple[int, float, int, int]]] = {}
+    for r in raw.collect():
+        sched.setdefault(r["channel"], []).append(
+            (r["t"], r["v"], r["severity"], r["status"])
+        )
+    n_total = sum(len(v) for v in sched.values())
+    with CAServerSim(sched) as srv:
+        frames, bindings = ca_subscribe(
+            "127.0.0.1", srv.port, sorted(sched), n_total
+        )
+    fdf = spark.createDataFrame(
+        [(ch, bytearray(fr)) for ch, fr in frames],
+        "channel string, frame binary",
+    )
+    events = ca_wire.decode_monitor_events(fdf)
+    dim = spark.createDataFrame(
+        [(int(sid), ch) for sid, ch in bindings.items()],
+        "sid long, channel string",
+    )
+    back = ca_wire.resolve_subscriptions(events, dim)
+    return decimate(back, PERIOD_1H).orderBy("channel", "t")
+
+
+SQL_CA_LIVE_SUBSCRIBE = SQL_ARCHIVE_INCREMENTAL_1H
+
+
 def q_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alarm-limit threshold crossings per channel: the archiver-side
     analog of EPICS limit alarms (the reference stores per-sample

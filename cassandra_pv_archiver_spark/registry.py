@@ -187,6 +187,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_video_frame_sample,
         catalog_data.SQL_VIDEO_FRAME_SAMPLE,
     ),
+    "ca_live_subscribe": (
+        catalog.q_ca_live_subscribe,
+        catalog.SQL_CA_LIVE_SUBSCRIBE,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -1,0 +1,309 @@
+"""Live EPICS Channel Access protocol client + in-process server sim.
+
+The reference's actual front door is a CA *client*: it connects to an
+IOC over TCP, creates channels, subscribes, and archives every monitor
+event (`ChannelAccessArchivingChannel.java:878 LoC`,
+`SampleListener.java`). `functions/ca_wire.py` already attests the
+monitor-event byte layout; this module closes the remaining seam — the
+live connection lifecycle — with a real TCP client speaking the public
+CA protocol (R3.14+ spec):
+
+  client -> server: VERSION(0), CLIENT_NAME(20), HOST_NAME(21),
+                    CREATE_CHAN(18), EVENT_ADD(1) request,
+                    EVENT_CANCEL(2), CLEAR_CHANNEL(12)
+  server -> client: VERSION(0), ACCESS_RIGHTS(22), CREATE_CHAN response
+                    (native type/count + server-assigned sid),
+                    EVENT_ADD responses (monitor events),
+                    payload-0 EVENT_ADD (cancel confirm),
+                    CLEAR_CHANNEL echo, CREATE_CH_FAIL(26)
+
+Both sides do REAL stream work: the server deliberately fragments its
+byte stream mid-frame, so the client's header/payload reassembly is
+exercised on every run, and the sid <-> channel binding used downstream
+is learned LIVE from CREATE_CHAN responses — not precomputed.
+
+:class:`CAServerSim` is the embedded IOC stand-in (the same test-double
+pattern the Kafka seam uses: deterministic schedule in, real protocol
+bytes out). `ca_subscribe` is the production-shaped client; point it at
+a real IOC's host/port and the same handshake applies.
+
+Scale shape: the live socket is inherently a per-connection driver-side
+concern (the reference holds one CA connection per channel group too);
+the DISTRIBUTED work — frame decode, sid resolution, decimation — stays
+in Spark via `ca_wire.decode_monitor_events`. The `ca_live_subscribe`
+registry query therefore attests the protocol machinery at validation
+scale while the 100 TB path (captured frames as a table) is the
+already-attested `ca_ingest_roundtrip_1h` shape.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from dataclasses import dataclass, field
+
+CA_PROTO_VERSION = 0
+CA_PROTO_EVENT_ADD = 1
+CA_PROTO_EVENT_CANCEL = 2
+CA_PROTO_CLEAR_CHANNEL = 12
+CA_PROTO_CREATE_CHAN = 18
+CA_PROTO_CLIENT_NAME = 20
+CA_PROTO_HOST_NAME = 21
+CA_PROTO_ACCESS_RIGHTS = 22
+CA_PROTO_CREATE_CH_FAIL = 26
+
+CA_MINOR_VERSION = 13
+DBR_DOUBLE = 6
+DBR_TIME_DOUBLE = 20
+DBE_VALUE = 1
+DBE_ALARM = 4
+
+_HDR = struct.Struct(">HHHHII")
+
+
+def _pad8(name: str) -> bytes:
+    raw = name.encode() + b"\x00"
+    return raw + b"\x00" * (-len(raw) % 8)
+
+
+def _msg(cmd: int, dtype: int, count: int, p1: int, p2: int,
+         payload: bytes = b"") -> bytes:
+    return _HDR.pack(cmd, len(payload), dtype, count, p1, p2) + payload
+
+
+class _FrameReader:
+    """Reassemble CA frames from an arbitrary byte stream (frames arrive
+    split and coalesced across TCP segments)."""
+
+    def __init__(self, sock: socket.socket):
+        self._sock = sock
+        self._buf = b""
+
+    def next_frame(self) -> tuple[int, int, int, int, int, bytes]:
+        while True:
+            if len(self._buf) >= 16:
+                cmd, psize, dtype, count, p1, p2 = _HDR.unpack_from(self._buf)
+                hdr = 16
+                if psize == 0xFFFF and count == 0:
+                    if len(self._buf) >= 24:
+                        psize, count = struct.unpack_from(">II", self._buf, 16)
+                        hdr = 24
+                    else:
+                        psize = -1  # need more bytes for the extended header
+                if psize >= 0 and len(self._buf) >= hdr + psize:
+                    frame = self._buf[: hdr + psize]
+                    self._buf = self._buf[hdr + psize :]
+                    return (cmd, dtype, count, p1, p2, frame)
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("CA peer closed mid-stream")
+            self._buf += chunk
+
+
+@dataclass
+class CAServerSim:
+    """Embedded CA server (IOC stand-in): serves a deterministic
+    schedule ``channel -> [(t_ns, v, severity, status), ...]`` to any
+    client that completes the real handshake. Pushes a channel's whole
+    schedule on EVENT_ADD (the camonitor replay shape), confirms
+    cancels with the spec's payload-0 EVENT_ADD response, and answers
+    unknown channels with CREATE_CH_FAIL.
+
+    ``fragment`` > 0 sends the outbound stream in chunks of that many
+    bytes (deliberately splitting frames) so client reassembly is
+    always exercised.
+    """
+
+    schedule: dict[str, list[tuple[int, float, int, int]]]
+    fragment: int = 999
+    port: int = field(default=0, init=False)
+    _srv: socket.socket | None = field(default=None, init=False)
+    _thread: threading.Thread | None = field(default=None, init=False)
+
+    def __enter__(self) -> "CAServerSim":
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._srv is not None:
+            self._srv.close()
+
+    def _send(self, conn: socket.socket, data: bytes) -> None:
+        if self.fragment <= 0:
+            conn.sendall(data)
+            return
+        for i in range(0, len(data), self.fragment):
+            conn.sendall(data[i : i + self.fragment])
+
+    def _serve(self) -> None:
+        from ..functions.ca_wire import encode_monitor_event
+
+        assert self._srv is not None
+        try:
+            conn, _ = self._srv.accept()
+        except OSError:
+            return  # closed before any client connected
+        with conn:
+            reader = _FrameReader(conn)
+            sids: dict[int, str] = {}
+            next_sid = 1000
+            try:
+                while True:
+                    cmd, dtype, count, p1, p2, frame = reader.next_frame()
+                    if cmd == CA_PROTO_VERSION:
+                        self._send(
+                            conn,
+                            _msg(CA_PROTO_VERSION, 0, CA_MINOR_VERSION, 0, 0),
+                        )
+                    elif cmd in (CA_PROTO_CLIENT_NAME, CA_PROTO_HOST_NAME):
+                        pass  # informational
+                    elif cmd == CA_PROTO_CREATE_CHAN:
+                        name = frame[16:].split(b"\x00", 1)[0].decode()
+                        cid = p1
+                        if name not in self.schedule:
+                            self._send(
+                                conn,
+                                _msg(CA_PROTO_CREATE_CH_FAIL, 0, 0, cid, 0),
+                            )
+                            continue
+                        sid = next_sid
+                        next_sid += 1
+                        sids[sid] = name
+                        self._send(
+                            conn,
+                            _msg(CA_PROTO_ACCESS_RIGHTS, 0, 0, cid, 3)
+                            + _msg(CA_PROTO_CREATE_CHAN, DBR_DOUBLE, 1, cid, sid),
+                        )
+                    elif cmd == CA_PROTO_EVENT_ADD:
+                        sid, subid = p1, p2
+                        if dtype != DBR_TIME_DOUBLE or sids.get(sid) is None:
+                            raise ValueError(
+                                f"bad EVENT_ADD: dtype={dtype} sid={sid}"
+                            )
+                        burst = b"".join(
+                            encode_monitor_event(subid, t, v, sev, st)
+                            for t, v, sev, st in self.schedule[sids[sid]]
+                        )
+                        self._send(conn, burst)
+                    elif cmd == CA_PROTO_EVENT_CANCEL:
+                        # spec: confirm with a payload-0 EVENT_ADD response
+                        self._send(
+                            conn, _msg(CA_PROTO_EVENT_ADD, dtype, 0, p1, p2)
+                        )
+                    elif cmd == CA_PROTO_CLEAR_CHANNEL:
+                        self._send(
+                            conn, _msg(CA_PROTO_CLEAR_CHANNEL, 0, 0, p1, p2)
+                        )
+                    else:
+                        raise ValueError(f"unexpected CA command {cmd}")
+            except (ConnectionError, OSError):
+                return  # client hung up after CLEAR — normal shutdown
+
+
+def ca_subscribe(
+    host: str,
+    port: int,
+    channels: list[str],
+    n_expected: int,
+    client_name: str = "pv-archiver-spark",
+    timeout_s: float = 30.0,
+) -> tuple[list[tuple[str, bytes]], dict[int, str]]:
+    """Run the full CA client lifecycle against a live server and return
+    ``(frames, bindings)``: the raw monitor-event frames (tagged with
+    their channel) and the subscription-id -> channel map learned from
+    the live CREATE_CHAN handshake.
+
+    Lifecycle (mirroring the reference client): VERSION exchange ->
+    CLIENT_NAME/HOST_NAME -> CREATE_CHAN per channel (await
+    ACCESS_RIGHTS + create response carrying the server's sid) ->
+    EVENT_ADD subscription per channel -> collect ``n_expected`` monitor
+    events -> EVENT_CANCEL each (await the payload-0 confirm) ->
+    CLEAR_CHANNEL each (await the echo) -> close.
+
+    Control frames are consumed here; only monitor-update frames are
+    returned, ready for `ca_wire.decode_monitor_events` on the Spark
+    side. A channel the server refuses (CREATE_CH_FAIL) raises — the
+    archiver must know a PV does not resolve.
+    """
+    with socket.create_connection((host, port), timeout=timeout_s) as sock:
+        reader = _FrameReader(sock)
+        sock.sendall(
+            _msg(CA_PROTO_VERSION, 0, CA_MINOR_VERSION, 0, 0)
+            + _msg(CA_PROTO_CLIENT_NAME, 0, 0, 0, 0, _pad8(client_name))
+            + _msg(CA_PROTO_HOST_NAME, 0, 0, 0, 0, _pad8("localhost"))
+        )
+        cmd, *_ = reader.next_frame()
+        if cmd != CA_PROTO_VERSION:
+            raise ValueError(f"expected VERSION response, got command {cmd}")
+
+        # create channels: cid is client-chosen; sid comes back live
+        cid_to_channel = {i: ch for i, ch in enumerate(channels)}
+        for cid, ch in cid_to_channel.items():
+            sock.sendall(
+                _msg(CA_PROTO_CREATE_CHAN, 0, CA_MINOR_VERSION, cid, 0,
+                     _pad8(ch))
+            )
+        sid_by_cid: dict[int, int] = {}
+        while len(sid_by_cid) < len(channels):
+            cmd, dtype, count, p1, p2, _f = reader.next_frame()
+            if cmd == CA_PROTO_ACCESS_RIGHTS:
+                continue
+            if cmd == CA_PROTO_CREATE_CH_FAIL:
+                raise ValueError(
+                    f"channel does not resolve: {cid_to_channel[p1]!r}"
+                )
+            if cmd != CA_PROTO_CREATE_CHAN:
+                raise ValueError(f"unexpected command {cmd} during create")
+            if (dtype, count) != (DBR_DOUBLE, 1):
+                raise NotImplementedError(
+                    f"native type/count ({dtype},{count}): scalar doubles only"
+                )
+            sid_by_cid[p1] = p2
+
+        # subscribe: subscription id = cid (client-chosen, spec-typical)
+        bindings = {cid: cid_to_channel[cid] for cid in cid_to_channel}
+        for cid, sid in sid_by_cid.items():
+            sock.sendall(
+                _msg(CA_PROTO_EVENT_ADD, DBR_TIME_DOUBLE, 1, sid, cid,
+                     struct.pack(">fffHxx", 0.0, 0.0, 0.0,
+                                 DBE_VALUE | DBE_ALARM))
+            )
+
+        frames: list[tuple[str, bytes]] = []
+        while len(frames) < n_expected:
+            cmd, dtype, count, p1, p2, frame = reader.next_frame()
+            if cmd != CA_PROTO_EVENT_ADD:
+                raise ValueError(f"unexpected command {cmd} mid-subscription")
+            if len(frame) == 16:  # payload-0: a stray cancel confirm
+                raise ValueError(f"unexpected cancel confirm for sub {p2}")
+            frames.append((bindings[p2], frame))
+
+        # teardown: cancel every subscription, then clear every channel
+        for cid, sid in sid_by_cid.items():
+            sock.sendall(
+                _msg(CA_PROTO_EVENT_CANCEL, DBR_TIME_DOUBLE, 1, sid, cid)
+            )
+        confirmed: set[int] = set()
+        while len(confirmed) < len(sid_by_cid):
+            cmd, dtype, count, p1, p2, frame = reader.next_frame()
+            if cmd == CA_PROTO_EVENT_ADD and len(frame) == 16:
+                confirmed.add(p2)
+            elif cmd == CA_PROTO_EVENT_ADD:
+                # a monitor update raced the cancel: the reference drops
+                # post-cancel updates the same way
+                continue
+            else:
+                raise ValueError(f"unexpected command {cmd} during cancel")
+        for cid, sid in sid_by_cid.items():
+            sock.sendall(_msg(CA_PROTO_CLEAR_CHANNEL, 0, 0, sid, cid))
+        cleared: set[int] = set()
+        while len(cleared) < len(sid_by_cid):
+            cmd, _d, _c, p1, p2, _f = reader.next_frame()
+            if cmd != CA_PROTO_CLEAR_CHANNEL:
+                raise ValueError(f"unexpected command {cmd} during clear")
+            cleared.add(p1)
+        return (frames, bindings)

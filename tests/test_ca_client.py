@@ -1,0 +1,98 @@
+"""Live CA client lifecycle (streaming/ca_client.py) against the
+embedded server sim. The full chain (handshake -> subscribe -> Spark
+decode -> decimate) is driver-attested by the `ca_live_subscribe`
+registry query; these tests pin the protocol edges."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from cassandra_pv_archiver_spark.functions import ca_wire
+from cassandra_pv_archiver_spark.streaming.ca_client import (
+    CAServerSim,
+    ca_subscribe,
+)
+
+NS = 1_000_000_000
+BASE = 1_600_000_000 * NS
+
+
+def _schedule(n_channels: int = 4, n_events: int = 25):
+    return {
+        f"PV:{i}": [
+            (BASE + k * NS + i, float(i * 100 + k), (i + k) % 4, (i * k) % 7)
+            for k in range(n_events)
+        ]
+        for i in range(n_channels)
+    }
+
+
+def _decode_frame(fr: bytes):
+    _cmd, _ps, _dt, _ct, _p1, subid = struct.unpack(">HHHHII", fr[:16])
+    status, severity, secs, nsec = struct.unpack(">hhII", fr[16:28])
+    (v,) = struct.unpack(">d", fr[32:40])
+    return ((secs + ca_wire.EPICS_EPOCH_OFFSET_S) * NS + nsec, v, severity, status)
+
+
+def test_live_subscribe_delivers_full_schedule():
+    sched = _schedule()
+    n = sum(len(v) for v in sched.values())
+    with CAServerSim(sched) as srv:
+        frames, bindings = ca_subscribe("127.0.0.1", srv.port, list(sched), n)
+    assert len(frames) == n
+    assert sorted(bindings.values()) == sorted(sched)
+    got: dict[str, list] = {}
+    for ch, fr in frames:
+        got.setdefault(ch, []).append(_decode_frame(fr))
+    assert got == sched
+
+
+def test_fragmented_stream_reassembled():
+    # 7-byte fragments split every header AND payload across segments
+    sched = _schedule(2, 10)
+    n = 20
+    with CAServerSim(sched, fragment=7) as srv:
+        frames, _ = ca_subscribe("127.0.0.1", srv.port, list(sched), n)
+    assert len(frames) == n
+
+
+def test_unknown_channel_create_fail():
+    with CAServerSim(_schedule(1)) as srv:
+        with pytest.raises(ValueError, match="does not resolve"):
+            ca_subscribe("127.0.0.1", srv.port, ["PV:missing"], 1)
+
+
+def test_sid_binding_is_live_not_positional():
+    # server assigns sids starting at 1000 in create order; the client
+    # must route by the RESPONSE sid, not by channel order — subscribe
+    # in reversed order and check frames still tag correctly
+    sched = _schedule(3, 5)
+    chans = sorted(sched, reverse=True)
+    with CAServerSim(sched) as srv:
+        frames, _ = ca_subscribe("127.0.0.1", srv.port, chans, 15)
+    for ch, fr in frames:
+        t, v, sev, st = _decode_frame(fr)
+        assert (t, v, sev, st) in sched[ch], ch
+
+
+def test_frames_feed_spark_decode(spark):
+    sched = _schedule(3, 12)
+    n = 36
+    with CAServerSim(sched) as srv:
+        frames, bindings = ca_subscribe("127.0.0.1", srv.port, list(sched), n)
+    fdf = spark.createDataFrame(
+        [(ch, bytearray(fr)) for ch, fr in frames], "channel string, frame binary"
+    )
+    events = ca_wire.decode_monitor_events(fdf)
+    dim = spark.createDataFrame(
+        [(int(s), c) for s, c in bindings.items()], "sid long, channel string"
+    )
+    back = ca_wire.resolve_subscriptions(events, dim)
+    got: dict[str, list] = {}
+    for r in back.collect():
+        got.setdefault(r["channel"], []).append(
+            (r["t"], r["v"], r["severity"], r["status"])
+        )
+    assert {ch: sorted(v) for ch, v in got.items()} == sched
