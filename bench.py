@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "epoch_shuffle",
     "audio_features_wav",
     "video_frame_sample",
+    "ca_live_subscribe",
+    "bpe_merges",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -3402,3 +3402,105 @@ SELECT doc_id,
        CAST(max(v) AS INTEGER) AS cell_max
 FROM cells GROUP BY doc_id, f, n_frames ORDER BY doc_id, frame_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (unrolled-SQL oracle, the Lloyd-K-Means pattern)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 4
+BPE_MAX_WORDS = 500
+BPE_MAX_WORD_LEN = 16
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merges learned from the corpus (Sennrich et al.
+    2016): deterministic top-500 word-frequency vocab (one corpus scan,
+    TakeOrderedAndProject — no global sort), then per-iteration pair
+    explode -> hash agg -> one-row argmax collect -> higher-order
+    aggregate() merge fold. Ties break on (count DESC, lhs, rhs). The
+    oracle unrolls the identical 4 rounds in SQL (greedy non-overlap
+    selection via gaps-and-islands), so merge choices, tie-breaks, AND
+    weighted pair counts are value-hash-checked — an iterative
+    algorithm with a full value oracle, like ann_kmeans_clusters."""
+    from .operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_learn(
+        docs,
+        n_merges=BPE_N_MERGES,
+        max_words=BPE_MAX_WORDS,
+        max_word_len=BPE_MAX_WORD_LEN,
+    ).orderBy("rank")
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round: pair stats + argmax over s{r}, greedy
+    non-overlapping merge selection, rebuild s{r+1}."""
+    return f"""
+exp{r} AS (
+  SELECT word, cnt, unnest(syms) AS sym,
+         generate_subscripts(syms, 1) AS i
+  FROM s{r}
+),
+lk{r} AS (
+  SELECT word, cnt, i, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+  FROM exp{r}
+),
+p{r} AS (
+  SELECT sym AS lhs, nxt AS rhs, sum(cnt) AS c
+  FROM lk{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+b{r} AS (SELECT lhs, rhs, c FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1),
+cand{r} AS (
+  SELECT k.word, k.i FROM lk{r} k, b{r} b
+  WHERE k.sym = b.lhs AND k.nxt = b.rhs
+),
+sel{r} AS (
+  SELECT word, i FROM (
+    SELECT word, i,
+           i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+    FROM cand{r}
+  ) t
+  QUALIFY (i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0
+),
+s{r + 1} AS (
+  SELECT k.word, k.cnt,
+         list(CASE WHEN chosen.i IS NOT NULL THEN b.lhs || b.rhs
+                   ELSE k.sym END ORDER BY k.i) AS syms
+  FROM lk{r} k
+  CROSS JOIN b{r} b
+  LEFT JOIN sel{r} chosen ON chosen.word = k.word AND chosen.i = k.i
+  LEFT JOIN sel{r} consumed ON consumed.word = k.word
+                           AND consumed.i = k.i - 1
+  WHERE consumed.i IS NULL
+  GROUP BY k.word, k.cnt
+)"""
+
+
+SQL_BPE_MERGES = (
+    f"""
+WITH w AS (
+  SELECT unnest({_W_SQL}) AS word FROM documents
+),
+v AS (
+  SELECT word, count(*) AS cnt FROM w
+  WHERE regexp_matches(word, '^[a-z]+$') AND len(word) <= {BPE_MAX_WORD_LEN}
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {BPE_MAX_WORDS}
+),
+s0 AS (
+  SELECT word, cnt,
+         list_append(list_transform(range(1, len(word) + 1),
+                                    i -> substr(word, i, 1)), '</w>') AS syms
+  FROM v
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(BPE_N_MERGES))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INTEGER) AS rank, lhs, rhs,"
+        f" lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(BPE_N_MERGES)
+    )
+    + "\nORDER BY rank"
+)

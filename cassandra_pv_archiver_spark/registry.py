@@ -191,6 +191,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_ca_live_subscribe,
         catalog.SQL_CA_LIVE_SUBSCRIBE,
     ),
+    "bpe_merges": (
+        catalog_data.q_bpe_merges,
+        catalog_data.SQL_BPE_MERGES,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
