@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "video_frame_sample",
     "ca_live_subscribe",
     "bpe_merges",
+    "audio_fingerprint_near_dup",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -3504,3 +3504,118 @@ s0 AS (
     )
     + "\nORDER BY rank"
 )
+
+
+# ---------------------------------------------------------------------------
+# audio perceptual near-dup: envelope hash over the REAL WAV roundtrip
+# ---------------------------------------------------------------------------
+
+AHASH_HAM_MAX = 2  # 3 bands (11/11/10 bits): pigeonhole-complete
+
+
+def q_audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual near-dup over the REAL WAV codec: each document's
+    deterministic PCM clip rides encode -> decode, the DECODED samples
+    produce a 32-bit sign-of-delta envelope hash (32 bins, bit b = bin b
+    strictly louder than bin b+1 wrapping — the public Chromaprint-style
+    construction kept integer-exact), and pairs at Hamming <= 2 are found
+    by pigeonhole banding (3 bands of 11/11/10 bits -> any such pair
+    shares an exact band) then verified with bit_count(xor) — COMPLETE
+    for the reported radius, never all-pairs.
+
+    The oracle recomputes the hash from the synthesized samples with NO
+    codec and brute-forces pairs (validation scale), so the WAV
+    roundtrip is value-attested through a second, independent surface
+    (the moments of audio_features_wav + the orderings here). Completes
+    the modality triple: text MinHash-LSH, image dHash, audio envelope
+    hash — all banded, all codec-attested."""
+    from .operators import audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    # per-WORD synthesis: envelope bin b (4 samples) is controlled by
+    # word b alone, so texts differing in one of their first 32 words
+    # land at Hamming <= 2 — near-dup signal, not md5 avalanche (the
+    # same word->cell design the image dHash grid uses)
+    sam = docs.select(
+        "doc_id", F.expr(text._WORDS).alias("_w")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 127), i -> CAST(conv(substring(md5("
+            "CASE WHEN (i div 4) < size(_w) "
+            "THEN element_at(_w, CAST(i div 4 AS INT) + 1) "
+            "ELSE '' END), (i % 4) * 2 + 1, 2), 16, 10) AS INT) * 257 - 32768)"
+        ).alias("samples"),
+    )
+    fp = audio.audio_fingerprint_table(sam)
+    bands = fp.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 2), k -> struct(k AS k, CAST("
+                "CASE k WHEN 0 THEN ahash & 2047 "
+                "WHEN 1 THEN shiftright(ahash, 11) & 2047 "
+                "ELSE shiftright(ahash, 22) & 1023 END AS INT) AS band))"
+            )
+        ).alias("_b"),
+    ).select("doc_id", "ahash", F.col("_b.k").alias("k"), F.col("_b.band").alias("band"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AHASH_HAM_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_FP_WORD = (
+    "CASE WHEN (t.i // 4) < len(d.w) THEN d.w[(t.i // 4) + 1] ELSE '' END"
+)
+
+SQL_AUDIO_FINGERPRINT_NEAR_DUP = f"""
+WITH dw AS (
+  SELECT doc_id, {_W_SQL} AS w FROM documents
+),
+sam AS (
+  SELECT d.doc_id, t.i,
+         ((strpos('{_NIBS}', substr(md5({_FP_WORD}),
+                                    (t.i % 4) * 2 + 1, 1)) - 1) * 16
+          + (strpos('{_NIBS}', substr(md5({_FP_WORD}),
+                                      (t.i % 4) * 2 + 2, 1)) - 1)
+         ) * 257 - 32768 AS s
+  FROM dw d, range(0, {AUDIO_N_SAMPLES}) t(i)
+),
+bins AS (
+  SELECT doc_id, i // 4 AS b, sum(abs(s)) AS e
+  FROM sam GROUP BY doc_id, i // 4
+),
+nxt AS (
+  SELECT x.doc_id, x.b, x.e, y.e AS e_next
+  FROM bins x JOIN bins y
+    ON y.doc_id = x.doc_id AND y.b = (x.b + 1) % 32
+),
+h AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN e > e_next THEN CAST(1 AS BIGINT) << b
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM nxt GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""

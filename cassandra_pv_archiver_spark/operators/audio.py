@@ -252,3 +252,67 @@ def audio_feature_table(
             )
 
     return sam.mapInPandas(_feat, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual audio fingerprint (sign-of-delta envelope hash)
+# ---------------------------------------------------------------------------
+
+#: 32 envelope bins -> 32-bit hash (bit b: bin b louder than bin b+1,
+#: wrapping) — the public sign-of-delta construction (Chromaprint-style,
+#: over amplitude envelope instead of chroma so it stays integer-exact)
+AHASH_BINS = 32
+AHASH_BITS = 32
+AHASH_HAM_MAX = 2  # 3 bands (11/11/10 bits): pigeonhole-complete
+
+#: band k occupies bits [_BAND_SHIFT[k], _BAND_SHIFT[k+1])
+_BAND_SHIFT = (0, 11, 22, AHASH_BITS)
+
+
+def audio_fingerprint(samples: Sequence[int]) -> int:
+    """32-bit envelope hash: split into 32 equal bins, bin energy =
+    integer sum |s|; bit b set iff bin b is strictly louder than bin
+    (b+1) mod 32. Invariant under uniform gain (scale-monotone) and
+    integer-exact, so a SQL oracle reproduces it bit-for-bit."""
+    n = len(samples)
+    if n % AHASH_BINS:
+        raise ValueError(f"sample count {n} not divisible by {AHASH_BINS}")
+    w = n // AHASH_BINS
+    e = [
+        sum(abs(int(s)) for s in samples[b * w : (b + 1) * w])
+        for b in range(AHASH_BINS)
+    ]
+    h = 0
+    for b in range(AHASH_BINS):
+        if e[b] > e[(b + 1) % AHASH_BINS]:
+            h |= 1 << b
+    return h
+
+
+def audio_fingerprint_table(
+    sam: DataFrame, sample_rate: int = 8000
+) -> DataFrame:
+    """(doc_id, samples array<int>) -> (doc_id, ahash long) through the
+    FULL WAV codec roundtrip (16-bit leg): any byte the encoder or
+    decoder mangles shifts a bin energy and flips hash bits — which the
+    codec-free value oracle then catches, same contract as
+    ``image_dhash_table``. One Arrow-batched crossing, no shuffle."""
+    par = sam.sparkSession.sparkContext.defaultParallelism
+    sam = sam.repartition(par)
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for xs in pdf["samples"]:
+                vals = [int(v) for v in xs]
+                wav = encode_wav(vals, sample_rate=sample_rate, bits=16)
+                _rate, _ch, _bits, decoded = decode_wav(wav)
+                out.append(audio_fingerprint(decoded))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return sam.mapInPandas(_fp, schema="doc_id long, ahash long")

@@ -195,6 +195,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_bpe_merges,
         catalog_data.SQL_BPE_MERGES,
     ),
+    "audio_fingerprint_near_dup": (
+        catalog_data.q_audio_fingerprint_near_dup,
+        catalog_data.SQL_AUDIO_FINGERPRINT_NEAR_DUP,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -146,3 +146,43 @@ def test_spark_synthesis_matches_python(spark):
             h = hashlib.md5((t + "#" + str(k)).encode()).digest()
             exp.extend(b * 257 - 32768 for b in h)
         assert got[i] == exp, f"doc {i}"
+
+
+def test_fingerprint_gain_invariant():
+    s = [100, -3000, 800, 40] * 32
+    half = [v // 2 for v in s]
+    assert audio.audio_fingerprint(s) == audio.audio_fingerprint(half)
+
+
+def test_fingerprint_one_bin_change_bounded_hamming():
+    # changing one bin's energy flips at most 2 bits (its own delta and
+    # the previous bin's)
+    import random
+
+    rng = random.Random(7)
+    s = [rng.randint(-20000, 20000) for _ in range(128)]
+    h0 = audio.audio_fingerprint(s)
+    s2 = list(s)
+    for j in range(40, 44):  # bin 10
+        s2[j] = 31000
+    h1 = audio.audio_fingerprint(s2)
+    assert bin(h0 ^ h1).count("1") <= 2
+
+
+def test_fingerprint_requires_divisible_length():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        audio.audio_fingerprint([0] * 100)
+
+
+def test_fingerprint_table_matches_local(spark):
+    rows = [(1, [100, -3000, 800, 40] * 32), (2, [0] * 128)]
+    df = spark.createDataFrame(rows, "doc_id long, samples array<int>")
+    got = {
+        r["doc_id"]: r["ahash"]
+        for r in audio.audio_fingerprint_table(df).collect()
+    }
+    for doc_id, s in rows:
+        dec = audio.decode_wav(audio.encode_wav(s))[3]
+        assert got[doc_id] == audio.audio_fingerprint(dec)

@@ -740,6 +740,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "HashAggregate", "BatchEvalPython"],
     ),
+    "audio_fingerprint_near_dup": (
+        None,  # ONE Arrow crossing (WAV roundtrip + envelope hash),
+        # then the 3-band pigeonhole self-equi-join — an all-pairs
+        # cartesian here is the scale regression this pins against
+        ["MapInPandas"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     "video_frame_sample": (
         2,  # same shape: repartition + output sort around the ONE
         # Arrow-batched mux/demux/JPEG crossing; the 1->N frame fan-out
