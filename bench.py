@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "ca_live_subscribe",
     "bpe_merges",
     "audio_fingerprint_near_dup",
+    "bpe_tokenize_audit",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

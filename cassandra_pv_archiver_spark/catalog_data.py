@@ -3619,3 +3619,148 @@ FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_HAM_MAX}
 ORDER BY doc_a, doc_b
 """
+
+
+def q_bpe_tokenize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY audit: learn the 4 BPE merges (same chain as
+    bpe_merges), apply them to EVERY document (vocab and out-of-vocab
+    words alike — the merge fold is word-agnostic), and report per-
+    (lang, source) compression: base character-symbols vs BPE tokens.
+    The number a tokenizer team actually ships: tokens-per-doc under the
+    learned vocab.
+
+    The oracle re-learns the merges in unrolled SQL AND re-applies them
+    with the gaps-and-islands greedy selection over every distinct word
+    — so learn AND apply are both value-hash-checked end to end.
+
+    100 TB shape: apply is per-WORD-TYPE (distinct words, not word
+    occurrences) joined back to the corpus occurrence counts broadcast-
+    style; the corpus-scale work stays one scan + one hash agg."""
+    from .operators import bpe
+    from .operators.text import _WORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = bpe.bpe_learn(
+        docs,
+        n_merges=BPE_N_MERGES,
+        max_words=BPE_MAX_WORDS,
+        max_word_len=BPE_MAX_WORD_LEN,
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in merges_df.collect()]
+
+    occ = (
+        docs.select(
+            "lang", "source", F.explode(F.expr(_WORDS)).alias("word")
+        )
+        .filter("word rlike '^[a-z]+$'")
+        .groupBy("lang", "source", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    # per word TYPE: base symbol count and merged token count
+    types = occ.select("word").distinct().select(
+        "word", F.expr(bpe._CHARS).alias("syms")
+    )
+    types = types.select("word", F.expr("size(syms)").alias("n_base"), "syms")
+    for lhs, rhs in merges:
+        types = types.select(
+            "word", "n_base",
+            F.expr(bpe._merge_expr(lhs, rhs, lhs + rhs)).alias("syms"),
+        )
+    types = types.select(
+        "word", "n_base", F.expr("size(syms)").alias("n_bpe")
+    )
+    return (
+        occ.join(F.broadcast(types), "word")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum(F.col("n_occ") * F.col("n_base")).alias("base_symbols"),
+            F.sum(F.col("n_occ") * F.col("n_bpe")).alias("bpe_tokens"),
+            F.sum("n_occ").alias("n_words"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _bpe_apply_round_sql(r: int) -> str:
+    """One unrolled APPLY round over the full word-type table a{r},
+    merging the pair learned by b{r} (from the vocab chain)."""
+    return f"""
+aexp{r} AS (
+  SELECT word, unnest(syms) AS sym, generate_subscripts(syms, 1) AS i
+  FROM a{r}
+),
+alk{r} AS (
+  SELECT word, i, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+  FROM aexp{r}
+),
+acand{r} AS (
+  SELECT k.word, k.i FROM alk{r} k, b{r} b
+  WHERE k.sym = b.lhs AND k.nxt = b.rhs
+),
+asel{r} AS (
+  SELECT word, i FROM (
+    SELECT word, i,
+           i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+    FROM acand{r}
+  ) t
+  QUALIFY (i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0
+),
+a{r + 1} AS (
+  SELECT k.word,
+         list(CASE WHEN chosen.i IS NOT NULL THEN b.lhs || b.rhs
+                   ELSE k.sym END ORDER BY k.i) AS syms
+  FROM alk{r} k
+  CROSS JOIN b{r} b
+  LEFT JOIN asel{r} chosen ON chosen.word = k.word AND chosen.i = k.i
+  LEFT JOIN asel{r} consumed ON consumed.word = k.word
+                            AND consumed.i = k.i - 1
+  WHERE consumed.i IS NULL
+  GROUP BY k.word
+)"""
+
+
+SQL_BPE_TOKENIZE_AUDIT = (
+    f"""
+WITH w AS (
+  SELECT unnest({_W_SQL}) AS word FROM documents
+),
+v AS (
+  SELECT word, count(*) AS cnt FROM w
+  WHERE regexp_matches(word, '^[a-z]+$') AND len(word) <= {BPE_MAX_WORD_LEN}
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {BPE_MAX_WORDS}
+),
+s0 AS (
+  SELECT word, cnt,
+         list_append(list_transform(range(1, len(word) + 1),
+                                    i -> substr(word, i, 1)), '</w>') AS syms
+  FROM v
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(BPE_N_MERGES))
+    + """,
+occ AS (
+  SELECT lang, source, word, count(*) AS n_occ FROM (
+    SELECT d.lang, d.source, u.word
+    FROM (SELECT lang, source, {W} AS wl FROM documents) d,
+         unnest(d.wl) u(word)
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY lang, source, word
+),
+a0 AS (
+  SELECT word,
+         list_append(list_transform(range(1, len(word) + 1),
+                                    i -> substr(word, i, 1)), '</w>') AS syms
+  FROM (SELECT DISTINCT word FROM occ)
+),""".replace("{W}", _W_SQL)
+    + ",".join(_bpe_apply_round_sql(r) for r in range(BPE_N_MERGES))
+    + f"""
+SELECT o.lang, o.source,
+       CAST(sum(o.n_occ * a.syms0) AS BIGINT) AS base_symbols,
+       CAST(sum(o.n_occ * len(f.syms)) AS BIGINT) AS bpe_tokens,
+       CAST(sum(o.n_occ) AS BIGINT) AS n_words
+FROM occ o
+JOIN (SELECT word, len(syms) AS syms0 FROM a0) a ON a.word = o.word
+JOIN a{BPE_N_MERGES} f ON f.word = o.word
+GROUP BY o.lang, o.source ORDER BY o.lang, o.source
+"""
+)

@@ -199,6 +199,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_audio_fingerprint_near_dup,
         catalog_data.SQL_AUDIO_FINGERPRINT_NEAR_DUP,
     ),
+    "bpe_tokenize_audit": (
+        catalog_data.q_bpe_tokenize_audit,
+        catalog_data.SQL_BPE_TOKENIZE_AUDIT,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
