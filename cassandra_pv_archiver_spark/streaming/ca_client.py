@@ -307,3 +307,103 @@ def ca_subscribe(
                 raise ValueError(f"unexpected command {cmd} during clear")
             cleared.add(p1)
         return (frames, bindings)
+
+
+def spool_capture(
+    host: str,
+    port: int,
+    channels: list[str],
+    n_expected: int,
+    spool_dir: str,
+    chunk_frames: int = 500,
+    **kw,
+) -> dict[int, str]:
+    """Run the live CA lifecycle and spool the monitor frames to
+    ``spool_dir`` as parquet chunk files AS THEY ARRIVE (every
+    ``chunk_frames`` frames -> one file) — the bridge between the
+    socket-bound client and Spark's replayable file source. Returns the
+    live sid -> channel bindings for the broadcast resolution dim.
+
+    Chunk files are written atomically (tmp + rename) so a concurrent
+    ``readStream`` never sees a partial file."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(spool_dir, exist_ok=True)
+    buf: list[tuple[str, bytes]] = []
+    n_files = [0]
+
+    def _flush() -> None:
+        if not buf:
+            return
+        tbl = pa.table(
+            {
+                "channel": pa.array([c for c, _ in buf], pa.string()),
+                "frame": pa.array([f for _, f in buf], pa.binary()),
+            }
+        )
+        tmp = os.path.join(spool_dir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(tbl, tmp)
+        os.rename(
+            tmp, os.path.join(spool_dir, f"chunk-{n_files[0]:05d}.parquet")
+        )
+        n_files[0] += 1
+        buf.clear()
+
+    frames, bindings = ca_subscribe(host, port, channels, n_expected, **kw)
+    for ch, fr in frames:
+        buf.append((ch, fr))
+        if len(buf) >= chunk_frames:
+            _flush()
+    _flush()
+    return bindings
+
+
+def start_ca_ingest(
+    spark,
+    spool_dir: str,
+    bindings: dict[int, str],
+    store,
+    checkpoint_dir: str,
+    cascade_periods: list[int] | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    on_batch=None,
+):
+    """Live-CA ingestion as the FOURTH source behind the source-agnostic
+    sink (file / rate / Kafka / CA): a file ``readStream`` over the
+    spooled frame chunks, the Spark-side wire decode
+    (`ca_wire.decode_monitor_events` — mapInPandas runs under Structured
+    Streaming), stream-static broadcast sid resolution from the LIVE
+    handshake bindings, then the shared guarded ``foreachBatch`` store
+    sink + decimation cascade (`start_ingest`). Exactly-once comes from
+    the spool being a replayable source plus the sink's hwm/anti-join
+    guard — the same contract the other three sources pin.
+
+    Reference: this is `ChannelAccessArchivingChannel.java` ->
+    `SampleListener.java` -> archive pipeline, with the listener's
+    in-memory queue replaced by a replayable spool (bounded queues T1
+    are vacuous by SURVEY's mapping for exactly this reason)."""
+    from ..functions import ca_wire
+    from .ingest import start_ingest
+
+    reader = spark.readStream.schema("channel string, frame binary")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    frames = reader.parquet(spool_dir)
+    events = ca_wire.decode_monitor_events(frames)
+    dim = spark.createDataFrame(
+        [(int(s), c) for s, c in bindings.items()], "sid long, channel string"
+    )
+    samples = ca_wire.resolve_subscriptions(events, dim)
+    return start_ingest(
+        samples,
+        store,
+        checkpoint_dir,
+        cascade_periods=cascade_periods,
+        available_now=available_now,
+        on_batch=on_batch,
+    )

@@ -96,3 +96,69 @@ def test_frames_feed_spark_decode(spark):
             (r["t"], r["v"], r["severity"], r["status"])
         )
     assert {ch: sorted(v) for ch, v in got.items()} == sched
+
+
+def test_live_ca_to_streaming_ingest_cascade_parity(spark, tmp_path):
+    """The full reference operating mode, end to end: live CA server ->
+    real protocol client -> frame spool (replayable source) ->
+    Structured Streaming wire decode + broadcast sid resolution ->
+    guarded store sink with 1h decimation cascade. The maintained level
+    must equal batch decimation of the schedule — the same parity
+    contract the file/rate/Kafka sources pin, now for the CA front
+    door."""
+    from pyspark.sql import functions as F
+
+    from cassandra_pv_archiver_spark.operators.decimate import decimate
+    from cassandra_pv_archiver_spark.sources.archive_store import ArchiveStore
+    from cassandra_pv_archiver_spark.streaming.ca_client import (
+        spool_capture,
+        start_ca_ingest,
+    )
+
+    sched = _schedule(4, 60)
+    n = sum(len(v) for v in sched.values())
+    spool = str(tmp_path / "spool")
+    with CAServerSim(sched) as srv:
+        bindings = spool_capture(
+            "127.0.0.1", srv.port, list(sched), n, spool, chunk_frames=50
+        )
+    import os
+
+    assert len(os.listdir(spool)) > 1  # multiple chunks -> multiple batches
+
+    store = ArchiveStore(spark, str(tmp_path / "archive"))
+    q = start_ca_ingest(
+        spark,
+        spool,
+        bindings,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        cascade_periods=[3600],
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300), "ingest stream did not finish"
+
+    assert store.read_samples(0).count() == n
+    raw = spark.createDataFrame(
+        [
+            (ch, t, v, sev, st)
+            for ch, evs in sched.items()
+            for t, v, sev, st in evs
+        ],
+        "channel string, t long, v double, severity int, status int",
+    )
+    inc = store.read_samples(3600).select("channel", "t", "mean")
+    full = decimate(raw, 3600).select(
+        "channel", "t", F.col("mean").alias("m2")
+    )
+    j = inc.join(full, ["channel", "t"], "full")
+    assert j.filter(F.col("mean").isNull() | F.col("m2").isNull()).count() == 0
+    assert j.filter(F.abs(F.col("mean") - F.col("m2")) > 1e-9).count() == 0
+
+    # replay: a second run over the same spool+checkpoint is a no-op
+    q2 = start_ca_ingest(
+        spark, spool, bindings, store,
+        checkpoint_dir=str(tmp_path / "ckpt"), cascade_periods=[3600],
+    )
+    assert q2.awaitTermination(300), "replay stream did not finish"
+    assert store.read_samples(0).count() == n
