@@ -740,6 +740,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "HashAggregate", "BatchEvalPython"],
     ),
+    "bpe_tokenize_audit": (
+        None,  # learned merges apply per word TYPE; the types dim must
+        # broadcast back to the occurrence table — a corpus-keyed SMJ
+        # here is the scale regression this pins against
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+    ),
     "audio_fingerprint_near_dup": (
         None,  # ONE Arrow crossing (WAV roundtrip + envelope hash),
         # then the 3-band pigeonhole self-equi-join — an all-pairs
