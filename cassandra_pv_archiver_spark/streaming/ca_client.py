@@ -117,7 +117,12 @@ class CAServerSim:
 
     schedule: dict[str, list[tuple[int, float, int, int]]]
     fragment: int = 999
+    #: fault injection: close the FIRST connection after this many
+    #: monitor frames (cutting the next frame mid-bytes); subsequent
+    #: connections serve fully — the reconnect-and-replay scenario
+    drop_after_frames: int | None = None
     port: int = field(default=0, init=False)
+    _frames_sent: int = field(default=0, init=False)
     _srv: socket.socket | None = field(default=None, init=False)
     _thread: threading.Thread | None = field(default=None, init=False)
 
@@ -140,68 +145,87 @@ class CAServerSim:
             conn.sendall(data[i : i + self.fragment])
 
     def _serve(self) -> None:
+        assert self._srv is not None
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return  # server closed
+            with conn:
+                try:
+                    self._session(conn)
+                except (ConnectionError, OSError):
+                    continue  # client vanished; await the next connection
+
+    def _session(self, conn: socket.socket) -> None:
         from ..functions.ca_wire import encode_monitor_event
 
-        assert self._srv is not None
+        reader = _FrameReader(conn)
+        sids: dict[int, str] = {}
+        next_sid = 1000
         try:
-            conn, _ = self._srv.accept()
-        except OSError:
-            return  # closed before any client connected
-        with conn:
-            reader = _FrameReader(conn)
-            sids: dict[int, str] = {}
-            next_sid = 1000
-            try:
-                while True:
-                    cmd, dtype, count, p1, p2, frame = reader.next_frame()
-                    if cmd == CA_PROTO_VERSION:
+            while True:
+                cmd, dtype, count, p1, p2, frame = reader.next_frame()
+                if cmd == CA_PROTO_VERSION:
+                    self._send(
+                        conn,
+                        _msg(CA_PROTO_VERSION, 0, CA_MINOR_VERSION, 0, 0),
+                    )
+                elif cmd in (CA_PROTO_CLIENT_NAME, CA_PROTO_HOST_NAME):
+                    pass  # informational
+                elif cmd == CA_PROTO_CREATE_CHAN:
+                    name = frame[16:].split(b"\x00", 1)[0].decode()
+                    cid = p1
+                    if name not in self.schedule:
                         self._send(
                             conn,
-                            _msg(CA_PROTO_VERSION, 0, CA_MINOR_VERSION, 0, 0),
+                            _msg(CA_PROTO_CREATE_CH_FAIL, 0, 0, cid, 0),
                         )
-                    elif cmd in (CA_PROTO_CLIENT_NAME, CA_PROTO_HOST_NAME):
-                        pass  # informational
-                    elif cmd == CA_PROTO_CREATE_CHAN:
-                        name = frame[16:].split(b"\x00", 1)[0].decode()
-                        cid = p1
-                        if name not in self.schedule:
-                            self._send(
-                                conn,
-                                _msg(CA_PROTO_CREATE_CH_FAIL, 0, 0, cid, 0),
-                            )
-                            continue
-                        sid = next_sid
-                        next_sid += 1
-                        sids[sid] = name
-                        self._send(
-                            conn,
-                            _msg(CA_PROTO_ACCESS_RIGHTS, 0, 0, cid, 3)
-                            + _msg(CA_PROTO_CREATE_CHAN, DBR_DOUBLE, 1, cid, sid),
+                        continue
+                    sid = next_sid
+                    next_sid += 1
+                    sids[sid] = name
+                    self._send(
+                        conn,
+                        _msg(CA_PROTO_ACCESS_RIGHTS, 0, 0, cid, 3)
+                        + _msg(CA_PROTO_CREATE_CHAN, DBR_DOUBLE, 1, cid, sid),
+                    )
+                elif cmd == CA_PROTO_EVENT_ADD:
+                    sid, subid = p1, p2
+                    if dtype != DBR_TIME_DOUBLE or sids.get(sid) is None:
+                        raise ValueError(
+                            f"bad EVENT_ADD: dtype={dtype} sid={sid}"
                         )
-                    elif cmd == CA_PROTO_EVENT_ADD:
-                        sid, subid = p1, p2
-                        if dtype != DBR_TIME_DOUBLE or sids.get(sid) is None:
-                            raise ValueError(
-                                f"bad EVENT_ADD: dtype={dtype} sid={sid}"
-                            )
-                        burst = b"".join(
-                            encode_monitor_event(subid, t, v, sev, st)
-                            for t, v, sev, st in self.schedule[sids[sid]]
-                        )
-                        self._send(conn, burst)
-                    elif cmd == CA_PROTO_EVENT_CANCEL:
-                        # spec: confirm with a payload-0 EVENT_ADD response
-                        self._send(
-                            conn, _msg(CA_PROTO_EVENT_ADD, dtype, 0, p1, p2)
-                        )
-                    elif cmd == CA_PROTO_CLEAR_CHANNEL:
-                        self._send(
-                            conn, _msg(CA_PROTO_CLEAR_CHANNEL, 0, 0, p1, p2)
-                        )
-                    else:
-                        raise ValueError(f"unexpected CA command {cmd}")
-            except (ConnectionError, OSError):
-                return  # client hung up after CLEAR — normal shutdown
+                    events = [
+                        encode_monitor_event(subid, t, v, sev, st)
+                        for t, v, sev, st in self.schedule[sids[sid]]
+                    ]
+                    if self.drop_after_frames is not None:
+                        allow = self.drop_after_frames - self._frames_sent
+                        if allow < len(events):
+                            # fault: whole frames up to the budget,
+                            # then HALF of the next frame, then cut
+                            cut = b"".join(events[: max(allow, 0)])
+                            nxt = events[max(allow, 0)]
+                            cut += nxt[: len(nxt) // 2]
+                            self.drop_after_frames = None  # only once
+                            self._send(conn, cut)
+                            raise ConnectionError("injected drop")
+                    self._frames_sent += len(events)
+                    self._send(conn, b"".join(events))
+                elif cmd == CA_PROTO_EVENT_CANCEL:
+                    # spec: confirm with a payload-0 EVENT_ADD response
+                    self._send(
+                        conn, _msg(CA_PROTO_EVENT_ADD, dtype, 0, p1, p2)
+                    )
+                elif cmd == CA_PROTO_CLEAR_CHANNEL:
+                    self._send(
+                        conn, _msg(CA_PROTO_CLEAR_CHANNEL, 0, 0, p1, p2)
+                    )
+                else:
+                    raise ValueError(f"unexpected CA command {cmd}")
+        except (ConnectionError, OSError):
+            return  # client hung up after CLEAR — normal shutdown
 
 
 def ca_subscribe(
@@ -211,6 +235,7 @@ def ca_subscribe(
     n_expected: int,
     client_name: str = "pv-archiver-spark",
     timeout_s: float = 30.0,
+    on_frame=None,
 ) -> tuple[list[tuple[str, bytes]], dict[int, str]]:
     """Run the full CA client lifecycle against a live server and return
     ``(frames, bindings)``: the raw monitor-event frames (tagged with
@@ -273,14 +298,23 @@ def ca_subscribe(
                                  DBE_VALUE | DBE_ALARM))
             )
 
+        # on_frame (when given) observes every monitor frame AS RECEIVED —
+        # the at-least-once spooling hook: on a connection fault, frames
+        # already delivered to on_frame stay delivered (downstream dedup
+        # reconciles), mirroring SampleListener's fire-per-event contract
         frames: list[tuple[str, bytes]] = []
-        while len(frames) < n_expected:
+        n_got = 0
+        while n_got < n_expected:
             cmd, dtype, count, p1, p2, frame = reader.next_frame()
             if cmd != CA_PROTO_EVENT_ADD:
                 raise ValueError(f"unexpected command {cmd} mid-subscription")
             if len(frame) == 16:  # payload-0: a stray cancel confirm
                 raise ValueError(f"unexpected cancel confirm for sub {p2}")
-            frames.append((bindings[p2], frame))
+            n_got += 1
+            if on_frame is not None:
+                on_frame(bindings[p2], frame)
+            else:
+                frames.append((bindings[p2], frame))
 
         # teardown: cancel every subscription, then clear every channel
         for cid, sid in sid_by_cid.items():
@@ -316,6 +350,7 @@ def spool_capture(
     n_expected: int,
     spool_dir: str,
     chunk_frames: int = 500,
+    max_retries: int = 3,
     **kw,
 ) -> dict[int, str]:
     """Run the live CA lifecycle and spool the monitor frames to
@@ -331,6 +366,8 @@ def spool_capture(
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    import time
 
     os.makedirs(spool_dir, exist_ok=True)
     buf: list[tuple[str, bytes]] = []
@@ -353,13 +390,32 @@ def spool_capture(
         n_files[0] += 1
         buf.clear()
 
-    frames, bindings = ca_subscribe(host, port, channels, n_expected, **kw)
-    for ch, fr in frames:
+    def _on_frame(ch: str, fr: bytes) -> None:
         buf.append((ch, fr))
         if len(buf) >= chunk_frames:
             _flush()
-    _flush()
-    return bindings
+
+    # at-least-once with reconnect: a dropped connection flushes what
+    # arrived (already-spooled frames stay spooled) and resubscribes
+    # from scratch — duplicates across attempts are reconciled by the
+    # ingest sink's monotonic/anti-join guard, the same T2 contract the
+    # other sources pin. This is the reference client's reconnect role
+    # (ChannelAccessArchivingChannel connection monitoring).
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            _, bindings = ca_subscribe(
+                host, port, channels, n_expected, on_frame=_on_frame, **kw
+            )
+            _flush()
+            return bindings
+        except (ConnectionError, socket.timeout) as exc:
+            last = exc
+            _flush()  # keep partial progress durable
+            time.sleep(0.05 * (attempt + 1))
+    raise ConnectionError(
+        f"CA capture failed after {max_retries + 1} attempts: {last}"
+    )
 
 
 def start_ca_ingest(

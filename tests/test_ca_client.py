@@ -162,3 +162,58 @@ def test_live_ca_to_streaming_ingest_cascade_parity(spark, tmp_path):
     )
     assert q2.awaitTermination(300), "replay stream did not finish"
     assert store.read_samples(0).count() == n
+
+
+def test_reconnect_after_drop_at_least_once(spark, tmp_path):
+    """Fault injection: the server cuts the first connection mid-frame
+    after 100 monitor events. The client reconnects, resubscribes from
+    scratch, and the spool ends up with DUPLICATE events (at-least-once)
+    — which the store's monotonic guard reconciles to exactly-once, the
+    T2 contract for the CA source."""
+    import os
+
+    from cassandra_pv_archiver_spark.sources.archive_store import ArchiveStore
+    from cassandra_pv_archiver_spark.streaming.ca_client import (
+        spool_capture,
+        start_ca_ingest,
+    )
+
+    sched = _schedule(4, 60)
+    n = 240
+    spool = str(tmp_path / "spool")
+    with CAServerSim(sched, drop_after_frames=100) as srv:
+        bindings = spool_capture(
+            "127.0.0.1", srv.port, list(sched), n, spool, chunk_frames=64
+        )
+    import duckdb
+
+    spooled = duckdb.sql(
+        f"SELECT count(*) FROM '{spool}/*.parquet'"
+    ).fetchone()[0]
+    assert spooled > n, "partial first attempt must stay spooled (dups)"
+
+    store = ArchiveStore(spark, str(tmp_path / "archive"))
+    q = start_ca_ingest(
+        spark, spool, bindings, store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300)
+    assert store.read_samples(0).count() == n  # dups reconciled
+
+
+def test_mid_frame_cut_discards_partial_frame():
+    # the client's reader must never hand a half frame downstream
+    sched = _schedule(2, 30)
+    with CAServerSim(sched, drop_after_frames=10) as srv:
+        got = []
+        try:
+            ca_subscribe(
+                "127.0.0.1", srv.port, list(sched), 60,
+                on_frame=lambda ch, fr: got.append((ch, fr)),
+            )
+        except ConnectionError:
+            pass
+    assert len(got) == 10  # whole frames only
+    for ch, fr in got:
+        t, v, sev, st = _decode_frame(fr)
+        assert (t, v, sev, st) in sched[ch]
