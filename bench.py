@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "bpe_merges",
     "audio_fingerprint_near_dup",
     "bpe_tokenize_audit",
+    "pq_codebook_audit",
+    "pq_adc_recall",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -3764,3 +3764,221 @@ JOIN a{BPE_N_MERGES} f ON f.word = o.word
 GROUP BY o.lang, o.source ORDER BY o.lang, o.source
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization audit (unrolled-Lloyd oracle x m subspaces)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8
+PQ_SUB_DIM = 8
+PQ_K = 8
+PQ_ITERS = 2
+
+
+def q_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization index audit (Jégou et al. 2011): train m=4
+    per-subspace codebooks with the deterministic scaled-int Lloyd
+    (bit-identical at any parallelism), encode every vector, and report
+    per (subspace, code): population, worst in-cell quantization
+    distance, centroid norm. PQ is the embedding-compression standard a
+    100 TB ANN deployment actually runs (m*log2(k) bits per vector);
+    the oracle unrolls all m independent Lloyd chains in SQL — the
+    ann_kmeans_clusters contract, times four."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_codebook_audit(
+        emb, m=PQ_M, sub_dim=PQ_SUB_DIM, k=PQ_K, iters=PQ_ITERS
+    )
+
+
+def _sql_pq_subspace(j: int, k: int, iters: int, sub_dim: int) -> str:
+    """Unrolled Lloyd for subspace j over the sliced vector (prefix
+    s{j}_) ending with s{j}_audit(subspace, code, n_vecs, max_d2,
+    centroid_norm)."""
+    lo = j * sub_dim + 1
+    hi = (j + 1) * sub_dim
+    p = f"s{j}_"
+    vq = (
+        f"list_transform(embedding[{lo}:{hi}], c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+
+    def d2(c_ref: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub_dim + 1}), i ->"
+            f" (CAST(vq[i] AS DOUBLE) - {c_ref}[i])"
+            f" * (CAST(vq[i] AS DOUBLE) - {c_ref}[i])))"
+        )
+
+    ctes = [
+        f"{p}v AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings)",
+        f"""{p}c0 AS (
+  SELECT CAST(id AS INTEGER) AS cluster,
+         list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
+  FROM {p}v WHERE id < {k})""",
+    ]
+    prev = f"{p}c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""{p}a{it} AS (
+  SELECT id, vq, cluster FROM (
+    SELECT v.id, v.vq, t.cluster,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {d2("t.c")}, t.cluster) AS rn
+    FROM {p}v v, {prev} t) WHERE rn = 1)""")
+        ctes.append(f"""{p}e{it} AS (
+  SELECT cluster, g.pos, vq[g.pos + 1] AS comp
+  FROM {p}a{it}, LATERAL (SELECT unnest(range(0, {sub_dim})) AS pos) g)""")
+        ctes.append(f"""{p}m{it} AS (
+  SELECT cluster, pos, CAST(sum(comp) AS DOUBLE) / count(*) AS m
+  FROM {p}e{it} GROUP BY cluster, pos)""")
+        ctes.append(
+            f"{p}c{it} AS (SELECT cluster, list(m ORDER BY pos) AS c"
+            f" FROM {p}m{it} GROUP BY cluster)"
+        )
+        prev = f"{p}c{it}"
+    ctes.append(f"""{p}af AS (
+  SELECT id, vq, cluster, d2 FROM (
+    SELECT v.id, v.vq, t.cluster, {d2("t.c")} AS d2,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {d2("t.c")}, t.cluster) AS rn
+    FROM {p}v v, {prev} t) WHERE rn = 1)""")
+    ctes.append(f"""{p}audit AS (
+  SELECT CAST({j} AS INTEGER) AS subspace,
+         a.cluster AS code,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         max(a.d2) AS max_d2,
+         max(n.centroid_norm) AS centroid_norm
+  FROM {p}af a JOIN (
+    SELECT cluster, sqrt(list_sum(list_transform(c, x ->
+             (x / 1000000000.0) * (x / 1000000000.0)))) AS centroid_norm
+    FROM {prev}) n ON n.cluster = a.cluster
+  GROUP BY a.cluster)""")
+    return ",\n".join(ctes)
+
+
+SQL_PQ_CODEBOOK_AUDIT = (
+    "WITH "
+    + ",\n".join(
+        _sql_pq_subspace(j, PQ_K, PQ_ITERS, PQ_SUB_DIM) for j in range(PQ_M)
+    )
+    + "\n"
+    + "\nUNION ALL ".join(f"SELECT * FROM s{j}_audit" for j in range(PQ_M))
+    + "\nORDER BY subspace, code"
+)
+
+
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ asymmetric-distance search vs the exact L2
+    baseline, per query — the measured-quality companion every
+    compressed index needs (the ann_recall_audit contract, for PQ).
+    ADC distances are m LUT lookups added in FIXED subspace order, so
+    both rankings are bit-portable and the overlap is value-hashed."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.l2_topk(emb, ANN_QUERY_IDS, k=10).select(
+        "q_id", "vec_id"
+    )
+    approx = similarity.pq_adc_topk(
+        emb, ANN_QUERY_IDS, k=10, m=PQ_M, sub_dim=PQ_SUB_DIM,
+        kc=PQ_K, iters=PQ_ITERS,
+    ).select("q_id", "vec_id")
+    overlap = (
+        exact.join(approx, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) / 10.0).alias("recall_at_10"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _sql_pq_adc_recall() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    body = ",\n".join(
+        _sql_pq_subspace(j, PQ_K, PQ_ITERS, PQ_SUB_DIM) for j in range(PQ_M)
+    )
+    luts = ",\n".join(
+        f"""lut{j} AS (
+  SELECT v.id AS qid, t.cluster,
+         list_sum(list_transform(range(1, {PQ_SUB_DIM + 1}), i ->
+           (CAST(v.vq[i] AS DOUBLE) - t.c[i])
+           * (CAST(v.vq[i] AS DOUBLE) - t.c[i]))) AS d2
+  FROM s{j}_v v, s{j}_c{PQ_ITERS} t WHERE v.id IN ({ids}))"""
+        for j in range(PQ_M)
+    )
+    vq = (
+        "list_transform(embedding, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    code_cols = ", ".join(f"a{j}.cluster AS c{j}" for j in range(PQ_M))
+    code_joins = "\n  ".join(
+        f"JOIN s{j}_af a{j} ON a{j}.id = a0.id" for j in range(1, PQ_M)
+    )
+    adc_sum = "l0.d2"
+    for j in range(1, PQ_M):
+        adc_sum = f"({adc_sum} + l{j}.d2)"
+    lut_joins = "\n  ".join(
+        f"JOIN lut{j} l{j} ON l{j}.cluster = c.c{j} AND l{j}.qid = l0.qid"
+        for j in range(1, PQ_M)
+    )
+    return f"""
+WITH {body},
+{luts},
+pqcodes AS (
+  SELECT a0.id, {code_cols}
+  FROM s0_af a0
+  {code_joins}
+),
+adc AS (
+  SELECT l0.qid, c.id,
+         {adc_sum} AS adc
+  FROM pqcodes c
+  JOIN lut0 l0 ON l0.cluster = c.c0
+  {lut_joins}
+  WHERE c.id <> l0.qid
+),
+atop AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                       ORDER BY adc, id) AS rn
+    FROM adc) WHERE rn <= 10
+),
+fullv AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings),
+ed AS (
+  SELECT q.id AS qid, x.id,
+         list_sum(list_transform(range(1, {PQ_M * PQ_SUB_DIM + 1}), i ->
+           (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE))
+           * (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE)))) AS d2
+  FROM fullv x, fullv q
+  WHERE q.id IN ({ids}) AND x.id <> q.id
+),
+etop AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                       ORDER BY d2, id) AS rn
+    FROM ed) WHERE rn <= 10
+),
+ov AS (
+  SELECT e.qid, count(a.id) AS n_overlap
+  FROM etop e LEFT JOIN atop a ON a.qid = e.qid AND a.id = e.id
+  GROUP BY e.qid
+)
+SELECT qid AS q_id,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       n_overlap / 10.0 AS recall_at_10
+FROM ov ORDER BY q_id
+"""
+
+
+SQL_PQ_ADC_RECALL = _sql_pq_adc_recall()

@@ -848,3 +848,200 @@ def kmeans_cluster_representatives(
         .filter(F.col("rank") <= per_cluster)
         .select("cluster", "rank", F.col("_id").alias(id_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 100 TB embedding-compression standard
+# ---------------------------------------------------------------------------
+
+
+def pq_fit_encode(
+    emb: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train PQ codebooks and encode every vector (Jégou et al. 2011,
+    public algorithm): the vector splits into ``m`` subspaces of
+    ``sub_dim`` dims; each subspace gets its own deterministic
+    scaled-int Lloyd codebook (:func:`_kmeans_fit` — bit-identical at
+    any parallelism); a vector's code is its nearest centroid per
+    subspace. Returns:
+
+      * codes: (_id, subspace, code, _vq) — one row per (vector,
+        subspace), ``_vq`` the quantized subvector for audit math;
+      * codebooks: (subspace, cluster, _c) — centroid component lists.
+
+    At 100 TB this is the ANN memory story: m * ceil(log2 k) bits per
+    vector instead of 4 * dim bytes; training cost is m independent
+    small-k Lloyd runs, each the already-audited one-exchange-per-
+    iteration shape."""
+    codes = None
+    books = None
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"slice({vec_col}, {j * sub_dim + 1}, {sub_dim})").alias(
+                "_sub"
+            ),
+        )
+        assigned, cent = _kmeans_fit(sub, k, iters, "_id", "_sub")
+        a = assigned.select(
+            "_id",
+            F.lit(j).alias("subspace"),
+            F.col("cluster").alias("code"),
+            "_vq",
+        )
+        c = cent.select(F.lit(j).alias("subspace"), "cluster", "_c")
+        codes = a if codes is None else codes.unionByName(a)
+        books = c if books is None else books.unionByName(c)
+    return codes, books
+
+
+def pq_codebook_audit(
+    emb: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-(subspace, code) audit of the trained PQ index: population,
+    worst-case in-cell quantization distance, and the centroid norm —
+    every value either integer or a single-divide/fixed-fold double, so
+    the unrolled-SQL oracle matches bit-for-bit (the kmeans_clusters
+    contract, times m subspaces)."""
+    codes, books = pq_fit_encode(emb, m, sub_dim, k, iters)
+    to_d = "transform(_vq, x -> CAST(x AS DOUBLE))"
+    dist2 = (
+        f"aggregate(zip_with({to_d}, _c, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    joined = codes.join(
+        F.broadcast(books),
+        (codes.subspace == books.subspace) & (codes.code == books.cluster),
+    ).select(codes.subspace, codes.code, F.expr(dist2).alias("_d2"))
+    norms = books.select(
+        "subspace",
+        F.col("cluster").alias("code"),
+        F.expr(
+            "sqrt(aggregate(transform(_c, x -> (x / 1000000000.0)"
+            " * (x / 1000000000.0)), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x))"
+        ).alias("centroid_norm"),
+    )
+    return (
+        joined.groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.max("_d2").alias("max_d2"))
+        .join(norms, ["subspace", "code"])
+        .orderBy("subspace", "code")
+    )
+
+
+def l2_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact L2 top-k over the scaled-int representation (the metric PQ
+    approximates — cosine_topk audits the cosine family). Guarded
+    brute-force baseline: distances are fixed-fold doubles over the
+    quantized components, ties break on vec_id, so the ranking is
+    bit-portable."""
+    q = F.expr(
+        f"transform({vec_col}, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    v = emb.select(F.col(id_col).alias("vec_id"), q.alias("_vq"))
+    queries = v.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("_vq").alias("_qq")
+    )
+    d2 = (
+        "aggregate(zip_with(_vq, _qq, (a, b) ->"
+        " (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    pairs = (
+        v.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("_d2", F.expr(d2))
+    )
+    w = Window.partitionBy("q_id").orderBy("_d2", "vec_id")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id", F.col("_d2").alias("d2"))
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    sub_dim: int = 16,
+    kc: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ index: per query, a
+    LUT of (subspace, code) -> exact query-to-centroid distance (m * kc
+    doubles — tiny, broadcast), then every database vector's ADC
+    distance is m LUT lookups summed in FIXED subspace order (pivoted
+    columns, not a float agg, so the double is engine-portable). The
+    100 TB shape: the scan touches only the (vector, code) table — m
+    small ints per vector — never the raw embeddings."""
+    codes, books = pq_fit_encode(emb, m, sub_dim, kc, iters, id_col, vec_col)
+
+    qv = emb.filter(F.col(id_col).isin(query_ids))
+    lut = None
+    for j in range(m):
+        sub = qv.select(
+            F.col(id_col).alias("q_id"),
+            F.expr(
+                f"transform(slice({vec_col}, {j * sub_dim + 1}, {sub_dim}),"
+                " c -> CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5)"
+                " AS BIGINT))"
+            ).alias("_qq"),
+        )
+        bj = books.filter(F.col("subspace") == j)
+        d2 = (
+            "aggregate(zip_with(_qq, _c, (a, b) ->"
+            " (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        part = sub.crossJoin(F.broadcast(bj)).select(
+            "q_id",
+            "subspace",
+            F.col("cluster").alias("code"),
+            F.expr(d2).alias("_d2"),
+        )
+        lut = part if lut is None else lut.unionByName(part)
+
+    per_sub = codes.join(F.broadcast(lut), ["subspace", "code"]).select(
+        "q_id", "_id", "subspace", "_d2"
+    )
+    pivoted = per_sub.groupBy("q_id", "_id").agg(
+        *[
+            F.max(F.when(F.col("subspace") == j, F.col("_d2"))).alias(f"_d{j}")
+            for j in range(m)
+        ]
+    )
+    adc_expr = F.col("_d0")
+    for j in range(1, m):
+        adc_expr = adc_expr + F.col(f"_d{j}")
+    scored = pivoted.select(
+        "q_id", F.col("_id").alias("vec_id"), adc_expr.alias("adc")
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "adc")
+    )

@@ -203,6 +203,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_bpe_tokenize_audit,
         catalog_data.SQL_BPE_TOKENIZE_AUDIT,
     ),
+    "pq_codebook_audit": (
+        catalog_data.q_pq_codebook_audit,
+        catalog_data.SQL_PQ_CODEBOOK_AUDIT,
+    ),
+    "pq_adc_recall": (
+        catalog_data.q_pq_adc_recall,
+        catalog_data.SQL_PQ_ADC_RECALL,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -310,3 +310,54 @@ def test_kmeans_seeds_first_k_by_id_order(spark):
     assert cent.count() == 5  # was 0 with the old `_id < k` filter
     got = {r.cluster for r in assigned.select("cluster").distinct().collect()}
     assert got <= set(range(5)) and len(got) >= 1
+
+
+class TestProductQuantization:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_lossless_when_codebook_covers_vectors(self, spark):
+        # 4 vectors, 2 subspaces of 2 dims, k=4 >= n: every subvector is
+        # its own centroid after Lloyd -> zero quantization error and
+        # ADC == exact L2 (recall 1.0 by construction)
+        vecs = [[0, 0, 0, 0], [1, 0, 0, 1], [0, 2, 2, 0], [3, 3, 3, 3]]
+        emb = self._emb(spark, vecs)
+        audit = similarity.pq_codebook_audit(
+            emb, m=2, sub_dim=2, k=4, iters=2
+        ).collect()
+        assert all(r["max_d2"] == 0.0 for r in audit)
+        assert sum(r["n_vecs"] for r in audit) == 8  # 4 vecs x 2 subspaces
+
+    def test_adc_equals_exact_when_lossless(self, spark):
+        vecs = [[0, 0, 0, 0], [1, 0, 0, 1], [0, 2, 2, 0], [3, 3, 3, 3],
+                [1, 1, 0, 0], [0, 0, 1, 1]]
+        emb = self._emb(spark, vecs)
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in similarity.l2_topk(emb, [0, 1], k=3).collect()
+        }
+        adc = {
+            (r["q_id"], r["vec_id"])
+            for r in similarity.pq_adc_topk(
+                emb, [0, 1], k=3, m=2, sub_dim=2, kc=6, iters=2
+            ).collect()
+        }
+        assert adc == exact
+
+    def test_codes_partition_vectors(self, spark):
+        vecs = [[i, i, 10 - i, i % 3] for i in range(12)]
+        emb = self._emb(spark, vecs)
+        codes, books = similarity.pq_fit_encode(
+            emb, m=2, sub_dim=2, k=3, iters=1
+        )
+        rows = codes.collect()
+        # every (vector, subspace) encoded exactly once, codes in range
+        assert len(rows) == 24
+        assert {(r["_id"], r["subspace"]) for r in rows} == {
+            (i, j) for i in range(12) for j in range(2)
+        }
+        assert all(0 <= r["code"] < 3 for r in rows)
+        assert books.count() == 6
