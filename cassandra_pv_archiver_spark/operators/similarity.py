@@ -876,29 +876,77 @@ def pq_fit_encode(
       * codebooks: (subspace, cluster, _c) — centroid component lists.
 
     At 100 TB this is the ANN memory story: m * ceil(log2 k) bits per
-    vector instead of 4 * dim bytes; training cost is m independent
-    small-k Lloyd runs, each the already-audited one-exchange-per-
-    iteration shape."""
-    codes = None
-    books = None
-    for j in range(m):
-        sub = emb.select(
-            F.col(id_col).alias("_id"),
-            F.expr(f"slice({vec_col}, {j * sub_dim + 1}, {sub_dim})").alias(
-                "_sub"
-            ),
+    vector instead of 4 * dim bytes. All m subspace fits run as ONE
+    composite-key Lloyd — `subspace` simply joins the grouping keys, so
+    an iteration costs one assign + one recompute job regardless of m
+    (never m sequential fits; same math, same seeds, same tie-breaks as
+    the per-subspace formulation the SQL oracle unrolls)."""
+    sub_expr = (
+        f"transform(sequence(0, {m - 1}), j -> struct(CAST(j AS INT) AS"
+        f" subspace, transform(slice({vec_col}, j * {sub_dim} + 1,"
+        f" {sub_dim}), c -> CAST(floor(CAST(c AS DOUBLE) * 1000000000.0"
+        " + 0.5) AS BIGINT)) AS vq))"
+    )
+    v = (
+        emb.select(F.col(id_col).alias("_id"), F.explode(F.expr(sub_expr)).alias("_s"))
+        .select("_id", F.col("_s.subspace").alias("subspace"), F.col("_s.vq").alias("_vq"))
+    )
+
+    # seeds: the k smallest ids, cluster ordinal = rank by id (the
+    # _kmeans_fit convention, per subspace — id sets are identical)
+    seed_ids = emb.select(F.col(id_col).alias("_id")).orderBy("_id").limit(k)
+    wseed = Window.partitionBy("subspace").orderBy("_id")
+    to_d = "transform(_vq, x -> CAST(x AS DOUBLE))"
+    cent = (
+        v.join(F.broadcast(seed_ids), "_id")
+        .withColumn("_rn", F.row_number().over(wseed))
+        .select(
+            "subspace",
+            (F.col("_rn") - 1).cast("int").alias("cluster"),
+            F.expr(to_d).alias("_c"),
         )
-        assigned, cent = _kmeans_fit(sub, k, iters, "_id", "_sub")
-        a = assigned.select(
-            "_id",
-            F.lit(j).alias("subspace"),
-            F.col("cluster").alias("code"),
-            "_vq",
+    )
+
+    dist2 = (
+        f"aggregate(zip_with({to_d}, _c, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = v.join(F.broadcast(centroids), "subspace").withColumn(
+            "_d2", F.expr(dist2)
         )
-        c = cent.select(F.lit(j).alias("subspace"), "cluster", "_c")
-        codes = a if codes is None else codes.unionByName(a)
-        books = c if books is None else books.unionByName(c)
-    return codes, books
+        w = Window.partitionBy("_id", "subspace").orderBy("_d2", "cluster")
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_id", "subspace", "_vq", "cluster")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        e = assigned.select(
+            "subspace", "cluster", F.posexplode("_vq").alias("pos", "comp")
+        )
+        agg = e.groupBy("subspace", "cluster", "pos").agg(
+            F.sum("comp").alias("_s"), F.count(F.lit(1)).alias("_n")
+        )
+        per_dim = agg.select(
+            "subspace", "cluster", "pos",
+            (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
+        )
+        return per_dim.groupBy("subspace", "cluster").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, _m))),"
+                " s -> s._m)"
+            ).alias("_c")
+        )
+
+    for _ in range(iters):
+        cent = recompute(assign(cent))
+    codes = assign(cent).select(
+        "_id", "subspace", F.col("cluster").alias("code"), "_vq"
+    )
+    return codes, cent
 
 
 def pq_codebook_audit(
@@ -999,30 +1047,28 @@ def pq_adc_topk(
     small ints per vector — never the raw embeddings."""
     codes, books = pq_fit_encode(emb, m, sub_dim, kc, iters, id_col, vec_col)
 
-    qv = emb.filter(F.col(id_col).isin(query_ids))
-    lut = None
-    for j in range(m):
-        sub = qv.select(
-            F.col(id_col).alias("q_id"),
-            F.expr(
-                f"transform(slice({vec_col}, {j * sub_dim + 1}, {sub_dim}),"
-                " c -> CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5)"
-                " AS BIGINT))"
-            ).alias("_qq"),
-        )
-        bj = books.filter(F.col("subspace") == j)
-        d2 = (
-            "aggregate(zip_with(_qq, _c, (a, b) ->"
-            " (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-        part = sub.crossJoin(F.broadcast(bj)).select(
-            "q_id",
-            "subspace",
-            F.col("cluster").alias("code"),
-            F.expr(d2).alias("_d2"),
-        )
-        lut = part if lut is None else lut.unionByName(part)
+    sub_expr = (
+        f"transform(sequence(0, {m - 1}), j -> struct(CAST(j AS INT) AS"
+        f" subspace, transform(slice({vec_col}, j * {sub_dim} + 1,"
+        f" {sub_dim}), c -> CAST(floor(CAST(c AS DOUBLE) * 1000000000.0"
+        " + 0.5) AS BIGINT)) AS qq))"
+    )
+    qsub = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("q_id"), F.explode(F.expr(sub_expr)).alias("_s"))
+        .select("q_id", F.col("_s.subspace").alias("subspace"), F.col("_s.qq").alias("_qq"))
+    )
+    d2 = (
+        "aggregate(zip_with(_qq, _c, (a, b) ->"
+        " (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    lut = qsub.join(F.broadcast(books), "subspace").select(
+        "q_id",
+        "subspace",
+        F.col("cluster").alias("code"),
+        F.expr(d2).alias("_d2"),
+    )
 
     per_sub = codes.join(F.broadcast(lut), ["subspace", "code"]).select(
         "q_id", "_id", "subspace", "_d2"
