@@ -3886,14 +3886,14 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         kc=PQ_K, iters=PQ_ITERS,
     ).select("q_id", "vec_id")
     overlap = (
-        exact.join(approx, ["q_id", "vec_id"], "left_semi")
+        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     return (
         exact.select("q_id")
         .distinct()
-        .join(overlap, "q_id", "left")
+        .join(F.broadcast(overlap), "q_id", "left")
         .select(
             "q_id",
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),

@@ -983,7 +983,7 @@ def pq_codebook_audit(
     return (
         joined.groupBy("subspace", "code")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.max("_d2").alias("max_d2"))
-        .join(norms, ["subspace", "code"])
+        .join(F.broadcast(norms), ["subspace", "code"])
         .orderBy("subspace", "code")
     )
 

@@ -740,6 +740,20 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "HashAggregate", "BatchEvalPython"],
     ),
+    "pq_codebook_audit": (
+        None,  # every join is a broadcast against the m*k codebook /
+        # seed tables; the composite-key Lloyd must never sort-merge
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "pq_adc_recall": (
+        None,  # ADC side: code-table scan + broadcast LUT joins; the
+        # deliberate BroadcastNestedLoopJoin is the guarded exact-L2
+        # baseline against the tiny fixed query side
+        ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "bpe_tokenize_audit": (
         None,  # learned merges apply per word TYPE; the types dim must
         # broadcast back to the occurrence table — a corpus-keyed SMJ
