@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "bpe_tokenize_audit",
     "pq_codebook_audit",
     "pq_adc_recall",
+    "store_rename_invariance",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -3162,3 +3162,49 @@ FROM m ORDER BY channel, idx
 
 
 SQL_ARRAY_ELEMENTWISE_STATS = _sql_array_elementwise()
+
+
+RENAME_OLD, RENAME_NEW = "PV:3", "PV:renamed-3"
+
+
+def q_store_rename_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel rename (`ArchiveConfigurationService`'s rename/move op)
+    must change NAMES and nothing else: after renaming one channel on a
+    clone of the fragmented store, the per-channel count/bound/checksum
+    table equals the raw-data oracle with the same name substitution —
+    so a rename that loses, duplicates, or corrupts one row (or leaks
+    into another channel's files during the rewrite-and-swap) fails the
+    value gate. Rewrite cost is bounded by the renamed channel's own
+    footprint; the swap is one manifest commit per level."""
+    store = _clone_store(spark, sf_dir)
+    store.rename_channel(RENAME_OLD, RENAME_NEW)
+    return (
+        store.read_samples(0)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("t").alias("n_ts"),
+            F.min("t").alias("t_first"),
+            F.max("t").alias("t_last"),
+            F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).alias(
+                "v_checksum"
+            ),
+            F.sum(F.col("severity").cast("bigint")).alias("sev_checksum"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_STORE_RENAME_INVARIANCE = f"""
+WITH {SAMPLES_CTE.strip().rstrip()}
+SELECT CASE WHEN channel = '{RENAME_OLD}' THEN '{RENAME_NEW}'
+            ELSE channel END AS channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_ts,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_checksum,
+       CAST(sum(severity) AS BIGINT) AS sev_checksum
+FROM samples
+GROUP BY 1 ORDER BY 1
+"""

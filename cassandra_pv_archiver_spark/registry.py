@@ -211,6 +211,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_pq_adc_recall,
         catalog_data.SQL_PQ_ADC_RECALL,
     ),
+    "store_rename_invariance": (
+        catalog.q_store_rename_invariance,
+        catalog.SQL_STORE_RENAME_INVARIANCE,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -574,6 +574,106 @@ class ArchiveStore:
         return dropped
 
     # -- compaction (96 MB rollover analog) ------------------------------
+    def rename_channel(self, old: str, new: str) -> int:
+        """Rename a channel across every level, metadata included — the
+        reference's configuration rename/move operation
+        (`ArchiveConfigurationService.java`, `archiving/internal/
+        RenameChannelOperation`). The reference keys sample buckets by a
+        rename-stable ``channelDataId`` (`SampleBucketId.java:80-89`) so
+        its rename is metadata-only; this store keys physical layout by
+        channel NAME, so a rename rewrites exactly the files that carry
+        the old name (bounded: one channel's footprint, never the table)
+        and swaps them in with ONE atomic manifest commit per level — a
+        concurrent reader sees the old name or the new name, never both
+        or neither. Time-travel reads at pre-rename versions still show
+        the old name (immutable files). HWM and decimation seed state
+        follow in their own single-commit replaces. Returns the number
+        of sample rows that changed name.
+
+        Renaming onto an existing channel refuses loudly (the reference
+        rejects colliding renames the same way)."""
+        moved = 0
+        for level in self.levels():
+            df = self.read_samples(level, channels=[new])
+            if df.limit(1).count() > 0:
+                raise ValueError(
+                    f"rename target already exists: {new!r} (level {level})"
+                )
+        for level in self.levels():
+            table = self._level_table(level)
+            rel = table.files() or []
+            if not rel:
+                continue
+            full = self.spark.read.option("basePath", table.root).parquet(
+                *(f"{table.root}/{r}" for r in rel)
+            )
+            # bounded metadata collect: the affected-file list (a subset
+            # of one channel's files)
+            hit = {
+                r[0]
+                for r in full.filter(F.col("channel") == old)
+                .select(F.input_file_name())
+                .distinct()
+                .collect()
+            }
+            if not hit:
+                continue
+            affected = [r for r in rel if any(h.endswith(r) for h in hit)]
+            part = self.spark.read.option("basePath", table.root).parquet(
+                *(f"{table.root}/{r}" for r in affected)
+            )
+            moved += part.filter(F.col("channel") == old).count()
+            out = (
+                part.withColumn(
+                    "channel",
+                    F.when(F.col("channel") == old, F.lit(new)).otherwise(
+                        F.col("channel")
+                    ),
+                )
+                .repartition("date", "channel")
+                .sortWithinPartitions("date", "channel", "t")
+            )
+            stage = table.stage_dir()
+            (
+                out.write.option(
+                    "maxRecordsPerFile", self.max_records_per_file
+                )
+                .partitionBy("date")
+                .parquet(stage)
+            )
+            table.publish_stage(stage, remove=affected)
+            table.gc(keep_versions=self.keep_versions)
+            # HWM log: fold, rename, replace in one commit
+            htable = self._hwm_table(level)
+            hpaths = htable.paths()
+            if hpaths:
+                folded = (
+                    self.spark.read.parquet(*hpaths)
+                    .withColumn(
+                        "channel",
+                        F.when(F.col("channel") == old, F.lit(new)).otherwise(
+                            F.col("channel")
+                        ),
+                    )
+                    .groupBy("channel")
+                    .agg(F.max("hwm").alias("hwm"))
+                )
+                hstage = htable.stage_dir()
+                folded.coalesce(1).write.parquet(hstage)
+                htable.publish_stage(hstage, remove=htable.files() or [])
+                htable.gc(keep_versions=2)
+            # decimation carry seeds for this target level
+            seeds = self.read_seed_state(level)
+            if seeds is not None and "channel" in seeds.columns:
+                renamed = seeds.withColumn(
+                    "channel",
+                    F.when(F.col("channel") == old, F.lit(new)).otherwise(
+                        F.col("channel")
+                    ),
+                )
+                self.write_seed_state(level, renamed)
+        return moved
+
     @staticmethod
     def zorder_key_expr(channel_col: str = "channel", t_col: str = "t") -> str:
         """Morton (Z-order) interleave of (hash(channel), within-day t) as

@@ -431,3 +431,87 @@ def test_incremental_survives_source_level_switch(spark, tmp_path):
     assert incremental_decimation(store, 3600) >= 0
     n = incremental_decimation(store, 21600)  # source now 3600
     assert n >= 0  # completes without AnalysisException
+
+
+class TestRenameChannel:
+    def _store(self, spark, tmp_path, rows):
+        from cassandra_pv_archiver_spark.sources.archive_store import (
+            ArchiveStore,
+        )
+
+        store = ArchiveStore(spark, str(tmp_path / "arch"))
+        df = spark.createDataFrame(
+            rows, "channel string, t long, v double, severity int, status int"
+        )
+        store.write_samples(df, level=0)
+        return store
+
+    def _rows(self, ch, n, base=10**18):
+        return [(ch, base + i * 10**9, float(i), 0, 0) for i in range(n)]
+
+    def test_rename_moves_rows_and_metadata(self, spark, tmp_path):
+        rows = self._rows("PV:a", 20) + self._rows("PV:b", 5)
+        store = self._store(spark, tmp_path, rows)
+        pre_version = store.level_versions(0)[-1]
+        moved = store.rename_channel("PV:a", "PV:renamed")
+        assert moved == 20
+        assert store.read_samples(0, channels=["PV:a"]).count() == 0
+        got = store.read_samples(0, channels=["PV:renamed"])
+        assert got.count() == 20
+        # values survive bit-for-bit under the new name
+        assert sorted((r["t"], r["v"]) for r in got.collect()) == sorted(
+            (t, v) for _c, t, v, _s, _st in self._rows("PV:a", 20)
+        )
+        # untouched channel intact
+        assert store.read_samples(0, channels=["PV:b"]).count() == 5
+        # hwm followed the rename
+        hwm = {r["channel"]: r["hwm"] for r in store.channel_hwm(0).collect()}
+        assert "PV:a" not in hwm and "PV:renamed" in hwm
+        # time travel: pre-rename snapshot still shows the old name
+        old_snap = store.read_samples(
+            0, channels=["PV:a"], at_version=pre_version
+        )
+        assert old_snap.count() == 20
+
+    def test_rename_onto_existing_refuses(self, spark, tmp_path):
+        store = self._store(
+            spark, tmp_path, self._rows("PV:a", 3) + self._rows("PV:b", 3)
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="already exists"):
+            store.rename_channel("PV:a", "PV:b")
+
+    def test_rename_through_decimated_levels(self, spark, tmp_path):
+        from cassandra_pv_archiver_spark.plans.jobs import (
+            incremental_decimation,
+        )
+
+        # 10-minute spacing -> ~8 h of data -> several complete 1 h windows
+        rows = [
+            ("PV:a", 10**18 + i * 600 * 10**9, float(i), 0, 0)
+            for i in range(50)
+        ]
+        store = self._store(spark, tmp_path, rows)
+        incremental_decimation(store, 3600)
+        assert store.read_samples(3600).count() > 0
+        store.rename_channel("PV:a", "PV:x")
+        for level in (0, 3600):
+            chans = {
+                r["channel"]
+                for r in store.read_samples(level).select("channel").distinct().collect()
+            }
+            assert chans == {"PV:x"}, level
+        # incremental decimation keeps working after the rename (seed
+        # state followed): appending more data decimates under the new
+        # name from the carried state
+        more = spark.createDataFrame(
+            [
+                ("PV:x", 10**18 + (50 + i) * 600 * 10**9, float(i), 0, 0)
+                for i in range(10)
+            ],
+            "channel string, t long, v double, severity int, status int",
+        )
+        store.write_samples(more, level=0)
+        incremental_decimation(store, 3600)
+        assert store.read_samples(0, channels=["PV:x"]).count() == 60
