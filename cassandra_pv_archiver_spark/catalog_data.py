@@ -3982,3 +3982,57 @@ FROM ov ORDER BY q_id
 
 
 SQL_PQ_ADC_RECALL = _sql_pq_adc_recall()
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (replication race)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 10
+
+
+def _wsample_weight() -> F.Column:
+    """Integer tickets: longer documents race with more lottery draws
+    (the quality/length-weighted sampling knob of a data recipe)."""
+    return (
+        F.lit(1)
+        + (F.col("n_chars") >= 100).cast("int")
+        + (F.col("n_chars") >= 200).cast("int")
+        + (F.col("n_chars") >= 400).cast("int")
+    )
+
+
+def q_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, 10 docs per
+    language, weight = 1..4 by length bucket (the replication race —
+    see operators/sampling.weighted_sample for the two-phase top-k
+    scale shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(
+        docs, k=WSAMPLE_K, weight=_wsample_weight(), group_col="lang"
+    )
+
+
+SQL_WEIGHTED_SAMPLE_PER_LANG = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         1 + CAST(n_chars >= 100 AS INT) + CAST(n_chars >= 200 AS INT)
+           + CAST(n_chars >= 400 AS INT) AS weight
+  FROM documents
+),
+keyed AS (
+  SELECT lang, doc_id, weight,
+         list_max(list_transform(range(0, weight),
+           r -> md5('wsample:' || CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(r AS VARCHAR)))) AS sample_key
+  FROM d WHERE weight >= 1
+)
+SELECT lang,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY sample_key DESC, doc_id) AS INTEGER)
+         AS rank,
+       doc_id, weight, sample_key
+FROM keyed
+QUALIFY rank <= {WSAMPLE_K}
+ORDER BY lang, rank
+"""

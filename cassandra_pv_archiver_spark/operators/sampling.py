@@ -357,3 +357,69 @@ def epoch_shuffle(
         .select(id_col, "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight: Column,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: per group,
+    the ``k`` winners of a replication race. An item with integer
+    weight ``w`` holds ``w`` independent lottery tickets —
+    ``md5(salt:id:r)`` for r in [0, w) — and races with its best
+    ticket; the top ``k`` keys win. Inclusion odds grow with ``w``
+    exactly as if the item appeared ``w`` times (the classic
+    replication reduction of weighted sampling), yet each item can win
+    at most once, and the whole draw is a pure function of (salt, id,
+    w): reproducible across engines, partitionings, and cluster sizes,
+    like every sampler in this module (no ``rand()``).
+
+    Scale shape: the race key is an ``array_max`` over a generated
+    per-row array — a map-only column, NO explode, NO shuffle. The
+    top-k itself is TWO-PHASE so a billion-row group never lands in
+    one window task: phase 1 takes a local top-k per (group, hash
+    bucket) — bounding survivors at ``n_buckets * k`` per group —
+    phase 2 ranks only those survivors. Any item outside its bucket's
+    top-k cannot be in the group's top-k, so the two-phase result is
+    exactly the single-window result.
+
+    ``weight`` must be an integer-valued Column; rows with weight <= 0
+    hold no tickets and are never sampled (documented convention).
+
+    Returns: group_col, rank (1-based int), id_col, weight (int),
+    sample_key (the winning ticket, hex).
+    """
+    tickets = F.expr(
+        f"array_max(transform(sequence(0, CAST(_w AS INT) - 1),"
+        f" r -> md5(concat('{salt}:', CAST({id_col} AS STRING), ':',"
+        " CAST(r AS STRING)))))"
+    )
+    keyed = (
+        docs.select(group_col, id_col, weight.cast("int").alias("_w"))
+        .filter(F.col("_w") >= 1)
+        .withColumn("sample_key", tickets)
+    )
+    bucket = (hash_bucket16(id_col, salt + ":bkt") % n_buckets).cast("int")
+    w_local = Window.partitionBy(group_col, "_bkt").orderBy(
+        F.desc("sample_key"), id_col
+    )
+    survivors = (
+        keyed.withColumn("_bkt", bucket)
+        .withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_bkt")
+    )
+    w_global = Window.partitionBy(group_col).orderBy(
+        F.desc("sample_key"), id_col
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", id_col, F.col("_w").alias("weight"), "sample_key")
+        .orderBy(group_col, "rank")
+    )

@@ -215,6 +215,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_store_rename_invariance,
         catalog.SQL_STORE_RENAME_INVARIANCE,
     ),
+    "weighted_sample_per_lang": (
+        catalog_data.q_weighted_sample_per_lang,
+        catalog_data.SQL_WEIGHTED_SAMPLE_PER_LANG,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

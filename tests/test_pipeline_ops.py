@@ -588,3 +588,55 @@ class TestEpochShuffle:
         assert sorted(r.pos for r in out) == list(range(10))
         with pytest.raises(ValueError):
             epoch_shuffle(self._docs(spark), 0)
+
+
+class TestWeightedSample:
+    def _docs(self, spark, n=200):
+        return spark.range(n).selectExpr(
+            "id AS doc_id", "'g' AS lang",
+            "CASE WHEN id < 100 THEN 5 ELSE 1 END AS w",
+        )
+
+    def test_k_per_group_dense_ranks_and_weight_bias(self, spark):
+        from cassandra_pv_archiver_spark.operators.sampling import weighted_sample
+
+        out = weighted_sample(
+            self._docs(spark), k=20, weight=F.col("w"), group_col="lang"
+        ).collect()
+        assert len(out) == 20
+        assert [r.rank for r in out] == list(range(1, 21))
+        assert len({r.doc_id for r in out}) == 20  # without replacement
+        # 5-ticket docs should dominate a race against 1-ticket docs
+        heavy = sum(1 for r in out if r.weight == 5)
+        assert heavy > 10
+
+    def test_zero_weight_never_sampled_and_deterministic(self, spark):
+        from cassandra_pv_archiver_spark.operators.sampling import weighted_sample
+
+        docs = spark.range(50).selectExpr(
+            "id AS doc_id", "'g' AS lang",
+            "CASE WHEN id % 2 = 0 THEN 0 ELSE 3 END AS w",
+        )
+        out = weighted_sample(docs, k=10, weight=F.col("w"), group_col="lang")
+        rows = out.collect()
+        assert all(r.doc_id % 2 == 1 for r in rows)  # w=0 holds no ticket
+        again = weighted_sample(
+            docs.repartition(7), k=10, weight=F.col("w"), group_col="lang"
+        ).collect()
+        assert [(r.doc_id, r.rank) for r in rows] == [
+            (r.doc_id, r.rank) for r in again
+        ]  # partitioning-independent
+
+    def test_two_phase_equals_single_window(self, spark):
+        from cassandra_pv_archiver_spark.operators.sampling import weighted_sample
+
+        docs = self._docs(spark, 300)
+        a = weighted_sample(
+            docs, k=15, weight=F.col("w"), group_col="lang", n_buckets=32
+        ).collect()
+        b = weighted_sample(
+            docs, k=15, weight=F.col("w"), group_col="lang", n_buckets=1
+        ).collect()
+        assert [(r.doc_id, r.rank, r.sample_key) for r in a] == [
+            (r.doc_id, r.rank, r.sample_key) for r in b
+        ]

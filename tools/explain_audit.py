@@ -768,6 +768,16 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["MapInPandas"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    "weighted_sample_per_lang": (
+        3,  # map-only race key (array_max over a generated array — no
+        # explode), then the two-phase top-k: (lang, bucket) exchange,
+        # lang exchange over <= n_buckets*k survivors, output range
+        # sort. WindowGroupLimit = Spark's map-side partial top-k must
+        # stay; any join or Python crossing here is a plan regression
+        ["WindowGroupLimit"],
+        ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython", "Generate"],
+    ),
     "video_frame_sample": (
         2,  # same shape: repartition + output sort around the ONE
         # Arrow-batched mux/demux/JPEG crossing; the 1->N frame fan-out
