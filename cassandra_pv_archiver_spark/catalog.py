@@ -3208,3 +3208,60 @@ SELECT CASE WHEN channel = '{RENAME_OLD}' THEN '{RENAME_NEW}'
 FROM samples
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# seasonal hour-of-day baseline + anomaly census
+# ---------------------------------------------------------------------------
+
+SEASONAL_K_SIGMA = 3
+
+
+def q_seasonal_hod_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per channel with an exact-integer
+    3-sigma anomaly census (operators/stats.seasonal_hod_anomalies —
+    one exchange: window moments over (channel, hod), census groupBy
+    reuses the clustering)."""
+    from .operators.stats import seasonal_hod_anomalies
+
+    return seasonal_hod_anomalies(
+        load_samples(spark, sf_dir), k_sigma=SEASONAL_K_SIGMA
+    )
+
+
+_HOUR_NS = 3600 * NS
+_SEAS_VAR = "(n_ * s2_ - s_ * s_)"
+SQL_SEASONAL_HOD_ANOMALIES = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+sh AS (
+  SELECT channel, CAST((t // {_HOUR_NS}) % 24 AS INTEGER) AS hod,
+         CAST(floor(v * 100 + 0.5) AS HUGEINT) AS vi
+  FROM samples
+),
+m AS (
+  SELECT channel, hod, vi,
+         CAST(count(*) OVER pw AS HUGEINT) AS n_,
+         sum(vi) OVER pw AS s_,
+         sum(vi * vi) OVER pw AS s2_
+  FROM sh WINDOW pw AS (PARTITION BY channel, hod)
+),
+f AS (
+  SELECT channel, hod, n_, s_, s2_,
+         CASE WHEN (vi * n_ - s_) * (vi * n_ - s_)
+                   > {SEASONAL_K_SIGMA * SEASONAL_K_SIGMA} * {_SEAS_VAR}
+              THEN 1 ELSE 0 END AS flag,
+         abs(vi * n_ - s_) AS absdev
+  FROM m
+)
+SELECT channel, hod,
+       CAST(n_ AS BIGINT) AS n_samples,
+       {big_to_double_duck("s_")} / CAST(n_ AS DOUBLE) / 100.0 AS mean,
+       sqrt(greatest({big_to_double_duck(_SEAS_VAR)}, 0.0))
+         / CAST(n_ AS DOUBLE) / 100.0 AS std,
+       CAST(sum(flag) AS BIGINT) AS n_anomalies,
+       CASE WHEN {_SEAS_VAR} = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE {big_to_double_duck("max(absdev)")}
+                 / sqrt({big_to_double_duck(_SEAS_VAR)}) END AS max_abs_z
+FROM f GROUP BY channel, hod, n_, s_, s2_
+ORDER BY channel, hod
+"""

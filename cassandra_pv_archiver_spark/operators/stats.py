@@ -979,3 +979,93 @@ def channel_trend(samples: DataFrame, period_ns: int) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def seasonal_hod_anomalies(
+    samples: DataFrame, k_sigma: int = 3
+) -> DataFrame:
+    """Hour-of-day seasonal baseline + anomaly census per channel: the
+    "is this PV behaving like it usually does at 3am?" monitoring
+    query. Each (channel, hour-of-day) cell gets an exact profile
+    (count, mean, std from DECIMAL(38,0) moments of the x100-quantized
+    values — the decimate.py convention) and a census of samples
+    outside ``k_sigma`` standard deviations of THEIR OWN cell.
+
+    The anomaly test never compares floats: |v - mean| > k·std is
+    algebraically identical to (vi·n - s)² > k²·(n·s2 - s²) over the
+    exact integer moments (both sides scale by (100n)²), so the flag —
+    and therefore the census — is bit-portable to any engine or
+    partitioning. z itself is (vi·n - s)/sqrt(n·s2 - s²): an exact
+    integer numerator and one correctly-rounded sqrt, so max_abs_z is
+    deterministic too (NULL for a constant cell, where z is undefined).
+
+    Scale shape: ONE exchange. The per-cell moments come from window
+    aggregates over the (channel, hod) partition — no profile
+    self-join — and the final census groupBy reuses that clustering
+    (hash(channel, hod) already satisfies it). Decimal envelope: vi·n
+    needs |vi| · n < 10^19, i.e. ~10^13 samples per cell at PV-scale
+    values — beyond any per-cell population a 100 TB archive reaches
+    (cells partition one channel's history 24 ways).
+
+    Returns one row per populated cell: channel, hod, n_samples, mean,
+    std, n_anomalies, max_abs_z.
+    """
+    from .decimate import NS, big_to_double
+
+    hour_ns = 3600 * NS
+    k2 = k_sigma * k_sigma
+    s = samples.select(
+        "channel",
+        F.expr(f"CAST((t div {hour_ns}) % 24 AS INT)").alias("hod"),
+        F.expr("CAST(floor(v * 100 + 0.5) AS DECIMAL(19,0))").alias("_vi"),
+    )
+    pw = Window.partitionBy("channel", "hod")
+    m = s.select(
+        "channel",
+        "hod",
+        "_vi",
+        F.count(F.lit(1)).over(pw).cast("decimal(38,0)").alias("_n"),
+        F.sum("_vi").over(pw).alias("_s"),
+        F.sum(F.expr("_vi * _vi")).over(pw).alias("_s2"),
+    )
+    dev = "CAST(_vi * _n - _s AS DECIMAL(38,0))"
+    var_num = "CAST(_n * _s2 - _s * _s AS DECIMAL(38,0))"
+    flagged = m.select(
+        "channel",
+        "hod",
+        "_n",
+        "_s",
+        "_s2",
+        F.expr(f"CASE WHEN ({dev}) * ({dev}) > {k2} * ({var_num})"
+               " THEN 1 ELSE 0 END").alias("_flag"),
+        F.expr(f"abs({dev})").alias("_absdev"),
+    )
+    mean = (
+        f"{big_to_double('_s')} / CAST(_n AS DOUBLE) / 100.0"
+    )
+    std = (
+        f"sqrt(greatest({big_to_double(var_num)}, 0.0))"
+        " / CAST(_n AS DOUBLE) / 100.0"
+    )
+    maxz = (
+        f"CASE WHEN {var_num} = 0 THEN CAST(NULL AS DOUBLE)"
+        f" ELSE {big_to_double('CAST(max(_absdev) AS DECIMAL(38,0))')}"
+        f" / sqrt({big_to_double(var_num)}) END"
+    )
+    return (
+        flagged.groupBy("channel", "hod", "_n", "_s", "_s2")
+        .agg(
+            F.sum("_flag").cast("long").alias("n_anomalies"),
+            F.expr(maxz).alias("max_abs_z"),
+        )
+        .select(
+            "channel",
+            "hod",
+            F.col("_n").cast("long").alias("n_samples"),
+            F.expr(mean).alias("mean"),
+            F.expr(std).alias("std"),
+            "n_anomalies",
+            "max_abs_z",
+        )
+        .orderBy("channel", "hod")
+    )

@@ -219,6 +219,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_weighted_sample_per_lang,
         catalog_data.SQL_WEIGHTED_SAMPLE_PER_LANG,
     ),
+    "seasonal_hod_anomalies": (
+        catalog.q_seasonal_hod_anomalies,
+        catalog.SQL_SEASONAL_HOD_ANOMALIES,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

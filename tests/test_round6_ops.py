@@ -767,3 +767,61 @@ class TestBloomDecontam:
         sh, bench = self._fixture(spark)
         with pytest.raises(ValueError, match="md5"):
             bloom_contamination_audit(sh, bench, k=9)
+
+
+class TestSeasonalHodAnomalies:
+    HOUR_NS = 3600 * 1_000_000_000
+
+    def _samples(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "channel string, t long, v double"
+        )
+
+    def test_census_matches_bruteforce_and_constant_cell(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import (
+            seasonal_hod_anomalies,
+        )
+
+        # hod 0 of channel A: one wild outlier among 19 tight values —
+        # its z² is exactly n-1 = 19 > 9. (With n = 10 it would be
+        # exactly 9 and the strict > correctly leaves it unflagged.)
+        # hod 1: constant (std 0, z undefined)
+        rows = [("A", 0 * self.HOUR_NS + i, v)
+                for i, v in enumerate([10.0] * 19 + [100.0])]
+        rows += [("A", 1 * self.HOUR_NS + i, 7.0) for i in range(5)]
+        out = {r.hod: r for r in seasonal_hod_anomalies(
+            self._samples(spark, rows)).collect()}
+
+        import math
+        vals = [10.0] * 19 + [100.0]
+        vi = [round(v * 100) for v in vals]
+        n, s, s2 = len(vi), sum(vi), sum(x * x for x in vi)
+        mean, var = s / n / 100, (n * s2 - s * s) / (n * n) / 1e4
+        flags = sum(
+            1 for x in vi if (x * n - s) ** 2 > 9 * (n * s2 - s * s)
+        )
+        cell = out[0]
+        assert cell.n_samples == n and cell.n_anomalies == flags == 1
+        assert abs(cell.mean - mean) < 1e-9
+        assert abs(cell.std - math.sqrt(var)) < 1e-9
+        assert abs(
+            cell.max_abs_z
+            - max(abs(x * n - s) for x in vi) / math.sqrt(n * s2 - s * s)
+        ) < 1e-12
+
+        const = out[1]
+        assert const.n_samples == 5 and const.n_anomalies == 0
+        assert const.std == 0.0 and const.max_abs_z is None
+
+    def test_hod_wraps_days_and_partitioning_invariant(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import (
+            seasonal_hod_anomalies,
+        )
+
+        # same hour on different days lands in one cell
+        rows = [("B", (d * 24 + 5) * self.HOUR_NS, float(d)) for d in range(4)]
+        df = self._samples(spark, rows)
+        out = seasonal_hod_anomalies(df).collect()
+        assert len(out) == 1 and out[0].hod == 5 and out[0].n_samples == 4
+        again = seasonal_hod_anomalies(df.repartition(7)).collect()
+        assert [tuple(r) for r in out] == [tuple(r) for r in again]

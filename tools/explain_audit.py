@@ -778,6 +778,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
          "BatchEvalPython", "ArrowEvalPython", "Generate"],
     ),
+    "seasonal_hod_anomalies": (
+        2,  # the load's single channel hash (reused by the (channel,
+        # hod) window AND the census groupBy) + the output range sort;
+        # a profile self-join or SMJ here is the plan regression
+        ["Window"],
+        ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "video_frame_sample": (
         2,  # same shape: repartition + output sort around the ONE
         # Arrow-batched mux/demux/JPEG crossing; the 1->N frame fan-out
