@@ -3793,10 +3793,13 @@ def q_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pq_subspace(j: int, k: int, iters: int, sub_dim: int) -> str:
+def _sql_pq_subspace(
+    j: int, k: int, iters: int, sub_dim: int, vsrc: str | None = None
+) -> str:
     """Unrolled Lloyd for subspace j over the sliced vector (prefix
     s{j}_) ending with s{j}_audit(subspace, code, n_vecs, max_d2,
-    centroid_norm)."""
+    centroid_norm). ``vsrc`` overrides the (id, vq) source SELECT —
+    the IVF-PQ oracle feeds residual slices through the same chain."""
     lo = j * sub_dim + 1
     hi = (j + 1) * sub_dim
     p = f"s{j}_"
@@ -3812,8 +3815,10 @@ def _sql_pq_subspace(j: int, k: int, iters: int, sub_dim: int) -> str:
             f" * (CAST(vq[i] AS DOUBLE) - {c_ref}[i])))"
         )
 
+    if vsrc is None:
+        vsrc = f"SELECT vec_id AS id, {vq} AS vq FROM embeddings"
     ctes = [
-        f"{p}v AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings)",
+        f"{p}v AS ({vsrc})",
         f"""{p}c0 AS (
   SELECT CAST(id AS INTEGER) AS cluster,
          list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
@@ -4036,3 +4041,166 @@ FROM keyed
 QUALIFY rank <= {WSAMPLE_K}
 ORDER BY lang, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + product-quantized residuals (FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+IVFPQ_N_PROBE = 3
+
+
+def q_ivfpq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF-ADC search over the IVF-PQ residual index vs
+    the exact L2 baseline, per query — one value-hashed row per query
+    attests the ENTIRE pipeline: coarse Lloyd, centroid grid
+    quantization, shared residual codebooks, probe ranking and the
+    LUT-summed asymmetric distances (operators/similarity.
+    ivfpq_adc_topk)."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.l2_topk(emb, ANN_QUERY_IDS, k=10).select(
+        "q_id", "vec_id"
+    )
+    approx = similarity.ivfpq_adc_topk(
+        emb, ANN_QUERY_IDS, k=10, n_cells=KMEANS_K,
+        coarse_iters=KMEANS_ITERS, m=PQ_M, sub_dim=PQ_SUB_DIM,
+        kpq=PQ_K, pq_iters=PQ_ITERS, n_probe=IVFPQ_N_PROBE,
+    ).select("q_id", "vec_id")
+    overlap = (
+        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(F.broadcast(overlap), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) / 10.0).alias("recall_at_10"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _sql_ivfpq_recall(dim: int = 64) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    coarse, last = _sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS, dim)
+    # residual PQ chains ride the SAME unrolled-Lloyd generator as plain
+    # PQ, fed residual slices (exact BIGINTs in shared x1e9 units)
+    chains = ",\n".join(
+        _sql_pq_subspace(
+            j, PQ_K, PQ_ITERS, PQ_SUB_DIM,
+            vsrc=(
+                f"SELECT id, r[{j * PQ_SUB_DIM + 1}:{(j + 1) * PQ_SUB_DIM}]"
+                " AS vq FROM res"
+            ),
+        )
+        for j in range(PQ_M)
+    )
+    sq = "(CAST(qr.r[{lo} + i - 1] AS DOUBLE) - t.c[i])"
+    luts = ",\n".join(
+        f"""lut{j} AS (
+  SELECT qr.qid, qr.cell, t.cluster,
+         list_sum(list_transform(range(1, {PQ_SUB_DIM + 1}), i ->
+           {sq.format(lo=j * PQ_SUB_DIM + 1)}
+           * {sq.format(lo=j * PQ_SUB_DIM + 1)})) AS d2
+  FROM qres qr, s{j}_c{PQ_ITERS} t)"""
+        for j in range(PQ_M)
+    )
+    code_cols = ", ".join(f"a{j}.cluster AS c{j}" for j in range(PQ_M))
+    code_joins = "\n  ".join(
+        f"JOIN s{j}_af a{j} ON a{j}.id = a0.id" for j in range(1, PQ_M)
+    )
+    adc_sum = "l0.d2"
+    for j in range(1, PQ_M):
+        adc_sum = f"({adc_sum} + l{j}.d2)"
+    lut_joins = "\n  ".join(
+        f"JOIN lut{j} l{j} ON l{j}.cluster = c.c{j} AND l{j}.qid = cd.qid"
+        " AND l{j}.cell = cd.cell".replace("{j}", str(j))
+        for j in range(1, PQ_M)
+    )
+    vq = (
+        "list_transform(embedding, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH {coarse},
+cqt AS (
+  SELECT cluster AS cell,
+         list_transform(c, x -> CAST(floor(x + 0.5) AS BIGINT)) AS cq
+  FROM {last}),
+res AS (
+  SELECT v.id, a.cluster AS cell,
+         list_transform(range(1, {dim + 1}), i -> v.vq[i] - q.cq[i]) AS r
+  FROM v JOIN af a ON a.id = v.id JOIN cqt q ON q.cell = a.cluster),
+{chains},
+qv AS (SELECT id AS qid, vq FROM v WHERE id IN ({ids})),
+qcd AS (
+  SELECT qv.qid, t.cell,
+         list_sum(list_transform(range(1, {dim + 1}), i ->
+           (CAST(qv.vq[i] AS DOUBLE) - CAST(t.cq[i] AS DOUBLE))
+           * (CAST(qv.vq[i] AS DOUBLE) - CAST(t.cq[i] AS DOUBLE)))) AS d2
+  FROM qv, cqt t),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT qid, cell, row_number() OVER (PARTITION BY qid
+                                         ORDER BY d2, cell) AS rn
+    FROM qcd) WHERE rn <= {IVFPQ_N_PROBE}),
+qres AS (
+  SELECT p.qid, p.cell,
+         list_transform(range(1, {dim + 1}), i -> qv.vq[i] - t.cq[i]) AS r
+  FROM probes p JOIN qv ON qv.qid = p.qid JOIN cqt t ON t.cell = p.cell),
+{luts},
+cd AS (
+  SELECT p.qid, a.id, a.cluster AS cell
+  FROM probes p JOIN af a ON a.cluster = p.cell AND a.id != p.qid),
+pqcodes AS (
+  SELECT a0.id, {code_cols}
+  FROM s0_af a0
+  {code_joins}
+),
+adc AS (
+  SELECT cd.qid, cd.id, {adc_sum} AS adc
+  FROM cd
+  JOIN pqcodes c ON c.id = cd.id
+  JOIN lut0 l0 ON l0.cluster = c.c0 AND l0.qid = cd.qid AND l0.cell = cd.cell
+  {lut_joins}
+),
+atop AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                       ORDER BY adc, id) AS rn
+    FROM adc) WHERE rn <= 10
+),
+fullv AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings),
+ed AS (
+  SELECT q.id AS qid, x.id,
+         list_sum(list_transform(range(1, {dim + 1}), i ->
+           (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE))
+           * (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE)))) AS d2
+  FROM fullv x, fullv q
+  WHERE q.id IN ({ids}) AND x.id <> q.id
+),
+etop AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                       ORDER BY d2, id) AS rn
+    FROM ed) WHERE rn <= 10
+),
+ov AS (
+  SELECT e.qid, count(a.id) AS n_overlap
+  FROM etop e LEFT JOIN atop a ON a.qid = e.qid AND a.id = e.id
+  GROUP BY e.qid
+)
+SELECT qid AS q_id,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       n_overlap / 10.0 AS recall_at_10
+FROM ov ORDER BY q_id
+"""
+
+
+SQL_IVFPQ_ADC_RECALL = _sql_ivfpq_recall()

@@ -895,6 +895,24 @@ def pq_fit_encode(
     # seeds: the k smallest ids, cluster ordinal = rank by id (the
     # _kmeans_fit convention, per subspace — id sets are identical)
     seed_ids = emb.select(F.col(id_col).alias("_id")).orderBy("_id").limit(k)
+    return _pq_core_fit(v, seed_ids, k, iters)
+
+
+def _pq_core_fit(
+    v: DataFrame,
+    seed_ids: DataFrame,
+    k: int,
+    iters: int,
+    extra_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Composite-key Lloyd over a prebuilt subspace table ``v`` =
+    (_id, subspace, _vq BIGINT list): the shared engine behind
+    :func:`pq_fit_encode` (raw subvectors) and :func:`ivfpq_fit_encode`
+    (IVF residual subvectors — same units across cells, so ONE shared
+    codebook per subspace). ``seed_ids`` carries the k seed vector ids;
+    cluster ordinal = rank by id per subspace. ``extra_cols`` ride
+    through to the returned code table unchanged (IVF-PQ threads the
+    vector's cell this way — no codes⋈cells join at build time)."""
     wseed = Window.partitionBy("subspace").orderBy("_id")
     to_d = "transform(_vq, x -> CAST(x AS DOUBLE))"
     cent = (
@@ -920,7 +938,7 @@ def pq_fit_encode(
         return (
             d.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select("_id", "subspace", "_vq", "cluster")
+            .select("_id", "subspace", "_vq", "cluster", *extra_cols)
         )
 
     def recompute(assigned: DataFrame) -> DataFrame:
@@ -944,7 +962,7 @@ def pq_fit_encode(
     for _ in range(iters):
         cent = recompute(assign(cent))
     codes = assign(cent).select(
-        "_id", "subspace", F.col("cluster").alias("code"), "_vq"
+        "_id", "subspace", F.col("cluster").alias("code"), "_vq", *extra_cols
     )
     return codes, cent
 
@@ -1085,6 +1103,169 @@ def pq_adc_topk(
     scored = pivoted.select(
         "q_id", F.col("_id").alias("vec_id"), adc_expr.alias("adc")
     ).filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id", "adc")
+    )
+
+
+def ivfpq_fit_encode(
+    emb: DataFrame,
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    kpq: int = 8,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """IVF-PQ index build (Jégou et al. 2011 §V: coarse quantizer +
+    product-quantized RESIDUALS — the FAISS ``IVFPQ`` structure, the
+    production 100 TB ANN index): a deterministic coarse Lloyd
+    partitions vectors into ``n_cells`` Voronoi cells; each vector is
+    then PQ-encoded by its residual against its cell's centroid, so
+    the codebooks spend their bits on the (much smaller) within-cell
+    spread instead of the global one.
+
+    Bit-portability: the coarse centroid is re-quantized onto the same
+    x1e9 integer grid as the vectors (``floor(c + 0.5)`` of the
+    exact-sum/count double — identical IEEE ops both engines), so every
+    residual is an exact BIGINT in SHARED units across cells — which is
+    what lets ALL cells share one codebook per subspace and the whole
+    fit run as the same composite-key Lloyd as plain PQ
+    (:func:`_pq_core_fit`). Search touches only (cell, code) smallints
+    per vector; the scan never reads raw embeddings.
+
+    Returns (cells (_id, cell), cq (cell, _cq BIGINT centroid), codes
+    (_id, subspace, code, _vq residual slice, cell — the inverted
+    list, join-free), books (subspace, cluster, _c double centroid in
+    residual units)).
+    """
+    assigned, cent = _kmeans_fit(emb, n_cells, coarse_iters, id_col, vec_col)
+    cq = cent.select(
+        F.col("cluster").alias("cell"),
+        F.expr("transform(_c, x -> CAST(floor(x + 0.5) AS BIGINT))").alias("_cq"),
+    )
+    cells = assigned.select("_id", F.col("cluster").alias("cell"), "_vq")
+    res = cells.join(F.broadcast(cq), "cell").select(
+        "_id", "cell", F.expr("zip_with(_vq, _cq, (a, b) -> a - b)").alias("_r")
+    )
+    sub_expr = (
+        f"transform(sequence(0, {m - 1}), j -> struct(CAST(j AS INT) AS"
+        f" subspace, slice(_r, j * {sub_dim} + 1, {sub_dim}) AS vq))"
+    )
+    v = (
+        res.select("_id", "cell", F.explode(F.expr(sub_expr)).alias("_s"))
+        .select("_id", "cell", F.col("_s.subspace").alias("subspace"),
+                F.col("_s.vq").alias("_vq"))
+    )
+    seed_ids = emb.select(F.col(id_col).alias("_id")).orderBy("_id").limit(kpq)
+    codes, books = _pq_core_fit(v, seed_ids, kpq, pq_iters, extra_cols=("cell",))
+    return cells.select("_id", "cell"), cq, codes, books
+
+
+def ivfpq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    kpq: int = 8,
+    pq_iters: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC search over the IVF-PQ index: per query, rank cells by
+    L2 to the quantized coarse centroid and probe the ``n_probe``
+    nearest; within probed cells, the asymmetric distance is the PQ
+    LUT of the QUERY'S RESIDUAL against that cell — d(q,x) ≈
+    Σ_j ||(q - c(cell))_j - book_j(code_j(x))||² (Jégou Eq. 13). Every
+    LUT is (n_queries × n_probe × m × kpq) doubles — tiny, broadcast —
+    and the per-vector work is m smallint lookups summed in FIXED
+    subspace order (pivoted columns), so the ranking is engine-portable
+    and the scan reads only the code table.
+
+    Build-vs-search: the code table carries each vector's cell from
+    the fit (threaded through the Lloyd core — the inverted list needs
+    NO build join); the search side joins only broadcast probe / LUT
+    tables, so the whole path is scan + broadcasts + one top-k window.
+
+    Returns (q_id, vec_id, adc) — top-k per query, ties on vec_id.
+    """
+    cells, cq, codes, books = ivfpq_fit_encode(
+        emb, n_cells, coarse_iters, m, sub_dim, kpq, pq_iters,
+        id_col, vec_col,
+    )
+    # the code table already carries each vector's cell (threaded
+    # through the Lloyd core) — the inverted list exists join-free
+    codes_cell = codes
+
+    qexpr = F.expr(
+        f"transform({vec_col}, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    qv = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), qexpr.alias("_qvq")
+    )
+    cd2 = (
+        "aggregate(zip_with(_qvq, _cq, (a, b) ->"
+        " (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    qc = qv.crossJoin(F.broadcast(cq)).withColumn("_cd2", F.expr(cd2))
+    wprobe = Window.partitionBy("q_id").orderBy("_cd2", "cell")
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wprobe))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "q_id", "cell",
+            F.expr("zip_with(_qvq, _cq, (a, b) -> a - b)").alias("_qr"),
+        )
+    )
+    qsub_expr = (
+        f"transform(sequence(0, {m - 1}), j -> struct(CAST(j AS INT) AS"
+        f" subspace, slice(_qr, j * {sub_dim} + 1, {sub_dim}) AS qq))"
+    )
+    qsub = (
+        probes.select("q_id", "cell", F.explode(F.expr(qsub_expr)).alias("_s"))
+        .select("q_id", "cell", F.col("_s.subspace").alias("subspace"),
+                F.col("_s.qq").alias("_qq"))
+    )
+    ld2 = (
+        "aggregate(zip_with(_qq, _c, (a, b) ->"
+        " (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    lut = qsub.join(F.broadcast(books), "subspace").select(
+        "q_id", "cell", "subspace",
+        F.col("cluster").alias("code"), F.expr(ld2).alias("_d2"),
+    )
+
+    cand = codes_cell.join(
+        F.broadcast(probes.select("q_id", "cell")), "cell"
+    ).filter(F.col("_id") != F.col("q_id"))
+    per_sub = cand.join(
+        F.broadcast(lut), ["q_id", "cell", "subspace", "code"]
+    ).select("q_id", "_id", "subspace", "_d2")
+    pivoted = per_sub.groupBy("q_id", "_id").agg(
+        *[
+            F.max(F.when(F.col("subspace") == j, F.col("_d2"))).alias(f"_d{j}")
+            for j in range(m)
+        ]
+    )
+    adc_expr = F.col("_d0")
+    for j in range(1, m):
+        adc_expr = adc_expr + F.col(f"_d{j}")
+    scored = pivoted.select(
+        "q_id", F.col("_id").alias("vec_id"), adc_expr.alias("adc")
+    )
     w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
     return (
         scored.withColumn("_rn", F.row_number().over(w))

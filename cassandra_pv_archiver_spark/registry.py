@@ -223,6 +223,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_seasonal_hod_anomalies,
         catalog.SQL_SEASONAL_HOD_ANOMALIES,
     ),
+    "ivfpq_adc_recall": (
+        catalog_data.q_ivfpq_adc_recall,
+        catalog_data.SQL_IVFPQ_ADC_RECALL,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -361,3 +361,68 @@ class TestProductQuantization:
         }
         assert all(0 <= r["code"] < 3 for r in rows)
         assert books.count() == 6
+
+
+class TestIVFPQ:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_residuals_shared_units_and_full_encode(self, spark):
+        vecs = [[i, 2 * i, 10 - i, i % 3] for i in range(10)]
+        emb = self._emb(spark, vecs)
+        cells, cq, codes, books = similarity.ivfpq_fit_encode(
+            emb, n_cells=2, coarse_iters=1, m=2, sub_dim=2, kpq=3,
+            pq_iters=1,
+        )
+        assert cells.count() == 10
+        assert cq.count() == 2
+        rows = codes.collect()
+        assert {(r["_id"], r["subspace"]) for r in rows} == {
+            (i, j) for i in range(10) for j in range(2)
+        }
+        assert all(0 <= r["code"] < 3 for r in rows)
+        # shared codebooks: one per (subspace, cluster), NOT per cell
+        assert books.count() <= 6
+
+    def test_adc_equals_exact_when_residuals_lossless(self, spark):
+        # two tight clusters; kpq >= distinct residual patterns per
+        # subspace makes the residual PQ lossless -> probing all cells
+        # reproduces the exact L2 ranking
+        vecs = [[0, 0, 0, 0], [1, 0, 0, 1], [0, 1, 1, 0],
+                [50, 50, 50, 50], [51, 50, 50, 51], [50, 51, 51, 50]]
+        emb = self._emb(spark, vecs)
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in similarity.l2_topk(emb, [0, 3], k=3).collect()
+        }
+        adc = {
+            (r["q_id"], r["vec_id"])
+            for r in similarity.ivfpq_adc_topk(
+                emb, [0, 3], k=3, n_cells=2, coarse_iters=2, m=2,
+                sub_dim=2, kpq=6, pq_iters=2, n_probe=2,
+            ).collect()
+        }
+        assert adc == exact
+
+    def test_nprobe_limits_candidates_to_probed_cells(self, spark):
+        # far-apart clusters: with n_probe=1 a query sees only its own
+        # cell's members
+        vecs = [[0, 0, 0, 0], [1, 1, 0, 0], [0, 1, 1, 0],
+                [900, 900, 900, 900], [901, 900, 900, 901], [900, 901, 901, 900]]
+        emb = self._emb(spark, vecs)
+        cells = {
+            r["_id"]: r["cell"]
+            for r in similarity.ivfpq_fit_encode(
+                emb, n_cells=2, coarse_iters=2, m=2, sub_dim=2, kpq=4,
+                pq_iters=1,
+            )[0].collect()
+        }
+        out = similarity.ivfpq_adc_topk(
+            emb, [0], k=5, n_cells=2, coarse_iters=2, m=2, sub_dim=2,
+            kpq=4, pq_iters=1, n_probe=1,
+        ).collect()
+        assert all(cells[r["vec_id"]] == cells[0] for r in out)
+        assert all(r["vec_id"] != 0 for r in out)

@@ -754,6 +754,16 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
         ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "ivfpq_adc_recall": (
+        None,  # inverted list is join-free (cell threaded through the
+        # Lloyd core); search = code-table scan + broadcast probe/LUT
+        # joins; BNLJ = broadcast-against-tiny probe ranking and the
+        # guarded exact-L2 baseline. An SMJ or cartesian anywhere is
+        # the scale regression this pins against
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "bpe_tokenize_audit": (
         None,  # learned merges apply per word TYPE; the types dim must
         # broadcast back to the occurrence table — a corpus-keyed SMJ
