@@ -169,6 +169,10 @@ BENCH_QUERIES = [
     "pq_codebook_audit",
     "pq_adc_recall",
     "store_rename_invariance",
+    "weighted_sample_per_lang",
+    "seasonal_hod_anomalies",
+    "ivfpq_adc_recall",
+    "pq_staleness_audit",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -3817,12 +3817,15 @@ def _sql_pq_subspace(
 
     if vsrc is None:
         vsrc = f"SELECT vec_id AS id, {vq} AS vq FROM embeddings"
+    # seeds: the k smallest ids, ordinal = rank by id — the
+    # pq_fit_encode convention, valid for ANY id space (equals the old
+    # `cluster = id WHERE id < k` form on the dense fixture ids)
     ctes = [
         f"{p}v AS ({vsrc})",
         f"""{p}c0 AS (
-  SELECT CAST(id AS INTEGER) AS cluster,
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster,
          list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
-  FROM {p}v WHERE id < {k})""",
+  FROM (SELECT id, vq FROM {p}v ORDER BY id LIMIT {k}))""",
     ]
     prev = f"{p}c0"
     for it in range(1, iters + 1):
@@ -4120,7 +4123,7 @@ def _sql_ivfpq_recall(dim: int = 64) -> str:
         adc_sum = f"({adc_sum} + l{j}.d2)"
     lut_joins = "\n  ".join(
         f"JOIN lut{j} l{j} ON l{j}.cluster = c.c{j} AND l{j}.qid = cd.qid"
-        " AND l{j}.cell = cd.cell".replace("{j}", str(j))
+        f" AND l{j}.cell = cd.cell"
         for j in range(1, PQ_M)
     )
     vq = (
@@ -4204,3 +4207,100 @@ FROM ov ORDER BY q_id
 
 
 SQL_IVFPQ_ADC_RECALL = _sql_ivfpq_recall()
+
+
+# ---------------------------------------------------------------------------
+# frozen-codebook staleness audit (when-to-retrain signal)
+# ---------------------------------------------------------------------------
+
+STALE_TRAIN_MOD = 5  # train on vec_id % 5 != 0 (80%), absorb the rest
+
+
+def q_pq_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-error drift of PQ codebooks frozen on an 80% train
+    slice vs the later-arriving 20%: the retrain trigger a production
+    compressed index monitors (operators/similarity.pq_staleness_audit
+    — exact BIGINT errors against grid-quantized centroids, so the
+    means and ratio are single-divide doubles)."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_staleness_audit(
+        emb,
+        train_pred=F.col("vec_id") % STALE_TRAIN_MOD != 0,
+        m=PQ_M, sub_dim=PQ_SUB_DIM, k=PQ_K, iters=PQ_ITERS,
+    )
+
+
+def _sql_pq_staleness() -> str:
+    def slice_vq(j: int) -> str:
+        lo, hi = j * PQ_SUB_DIM + 1, (j + 1) * PQ_SUB_DIM
+        return (
+            f"list_transform(embedding[{lo}:{hi}], c ->"
+            " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+        )
+
+    chains = ",\n".join(
+        _sql_pq_subspace(
+            j, PQ_K, PQ_ITERS, PQ_SUB_DIM,
+            vsrc=(
+                f"SELECT vec_id AS id, {slice_vq(j)} AS vq FROM embeddings"
+                f" WHERE vec_id % {STALE_TRAIN_MOD} != 0"
+            ),
+        )
+        for j in range(PQ_M)
+    )
+    e_expr = (
+        f"list_sum(list_transform(range(1, {PQ_SUB_DIM + 1}), i ->"
+        " CAST(a.vq[i] - b.cq[i] AS HUGEINT)"
+        " * CAST(a.vq[i] - b.cq[i] AS HUGEINT)))"
+    )
+    parts = []
+    for j in range(PQ_M):
+        parts.append(f"""bq{j} AS (
+  SELECT cluster,
+         list_transform(c, x -> CAST(floor(x + 0.5) AS BIGINT)) AS cq
+  FROM s{j}_c{PQ_ITERS}),
+av{j} AS (
+  SELECT vec_id AS id,
+         CASE WHEN vec_id % {STALE_TRAIN_MOD} != 0 THEN 1 ELSE 0 END
+           AS is_train,
+         {slice_vq(j)} AS vq
+  FROM embeddings),
+ne{j} AS (
+  SELECT id, is_train, e FROM (
+    SELECT id, is_train, e,
+           row_number() OVER (PARTITION BY id ORDER BY e, cluster) AS rn
+    FROM (SELECT a.id, a.is_train, b.cluster, {e_expr} AS e
+          FROM av{j} a, bq{j} b)) WHERE rn = 1),
+st{j} AS (
+  SELECT CAST({j} AS INTEGER) AS subspace,
+         CAST(sum(is_train) AS BIGINT) AS n_train,
+         CAST(sum(1 - is_train) AS BIGINT) AS n_new,
+         sum(CASE WHEN is_train = 1 THEN e ELSE 0 END) AS et,
+         sum(CASE WHEN is_train = 0 THEN e ELSE 0 END) AS en
+  FROM ne{j})""")
+    mt = f"{{btd_et}} / CAST(n_train AS DOUBLE)"
+    mn = f"{{btd_en}} / CAST(n_new AS DOUBLE)"
+    from .operators.decimate import big_to_double_duck
+
+    mt = mt.format(btd_et=big_to_double_duck("et"))
+    mn = mn.format(btd_en=big_to_double_duck("en"))
+    final = "\nUNION ALL ".join(f"SELECT * FROM st{j}" for j in range(PQ_M))
+    return f"""
+WITH {chains},
+{",".join(parts)}
+SELECT subspace, n_train, n_new,
+       CASE WHEN n_train = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE {mt} END AS mean_qerr_train,
+       CASE WHEN n_new = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE {mn} END AS mean_qerr_new,
+       CASE WHEN n_train = 0 OR n_new = 0 OR et = 0
+            THEN CAST(NULL AS DOUBLE)
+            ELSE ({mn}) / ({mt}) END AS drift_ratio
+FROM ({final})
+ORDER BY subspace
+"""
+
+
+SQL_PQ_STALENESS_AUDIT = _sql_pq_staleness()

@@ -1272,3 +1272,100 @@ def ivfpq_adc_topk(
         .filter(F.col("_rn") <= k)
         .select("q_id", "vec_id", "adc")
     )
+
+
+def pq_staleness_audit(
+    emb: DataFrame,
+    train_pred: "F.Column",
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Frozen-codebook staleness audit — the "when do I retrain?"
+    signal of a production PQ/IVF-PQ index: codebooks are trained ONCE
+    on the rows where ``train_pred`` holds, every later batch is
+    encoded against those FROZEN books (per-vector assignment, no
+    refit — how a live index absorbs inserts), and this audit compares
+    the quantization error the two populations actually see. A rising
+    new/train error ratio is distribution drift eating the index's
+    recall; retraining is the fix.
+
+    Exactness: each centroid is re-quantized onto the vectors' x1e9
+    integer grid (the ivfpq_fit_encode convention), so every
+    per-(vector, subspace) error is an exact BIGINT, per-population
+    sums are exact DECIMAL(38,0), and the means/ratio are
+    single-divide doubles — order-independent, value-hash-checkable.
+
+    Returns per subspace: n_train, n_new, mean_qerr_train,
+    mean_qerr_new, drift_ratio (NULL when a population is empty or the
+    train error is exactly 0).
+    """
+    train = emb.filter(train_pred)
+    codes_unused, books = pq_fit_encode(
+        train, m=m, sub_dim=sub_dim, k=k, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    bq = books.select(
+        "subspace", "cluster",
+        F.expr("transform(_c, x -> CAST(floor(x + 0.5) AS BIGINT))").alias("_cq"),
+    )
+    sub_expr = (
+        f"transform(sequence(0, {m - 1}), j -> struct(CAST(j AS INT) AS"
+        f" subspace, transform(slice({vec_col}, j * {sub_dim} + 1,"
+        f" {sub_dim}), c -> CAST(floor(CAST(c AS DOUBLE) * 1000000000.0"
+        " + 0.5) AS BIGINT)) AS vq))"
+    )
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.when(train_pred, F.lit(1)).otherwise(F.lit(0)).alias("_is_train"),
+        F.explode(F.expr(sub_expr)).alias("_s"),
+    ).select(
+        "_id", "_is_train",
+        F.col("_s.subspace").alias("subspace"), F.col("_s.vq").alias("_vq"),
+    )
+    # exact integer error to each grid-quantized centroid; nearest =
+    # min (err, cluster) — assignment against FROZEN books. The square
+    # happens in DECIMAL: a BIGINT (a-b)² overflows at |a-b| > 3e9 —
+    # i.e. for exactly the far-out-of-distribution batches this audit
+    # exists to flag (pinned by the shifted-distribution test)
+    err = (
+        "aggregate(zip_with(_vq, _cq, (a, b) ->"
+        " CAST(a - b AS DECIMAL(19,0)) * CAST(a - b AS DECIMAL(19,0))),"
+        " CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + CAST(x AS DECIMAL(38,0)))"
+    )
+    d = v.join(F.broadcast(bq), "subspace").withColumn("_e", F.expr(err))
+    w = Window.partitionBy("_id", "subspace").orderBy("_e", "cluster")
+    nearest = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("subspace", "_is_train", "_e")
+    )
+    from .decimate import big_to_double
+
+    agg = nearest.groupBy("subspace").agg(
+        F.sum(F.when(F.col("_is_train") == 1, 1).otherwise(0))
+        .cast("long").alias("n_train"),
+        F.sum(F.when(F.col("_is_train") == 0, 1).otherwise(0))
+        .cast("long").alias("n_new"),
+        F.sum(F.when(F.col("_is_train") == 1, F.col("_e"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_et"),
+        F.sum(F.when(F.col("_is_train") == 0, F.col("_e"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_en"),
+    )
+    mt = f"{big_to_double('_et')} / CAST(n_train AS DOUBLE)"
+    mn = f"{big_to_double('_en')} / CAST(n_new AS DOUBLE)"
+    return agg.select(
+        "subspace", "n_train", "n_new",
+        F.expr(f"CASE WHEN n_train = 0 THEN CAST(NULL AS DOUBLE)"
+               f" ELSE {mt} END").alias("mean_qerr_train"),
+        F.expr(f"CASE WHEN n_new = 0 THEN CAST(NULL AS DOUBLE)"
+               f" ELSE {mn} END").alias("mean_qerr_new"),
+        F.expr(
+            f"CASE WHEN n_train = 0 OR n_new = 0 OR _et = 0"
+            f" THEN CAST(NULL AS DOUBLE)"
+            f" ELSE ({mn}) / ({mt}) END"
+        ).alias("drift_ratio"),
+    ).orderBy("subspace")

@@ -227,6 +227,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_ivfpq_adc_recall,
         catalog_data.SQL_IVFPQ_ADC_RECALL,
     ),
+    "pq_staleness_audit": (
+        catalog_data.q_pq_staleness_audit,
+        catalog_data.SQL_PQ_STALENESS_AUDIT,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

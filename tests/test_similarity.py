@@ -426,3 +426,46 @@ class TestIVFPQ:
         ).collect()
         assert all(cells[r["vec_id"]] == cells[0] for r in out)
         assert all(r["vec_id"] != 0 for r in out)
+
+
+class TestPQStaleness:
+    def test_indist_near_one_shifted_detected(self, spark):
+        import random
+
+        rnd = random.Random(3)
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(4)]) for i in range(60)
+        ]
+        # ids 60..79: a shifted distribution the frozen books never saw
+        rows += [
+            (60 + i, [rnd.uniform(-1, 1) + 30.0 for _ in range(4)])
+            for i in range(20)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = similarity.pq_staleness_audit(
+            emb, train_pred=F.col("vec_id") < 60,
+            m=2, sub_dim=2, k=4, iters=2,
+        ).collect()
+        assert [r.subspace for r in out] == [0, 1]
+        for r in out:
+            assert r.n_train == 60 and r.n_new == 20
+            assert r.drift_ratio is not None and r.drift_ratio > 5.0
+
+    def test_lossless_train_yields_null_ratio(self, spark):
+        # k >= distinct train subvectors -> train error exactly 0 ->
+        # ratio undefined (NULL), never a divide-by-zero
+        vecs = [[0, 0], [1, 1], [2, 2], [0, 0], [5, 7]]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        out = similarity.pq_staleness_audit(
+            emb, train_pred=F.col("vec_id") < 4, m=1, sub_dim=2, k=4,
+            iters=2,
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.mean_qerr_train == 0.0 and r.drift_ratio is None
+        assert r.n_new == 1 and r.mean_qerr_new is not None

@@ -764,6 +764,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "pq_staleness_audit": (
+        None,  # frozen-books encode: broadcast codebook joins only;
+        # the new batch never triggers a refit shuffle or SMJ
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "bpe_tokenize_audit": (
         None,  # learned merges apply per word TYPE; the types dim must
         # broadcast back to the occurrence table — a corpus-keyed SMJ
