@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "seasonal_hod_anomalies",
     "ivfpq_adc_recall",
     "pq_staleness_audit",
+    "level_backfill_6h",
+    "shuffle_skew_report",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -3265,3 +3265,105 @@ SELECT channel, hod,
 FROM f GROUP BY channel, hod, n_, s_, s2_
 ORDER BY channel, hod
 """
+
+
+# ---------------------------------------------------------------------------
+# decimation-level topology change: add a level, backfill from best source
+# ---------------------------------------------------------------------------
+
+
+def q_level_backfill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology change end-to-end: a 6 h decimation level is ADDED to
+    channels already archiving raw + 1 h — the reference regenerates a
+    new level from the largest existing level that divides its period
+    (`ArchivedChannelDecimatedSamplesDecimationLevel.java:319-568`,
+    `pick_source_level`), here 1 h, NEVER raw. The backfill runs
+    through the store (per-channel hwm catch-up, manifest commits) and
+    the read-back must equal the from-scratch raw→1h→6h cascade — the
+    value hash attests BOTH the store lifecycle and the source-level
+    choice: sourcing from raw would use first-order decimation math
+    where the oracle demands the reaggregation semantics (weight =
+    validity × covered_fraction), and the hash would break."""
+    from .plans.jobs import incremental_decimation
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, _scratch_dir("pvarch_topo_") + "/archive")
+    raw = load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    store.write_samples(raw, level=0)
+    incremental_decimation(store, PERIOD_1H)
+    # the configuration change: 6 h appears after 1 h is materialized;
+    # pick_source_level must choose 3600 (largest proper divisor level)
+    incremental_decimation(store, PERIOD_6H)
+    return store.read_samples(PERIOD_6H).select(
+        "channel", "t", "mean", "std", "vmin", "vmax", "covered_fraction",
+        "severity", "status", "n_samples", "quality",
+    ).orderBy("channel", "t")
+
+
+SQL_LEVEL_BACKFILL_6H = f"""
+WITH {SAMPLES_CTE},
+lsamples AS (
+  SELECT * FROM samples
+  WHERE channel IN ({", ".join(f"'PV:{i}'" for i in range(30))})
+),
+{_dec_ctes(PERIOD_1H, src="lsamples")},
+{_reagg_ctes(PERIOD_6H)}
+SELECT * FROM reagg ORDER BY channel, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# shuffle-health: key skew report
+# ---------------------------------------------------------------------------
+
+
+def q_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (operators/stats.key_skew_report) for the
+    two shuffle keys this engine would actually hash on: ``channel``
+    (the decimation/partition key — flat by construction) and
+    ``severity`` (3 values, ~90% on one — the salting/AQE-skew-join
+    case). One row per audited key."""
+    from .operators.stats import key_skew_report
+
+    s = load_samples(spark, sf_dir)
+    by_ch = key_skew_report(s, "channel").select(
+        F.lit("channel").alias("key_col"), "*"
+    )
+    by_sev = key_skew_report(s, "severity").select(
+        F.lit("severity").alias("key_col"), "*"
+    )
+    return by_ch.unionByName(by_sev).orderBy("key_col")
+
+
+def _sql_skew_one(key_expr: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS key_col,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(nk) AS BIGINT) AS n_keys,
+       max(CASE WHEN c = mc THEN k END) AS top_key,
+       CAST(max(mc) AS BIGINT) AS max_rows_per_key,
+       CAST(max(mc) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS max_key_share,
+       max(CASE WHEN rn = CAST(ceil(nk * 50 / 100.0) AS BIGINT) THEN c END)
+         AS p50_rows_per_key,
+       max(CASE WHEN rn = CAST(ceil(nk * 90 / 100.0) AS BIGINT) THEN c END)
+         AS p90_rows_per_key,
+       max(CASE WHEN rn = CAST(ceil(nk * 99 / 100.0) AS BIGINT) THEN c END)
+         AS p99_rows_per_key,
+       CAST(max(mc) AS DOUBLE)
+         / (CAST(sum(c) AS DOUBLE) / CAST(max(nk) AS DOUBLE)) AS skew_factor
+FROM (
+  SELECT k, c, row_number() OVER (ORDER BY c, k) AS rn,
+         count(*) OVER () AS nk, max(c) OVER () AS mc
+  FROM (SELECT CAST({key_expr} AS VARCHAR) AS k, count(*) AS c
+        FROM samples GROUP BY 1))"""
+
+
+SQL_SHUFFLE_SKEW_REPORT = f"""
+WITH {SAMPLES_CTE}
+{_sql_skew_one("channel", "channel")}
+UNION ALL
+{_sql_skew_one("severity", "severity")}
+ORDER BY key_col
+"""

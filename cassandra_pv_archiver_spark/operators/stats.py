@@ -1069,3 +1069,79 @@ def seasonal_hod_anomalies(
         )
         .orderBy("channel", "hod")
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-health diagnostics for a prospective partition key: the
+    question every 100 TB groupBy/join plan gets asked first — "how
+    skewed is this key?". One map-side-combined count per key, then
+    order statistics over the (tiny) per-key count table: hottest key
+    and its row share, attained p50/p90/p99 of rows-per-key, and the
+    max/mean skew factor (the straggler multiplier a hash shuffle on
+    this key pays; AQE skew-join or salting territory above ~4).
+
+    All counts are exact integers; the shares/factors are single-divide
+    doubles — value-hash-portable. Quantiles are DISCRETE (attained
+    counts, index = ceil(q·n) order statistic), the
+    group_discrete_quantiles convention — computed from the count
+    HISTOGRAM, so no per-key global sort exists anywhere in the plan
+    (for pathological histograms swap in the GK sketch from
+    group_approx_quantiles; flat fixtures keep this exact).
+
+    Returns ONE row: n_rows, n_keys, top_key, max_rows_per_key,
+    max_key_share, p50_rows_per_key, p90_rows_per_key,
+    p99_rows_per_key, skew_factor.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # order statistics WITHOUT sorting the per-key table: collapse to
+    # the count HISTOGRAM (one row per distinct rows-per-key value —
+    # heavy-tailed data keeps this tiny even at a billion keys), then
+    # the p-quantile is the smallest count whose cumulative key
+    # coverage reaches ceil(p·n_keys). The only unpartitioned window
+    # runs over that histogram, never over keys or rows.
+    byc = counts.groupBy("_c").agg(F.count(F.lit(1)).alias("_nk_at"))
+    wcum = Window.orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = byc.select(
+        "_c",
+        F.sum("_nk_at").over(wcum).alias("_cum"),
+        F.sum("_nk_at").over(wall).alias("_nk"),
+    )
+    q = lambda p: F.min(  # noqa: E731
+        F.when(
+            F.col("_cum")
+            >= F.expr(f"CAST(ceil(_nk * {p} / 100.0) AS BIGINT)"),
+            F.col("_c"),
+        )
+    )
+    quants = cum.agg(
+        F.max("_nk").cast("long").alias("n_keys"),
+        q(50).alias("p50_rows_per_key"),
+        q(90).alias("p90_rows_per_key"),
+        q(99).alias("p99_rows_per_key"),
+    )
+    top = counts.agg(
+        F.sum("_c").alias("n_rows"),
+        F.max(F.struct(F.col("_c"), F.col("_k"))).alias("_top"),
+    )
+    return top.crossJoin(F.broadcast(quants)).select(
+        "n_rows",
+        "n_keys",
+        F.col("_top._k").alias("top_key"),
+        F.col("_top._c").alias("max_rows_per_key"),
+        F.expr("CAST(_top._c AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+        .alias("max_key_share"),
+        "p50_rows_per_key",
+        "p90_rows_per_key",
+        "p99_rows_per_key",
+        F.expr(
+            "CAST(_top._c AS DOUBLE)"
+            " / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))"
+        ).alias("skew_factor"),
+    )

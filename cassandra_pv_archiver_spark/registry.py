@@ -231,6 +231,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_pq_staleness_audit,
         catalog_data.SQL_PQ_STALENESS_AUDIT,
     ),
+    "level_backfill_6h": (
+        catalog.q_level_backfill_6h,
+        catalog.SQL_LEVEL_BACKFILL_6H,
+    ),
+    "shuffle_skew_report": (
+        catalog.q_shuffle_skew_report,
+        catalog.SQL_SHUFFLE_SKEW_REPORT,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

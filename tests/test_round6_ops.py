@@ -825,3 +825,33 @@ class TestSeasonalHodAnomalies:
         assert len(out) == 1 and out[0].hod == 5 and out[0].n_samples == 4
         again = seasonal_hod_anomalies(df.repartition(7)).collect()
         assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+class TestKeySkewReport:
+    def test_hand_computed_skew(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import key_skew_report
+
+        # keys: a=6 rows, b=2, c=1, d=1 -> n=10 rows, 4 keys
+        rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+        df = spark.createDataFrame(rows, "k string")
+        r = key_skew_report(df, "k").collect()[0]
+        assert r.n_rows == 10 and r.n_keys == 4
+        assert r.top_key == "a" and r.max_rows_per_key == 6
+        assert abs(r.max_key_share - 0.6) < 1e-15
+        # ordered counts (c,k): (1,c),(1,d),(2,b),(6,a);
+        # p50 -> rank ceil(2.0)=2 -> 1; p90 -> rank 4 -> 6; p99 -> 4 -> 6
+        assert r.p50_rows_per_key == 1
+        assert r.p90_rows_per_key == 6 and r.p99_rows_per_key == 6
+        assert abs(r.skew_factor - 6 / 2.5) < 1e-12
+
+    def test_flat_keys_factor_one_and_tie_break(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import key_skew_report
+
+        df = spark.createDataFrame(
+            [(k,) for k in "xyz" for _ in range(4)], "k string"
+        )
+        r = key_skew_report(df, "k").collect()[0]
+        assert r.skew_factor == 1.0 and r.max_key_share == 4 / 12
+        # all counts tie at 4: struct-max convention picks the LARGEST key
+        assert r.top_key == "z"
+        assert (r.p50_rows_per_key, r.p99_rows_per_key) == (4, 4)

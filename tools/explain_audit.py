@@ -611,6 +611,24 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "level_backfill_6h": (
+        None,  # read-back of the backfilled 6h level: a manifest-
+        # resolved pruned scan + output sort. The store mutations run
+        # at query-build time; the plan itself must stay join- and
+        # Python-free
+        [],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "shuffle_skew_report": (
+        None,  # per-key counts partial-aggregate map-side; order
+        # statistics come from the count HISTOGRAM (no per-key global
+        # sort); the single BNLJ is the 1-row quantile table crossing
+        # the 1-row totals
+        ["partial_", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "ngram_novelty": (
         None,  # bigram corpus frequency is a COUNT window on hash(bg)
         # (no bigram⋈bigram join), then one doc_id agg + the doc spine
