@@ -173,8 +173,11 @@ BENCH_QUERIES = [
     "seasonal_hod_anomalies",
     "ivfpq_adc_recall",
     "pq_staleness_audit",
-    "level_backfill_6h",
     "shuffle_skew_report",
+    # level_backfill_6h is a store-lifecycle correctness query (store
+    # build dominates), not a throughput query — the archive_incremental
+    # / stream_lifecycle precedent keeps those out of bench
+
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
