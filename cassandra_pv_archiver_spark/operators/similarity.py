@@ -1198,10 +1198,35 @@ def ivfpq_adc_topk(
 
     Returns (q_id, vec_id, adc) — top-k per query, ties on vec_id.
     """
-    cells, cq, codes, books = ivfpq_fit_encode(
+    index = ivfpq_fit_encode(
         emb, n_cells, coarse_iters, m, sub_dim, kpq, pq_iters,
         id_col, vec_col,
     )
+    queries = emb.filter(F.col(id_col).isin(query_ids))
+    return ivfpq_search(
+        index, queries, k=k, m=m, sub_dim=sub_dim, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivfpq_search(
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PREBUILT IVF-PQ index (the tuple from
+    :func:`ivfpq_fit_encode`) for an arbitrary query table — the
+    build-once / search-many surface a served index actually has:
+    :func:`ivfpq_adc_topk` wraps it for self-queries, and the streaming
+    leg calls it per micro-batch against the frozen index. A query id
+    equal to a corpus id is excluded from its own results (self-match
+    suppression); external query ids simply never match."""
+    cells_unused, cq, codes, books = index
     # the code table already carries each vector's cell (threaded
     # through the Lloyd core) — the inverted list exists join-free
     codes_cell = codes
@@ -1210,9 +1235,7 @@ def ivfpq_adc_topk(
         f"transform({vec_col}, c ->"
         " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
     )
-    qv = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), qexpr.alias("_qvq")
-    )
+    qv = queries.select(F.col(id_col).alias("q_id"), qexpr.alias("_qvq"))
     cd2 = (
         "aggregate(zip_with(_qvq, _cq, (a, b) ->"
         " (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"

@@ -840,3 +840,67 @@ def test_kafka_ingest_real_broker(spark, tmp_path):
         assert store.read_samples(0).count() >= raw.count()
     finally:
         q.stop()
+
+
+def test_stream_ivfpq_search_parity(spark, tmp_path):
+    """Streaming ANN serving: two micro-batches of query vectors
+    searched against a frozen persisted IVF-PQ index produce EXACTLY
+    the batch search of all queries (per-query independence makes the
+    stream replay bit-identical), and the second batch reuses the
+    stored index without refitting."""
+    import os
+    import random
+
+    from cassandra_pv_archiver_spark.operators.similarity import (
+        ivfpq_fit_encode,
+        ivfpq_search,
+    )
+    from cassandra_pv_archiver_spark.streaming.ann import (
+        persist_ivfpq_index,
+        start_ivfpq_search_stream,
+    )
+
+    rnd = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    params = dict(m=2, sub_dim=4, n_probe=2)
+    index = persist_ivfpq_index(
+        ivfpq_fit_encode(
+            emb, n_cells=4, coarse_iters=1, m=2, sub_dim=4, kpq=4,
+            pq_iters=1,
+        ),
+        str(tmp_path / "index"),
+    )
+
+    # external queries (ids disjoint from the corpus)
+    queries = [
+        (1000 + i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(6)
+    ]
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    want = sorted(
+        (r.q_id, r.vec_id, r.adc)
+        for r in ivfpq_search(index, qdf, k=5, **params).collect()
+    )
+
+    src = str(tmp_path / "queries")
+    os.makedirs(src)
+    spark.createDataFrame(
+        queries[:3], "vec_id long, embedding array<float>"
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        queries[3:], "vec_id long, embedding array<float>"
+    ).write.mode("append").parquet(src)
+
+    got: list = []
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    q = start_ivfpq_search_stream(
+        stream, index, sink=lambda df, bid: got.extend(df.collect()),
+        k=5, checkpoint=str(tmp_path / "ckpt"), **params,
+    )
+    q.awaitTermination(180)
+    assert sorted((r.q_id, r.vec_id, r.adc) for r in got) == want
+    assert len(got) == 6 * 5
