@@ -3362,8 +3362,10 @@ FROM (
 
 SQL_SHUFFLE_SKEW_REPORT = f"""
 WITH {SAMPLES_CTE}
+SELECT * FROM (
 {_sql_skew_one("channel", "channel")}
 UNION ALL
 {_sql_skew_one("severity", "severity")}
+) WHERE n_rows IS NOT NULL
 ORDER BY key_col
 """

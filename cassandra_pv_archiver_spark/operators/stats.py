@@ -1130,7 +1130,11 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
         F.sum("_c").alias("n_rows"),
         F.max(F.struct(F.col("_c"), F.col("_k"))).alias("_top"),
     )
-    return top.crossJoin(F.broadcast(quants)).select(
+    # a global agg over zero rows yields one all-NULL row — an empty
+    # input must produce an EMPTY report (the F4 convention)
+    return top.crossJoin(F.broadcast(quants)).filter(
+        F.col("n_rows").isNotNull()
+    ).select(
         "n_rows",
         "n_keys",
         F.col("_top._k").alias("top_key"),

@@ -904,3 +904,63 @@ def test_stream_ivfpq_search_parity(spark, tmp_path):
     q.awaitTermination(180)
     assert sorted((r.q_id, r.vec_id, r.adc) for r in got) == want
     assert len(got) == 6 * 5
+
+
+def test_stream_weighted_sample_parity(spark, tmp_path):
+    """Streaming replication-race sampling: the GroupState running
+    top-k after the LAST micro-batch equals the batch weighted_sample
+    over the union of all batches, bit-for-bit (static race keys make
+    eviction exact: an item outside the top-k can never re-enter)."""
+    import os
+
+    from cassandra_pv_archiver_spark.operators.sampling import weighted_sample
+    from cassandra_pv_archiver_spark.streaming.sampling import (
+        stream_weighted_sample,
+    )
+
+    rows = [
+        (i, "g1" if i % 2 == 0 else "g2", 1 + (i % 4))
+        for i in range(120)
+    ]
+    schema = "doc_id long, lang string, w int"
+    batch_df = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r.lang, r.rank, r.doc_id, r.weight, r.sample_key)
+        for r in weighted_sample(
+            batch_df, k=7, weight=F.col("w"), group_col="lang"
+        ).collect()
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    spark.createDataFrame(rows[:50], schema).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[50:], schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = stream_weighted_sample(stream, k=7, weight=F.col("w"))
+    per_batch: list = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: per_batch.append((bid, df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(per_batch) >= 2
+    # latest emission per group is the final running sample
+    latest: dict = {}
+    for bid, rows_ in sorted(per_batch):
+        for r in rows_:
+            latest.setdefault(r.group, {})
+            latest[r.group][bid] = latest[r.group].get(bid, []) + [r]
+    final = []
+    for g, by_bid in latest.items():
+        final.extend(by_bid[max(by_bid)])
+    got = sorted(
+        (r.group, r.rank, r.doc_id, r.weight, r.sample_key) for r in final
+    )
+    assert got == want
