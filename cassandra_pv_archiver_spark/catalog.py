@@ -3369,3 +3369,37 @@ UNION ALL
 ) WHERE n_rows IS NOT NULL
 ORDER BY key_col
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (sequential recursion, engine-portable trajectory)
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel EWMA (α=1/4) over the full archive
+    (operators/stats.ewma_by_channel — one Catalyst fold per channel,
+    no Python; the oracle re-runs the recursion as a recursive CTE)."""
+    from .operators.stats import ewma_by_channel
+
+    return ewma_by_channel(load_samples(spark, sf_dir))
+
+
+SQL_EWMA_BY_CHANNEL = f"""
+WITH RECURSIVE {SAMPLES_CTE.strip().rstrip()},
+sq AS (
+  SELECT channel, t, CAST(floor(v * 100 + 0.5) AS BIGINT) AS vi,
+         row_number() OVER (PARTITION BY channel ORDER BY t) AS rn
+  FROM samples
+),
+rec AS (
+  SELECT channel, t, vi, rn, CAST(vi AS DOUBLE) AS e
+  FROM sq WHERE rn = 1
+  UNION ALL
+  SELECT s.channel, s.t, s.vi, s.rn,
+         0.25 * CAST(s.vi AS DOUBLE) + 0.75 * r.e
+  FROM rec r JOIN sq s ON s.channel = r.channel AND s.rn = r.rn + 1
+)
+SELECT channel, t, CAST(vi AS DOUBLE) / 100.0 AS v_q, e / 100.0 AS ewma
+FROM rec ORDER BY channel, t
+"""

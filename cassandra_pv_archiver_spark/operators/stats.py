@@ -1149,3 +1149,65 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
             " / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))"
         ).alias("skew_factor"),
     )
+
+
+def ewma_by_channel(
+    samples: DataFrame, alpha_num: int = 1, alpha_den: int = 4
+) -> DataFrame:
+    """Exponentially-weighted moving average per channel — the classic
+    monitoring smoother (alpha = alpha_num/alpha_den, seeded at the
+    first sample): ewma_t = α·v_t + (1-α)·ewma_{t-1} over the
+    x100-quantized values, every step the same two IEEE multiplies and
+    one add in the same order on any engine, so the whole trajectory
+    is bit-portable (the DuckDB oracle re-runs the identical recursion
+    as a recursive CTE — a deliberately different formulation).
+
+    EWMA is inherently sequential per channel (no window-function
+    closed form exists, unlike CUSUM's prefix-min trick), so the fold
+    runs as ONE Catalyst ``aggregate`` lambda over the channel's
+    time-sorted array — no Python crossing, channels parallel. Memory
+    envelope: one channel's queried range materializes in one task
+    (the same per-channel sequential envelope as the reference's
+    processing chain); time-bound the query, not the operator.
+
+    Returns (channel, t, v_q, ewma) — v_q the quantized input the
+    recursion consumed.
+    """
+    a = alpha_num / alpha_den
+    b = 1.0 - a
+    arr = samples.select(
+        "channel",
+        F.expr(
+            "struct(t AS t, CAST(floor(v * 100 + 0.5) AS BIGINT) AS vi)"
+        ).alias("_s"),
+    ).groupBy("channel").agg(
+        F.expr("array_sort(collect_list(_s))").alias("_arr")
+    )
+    step = (
+        f"CASE WHEN acc.n = 0 THEN CAST(x.vi AS DOUBLE)"
+        f" ELSE CAST({a!r} AS DOUBLE) * CAST(x.vi AS DOUBLE)"
+        f" + CAST({b!r} AS DOUBLE) * acc.prev END"
+    )
+    fold = (
+        "aggregate(_arr,"
+        " named_struct('prev', CAST(0.0 AS DOUBLE),"
+        "              'out', CAST(array() AS"
+        "                          ARRAY<STRUCT<t: BIGINT, vi: BIGINT,"
+        "                                       e: DOUBLE>>),"
+        "              'n', 0),"
+        f" (acc, x) -> named_struct('prev', {step},"
+        "   'out', array_append(acc.out,"
+        f"          named_struct('t', x.t, 'vi', x.vi, 'e', {step})),"
+        "   'n', acc.n + 1),"
+        " acc -> acc.out)"
+    )
+    return (
+        arr.select("channel", F.explode(F.expr(fold)).alias("_e"))
+        .select(
+            "channel",
+            F.col("_e.t").alias("t"),
+            (F.col("_e.vi").cast("double") / F.lit(100.0)).alias("v_q"),
+            (F.col("_e.e") / F.lit(100.0)).alias("ewma"),
+        )
+        .orderBy("channel", "t")
+    )

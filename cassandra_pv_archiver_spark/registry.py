@@ -239,6 +239,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_shuffle_skew_report,
         catalog.SQL_SHUFFLE_SKEW_REPORT,
     ),
+    "ewma_by_channel": (
+        catalog.q_ewma_by_channel,
+        catalog.SQL_EWMA_BY_CHANNEL,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -855,3 +855,35 @@ class TestKeySkewReport:
         # all counts tie at 4: struct-max convention picks the LARGEST key
         assert r.top_key == "z"
         assert (r.p50_rows_per_key, r.p99_rows_per_key) == (4, 4)
+
+
+class TestEwma:
+    def test_hand_computed_trajectory(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import ewma_by_channel
+
+        rows = [("c", i, v, 0, 0) for i, v in enumerate([4.0, 8.0, 8.0, 0.0])]
+        out = ewma_by_channel(_samples(spark, rows)).collect()
+        want = []
+        e = None
+        for v in [400, 800, 800, 0]:
+            e = float(v) if e is None else 0.25 * v + 0.75 * e
+            want.append(e / 100.0)
+        assert [r.ewma for r in out] == want
+        assert [r.v_q for r in out] == [4.0, 8.0, 8.0, 0.0]
+
+    def test_channels_independent_and_partition_invariant(self, spark):
+        from cassandra_pv_archiver_spark.operators.stats import ewma_by_channel
+
+        rows = [("a", i, float(i), 0, 0) for i in range(20)] + [
+            ("b", i, float(-i), 0, 0) for i in range(20)
+        ]
+        df = _samples(spark, rows)
+        one = [(r.channel, r.t, r.ewma) for r in ewma_by_channel(df).collect()]
+        two = [
+            (r.channel, r.t, r.ewma)
+            for r in ewma_by_channel(df.repartition(13)).collect()
+        ]
+        assert one == two
+        # the seed is the first sample, not zero
+        assert one[0][2] == 0.0 and one[20][2] == 0.0
+        assert one[1][2] == 0.25 * 1.0

@@ -629,6 +629,15 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "ewma_by_channel": (
+        2,  # the load's channel hash (reused by the collect_list
+        # groupBy) + the output range sort; the sequential fold is ONE
+        # Catalyst aggregate lambda — any Python crossing or join here
+        # is a regression
+        ["Generate"],  # the posexplode of the folded trajectory
+        ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "ngram_novelty": (
         None,  # bigram corpus frequency is a COUNT window on hash(bg)
         # (no bigram⋈bigram join), then one doc_id agg + the doc spine
