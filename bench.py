@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "pq_staleness_audit",
     "shuffle_skew_report",
     "ewma_by_channel",
+    "dim_truncation_recall",
     # level_backfill_6h is a store-lifecycle correctness query (store
     # build dominates), not a throughput query — the archive_incremental
     # / stream_lifecycle precedent keeps those out of bench

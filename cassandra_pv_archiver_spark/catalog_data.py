@@ -4304,3 +4304,98 @@ ORDER BY subspace
 
 
 SQL_PQ_STALENESS_AUDIT = _sql_pq_staleness()
+
+
+# ---------------------------------------------------------------------------
+# dimension-budget (Matryoshka-style truncation) recall audit
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32)
+
+
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimension-budget audit (the Matryoshka-representation
+    question): recall@10 of exact L2 search over only the FIRST d
+    dimensions vs the full 64-dim baseline, per (d, query). What a
+    retrieval team reads before cutting storage/FLOPs 2-8x by
+    truncating vectors — measured, not assumed, exactly like the
+    ann/lsh/pq recall audits. Truncated search reuses l2_topk on the
+    sliced column; both rankings are deterministic, so every recall is
+    value-hashed."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.l2_topk(emb, ANN_QUERY_IDS, k=10).select(
+        "q_id", "vec_id"
+    )
+    outs = []
+    for d in MRL_DIMS:
+        sliced = emb.select(
+            "vec_id", F.expr(f"slice(embedding, 1, {d})").alias("embedding")
+        )
+        approx = similarity.l2_topk(sliced, ANN_QUERY_IDS, k=10).select(
+            "q_id", "vec_id"
+        )
+        overlap = (
+            exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        outs.append(
+            exact.select("q_id")
+            .distinct()
+            .join(F.broadcast(overlap), "q_id", "left")
+            .select(
+                F.lit(d).alias("dims"),
+                "q_id",
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                (F.coalesce("n_overlap", F.lit(0)) / 10.0)
+                .alias("recall_at_10"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("dims", "q_id")
+
+
+def _sql_dim_truncation() -> str:
+    vq = (
+        "list_transform(embedding, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+
+    def topk(dim: int, name: str) -> str:
+        return f"""{name}d AS (
+  SELECT q.id AS qid, x.id,
+         list_sum(list_transform(range(1, {dim + 1}), i ->
+           (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE))
+           * (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE)))) AS d2
+  FROM fullv x, fullv q
+  WHERE q.id IN ({_IDS}) AND x.id <> q.id
+),
+{name} AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                       ORDER BY d2, id) AS rn
+    FROM {name}d) WHERE rn <= 10
+)"""
+
+    parts = [f"fullv AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings)"]
+    parts.append(topk(64, "etop"))
+    sels = []
+    for d in MRL_DIMS:
+        parts.append(topk(d, f"t{d}"))
+        sels.append(f"""
+SELECT CAST({d} AS INTEGER) AS dims, e.qid AS q_id,
+       CAST(count(a.id) AS BIGINT) AS n_overlap,
+       count(a.id) / 10.0 AS recall_at_10
+FROM etop e LEFT JOIN t{d} a ON a.qid = e.qid AND a.id = e.id
+GROUP BY e.qid""")
+    return (
+        "WITH " + ",\n".join(parts) + "\nUNION ALL".join(sels)
+        + "\nORDER BY dims, q_id"
+    )
+
+
+SQL_DIM_TRUNCATION_RECALL = _sql_dim_truncation()

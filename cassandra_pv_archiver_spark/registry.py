@@ -243,6 +243,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_ewma_by_channel,
         catalog.SQL_EWMA_BY_CHANNEL,
     ),
+    "dim_truncation_recall": (
+        catalog_data.q_dim_truncation_recall,
+        catalog_data.SQL_DIM_TRUNCATION_RECALL,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -791,6 +791,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "dim_truncation_recall": (
+        None,  # three sliced exact-L2 baselines vs the full one — all
+        # broadcast-against-the-5-query side (BNLJ), overlaps via
+        # broadcast semi joins; nothing shuffles large or enters Python
+        ["BroadcastNestedLoopJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "pq_staleness_audit": (
         None,  # frozen-books encode: broadcast codebook joins only;
         # the new batch never triggers a refit shuffle or SMJ
