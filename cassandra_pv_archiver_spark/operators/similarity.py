@@ -973,13 +973,17 @@ def pq_codebook_audit(
     sub_dim: int = 16,
     k: int = 4,
     iters: int = 2,
+    fit: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-(subspace, code) audit of the trained PQ index: population,
     worst-case in-cell quantization distance, and the centroid norm —
     every value either integer or a single-divide/fixed-fold double, so
     the unrolled-SQL oracle matches bit-for-bit (the kmeans_clusters
-    contract, times m subspaces)."""
-    codes, books = pq_fit_encode(emb, m, sub_dim, k, iters)
+    contract, times m subspaces). Pass ``fit`` (a pq_fit_encode result)
+    to audit an existing index instead of refitting."""
+    codes, books = fit if fit is not None else pq_fit_encode(
+        emb, m, sub_dim, k, iters
+    )
     to_d = "transform(_vq, x -> CAST(x AS DOUBLE))"
     dist2 = (
         f"aggregate(zip_with({to_d}, _c, (a, b) -> (a - b) * (a - b)),"
@@ -1055,6 +1059,7 @@ def pq_adc_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ index: per query, a
     LUT of (subspace, code) -> exact query-to-centroid distance (m * kc
@@ -1062,8 +1067,12 @@ def pq_adc_topk(
     distance is m LUT lookups summed in FIXED subspace order (pivoted
     columns, not a float agg, so the double is engine-portable). The
     100 TB shape: the scan touches only the (vector, code) table — m
-    small ints per vector — never the raw embeddings."""
-    codes, books = pq_fit_encode(emb, m, sub_dim, kc, iters, id_col, vec_col)
+    small ints per vector — never the raw embeddings. Pass ``fit`` (a
+    pq_fit_encode result) to search an existing index instead of
+    refitting."""
+    codes, books = fit if fit is not None else pq_fit_encode(
+        emb, m, sub_dim, kc, iters, id_col, vec_col
+    )
 
     sub_expr = (
         f"transform(sequence(0, {m - 1}), j -> struct(CAST(j AS INT) AS"
