@@ -3403,3 +3403,54 @@ rec AS (
 SELECT channel, t, CAST(vi AS DOUBLE) / 100.0 AS v_q, e / 100.0 AS ewma
 FROM rec ORDER BY channel, t
 """
+
+
+# ---------------------------------------------------------------------------
+# channel delete (config op) invariance
+# ---------------------------------------------------------------------------
+
+DELETE_CHANNEL = "PV:3"
+
+
+def q_store_delete_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel delete (`ArchiveConfigurationService`'s remove-channel
+    op) must remove THAT channel and nothing else: after deleting one
+    channel on a clone of the fragmented store, the per-channel
+    count/bound/checksum table equals the raw-data oracle with the
+    channel excluded — a delete that leaves ghost rows, or that loses
+    a neighbouring channel's rows while rewriting the shared files,
+    fails the value gate. Rewrite cost is bounded by the deleted
+    channel's own footprint; the swap is one manifest commit per
+    level."""
+    store = _clone_store(spark, sf_dir)
+    store.delete_channel(DELETE_CHANNEL)
+    return (
+        store.read_samples(0)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("t").alias("n_ts"),
+            F.min("t").alias("t_first"),
+            F.max("t").alias("t_last"),
+            F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).alias(
+                "v_checksum"
+            ),
+            F.sum(F.col("severity").cast("bigint")).alias("sev_checksum"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_STORE_DELETE_INVARIANCE = f"""
+WITH {SAMPLES_CTE.strip().rstrip()}
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_ts,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_checksum,
+       CAST(sum(severity) AS BIGINT) AS sev_checksum
+FROM samples
+WHERE channel != '{DELETE_CHANNEL}'
+GROUP BY 1 ORDER BY 1
+"""

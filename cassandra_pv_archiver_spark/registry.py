@@ -247,6 +247,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_dim_truncation_recall,
         catalog_data.SQL_DIM_TRUNCATION_RECALL,
     ),
+    "store_delete_invariance": (
+        catalog.q_store_delete_invariance,
+        catalog.SQL_STORE_DELETE_INVARIANCE,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -674,6 +674,82 @@ class ArchiveStore:
                 self.write_seed_state(level, renamed)
         return moved
 
+    def delete_channel(self, channel: str) -> int:
+        """Remove a channel across every level, metadata included — the
+        other `ArchiveConfigurationService` mutation (remove-channel,
+        `archiving/internal/RemoveChannelOperation`; the reference also
+        deletes the channel's sample buckets). Same bounded-rewrite
+        discipline as :meth:`rename_channel`: only the files that carry
+        the channel are rewritten (one channel's footprint, never the
+        table), swapped in with ONE atomic manifest commit per level —
+        a file whose rewrite comes up empty publishes as a pure removal
+        (a whole-file delete costs no data write). HWM log and
+        decimation seed state drop the channel in their own
+        single-commit replaces; pre-delete snapshots still show it
+        (immutable files + time travel). Returns sample rows removed.
+        Deleting an unknown channel is a no-op returning 0."""
+        removed = 0
+        for level in self.levels():
+            table = self._level_table(level)
+            rel = table.files() or []
+            if not rel:
+                continue
+            full = self.spark.read.option("basePath", table.root).parquet(
+                *(f"{table.root}/{r}" for r in rel)
+            )
+            # bounded metadata collect: the affected-file list (a subset
+            # of one channel's files)
+            hit = {
+                r[0]
+                for r in full.filter(F.col("channel") == channel)
+                .select(F.input_file_name())
+                .distinct()
+                .collect()
+            }
+            if not hit:
+                continue
+            affected = [r for r in rel if any(h.endswith(r) for h in hit)]
+            part = self.spark.read.option("basePath", table.root).parquet(
+                *(f"{table.root}/{r}" for r in affected)
+            )
+            removed += part.filter(F.col("channel") == channel).count()
+            out = (
+                part.filter(F.col("channel") != channel)
+                .repartition("date", "channel")
+                .sortWithinPartitions("date", "channel", "t")
+            )
+            stage = table.stage_dir()
+            (
+                out.write.option(
+                    "maxRecordsPerFile", self.max_records_per_file
+                )
+                .partitionBy("date")
+                .parquet(stage)
+            )
+            table.publish_stage(stage, remove=affected)
+            table.gc(keep_versions=self.keep_versions)
+            # HWM log: fold, drop the channel, replace in one commit
+            htable = self._hwm_table(level)
+            hpaths = htable.paths()
+            if hpaths:
+                folded = (
+                    self.spark.read.parquet(*hpaths)
+                    .filter(F.col("channel") != channel)
+                    .groupBy("channel")
+                    .agg(F.max("hwm").alias("hwm"))
+                )
+                hstage = htable.stage_dir()
+                folded.coalesce(1).write.parquet(hstage)
+                htable.publish_stage(hstage, remove=htable.files() or [])
+                htable.gc(keep_versions=2)
+            # decimation carry seeds for this target level
+            seeds = self.read_seed_state(level)
+            if seeds is not None and "channel" in seeds.columns:
+                self.write_seed_state(
+                    level, seeds.filter(F.col("channel") != channel)
+                )
+        return removed
+
     @staticmethod
     def zorder_key_expr(channel_col: str = "channel", t_col: str = "t") -> str:
         """Morton (Z-order) interleave of (hash(channel), within-day t) as

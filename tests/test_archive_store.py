@@ -515,3 +515,74 @@ class TestRenameChannel:
         store.write_samples(more, level=0)
         incremental_decimation(store, 3600)
         assert store.read_samples(0, channels=["PV:x"]).count() == 60
+
+
+class TestDeleteChannel:
+    def _store(self, spark, tmp_path, rows):
+        from cassandra_pv_archiver_spark.sources.archive_store import (
+            ArchiveStore,
+        )
+
+        store = ArchiveStore(spark, str(tmp_path / "arch"))
+        df = spark.createDataFrame(
+            rows, "channel string, t long, v double, severity int, status int"
+        )
+        store.write_samples(df, level=0)
+        return store
+
+    def _rows(self, ch, n, base=10**18):
+        return [(ch, base + i * 10**9, float(i), 0, 0) for i in range(n)]
+
+    def test_delete_removes_rows_and_metadata_only_for_target(
+        self, spark, tmp_path
+    ):
+        rows = self._rows("PV:a", 20) + self._rows("PV:b", 5)
+        store = self._store(spark, tmp_path, rows)
+        pre_version = store.level_versions(0)[-1]
+        removed = store.delete_channel("PV:a")
+        assert removed == 20
+        assert store.read_samples(0, channels=["PV:a"]).count() == 0
+        # the neighbour sharing files survives bit-for-bit
+        got = store.read_samples(0, channels=["PV:b"]).collect()
+        assert sorted((r["t"], r["v"]) for r in got) == sorted(
+            (t, v) for _c, t, v, _s, _st in self._rows("PV:b", 5)
+        )
+        hwm = {r["channel"] for r in store.channel_hwm(0).collect()}
+        assert "PV:a" not in hwm and "PV:b" in hwm
+        # time travel: the pre-delete snapshot still shows the channel
+        old_snap = store.read_samples(
+            0, channels=["PV:a"], at_version=pre_version
+        )
+        assert old_snap.count() == 20
+
+    def test_delete_unknown_channel_noop(self, spark, tmp_path):
+        store = self._store(spark, tmp_path, self._rows("PV:a", 3))
+        assert store.delete_channel("PV:nope") == 0
+        assert store.read_samples(0).count() == 3
+
+    def test_delete_through_decimated_levels_and_catchup(
+        self, spark, tmp_path
+    ):
+        from cassandra_pv_archiver_spark.plans.jobs import (
+            incremental_decimation,
+        )
+
+        rows = [
+            (ch, 10**18 + i * 600 * 10**9, float(i), 0, 0)
+            for ch in ("PV:a", "PV:b")
+            for i in range(50)
+        ]
+        store = self._store(spark, tmp_path, rows)
+        incremental_decimation(store, 3600)
+        assert (
+            store.read_samples(3600, channels=["PV:a"]).count() > 0
+        )
+        store.delete_channel("PV:a")
+        assert store.read_samples(3600, channels=["PV:a"]).count() == 0
+        n_b = store.read_samples(3600, channels=["PV:b"]).count()
+        assert n_b > 0
+        # later catch-up neither resurrects the deleted channel nor
+        # disturbs the survivor (seed state dropped cleanly)
+        assert incremental_decimation(store, 3600) == 0
+        assert store.read_samples(3600, channels=["PV:a"]).count() == 0
+        assert store.read_samples(3600, channels=["PV:b"]).count() == n_b
