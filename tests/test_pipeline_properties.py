@@ -268,3 +268,57 @@ def test_sequence_packing_invariants(spark, rows):
         for r in rs:
             assert r.start_offset == acc, (r, acc)
             acc += r.n_tokens
+
+
+wsample_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),   # doc id (dups possible)
+        st.sampled_from(["g1", "g2"]),            # group
+        st.integers(min_value=0, max_value=5),    # weight (0 = no ticket)
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda r: r[0],
+)
+
+
+def py_weighted_sample(rows, k):
+    """Exact reference: per group, race key = max md5 ticket, top-k by
+    (key desc, id asc) — mirrors operators/sampling.weighted_sample."""
+    import hashlib
+
+    by_group: dict = {}
+    for i, g, w in rows:
+        if w < 1:
+            continue
+        key = max(
+            hashlib.md5(f"wsample:{i}:{r}".encode()).hexdigest()
+            for r in range(w)
+        )
+        by_group.setdefault(g, []).append((key, i, w))
+    out = []
+    for g, items in by_group.items():
+        items.sort(key=lambda r: r[1])
+        items.sort(key=lambda r: r[0], reverse=True)
+        for rank, (key, i, w) in enumerate(items[:k], start=1):
+            out.append((g, rank, i, w, key))
+    return sorted(out)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(rows=wsample_strategy, k=st.integers(min_value=1, max_value=6))
+def test_weighted_sample_matches_python_reference(spark, rows, k):
+    from pyspark.sql import functions as F
+
+    from cassandra_pv_archiver_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w int")
+    got = sorted(
+        (r.lang, r.rank, r.doc_id, r.weight, r.sample_key)
+        for r in weighted_sample(
+            df, k=k, weight=F.col("w"), group_col="lang", n_buckets=4
+        ).collect()
+    )
+    assert got == py_weighted_sample(rows, k)
