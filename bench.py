@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "shuffle_skew_report",
     "ewma_by_channel",
     "dim_truncation_recall",
+    "zipf_vocab_profile",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

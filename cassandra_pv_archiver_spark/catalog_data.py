@@ -4419,3 +4419,89 @@ GROUP BY e.qid""")
 
 
 SQL_DIM_TRUNCATION_RECALL = _sql_dim_truncation()
+
+
+# ---------------------------------------------------------------------------
+# Zipf vocabulary profile (exact ratio diagnostics, no transcendental log)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 100
+
+
+def q_zipf_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf-ness diagnostics of the vocabulary — the
+    corpus-health check a tokenizer/recipe team reads (a natural corpus
+    has n1/n2 ≈ 2 and heavy top-mass; synthetic or boilerplate-polluted
+    corpora flatten or spike it). Deliberately EXACT ratios instead of
+    the ln-ln OLS slope: cross-engine ln() is not last-ulp-portable
+    (the repo-wide rule that keeps TF-IDF rational too), while n1/n2,
+    n1/n10 and the top-10/top-100 mass shares are integer counts with
+    single divides — value-hash-checkable and just as diagnostic.
+
+    Scale shape: one (lang, tok) hash agg (map-side combined), ranks
+    via per-lang window over the count table (vocab-sized, two-phase
+    not needed at vocab cardinalities), one final per-lang agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.expr(text._WORDS)).alias("tok")
+    )
+    from pyspark.sql import Window
+
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tok")
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+            F.max(F.when(F.col("rank") == 1, F.col("n"))).alias("_n1"),
+            F.max(F.when(F.col("rank") == 2, F.col("n"))).alias("_n2"),
+            F.max(F.when(F.col("rank") == 10, F.col("n"))).alias("_n10"),
+            F.sum(F.when(F.col("rank") <= 10, F.col("n")).otherwise(F.lit(0)))
+            .alias("_s10"),
+            F.sum(
+                F.when(F.col("rank") <= ZIPF_TOP, F.col("n")).otherwise(F.lit(0))
+            ).alias("_s100"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "distinct_tokens",
+            F.expr("CAST(_n1 AS DOUBLE) / CAST(_n2 AS DOUBLE)").alias("r2"),
+            F.expr("CAST(_n1 AS DOUBLE) / CAST(_n10 AS DOUBLE)").alias("r10"),
+            F.expr("CAST(_s10 AS DOUBLE) / CAST(total_tokens AS DOUBLE)")
+            .alias("top10_share"),
+            F.expr("CAST(_s100 AS DOUBLE) / CAST(total_tokens AS DOUBLE)")
+            .alias("top100_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_ZIPF_VOCAB_PROFILE = f"""
+WITH toks AS (
+  SELECT lang, unnest({_W_SQL}) AS tok FROM documents
+),
+counts AS (
+  SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+  FROM counts
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       CAST(max(CASE WHEN rank = 1 THEN n END) AS DOUBLE)
+         / CAST(max(CASE WHEN rank = 2 THEN n END) AS DOUBLE) AS r2,
+       CAST(max(CASE WHEN rank = 1 THEN n END) AS DOUBLE)
+         / CAST(max(CASE WHEN rank = 10 THEN n END) AS DOUBLE) AS r10,
+       CAST(sum(CASE WHEN rank <= 10 THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS top10_share,
+       CAST(sum(CASE WHEN rank <= {ZIPF_TOP} THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS top100_share
+FROM ranked
+GROUP BY lang ORDER BY lang
+"""

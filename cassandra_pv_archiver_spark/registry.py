@@ -251,6 +251,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_store_delete_invariance,
         catalog.SQL_STORE_DELETE_INVARIANCE,
     ),
+    "zipf_vocab_profile": (
+        catalog_data.q_zipf_vocab_profile,
+        catalog_data.SQL_ZIPF_VOCAB_PROFILE,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
