@@ -3454,3 +3454,81 @@ FROM samples
 WHERE channel != '{DELETE_CHANNEL}'
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# fused channel-health dashboard (composition of the analytics family)
+# ---------------------------------------------------------------------------
+
+
+def q_channel_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator-facing channel-health row — seasonal anomaly
+    census, CUSUM mean-shift alarms, OLS drift and first/second-half
+    distribution TVD fused into ONE table per channel. Each leg is an
+    already-oracled operator (seasonal_hod_anomalies,
+    cusum_changepoints, channel_trend_1h, distribution_drift); this
+    query attests that they COMPOSE — four per-channel summaries,
+    broadcast-joined (each side is channel-cardinality small after its
+    own aggregation), one dashboard scan."""
+    from .operators.stats import (
+        cusum_alarms,
+        distribution_drift,
+        channel_trend,
+        seasonal_hod_anomalies,
+    )
+
+    s = load_samples(spark, sf_dir)
+    seasonal = (
+        seasonal_hod_anomalies(s, k_sigma=SEASONAL_K_SIGMA)
+        .groupBy("channel")
+        .agg(
+            F.sum("n_samples").alias("n_samples"),
+            F.sum("n_anomalies").alias("n_seasonal_anomalies"),
+        )
+    )
+    cusum = cusum_alarms(s, lam=CUSUM_LAMBDA).select(
+        "channel",
+        (F.col("n_pos_alarms") + F.col("n_neg_alarms")).alias("n_cusum_alarms"),
+        "first_alarm_t",
+    )
+    trend = channel_trend(s, PERIOD_1H * NS).select(
+        "channel", "slope_per_period", "r2"
+    )
+    drift = distribution_drift(s, n_bins=N_HIST_BINS).select(
+        "channel", F.col("tvd").alias("drift_tvd")
+    )
+    return (
+        seasonal.join(F.broadcast(cusum), "channel")
+        .join(F.broadcast(trend), "channel")
+        .join(F.broadcast(drift), "channel")
+        .orderBy("channel")
+    )
+
+
+def _sql_channel_health() -> str:
+    def sub(sql: str) -> str:
+        return "(" + sql.strip().rstrip() + ")"
+
+    return f"""
+SELECT s.channel,
+       s.n_samples,
+       s.n_seasonal_anomalies,
+       CAST(c.n_pos_alarms + c.n_neg_alarms AS BIGINT) AS n_cusum_alarms,
+       c.first_alarm_t,
+       t.slope_per_period,
+       t.r2,
+       d.tvd AS drift_tvd
+FROM (
+  SELECT channel,
+         CAST(sum(n_samples) AS BIGINT) AS n_samples,
+         CAST(sum(n_anomalies) AS BIGINT) AS n_seasonal_anomalies
+  FROM {sub(SQL_SEASONAL_HOD_ANOMALIES)} GROUP BY channel
+) s
+JOIN {sub(SQL_CUSUM_CHANGEPOINTS)} c ON c.channel = s.channel
+JOIN {sub(SQL_CHANNEL_TREND_1H)} t ON t.channel = s.channel
+JOIN {sub(SQL_DISTRIBUTION_DRIFT)} d ON d.channel = s.channel
+ORDER BY s.channel
+"""
+
+
+SQL_CHANNEL_HEALTH_REPORT = _sql_channel_health()

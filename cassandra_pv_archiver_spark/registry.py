@@ -255,6 +255,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_zipf_vocab_profile,
         catalog_data.SQL_ZIPF_VOCAB_PROFILE,
     ),
+    "channel_health_report": (
+        catalog.q_channel_health_report,
+        catalog.SQL_CHANNEL_HEALTH_REPORT,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -629,6 +629,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "channel_health_report": (
+        None,  # four per-channel operator summaries broadcast-joined
+        # (each side channel-cardinality small after its own agg); the
+        # composition must never SMJ, cartesian, or enter Python
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "ewma_by_channel": (
         2,  # the load's channel hash (reused by the collect_list
         # groupBy) + the output range sort; the sequential fold is ONE
