@@ -322,3 +322,54 @@ def test_weighted_sample_matches_python_reference(spark, rows, k):
         ).collect()
     )
     assert got == py_weighted_sample(rows, k)
+
+
+seasonal_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=47),   # hour slot (2 days)
+        st.integers(min_value=0, max_value=20),   # offset inside the hour
+        st.integers(min_value=-500, max_value=500),  # value in cents
+    ),
+    min_size=2,
+    max_size=60,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def py_seasonal(rows, k=3):
+    """Exact integer reference for stats.seasonal_hod_anomalies."""
+    cells: dict = {}
+    hour_ns = 3_600_000_000_000
+    for slot, off, cents in rows:
+        t = slot * hour_ns + off
+        cells.setdefault(slot % 24, []).append(cents)
+    out = {}
+    for hod, vis in cells.items():
+        n, s, s2 = len(vis), sum(vis), sum(x * x for x in vis)
+        flags = sum(
+            1 for x in vis if (x * n - s) ** 2 > k * k * (n * s2 - s * s)
+        )
+        out[hod] = (n, flags)
+    return out
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(rows=seasonal_strategy)
+def test_seasonal_census_matches_python_reference(spark, rows):
+    from cassandra_pv_archiver_spark.operators.stats import (
+        seasonal_hod_anomalies,
+    )
+
+    hour_ns = 3_600_000_000_000
+    df = spark.createDataFrame(
+        [("c", slot * hour_ns + off, cents / 100.0)
+         for slot, off, cents in rows],
+        "channel string, t long, v double",
+    )
+    got = {
+        r.hod: (r.n_samples, r.n_anomalies)
+        for r in seasonal_hod_anomalies(df).collect()
+    }
+    assert got == py_seasonal(rows)
