@@ -1211,3 +1211,28 @@ def ewma_by_channel(
         )
         .orderBy("channel", "t")
     )
+
+
+def seasonal_profile(samples: DataFrame) -> DataFrame:
+    """Exact per-(channel, hour-of-day) moment profile — the broadcast
+    baseline the LIVE seasonal monitor
+    (streaming/detect.stream_seasonal_flags) checks arriving samples
+    against: count, Σvi, Σvi² as DECIMAL(38,0) over the x100-quantized
+    values (one map-combined groupBy; the same moments
+    :func:`seasonal_hod_anomalies` derives through its window)."""
+    from .decimate import NS
+
+    hour_ns = 3600 * NS
+    return (
+        samples.select(
+            "channel",
+            F.expr(f"CAST((t div {hour_ns}) % 24 AS INT)").alias("hod"),
+            F.expr("CAST(floor(v * 100 + 0.5) AS DECIMAL(19,0))").alias("_vi"),
+        )
+        .groupBy("channel", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum("_vi").alias("_s"),
+            F.sum(F.expr("_vi * _vi")).alias("_s2"),
+        )
+    )

@@ -291,3 +291,45 @@ def stream_histogram_drift(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_seasonal_flags(
+    stream: DataFrame, profile: DataFrame, k_sigma: int = 3
+) -> DataFrame:
+    """Live seasonal anomaly monitor: arriving samples checked against
+    the historical hour-of-day baseline (stats.seasonal_profile,
+    broadcast per micro-batch — the stream-static dimension-join shape;
+    NO state). The flag is the same exact-integer sigma test as the
+    batch census — (vi·n - s)² > k²(n·s2 - s²) over DECIMAL(38,0)
+    moments — so a replayed stream emits exactly the batch filter's
+    rows (parity-pinned in tests). Stateless, so it works identically
+    on a batch DataFrame; samples landing in an (channel, hod) cell
+    the profile never saw pass through unflagged (inner join drops
+    them — a monitoring convention: no baseline, no alarm).
+
+    Returns the ANOMALOUS samples only: channel, t, v_q, hod, z_num
+    (the exact deviation numerator |vi·n - s|, BIGINT-exact evidence).
+    """
+    from ..operators.decimate import NS
+
+    hour_ns = 3600 * NS
+    k2 = k_sigma * k_sigma
+    s = stream.select(
+        "channel",
+        "t",
+        F.expr(f"CAST((t div {hour_ns}) % 24 AS INT)").alias("hod"),
+        F.expr("CAST(floor(v * 100 + 0.5) AS DECIMAL(19,0))").alias("_vi"),
+    )
+    j = s.join(F.broadcast(profile), ["channel", "hod"])
+    dev = "CAST(_vi * _n - _s AS DECIMAL(38,0))"
+    var_num = "CAST(_n * _s2 - _s * _s AS DECIMAL(38,0))"
+    return (
+        j.filter(F.expr(f"({dev}) * ({dev}) > {k2} * ({var_num})"))
+        .select(
+            "channel",
+            "t",
+            (F.col("_vi").cast("double") / F.lit(100.0)).alias("v_q"),
+            "hod",
+            F.expr(f"abs({dev})").alias("z_num"),
+        )
+    )

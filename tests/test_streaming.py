@@ -964,3 +964,81 @@ def test_stream_weighted_sample_parity(spark, tmp_path):
         (r.group, r.rank, r.doc_id, r.weight, r.sample_key) for r in final
     )
     assert got == want
+
+
+def test_stream_seasonal_flags_parity(spark, tmp_path):
+    """Live seasonal monitor: two micro-batches of arriving samples
+    checked against the broadcast historical profile emit EXACTLY the
+    batch filter's anomalies (stateless stream-static join — the flag
+    is the batch census's exact-integer sigma test), and the flagged
+    count agrees with the batch census over history+arrivals when the
+    profile covers both."""
+    import os
+
+    from cassandra_pv_archiver_spark.operators.stats import (
+        seasonal_hod_anomalies,
+        seasonal_profile,
+    )
+    from cassandra_pv_archiver_spark.streaming.detect import (
+        stream_seasonal_flags,
+    )
+
+    HOUR = 3_600_000_000_000
+    # history: hod 0 tight around 10.0, hod 1 tight around 50.0
+    hist = [("c", d * 24 * HOUR + i, 10.0 + (i % 3) * 0.01)
+            for d in range(4) for i in range(5)]
+    hist += [("c", d * 24 * HOUR + HOUR + i, 50.0) for d in range(4)
+             for i in range(3)]
+    hdf = spark.createDataFrame(hist, "channel string, t long, v double")
+    profile = seasonal_profile(hdf)
+
+    # arrivals: one normal, one wild outlier per cell; one unknown cell
+    arrivals = [
+        ("c", 100 * 24 * HOUR + 7, 10.01),        # hod 0, in-family
+        ("c", 100 * 24 * HOUR + 9, 900.0),        # hod 0, outlier
+        ("c", 100 * 24 * HOUR + HOUR + 1, -80.0), # hod 1, outlier
+        ("c", 100 * 24 * HOUR + 2 * HOUR + 1, 5.0),  # hod 2: no baseline
+    ]
+    adf = spark.createDataFrame(arrivals, "channel string, t long, v double")
+    want = sorted(
+        (r.channel, r.t, r.v_q, r.hod, str(r.z_num))
+        for r in stream_seasonal_flags(adf, profile).collect()
+    )
+    assert len(want) == 2  # the two outliers; unknown cell passes through
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(
+        arrivals[:2], "channel string, t long, v double"
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        arrivals[2:], "channel string, t long, v double"
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "channel string, t long, v double"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    got: list = []
+    q = (
+        stream_seasonal_flags(stream, profile)
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(
+        (r.channel, r.t, r.v_q, r.hod, str(r.z_num)) for r in got
+    ) == want
+
+    # cross-check vs the batch census: profile over history+arrivals,
+    # flags of the union == sum of per-cell n_anomalies
+    union = hdf.unionByName(adf)
+    census = {
+        (r.channel, r.hod): r.n_anomalies
+        for r in seasonal_hod_anomalies(union).collect()
+    }
+    flagged_union = stream_seasonal_flags(
+        union, seasonal_profile(union)
+    ).count()
+    assert flagged_union == sum(census.values())
