@@ -4505,3 +4505,105 @@ SELECT lang,
 FROM ranked
 GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted-sampler bias audit (measured inclusion rate vs weight)
+# ---------------------------------------------------------------------------
+
+WBIAS_SALTS = 16
+WBIAS_K = 25
+
+
+def q_wsample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured-quality leg for the weighted sampler: run the
+    replication race under {WBIAS_SALTS} independent salts and compare
+    each weight class's observed inclusion rate against weight-1's —
+    the replication semantics predict a ratio ≈ w while k stays small
+    next to the group, and this measures it instead of asserting it
+    (the recall-audit contract, applied to sampling). All counts are
+    exact integers; rates/ratios are single divides."""
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _wsample_weight()
+    picks = None
+    for i in range(WBIAS_SALTS):
+        p = sampling.weighted_sample(
+            docs, k=WBIAS_K, weight=w, group_col="lang",
+            salt=f"wbias:{i}",
+        ).select("doc_id", "weight")
+        picks = p if picks is None else picks.unionByName(p)
+    pop = (
+        docs.select(w.alias("weight"))
+        .groupBy("weight")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    incl = picks.groupBy("weight").agg(
+        F.count(F.lit(1)).alias("n_inclusions")
+    )
+    joined = pop.join(incl, "weight", "left").select(
+        "weight",
+        "n_docs",
+        F.coalesce("n_inclusions", F.lit(0)).alias("n_inclusions"),
+        (
+            F.coalesce("n_inclusions", F.lit(0)).cast("double")
+            / (F.col("n_docs") * WBIAS_SALTS).cast("double")
+        ).alias("incl_rate"),
+    )
+    base = joined.filter(F.col("weight") == 1).select(
+        F.col("incl_rate").alias("_base")
+    )
+    return (
+        joined.crossJoin(F.broadcast(base))
+        .select(
+            "weight", "n_docs", "n_inclusions", "incl_rate",
+            F.expr(
+                "CASE WHEN _base = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE incl_rate / _base END"
+            ).alias("rate_vs_w1"),
+        )
+        .orderBy("weight")
+    )
+
+
+def _sql_wsample_bias() -> str:
+    per_salt = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, weight FROM (
+  SELECT lang, doc_id, weight,
+         row_number() OVER (PARTITION BY lang ORDER BY
+           list_max(list_transform(range(0, weight),
+             r -> md5('wbias:{i}:' || CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(r AS VARCHAR)))) DESC, doc_id) AS rnk
+  FROM d) WHERE rnk <= {WBIAS_K}"""
+        for i in range(WBIAS_SALTS)
+    )
+    return f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         1 + CAST(n_chars >= 100 AS INT) + CAST(n_chars >= 200 AS INT)
+           + CAST(n_chars >= 400 AS INT) AS weight
+  FROM documents
+),
+picks AS (
+{per_salt}
+),
+pop AS (SELECT weight, count(*) AS n_docs FROM d GROUP BY weight),
+incl AS (SELECT weight, count(*) AS n_inclusions FROM picks GROUP BY weight),
+joined AS (
+  SELECT pop.weight,
+         CAST(pop.n_docs AS BIGINT) AS n_docs,
+         CAST(coalesce(incl.n_inclusions, 0) AS BIGINT) AS n_inclusions,
+         CAST(coalesce(incl.n_inclusions, 0) AS DOUBLE)
+           / CAST(pop.n_docs * {WBIAS_SALTS} AS DOUBLE) AS incl_rate
+  FROM pop LEFT JOIN incl ON incl.weight = pop.weight
+)
+SELECT weight, n_docs, n_inclusions, incl_rate,
+       CASE WHEN b.base = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE incl_rate / b.base END AS rate_vs_w1
+FROM joined, (SELECT incl_rate AS base FROM joined WHERE weight = 1) b
+ORDER BY weight
+"""
+
+
+SQL_WSAMPLE_BIAS_AUDIT = _sql_wsample_bias()

@@ -259,6 +259,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_channel_health_report,
         catalog.SQL_CHANNEL_HEALTH_REPORT,
     ),
+    "wsample_bias_audit": (
+        catalog_data.q_wsample_bias_audit,
+        catalog_data.SQL_WSAMPLE_BIAS_AUDIT,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

@@ -629,6 +629,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "wsample_bias_audit": (
+        None,  # 16 unions of the pinned two-phase sampler shape, then
+        # tiny aggregate joins (broadcast); never SMJ/cartesian/Python
+        ["WindowGroupLimit"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "channel_health_report": (
         None,  # four per-channel operator summaries broadcast-joined
         # (each side channel-cardinality small after its own agg); the
