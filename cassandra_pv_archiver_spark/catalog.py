@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .operators import asof
 from .operators.decimate import (
     NS,
+    big_to_double,
     big_to_double_duck,
     decimate,
     pick_first,
@@ -3532,3 +3533,80 @@ ORDER BY s.channel
 
 
 SQL_CHANNEL_HEALTH_REPORT = _sql_channel_health()
+
+
+# ---------------------------------------------------------------------------
+# incremental seasonal profile via CDC (additive exact moments)
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate through the store's CDC feed:
+    the seasonal baseline's DECIMAL(38,0) moments are ADDITIVE, so the
+    post-append profile is profile(v1) ⊕ moments(read_changes(v1→v2)) —
+    cost proportional to the delta, never the table (the economics a
+    100 TB continuously-maintained baseline needs). The value hash
+    proves incremental == from-scratch: the oracle computes the full
+    profile over ALL rows, while the Spark side only ever touches the
+    v1 snapshot once and the manifest-diff delta."""
+    from .operators.stats import seasonal_profile
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(
+        spark, _fragmented_store_root(spark, sf_dir) + "/archive"
+    )
+    versions = store.level_versions(0)
+    out_schema = (
+        "channel string, hod int, n_samples long, mean double, std double"
+    )
+    if len(versions) < 2:  # empty slice: nothing committed
+        return spark.createDataFrame([], out_schema)
+    base = store.read_samples(0, at_version=versions[0])
+    delta = store.read_changes(0, versions[0], versions[-1])
+    merged = (
+        seasonal_profile(base)
+        .unionByName(seasonal_profile(delta))
+        .groupBy("channel", "hod")
+        .agg(
+            F.sum("_n").alias("_n"),
+            F.sum("_s").alias("_s"),
+            F.sum("_s2").alias("_s2"),
+        )
+    )
+    mean = f"{big_to_double('_s')} / CAST(_n AS DOUBLE) / 100.0"
+    var_num = "CAST(_n * _s2 - _s * _s AS DECIMAL(38,0))"
+    std = (
+        f"sqrt(greatest({big_to_double(var_num)}, 0.0))"
+        " / CAST(_n AS DOUBLE) / 100.0"
+    )
+    return merged.select(
+        "channel",
+        "hod",
+        F.col("_n").cast("long").alias("n_samples"),
+        F.expr(mean).alias("mean"),
+        F.expr(std).alias("std"),
+    ).orderBy("channel", "hod")
+
+
+_SEAS_VAR2 = "(n_ * s2_ - s_ * s_)"
+SQL_SEASONAL_PROFILE_INCREMENTAL = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+sh AS (
+  SELECT channel, CAST((t // {_HOUR_NS}) % 24 AS INTEGER) AS hod,
+         CAST(floor(v * 100 + 0.5) AS HUGEINT) AS vi
+  FROM samples
+),
+m AS (
+  SELECT channel, hod,
+         CAST(count(*) AS HUGEINT) AS n_,
+         sum(vi) AS s_,
+         sum(vi * vi) AS s2_
+  FROM sh GROUP BY channel, hod
+)
+SELECT channel, hod,
+       CAST(n_ AS BIGINT) AS n_samples,
+       {big_to_double_duck("s_")} / CAST(n_ AS DOUBLE) / 100.0 AS mean,
+       sqrt(greatest({big_to_double_duck(_SEAS_VAR2)}, 0.0))
+         / CAST(n_ AS DOUBLE) / 100.0 AS std
+FROM m ORDER BY channel, hod
+"""

@@ -263,6 +263,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_wsample_bias_audit,
         catalog_data.SQL_WSAMPLE_BIAS_AUDIT,
     ),
+    "seasonal_profile_incremental": (
+        catalog.q_seasonal_profile_incremental,
+        catalog.SQL_SEASONAL_PROFILE_INCREMENTAL,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
