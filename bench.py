@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "zipf_vocab_profile",
     "channel_health_report",
     "wsample_bias_audit",
+    "events_json_props",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

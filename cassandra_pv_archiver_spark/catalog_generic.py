@@ -1448,3 +1448,49 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured JSON property extraction (the metadata-column surface)
+# ---------------------------------------------------------------------------
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: the events table's ``props`` column is
+    a JSON document; extract the integer property and aggregate per
+    event type — the typed-projection-over-JSON-metadata shape every
+    real event pipeline has. Extraction is JVM-side
+    (``get_json_object`` — no Python), aggregation map-combined; at
+    100 TB the same query benefits from column pruning (only
+    event_type + props read) and the extraction pushes through
+    whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type ORDER BY event_type
+"""

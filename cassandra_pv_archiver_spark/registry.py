@@ -267,6 +267,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_seasonal_profile_incremental,
         catalog.SQL_SEASONAL_PROFILE_INCREMENTAL,
     ),
+    "events_json_props": (
+        catalog_generic.q_events_json_props,
+        catalog_generic.SQL_EVENTS_JSON_PROPS,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
