@@ -636,6 +636,22 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "seasonal_profile_incremental": (
+        3,  # snapshot-moments agg + delta-moments agg UNIONed (one
+        # merge exchange) + the output range sort; the delta is never
+        # joined against the table — a join or Python crossing here
+        # breaks the incremental-aggregate economics
+        ["Union", "partial_"],
+        ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "events_json_props": (
+        3,  # scan (event_type+props pruned) + distinct-expand agg
+        # exchanges + output sort; the JSON extraction stays JVM-side
+        ["partial_"],
+        ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "channel_health_report": (
         None,  # four per-channel operator summaries broadcast-joined
         # (each side channel-cardinality small after its own agg); the
