@@ -4607,3 +4607,74 @@ ORDER BY weight
 
 
 SQL_WSAMPLE_BIAS_AUDIT = _sql_wsample_bias()
+
+
+# ---------------------------------------------------------------------------
+# two-stage decontamination funnel (bloom screen -> exact verify)
+# ---------------------------------------------------------------------------
+
+
+def q_decontam_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production decontamination funnel per source: Bloom screen
+    at scan cost, exact benchmark join only on the screened residue —
+    n_flagged/n_confirmed/false-positive work and the verify_fraction
+    that sizes stage 2 (operators/sketches.bloom_two_stage_funnel;
+    same benchmark fixture as the other decontam queries)."""
+    from .operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select("doc_id")
+    return sketches.bloom_two_stage_funnel(sh, bench, group_col="source")
+
+
+SQL_DECONTAM_TWO_STAGE = f"""
+WITH {SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+bbits AS (
+  SELECT DISTINCT CAST(bit AS INTEGER) AS bit FROM (
+    SELECT unnest(list_distinct(list_transform(range(0, 4), j ->
+      list_sum(list_transform(range(0, 4), i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), 4*j + i + 1, 1)) - 1 AS BIGINT) << (4 * (3 - i))))))) AS bit
+    FROM bench)
+),
+probes AS (
+  SELECT s.doc_id, s.shingle, d.source,
+         list_distinct(list_transform(range(0, 4), j ->
+           CAST(list_sum(list_transform(range(0, 4), i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), 4*j + i + 1, 1)) - 1 AS BIGINT) << (4 * (3 - i)))) AS INTEGER))) AS pos
+  FROM sh s JOIN documents d USING (doc_id)
+  WHERE s.doc_id % {BENCH_MOD} <> 0
+),
+pbits AS (
+  SELECT doc_id, shingle, len(pos) AS npos, unnest(pos) AS bit FROM probes
+),
+gramhits AS (
+  SELECT doc_id, shingle FROM pbits JOIN bbits USING (bit)
+  GROUP BY doc_id, shingle, npos HAVING count(*) = npos
+),
+flagged AS (SELECT DISTINCT p.doc_id FROM probes p
+            JOIN gramhits h ON h.doc_id = p.doc_id AND h.shingle = p.shingle),
+confirmed AS (SELECT DISTINCT p.doc_id FROM probes p
+              JOIN bench b ON b.shingle = p.shingle),
+docs2 AS (SELECT DISTINCT doc_id, source FROM probes),
+agg AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_flagged,
+         CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_confirmed
+  FROM docs2 d
+  LEFT JOIN flagged f ON f.doc_id = d.doc_id
+  LEFT JOIN confirmed c ON c.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, n_flagged, n_confirmed,
+       CAST(n_flagged - n_confirmed AS BIGINT) AS n_fp_docs,
+       CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) AS verify_fraction,
+       CASE WHEN n_flagged = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(n_confirmed AS DOUBLE) / CAST(n_flagged AS DOUBLE)
+       END AS confirm_rate
+FROM agg ORDER BY source
+"""

@@ -201,3 +201,97 @@ def bloom_contamination_audit(
         .orderBy("grp")
     )
     return out
+
+
+def bloom_two_stage_funnel(
+    sh: DataFrame,
+    bench_ids: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """The production decontamination FUNNEL, composed end to end: the
+    m-bit Bloom screen runs at scan cost over every document's
+    shingles (stage 1 — no false negatives, so nothing contaminated
+    slips past), and only the screened residue pays the exact
+    benchmark join (stage 2). This reports the per-group economics a
+    deployment sizes the filter by: how many documents the screen
+    flags, how many the exact stage confirms, how many were
+    false-positive work, and the verify_fraction — the share of the
+    corpus that ever reaches stage 2 (the whole point of the screen).
+
+    Same engine-portable construction as
+    :func:`bloom_contamination_audit` (disjoint 16-bit md5 slices mod
+    m; the filter is the distinct set-bit list, broadcast). ``sh``
+    must carry ``group_col``. Documents in ``bench_ids`` are excluded
+    from the funnel (they ARE the benchmark).
+
+    Returns per group: n_docs, n_flagged, n_confirmed, n_fp_docs,
+    verify_fraction, confirm_rate (NULL when nothing was flagged).
+    """
+    if 4 * k > 32:
+        raise ValueError("bloom k too large for one md5 (4*k hex chars > 32)")
+    pos_expr = (
+        f"array_distinct(transform(sequence(0, {k - 1}), j ->"
+        f" CAST(CAST(conv(substring(md5(shingle), 1 + 4 * j, 4), 16, 10)"
+        f" AS INT) % {m} AS INT)))"
+    )
+    bench_sh = (
+        sh.join(bench_ids.select(id_col), id_col)
+        .select("shingle")
+        .distinct()
+    )
+    bloom_bits = (
+        bench_sh.select(F.explode(F.expr(pos_expr)).alias("bit")).distinct()
+    )
+    probes = (
+        sh.join(bench_ids.select(id_col), id_col, "left_anti")
+        .withColumn("_pos", F.expr(pos_expr))
+        .withColumn("_npos", F.size("_pos"))
+    )
+    gram_flag = (
+        probes.select(
+            id_col, group_col, "shingle", "_npos",
+            F.explode("_pos").alias("bit"),
+        )
+        .join(F.broadcast(bloom_bits), "bit")
+        .groupBy(id_col, group_col, "shingle", "_npos")
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+        .filter(F.col("_nhit") == F.col("_npos"))
+        .select(id_col, group_col)
+        .distinct()
+        .withColumn("_flag", F.lit(1))
+    )
+    confirmed = (
+        probes.join(
+            F.broadcast(bench_sh.withColumn("_ex", F.lit(1))), "shingle"
+        )
+        .select(id_col, group_col)
+        .distinct()
+        .withColumn("_conf", F.lit(1))
+    )
+    docs = probes.select(id_col, group_col).distinct()
+    per_doc = (
+        docs.join(gram_flag, [id_col, group_col], "left")
+        .join(confirmed, [id_col, group_col], "left")
+    )
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce("_flag", F.lit(0))).cast("long").alias("n_flagged"),
+        F.sum(F.coalesce("_conf", F.lit(0))).cast("long").alias("n_confirmed"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_flagged",
+        "n_confirmed",
+        (F.col("n_flagged") - F.col("n_confirmed")).alias("n_fp_docs"),
+        (F.col("n_flagged").cast("double") / F.col("n_docs").cast("double"))
+        .alias("verify_fraction"),
+        F.expr(
+            "CASE WHEN n_flagged = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(n_confirmed AS DOUBLE) / CAST(n_flagged AS DOUBLE)"
+            " END"
+        ).alias("confirm_rate"),
+    ).orderBy(group_col)

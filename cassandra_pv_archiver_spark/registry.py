@@ -271,6 +271,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_events_json_props,
         catalog_generic.SQL_EVENTS_JSON_PROPS,
     ),
+    "decontam_two_stage": (
+        catalog_data.q_decontam_two_stage,
+        catalog_data.SQL_DECONTAM_TWO_STAGE,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

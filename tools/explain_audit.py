@@ -629,6 +629,15 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "decontam_two_stage": (
+        None,  # stage-1 screen joins only the broadcast bit list;
+        # stage 2 joins the broadcast benchmark gram set — the corpus
+        # never SMJs against anything, nothing cartesians or enters
+        # Python
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "wsample_bias_audit": (
         None,  # 16 unions of the pinned two-phase sampler shape, then
         # tiny aggregate joins (broadcast); never SMJ/cartesian/Python
