@@ -250,36 +250,39 @@ def bloom_two_stage_funnel(
         .withColumn("_pos", F.expr(pos_expr))
         .withColumn("_npos", F.size("_pos"))
     )
-    gram_flag = (
-        probes.select(
+    # per-gram verdicts via BROADCAST joins only, then per-doc flags by
+    # AGGREGATION — never a corpus ⋈ corpus join-back (the flag tables
+    # are corpus-cardinality at scale; max() over co-partitioned groups
+    # is the join-free way to fold them onto documents)
+    exact_grams = bench_sh.withColumn("_ex", F.lit(1))
+    per_gram = (
+        probes.join(F.broadcast(exact_grams), "shingle", "left")
+        .select(
             id_col, group_col, "shingle", "_npos",
+            F.coalesce("_ex", F.lit(0)).alias("_ex"),
             F.explode("_pos").alias("bit"),
         )
-        .join(F.broadcast(bloom_bits), "bit")
-        .groupBy(id_col, group_col, "shingle", "_npos")
-        .agg(F.count(F.lit(1)).alias("_nhit"))
-        .filter(F.col("_nhit") == F.col("_npos"))
-        .select(id_col, group_col)
-        .distinct()
-        .withColumn("_flag", F.lit(1))
-    )
-    confirmed = (
-        probes.join(
-            F.broadcast(bench_sh.withColumn("_ex", F.lit(1))), "shingle"
+        .join(
+            F.broadcast(bloom_bits.withColumn("_set", F.lit(1))),
+            "bit",
+            "left",
         )
-        .select(id_col, group_col)
-        .distinct()
-        .withColumn("_conf", F.lit(1))
+        .groupBy(id_col, group_col, "shingle", "_npos", "_ex")
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).alias("_nhit"))
+        .select(
+            id_col,
+            group_col,
+            "_ex",
+            (F.col("_nhit") == F.col("_npos")).cast("int").alias("_bloom"),
+        )
     )
-    docs = probes.select(id_col, group_col).distinct()
-    per_doc = (
-        docs.join(gram_flag, [id_col, group_col], "left")
-        .join(confirmed, [id_col, group_col], "left")
+    per_doc = per_gram.groupBy(id_col, group_col).agg(
+        F.max("_bloom").alias("_flag"), F.max("_ex").alias("_conf")
     )
     agg = per_doc.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.coalesce("_flag", F.lit(0))).cast("long").alias("n_flagged"),
-        F.sum(F.coalesce("_conf", F.lit(0))).cast("long").alias("n_confirmed"),
+        F.sum("_flag").cast("long").alias("n_flagged"),
+        F.sum("_conf").cast("long").alias("n_confirmed"),
     )
     return agg.select(
         group_col,
