@@ -206,3 +206,38 @@ if _HYP:
             for p in zip(ws, ws[1:])
         )
         assert sum(r.freq_sum for r in out) == sum(v * v for v in c.values())
+
+
+class TestDecontamFunnel:
+    def test_contaminated_always_flagged_and_fp_counted(self, spark):
+        from pyspark.sql import functions as F
+
+        from cassandra_pv_archiver_spark.operators import dedup, sketches
+
+        text_bench = " ".join(f"b{i}" for i in range(12))
+        text_dup = text_bench  # contaminated doc: identical shingles
+        text_clean = " ".join(f"c{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [
+                (0, "src", text_bench),   # the benchmark doc itself
+                (1, "src", text_dup),     # contaminated
+                (2, "src", text_clean),   # clean
+            ],
+            "doc_id long, source string, text string",
+        )
+        sh = dedup.shingles(docs).join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        bench = docs.filter(F.col("doc_id") == 0).select("doc_id")
+        out = sketches.bloom_two_stage_funnel(
+            sh, bench, group_col="source"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # benchmark doc excluded; contaminated doc flagged AND confirmed
+        # (no false negatives by construction); fp work = flagged-confirmed
+        assert r.n_docs == 2
+        assert r.n_confirmed == 1
+        assert r.n_flagged >= r.n_confirmed
+        assert r.n_fp_docs == r.n_flagged - r.n_confirmed
+        assert r.confirm_rate is not None
