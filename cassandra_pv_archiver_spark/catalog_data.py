@@ -4678,3 +4678,131 @@ SELECT source, n_docs, n_flagged, n_confirmed,
        END AS confirm_rate
 FROM agg ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-shard build (the pipeline, composed)
+# ---------------------------------------------------------------------------
+
+SHARD_K = 40
+SHARD_PACK_SHARDS = 4
+
+
+def q_build_training_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preprocessing pipeline as ONE value-hashed query —
+    what "a user could run their training-data build on this engine"
+    means concretely: (1) decontaminate (drop every document sharing a
+    shingle with the benchmark — the funnel's exact stage, per-doc
+    flags by aggregation over a broadcast gram set); (2) exact-dedup
+    survivors (min doc_id per md5(text)); (3) deterministic weighted
+    sample, 40 docs per language (length-bucket tickets, salt
+    'shard0'); (4) GPT-style sequence packing of the sample into
+    2048-token windows over 4 md5 shards. Every stage is an
+    already-oracled operator; the hash attests the COMPOSITION
+    end to end. Convention: documents too short to shingle never
+    reach the shard (the decontamination stage is the gate).
+
+    The two keyed corpus joins (flag table onto docs, sample ids onto
+    survivors) are co-partitioned on doc_id / broadcast respectively —
+    set subtraction at scale is a keyed join, not a red flag."""
+    from pyspark.sql import Window
+
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    bench_sh = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_ex", F.lit(1))
+    )
+    clean_ids = (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce("_ex", F.lit(0))).alias("_conf"))
+        .filter(F.col("_conf") == 0)
+        .select("doc_id")
+    )
+    clean = docs.join(clean_ids, "doc_id")
+    surv = (
+        clean.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sample = sampling.weighted_sample(
+        surv, k=SHARD_K, weight=_wsample_weight(), group_col="lang",
+        salt="shard0",
+    )
+    sampled = surv.join(F.broadcast(sample.select("doc_id")), "doc_id")
+    d = sampled.select(
+        "doc_id", "lang", F.expr(f"size({text._WORDS})").alias("n_tokens")
+    )
+    return sampling.sequence_packing(
+        d, window_tokens=PACK_WINDOW, n_shards=SHARD_PACK_SHARDS
+    ).orderBy("doc_id")
+
+
+_SQL_SHARD_H16 = _SQL_PACK_H16  # same md5('pack:'||id) bucket construction
+
+SQL_BUILD_TRAINING_SHARD = f"""
+WITH {SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+conf AS (
+  SELECT s.doc_id,
+         max(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS c
+  FROM sh s LEFT JOIN bench b ON b.shingle = s.shingle
+  WHERE s.doc_id % {BENCH_MOD} <> 0
+  GROUP BY s.doc_id
+),
+clean AS (
+  SELECT d.doc_id, d.lang, d.text, d.n_chars
+  FROM documents d JOIN conf ON conf.doc_id = d.doc_id
+  WHERE conf.c = 0
+),
+surv AS (
+  SELECT doc_id, lang, text, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM clean) WHERE rn = 1
+),
+weighted AS (
+  SELECT *, 1 + CAST(n_chars >= 100 AS INT) + CAST(n_chars >= 200 AS INT)
+          + CAST(n_chars >= 400 AS INT) AS weight
+  FROM surv
+),
+keyed AS (
+  SELECT lang, doc_id,
+         list_max(list_transform(range(0, weight),
+           r -> md5('shard0:' || CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(r AS VARCHAR)))) AS k
+  FROM weighted
+),
+sample AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY lang
+                                      ORDER BY k DESC, doc_id) AS rnk
+    FROM keyed) WHERE rnk <= {SHARD_K}
+),
+pd AS (
+  SELECT s.doc_id, s.lang, len({_W_SQL}) AS n_tokens,
+         {_SQL_SHARD_H16} % {SHARD_PACK_SHARDS} AS shard
+  FROM surv s JOIN sample USING (doc_id)
+),
+w AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM pd
+)
+SELECT doc_id, lang, CAST(shard AS INTEGER) AS shard,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset // {PACK_WINDOW} AS BIGINT) AS pack_id
+FROM w ORDER BY doc_id
+"""

@@ -629,6 +629,17 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "build_training_shard": (
+        None,  # decontam flags by aggregation over the broadcast gram
+        # set; dedup via md5(text) window; the sample-ids join-back is
+        # broadcast (k·langs rows). At audit scale every join is BHJ —
+        # an SMJ/cartesian/Python crossing here is a regression (at
+        # true corpus scale the clean-ids join becomes a keyed shuffle
+        # join by design, see the query docstring)
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "decontam_two_stage": (
         None,  # stage-1 screen joins only the broadcast bit list;
         # stage 2 joins the broadcast benchmark gram set — the corpus
