@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "events_json_props",
     "decontam_two_stage",
     "build_training_shard",
+    "ivfpq_rerank_recall",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

@@ -1005,7 +1005,7 @@ def _sql_kmeans_ctes(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
         )
 
     ctes = [
-        f"v AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings)",
+        f"v AS MATERIALIZED (SELECT vec_id AS id, {vq} AS vq FROM embeddings)",
         f"""c0 AS (
   SELECT CAST(id AS INTEGER) AS cluster,
          list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
@@ -1013,7 +1013,7 @@ def _sql_kmeans_ctes(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
     ]
     prev = "c0"
     for it in range(1, iters + 1):
-        ctes.append(f"""a{it} AS (
+        ctes.append(f"""a{it} AS MATERIALIZED (
   SELECT id, vq, cluster FROM (
     SELECT v.id, v.vq, t.cluster,
            row_number() OVER (PARTITION BY v.id
@@ -1030,7 +1030,7 @@ def _sql_kmeans_ctes(k: int, iters: int, dim: int = 64) -> tuple[str, str]:
             f" FROM m{it} GROUP BY cluster)"
         )
         prev = f"c{it}"
-    ctes.append(f"""af AS (
+    ctes.append(f"""af AS MATERIALIZED (
   SELECT id, cluster FROM (
     SELECT v.id, t.cluster,
            row_number() OVER (PARTITION BY v.id
@@ -3841,7 +3841,7 @@ def _sql_pq_subspace(
     # pq_fit_encode convention, valid for ANY id space (equals the old
     # `cluster = id WHERE id < k` form on the dense fixture ids)
     ctes = [
-        f"{p}v AS ({vsrc})",
+        f"{p}v AS MATERIALIZED ({vsrc})",
         f"""{p}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster,
          list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
@@ -3849,7 +3849,7 @@ def _sql_pq_subspace(
     ]
     prev = f"{p}c0"
     for it in range(1, iters + 1):
-        ctes.append(f"""{p}a{it} AS (
+        ctes.append(f"""{p}a{it} AS MATERIALIZED (
   SELECT id, vq, cluster FROM (
     SELECT v.id, v.vq, t.cluster,
            row_number() OVER (PARTITION BY v.id
@@ -3866,7 +3866,7 @@ def _sql_pq_subspace(
             f" FROM {p}m{it} GROUP BY cluster)"
         )
         prev = f"{p}c{it}"
-    ctes.append(f"""{p}af AS (
+    ctes.append(f"""{p}af AS MATERIALIZED (
   SELECT id, vq, cluster, d2 FROM (
     SELECT v.id, v.vq, t.cluster, {d2("t.c")} AS d2,
            row_number() OVER (PARTITION BY v.id
@@ -3982,7 +3982,7 @@ atop AS (
                                        ORDER BY adc, id) AS rn
     FROM adc) WHERE rn <= 10
 ),
-fullv AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings),
+fullv AS MATERIALIZED (SELECT vec_id AS id, {vq} AS vq FROM embeddings),
 ed AS (
   SELECT q.id AS qid, x.id,
          list_sum(list_transform(range(1, {PQ_M * PQ_SUB_DIM + 1}), i ->
@@ -4109,7 +4109,12 @@ def q_ivfpq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivfpq_recall(dim: int = 64) -> str:
+def _sql_ivfpq_recall(
+    dim: int = 64, shortlist_k: int = 10, rerank: bool = False
+) -> str:
+    """Unrolled IVF-PQ search oracle; with ``rerank`` the ADC pass
+    proposes a ``shortlist_k`` candidate set and exact L2 re-ranks it
+    before the recall join (the two-stage serving pattern)."""
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     coarse, last = _sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS, dim)
     # residual PQ chains ride the SAME unrolled-Lloyd generator as plain
@@ -4156,7 +4161,7 @@ cqt AS (
   SELECT cluster AS cell,
          list_transform(c, x -> CAST(floor(x + 0.5) AS BIGINT)) AS cq
   FROM {last}),
-res AS (
+res AS MATERIALIZED (
   SELECT v.id, a.cluster AS cell,
          list_transform(range(1, {dim + 1}), i -> v.vq[i] - q.cq[i]) AS r
   FROM v JOIN af a ON a.id = v.id JOIN cqt q ON q.cell = a.cluster),
@@ -4197,9 +4202,22 @@ atop AS (
   SELECT qid, id FROM (
     SELECT qid, id, row_number() OVER (PARTITION BY qid
                                        ORDER BY adc, id) AS rn
-    FROM adc) WHERE rn <= 10
+    FROM adc) WHERE rn <= {shortlist_k if rerank else 10}
 ),
-fullv AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings),
+fullv AS MATERIALIZED (SELECT vec_id AS id, {vq} AS vq FROM embeddings),
+{'''rr AS (
+  SELECT a.qid, a.id,
+         list_sum(list_transform(range(1, ''' + str(dim + 1) + '''), i ->
+           (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE))
+           * (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE)))) AS d2
+  FROM atop a JOIN fullv x ON x.id = a.id JOIN fullv q ON q.id = a.qid
+),
+rtop AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                       ORDER BY d2, id) AS rn
+    FROM rr) WHERE rn <= 10
+),''' if rerank else ''}
 ed AS (
   SELECT q.id AS qid, x.id,
          list_sum(list_transform(range(1, {dim + 1}), i ->
@@ -4216,7 +4234,8 @@ etop AS (
 ),
 ov AS (
   SELECT e.qid, count(a.id) AS n_overlap
-  FROM etop e LEFT JOIN atop a ON a.qid = e.qid AND a.id = e.id
+  FROM etop e LEFT JOIN {'rtop' if rerank else 'atop'} a
+    ON a.qid = e.qid AND a.id = e.id
   GROUP BY e.qid
 )
 SELECT qid AS q_id,
@@ -4227,6 +4246,46 @@ FROM ov ORDER BY q_id
 
 
 SQL_IVFPQ_ADC_RECALL = _sql_ivfpq_recall()
+IVFPQ_SHORTLIST_K = 50
+SQL_IVFPQ_RERANK_RECALL = _sql_ivfpq_recall(
+    shortlist_k=IVFPQ_SHORTLIST_K, rerank=True
+)
+
+
+def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of two-stage serving (IVF-ADC shortlist of 50, exact
+    L2 re-rank) vs the exact baseline — the measured proof that the
+    rerank stage recovers what 24-bit codes lose while touching raw
+    vectors for only 50 candidates per query
+    (operators/similarity.ivfpq_rerank_topk)."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.l2_topk(emb, ANN_QUERY_IDS, k=10).select(
+        "q_id", "vec_id"
+    )
+    approx = similarity.ivfpq_rerank_topk(
+        emb, ANN_QUERY_IDS, k=10, shortlist_k=IVFPQ_SHORTLIST_K,
+        n_cells=KMEANS_K, coarse_iters=KMEANS_ITERS, m=PQ_M,
+        sub_dim=PQ_SUB_DIM, kpq=PQ_K, pq_iters=PQ_ITERS,
+        n_probe=IVFPQ_N_PROBE,
+    ).select("q_id", "vec_id")
+    overlap = (
+        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(F.broadcast(overlap), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) / 10.0).alias("recall_at_10"),
+        )
+        .orderBy("q_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1401,3 +1401,60 @@ def pq_staleness_audit(
             f" ELSE ({mn}) / ({mt}) END"
         ).alias("drift_ratio"),
     ).orderBy("subspace")
+
+
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist_k: int = 50,
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    kpq: int = 8,
+    pq_iters: int = 2,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving, the production refinement on top of
+    IVF-ADC: the compressed index proposes a ``shortlist_k`` candidate
+    set per query (code-table scan only), then EXACT L2 re-ranks just
+    those candidates against the raw vectors — so the expensive
+    raw-embedding reads are ``shortlist_k`` rows per query instead of
+    the corpus, and recall recovers most of what 24-bit codes lose
+    (measured by ivfpq_rerank_recall, the audit contract). The
+    shortlist is broadcast back onto the embedding table; everything
+    stays deterministic (ties on vec_id both stages)."""
+    index = ivfpq_fit_encode(
+        emb, n_cells, coarse_iters, m, sub_dim, kpq, pq_iters,
+        id_col, vec_col,
+    )
+    queries = emb.filter(F.col(id_col).isin(query_ids))
+    shortlist = ivfpq_search(
+        index, queries, k=shortlist_k, m=m, sub_dim=sub_dim,
+        n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+    ).select("q_id", "vec_id")
+
+    qexpr = F.expr(
+        f"transform({vec_col}, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    qv = queries.select(F.col(id_col).alias("q_id"), qexpr.alias("_qq"))
+    cand = emb.select(
+        F.col(id_col).alias("vec_id"), qexpr.alias("_vq")
+    ).join(F.broadcast(shortlist), "vec_id")
+    d2 = (
+        "aggregate(zip_with(_vq, _qq, (a, b) ->"
+        " (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    scored = cand.join(F.broadcast(qv), "q_id").withColumn("_d2", F.expr(d2))
+    w = Window.partitionBy("q_id").orderBy("_d2", "vec_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "vec_id", F.col("_d2").alias("d2"))
+    )

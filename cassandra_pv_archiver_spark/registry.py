@@ -279,6 +279,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_build_training_shard,
         catalog_data.SQL_BUILD_TRAINING_SHARD,
     ),
+    "ivfpq_rerank_recall": (
+        catalog_data.q_ivfpq_rerank_recall,
+        catalog_data.SQL_IVFPQ_RERANK_RECALL,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),

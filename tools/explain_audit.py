@@ -832,6 +832,15 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
         ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "ivfpq_rerank_recall": (
+        None,  # stage 1 = the pinned IVF-ADC shape; stage 2 touches
+        # raw vectors only through the BROADCAST 50-candidate
+        # shortlist — a corpus-sized rerank join (SMJ) or cartesian is
+        # the regression this pins against
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "ivfpq_adc_recall": (
         None,  # inverted list is join-free (cell threaded through the
         # Lloyd core); search = code-table scan + broadcast probe/LUT
