@@ -469,3 +469,67 @@ class TestPQStaleness:
         r = out[0]
         assert r.mean_qerr_train == 0.0 and r.drift_ratio is None
         assert r.n_new == 1 and r.mean_qerr_new is not None
+
+
+class TestIVFPQRerank:
+    def test_rerank_equals_exact_when_shortlist_covers(self, spark):
+        import random
+
+        rnd = random.Random(5)
+        emb = spark.createDataFrame(
+            [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        exact = {
+            (r.q_id, r.vec_id)
+            for r in similarity.l2_topk(emb, [0, 1], k=5).collect()
+        }
+        # shortlist = whole corpus (probe all cells, k' = n) -> the
+        # rerank IS the exact search
+        rr = {
+            (r.q_id, r.vec_id)
+            for r in similarity.ivfpq_rerank_topk(
+                emb, [0, 1], k=5, shortlist_k=40, n_cells=2,
+                coarse_iters=1, m=2, sub_dim=4, kpq=4, pq_iters=1,
+                n_probe=2,
+            ).collect()
+        }
+        assert rr == exact
+
+    def test_rerank_subset_of_shortlist_and_improves(self, spark):
+        import random
+
+        rnd = random.Random(9)
+        emb = spark.createDataFrame(
+            [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)],
+            "vec_id long, embedding array<float>",
+        )
+        params = dict(n_cells=4, coarse_iters=1, m=2, sub_dim=4,
+                      kpq=4, pq_iters=1, n_probe=4)
+        index = similarity.ivfpq_fit_encode(
+            emb, n_cells=4, coarse_iters=1, m=2, sub_dim=4, kpq=4,
+            pq_iters=1,
+        )
+        short = {
+            (r.q_id, r.vec_id)
+            for r in similarity.ivfpq_search(
+                index, emb.filter(F.col("vec_id") < 2), k=30,
+                m=2, sub_dim=4, n_probe=4,
+            ).collect()
+        }
+        rr = similarity.ivfpq_rerank_topk(
+            emb, [0, 1], k=10, shortlist_k=30, **params
+        ).collect()
+        assert {(r.q_id, r.vec_id) for r in rr} <= short
+        exact = {
+            (r.q_id, r.vec_id)
+            for r in similarity.l2_topk(emb, [0, 1], k=10).collect()
+        }
+        adc = {
+            (r.q_id, r.vec_id)
+            for r in similarity.ivfpq_adc_topk(
+                emb, [0, 1], k=10, **params
+            ).collect()
+        }
+        got = {(r.q_id, r.vec_id) for r in rr}
+        assert len(got & exact) >= len(adc & exact)  # rerank never hurts
