@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "decontam_two_stage",
     "build_training_shard",
     "ivfpq_rerank_recall",
+    "source_vocab_overlap",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

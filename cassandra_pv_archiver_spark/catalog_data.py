@@ -4865,3 +4865,83 @@ SELECT doc_id, lang, CAST(shard AS INTEGER) AS shard,
        CAST(start_offset // {PACK_WINDOW} AS BIGINT) AS pack_id
 FROM w ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# source vocabulary overlap (corpus-redundancy diagnostics)
+# ---------------------------------------------------------------------------
+
+VOCAB_OVERLAP_TOP = 50
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard of each source's top-50 vocabulary — the
+    source-redundancy diagnostic a recipe team reads before weighting
+    sources (near-identical vocabularies flag mirrored/boilerplate
+    sources; the complement of the distinctive-terms view). Candidate
+    pairs come from an equi-join on the TOKEN (two sources meet only
+    through shared vocabulary — never an all-pairs source join), and
+    every number is an exact integer with a single final divide."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.expr(text._WORDS)).alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "tok")
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= VOCAB_OVERLAP_TOP)
+        .select("source", "tok")
+    )
+    sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("_sz"))
+    a = top.select(F.col("source").alias("src_a"), "tok")
+    b = top.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.expr(
+                "CAST(n_common AS DOUBLE)"
+                " / CAST(_sza + _szb - n_common AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SQL_SOURCE_VOCAB_OVERLAP = f"""
+WITH toks AS (
+  SELECT source, unnest({_W_SQL}) AS tok FROM documents
+),
+counts AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok),
+top AS (
+  SELECT source, tok FROM (
+    SELECT source, tok,
+           row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rn
+    FROM counts) WHERE rn <= {VOCAB_OVERLAP_TOP}
+),
+sizes AS (SELECT source, count(*) AS sz FROM top GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""

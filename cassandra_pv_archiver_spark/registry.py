@@ -283,6 +283,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_ivfpq_rerank_recall,
         catalog_data.SQL_IVFPQ_RERANK_RECALL,
     ),
+    "source_vocab_overlap": (
+        catalog_data.q_source_vocab_overlap,
+        catalog_data.SQL_SOURCE_VOCAB_OVERLAP,
+    ),
     # --- archiver core (SURVEY.md §2) ---
     "raw_scan": (catalog.q_raw_scan, catalog.SQL_RAW_SCAN),
     "raw_latest_n": (catalog.q_raw_latest_n, catalog.SQL_RAW_LATEST_N),
