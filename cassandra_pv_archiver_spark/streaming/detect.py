@@ -333,3 +333,109 @@ def stream_seasonal_flags(
             F.expr(f"abs({dev})").alias("z_num"),
         )
     )
+
+
+def stream_decontam_flags(
+    docs: DataFrame,
+    bench_sh: DataFrame,
+    bloom_bits: DataFrame,
+    m: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Ingest-time contamination screening over ONE batch of arriving
+    documents: shingle, check against the STATIC benchmark — the Bloom
+    bit list and the exact gram set both broadcast (the stream-static
+    shape; no state). Emits one row per flagged document with both
+    verdicts, so the downstream quarantine can act on the screen
+    immediately and reconcile against the exact verdict in the same
+    row: ``bloom_hit`` (never false-negative) and ``confirmed``
+    (exact). Per-doc and stateless, so a replayed stream equals the
+    batch funnel's flag set (parity-pinned in tests). The per-doc
+    flags are aggregations, so under Structured Streaming this runs
+    per micro-batch through :func:`start_decontam_screen`'s
+    ``foreachBatch`` — exactly the semantics an ingest screen wants
+    (each batch judged on arrival).
+
+    ``bench_sh`` = distinct benchmark shingles; ``bloom_bits`` =
+    distinct set bit positions (operators/sketches construction, same
+    md5-slice hashes).
+    """
+    from ..operators.dedup import shingles
+
+    if 4 * k > 32:
+        raise ValueError("bloom k too large for one md5 (4*k hex chars > 32)")
+    pos_expr = (
+        f"array_distinct(transform(sequence(0, {k - 1}), j ->"
+        f" CAST(CAST(conv(substring(md5(shingle), 1 + 4 * j, 4), 16, 10)"
+        f" AS INT) % {m} AS INT)))"
+    )
+    sh = shingles(docs)
+    per_gram = (
+        sh.join(
+            F.broadcast(bench_sh.withColumn("_ex", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .withColumn("_pos", F.expr(pos_expr))
+        .withColumn("_npos", F.size("_pos"))
+        .select(
+            "doc_id",
+            "shingle",
+            F.coalesce("_ex", F.lit(0)).alias("_ex"),
+            "_npos",
+            F.explode("_pos").alias("bit"),
+        )
+        .join(
+            F.broadcast(bloom_bits.withColumn("_set", F.lit(1))),
+            "bit",
+            "left",
+        )
+        .groupBy("doc_id", "shingle", "_ex", "_npos")
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).alias("_nhit"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.max(
+                (F.col("_nhit") == F.col("_npos")).cast("int")
+            ).alias("_bloom"),
+            F.max("_ex").alias("_conf"),
+        )
+        .filter(F.col("_bloom") == 1)
+        .select(
+            "doc_id",
+            F.lit(True).alias("bloom_hit"),
+            (F.col("_conf") == 1).alias("confirmed"),
+        )
+    )
+
+
+def start_decontam_screen(
+    doc_stream: DataFrame,
+    bench_sh: DataFrame,
+    bloom_bits: DataFrame,
+    sink,
+    m: int = 65536,
+    k: int = 4,
+    checkpoint: str | None = None,
+):
+    """Run the ingest-time contamination screen over a streaming
+    document table: every micro-batch passes through
+    :func:`stream_decontam_flags` (batch semantics per trigger — the
+    judged-on-arrival contract) and the flagged rows go to
+    ``sink(df, batch_id)``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(
+            stream_decontam_flags(batch_df, bench_sh, bloom_bits, m=m, k=k),
+            batch_id,
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(_sink).trigger(
+        availableNow=True
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

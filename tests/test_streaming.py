@@ -1042,3 +1042,69 @@ def test_stream_seasonal_flags_parity(spark, tmp_path):
         union, seasonal_profile(union)
     ).count()
     assert flagged_union == sum(census.values())
+
+
+def test_stream_decontam_flags_parity(spark, tmp_path):
+    """Ingest-time contamination screen: two micro-batches of arriving
+    documents checked against the static benchmark (broadcast bloom
+    bits + gram set) flag EXACTLY the batch funnel's flagged docs, with
+    the exact verdict carried in the same row (bloom never misses a
+    truly contaminated doc)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_pv_archiver_spark.operators import dedup, sketches
+    from cassandra_pv_archiver_spark.streaming.detect import (
+        start_decontam_screen,
+        stream_decontam_flags,
+    )
+
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    bench_docs = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id long, text string"
+    )
+    bench_sh = dedup.shingles(bench_docs).select("shingle").distinct()
+    m, k = 65536, 4
+    pos_expr = (
+        f"array_distinct(transform(sequence(0, {k - 1}), j ->"
+        f" CAST(CAST(conv(substring(md5(shingle), 1 + 4 * j, 4), 16, 10)"
+        f" AS INT) % {m} AS INT)))"
+    )
+    bloom_bits = bench_sh.select(
+        F.explode(F.expr(pos_expr)).alias("bit")
+    ).distinct()
+
+    arrivals = [
+        (1, bench_text),                                  # contaminated
+        (2, " ".join(f"c{i}" for i in range(12))),        # clean
+        (3, bench_text + " extra trailing words here"),   # contaminated
+        (4, " ".join(f"d{i}" for i in range(12))),        # clean
+    ]
+    schema = "doc_id long, text string"
+    adf = spark.createDataFrame(arrivals, schema)
+    want = sorted(
+        (r.doc_id, r.bloom_hit, r.confirmed)
+        for r in stream_decontam_flags(
+            adf, bench_sh, bloom_bits, m=m, k=k
+        ).collect()
+    )
+    flagged_ids = {d for d, _, _ in want}
+    assert {1, 3} <= flagged_ids  # no false negatives, ever
+    assert all(c for d, _, c in want if d in (1, 3))
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    spark.createDataFrame(arrivals[:2], schema).write.mode("append").parquet(src)
+    spark.createDataFrame(arrivals[2:], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    got: list = []
+    q = start_decontam_screen(
+        stream, bench_sh, bloom_bits,
+        sink=lambda df, bid: got.extend(df.collect()),
+        m=m, k=k, checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert sorted((r.doc_id, r.bloom_hit, r.confirmed) for r in got) == want
