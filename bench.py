@@ -184,6 +184,10 @@ BENCH_QUERIES = [
     "build_training_shard",
     "ivfpq_rerank_recall",
     "source_vocab_overlap",
+    # round 8 (r6 of the build)
+    "ca_typed_roundtrip_1h",
+    "ca_wire_matrix",
+    "ca_ctrl_metadata",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

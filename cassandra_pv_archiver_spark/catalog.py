@@ -924,6 +924,12 @@ def q_decimate_typed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.testdata import load_typed_samples
 
     dec = decimate_mixed(load_typed_samples(spark, sf_dir), PERIOD_1H)
+    return _typed_dec_projection(dec)
+
+
+def _typed_dec_projection(dec: DataFrame) -> DataFrame:
+    """Hash-friendly projection of a full-union decimation (shared by
+    the parquet path and the CA wire roundtrip, which must equal it)."""
 
     def _joined(c: str):
         return F.when(F.col(c).isNotNull(), F.concat_ws(",", F.col(c)))
@@ -1075,6 +1081,302 @@ SELECT channel, win * {_P1H} AS t,
        CASE WHEN C.is_agg THEN C.agg_status ELSE C.firstsamp.status END AS status,
        C.n_samples AS n_samples, 'Interpolated' AS quality
 FROM ch ORDER BY channel, t
+"""
+
+
+#: full tagged-union column set (assembled wire samples and parquet
+#: typed samples agree on these)
+_TYPED_UNION_COLS = [
+    "channel", "t", "type", "v", "aval", "eval", "labels", "asval",
+    "sval", "meta", "severity", "status",
+]
+
+_MARKER_TYPES = ("disabled", "disconnected")
+
+
+def _md5_sids(channels: DataFrame) -> DataFrame:
+    """Deterministic (sid, channel) subscription dim (registry-sized)."""
+    return channels.select("channel").distinct().withColumn(
+        "sid",
+        F.expr("CAST(conv(substring(md5(channel), 1, 8), 16, 10) AS BIGINT)"),
+    )
+
+
+def q_ca_typed_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-union CA wire roundtrip — the reference's complete front
+    door: the typed fixture is rendered as real CA traffic (per sample a
+    DBR_TIME_<family> monitor frame; metadata/label changes as the
+    controls monitor's DBR_CTRL_DOUBLE / DBR_CTRL_ENUM frames —
+    `ChannelAccessArchivingChannel.java:580-700`'s two-monitor design),
+    decoded back by the typed wire decoder, controls/time-assembled by
+    per-sid LOCF, sid-resolved, re-unioned with the marker rows the
+    archiver itself synthesizes (markers never cross the wire,
+    `:642-685`), and decimated over the full type union. Equals the
+    parquet-path typed decimation bit-for-bit (same oracle as
+    ``decimate_typed_1h``), so every family's value layout, the CTRL
+    metadata re-ordering, and the latest-controls combination are
+    driver-attested."""
+    from .functions import ca_wire_typed as cwt
+    from .sources.testdata import load_typed_samples
+
+    typed = load_typed_samples(spark, sf_dir)
+    wire = typed.filter(~F.col("type").isin(*_MARKER_TYPES))
+    markers = typed.filter(F.col("type").isin(*_MARKER_TYPES))
+    subs = _md5_sids(wire)
+    frames = cwt.encode_typed_samples(wire, subs)
+    assembled = cwt.assemble_typed_samples(
+        cwt.decode_time_events_typed(frames), cwt.decode_ctrl_events(frames)
+    )
+    back = assembled.join(F.broadcast(subs), "sid").select(*_TYPED_UNION_COLS)
+    full = back.unionByName(markers.select(*_TYPED_UNION_COLS))
+    return _typed_dec_projection(decimate_mixed(full, PERIOD_1H))
+
+
+SQL_CA_TYPED_ROUNDTRIP_1H = SQL_DECIMATE_TYPED_1H
+
+
+def q_ca_wire_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every DBR_TIME family x {scalar, array} as one value-hashed
+    roundtrip: a deterministic slice of the raw series fans out to all
+    14 wire sample shapes (`ChannelAccessSampleType.java:18-129` minus
+    markers and the aggregated types, which never cross the wire), each
+    encoded as its CA monitor frame and decoded back
+    (functions/ca_wire_typed.py). The oracle derives the same values
+    codec-free, so signedness (char int8, short int16, long int32),
+    float32 width, uint16 enum indices, 40-byte string cells, and every
+    per-family RISC pad are attested by the value hash."""
+    from .functions import ca_wire_typed as cwt
+    from .operators.decimate_mixed import METADATA_SCHEMA
+
+    base = load_samples(spark, sf_dir).filter(F.col("event_id") % 29 == 0)
+    d = F.expr("CAST(CAST(floor(v * 100 + 0.5) AS BIGINT) AS DOUBLE)")
+    k = (F.col("event_id") % 100 - 50).cast("double")
+    big = (F.col("event_id") % 1000000 - 500000).cast("double")
+    e4 = (F.col("event_id") % 4).cast("int")
+    e4b = ((F.col("event_id") + 1) % 4).cast("double")
+
+    def mk(typ, v=None, aval=None, ev=None, sval=None, asval=None):
+        return F.struct(
+            F.lit(typ).alias("type"),
+            (F.lit(None).cast("double") if v is None else v).alias("v"),
+            (F.lit(None).cast("array<double>") if aval is None else aval)
+            .alias("aval"),
+            (F.lit(None).cast("int") if ev is None else ev).alias("eval"),
+            (F.lit(None).cast("string") if sval is None else sval)
+            .alias("sval"),
+            (F.lit(None).cast("array<string>") if asval is None else asval)
+            .alias("asval"),
+        )
+
+    combos = F.array(
+        mk("scalar_double", v=F.col("v")),
+        mk("array_double", aval=F.array(d, d * 2)),
+        mk("scalar_float", v=k + 0.5),
+        mk("array_float", aval=F.array(k + 0.25, k - 0.5)),
+        mk("scalar_short", v=k * 100),
+        mk("array_short", aval=F.array(k, F.lit(0.0) - k)),
+        mk("scalar_char", v=k),
+        mk("array_char", aval=F.array(k, F.lit(0.0) - k)),
+        mk("scalar_long", v=big),
+        mk("array_long", aval=F.array(big, big + 1)),
+        mk("scalar_enum", ev=e4),
+        mk("array_enum", aval=F.array(e4.cast("double"), e4b)),
+        mk(
+            "scalar_string",
+            sval=F.concat(F.lit("S"), (F.col("event_id") % 1000)
+                          .cast("string")),
+        ),
+        mk(
+            "array_string",
+            asval=F.array(
+                F.concat(F.lit("A"), (F.col("event_id") % 7).cast("string")),
+                F.concat(F.lit("B"), (F.col("event_id") % 13).cast("string")),
+            ),
+        ),
+    )
+    src = base.select(
+        "channel", "t", "severity", "status", F.explode(combos).alias("c")
+    ).select(
+        F.concat(F.col("c.type"), F.lit(":"), F.col("channel"))
+        .alias("channel"),
+        "t",
+        F.col("c.type").alias("type"),
+        F.col("c.v").alias("v"),
+        F.col("c.aval").alias("aval"),
+        F.col("c.eval").alias("eval"),
+        F.lit(None).cast("array<string>").alias("labels"),
+        F.col("c.asval").alias("asval"),
+        F.col("c.sval").alias("sval"),
+        F.lit(None).cast(METADATA_SCHEMA).alias("meta"),
+        "severity",
+        "status",
+    )
+    subs = _md5_sids(src)
+    frames = cwt.encode_typed_samples(src, subs)
+    back = cwt.decode_time_events_typed(frames).join(F.broadcast(subs), "sid")
+    return back.select(
+        "channel", "t", "type", "v",
+        F.when(F.col("aval").isNotNull(), F.concat_ws(",", F.col("aval")))
+        .alias("aval_str"),
+        "eval", "sval",
+        F.when(F.col("asval").isNotNull(), F.concat_ws(",", F.col("asval")))
+        .alias("asval_str"),
+        "severity", "status",
+    ).orderBy("channel", "t")
+
+
+SQL_CA_WIRE_MATRIX = f"""
+WITH {SAMPLES_CTE},
+m AS (
+  SELECT channel, t, severity, status, v,
+         CAST(CAST(floor(v * 100 + 0.5) AS BIGINT) AS DOUBLE) AS d,
+         CAST(event_id % 100 - 50 AS DOUBLE) AS k,
+         CAST(event_id % 1000000 - 500000 AS DOUBLE) AS big,
+         CAST(event_id % 4 AS INTEGER) AS e4,
+         CAST((event_id + 1) % 4 AS DOUBLE) AS e4b,
+         event_id
+  FROM samples WHERE event_id % 29 = 0
+),
+x AS (
+  SELECT 'scalar_double' AS type, v AS vv, CAST(NULL AS VARCHAR) AS aval_str,
+         CAST(NULL AS INTEGER) AS ev, CAST(NULL AS VARCHAR) AS sv,
+         CAST(NULL AS VARCHAR) AS asval_str, m.* FROM m
+  UNION ALL SELECT 'array_double', NULL,
+         array_to_string(list_value(d, d * 2), ','),
+         NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'scalar_float', k + 0.5, NULL, NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'array_float', NULL,
+         array_to_string(list_value(k + 0.25, k - 0.5), ','),
+         NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'scalar_short', k * 100, NULL, NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'array_short', NULL,
+         array_to_string(list_value(k, 0 - k), ','), NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'scalar_char', k, NULL, NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'array_char', NULL,
+         array_to_string(list_value(k, 0 - k), ','), NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'scalar_long', big, NULL, NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'array_long', NULL,
+         array_to_string(list_value(big, big + 1), ','),
+         NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'scalar_enum', NULL, NULL, e4, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'array_enum', NULL,
+         array_to_string(list_value(CAST(e4 AS DOUBLE), e4b), ','),
+         NULL, NULL, NULL, m.* FROM m
+  UNION ALL SELECT 'scalar_string', NULL, NULL, NULL,
+         'S' || CAST(event_id % 1000 AS VARCHAR), NULL, m.* FROM m
+  UNION ALL SELECT 'array_string', NULL, NULL, NULL, NULL,
+         'A' || CAST(event_id % 7 AS VARCHAR) || ','
+           || 'B' || CAST(event_id % 13 AS VARCHAR), m.* FROM m
+)
+SELECT type || ':' || channel AS channel, t, type, vv AS v, aval_str,
+       ev AS eval, sv AS sval, asval_str, severity, status
+FROM x ORDER BY channel, t
+"""
+
+
+def q_ca_ctrl_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connect-time DBR_CTRL_* metadata fetch, every family: units /
+    precision / 8 limits for the numeric families, state labels for
+    enum, nothing for string (`ChannelAccessSampleValueAccess.java:
+    98-132,184`; controls monitor at
+    `ChannelAccessArchivingChannel.java:605`). Encoded with precision
+    set on EVERY numeric family, the integer families' wire structs
+    carry no precision field — the oracle asserts precision comes back
+    0 for short/char/long and intact for float/double, so the
+    per-family CTRL layouts themselves are what is being attested."""
+    from .functions import ca_wire_typed as cwt
+
+    base = load_samples(spark, sf_dir).filter(F.col("event_id") % 97 == 0)
+    fams = F.array(*[F.lit(x) for x in
+                     ("double", "float", "long", "short", "char", "enum",
+                      "string")])
+    rows = base.select("channel", "event_id", F.explode(fams).alias("family"))
+    w = (F.col("event_id") % 10).cast("double")
+    meta = F.when(
+        F.col("family").isin("double", "float", "long", "short", "char"),
+        F.struct(
+            (F.col("event_id") % 5).cast("int").alias("precision"),
+            F.concat(F.lit("U"), (F.col("event_id") % 3).cast("string"))
+            .alias("units"),
+            (-w).alias("lower_warning_limit"),
+            (w + 1).alias("upper_warning_limit"),
+            (-w - 2).alias("lower_alarm_limit"),
+            (w + 3).alias("upper_alarm_limit"),
+            (-w - 4).alias("lower_display_limit"),
+            (w + 5).alias("upper_display_limit"),
+            (-w - 6).alias("lower_control_limit"),
+            (w + 7).alias("upper_control_limit"),
+        ),
+    )
+    labels = F.when(
+        F.col("family") == "enum",
+        F.array(
+            F.lit("E0"), F.lit("E1"),
+            F.concat(F.lit("E"), (F.col("event_id") % 4).cast("string")),
+        ),
+    )
+    ctrl = rows.select(
+        F.concat(F.col("family"), F.lit(":"), F.col("channel"))
+        .alias("channel"),
+        "event_id",
+        "family",
+        meta.alias("meta"),
+        labels.alias("labels"),
+    )
+    subs = _md5_sids(ctrl)
+    tagged = ctrl.join(F.broadcast(subs), "channel").select(
+        "sid", F.col("event_id").alias("seq"), "family", "meta", "labels"
+    )
+    frames = cwt.encode_ctrl_table(tagged)
+    back = cwt.decode_ctrl_events(frames).join(F.broadcast(subs), "sid")
+    return back.select(
+        "channel",
+        F.col("seq").alias("event_id"),
+        "family",
+        F.col("meta.precision").alias("precision"),
+        F.col("meta.units").alias("units"),
+        F.col("meta.lower_warning_limit").alias("warn_lo"),
+        F.col("meta.upper_warning_limit").alias("warn_hi"),
+        F.col("meta.lower_alarm_limit").alias("alarm_lo"),
+        F.col("meta.upper_alarm_limit").alias("alarm_hi"),
+        F.col("meta.lower_display_limit").alias("disp_lo"),
+        F.col("meta.upper_display_limit").alias("disp_hi"),
+        F.col("meta.lower_control_limit").alias("ctrl_lo"),
+        F.col("meta.upper_control_limit").alias("ctrl_hi"),
+        F.when(F.col("labels").isNotNull(), F.concat_ws(",", F.col("labels")))
+        .alias("labels_str"),
+    ).orderBy("channel", "event_id")
+
+
+SQL_CA_CTRL_METADATA = f"""
+WITH {SAMPLES_CTE},
+base AS (SELECT channel, event_id FROM samples WHERE event_id % 97 = 0),
+fams(family) AS (
+  VALUES ('double'), ('float'), ('long'), ('short'), ('char'), ('enum'),
+         ('string')
+),
+j AS (
+  SELECT family || ':' || channel AS channel, event_id, family,
+         CAST(event_id % 10 AS DOUBLE) AS w,
+         family IN ('double', 'float', 'long', 'short', 'char') AS has_meta
+  FROM base CROSS JOIN fams
+)
+SELECT channel, event_id, family,
+       CAST(CASE WHEN family IN ('double', 'float') THEN event_id % 5
+                 WHEN has_meta THEN 0 END AS INTEGER) AS "precision",
+       CASE WHEN has_meta
+            THEN 'U' || CAST(event_id % 3 AS VARCHAR) END AS units,
+       CASE WHEN has_meta THEN -w END AS warn_lo,
+       CASE WHEN has_meta THEN w + 1 END AS warn_hi,
+       CASE WHEN has_meta THEN -w - 2 END AS alarm_lo,
+       CASE WHEN has_meta THEN w + 3 END AS alarm_hi,
+       CASE WHEN has_meta THEN -w - 4 END AS disp_lo,
+       CASE WHEN has_meta THEN w + 5 END AS disp_hi,
+       CASE WHEN has_meta THEN -w - 6 END AS ctrl_lo,
+       CASE WHEN has_meta THEN w + 7 END AS ctrl_hi,
+       CASE WHEN family = 'enum' THEN
+         'E0,E1,E' || CAST(event_id % 4 AS VARCHAR) END AS labels_str
+FROM j ORDER BY channel, event_id
 """
 
 

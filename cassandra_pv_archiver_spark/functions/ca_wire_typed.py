@@ -481,6 +481,39 @@ def assemble_typed_samples(
     )
 
 
+def encode_ctrl_table(ctrl: DataFrame) -> DataFrame:
+    """(sid long, seq long, family string, meta struct|null, labels
+    array<string>|null) -> (seq, frame binary): capture builder for
+    controls-monitor frames alone — the connect-time metadata fetch
+    (`ChannelAccessArchivingChannel.java:605` controls monitor)."""
+    flat = ctrl.select(
+        "sid", "seq", "family", "labels",
+        *[F.col(f"meta.{k}").alias(f"cm_{k}") for k in _META_KEYS],
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs: list[int] = []
+            frames: list[bytes] = []
+            for row in pdf.itertuples(index=False):
+                meta = None
+                if pd.notna(row.cm_units):
+                    meta = {k: getattr(row, f"cm_{k}") for k in _META_KEYS}
+                labels = list(row.labels) if row.labels is not None else None
+                seqs.append(int(row.seq))
+                frames.append(encode_ctrl_event(
+                    int(row.sid), row.family, meta=meta, labels=labels
+                ))
+            yield pd.DataFrame(
+                {
+                    "seq": pd.Series(seqs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return flat.mapInPandas(_encode, schema="seq long, frame binary")
+
+
 def encode_typed_samples(
     samples: DataFrame, subscriptions: DataFrame
 ) -> DataFrame:

@@ -87,6 +87,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_curriculum_bins,
         catalog_data.SQL_CURRICULUM_BINS,
     ),
+    # --- round 6 (this round) additions: full DBR wire coverage ---
+    "ca_typed_roundtrip_1h": (
+        catalog.q_ca_typed_roundtrip_1h,
+        catalog.SQL_CA_TYPED_ROUNDTRIP_1H,
+    ),
+    "ca_wire_matrix": (catalog.q_ca_wire_matrix, catalog.SQL_CA_WIRE_MATRIX),
+    "ca_ctrl_metadata": (
+        catalog.q_ca_ctrl_metadata,
+        catalog.SQL_CA_CTRL_METADATA,
+    ),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,
