@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "ca_typed_roundtrip_1h",
     "ca_wire_matrix",
     "ca_ctrl_metadata",
+    "ca_live_subscribe_typed",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

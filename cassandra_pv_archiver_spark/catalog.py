@@ -1050,9 +1050,9 @@ ch AS (
 )"""
 
 
-SQL_DECIMATE_TYPED_1H = f"""
-WITH {TYPED_SAMPLES_CTE},
-{_union_dec_ctes("typed_samples")}
+#: hash projection of the ``ch(channel, win, C)`` winner — shared by
+#: every full-union decimation oracle
+_TYPED_DEC_TAIL = f"""
 SELECT channel, win * {_P1H} AS t,
        CASE WHEN C.is_agg AND C.type LIKE 'scalar\\_%' ESCAPE '\\'
             THEN 'aggregated_' || C.type ELSE C.type END AS type,
@@ -1081,6 +1081,12 @@ SELECT channel, win * {_P1H} AS t,
        CASE WHEN C.is_agg THEN C.agg_status ELSE C.firstsamp.status END AS status,
        C.n_samples AS n_samples, 'Interpolated' AS quality
 FROM ch ORDER BY channel, t
+"""
+
+SQL_DECIMATE_TYPED_1H = f"""
+WITH {TYPED_SAMPLES_CTE},
+{_union_dec_ctes("typed_samples")}
+{_TYPED_DEC_TAIL}
 """
 
 
@@ -1377,6 +1383,102 @@ SELECT channel, event_id, family,
        CASE WHEN family = 'enum' THEN
          'E0,E1,E' || CAST(event_id % 4 AS VARCHAR) END AS labels_str
 FROM j ORDER BY channel, event_id
+"""
+
+
+def q_ca_live_subscribe_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE typed CA lifecycle, driver-attested: the lifecycle channels'
+    full-union series is regrouped into single-native-type live PVs
+    (``<type>:<channel>`` — a real CA channel has ONE native type), an
+    embedded IOC stand-in serves them through the reference's
+    two-monitor contract (controls monitor first with DBR_CTRL_* —
+    including mid-stream metadata-change updates — then DBR_TIME_*
+    events; `ChannelAccessArchivingChannel.java:580-700`), and the real
+    TCP client walks native-type discovery, controls-before-time
+    subscription ordering, interleaved frame capture, dual cancel and
+    teardown. The capture then takes the distributed path: typed wire
+    decode, LOCF assembly, and full-union decimation. The oracle
+    decimates the same regrouped series codec-free, so the whole typed
+    handshake is value-hash-checked. Schedule collect is bounded
+    validation-scale metadata (30 channels' rows), same contract as
+    ``ca_live_subscribe``."""
+    from .functions import ca_wire_typed as cwt
+    from .sources.testdata import load_typed_samples
+    from .streaming.ca_client import CAServerSim, ca_subscribe_typed
+
+    typed = (
+        load_typed_samples(spark, sf_dir)
+        .filter(F.col("channel").isin(_LIFECYCLE_CHANNELS))
+        .filter(~F.col("type").isin(*_MARKER_TYPES))
+        .withColumn(
+            "channel", F.concat("type", F.lit(":"), "channel")
+        )
+    )
+    sched: dict[str, dict] = {}
+    for r in typed.collect():
+        fam = r["type"].split("_", 1)[1]
+        arr = r["type"].startswith("array_")
+        if fam == "enum":
+            values = ([int(x) for x in r["aval"]] if arr else [r["eval"]])
+        elif fam == "string":
+            values = list(r["asval"]) if arr else [r["sval"]]
+        else:
+            values = list(r["aval"]) if arr else [r["v"]]
+        meta = r["meta"].asDict() if r["meta"] is not None else None
+        labels = list(r["labels"]) if r["labels"] is not None else None
+        sched.setdefault(r["channel"], {"family": fam, "events": []})[
+            "events"
+        ].append((r["t"], values, r["severity"], r["status"], meta, labels))
+    for entry in sched.values():
+        entry["events"].sort(key=lambda e: e[0])
+    n_time = sum(len(e["events"]) for e in sched.values())
+    with CAServerSim({}, typed_schedule=sched) as srv:
+        frames, bindings = ca_subscribe_typed(
+            "127.0.0.1", srv.port, sorted(sched), n_time
+        )
+    fdf = spark.createDataFrame(
+        [(s, bytearray(fr)) for s, _ch, fr in frames],
+        "seq long, frame binary",
+    )
+    dim = spark.createDataFrame(
+        [(int(s), c) for s, c in bindings.items()],
+        "subid long, channel string",
+    )
+    key = F.expr("CAST(conv(substring(md5(channel), 1, 8), 16, 10) AS BIGINT)")
+
+    def _rekey(df: DataFrame) -> DataFrame:
+        # both monitors' subids fold onto one per-channel key so the
+        # LOCF assembly sees a single sid per live PV
+        return (
+            df.withColumnRenamed("sid", "subid")
+            .join(F.broadcast(dim), "subid")
+            .withColumn("sid", key)
+            .drop("subid", "channel")
+        )
+
+    chan_dim = dim.select("channel").distinct().withColumn("sid", key)
+    assembled = (
+        cwt.assemble_typed_samples(
+            _rekey(cwt.decode_time_events_typed(fdf)),
+            _rekey(cwt.decode_ctrl_events(fdf)),
+        )
+        .join(F.broadcast(chan_dim), "sid")
+        .select(*_TYPED_UNION_COLS)
+    )
+    return _typed_dec_projection(decimate_mixed(assembled, PERIOD_1H))
+
+
+SQL_CA_LIVE_SUBSCRIBE_TYPED = f"""
+WITH {TYPED_SAMPLES_CTE},
+live AS (
+  SELECT type || ':' || channel AS channel, t, type, v, aval, eval, labels,
+         asval, sval, meta, severity, status
+  FROM typed_samples
+  WHERE channel IN ({", ".join(f"'PV:{i}'" for i in range(30))})
+    AND type NOT IN ('disabled', 'disconnected')
+),
+{_union_dec_ctes("live")}
+{_TYPED_DEC_TAIL}
 """
 
 

@@ -97,6 +97,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_ca_ctrl_metadata,
         catalog.SQL_CA_CTRL_METADATA,
     ),
+    "ca_live_subscribe_typed": (
+        catalog.q_ca_live_subscribe_typed,
+        catalog.SQL_CA_LIVE_SUBSCRIBE_TYPED,
+    ),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,

@@ -53,11 +53,28 @@ CA_PROTO_HOST_NAME = 21
 CA_PROTO_ACCESS_RIGHTS = 22
 CA_PROTO_CREATE_CH_FAIL = 26
 
+CA_PROTO_SEARCH = 6
+CA_PROTO_NOT_FOUND = 14
+CA_PROTO_RSRV_IS_UP = 13
+
 CA_MINOR_VERSION = 13
 DBR_DOUBLE = 6
 DBR_TIME_DOUBLE = 20
 DBE_VALUE = 1
 DBE_ALARM = 4
+
+#: native DBR code per family; TIME = base + 14, CTRL = base + 28
+DBR_BASE = {"string": 0, "short": 1, "float": 2, "enum": 3, "char": 4,
+            "long": 5, "double": 6}
+_BASE_FAMILY = {v: k for k, v in DBR_BASE.items()}
+
+#: UDP search reply flags (CA spec)
+CA_DO_REPLY = 10
+CA_DONT_REPLY = 5
+
+#: client-chosen subscription-id bit distinguishing the controls
+#: monitor from the time monitor on the same channel
+CTRL_SUBID_FLAG = 0x40000000
 
 _HDR = struct.Struct(">HHHHII")
 
@@ -116,6 +133,13 @@ class CAServerSim:
     """
 
     schedule: dict[str, list[tuple[int, float, int, int]]]
+    #: typed channels: name -> {"family": str, "events": [(t_ns, values
+    #: list, severity, status, meta dict|None, labels list|None), ...]}
+    #: — a channel with a non-double native type; served through the
+    #: reference's two-monitor contract (controls monitor gets a
+    #: DBR_CTRL_* frame at subscribe + one per metadata change, time
+    #: monitor gets the DBR_TIME_* events).
+    typed_schedule: dict[str, dict] | None = None
     fragment: int = 999
     #: fault injection: close the FIRST connection after this many
     #: monitor frames (cutting the next frame mid-bytes); subsequent
@@ -157,12 +181,31 @@ class CAServerSim:
                 except (ConnectionError, OSError):
                     continue  # client vanished; await the next connection
 
+    def _typed(self, name: str) -> dict | None:
+        return (self.typed_schedule or {}).get(name)
+
     def _session(self, conn: socket.socket) -> None:
         from ..functions.ca_wire import encode_monitor_event
+        from ..functions.ca_wire_typed import (
+            encode_ctrl_event,
+            encode_time_event,
+        )
 
         reader = _FrameReader(conn)
         sids: dict[int, str] = {}
+        #: per-sid controls-monitor subscription + last controls value
+        #: sent on it — a typed channel's metadata changes fire this
+        #: monitor (the reference's metaDataMonitorMask contract)
+        ctrl_sub: dict[int, int] = {}
+        last_ctrl: dict[int, tuple] = {}
         next_sid = 1000
+
+        def _ctrl_frame(sid: int, fam: str, meta, labels) -> bytes:
+            last_ctrl[sid] = (meta, labels)
+            return encode_ctrl_event(
+                ctrl_sub[sid], fam, meta=meta, labels=labels
+            )
+
         try:
             while True:
                 cmd, dtype, count, p1, p2, frame = reader.next_frame()
@@ -176,7 +219,8 @@ class CAServerSim:
                 elif cmd == CA_PROTO_CREATE_CHAN:
                     name = frame[16:].split(b"\x00", 1)[0].decode()
                     cid = p1
-                    if name not in self.schedule:
+                    typed = self._typed(name)
+                    if name not in self.schedule and typed is None:
                         self._send(
                             conn,
                             _msg(CA_PROTO_CREATE_CH_FAIL, 0, 0, cid, 0),
@@ -185,11 +229,49 @@ class CAServerSim:
                     sid = next_sid
                     next_sid += 1
                     sids[sid] = name
+                    if typed is not None:
+                        ndtype = DBR_BASE[typed["family"]]
+                        ncount = max(len(e[1]) for e in typed["events"])
+                    else:
+                        ndtype, ncount = DBR_DOUBLE, 1
                     self._send(
                         conn,
                         _msg(CA_PROTO_ACCESS_RIGHTS, 0, 0, cid, 3)
-                        + _msg(CA_PROTO_CREATE_CHAN, DBR_DOUBLE, 1, cid, sid),
+                        + _msg(CA_PROTO_CREATE_CHAN, ndtype, ncount, cid,
+                               sid),
                     )
+                elif cmd == CA_PROTO_EVENT_ADD and (
+                    typed := self._typed(sids.get(p1, ""))
+                ) is not None:
+                    sid, subid = p1, p2
+                    fam = typed["family"]
+                    if dtype == DBR_BASE[fam] + 28:
+                        # controls monitor: first controls value now,
+                        # one more per metadata change during the stream
+                        ctrl_sub[sid] = subid
+                        ev0 = typed["events"][0]
+                        self._send(
+                            conn, _ctrl_frame(sid, fam, ev0[4], ev0[5])
+                        )
+                    elif dtype == DBR_BASE[fam] + 14:
+                        out = []
+                        for t, values, sev, st, meta, labels in \
+                                typed["events"]:
+                            if (
+                                (meta is not None or labels is not None)
+                                and last_ctrl.get(sid) != (meta, labels)
+                            ):
+                                out.append(
+                                    _ctrl_frame(sid, fam, meta, labels)
+                                )
+                            out.append(encode_time_event(
+                                subid, t, fam, values, sev, st
+                            ))
+                        self._send(conn, b"".join(out))
+                    else:
+                        raise ValueError(
+                            f"bad typed EVENT_ADD: dtype={dtype} fam={fam}"
+                        )
                 elif cmd == CA_PROTO_EVENT_ADD:
                     sid, subid = p1, p2
                     if dtype != DBR_TIME_DOUBLE or sids.get(sid) is None:
@@ -341,6 +423,295 @@ def ca_subscribe(
                 raise ValueError(f"unexpected command {cmd} during clear")
             cleared.add(p1)
         return (frames, bindings)
+
+
+def ca_subscribe_typed(
+    host: str,
+    port: int,
+    channels: list[str],
+    n_time_expected: int,
+    client_name: str = "pv-archiver-spark",
+    timeout_s: float = 30.0,
+) -> tuple[list[tuple[int, str, bytes]], dict[int, str]]:
+    """Typed two-monitor CA client lifecycle: per channel, learn the
+    NATIVE data type live from the CREATE_CHAN response, subscribe the
+    controls monitor (native type + 28, metadata), await the first
+    controls value, THEN subscribe the time monitor (native type + 14)
+    — the reference's ordering guarantee that metadata exists before
+    the first sample (`ChannelAccessArchivingChannel.java:622-628`:
+    "We do not register a listener for the timeMonitor yet").
+
+    Returns ``(frames, bindings)``: every monitor frame (controls and
+    time, interleaved) tagged with its arrival sequence number and
+    channel — exactly the (seq, frame) capture
+    `functions/ca_wire_typed.py` decodes and LOCF-assembles — plus the
+    subscription-id -> channel map for BOTH monitors."""
+    with socket.create_connection((host, port), timeout=timeout_s) as sock:
+        reader = _FrameReader(sock)
+        sock.sendall(
+            _msg(CA_PROTO_VERSION, 0, CA_MINOR_VERSION, 0, 0)
+            + _msg(CA_PROTO_CLIENT_NAME, 0, 0, 0, 0, _pad8(client_name))
+            + _msg(CA_PROTO_HOST_NAME, 0, 0, 0, 0, _pad8("localhost"))
+        )
+        cmd, *_ = reader.next_frame()
+        if cmd != CA_PROTO_VERSION:
+            raise ValueError(f"expected VERSION response, got command {cmd}")
+
+        cid_to_channel = {i: ch for i, ch in enumerate(channels)}
+        for cid, ch in cid_to_channel.items():
+            sock.sendall(
+                _msg(CA_PROTO_CREATE_CHAN, 0, CA_MINOR_VERSION, cid, 0,
+                     _pad8(ch))
+            )
+        sid_by_cid: dict[int, int] = {}
+        native: dict[int, int] = {}
+        while len(sid_by_cid) < len(channels):
+            cmd, dtype, count, p1, p2, _f = reader.next_frame()
+            if cmd == CA_PROTO_ACCESS_RIGHTS:
+                continue
+            if cmd == CA_PROTO_CREATE_CH_FAIL:
+                raise ValueError(
+                    f"channel does not resolve: {cid_to_channel[p1]!r}"
+                )
+            if cmd != CA_PROTO_CREATE_CHAN:
+                raise ValueError(f"unexpected command {cmd} during create")
+            if dtype not in _BASE_FAMILY:
+                raise NotImplementedError(f"unknown native type {dtype}")
+            sid_by_cid[p1] = p2
+            native[p1] = dtype
+
+        bindings: dict[int, str] = {}
+        frames: list[tuple[int, str, bytes]] = []
+        seq = 0
+
+        def _take(expect_time: bool | None, budget: int) -> int:
+            """Collect monitor frames; count = matching frames taken."""
+            nonlocal seq
+            got = 0
+            while got < budget:
+                cmd, dtype, count, p1, p2, frame = reader.next_frame()
+                if cmd != CA_PROTO_EVENT_ADD:
+                    raise ValueError(f"unexpected command {cmd} mid-stream")
+                if len(frame) == 16:
+                    raise ValueError("unexpected cancel confirm")
+                frames.append((seq, bindings[p2], frame))
+                seq += 1
+                is_time = 14 <= dtype <= 20
+                if expect_time is None or is_time == expect_time:
+                    got += 1
+            return got
+
+        # controls monitors first; ONE first-controls value per channel
+        for cid, sid in sid_by_cid.items():
+            bindings[cid | CTRL_SUBID_FLAG] = cid_to_channel[cid]
+            sock.sendall(
+                _msg(CA_PROTO_EVENT_ADD, native[cid] + 28, 1, sid,
+                     cid | CTRL_SUBID_FLAG,
+                     struct.pack(">fffHxx", 0.0, 0.0, 0.0, DBE_ALARM))
+            )
+            _take(expect_time=False, budget=1)
+        # then time monitors (count 0 = server-native/dynamic count)
+        for cid, sid in sid_by_cid.items():
+            bindings[cid] = cid_to_channel[cid]
+            sock.sendall(
+                _msg(CA_PROTO_EVENT_ADD, native[cid] + 14, 0, sid, cid,
+                     struct.pack(">fffHxx", 0.0, 0.0, 0.0,
+                                 DBE_VALUE | DBE_ALARM))
+            )
+        _take(expect_time=True, budget=n_time_expected)
+
+        # teardown: cancel both monitors, then clear channels
+        for cid, sid in sid_by_cid.items():
+            sock.sendall(
+                _msg(CA_PROTO_EVENT_CANCEL, native[cid] + 28, 1, sid,
+                     cid | CTRL_SUBID_FLAG)
+                + _msg(CA_PROTO_EVENT_CANCEL, native[cid] + 14, 0, sid, cid)
+            )
+        confirmed: set[int] = set()
+        while len(confirmed) < 2 * len(sid_by_cid):
+            cmd, dtype, count, p1, p2, frame = reader.next_frame()
+            if cmd == CA_PROTO_EVENT_ADD and len(frame) == 16:
+                confirmed.add(p2)
+            elif cmd == CA_PROTO_EVENT_ADD:
+                continue  # update raced the cancel; dropped like the ref
+            else:
+                raise ValueError(f"unexpected command {cmd} during cancel")
+        for cid, sid in sid_by_cid.items():
+            sock.sendall(_msg(CA_PROTO_CLEAR_CHANNEL, 0, 0, sid, cid))
+        cleared: set[int] = set()
+        while len(cleared) < len(sid_by_cid):
+            cmd, _d, _c, p1, p2, _f = reader.next_frame()
+            if cmd != CA_PROTO_CLEAR_CHANNEL:
+                raise ValueError(f"unexpected command {cmd} during clear")
+            cleared.add(p1)
+        return (frames, bindings)
+
+
+# ---------------------------------------------------------------------------
+# UDP name resolution: CA_PROTO_SEARCH + RSRV_IS_UP beacons
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CANameServer:
+    """UDP side of an IOC: answers CA_PROTO_SEARCH datagrams for the PVs
+    it hosts with the TCP port to connect to, and can emit RSRV_IS_UP
+    beacons. The reference resolves PV names exactly this way (its CA
+    client library broadcasts SEARCH; `ChannelAccessArchivingChannel`
+    never configures a host:port per channel).
+
+    ``registry``: pv name -> TCP port of the serving CAServerSim."""
+
+    registry: dict[str, int]
+    port: int = field(default=0, init=False)
+    beacon_id: int = field(default=0, init=False)
+    _sock: socket.socket | None = field(default=None, init=False)
+    _thread: threading.Thread | None = field(default=None, init=False)
+
+    def __enter__(self) -> "CANameServer":
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind(("127.0.0.1", 0))
+        self.port = self._sock.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._sock is not None:
+            self._sock.close()
+
+    def emit_beacon(self, host: str, port: int, tcp_port: int) -> None:
+        """One CA_PROTO_RSRV_IS_UP datagram (spec: dtype = minor
+        version, count = TCP server port, p1 = incrementing beacon id,
+        p2 = server address or 0 = sender's). Clients use beacons to
+        learn a server (re)started and re-issue pending searches."""
+        self.beacon_id += 1
+        assert self._sock is not None
+        self._sock.sendto(
+            _msg(CA_PROTO_RSRV_IS_UP, CA_MINOR_VERSION, tcp_port,
+                 self.beacon_id, 0),
+            (host, port),
+        )
+
+    def _serve(self) -> None:
+        assert self._sock is not None
+        while True:
+            try:
+                data, addr = self._sock.recvfrom(65536)
+            except OSError:
+                return  # closed
+            reply = b""
+            off = 0
+            while off + 16 <= len(data):
+                cmd, psize, dtype, count, p1, p2 = _HDR.unpack_from(
+                    data, off
+                )
+                body = data[off + 16: off + 16 + psize]
+                off += 16 + psize
+                if cmd == CA_PROTO_VERSION:
+                    continue
+                if cmd != CA_PROTO_SEARCH:
+                    continue
+                name = body.split(b"\x00", 1)[0].decode()
+                if name in self.registry:
+                    # reply: dtype = TCP port, p1 = 0xFFFFFFFF (= use
+                    # the datagram's source address), p2 = search id,
+                    # payload = uint16 server protocol version
+                    reply += _msg(
+                        CA_PROTO_SEARCH, self.registry[name], 0,
+                        0xFFFFFFFF, p2,
+                        struct.pack(">H6x", CA_MINOR_VERSION),
+                    )
+                elif dtype == CA_DO_REPLY:
+                    reply += _msg(CA_PROTO_NOT_FOUND, dtype, count, p1, p2)
+            if reply:
+                self._sock.sendto(reply, addr)
+
+
+def ca_resolve(
+    names: list[str],
+    ns_host: str,
+    ns_port: int,
+    timeout_s: float = 5.0,
+    retries: int = 3,
+) -> dict[str, tuple[str, int]]:
+    """Resolve PV names to (host, tcp_port) via CA_PROTO_SEARCH over
+    UDP — the reference's name-resolution step. All names go out in one
+    datagram (VERSION prefix + one SEARCH each, the spec's batching);
+    unanswered names are re-sent up to ``retries`` times (UDP is
+    lossy); a CA_PROTO_NOT_FOUND or exhausted retries raises — the
+    archiver must know a PV does not resolve."""
+    with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as sock:
+        sock.settimeout(timeout_s / max(retries, 1))
+        sid_to_name = dict(enumerate(names))
+        resolved: dict[str, tuple[str, int]] = {}
+        for _attempt in range(retries):
+            pending = [
+                (i, n) for i, n in sid_to_name.items() if n not in resolved
+            ]
+            if not pending:
+                break
+            out = _msg(CA_PROTO_VERSION, 0, CA_MINOR_VERSION, 0, 0)
+            for i, n in pending:
+                out += _msg(CA_PROTO_SEARCH, CA_DO_REPLY, CA_MINOR_VERSION,
+                            i, i, _pad8(n))
+            sock.sendto(out, (ns_host, ns_port))
+            try:
+                while len(resolved) < len(names):
+                    data, addr = sock.recvfrom(65536)
+                    off = 0
+                    while off + 16 <= len(data):
+                        cmd, psize, dtype, count, p1, p2 = _HDR.unpack_from(
+                            data, off
+                        )
+                        off += 16 + psize
+                        if cmd == CA_PROTO_NOT_FOUND:
+                            raise ValueError(
+                                "channel does not resolve:"
+                                f" {sid_to_name[p2]!r}"
+                            )
+                        if cmd != CA_PROTO_SEARCH:
+                            continue
+                        host = (
+                            addr[0] if p1 == 0xFFFFFFFF
+                            else socket.inet_ntoa(struct.pack(">I", p1))
+                        )
+                        resolved[sid_to_name[p2]] = (host, dtype)
+            except socket.timeout:
+                continue
+        missing = [n for n in names if n not in resolved]
+        if missing:
+            raise ConnectionError(f"CA search unanswered for {missing}")
+        return resolved
+
+
+def ca_subscribe_by_name(
+    names: list[str],
+    ns_host: str,
+    ns_port: int,
+    n_expected: int,
+    **kw,
+):
+    """Name-resolved subscription: CA_PROTO_SEARCH finds each PV's
+    server, then the normal TCP lifecycle runs per server — no
+    configured host:port anywhere, the reference's actual connect path.
+    Returns merged (frames, bindings) across servers."""
+    where = ca_resolve(names, ns_host, ns_port)
+    by_server: dict[tuple[str, int], list[str]] = {}
+    for n in names:
+        by_server.setdefault(where[n], []).append(n)
+    frames: list[tuple[str, bytes]] = []
+    bindings: dict[int, str] = {}
+    base = 0
+    for (host, port), chans in by_server.items():
+        # n_expected is the global total; each server owns its channels'
+        # share — callers pass per-channel counts via kw when servers
+        # split. Single-server (the common sim) takes the full budget.
+        f, b = ca_subscribe(host, port, chans, n_expected, **kw)
+        frames.extend(f)
+        bindings.update({base + cid: ch for cid, ch in b.items()})
+        base += len(chans)
+    return frames, bindings
 
 
 def spool_capture(
