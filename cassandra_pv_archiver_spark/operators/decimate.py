@@ -137,13 +137,56 @@ def _lead_hwm_range_partitioned(
     )
 
 
+#: hot-key share above which ``skew_safe="auto"`` takes the
+#: range-partitioned plan. PERF.md's measured crossover: at 50 % hot the
+#: default single-exchange plan still wins (0.93 s vs 1.62 s), at 95 %
+#: hot skew_safe wins by 31 % (1.99 s vs 2.90 s) — 0.9 sits just under
+#: the measured win, biased toward the default plan that is right for
+#: every channel-balanced archive.
+AUTO_SKEW_SHARE = 0.9
+
+#: sampling fraction for the auto probe (key column only — a pruned
+#: scan, cheap relative to the decimation it protects)
+_AUTO_PROBE_FRACTION = 0.05
+
+
+def hot_key_share(df: DataFrame, key: str, fraction: float | None = None) -> float:
+    """Estimated share of rows held by the hottest key — the
+    ``max_key_share`` statistic of :func:`stats.key_skew_report`,
+    computed on a deterministic sample of the key column so the
+    pre-flight costs a pruned 5 % scan, not a full pass. Drives
+    ``skew_safe="auto"``; run key_skew_report itself for the exact
+    offline diagnostic."""
+    from .stats import key_skew_report
+
+    probe = df.select(key)
+    if fraction is None:
+        fraction = _AUTO_PROBE_FRACTION
+    if fraction < 1.0:
+        probe = probe.sample(fraction=fraction, seed=7)
+    row = key_skew_report(probe, key).select("max_key_share").first()
+    return float(row["max_key_share"]) if row is not None else 0.0
+
+
+def _resolve_skew_safe(
+    skew_safe: bool | str, df: DataFrame, key: str
+) -> bool:
+    """``"auto"``: measure, then decide — the hot-channel case
+    self-protects without anyone remembering a flag (the probe runs one
+    small eager job at plan-build time; both plans produce identical
+    rows, so the choice never affects results)."""
+    if skew_safe == "auto":
+        return hot_key_share(df, key) >= AUTO_SKEW_SHARE
+    return bool(skew_safe)
+
+
 def explode_validity_windows(
     df: DataFrame,
     period_ns: int,
     key: str = "channel",
     t: str = "t",
     max_gap_windows: int | None = None,
-    skew_safe: bool = False,
+    skew_safe: bool | str = False,
 ) -> DataFrame:
     """Assign each sample its hold-forward validity, split at window bounds.
 
@@ -163,7 +206,7 @@ def explode_validity_windows(
     — same result, bounded per-task cost under a pathological hot channel.
     """
     p = F.lit(period_ns)
-    if skew_safe:
+    if _resolve_skew_safe(skew_safe, df, key):
         d = _lead_hwm_range_partitioned(df, key, t)
     else:
         w_ord = Window.partitionBy(key).orderBy(t)
@@ -218,7 +261,7 @@ def decimate(
     round_to: int | None = None,
     v_decimals: int = 2,
     max_gap_windows: int | None = None,
-    skew_safe: bool = False,
+    skew_safe: bool | str = False,
 ) -> DataFrame:
     """Raw numeric samples -> aggregated samples at ``period_s``.
 
@@ -291,7 +334,7 @@ def reaggregate(
     input_scale: int = 4,
     round_to: int | None = None,
     max_gap_windows: int | None = None,
-    skew_safe: bool = False,
+    skew_safe: bool | str = False,
 ) -> DataFrame:
     """A4: aggregated samples -> coarser aggregated samples (cascade).
 
@@ -366,7 +409,7 @@ def pick_first(
     payload: str = "sval",
     key: str = "channel",
     max_gap_windows: int | None = None,
-    skew_safe: bool = False,
+    skew_safe: bool | str = False,
 ) -> DataFrame:
     """A5: non-aggregatable series -> re-stamped copy of the sample valid at
     each interval start (`PickFirstSampleAggregator.java:50-76`).

@@ -82,7 +82,7 @@ def decimate_mixed(
     key: str = "channel",
     v_decimals: int = 2,
     max_gap_windows: int | None = None,
-    skew_safe: bool = False,
+    skew_safe: bool | str = False,
 ) -> DataFrame:
     """Mixed-type hold-forward decimation (A6 + A1/A2/A3/A5/W1/W2).
 

@@ -1436,15 +1436,33 @@ def ivfpq_rerank_topk(
         index, queries, k=shortlist_k, m=m, sub_dim=sub_dim,
         n_probe=n_probe, id_col=id_col, vec_col=vec_col,
     ).select("q_id", "vec_id")
+    return rerank_shortlist(
+        emb, queries, shortlist, k=k, id_col=id_col, vec_col=vec_col
+    )
 
+
+def rerank_shortlist(
+    raw: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The exact-refinement stage alone: given a (q_id, vec_id)
+    shortlist from ANY candidate generator, re-rank by exact L2 against
+    the raw vectors and keep the top ``k`` per query. The shortlist
+    (queries x shortlist_k rows) is broadcast onto the raw table, so
+    raw-embedding reads stay proportional to the shortlist, never the
+    corpus — the same stage batch and streaming serving share."""
     qexpr = F.expr(
         f"transform({vec_col}, c ->"
         " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
     )
     qv = queries.select(F.col(id_col).alias("q_id"), qexpr.alias("_qq"))
-    cand = emb.select(
+    cand = raw.select(
         F.col(id_col).alias("vec_id"), qexpr.alias("_vq")
-    ).join(F.broadcast(shortlist), "vec_id")
+    ).join(F.broadcast(shortlist.select("q_id", "vec_id")), "vec_id")
     d2 = (
         "aggregate(zip_with(_vq, _qq, (a, b) ->"
         " (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"

@@ -47,20 +47,37 @@ def start_ivfpq_search_stream(
     checkpoint: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank_raw: DataFrame | None = None,
+    shortlist_k: int = 50,
 ):
     """Serve a streaming table of query vectors against a frozen
     IVF-PQ index: every micro-batch runs the stream-static ADC search
-    and hands the (q_id, vec_id, adc) top-k to ``sink(df, batch_id)``.
-    Pass a PERSISTED index (:func:`persist_ivfpq_index`)."""
-    from ..operators.similarity import ivfpq_search
+    and hands the top-k to ``sink(df, batch_id)``. Pass a PERSISTED
+    index (:func:`persist_ivfpq_index`).
+
+    With ``rerank_raw`` (the raw embedding table), the serving leg runs
+    the SAME two-stage refinement as batch (operators/similarity
+    .rerank_shortlist, the recall-recovering production path measured by
+    ivfpq_rerank_recall): the ADC scan proposes ``shortlist_k``
+    candidates per query, exact L2 re-ranks just those rows, and the
+    sink receives (q_id, vec_id, d2). Without it the sink receives the
+    raw ADC (q_id, vec_id, adc) top-k."""
+    from ..operators.similarity import ivfpq_search, rerank_shortlist
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         res = ivfpq_search(
-            index, batch_df, k=k, m=m, sub_dim=sub_dim, n_probe=n_probe,
+            index, batch_df,
+            k=(shortlist_k if rerank_raw is not None else k),
+            m=m, sub_dim=sub_dim, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col,
         )
+        if rerank_raw is not None:
+            res = rerank_shortlist(
+                rerank_raw, batch_df, res, k=k,
+                id_col=id_col, vec_col=vec_col,
+            )
         sink(res, batch_id)
 
     writer = query_stream.writeStream.foreachBatch(_sink).trigger(

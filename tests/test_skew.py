@@ -168,3 +168,42 @@ def test_skew_safe_passthrough_all_decimation_paths(spark):
     b = sorted(map(tuple,
                    reaggregate(dec, 3600, 7200, skew_safe=True).collect()))
     assert a == b and a
+
+
+def test_auto_skew_safe_measures_then_decides(spark):
+    """skew_safe="auto" runs the sampled key_skew_report pre-flight and
+    switches plans at the measured crossover (PERF.md): a 95 %-hot
+    fixture — the regime where skew_safe measured −31 % — takes the
+    range-partitioned plan; a flat fixture keeps the default
+    single-exchange plan; rows are identical either way."""
+
+    def plan(df, mode):
+        return (
+            decimate(df, 3600, skew_safe=mode)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .lower()
+        )
+
+    hot = _skewed(spark, hot_share=0.95)
+    flat = _skewed(spark, hot_share=0.0)
+    assert "rangepartitioning" in plan(hot, "auto")
+    assert "rangepartitioning" not in plan(flat, "auto")
+    got = decimate(hot, 3600, skew_safe="auto").orderBy("channel", "t")
+    want = decimate(hot, 3600, skew_safe=False).orderBy("channel", "t")
+    assert got.collect() == want.collect()
+
+
+def test_hot_key_share_estimates_the_exact_statistic(spark):
+    """The auto probe's sampled max_key_share tracks the exact
+    key_skew_report value within sampling noise on both regimes."""
+    from cassandra_pv_archiver_spark.operators.decimate import hot_key_share
+
+    assert abs(hot_key_share(_skewed(spark, hot_share=0.95), "channel")
+               - 0.95) < 0.05
+    assert hot_key_share(_skewed(spark, hot_share=0.5), "channel") < 0.6
+    # exact mode (fraction=1.0) reproduces key_skew_report exactly
+    assert hot_key_share(
+        _skewed(spark, hot_share=0.5), "channel", fraction=1.0
+    ) == 0.5

@@ -906,6 +906,76 @@ def test_stream_ivfpq_search_parity(spark, tmp_path):
     assert len(got) == 6 * 5
 
 
+def test_stream_ivfpq_rerank_parity(spark, tmp_path):
+    """Streaming two-stage serving (ADC shortlist -> exact rerank on
+    the raw vectors) equals the batch composition of the same stages on
+    all queries — the production leg serves RERANKED results, not raw
+    ADC, with the same frozen index across micro-batches."""
+    import os
+    import random
+
+    from cassandra_pv_archiver_spark.operators.similarity import (
+        ivfpq_fit_encode,
+        ivfpq_search,
+        rerank_shortlist,
+    )
+    from cassandra_pv_archiver_spark.streaming.ann import (
+        persist_ivfpq_index,
+        start_ivfpq_search_stream,
+    )
+
+    rnd = random.Random(17)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    params = dict(m=2, sub_dim=4, n_probe=2)
+    index = persist_ivfpq_index(
+        ivfpq_fit_encode(
+            emb, n_cells=4, coarse_iters=1, m=2, sub_dim=4, kpq=4,
+            pq_iters=1,
+        ),
+        str(tmp_path / "index"),
+    )
+    queries = [
+        (2000 + i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(6)
+    ]
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    batch_short = ivfpq_search(index, qdf, k=12, **params)
+    want = sorted(
+        (r.q_id, r.vec_id, r.d2)
+        for r in rerank_shortlist(emb, qdf, batch_short, k=5).collect()
+    )
+
+    src = str(tmp_path / "rq")
+    os.makedirs(src)
+    spark.createDataFrame(
+        queries[:3], "vec_id long, embedding array<float>"
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        queries[3:], "vec_id long, embedding array<float>"
+    ).write.mode("append").parquet(src)
+
+    got: list = []
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    q = start_ivfpq_search_stream(
+        stream, index, sink=lambda df, bid: got.extend(df.collect()),
+        k=5, rerank_raw=emb, shortlist_k=12,
+        checkpoint=str(tmp_path / "rckpt"), **params,
+    )
+    q.awaitTermination(180)
+    assert sorted((r.q_id, r.vec_id, r.d2) for r in got) == want
+    assert len(got) == 6 * 5
+    # reranked top-1 is the exact nearest within the shortlist: never
+    # worse than the ADC ordering it refines
+    short_ids = {
+        (r.q_id, r.vec_id) for r in batch_short.collect()
+    }
+    assert all((q_, v_) in short_ids for q_, v_, _ in want)
+
+
 def test_stream_weighted_sample_parity(spark, tmp_path):
     """Streaming replication-race sampling: the GroupState running
     top-k after the LAST micro-batch equals the batch weighted_sample
