@@ -2359,6 +2359,77 @@ GROUP BY channel ORDER BY channel
 """
 
 
+def q_retention_fallback_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 ∘ U1 composed end-to-end: retention sweeps the FINE level of a
+    real store (partition drops + exact boundary trim), then the §4
+    planner serves a range straddling the trimmed boundary — so the
+    coarser level must cover exactly the swept span and the fine level
+    takes over at the retention cutoff, with the limit-mode contract
+    (seed row before start, closing row after end) held across the trim
+    (`ArchivedChannelDecimationLevel.java:1097-1320` retention +
+    `Api10Controller.java:443-518` fallback). The oracle recomputes the
+    cutoff and the two-level walk from the raw series, so a sweep that
+    trims one row too many/few, or a planner that stitches at the wrong
+    boundary, hash-mismatches."""
+    from .plans.jobs import retention_sweep
+
+    raw = load_samples(spark, sf_dir)
+    tmin, tmax = raw.agg(F.min("t"), F.max("t")).first()
+    if tmin is None:
+        return spark.createDataFrame(
+            [], "channel string, t long, value double, level int"
+        )
+    store = _clone_store(spark, sf_dir)
+    # materialize the 1 h level for the planned channel (a deployment's
+    # cascade keeps coarse levels with longer retention than fine ones)
+    dec = decimate(load_samples(spark, sf_dir, channels=["PV:3"]), PERIOD_1H)
+    store.write_samples(dec, level=PERIOD_1H)
+    retention_s = int((tmax - tmin) // (2 * NS) + 1)
+    retention_sweep(store, {0: retention_s}, now_ns=int(tmax + NS))
+    l0 = store.read_samples(0, channels=["PV:3"]).select(
+        "channel", "t", F.col("v").alias("value"), F.lit(0).alias("level")
+    )
+    l1 = store.read_samples(PERIOD_1H, channels=["PV:3"]).select(
+        "channel", "t", F.col("mean").alias("value"),
+        F.lit(PERIOD_1H).alias("level"),
+    )
+    return plan_samples(
+        {0: l0, PERIOD_1H: l1}, _PLAN_START, HI, count=10**6
+    )
+
+
+SQL_RETENTION_FALLBACK_PLAN = f"""
+WITH {SAMPLES_CTE},
+b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM samples),
+cut AS (
+  SELECT tmax + {NS} - ((tmax - tmin) // (2 * {NS}) + 1) * {NS} AS cutoff
+  FROM b
+),
+samples3 AS (SELECT * FROM samples WHERE channel = 'PV:3'),
+{_dec_ctes(PERIOD_1H, src="samples3", out="dec")},
+l0 AS (
+  SELECT channel, t, v AS value, 0 AS level FROM samples3, cut
+  WHERE t >= cutoff
+),
+l1 AS (SELECT channel, t, mean AS value, {PERIOD_1H} AS level FROM dec),
+c0 AS (
+  SELECT * FROM l0 WHERE t BETWEEN {_PLAN_START} AND {HI}
+  UNION SELECT * FROM (
+    SELECT * FROM l0 WHERE t <= {_PLAN_START} ORDER BY t DESC LIMIT 1)
+  UNION SELECT * FROM (
+    SELECT * FROM l0 WHERE t >= {HI} ORDER BY t ASC LIMIT 1)
+),
+e0 AS (SELECT min(t) AS m FROM c0),
+c1 AS (
+  SELECT * FROM l1
+  WHERE t BETWEEN {_PLAN_START} AND (SELECT least(m - 1, {HI}) FROM e0)
+  UNION SELECT * FROM (
+    SELECT * FROM l1 WHERE t <= {_PLAN_START} ORDER BY t DESC LIMIT 1)
+)
+SELECT * FROM c1 UNION ALL SELECT * FROM c0 ORDER BY channel, t
+"""
+
+
 def q_config_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 + C5 driver-checked: derive a deterministic per-channel
     configuration from the corpus (enabled = even PV number; an extra 60 s

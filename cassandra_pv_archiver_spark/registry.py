@@ -101,6 +101,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_ca_live_subscribe_typed,
         catalog.SQL_CA_LIVE_SUBSCRIBE_TYPED,
     ),
+    "retention_fallback_plan": (
+        catalog.q_retention_fallback_plan,
+        catalog.SQL_RETENTION_FALLBACK_PLAN,
+    ),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,
