@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "ca_wire_matrix",
     "ca_ctrl_metadata",
     "ca_live_subscribe_typed",
+    "split_leakage_audit",
+    "hard_negative_mining",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle
@@ -323,6 +325,34 @@ def main() -> None:
             dt = run_one(spark, name, sf_dir)
             prev = timings.get(name)
             timings[name] = round(dt if prev is None else min(prev, dt), 3)
+
+    # Noise adjudication at RECORD time (VERDICT r5 #3): the r05 record
+    # carried four phantom regressions (up to +84 %) that isolated
+    # re-runs erased — host contention during the suite pass, not plan
+    # changes. Any entry >= 1.3x its prior record (and >= 0.5 s absolute
+    # — round_gate's own regression thresholds) re-runs ISOLATED,
+    # min-of-3, before the record is written; both numbers are kept in
+    # the details sidecar so a future diff sees the adjudication.
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+    )
+    prior: dict[str, float] = {}
+    try:
+        with open(details_path) as fh:
+            rec = json.load(fh)
+        if rec.get("sf") == sf:  # a different-SF record is no baseline
+            prior = rec.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    isolated: dict[str, dict[str, float]] = {}
+    for name in BENCH_QUERIES:
+        p, dt = prior.get(name), timings[name]
+        if p and dt >= 1.3 * p and dt - p >= 0.5:
+            iso = round(
+                min(run_one(spark, name, sf_dir) for _ in range(3)), 3
+            )
+            isolated[name] = {"suite": dt, "isolated": iso, "prior": p}
+            timings[name] = min(dt, iso)
     total = round(sum(timings.values()), 3)
 
     # Full per-query timings go to a sidecar file; the driver's stdout
@@ -331,9 +361,6 @@ def main() -> None:
     # beheaded 2.5 kB line). The printed "queries" dict is filled with the
     # slowest queries first until the serialized line would exceed the
     # budget; bench_details.json always has all of them.
-    details_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
-    )
     with open(details_path, "w") as fh:
         json.dump(
             {
@@ -343,6 +370,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "isolated": isolated,
             },
             fh,
         )
@@ -356,6 +384,7 @@ def main() -> None:
         "queries": shown,
         "sf": sf,
         "n_queries": len(timings),
+        "n_isolated_reruns": len(isolated),
         "details": "bench_details.json",
     }
     for name in sorted(timings, key=timings.get, reverse=True):

@@ -870,6 +870,19 @@ _EN = (
 )
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: per query vector the
+    top-10 most-similar DIFFERENT-label vectors (the boundary-adjacent
+    negatives that actually move an InfoNCE loss). Exact baseline on
+    the broadcast query set; the corpus-scale path is the IVF-PQ
+    shortlist + label filter composition (see
+    operators/similarity.hard_negatives)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, ANN_QUERY_IDS, k=10).orderBy(
+        "q_id", "rank"
+    )
+
+
 def _cos_sql(dot: str, na: str, nb: str) -> str:
     """Zero-norm-guarded cosine division — the DuckDB mirror of
     ``operators.similarity._cosine``'s sim-0.0 convention for degenerate
@@ -890,6 +903,21 @@ scored AS (
   FROM embeddings e, q WHERE e.vec_id != q.q_id
 )
 SELECT q_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+SQL_HARD_NEGATIVE_MINING = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         round({_cos_sql(_DOT, _QN, _EN)}, 4) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id != q.q_id AND e.label != q.q_label
+)
+SELECT q_id, vec_id, label, sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
   FROM scored)
 WHERE rank <= 10 ORDER BY q_id, rank
@@ -2011,7 +2039,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
-def _sql_semantic_dedup(dim: int = 64) -> str:
+def _sql_semantic_pairs_ctes(dim: int = 64) -> str:
+    """Shared kmeans-blocked pair chain; ends with ``p(cluster, id_a,
+    id_b, sim)`` (sim >= tau, id_a < id_b) plus ``af``/``v``/``vd``."""
     body, _last = _sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS, dim)
 
     def dot(a: str, b: str) -> str:
@@ -2023,8 +2053,7 @@ def _sql_semantic_dedup(dim: int = 64) -> str:
     def nrm(a: str) -> str:
         return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
-    return f"""
-WITH {body},
+    return f"""{body},
 vd AS (SELECT id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS d FROM v),
 p0 AS (
   SELECT a.cluster, a.id AS id_a, b.id AS id_b,
@@ -2033,7 +2062,12 @@ p0 AS (
   JOIN vd da ON da.id = a.id
   JOIN vd db ON db.id = b.id
 ),
-p AS (SELECT * FROM p0 WHERE sim >= {SEMDEDUP_TAU}),
+p AS (SELECT * FROM p0 WHERE sim >= {SEMDEDUP_TAU})"""
+
+
+def _sql_semantic_dedup(dim: int = 64) -> str:
+    return f"""
+WITH {_sql_semantic_pairs_ctes(dim)},
 sizes AS (SELECT cluster, count(*) AS n_vecs FROM af GROUP BY cluster),
 st AS (
   SELECT cluster, count(*) AS n_dup_pairs, count(DISTINCT id_b) AS n_dropped
@@ -2049,6 +2083,92 @@ ORDER BY s.cluster
 
 
 SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval SEMANTIC leakage audit — the contamination a hash
+    split cannot prevent: near-duplicate documents landing on opposite
+    sides of the train/val/test boundary leak training signal into
+    evaluation even though no doc_id crosses it. Composes the SemDeDup
+    pair generator (K-Means blocking + exact within-cluster cosine)
+    with the split assignment, counting near-dup pairs per unordered
+    split pair; ``is_cross = true`` rows are the leaks a pipeline must
+    re-side or drop before training.
+
+    100 TB shape: the split label is a PURE HASH of the id
+    (sampling.hash_bucket16), so labeling the pair table is two scalar
+    expressions — no join against a corpus-sized split table, no new
+    shuffle beyond the pair generator's own blocking."""
+    from .operators.sampling import hash_bucket16
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(
+        emb, SEMDEDUP_TAU, k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    t_thr = 65536 * SPLIT_TRAIN_PCT // 100
+    v_thr = 65536 * (SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) // 100
+
+    def _split_of(col: str):
+        b = hash_bucket16(col, "split")
+        return (
+            F.when(b < t_thr, F.lit("train"))
+            .when(b < v_thr, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    lab = pairs.select(
+        _split_of("id_a").alias("sa"), _split_of("id_b").alias("sb"), "sim"
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "sim",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("sim").alias("max_sim"),
+        )
+        .withColumn("is_cross", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _sql_h16_col(col: str, salt: str = "split") -> str:
+    """DuckDB mirror of sampling.hash_bucket16 over an arbitrary column."""
+    return (
+        "CAST(list_sum(list_transform(range(0, 4), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5('{salt}:' || "
+        f"CAST({col} AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)"
+        " << (4 * (3 - i)))) AS INTEGER)"
+    )
+
+
+def _sql_split_of(col: str) -> str:
+    t_thr = 65536 * SPLIT_TRAIN_PCT // 100
+    v_thr = 65536 * (SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) // 100
+    h = _sql_h16_col(col)
+    return (
+        f"CASE WHEN {h} < {t_thr} THEN 'train'"
+        f" WHEN {h} < {v_thr} THEN 'val' ELSE 'test' END"
+    )
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = f"""
+WITH {_sql_semantic_pairs_ctes()},
+lab AS (
+  SELECT {_sql_split_of("id_a")} AS sa, {_sql_split_of("id_b")} AS sb, sim
+  FROM p
+),
+g AS (
+  SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         count(*) AS n_pairs, max(sim) AS max_sim
+  FROM lab GROUP BY 1, 2
+)
+SELECT split_a, split_b, n_pairs, max_sim, split_a <> split_b AS is_cross
+FROM g ORDER BY split_a, split_b
+"""
 
 
 def _pii_augmented(docs: DataFrame) -> DataFrame:

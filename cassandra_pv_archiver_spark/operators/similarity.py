@@ -70,6 +70,49 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the ``k`` MOST similar vectors carrying a DIFFERENT label — the
+    negatives nearest the decision boundary, the ones that actually
+    move a contrastive loss (in-batch random negatives are mostly
+    easy). Exact brute-force baseline: queries broadcast, one shuffle
+    on q_id; at corpus scale run the IVF-PQ shortlist first and apply
+    the label-exclusion filter on the shortlist (the
+    :func:`rerank_shortlist` composition — negatives only need to be
+    hard, not provably hardest).
+
+    Returns (q_id, vec_id, label, sim, rank), rank 1..k per query."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("_q_label"),
+    )
+    joined = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .filter(F.col(label_col) != F.col("_q_label"))
+    )
+    sim = _cosine("q_vec", vec_col)
+    scored = joined.select(
+        "q_id", F.col(id_col), F.col(label_col),
+        F.round(sim, round_to).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, label_col, "sim", "rank")
+    )
+
+
 #: Refuse the exact all-pairs baselines above this input size: 100k rows is
 #: already 5e9 candidate pairs — far past where the LSH paths win, and a
 #: plausible accidental "run it on the corpus" foot-gun at real scale.

@@ -105,6 +105,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_retention_fallback_plan,
         catalog.SQL_RETENTION_FALLBACK_PLAN,
     ),
+    "split_leakage_audit": (
+        catalog_data.q_split_leakage_audit,
+        catalog_data.SQL_SPLIT_LEAKAGE_AUDIT,
+    ),
+    "hard_negative_mining": (
+        catalog_data.q_hard_negative_mining,
+        catalog_data.SQL_HARD_NEGATIVE_MINING,
+    ),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,
@@ -594,37 +602,41 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-#: The driver samples the registry front-to-back under a runtime budget
-#: (~50 queries per round), so ordering decides which queries get fresh
-#: CORRECTNESS rows. Round-5 front: the 19 queries never driver-checked in
-#: r01–r03 plus the 2 queries red in r01 and fixed since (all 21 verify
-#: green against the DuckDB oracle locally), then this round's new ops,
-#: then the long tail of previously-green queries for re-verification.
 #: Driver-attestation ledger: query -> round of its latest CORRECTNESS
-#: row (regenerated each round from the CORRECTNESS_r*.json records).
-#: The driver samples the registry front-to-back with a ~50-query
-#: budget, so REGISTRY is ordered never-checked-first, then ascending
-#: staleness — each round refreshes the oldest rows and no row ages
-#: past ~3 rounds (VERDICT r4 "Next round" #4).
+#: row, REGENERATED from the CORRECTNESS_r*.json records (tools/
+#: regen_ledger.py) — never hand-edited. The driver samples the registry
+#: front-to-back with a ~50-query budget, so REGISTRY is ordered
+#: never-checked-first, then ascending staleness: round 6's slots =
+#: 5 new queries + all 44 rows last attested in r02 (VERDICT r5 #2).
 _LAST_DRIVER_CHECKED = {
-    "ann_cosine_topk": 1,
+    "ann_cosine_topk": 5,
     "ann_ivf_topk": 4,
     "ann_kmeans_clusters": 4,
     "ann_kmeans_ivf_topk": 4,
     "ann_recall_audit": 4,
     "approx_distinct_audit": 3,
-    "archive_incremental_1h": 2,
+    "archive_incremental_1h": 5,
     "array_elementwise_stats": 4,
-    "asof_after": 2,
-    "asof_before": 2,
-    "asof_pair_align": 2,
+    "asof_after": 5,
+    "asof_before": 5,
+    "asof_pair_align": 5,
+    "audio_features_wav": 5,
+    "audio_fingerprint_near_dup": 5,
     "balanced_sample_per_lang": 4,
+    "bloom_decontam_audit": 5,
+    "bpe_merges": 5,
+    "bpe_tokenize_audit": 5,
+    "build_training_shard": 5,
+    "ca_array_roundtrip_stats": 5,
+    "ca_ingest_roundtrip_1h": 5,
+    "ca_live_subscribe": 5,
     "cdc_chunk_dedup": 4,
     "channel_acf_1h": 4,
     "channel_correlation_matrix": 3,
-    "channel_dim_join": 2,
-    "channel_gap_stats": 2,
+    "channel_dim_join": 5,
+    "channel_gap_stats": 5,
     "channel_glob": 2,
+    "channel_health_report": 5,
     "channel_outliers_mad": 4,
     "channel_regex": 2,
     "channel_trend_1h": 4,
@@ -635,6 +647,8 @@ _LAST_DRIVER_CHECKED = {
     "compact_zorder_invariance": 4,
     "config_xml_roundtrip": 2,
     "containment_pairs": 4,
+    "containment_pairs_lsh": 5,
+    "containment_recall_audit": 5,
     "contamination_3gram": 4,
     "contamination_exact_run": 3,
     "context_chunks": 4,
@@ -652,6 +666,7 @@ _LAST_DRIVER_CHECKED = {
     "decimate_mixed_1h": 2,
     "decimate_plugin_median_1h": 3,
     "decimate_typed_1h": 2,
+    "decontam_two_stage": 5,
     "dedup_best_survivor": 3,
     "dedup_clusters": 3,
     "dedup_exact": 3,
@@ -659,33 +674,42 @@ _LAST_DRIVER_CHECKED = {
     "dedup_minhash_lsh": 3,
     "dedup_ngram_jaccard": 3,
     "dedup_rate_by_source": 4,
+    "dim_truncation_recall": 5,
     "distinctive_terms": 4,
     "distribution_drift": 4,
-    "doc_fingerprint": 1,
+    "doc_fingerprint": 5,
     "doc_sample_10pct": 3,
     "dsir_importance": 3,
     "embedding_dedup_clusters": 4,
-    "embedding_label_stats": 1,
-    "embedding_near_dup": 1,
+    "embedding_label_stats": 5,
+    "embedding_near_dup": 5,
     "embedding_near_dup_lsh": 4,
     "embedding_quantize_audit": 3,
     "enabling_link": 2,
+    "enabling_link_multi": 5,
+    "epoch_shuffle": 5,
     "events_dow_profile": 3,
+    "events_json_props": 5,
     "events_pivot": 3,
     "events_sliding_1h": 3,
     "events_unpivot": 3,
+    "ewma_by_channel": 5,
     "fuzzy_channel_pairs": 2,
     "group_split_guard": 4,
     "heartbeat_1h": 2,
+    "image_dhash_mixed_codec": 5,
     "image_dhash_near_dup": 4,
+    "ivfpq_adc_recall": 5,
+    "ivfpq_rerank_recall": 5,
     "json_v1_mixed_1h": 2,
     "json_v1_raw_typed": 2,
     "json_v1_typed_1h": 2,
     "jsonl_ingest_roundtrip_1h": 3,
     "lagged_correlation_1h": 4,
     "lang_confusion": 4,
-    "lang_id": 1,
+    "lang_id": 5,
     "lapsed_customers": 3,
+    "level_backfill_6h": 5,
     "lsh_recall_audit": 4,
     "markers_disconnect": 2,
     "missing_level_empty": 2,
@@ -693,16 +717,20 @@ _LAST_DRIVER_CHECKED = {
     "mixture_temperature_alloc": 4,
     "monotonic_stats": 2,
     "multimodal_frames": 4,
-    "multimodal_meta": 1,
+    "multimodal_meta": 5,
     "ngram_novelty": 4,
     "oov_rate": 4,
     "orc_ingest_roundtrip_1h": 3,
     "pack_efficiency": 4,
+    "pair_table_incremental": 5,
     "pick_first_1h": 2,
     "pii_scan_by_source": 3,
     "planner_fallback": 2,
     "plot_downsample_m4": 4,
     "plot_query_240px": 4,
+    "pq_adc_recall": 5,
+    "pq_codebook_audit": 5,
+    "pq_staleness_audit": 5,
     "quality_filtered_stats": 4,
     "quality_ks_by_source": 4,
     "quality_quantiles": 4,
@@ -715,20 +743,26 @@ _LAST_DRIVER_CHECKED = {
     "resample_linear_1h": 4,
     "retention_sweep_daily": 2,
     "sax_motifs": 4,
+    "seasonal_hod_anomalies": 5,
+    "seasonal_profile_incremental": 5,
     "semantic_dedup": 3,
     "sequence_packing": 4,
     "sessionize_30m": 3,
     "severity_daily": 2,
     "severity_rollup": 2,
+    "shuffle_skew_report": 5,
     "simhash_near_pairs": 3,
+    "source_vocab_overlap": 5,
     "store_cdc_diff": 4,
+    "store_delete_invariance": 5,
+    "store_rename_invariance": 5,
     "store_time_travel": 4,
     "stratified_split": 4,
     "stream_lifecycle_1h": 2,
     "substring_dup_spans": 3,
-    "text_metrics": 1,
+    "text_metrics": 5,
     "threshold_crossings": 3,
-    "token_count_bpe": 1,
+    "token_count_bpe": 5,
     "tpch_q1": 2,
     "tpch_q10": 2,
     "tpch_q11": 3,
@@ -753,9 +787,13 @@ _LAST_DRIVER_CHECKED = {
     "tpch_q9": 3,
     "union_levels": 2,
     "value_histogram": 4,
+    "video_frame_sample": 5,
     "vocab_topk": 3,
     "weekly_cohort_retention": 3,
+    "weighted_sample_per_lang": 5,
     "window_running_total": 3,
+    "wsample_bias_audit": 5,
+    "zipf_vocab_profile": 5,
 }
 
 REGISTRY = {

@@ -533,3 +533,30 @@ class TestIVFPQRerank:
         }
         got = {(r.q_id, r.vec_id) for r in rr}
         assert len(got & exact) >= len(adc & exact)  # rerank never hurts
+
+
+class TestHardNegatives:
+    def test_excludes_self_and_same_label(self, spark):
+        """The nearest vector overall shares the query's label and must
+        NOT appear; the top hard negative is the nearest DIFFERENT-label
+        vector."""
+        from cassandra_pv_archiver_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0], 7),   # query, label 7
+            (1, [0.99, 0.1, 0.0], 7),  # nearest, but same label
+            (2, [0.9, 0.2, 0.0], 3),   # top hard negative
+            (3, [0.0, 1.0, 0.0], 3),
+            (4, [-1.0, 0.0, 0.0], 1),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = hard_negatives(emb, [0], k=3).collect()
+        ids = [r["vec_id"] for r in got]
+        assert ids == [2, 3, 4]
+        assert 1 not in ids and 0 not in ids
+        assert [r["rank"] for r in got] == [1, 2, 3]
+        assert all(r["label"] != 7 for r in got)

@@ -51,6 +51,17 @@ def main() -> int:
     fast = "--fast" in sys.argv
     failures: list[str] = []
 
+    print("[gate] derived counts/ledger (regen_ledger --check)")
+    rc, out = run(
+        [sys.executable, os.path.join(HERE, "regen_ledger.py"), "--check"],
+        "regen_ledger",
+    )
+    if rc != 0:
+        failures.append(
+            "derived counts out of date — run tools/regen_ledger.py:\n"
+            + out.strip()
+        )
+
     sf_dirs = (
         ["/root/testdata/sf0.01"]
         if fast
