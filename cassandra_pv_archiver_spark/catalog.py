@@ -1122,6 +1122,15 @@ def q_ca_typed_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decimate_typed_1h``), so every family's value layout, the CTRL
     metadata re-ordering, and the latest-controls combination are
     driver-attested."""
+    full = _ca_wire_reconstructed(spark, sf_dir)
+    return _typed_dec_projection(decimate_mixed(full, PERIOD_1H))
+
+
+def _ca_wire_reconstructed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typed fixture -> CA frames -> decode + LOCF assembly -> full
+    union (markers re-unioned; they never cross the wire) — the shared
+    reconstruction the decimation roundtrip and the JSON rendering
+    roundtrip both consume."""
     from .functions import ca_wire_typed as cwt
     from .sources.testdata import load_typed_samples
 
@@ -1134,11 +1143,25 @@ def q_ca_typed_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         cwt.decode_time_events_typed(frames), cwt.decode_ctrl_events(frames)
     )
     back = assembled.join(F.broadcast(subs), "sid").select(*_TYPED_UNION_COLS)
-    full = back.unionByName(markers.select(*_TYPED_UNION_COLS))
-    return _typed_dec_projection(decimate_mixed(full, PERIOD_1H))
+    return back.unionByName(markers.select(*_TYPED_UNION_COLS))
 
 
 SQL_CA_TYPED_ROUNDTRIP_1H = SQL_DECIMATE_TYPED_1H
+
+
+def q_json_v1_ca_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front door to serving door in ONE attested chain: raw CA wire
+    traffic (all DBR families + CTRL metadata) reconstructed into the
+    full union, rendered through the JSON V1 shape projection — the
+    REST response a reference user would fetch for what the archiver
+    just received. The oracle is the parquet-path raw rendering
+    (``json_v1_raw_typed``'s SQL), so any wire-side loss — a dropped
+    label, a mis-ordered CTRL limit, a truncated string cell — breaks
+    the serialized-field hash."""
+    from .functions.json_v1 import render_columns
+
+    full = _ca_wire_reconstructed(spark, sf_dir)
+    return render_columns(full, raw=True).orderBy("channel", "t")
 
 
 def q_ca_wire_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1696,6 +1719,8 @@ SQL_JSON_V1_RAW_TYPED = f"""
 WITH {TYPED_SAMPLES_CTE},
 {_sql_render_raw_select()}
 """
+
+SQL_JSON_V1_CA_WIRE = SQL_JSON_V1_RAW_TYPED
 
 
 def q_union_levels(spark: SparkSession, sf_dir: str) -> DataFrame:

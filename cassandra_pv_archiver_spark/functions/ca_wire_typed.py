@@ -290,41 +290,11 @@ def decode_time_events_typed(
                 if count < 1:
                     raise ValueError("CA element count must be >= 1")
                 fam = _TIME_FAMILY[dtype]
-                fmt, esize, pad = _TIME_VALUE[fam]
-                need = 12 + pad + esize * count
-                if psize < need:
+                _fmt, esize, pad = _TIME_VALUE[fam]
+                if psize < 12 + pad + esize * count:
                     raise ValueError("truncated DBR_TIME payload")
-                status, severity, epics_secs, nsec = struct.unpack(
-                    ">hhII", b[off:off + 12]
-                )
-                voff = off + 12 + pad
-                t = (epics_secs + EPICS_EPOCH_OFFSET_S) * _NS + nsec
-                v = aval = eval_ = sval = asval = None
-                if fam == "string":
-                    cells = [
-                        b[voff + i * esize: voff + (i + 1) * esize]
-                        .split(b"\x00", 1)[0].decode("utf-8")
-                        for i in range(count)
-                    ]
-                    if count == 1:
-                        typ, sval = "scalar_string", cells[0]
-                    else:
-                        typ, asval = "array_string", cells
-                else:
-                    vals = struct.unpack(
-                        f">{count}{fmt}", b[voff: voff + esize * count]
-                    )
-                    if fam == "enum":
-                        if count == 1:
-                            typ, eval_ = "scalar_enum", int(vals[0])
-                        else:
-                            typ = "array_enum"
-                            aval = [float(x) for x in vals]
-                    elif count == 1:
-                        typ, v = f"scalar_{fam}", float(vals[0])
-                    else:
-                        typ = f"array_{fam}"
-                        aval = [float(x) for x in vals]
+                (t, typ, v, aval, eval_, sval, asval, severity, status) = \
+                    _parse_time_payload(b, off, dtype, count)
                 rows.append((int(seq), sid, t, typ, v, aval, eval_, sval,
                              asval, severity, status))
             cols = list(zip(*rows)) if rows else [[]] * 11
@@ -366,33 +336,7 @@ def decode_ctrl_events(
                 cmd, psize, dtype, count, _p1, sid, off = _parse_header(b)
                 if cmd != CA_PROTO_EVENT_ADD or dtype not in _CTRL_FAMILY:
                     continue
-                fam = _CTRL_FAMILY[dtype]
-                meta = labels = None
-                p = off + 4  # past status, severity
-                if fam == "enum":
-                    (n_str,) = struct.unpack(">h", b[p:p + 2])
-                    p += 2
-                    labels = [
-                        b[p + i * MAX_ENUM_STRING_SIZE:
-                          p + (i + 1) * MAX_ENUM_STRING_SIZE]
-                        .split(b"\x00", 1)[0].decode("utf-8")
-                        for i in range(n_str)
-                    ]
-                elif fam != "string":
-                    prec = 0
-                    if fam in ("float", "double"):
-                        (prec,) = struct.unpack(">h", b[p:p + 2])
-                        p += 4  # precision + RISC pad
-                    units = b[p:p + MAX_UNITS_SIZE].split(b"\x00", 1)[0] \
-                        .decode("utf-8")
-                    p += MAX_UNITS_SIZE
-                    lf = _CTRL_LIMIT_FMT[fam]
-                    lsize = struct.calcsize(f">{lf}")
-                    lims = struct.unpack(f">8{lf}", b[p:p + 8 * lsize])
-                    wire = dict(zip(_WIRE_LIMITS, (float(x) for x in lims)))
-                    meta = {"precision": prec, "units": units, **{
-                        k: wire[k] for k in _META_KEYS[2:]
-                    }}
+                fam, meta, labels = _parse_ctrl_payload(b, off, dtype)
                 rows.append((int(seq), sid, fam, meta, labels))
             cols = list(zip(*rows)) if rows else [[]] * 5
             yield pd.DataFrame(
@@ -407,6 +351,140 @@ def decode_ctrl_events(
 
     return frames.select(seq_col, frame_col).mapInPandas(
         _decode, schema=CTRL_EVENT_SCHEMA
+    )
+
+
+#: unified decode row for the streaming assembler: time and controls
+#: events in ONE schema (kind = 'time' | 'ctrl'), so a single grouped
+#: stateful stream can walk them in capture order
+MONITOR_EVENT_SCHEMA = (
+    "seq long, sid long, kind string, t long, type string, v double,"
+    " aval array<double>, eval int, sval string, asval array<string>,"
+    " severity int, status int, family string,"
+    " meta struct<precision:int,units:string,"
+    "lower_warning_limit:double,upper_warning_limit:double,"
+    "lower_alarm_limit:double,upper_alarm_limit:double,"
+    "lower_display_limit:double,upper_display_limit:double,"
+    "lower_control_limit:double,upper_control_limit:double>,"
+    " labels array<string>"
+)
+
+
+def _parse_time_payload(b: bytes, off: int, dtype: int, count: int):
+    """-> (t, type, v, aval, eval, sval, asval, severity, status)."""
+    fam = _TIME_FAMILY[dtype]
+    fmt, esize, pad = _TIME_VALUE[fam]
+    status, severity, epics_secs, nsec = struct.unpack(
+        ">hhII", b[off:off + 12]
+    )
+    voff = off + 12 + pad
+    t = (epics_secs + EPICS_EPOCH_OFFSET_S) * _NS + nsec
+    v = aval = eval_ = sval = asval = None
+    if fam == "string":
+        cells = [
+            b[voff + i * esize: voff + (i + 1) * esize]
+            .split(b"\x00", 1)[0].decode("utf-8")
+            for i in range(count)
+        ]
+        if count == 1:
+            typ, sval = "scalar_string", cells[0]
+        else:
+            typ, asval = "array_string", cells
+    else:
+        vals = struct.unpack(f">{count}{fmt}", b[voff: voff + esize * count])
+        if fam == "enum":
+            if count == 1:
+                typ, eval_ = "scalar_enum", int(vals[0])
+            else:
+                typ, aval = "array_enum", [float(x) for x in vals]
+        elif count == 1:
+            typ, v = f"scalar_{fam}", float(vals[0])
+        else:
+            typ, aval = f"array_{fam}", [float(x) for x in vals]
+    return t, typ, v, aval, eval_, sval, asval, severity, status
+
+
+def _parse_ctrl_payload(b: bytes, off: int, dtype: int):
+    """-> (family, meta dict|None, labels list|None)."""
+    fam = _CTRL_FAMILY[dtype]
+    meta = labels = None
+    p = off + 4
+    if fam == "enum":
+        (n_str,) = struct.unpack(">h", b[p:p + 2])
+        p += 2
+        labels = [
+            b[p + i * MAX_ENUM_STRING_SIZE:
+              p + (i + 1) * MAX_ENUM_STRING_SIZE]
+            .split(b"\x00", 1)[0].decode("utf-8")
+            for i in range(n_str)
+        ]
+    elif fam != "string":
+        prec = 0
+        if fam in ("float", "double"):
+            (prec,) = struct.unpack(">h", b[p:p + 2])
+            p += 4
+        units = b[p:p + MAX_UNITS_SIZE].split(b"\x00", 1)[0].decode("utf-8")
+        p += MAX_UNITS_SIZE
+        lf = _CTRL_LIMIT_FMT[fam]
+        lsize = struct.calcsize(f">{lf}")
+        lims = struct.unpack(f">8{lf}", b[p:p + 8 * lsize])
+        wire = dict(zip(_WIRE_LIMITS, (float(x) for x in lims)))
+        meta = {"precision": prec, "units": units,
+                **{k: wire[k] for k in _META_KEYS[2:]}}
+    return fam, meta, labels
+
+
+def decode_monitor_stream(
+    frames: DataFrame, frame_col: str = "frame", seq_col: str = "seq"
+) -> DataFrame:
+    """(seq, frame binary) -> MONITOR_EVENT_SCHEMA rows: BOTH frame
+    families decoded in one Arrow crossing into one schema, so a
+    streaming source of captured frames feeds a single grouped stateful
+    assembler (`streaming/ca_typed.py`). Works identically on batch and
+    streaming DataFrames (mapInPandas runs under Structured Streaming)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seq, raw in zip(pdf[seq_col], pdf[frame_col]):
+                b = bytes(raw)
+                cmd, psize, dtype, count, _p1, sid, off = _parse_header(b)
+                if cmd != CA_PROTO_EVENT_ADD:
+                    continue
+                if dtype in _TIME_FAMILY:
+                    (t, typ, v, aval, eval_, sval, asval, sev, st) = \
+                        _parse_time_payload(b, off, dtype, count)
+                    rows.append((int(seq), sid, "time", t, typ, v, aval,
+                                 eval_, sval, asval, sev, st, None, None,
+                                 None))
+                elif dtype in _CTRL_FAMILY:
+                    fam, meta, labels = _parse_ctrl_payload(b, off, dtype)
+                    rows.append((int(seq), sid, "ctrl", None, None, None,
+                                 None, None, None, None, None, None, fam,
+                                 meta, labels))
+            cols = list(zip(*rows)) if rows else [[]] * 15
+            yield pd.DataFrame(
+                {
+                    "seq": pd.Series(cols[0], dtype="int64"),
+                    "sid": pd.Series(cols[1], dtype="int64"),
+                    "kind": pd.Series(cols[2], dtype=object),
+                    "t": pd.Series(cols[3], dtype="object"),
+                    "type": pd.Series(cols[4], dtype=object),
+                    "v": pd.Series(cols[5], dtype="object"),
+                    "aval": pd.Series(cols[6], dtype=object),
+                    "eval": pd.Series(cols[7], dtype="object"),
+                    "sval": pd.Series(cols[8], dtype=object),
+                    "asval": pd.Series(cols[9], dtype=object),
+                    "severity": pd.Series(cols[10], dtype="object"),
+                    "status": pd.Series(cols[11], dtype="object"),
+                    "family": pd.Series(cols[12], dtype=object),
+                    "meta": pd.Series(cols[13], dtype=object),
+                    "labels": pd.Series(cols[14], dtype=object),
+                }
+            )
+
+    return frames.select(seq_col, frame_col).mapInPandas(
+        _decode, schema=MONITOR_EVENT_SCHEMA
     )
 
 

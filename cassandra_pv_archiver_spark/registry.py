@@ -113,6 +113,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_hard_negative_mining,
         catalog_data.SQL_HARD_NEGATIVE_MINING,
     ),
+    "json_v1_ca_wire": (catalog.q_json_v1_ca_wire, catalog.SQL_JSON_V1_CA_WIRE),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,

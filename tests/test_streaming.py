@@ -1178,3 +1178,94 @@ def test_stream_decontam_flags_parity(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted((r.doc_id, r.bloom_hit, r.confirmed) for r in got) == want
+
+
+def test_stream_typed_ca_assembly_parity_and_state_carry(spark, tmp_path):
+    """Streaming typed CA assembly (per-sid GroupState latest-controls)
+    equals batch LOCF assembly over the full capture — including a
+    controls frame in micro-batch 1 applying to time frames in
+    micro-batch 2, the state carry a per-batch join cannot provide."""
+    import os
+
+    from cassandra_pv_archiver_spark.functions.ca_wire import (
+        EPICS_EPOCH_OFFSET_S,
+    )
+    from cassandra_pv_archiver_spark.functions.ca_wire_typed import (
+        assemble_typed_samples,
+        decode_ctrl_events,
+        decode_time_events_typed,
+        encode_ctrl_event,
+        encode_time_event,
+    )
+    from cassandra_pv_archiver_spark.streaming.ca_typed import (
+        assemble_typed_stream,
+    )
+
+    NS = 1_000_000_000
+    T0 = (EPICS_EPOCH_OFFSET_S + 5000) * NS
+    m1 = {"precision": 1, "units": "A",
+          "lower_warning_limit": -1.0, "upper_warning_limit": 1.0,
+          "lower_alarm_limit": -2.0, "upper_alarm_limit": 2.0,
+          "lower_display_limit": -3.0, "upper_display_limit": 3.0,
+          "lower_control_limit": -4.0, "upper_control_limit": 4.0}
+    m2 = dict(m1, precision=9, units="B")
+    chunk1 = [
+        (10, encode_ctrl_event(1, "double", meta=m1)),
+        (20, encode_time_event(1, T0, "double", [1.0])),
+        (15, encode_ctrl_event(2, "enum", labels=["X", "Y", "Z"])),
+    ]
+    chunk2 = [
+        # sid 1's ctrl came in the PREVIOUS batch — state must carry
+        (30, encode_time_event(1, T0 + NS, "double", [2.0], 1, 6)),
+        (40, encode_ctrl_event(1, "double", meta=m2)),
+        (50, encode_time_event(1, T0 + 2 * NS, "double", [3.0])),
+        (60, encode_time_event(2, T0 + NS, "enum", [2])),
+        (70, encode_time_event(2, T0 + 2 * NS, "string", ["s1", "s2"])),
+    ]
+    src = str(tmp_path / "castream")
+    os.makedirs(src)
+    for i, chunk in enumerate([chunk1, chunk2]):
+        spark.createDataFrame(
+            [(s, bytearray(f)) for s, f in chunk], "seq long, frame binary"
+        ).coalesce(1).write.parquet(f"{src}/c{i}")
+
+    all_fdf = spark.read.parquet(f"{src}/c0", f"{src}/c1")
+    want = sorted(
+        (r["seq"], r["sid"], r["t"], r["type"], r["v"],
+         tuple(r["aval"] or []), r["eval"], r["sval"],
+         tuple(r["asval"] or []), r["severity"], r["status"],
+         tuple(r["meta"]) if r["meta"] else None,
+         tuple(r["labels"] or []))
+        for r in assemble_typed_samples(
+            decode_time_events_typed(all_fdf), decode_ctrl_events(all_fdf)
+        ).collect()
+    )
+
+    got: list = []
+    stream = (
+        spark.readStream.schema("seq long, frame binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    q = (
+        assemble_typed_stream(stream)
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ca"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_t = sorted(
+        (r["seq"], r["sid"], r["t"], r["type"], r["v"],
+         tuple(r["aval"] or []), r["eval"], r["sval"],
+         tuple(r["asval"] or []), r["severity"], r["status"],
+         tuple(r["meta"]) if r["meta"] else None,
+         tuple(r["labels"] or []))
+        for r in got
+    )
+    assert got_t == want
+    # the batch-2 time frame at seq 30 carries batch-1's metadata
+    by_seq = {r[0]: r for r in got_t}
+    assert by_seq[30][11] is not None and by_seq[30][11][0] == 1  # m1
+    assert by_seq[50][11][0] == 9 and by_seq[50][11][1] == "B"    # m2
+    assert by_seq[60][12] == ("X", "Y", "Z")

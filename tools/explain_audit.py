@@ -6,7 +6,7 @@ broadcast (no sort-merge against small dims), whole-stage codegen covers the
 hot path, no accidental cartesian products, and exchange (shuffle) counts
 stay at the designed minimum.
 
-Usage: python tools/explain_audit.py [sf_dir]
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -906,11 +906,61 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
          "HashAggregate", "BatchEvalPython"],
     ),
+    # --- round-6 additions ---
+    "ca_typed_roundtrip_1h": (
+        None,  # typed wire roundtrip: Arrow-batched frame codec
+        # crossings, sid dim broadcast back — a corpus-keyed SMJ on
+        # sid/channel is the scale regression this pins against
+        ["MapInPandas", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+    ),
+    "ca_wire_matrix": (
+        None,  # 14-shape fan-out is a literal-array explode (Generate)
+        # + the codec crossings; never a join against a families table
+        ["MapInPandas"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+    ),
+    "json_v1_ca_wire": (
+        None,  # wire -> JSON V1: decode crossings then pure Catalyst
+        # rendering; sid resolution broadcast
+        ["MapInPandas", "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+    ),
+    "split_leakage_audit": (
+        None,  # split labels are PURE HASH EXPRESSIONS on the pair
+        # table (no join against a corpus-sized split table — label
+        # attachment adds ZERO joins); the cluster-blocked pair
+        # generator's own corpus-by-cluster self-join (SMJ on the
+        # cluster key) is the designed blocking shape and allowed
+        ["HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "hard_negative_mining": (
+        None,  # queries broadcast (nested-loop against the tiny query
+        # set is the designed shape); corpus-keyed SMJ forbidden
+        ["WindowGroupLimit"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "retention_fallback_plan": (
+        None,  # post-sweep planner: grouped IN-filtered level scans,
+        # no join between levels (ordered union), no Python
+        ["Union"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
 }
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    sf_dir = "/root/testdata/sf0.01"
+    only: list[str] = []
+    for a in args:
+        if os.path.isdir(a):
+            sf_dir = a
+        else:
+            only.append(a)
     from cassandra_pv_archiver_spark.registry import REGISTRY
     from cassandra_pv_archiver_spark.session import get_spark
 
@@ -921,7 +971,10 @@ def main() -> int:
     # it off here (production keeps it on).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     failures = 0
-    for name, (max_ex, requires, forbids) in EXPECTATIONS.items():
+    todo = {
+        n: e for n, e in EXPECTATIONS.items() if not only or n in only
+    }
+    for name, (max_ex, requires, forbids) in todo.items():
         fn = REGISTRY[name][0]
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
