@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "ca_live_subscribe_typed",
     "split_leakage_audit",
     "hard_negative_mining",
+    "dim_variance_selection_recall",
+    "json_v1_ca_wire",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

@@ -1505,6 +1505,35 @@ live AS (
 """
 
 
+def q_store_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 over the FULL 20-type union: the archive store itself holds
+    typed samples — arrays, enum labels, string arrays, the metadata
+    struct, markers — not just the numeric scalar family (the
+    reference's per-type UDT tables, `ChannelAccessSampleValueAccess
+    .java:98-207`, mapped onto parquet's native nested types). Write
+    the typed fixture through the manifest-committed store path, read
+    it back through the pruned scan, decimate the full union — equals
+    the direct-path typed decimation bit-for-bit (same oracle), so
+    hwm folding, (date, channel) clustering, and nested-column
+    roundtrip are all attested for every payload family."""
+    from .sources.archive_store import ArchiveStore
+    from .sources.testdata import load_typed_samples
+
+    typed = load_typed_samples(spark, sf_dir).drop("event_id")
+    root = _scratch_dir("pvtyped_")
+    store = ArchiveStore(spark, root + "/archive")
+    store.write_samples(typed, level=0)
+    back = store.read_samples(0)
+    if "type" not in back.columns:
+        # an empty level reads back under the F4 fallback schema
+        # (numeric RAW_SCHEMA); keep the typed shape for decimation
+        back = typed.limit(0)
+    return _typed_dec_projection(decimate_mixed(back, PERIOD_1H))
+
+
+SQL_STORE_TYPED_ROUNDTRIP = SQL_DECIMATE_TYPED_1H
+
+
 def q_json_v1_mixed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3/F6/S7: JSON V1 shape projection of the mixed decimated series —
     every field the serializer writes (`JsonV1SampleSerializer.java:

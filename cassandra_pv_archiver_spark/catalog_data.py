@@ -4600,6 +4600,150 @@ GROUP BY e.qid""")
 SQL_DIM_TRUNCATION_RECALL = _sql_dim_truncation()
 
 
+#: dimension budget for the variance-ranked selection audit
+VARSEL_D = 16
+
+
+def q_dim_variance_selection_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature-selection counterpart of the Matryoshka truncation audit:
+    instead of keeping the FIRST 16 dimensions, keep the 16 with the
+    LARGEST variance (exact integer moments: n·Σx² − (Σx)², DECIMAL —
+    deterministic ranking, tie by index) and measure recall@10 vs the
+    full 64-dim exact baseline, side by side with the prefix-16 recall.
+    The storage/FLOP-cut question answered by measurement for BOTH
+    selection policies — on embeddings whose information is not
+    front-loaded, variance ranking is the one that should win.
+
+    Scale shape: the per-dimension moment table is one explode +
+    map-combined hash agg (64 keys); the 64-row ranking collect is
+    bounded metadata (like the planner's probe stats)."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = F.expr(
+        "transform(embedding, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    ex = emb.select(vq.alias("q")).select(
+        F.posexplode("q").alias("i0", "x")
+    )
+    dec = F.col("x").cast("decimal(38,0)")
+    stats = ex.groupBy("i0").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * F.col("x")).alias("s2"),
+    )
+    top = (
+        stats.select(
+            "i0", (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+            .alias("vk"),
+        )
+        .orderBy(F.desc("vk"), "i0")
+        .limit(VARSEL_D)
+    )
+    dims = sorted(r["i0"] + 1 for r in top.collect())  # 1-based, 64-row meta
+
+    exact = similarity.l2_topk(emb, ANN_QUERY_IDS, k=10).select(
+        "q_id", "vec_id"
+    )
+
+    def _recall(method: str, proj) -> DataFrame:
+        approx = similarity.l2_topk(
+            emb.select("vec_id", proj.alias("embedding")),
+            ANN_QUERY_IDS, k=10,
+        ).select("q_id", "vec_id")
+        overlap = (
+            exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        return (
+            exact.select("q_id").distinct()
+            .join(F.broadcast(overlap), "q_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "q_id",
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                (F.coalesce("n_overlap", F.lit(0)) / 10.0)
+                .alias("recall_at_10"),
+            )
+        )
+
+    pref = _recall(
+        f"prefix{VARSEL_D}",
+        F.expr(f"slice(embedding, 1, {VARSEL_D})"),
+    )
+    varsel = _recall(
+        f"variance{VARSEL_D}",
+        F.array(*[F.expr(f"embedding[{i - 1}]") for i in dims]),
+    )
+    return pref.unionByName(varsel).orderBy("method", "q_id")
+
+
+def _sql_dim_variance_selection() -> str:
+    vq = (
+        "list_transform(embedding, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+
+    def topk(src: str, name: str) -> str:
+        return f"""{name}d AS (
+  SELECT q.id AS qid, x.id,
+         list_sum(list_transform(range(1, len(x.vq) + 1), i ->
+           (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE))
+           * (CAST(x.vq[i] AS DOUBLE) - CAST(q.vq[i] AS DOUBLE)))) AS d2
+  FROM {src} x, {src} q
+  WHERE q.id IN ({_IDS}) AND x.id <> q.id
+),
+{name} AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                       ORDER BY d2, id) AS rn
+    FROM {name}d) WHERE rn <= 10
+)"""
+
+    return f"""
+WITH fullv AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings),
+ix AS (SELECT unnest(generate_series(1, 64)) AS i),
+exd AS (SELECT ix.i, fullv.vq[ix.i] AS x FROM fullv, ix),
+stats AS (
+  SELECT i, count(*) AS n, sum(CAST(x AS HUGEINT)) AS s,
+         sum(CAST(x AS HUGEINT) * x) AS s2
+  FROM exd GROUP BY i
+),
+seldims AS (
+  SELECT i FROM stats
+  ORDER BY (CAST(n AS HUGEINT) * s2 - s * s) DESC, i
+  LIMIT {VARSEL_D}
+),
+sl AS (SELECT list(i ORDER BY i) AS l FROM seldims),
+selv AS (
+  SELECT id, list_transform((SELECT l FROM sl), i -> vq[i]) AS vq
+  FROM fullv
+),
+prefv AS (SELECT id, vq[1:{VARSEL_D}] AS vq FROM fullv),
+{topk("fullv", "etop")},
+{topk("prefv", "ptop")},
+{topk("selv", "vtop")}
+SELECT 'prefix{VARSEL_D}' AS method, e.qid AS q_id,
+       CAST(count(a.id) AS BIGINT) AS n_overlap,
+       count(a.id) / 10.0 AS recall_at_10
+FROM etop e LEFT JOIN ptop a ON a.qid = e.qid AND a.id = e.id
+GROUP BY e.qid
+UNION ALL
+SELECT 'variance{VARSEL_D}', e.qid,
+       CAST(count(a.id) AS BIGINT), count(a.id) / 10.0
+FROM etop e LEFT JOIN vtop a ON a.qid = e.qid AND a.id = e.id
+GROUP BY e.qid
+ORDER BY method, q_id
+"""
+
+
+SQL_DIM_VARIANCE_SELECTION_RECALL = _sql_dim_variance_selection()
+
+
 # ---------------------------------------------------------------------------
 # Zipf vocabulary profile (exact ratio diagnostics, no transcendental log)
 # ---------------------------------------------------------------------------

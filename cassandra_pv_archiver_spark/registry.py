@@ -114,6 +114,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.SQL_HARD_NEGATIVE_MINING,
     ),
     "json_v1_ca_wire": (catalog.q_json_v1_ca_wire, catalog.SQL_JSON_V1_CA_WIRE),
+    "store_typed_roundtrip": (
+        catalog.q_store_typed_roundtrip,
+        catalog.SQL_STORE_TYPED_ROUNDTRIP,
+    ),
+    "dim_variance_selection_recall": (
+        catalog_data.q_dim_variance_selection_recall,
+        catalog_data.SQL_DIM_VARIANCE_SELECTION_RECALL,
+    ),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,

@@ -689,25 +689,34 @@ def ca_subscribe_by_name(
     names: list[str],
     ns_host: str,
     ns_port: int,
-    n_expected: int,
+    n_expected: int | dict[str, int],
     **kw,
 ):
     """Name-resolved subscription: CA_PROTO_SEARCH finds each PV's
     server, then the normal TCP lifecycle runs per server — no
     configured host:port anywhere, the reference's actual connect path.
-    Returns merged (frames, bindings) across servers."""
+    ``n_expected``: total monitor-event count, or a per-channel dict
+    (required when PVs resolve to DIFFERENT servers, so each
+    connection awaits exactly its own channels' share). Returns merged
+    (frames, bindings) across servers."""
     where = ca_resolve(names, ns_host, ns_port)
     by_server: dict[tuple[str, int], list[str]] = {}
     for n in names:
         by_server.setdefault(where[n], []).append(n)
+    if isinstance(n_expected, int) and len(by_server) > 1:
+        raise ValueError(
+            "PVs resolve to multiple servers: pass n_expected as a"
+            " per-channel dict so each connection awaits its own share"
+        )
     frames: list[tuple[str, bytes]] = []
     bindings: dict[int, str] = {}
     base = 0
     for (host, port), chans in by_server.items():
-        # n_expected is the global total; each server owns its channels'
-        # share — callers pass per-channel counts via kw when servers
-        # split. Single-server (the common sim) takes the full budget.
-        f, b = ca_subscribe(host, port, chans, n_expected, **kw)
+        n = (
+            n_expected if isinstance(n_expected, int)
+            else sum(n_expected[c] for c in chans)
+        )
+        f, b = ca_subscribe(host, port, chans, n, **kw)
         frames.extend(f)
         bindings.update({base + cid: ch for cid, ch in b.items()})
         base += len(chans)

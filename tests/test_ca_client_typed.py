@@ -172,3 +172,22 @@ class TestNameResolution:
         assert psize == 0
         assert port == 5064
         assert beacon_id == 1
+
+    def test_multi_server_resolution(self):
+        """PVs hosted on two different servers resolve and subscribe
+        independently — the name service is the only shared component."""
+        s1 = {"PV:a": [(BASE, 1.0, 0, 0), (BASE + NS, 2.0, 0, 0)]}
+        s2 = {"PV:b": [(BASE, -1.0, 0, 0)]}
+        with CAServerSim(s1) as srv1, CAServerSim(s2) as srv2:
+            reg = {"PV:a": srv1.port, "PV:b": srv2.port}
+            with CANameServer(reg) as ns:
+                frames, bindings = ca_subscribe_by_name(
+                    ["PV:a", "PV:b"], "127.0.0.1", ns.port,
+                    n_expected={"PV:a": 2, "PV:b": 1},
+                )
+                with pytest.raises(ValueError, match="per-channel dict"):
+                    ca_subscribe_by_name(
+                        ["PV:a", "PV:b"], "127.0.0.1", ns.port, 3
+                    )
+        assert sorted(ch for ch, _ in frames) == ["PV:a", "PV:a", "PV:b"]
+        assert sorted(bindings.values()) == ["PV:a", "PV:b"]
