@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "hard_negative_mining",
     "dim_variance_selection_recall",
     "json_v1_ca_wire",
+    "image_resize_dhash",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

@@ -2799,6 +2799,63 @@ def q_image_dhash_mixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_image_dhash_near_dup(spark, sf_dir, codec="mixed")
 
 
+#: resize-audit source geometry: 36x28 grayscale, box factor 4 -> the
+#: 9x7 dHash grid
+_RS_W, _RS_H, _RS_F = 36, 28, 4
+
+
+def q_image_resize_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE as an attested transform (the decode -> downscale ->
+    hash step every multimodal ingest runs): a deterministic 36x28
+    grayscale image per document rides the real PNG codec, is
+    box-downscaled 4x by exact integer means
+    (operators/multimodal.resize_gray_box), and dHashed from the
+    RESIZED pixels. The oracle computes the same box means and hash
+    bits straight from the pixel formula with no codec and no resize
+    code — one wrong pixel in encode, decode, or the box arithmetic
+    flips hash bits and fails the value gate."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    px = F.expr(
+        f"transform(sequence(0, {_RS_W * _RS_H - 1}), i ->"
+        f" CAST((doc_id * 31 + (i div {_RS_W}) * 7 + (i % {_RS_W}) * 13)"
+        " % 256 AS INT))"
+    )
+    imgs = docs.select("doc_id", px.alias("pixels"))
+    return multimodal.image_resize_dhash_table(
+        imgs, _RS_W, _RS_H, _RS_F
+    ).orderBy("doc_id")
+
+
+SQL_IMAGE_RESIZE_DHASH = f"""
+WITH px AS (
+  SELECT d.doc_id, r.r, c.c,
+         (d.doc_id * 31 + r.r * 7 + c.c * 13) % 256 AS v
+  FROM (SELECT doc_id FROM documents) d,
+       (SELECT unnest(generate_series(0, {_RS_H - 1})) AS r) r,
+       (SELECT unnest(generate_series(0, {_RS_W - 1})) AS c) c
+),
+cells AS (
+  SELECT doc_id, r // {_RS_F} AS gr, c // {_RS_F} AS gc,
+         sum(v) // {_RS_F * _RS_F} AS cell
+  FROM px GROUP BY doc_id, r // {_RS_F}, c // {_RS_F}
+),
+cl AS (
+  SELECT doc_id,
+         list(cell ORDER BY gr * {_RS_W // _RS_F} + gc) AS cell
+  FROM cells GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 56), b ->
+         CASE WHEN cell[(b // 8) * {_RS_W // _RS_F} + (b % 8) + 2]
+                 > cell[(b // 8) * {_RS_W // _RS_F} + (b % 8) + 1]
+              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+         AS BIGINT) AS dhash
+FROM cl ORDER BY doc_id
+"""
+
+
 SQL_IMAGE_DHASH_NEAR_DUP = f"""
 WITH d AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
 cells AS (

@@ -309,6 +309,71 @@ def image_dhash_table(cells: DataFrame, codec: str = "png") -> DataFrame:
     return cells.mapInPandas(_hash, schema="doc_id long, dhash long")
 
 
+def resize_gray_box(
+    pixels: bytes, width: int, height: int, factor: int
+) -> bytes:
+    """Integer-factor box-average downscale of a grayscale image: each
+    output pixel is ``floor(mean)`` of its ``factor x factor`` source
+    block — EXACT integer arithmetic end to end, so the transform is
+    bit-reproducible on any engine (the property every other attested
+    operator in this module holds). Non-divisible dimensions raise
+    loudly (a production resampler would pad; silently cropping would
+    misrepresent the image)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    if width % factor or height % factor:
+        raise ValueError(
+            f"{width}x{height} not divisible by factor {factor}"
+        )
+    ow, oh = width // factor, height // factor
+    out = bytearray(ow * oh)
+    area = factor * factor
+    for r in range(oh):
+        for c in range(ow):
+            s = 0
+            for yy in range(factor):
+                base = (r * factor + yy) * width + c * factor
+                s += sum(pixels[base:base + factor])
+            out[r * ow + c] = s // area
+    return bytes(out)
+
+
+def image_resize_dhash_table(
+    imgs: DataFrame, width: int, height: int, factor: int
+) -> DataFrame:
+    """(doc_id, pixels array<int>) -> (doc_id, dhash long) through the
+    full TRANSFORM pipeline: encode the source image as a real PNG,
+    decode it back (pure-stdlib codec), box-downscale by ``factor``
+    (:func:`resize_gray_box`), dHash the RESIZED pixels. The resize —
+    the feature-extraction step every multimodal ingest runs before
+    hashing/embedding — sits between an attested decode and an attested
+    hash, so the value oracle (same box means from the pixel values,
+    no codec) catches any arithmetic slip in it. ONE Arrow-batched
+    crossing; fixed-size payloads."""
+    par = imgs.sparkSession.sparkContext.defaultParallelism
+    imgs = imgs.repartition(par)
+    ow = width // factor
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["pixels"]):
+                raw = bytes(int(v) for v in px)
+                png = encode_png_gray(width, height, raw)
+                w, h, _ch, pix = decode_png(png, return_pixels=True)
+                assert (w, h) == (width, height)
+                rs = resize_gray_box(pix, w, h, factor)
+                out.append(dhash56(rs, width=ow))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return imgs.mapInPandas(_run, schema="doc_id long, dhash long")
+
+
 def decode(blob: bytes, fake: bool = False) -> tuple[int, int, int]:
     """Container-dispatching decode -> (width, height, n_frames): PNG
     and baseline-JPEG payloads take the real decoders (a still image is

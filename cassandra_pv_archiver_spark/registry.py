@@ -122,6 +122,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_dim_variance_selection_recall,
         catalog_data.SQL_DIM_VARIANCE_SELECTION_RECALL,
     ),
+    "image_resize_dhash": (
+        catalog_data.q_image_resize_dhash,
+        catalog_data.SQL_IMAGE_RESIZE_DHASH,
+    ),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,

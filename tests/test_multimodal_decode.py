@@ -377,3 +377,35 @@ def test_jpeg_fill_bytes_before_marker():
     padded = jp[:i] + b"\xff\xff\xff" + jp[i:]
     w, h, _ch, pix = decode_jpeg_gray(padded, return_pixels=True)
     assert (w, h) == (8, 8) and set(pix) == {42}
+
+
+class TestResizeGrayBox:
+    def test_exact_box_means(self):
+        from cassandra_pv_archiver_spark.operators.multimodal import (
+            resize_gray_box,
+        )
+
+        # 4x2 -> 2x1 with factor 2: floor means of each 2x2 block
+        px = bytes([10, 20, 30, 41,
+                    50, 60, 70, 80])
+        out = resize_gray_box(px, 4, 2, 2)
+        assert list(out) == [(10 + 20 + 50 + 60) // 4,
+                             (30 + 41 + 70 + 80) // 4]
+
+    def test_factor_one_is_identity(self):
+        from cassandra_pv_archiver_spark.operators.multimodal import (
+            resize_gray_box,
+        )
+
+        px = bytes(range(12))
+        assert resize_gray_box(px, 4, 3, 1) == px
+
+    def test_non_divisible_raises(self):
+        import pytest as _pytest
+
+        from cassandra_pv_archiver_spark.operators.multimodal import (
+            resize_gray_box,
+        )
+
+        with _pytest.raises(ValueError, match="not divisible"):
+            resize_gray_box(bytes(15), 5, 3, 2)
