@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "dim_variance_selection_recall",
     "json_v1_ca_wire",
     "image_resize_dhash",
+    "audio_downsample_features",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

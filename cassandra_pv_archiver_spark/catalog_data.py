@@ -3506,6 +3506,74 @@ FROM x GROUP BY doc_id ORDER BY doc_id
 """
 
 
+#: audio downsample factor (8 kHz -> 2 kHz)
+AUDIO_DS_FACTOR = 4
+
+
+def q_audio_downsample_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio RESAMPLE as an attested transform: the deterministic PCM
+    clip rides encode -> decode -> integer box-downsample 4x
+    (operators/audio.downsample_pcm, floor means — exact) -> re-encode
+    at the reduced rate -> decode -> features. TWO codec roundtrips
+    bracket the resampler; the oracle recomputes the features from
+    floor-mean groups of the synthesis formula with no codec, so any
+    slip in either WAV pass or the box arithmetic shifts a moment and
+    fails the value gate."""
+    from .operators import audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    sam = docs.select("doc_id", F.expr(_AUDIO_SAMPLES).alias("samples"))
+    return audio.audio_downsample_table(sam, AUDIO_DS_FACTOR).orderBy(
+        "doc_id"
+    )
+
+
+SQL_AUDIO_DOWNSAMPLE_FEATURES = f"""
+WITH sam AS (
+  SELECT d.doc_id, t.i,
+         ((strpos('{_NIBS}', substr(md5(d.text || '#' || (t.i // 16)),
+                                    (t.i % 16) * 2 + 1, 1)) - 1) * 16
+          + (strpos('{_NIBS}', substr(md5(d.text || '#' || (t.i // 16)),
+                                      (t.i % 16) * 2 + 2, 1)) - 1)
+         ) * 257 - 32768 AS s
+  FROM documents d, range(0, {AUDIO_N_SAMPLES}) t(i)
+),
+g AS (
+  SELECT doc_id, i // {AUDIO_DS_FACTOR} AS j, sum(s) AS ssum
+  FROM sam GROUP BY doc_id, i // {AUDIO_DS_FACTOR}
+),
+ds AS (
+  -- floor division (DuckDB // truncates toward zero; subtract the
+  -- positive remainder first so truncation == floor, Python parity)
+  SELECT doc_id, j,
+         (ssum - ((ssum % {AUDIO_DS_FACTOR} + {AUDIO_DS_FACTOR})
+                  % {AUDIO_DS_FACTOR})) // {AUDIO_DS_FACTOR} AS s
+  FROM g
+),
+x AS (
+  SELECT doc_id, j, s,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+  FROM ds
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS bits,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+       CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (s < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(sum(CASE WHEN s >= 32767 OR s <= -32768 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       CAST(coalesce(min(CASE WHEN abs(s) > 512 THEN j END),
+                     {AUDIO_N_SAMPLES // AUDIO_DS_FACTOR}) AS BIGINT)
+         AS lead_silence
+FROM x GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # video frame sampling over the REAL AVI/MJPEG container
 # ---------------------------------------------------------------------------

@@ -254,6 +254,65 @@ def audio_feature_table(
     return sam.mapInPandas(_feat, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def downsample_pcm(samples: Sequence[int], factor: int) -> list[int]:
+    """Integer-factor PCM downsample by box averaging: each output
+    sample is ``floor(mean)`` of ``factor`` consecutive inputs — the
+    anti-aliased rate reduction every audio ingest runs before
+    featurizing, kept EXACT over the integers (floor division, negative
+    sums floor toward -inf — the Python/SQL-reproducible convention) so
+    oracles replicate it bit-for-bit. Non-divisible lengths raise."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    n = len(samples)
+    if n % factor:
+        raise ValueError(f"{n} samples not divisible by factor {factor}")
+    return [
+        sum(samples[i * factor:(i + 1) * factor]) // factor
+        for i in range(n // factor)
+    ]
+
+
+def audio_downsample_table(
+    sam: DataFrame, factor: int, sample_rate: int = 8000
+) -> DataFrame:
+    """(doc_id, samples array<int>) -> features of the DOWNSAMPLED
+    clip through TWO full codec passes: encode 16-bit WAV, decode,
+    box-downsample by ``factor`` (:func:`downsample_pcm`), re-encode at
+    the reduced rate, decode again, featurize. The resample — the
+    transform step between ingest and feature extraction — sits between
+    two attested codec roundtrips, and the oracle recomputes the
+    features from floor-mean groups of the synthesis formula with no
+    codec and no resampler."""
+    par = sam.sparkSession.sparkContext.defaultParallelism
+    sam = sam.repartition(par)
+    out_rate = sample_rate // factor
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, xs in zip(pdf["doc_id"], pdf["samples"]):
+                vals = [int(v) for v in xs]
+                _r, _c, _b, dec1 = decode_wav(
+                    encode_wav(vals, sample_rate=sample_rate, bits=16)
+                )
+                down = downsample_pcm(dec1, factor)
+                rate, channels, bits, dec2 = decode_wav(
+                    encode_wav(down, sample_rate=out_rate, bits=16)
+                )
+                assert (rate, channels, bits) == (out_rate, 1, 16)
+                f = audio_features(dec2)
+                rows.append({"doc_id": int(doc_id), "bits": bits, **f})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "bits", "n_samples", "peak_abs", "sum_abs",
+                    "energy", "zero_crossings", "n_clipped", "lead_silence",
+                ],
+            )
+
+    return sam.mapInPandas(_run, schema=AUDIO_FEATURE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # perceptual audio fingerprint (sign-of-delta envelope hash)
 # ---------------------------------------------------------------------------

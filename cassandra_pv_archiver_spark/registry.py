@@ -126,6 +126,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_image_resize_dhash,
         catalog_data.SQL_IMAGE_RESIZE_DHASH,
     ),
+    "audio_downsample_features": (
+        catalog_data.q_audio_downsample_features,
+        catalog_data.SQL_AUDIO_DOWNSAMPLE_FEATURES,
+    ),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,

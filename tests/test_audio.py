@@ -186,3 +186,26 @@ def test_fingerprint_table_matches_local(spark):
     for doc_id, s in rows:
         dec = audio.decode_wav(audio.encode_wav(s))[3]
         assert got[doc_id] == audio.audio_fingerprint(dec)
+
+
+class TestDownsamplePcm:
+    def test_floor_means_including_negative(self):
+        from cassandra_pv_archiver_spark.operators.audio import (
+            downsample_pcm,
+        )
+
+        # -7 // 4 must floor to -2 (not truncate to -1) — the SQL
+        # oracle reproduces floor via the positive-remainder identity
+        assert downsample_pcm([-1, -2, -3, -1], 4) == [-2]
+        assert downsample_pcm([10, 20, 30, 41, 0, 0, 0, 3], 4) == [25, 0]
+
+    def test_identity_and_errors(self):
+        import pytest as _pytest
+
+        from cassandra_pv_archiver_spark.operators.audio import (
+            downsample_pcm,
+        )
+
+        assert downsample_pcm([5, -5], 1) == [5, -5]
+        with _pytest.raises(ValueError, match="not divisible"):
+            downsample_pcm([1, 2, 3], 2)
