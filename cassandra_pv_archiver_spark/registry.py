@@ -623,8 +623,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: row, REGENERATED from the CORRECTNESS_r*.json records (tools/
 #: regen_ledger.py) — never hand-edited. The driver samples the registry
 #: front-to-back with a ~50-query budget, so REGISTRY is ordered
-#: never-checked-first, then ascending staleness: round 6's slots =
-#: 5 new queries + all 44 rows last attested in r02 (VERDICT r5 #2).
+#: never-checked-first, then ascending staleness: round 6's front =
+#: the 12 never-checked round-6 additions, then all 44 rows last
+#: attested in r02 (VERDICT r5 #2). 56 candidates vs the ~50-query
+#: budget: any spillover is the alphabetical tail of the r02 group
+#: (cheap tpch rows), which rotates to the front next round.
 _LAST_DRIVER_CHECKED = {
     "ann_cosine_topk": 5,
     "ann_ivf_topk": 4,
