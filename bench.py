@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "json_v1_ca_wire",
     "image_resize_dhash",
     "audio_downsample_features",
+    "pca_top_component",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

@@ -4725,6 +4725,86 @@ GROUP BY e.qid""")
 SQL_DIM_TRUNCATION_RECALL = _sql_dim_truncation()
 
 
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component + Rayleigh eigenvalue + query projections
+    over the embedding corpus (operators/similarity.pca_top_component):
+    the whitening/compression direction a pipeline measures before
+    truncating or quantizing vectors. Distributed exact scatter matrix
+    (one scan, 64² DECIMAL sums), bounded driver-side power iteration
+    with fixed fold order — the oracle unrolls the SAME two iterations
+    over the SAME exact integers in SQL, so every one of the 70 output
+    doubles is bit-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_top_component(emb, query_ids=ANN_QUERY_IDS)
+
+
+def _sql_pca_top_component(dim: int = 64, iters: int = 2) -> str:
+    assert iters == 2, "oracle unrolls exactly two power iterations"
+    from .operators.decimate import big_to_double_duck
+
+    vq = (
+        "list_transform(embedding, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    rng = f"range(1, {dim + 1})"
+    return f"""
+WITH fullv AS (SELECT vec_id AS id, {vq} AS vq FROM embeddings),
+ex AS (
+  SELECT id, g.i, vq[g.i] AS x
+  FROM fullv, (SELECT unnest(generate_series(1, {dim})) AS i) g
+),
+s1 AS (SELECT i, sum(CAST(x AS HUGEINT)) AS sx FROM ex GROUP BY i),
+s2 AS (
+  SELECT a.i, b.i AS j, count(*) AS n,
+         sum(CAST(a.x AS HUGEINT) * b.x) AS sxx
+  FROM ex a JOIN ex b ON a.id = b.id
+  GROUP BY a.i, b.i
+),
+sm AS (
+  SELECT s2.i, s2.j,
+         {big_to_double_duck("(CAST(n AS HUGEINT) * sxx - sa.sx * sb.sx)")}
+           AS s
+  FROM s2 JOIN s1 sa ON sa.i = s2.i JOIN s1 sb ON sb.i = s2.j
+),
+srow AS (SELECT i, list(s ORDER BY j) AS sl FROM sm GROUP BY i),
+w1 AS (
+  -- v0 = ones: w1_i = left fold of S_ij * 1.0 in ascending j
+  SELECT i, list_sum(list_transform(sl, s -> s * 1.0)) AS w FROM srow
+),
+w1l AS (SELECT list(w ORDER BY i) AS wl FROM w1),
+w2 AS (
+  SELECT srow.i,
+         list_sum(list_transform({rng}, j -> srow.sl[j] * w1l.wl[j])) AS w
+  FROM srow, w1l
+),
+w2l AS (SELECT list(w ORDER BY i) AS wl2 FROM w2),
+st AS (
+  SELECT w1l.wl AS wl, w2l.wl2 AS wl2,
+         list_sum(list_transform({rng}, j -> w2l.wl2[j] * w1l.wl[j]))
+           / list_sum(list_transform({rng}, j -> w1l.wl[j] * w1l.wl[j]))
+           AS lam,
+         sqrt(list_sum(list_transform({rng}, j -> w2l.wl2[j] * w2l.wl2[j])))
+           AS nrm
+  FROM w1l, w2l
+)
+SELECT kind, i, value FROM (
+  SELECT 'component' AS kind, CAST(g.j AS INTEGER) AS i,
+         st.wl2[g.j] / st.nrm AS value
+  FROM st, (SELECT unnest(generate_series(1, {dim})) AS j) g
+  UNION ALL
+  SELECT 'lambda', 0, lam FROM st
+  UNION ALL
+  SELECT 'projection', CAST(f.id AS INTEGER),
+         list_sum(list_transform({rng},
+           j -> CAST(f.vq[j] AS DOUBLE) * (st.wl2[j] / st.nrm)))
+  FROM fullv f, st WHERE f.id IN ({_IDS})
+) ORDER BY kind, i
+"""
+
+
+SQL_PCA_TOP_COMPONENT = _sql_pca_top_component()
+
+
 #: dimension budget for the variance-ranked selection audit
 VARSEL_D = 16
 

@@ -11,6 +11,8 @@ to Catalyst expressions (no Python UDF, no per-row Python cost).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -68,6 +70,130 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, "sim", "rank")
     )
+
+
+def _big_int_to_double(x: int) -> float:
+    """Python mirror of decimate.big_to_double: exact big integer ->
+    double via sign x (hi*2^64 + mid*2^32 + lo), SAME IEEE op order as
+    the SQL expression — Spark-side driver math and the DuckDB oracle
+    see the bit-identical double for any |x| < 2^117."""
+    b32, b64 = 4294967296, 18446744073709551616
+    a = abs(x)
+    sign = -1.0 if x < 0 else 1.0
+    return sign * (
+        float(a // b64) * float(b64)
+        + float((a % b64) // b32) * float(b32)
+        + float(a % b32)
+    )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Top principal component of the embedding corpus, the
+    deterministic distributed way. The DISTRIBUTED work is the exact
+    scatter matrix S_ij = n·Σ(x_i x_j) − Σx_i·Σx_j over the quantized
+    integer grid — one scan, dim² map-combined DECIMAL(38,0) sums
+    (n·covariance·n, exact integers). The dim x dim eigensolve is
+    bounded DRIVER-side metadata math (exactly where production
+    systems put it): an UNNORMALIZED power iteration in IEEE doubles
+    with fixed ascending-index fold order — v₀ = ones, v_{k+1} = S·v_k
+    (no per-step normalization; 2–3 iterations stay far inside the
+    double range since |S_ij| ≲ 1e27), u = v_iters/‖v_iters‖, λ = the
+    Rayleigh quotient (v_k·v_{k-1})/(v_{k-1}·v_{k-1}). Exact integers
+    cross the engine boundary through the big_to_double decomposition
+    and every float op is a left fold, so the DuckDB oracle (same
+    unrolled iteration over the same exact S) reproduces u, λ, and the
+    per-vector projections bit-for-bit — the whitening/compression
+    direction a pipeline uses before truncation or quantization.
+
+    Returns a tall DataFrame: kind='component' (i = 1..dim, value =
+    u_i), kind='lambda' (i = 0), and kind='projection' rows for
+    ``query_ids`` (value = Σ u_j · xq_j)."""
+    spark = emb.sparkSession
+    xq = F.expr(
+        f"transform({vec_col}, c ->"
+        " CAST(floor(CAST(c AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    out_schema = "kind string, i int, value double"
+    q = emb.select(F.col(id_col).alias("_id"), xq.alias("q"))
+    pairs = q.select(
+        F.posexplode("q").alias("i", "xi"), F.col("q")
+    ).select("i", "xi", F.posexplode("q").alias("j", "xj"))
+    s2 = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xj")).alias("sxx"),
+    )
+    s1 = q.select(F.posexplode("q").alias("i", "xi")).groupBy("i").agg(
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx")
+    )
+    rows = (
+        s2.join(s1, "i")
+        .join(
+            s1.select(F.col("i").alias("j"), F.col("sx").alias("sy")), "j"
+        )
+        .select(
+            "i", "j",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                - F.col("sx") * F.col("sy")
+            ).alias("s"),
+        )
+        .collect()  # dim² scatter entries: bounded metadata, the same
+        # contract as the planner's probe stats
+    )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    S = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        S[r["i"]][r["j"]] = _big_int_to_double(int(r["s"]))
+
+    v = [1.0] * dim
+    prev = v
+    for _ in range(iters):
+        prev = v
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):  # fixed ascending fold order
+                acc += S[i][j] * prev[j]
+            w.append(acc)
+        v = w
+    num = den = 0.0
+    for i in range(dim):
+        num += v[i] * prev[i]
+        den += prev[i] * prev[i]
+    lam = num / den
+    nrm = 0.0
+    for i in range(dim):
+        nrm += v[i] * v[i]
+    nrm = math.sqrt(nrm)
+    u = [x / nrm for x in v]
+
+    out = [("component", i + 1, u[i]) for i in range(dim)]
+    out.append(("lambda", 0, lam))
+    comp = spark.createDataFrame(out, out_schema)
+    if not query_ids:
+        return comp.orderBy("kind", "i")
+    proj = (
+        q.filter(F.col("_id").isin(query_ids))
+        .withColumn("uv", F.array(*[F.lit(float(x)) for x in u]))
+        .select(
+            F.lit("projection").alias("kind"),
+            F.col("_id").cast("int").alias("i"),
+            F.expr(
+                "aggregate(zip_with(q, uv, (a, b) ->"
+                " CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE),"
+                " (acc, x) -> acc + x)"
+            ).alias("value"),
+        )
+    )
+    return comp.unionByName(proj).orderBy("kind", "i")
 
 
 def hard_negatives(

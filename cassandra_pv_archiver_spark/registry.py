@@ -130,6 +130,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_audio_downsample_features,
         catalog_data.SQL_AUDIO_DOWNSAMPLE_FEATURES,
     ),
+    "pca_top_component": (
+        catalog_data.q_pca_top_component,
+        catalog_data.SQL_PCA_TOP_COMPONENT,
+    ),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,

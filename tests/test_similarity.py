@@ -560,3 +560,45 @@ class TestHardNegatives:
         assert 1 not in ids and 0 not in ids
         assert [r["rank"] for r in got] == [1, 2, 3]
         assert all(r["label"] != 7 for r in got)
+
+
+class TestPcaTopComponent:
+    def test_dominant_direction_recovered(self, spark):
+        """Vectors spread along (3, 1, 0, 0): the top component must
+        align with that axis (|u1/u2| ≈ 3, other dims ~0) and the
+        eigenvalue must dominate."""
+        from cassandra_pv_archiver_spark.operators.similarity import (
+            pca_top_component,
+        )
+
+        rows = [
+            (i, [3.0 * t, 1.0 * t, 0.001 * (i % 3), 0.0])
+            for i, t in enumerate(
+                x / 10.0 for x in range(-10, 11)
+            )
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = {
+            (r["kind"], r["i"]): r["value"]
+            for r in pca_top_component(emb, dim=4, query_ids=[0]).collect()
+        }
+        u = [out[("component", i)] for i in range(1, 5)]
+        assert abs(abs(u[0] / u[1]) - 3.0) < 0.01
+        assert abs(u[2]) < 0.05 and abs(u[3]) < 1e-9
+        assert out[("lambda", 0)] > 0
+        # projection of vec 0 equals the explicit fold
+        xq = [round(c * 1e9) for c in rows[0][1]]
+        want = 0.0
+        for a, b in zip(xq, u):
+            want += float(a) * b
+        assert out[("projection", 0)] == want
+
+    def test_empty_input_yields_empty(self, spark):
+        from cassandra_pv_archiver_spark.operators.similarity import (
+            pca_top_component,
+        )
+
+        emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert pca_top_component(emb, dim=4).count() == 0
