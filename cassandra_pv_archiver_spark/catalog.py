@@ -378,6 +378,18 @@ def q_decimate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decimate(load_samples(spark, sf_dir), PERIOD_1H).orderBy("channel", "t")
 
 
+def q_decimate_1h_auto_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``skew_safe="auto"`` path end to end through the driver: the
+    sampled key_skew_report pre-flight measures the corpus (flat here —
+    the default plan is chosen; the plan-switch behavior itself is
+    pinned both ways in tests/test_skew.py), and the result must equal
+    plain decimation bit-for-bit regardless of which plan ran — the
+    same oracle attests both."""
+    return decimate(
+        load_samples(spark, sf_dir), PERIOD_1H, skew_safe="auto"
+    ).orderBy("channel", "t")
+
+
 SQL_DECIMATE_1H = f"""
 WITH {SAMPLES_CTE},
 {_dec_ctes(PERIOD_1H)}

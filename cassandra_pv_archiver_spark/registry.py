@@ -134,6 +134,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_pca_top_component,
         catalog_data.SQL_PCA_TOP_COMPONENT,
     ),
+    "decimate_1h_auto_skew": (
+        catalog.q_decimate_1h_auto_skew,
+        catalog.SQL_DECIMATE_1H,
+    ),
     # --- round 6 additions ---
     "cusum_changepoints": (
         catalog.q_cusum_changepoints,
