@@ -4726,13 +4726,14 @@ SQL_DIM_TRUNCATION_RECALL = _sql_dim_truncation()
 
 
 def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component + Rayleigh eigenvalue + query projections
-    over the embedding corpus (operators/similarity.pca_top_component):
-    the whitening/compression direction a pipeline measures before
-    truncating or quantizing vectors. Distributed exact scatter matrix
-    (one scan, 64² DECIMAL sums), bounded driver-side power iteration
-    with fixed fold order — the oracle unrolls the SAME two iterations
-    over the SAME exact integers in SQL, so every one of the 70 output
+    """Top TWO principal components + Rayleigh eigenvalues + query
+    projections over the embedding corpus
+    (operators/similarity.pca_top_component): the whitening/compression
+    directions a pipeline measures before truncating or quantizing
+    vectors. Distributed exact scatter matrix (one scan, 64² DECIMAL
+    sums), bounded driver-side power iteration + Hotelling deflation
+    with fixed fold order — the oracle unrolls the SAME iterations over
+    the SAME exact integers in SQL, so every one of the 140 output
     doubles is bit-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pca_top_component(emb, query_ids=ANN_QUERY_IDS)
@@ -4786,18 +4787,54 @@ st AS (
          sqrt(list_sum(list_transform({rng}, j -> w2l.wl2[j] * w2l.wl2[j])))
            AS nrm
   FROM w1l, w2l
+),
+-- Hotelling deflation: S' = S - lam * u u^T (u recomputed per element
+-- as wl2[i]/nrm — identical doubles, same multiply order as Python)
+s2row AS (
+  SELECT srow.i,
+         list_transform({rng}, j -> srow.sl[j]
+           - st.lam * (st.wl2[srow.i] / st.nrm) * (st.wl2[j] / st.nrm))
+           AS sl
+  FROM srow, st
+),
+x1 AS (SELECT i, list_sum(list_transform(sl, s -> s * 1.0)) AS w FROM s2row),
+x1l AS (SELECT list(w ORDER BY i) AS wl FROM x1),
+x2 AS (
+  SELECT s2row.i,
+         list_sum(list_transform({rng}, j -> s2row.sl[j] * x1l.wl[j])) AS w
+  FROM s2row, x1l
+),
+x2l AS (SELECT list(w ORDER BY i) AS wl2 FROM x2),
+st2 AS (
+  SELECT x2l.wl2 AS wl2,
+         list_sum(list_transform({rng}, j -> x2l.wl2[j] * x1l.wl[j]))
+           / list_sum(list_transform({rng}, j -> x1l.wl[j] * x1l.wl[j]))
+           AS lam,
+         sqrt(list_sum(list_transform({rng}, j -> x2l.wl2[j] * x2l.wl2[j])))
+           AS nrm
+  FROM x1l, x2l
 )
 SELECT kind, i, value FROM (
-  SELECT 'component' AS kind, CAST(g.j AS INTEGER) AS i,
+  SELECT 'component1' AS kind, CAST(g.j AS INTEGER) AS i,
          st.wl2[g.j] / st.nrm AS value
   FROM st, (SELECT unnest(generate_series(1, {dim})) AS j) g
   UNION ALL
-  SELECT 'lambda', 0, lam FROM st
+  SELECT 'component2', CAST(g.j AS INTEGER), st2.wl2[g.j] / st2.nrm
+  FROM st2, (SELECT unnest(generate_series(1, {dim})) AS j) g
   UNION ALL
-  SELECT 'projection', CAST(f.id AS INTEGER),
+  SELECT 'lambda', 1, lam FROM st
+  UNION ALL
+  SELECT 'lambda', 2, lam FROM st2
+  UNION ALL
+  SELECT 'projection1', CAST(f.id AS INTEGER),
          list_sum(list_transform({rng},
            j -> CAST(f.vq[j] AS DOUBLE) * (st.wl2[j] / st.nrm)))
   FROM fullv f, st WHERE f.id IN ({_IDS})
+  UNION ALL
+  SELECT 'projection2', CAST(f.id AS INTEGER),
+         list_sum(list_transform({rng},
+           j -> CAST(f.vq[j] AS DOUBLE) * (st2.wl2[j] / st2.nrm)))
+  FROM fullv f, st2 WHERE f.id IN ({_IDS})
 ) ORDER BY kind, i
 """
 

@@ -153,47 +153,70 @@ def pca_top_component(
     for r in rows:
         S[r["i"]][r["j"]] = _big_int_to_double(int(r["s"]))
 
-    v = [1.0] * dim
-    prev = v
-    for _ in range(iters):
+    def _power(M: list[list[float]]) -> tuple[list[float], float]:
+        """Unnormalized power iteration with fixed ascending folds;
+        returns (unit eigenvector, Rayleigh eigenvalue)."""
+        v = [1.0] * dim
         prev = v
-        w = []
+        for _ in range(iters):
+            prev = v
+            w = []
+            for i in range(dim):
+                acc = 0.0
+                for j in range(dim):  # fixed ascending fold order
+                    acc += M[i][j] * prev[j]
+                w.append(acc)
+            v = w
+        num = den = 0.0
         for i in range(dim):
-            acc = 0.0
-            for j in range(dim):  # fixed ascending fold order
-                acc += S[i][j] * prev[j]
-            w.append(acc)
-        v = w
-    num = den = 0.0
-    for i in range(dim):
-        num += v[i] * prev[i]
-        den += prev[i] * prev[i]
-    lam = num / den
-    nrm = 0.0
-    for i in range(dim):
-        nrm += v[i] * v[i]
-    nrm = math.sqrt(nrm)
-    u = [x / nrm for x in v]
+            num += v[i] * prev[i]
+            den += prev[i] * prev[i]
+        lam = num / den
+        nrm = 0.0
+        for i in range(dim):
+            nrm += v[i] * v[i]
+        nrm = math.sqrt(nrm)
+        return [x / nrm for x in v], lam
 
-    out = [("component", i + 1, u[i]) for i in range(dim)]
-    out.append(("lambda", 0, lam))
+    u1, lam1 = _power(S)
+    # Hotelling deflation with the computed pair — the standard
+    # truncated power method; the second direction is approximate to
+    # the extent (u1, lam1) is, and its quality is a MEASURED property
+    # (orthogonality pinned in tests), never assumed
+    S2 = [
+        [S[i][j] - lam1 * u1[i] * u1[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    u2, lam2 = _power(S2)
+
+    out = [("component1", i + 1, u1[i]) for i in range(dim)]
+    out += [("component2", i + 1, u2[i]) for i in range(dim)]
+    out.append(("lambda", 1, lam1))
+    out.append(("lambda", 2, lam2))
     comp = spark.createDataFrame(out, out_schema)
     if not query_ids:
         return comp.orderBy("kind", "i")
-    proj = (
-        q.filter(F.col("_id").isin(query_ids))
-        .withColumn("uv", F.array(*[F.lit(float(x)) for x in u]))
-        .select(
-            F.lit("projection").alias("kind"),
-            F.col("_id").cast("int").alias("i"),
-            F.expr(
-                "aggregate(zip_with(q, uv, (a, b) ->"
-                " CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE),"
-                " (acc, x) -> acc + x)"
-            ).alias("value"),
+
+    def _proj(kind: str, u: list[float]) -> DataFrame:
+        return (
+            q.filter(F.col("_id").isin(query_ids))
+            .withColumn("uv", F.array(*[F.lit(float(x)) for x in u]))
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("_id").cast("int").alias("i"),
+                F.expr(
+                    "aggregate(zip_with(q, uv, (a, b) ->"
+                    " CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE),"
+                    " (acc, x) -> acc + x)"
+                ).alias("value"),
+            )
         )
+
+    return (
+        comp.unionByName(_proj("projection1", u1))
+        .unionByName(_proj("projection2", u2))
+        .orderBy("kind", "i")
     )
-    return comp.unionByName(proj).orderBy("kind", "i")
 
 
 def hard_negatives(

@@ -584,16 +584,21 @@ class TestPcaTopComponent:
             (r["kind"], r["i"]): r["value"]
             for r in pca_top_component(emb, dim=4, query_ids=[0]).collect()
         }
-        u = [out[("component", i)] for i in range(1, 5)]
+        u = [out[("component1", i)] for i in range(1, 5)]
         assert abs(abs(u[0] / u[1]) - 3.0) < 0.01
         assert abs(u[2]) < 0.05 and abs(u[3]) < 1e-9
-        assert out[("lambda", 0)] > 0
+        assert out[("lambda", 1)] > 0
+        assert out[("lambda", 1)] > abs(out[("lambda", 2)])
+        # deflated second component is near-orthogonal to the first
+        u2 = [out[("component2", i)] for i in range(1, 5)]
+        dot = sum(a * b for a, b in zip(u, u2))
+        assert abs(dot) < 1e-6
         # projection of vec 0 equals the explicit fold
         xq = [round(c * 1e9) for c in rows[0][1]]
         want = 0.0
         for a, b in zip(xq, u):
             want += float(a) * b
-        assert out[("projection", 0)] == want
+        assert out[("projection1", 0)] == want
 
     def test_empty_input_yields_empty(self, spark):
         from cassandra_pv_archiver_spark.operators.similarity import (
