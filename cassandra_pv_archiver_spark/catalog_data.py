@@ -5451,3 +5451,145 @@ JOIN sizes sa ON sa.source = src_a
 JOIN sizes sb ON sb.source = src_b
 ORDER BY src_a, src_b
 """
+
+
+# --- round 7: n-gram LM quality scoring (stupid backoff) -----------------
+
+LM_SALT, LM_TRAIN_PCT = "lm", 50
+_LM_THR = 65536 * LM_TRAIN_PCT // 100
+
+
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter score for every document: a
+    stupid-backoff trigram LM trained on a deterministic md5-threshold
+    half of the corpus, scored on the integer 1e-9 grid so the per-doc
+    sum is BIGINT-exact (operators/lm.stupid_backoff_score)."""
+    from .operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.stupid_backoff_score(
+        docs, salt=LM_SALT, train_pct=LM_TRAIN_PCT
+    ).orderBy("doc_id")
+
+
+def _sql_lm_grams() -> str:
+    """Shared CTE block: tokenized docs with train flag, n-gram count
+    tables from the train slice, and the all-docs trigram stream."""
+    return f"""
+d AS (
+  SELECT doc_id, {_W_SQL} AS w,
+         ({_sql_h16(LM_SALT)} < {_LM_THR}) AS is_train
+  FROM documents
+),
+g3 AS (
+  SELECT doc_id, is_train, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+  FROM d, unnest(generate_series(1, len(w) - 2)) AS u(i)
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM g3 WHERE is_train
+        GROUP BY 1, 2, 3),
+g2 AS (
+  SELECT w[i] AS a, w[i+1] AS b
+  FROM d, unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE is_train
+),
+bi AS (SELECT a, b, count(*) AS c2 FROM g2 GROUP BY 1, 2),
+uni AS (SELECT t, count(*) AS c1
+        FROM (SELECT unnest(w) AS t FROM d WHERE is_train) GROUP BY 1),
+tot AS (SELECT count(*) AS T
+        FROM (SELECT unnest(w) AS t FROM d WHERE is_train)),
+sc AS (
+  SELECT e.doc_id,
+         CASE WHEN t.c3 IS NOT NULL THEN 3
+              WHEN b2.c2 IS NOT NULL THEN 2
+              WHEN u3.c1 IS NOT NULL THEN 1 ELSE 0 END AS tier,
+         CASE WHEN t.c3 IS NOT NULL
+                THEN (CAST(t.c3 AS HUGEINT) * 1000000000) // b1.c2
+              WHEN b2.c2 IS NOT NULL
+                THEN (CAST(b2.c2 AS HUGEINT) * 400000000) // u2.c1
+              WHEN u3.c1 IS NOT NULL
+                THEN (CAST(u3.c1 AS HUGEINT) * 160000000) // tot.T
+              ELSE 0 END AS s
+  FROM g3 e
+  LEFT JOIN tri t ON e.w1 = t.w1 AND e.w2 = t.w2 AND e.w3 = t.w3
+  LEFT JOIN bi b1 ON e.w1 = b1.a AND e.w2 = b1.b
+  LEFT JOIN bi b2 ON e.w2 = b2.a AND e.w3 = b2.b
+  LEFT JOIN uni u2 ON e.w2 = u2.t
+  LEFT JOIN uni u3 ON e.w3 = u3.t
+  CROSS JOIN tot
+),
+p AS (
+  SELECT doc_id, count(*) AS n_scored,
+         sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS hits3,
+         sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS hits2,
+         sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS hits1,
+         sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS oov,
+         sum(s) AS score_q9
+  FROM sc GROUP BY doc_id
+)"""
+
+
+SQL_LM_QUALITY_SCORE = f"""
+WITH {_sql_lm_grams()}
+SELECT doc.doc_id,
+       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(hits3, 0) AS BIGINT) AS hits3,
+       CAST(coalesce(hits2, 0) AS BIGINT) AS hits2,
+       CAST(coalesce(hits1, 0) AS BIGINT) AS hits1,
+       CAST(coalesce(oov, 0) AS BIGINT) AS oov,
+       CAST(coalesce(score_q9, 0) AS BIGINT) AS score_q9,
+       CASE WHEN coalesce(n_scored, 0) > 0
+            THEN round(CAST(score_q9 AS DOUBLE)
+                       / CAST(n_scored AS DOUBLE) / 1e9, 9)
+            ELSE 0.0 END AS avg_score
+FROM documents doc LEFT JOIN p USING (doc_id)
+ORDER BY doc.doc_id
+"""
+
+
+def q_lm_backoff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM coverage by language: token mass per backoff tier —
+    the dashboard a curation run reads before trusting the LM filter."""
+    from .operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.backoff_census(
+        docs, salt=LM_SALT, train_pct=LM_TRAIN_PCT
+    ).orderBy("lang")
+
+
+SQL_LM_BACKOFF_CENSUS = f"""
+WITH {_sql_lm_grams()},
+bylang AS (
+  -- LEFT join from the doc spine: a language whose every document is
+  -- too short to score still gets its (all-zero) census row, exactly
+  -- as the Spark side's per-doc spine does
+  SELECT lang, sum(coalesce(n_scored, 0)) AS n_scored,
+         sum(coalesce(hits3, 0)) AS hits3,
+         sum(coalesce(hits2, 0)) AS hits2,
+         sum(coalesce(hits1, 0)) AS hits1,
+         sum(coalesce(oov, 0)) AS oov,
+         sum(coalesce(score_q9, 0)) AS score_q9
+  FROM documents LEFT JOIN p USING (doc_id) GROUP BY lang
+)
+SELECT lang,
+       CAST(n_scored AS BIGINT) AS n_scored,
+       CAST(hits3 AS BIGINT) AS hits3,
+       CAST(hits2 AS BIGINT) AS hits2,
+       CAST(hits1 AS BIGINT) AS hits1,
+       CAST(oov AS BIGINT) AS oov,
+       CAST(score_q9 AS BIGINT) AS score_q9,
+       CASE WHEN n_scored > 0 THEN
+         round(CAST(hits3 AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+         ELSE 0.0 END AS frac3,
+       CASE WHEN n_scored > 0 THEN
+         round(CAST(hits2 AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+         ELSE 0.0 END AS frac2,
+       CASE WHEN n_scored > 0 THEN
+         round(CAST(hits1 AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+         ELSE 0.0 END AS frac1,
+       CASE WHEN n_scored > 0 THEN
+         round(CAST(oov AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+         ELSE 0.0 END AS frac_oov
+FROM bylang
+ORDER BY lang
+"""

@@ -15,6 +15,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- round 7 additions (never driver-checked: keep at the front) ---
+    "lm_quality_score": (
+        catalog_data.q_lm_quality_score,
+        catalog_data.SQL_LM_QUALITY_SCORE,
+    ),
+    "lm_backoff_census": (
+        catalog_data.q_lm_backoff_census,
+        catalog_data.SQL_LM_BACKOFF_CENSUS,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

