@@ -5593,3 +5593,116 @@ SELECT lang,
 FROM bylang
 ORDER BY lang
 """
+
+
+# --- round 7: ridge-regression probe (exact normal equations) ------------
+
+PROBE_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge probe n_chars ~ (1, n_tokens, n_uniq, sum_token_chars):
+    integer-exact sufficient statistics + fixed-order Cramer solve
+    (operators/probe.ridge_probe) — weights, R² and probe residuals are
+    bit-identical to the oracle's evaluation of the same expressions."""
+    from .operators import probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return probe.ridge_probe(docs, probe_ids=PROBE_IDS)
+
+
+def _sql_ridge_probe() -> str:
+    from .operators.decimate import big_to_double_duck as b2d
+    from .operators.probe import DET4_PERMS, RIDGE_LAMBDA
+
+    cols = ["x0", "x1", "x2", "x3"]
+    sums, names = [], {}
+    for i in range(4):
+        for j in range(i, 4):
+            nm = f"a{i}{j}"
+            sums.append(
+                f"sum(CAST({cols[i]} AS HUGEINT) * {cols[j]}) AS {nm}"
+            )
+            names[(i, j)] = names[(j, i)] = nm
+    for i in range(4):
+        sums.append(f"sum(CAST({cols[i]} AS HUGEINT) * y) AS b{i}")
+    sums.append("sum(CAST(y AS HUGEINT) * y) AS yy")
+    sums.append("count(*) AS n")
+
+    # doubles: ridge matrix A (diagonal + lambda), raw matrix R, b, yy
+    dbl = []
+    for i in range(4):
+        for j in range(i, 4):
+            nm = names[(i, j)]
+            dbl.append(f"{b2d(nm)} AS R{i}{j}")
+            src = f"({nm} + {RIDGE_LAMBDA})" if i == j else nm
+            dbl.append(f"{b2d(src)} AS A{i}{j}")
+    for i in range(4):
+        dbl.append(f"{b2d(f'b{i}')} AS bd{i}")
+    dbl.append(f"{b2d('yy')} AS yyd")
+    dbl.append("CAST(n AS DOUBLE) AS nd")
+
+    def a_ref(i: int, j: int) -> str:
+        return f"A{min(i, j)}{max(i, j)}"
+
+    def det_expr(col_for: "callable") -> str:
+        terms = []
+        for sign, p in DET4_PERMS:
+            t = " * ".join(col_for(i, p[i]) for i in range(4))
+            terms.append(("+ (" if sign > 0 else "- (") + t + ")")
+        body = " ".join(terms)
+        return body[2:] if body.startswith("+ ") else body
+
+    det_a = det_expr(a_ref)
+    det_k = [
+        det_expr(lambda i, j, k=k: f"bd{i}" if j == k else a_ref(i, j))
+        for k in range(4)
+    ]
+
+    wb = " + ".join(f"(w{i} * bd{i})" for i in range(4))
+    waw = " + ".join(
+        f"(w{i} * w{j} * R{min(i, j)}{max(i, j)})"
+        for i in range(4)
+        for j in range(4)
+    )
+    yhat = (
+        "(w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)"
+        " + w3 * CAST(x3 AS DOUBLE))"
+    )
+    ids = ", ".join(str(i) for i in PROBE_IDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS x0, CAST(len(w) AS BIGINT) AS x1,
+         CAST(len(list_distinct(w)) AS BIGINT) AS x2,
+         CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+              AS BIGINT) AS x3,
+         CAST(n_chars AS BIGINT) AS y
+  FROM (SELECT doc_id, {_W_SQL} AS w, n_chars FROM documents)
+),
+s AS (SELECT {", ".join(sums)} FROM f),
+m AS (SELECT {", ".join(dbl)} FROM s),
+dets AS (SELECT m.*, {det_a} AS det_a,
+         {", ".join(f"{d} AS det{k}" for k, d in enumerate(det_k))}
+         FROM m),
+wts AS (SELECT dets.*, {", ".join(f"det{k} / det_a AS w{k}" for k in range(4))}
+        FROM dets),
+fit AS (
+  SELECT w0, w1, w2, w3,
+         yyd - 2.0 * ({wb}) + ({waw}) AS sse,
+         yyd - (bd0 * bd0) / nd AS sst
+  FROM wts
+)
+SELECT 'weight' AS kind, CAST(0 AS BIGINT) AS i, w0 AS value FROM fit
+UNION ALL SELECT 'weight', 1, w1 FROM fit
+UNION ALL SELECT 'weight', 2, w2 FROM fit
+UNION ALL SELECT 'weight', 3, w3 FROM fit
+UNION ALL SELECT 'r2', 0, 1.0 - sse / sst FROM fit
+UNION ALL
+SELECT 'residual', doc_id,
+       CAST(y AS DOUBLE) - {yhat}
+FROM f CROSS JOIN fit WHERE doc_id IN ({ids})
+ORDER BY kind, i
+"""
+
+
+SQL_RIDGE_PROBE = _sql_ridge_probe()

@@ -24,6 +24,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_lm_backoff_census,
         catalog_data.SQL_LM_BACKOFF_CENSUS,
     ),
+    "ridge_probe": (
+        catalog_data.q_ridge_probe,
+        catalog_data.SQL_RIDGE_PROBE,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

@@ -87,3 +87,44 @@ class TestStupidBackoff:
         tot_docs = per_doc.agg(F.sum("n_scored"), F.sum("score_q9")).first()
         tot_census = census.agg(F.sum("n_scored"), F.sum("score_q9")).first()
         assert tuple(tot_docs) == tuple(tot_census)
+
+
+class TestRidgeProbe:
+    def test_recovery_and_fit(self, spark, sf_dir):
+        from cassandra_pv_archiver_spark.operators import probe
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = {
+            (r["kind"], r["i"]): r["value"]
+            for r in probe.ridge_probe(docs, probe_ids=[0, 1]).collect()
+        }
+        # corpus text is whitespace-joined: n_chars = sum_len + n_tok - 1
+        # exactly, so the probe must recover ~(-1, 1, 0, 1) with R^2 ~ 1
+        # (ridge lambda biases the intercept slightly)
+        assert abs(out[("weight", 1)] - 1.0) < 0.01
+        assert abs(out[("weight", 2)]) < 0.05
+        assert abs(out[("weight", 3)] - 1.0) < 0.01
+        assert out[("r2", 0)] > 0.999
+        assert abs(out[("residual", 0)]) < 1.0
+
+    def test_parallelism_bit_invariance(self, spark, sf_dir):
+        import struct
+
+        from cassandra_pv_archiver_spark.operators import probe
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = probe.ridge_probe(docs.repartition(1)).collect()
+        b = probe.ridge_probe(docs.repartition(17)).collect()
+        for ra, rb in zip(a, b):
+            assert struct.pack("<d", ra["value"]) == struct.pack(
+                "<d", rb["value"]
+            )
+
+    def test_det4_identity(self):
+        from cassandra_pv_archiver_spark.operators.probe import det4
+
+        eye = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+        assert det4(eye) == 1.0
+        # row swap flips sign
+        sw = [eye[1], eye[0], eye[2], eye[3]]
+        assert det4(sw) == -1.0

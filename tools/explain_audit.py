@@ -959,6 +959,16 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "ridge_probe": (
+        None,  # the returned frame = literal weight rows UNION the
+        # residual leg (doc_id IN-filter pushed to the parquet scan);
+        # the sufficient-statistics aggregation ran eagerly at build
+        # time (same contract as the PCA scatter collect), so the plan
+        # must carry no joins and no Python at all
+        ["Union", "PushedFilters: [In(doc_id"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "lm_backoff_census": (
         None,  # per-doc sums roll up by lang through one broadcast
         # doc->lang attach; same no-probe-shuffle contract as above
