@@ -5706,3 +5706,77 @@ ORDER BY kind, i
 
 
 SQL_RIDGE_PROBE = _sql_ridge_probe()
+
+
+# --- round 7: cross-source boilerplate spans -----------------------------
+
+BP_N, BP_MIN_SOURCES = 5, 2
+
+
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate coverage: fraction of token positions
+    covered by 5-token shingles shared across >= 2 sources
+    (operators/text.boilerplate_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_spans(
+        docs, n=BP_N, min_sources=BP_MIN_SOURCES
+    ).orderBy("doc_id")
+
+
+_BP_CTES = f"""
+d AS (SELECT doc_id, source, {_W_SQL} AS w FROM documents),
+sh AS (
+  SELECT doc_id, source, i - 1 AS pos,
+         array_to_string(w[i:i+{BP_N - 1}], ' ') AS key
+  FROM d, unnest(generate_series(1, len(w) - {BP_N} + 1)) AS u(i)
+),
+fl AS (SELECT key FROM sh GROUP BY key
+       HAVING count(DISTINCT source) >= {BP_MIN_SOURCES}),
+cov AS (
+  SELECT DISTINCT doc_id, pos + t AS p
+  FROM sh JOIN fl USING (key),
+       unnest(generate_series(0, {BP_N - 1})) AS g(t)
+),
+nc AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+per_doc AS (
+  SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(coalesce(n_cov, 0) AS BIGINT) AS n_cov,
+         CASE WHEN len(w) > 0
+              THEN round(CAST(coalesce(n_cov, 0) AS DOUBLE)
+                         / CAST(len(w) AS DOUBLE), 6)
+              ELSE 0.0 END AS cov_rate
+  FROM d LEFT JOIN nc ON d.doc_id = nc.doc_id
+)"""
+
+
+SQL_BOILERPLATE_SPANS = f"""
+WITH {_BP_CTES}
+SELECT doc_id, n_tokens, n_cov, cov_rate FROM per_doc ORDER BY doc_id
+"""
+
+
+def q_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level boilerplate census: template-text share per source,
+    the drop-or-clean decision input."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_by_source(
+        docs, n=BP_N, min_sources=BP_MIN_SOURCES
+    ).orderBy("source")
+
+
+SQL_BOILERPLATE_BY_SOURCE = f"""
+WITH {_BP_CTES}
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_touched,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_cov) AS BIGINT) AS n_cov,
+       CASE WHEN sum(n_tokens) > 0
+            THEN round(CAST(sum(n_cov) AS DOUBLE)
+                       / CAST(sum(n_tokens) AS DOUBLE), 6)
+            ELSE 0.0 END AS cov_rate
+FROM per_doc JOIN d USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""

@@ -555,3 +555,96 @@ def ks_drift_by_group(
         )
         .orderBy(group_col)
     )
+
+
+def boilerplate_spans(
+    docs: DataFrame, n: int = 5, min_sources: int = 2
+) -> DataFrame:
+    """Cross-source boilerplate coverage per document — the RefinedWeb /
+    CCNet line-dedup analog for a corpus without line structure: an
+    ``n``-token shingle that appears in at least ``min_sources`` distinct
+    sources is template text (headers, navigation, license banners), and
+    a document's quality signal is the fraction of its token positions
+    covered by such shingles (span coverage = interval union, counted
+    exactly as distinct positions).
+
+    100 TB shape: one shingle-key exchange for the distinct-source count
+    (two-phase partial aggregation), one join of the shingle stream back
+    to the flagged-key set (broadcast while the template set is small,
+    AQE-planned shuffle join beyond), then the position fan-out is a
+    bounded ×n explode feeding a doc-keyed distinct+count. No window
+    over the corpus, no self-join, no Python.
+
+    Returns: doc_id, n_tokens, n_cov, cov_rate (round 6).
+    """
+    d = docs.select("doc_id", "source", F.expr(_WORDS).alias("w"))
+    sh = d.filter(F.size("w") >= n).select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {n})))"
+            )
+        ).alias("pos", "key"),
+    )
+    flagged = (
+        sh.groupBy("key")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") >= min_sources)
+        .select("key")
+    )
+    cov = (
+        sh.join(flagged, "key")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
+    spine = d.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+    z = F.lit(0).cast("bigint")
+    nc = F.coalesce("n_cov", z)
+    return spine.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        nc.alias("n_cov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(nc.cast("double") / F.col("n_tokens").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("cov_rate"),
+    )
+
+
+def boilerplate_by_source(
+    docs: DataFrame, n: int = 5, min_sources: int = 2
+) -> DataFrame:
+    """Source-level boilerplate census: which sources ship the most
+    template text (the drop-or-clean decision is made per source).
+    Exact integer numerators/denominators; one division at the end."""
+    per_doc = boilerplate_spans(docs, n=n, min_sources=min_sources)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_cov").alias("n_cov"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_cov") > 0, 1).otherwise(0)).alias(
+                "docs_touched"
+            ),
+        )
+        .select(
+            "source", "n_docs", "docs_touched", "n_tokens", "n_cov",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("n_cov").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("cov_rate"),
+        )
+    )

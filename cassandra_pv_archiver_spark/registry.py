@@ -28,6 +28,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_ridge_probe,
         catalog_data.SQL_RIDGE_PROBE,
     ),
+    "boilerplate_spans": (
+        catalog_data.q_boilerplate_spans,
+        catalog_data.SQL_BOILERPLATE_SPANS,
+    ),
+    "boilerplate_by_source": (
+        catalog_data.q_boilerplate_by_source,
+        catalog_data.SQL_BOILERPLATE_BY_SOURCE,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

@@ -128,3 +128,53 @@ class TestRidgeProbe:
         # row swap flips sign
         sw = [eye[1], eye[0], eye[2], eye[3]]
         assert det4(sw) == -1.0
+
+
+class TestBoilerplate:
+    def test_spans_cover_template(self, spark):
+        from cassandra_pv_archiver_spark.operators import text as t
+
+        rows = [
+            # the same 5-token banner in 2 sources + unique tails
+            (1, "copy right banner text here alpha beta", "s1", 0),
+            (2, "copy right banner text here gamma delta", "s2", 0),
+            (3, "totally unique words nothing shared at all", "s3", 0),
+        ]
+        d = spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, n_chars int"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in t.boilerplate_spans(d, n=5, min_sources=2).collect()
+        }
+        assert out[1]["n_cov"] == 5 and out[2]["n_cov"] == 5
+        assert out[3]["n_cov"] == 0
+        assert out[1]["cov_rate"] == pytest.approx(5 / 7)
+
+    def test_overlapping_spans_union(self, spark):
+        from cassandra_pv_archiver_spark.operators import text as t
+
+        # two overlapping flagged shingles: positions 0-4 and 1-5 ->
+        # union covers 6 positions, not 10
+        rows = [
+            (1, "a b c d e f", "s1", 0),
+            (2, "a b c d e f", "s2", 0),
+        ]
+        d = spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, n_chars int"
+        )
+        out = t.boilerplate_spans(d, n=5, min_sources=2).collect()
+        assert all(r["n_cov"] == 6 for r in out)
+
+    def test_same_source_repeat_not_flagged(self, spark):
+        from cassandra_pv_archiver_spark.operators import text as t
+
+        rows = [
+            (1, "one two three four five tail", "s1", 0),
+            (2, "one two three four five other", "s1", 0),
+        ]
+        d = spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, n_chars int"
+        )
+        out = t.boilerplate_spans(d, n=5, min_sources=2).collect()
+        assert all(r["n_cov"] == 0 for r in out)

@@ -969,6 +969,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "boilerplate_spans": (
+        None,  # one shingle-key exchange (two-phase distinct-source
+        # count), flagged set joins back broadcast at audit scale, then
+        # a doc-keyed distinct+count; no corpus self-join, no Python
+        ["BroadcastHashJoin", "codegen id"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "lm_backoff_census": (
         None,  # per-doc sums roll up by lang through one broadcast
         # doc->lang attach; same no-probe-shuffle contract as above
