@@ -38,15 +38,6 @@ BACK1 = SCALE * 4 // 10
 BACK2 = SCALE * 16 // 100
 
 
-def _train_flag(docs: DataFrame, salt: str, train_pct: int) -> DataFrame:
-    thr = 65536 * train_pct // 100
-    return docs.select(
-        "doc_id",
-        F.expr(_WORDS).alias("w"),
-        (sampling.hash_bucket16("doc_id", salt) < thr).alias("is_train"),
-    )
-
-
 def stupid_backoff_score(
     docs: DataFrame, salt: str = "lm", train_pct: int = 50
 ) -> DataFrame:
@@ -69,8 +60,19 @@ def stupid_backoff_score(
     (score_q9 / n_scored / 1e9, rounded to 9 — a single fixed-order
     division expression, no float aggregation anywhere).
     """
-    d = _train_flag(docs, salt, train_pct)
-    tr = d.filter("is_train")
+    thr = 65536 * train_pct // 100
+    train = docs.filter(sampling.hash_bucket16("doc_id", salt) < thr)
+    return score_with_counts(docs, *train_counts(train))
+
+
+def train_counts(
+    train_docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The LM itself: (tri, bi, uni, tot) count tables from a training
+    corpus — three token-key groupBys with map-side partial aggregation
+    plus the scalar token total. Freeze these (e.g. via the archive
+    store) to score arriving batches stream-statically."""
+    tr = train_docs.select(F.expr(_WORDS).alias("w"))
     tr_tok = tr.select(F.explode("w").alias("t"))
     uni = tr_tok.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
     tot = tr_tok.agg(F.count(F.lit(1)).alias("T"))
@@ -102,7 +104,22 @@ def stupid_backoff_score(
         .groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).alias("c3"))
     )
+    return tri, bi, uni, tot
 
+
+def score_with_counts(
+    docs: DataFrame,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    tot: DataFrame,
+) -> DataFrame:
+    """Score ``docs`` against FROZEN count tables (see
+    :func:`train_counts`) — the stream-static shape: per micro-batch,
+    the arriving documents join the broadcast/shuffled count tables and
+    nothing else; stateless, so a replayed stream scores identically to
+    one batch pass (parity-pinned in tests)."""
+    d = docs.select("doc_id", F.expr(_WORDS).alias("w"))
     ev = d.filter(F.size("w") >= 3).select(
         "doc_id",
         F.explode(

@@ -439,3 +439,36 @@ def start_decontam_screen(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def start_lm_screen(
+    doc_stream: DataFrame,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    tot: DataFrame,
+    sink,
+    checkpoint: str | None = None,
+):
+    """Ingest-time LM quality scoring over a streaming document table:
+    every micro-batch is scored against the FROZEN count tables from
+    `operators/lm.train_counts` (stream-static joins, stateless — the
+    same judged-on-arrival ``foreachBatch`` contract as
+    :func:`start_decontam_screen`), and the per-doc score rows go to
+    ``sink(df, batch_id)``. Because scoring is stateless and the counts
+    are frozen, a replayed stream emits exactly the batch scorer's rows
+    (parity-pinned in tests) — the quality gate a curation pipeline
+    applies before a document ever lands in the corpus."""
+    from ..operators.lm import score_with_counts
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(score_with_counts(batch_df, tri, bi, uni, tot), batch_id)
+
+    writer = doc_stream.writeStream.foreachBatch(_sink).trigger(
+        availableNow=True
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -178,3 +178,57 @@ class TestBoilerplate:
         )
         out = t.boilerplate_spans(d, n=5, min_sources=2).collect()
         assert all(r["n_cov"] == 0 for r in out)
+
+
+def test_stream_lm_screen_parity(spark, tmp_path):
+    """Ingest-time LM screen: two micro-batches of arriving documents
+    scored against frozen count tables produce EXACTLY the batch
+    scorer's rows (stateless stream-static joins; integer-exact grid)."""
+    import os
+
+    from cassandra_pv_archiver_spark.operators.lm import (
+        score_with_counts,
+        train_counts,
+    )
+    from cassandra_pv_archiver_spark.streaming.detect import start_lm_screen
+
+    train = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "the quick brown cat sleeps under the warm sun"),
+            (102, "a slow green turtle walks past the quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    tri, bi, uni, tot = train_counts(train)
+
+    arrivals = [
+        (1, "the quick brown fox runs"),       # known trigrams
+        (2, "completely novel words appear now here"),  # OOV-heavy
+        (3, "the quick brown cat sleeps"),
+        (4, "xx"),                              # too short to score
+    ]
+    schema = "doc_id long, text string"
+    adf = spark.createDataFrame(arrivals, schema)
+    want = sorted(
+        tuple(r) for r in score_with_counts(adf, tri, bi, uni, tot).collect()
+    )
+    by_id = {w[0]: w for w in want}
+    assert by_id[1][1] > 0 and by_id[2][5] > 0  # doc2 has OOV tokens
+    assert by_id[4][1] == 0  # short doc scores zero
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    spark.createDataFrame(arrivals[:2], schema).write.mode("append").parquet(src)
+    spark.createDataFrame(arrivals[2:], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    got: list = []
+    q = start_lm_screen(
+        stream, tri, bi, uni, tot,
+        sink=lambda df, bid: got.extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert sorted(tuple(r) for r in got) == want
