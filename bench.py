@@ -196,6 +196,12 @@ BENCH_QUERIES = [
     "image_resize_dhash",
     "audio_downsample_features",
     "pca_top_component",
+    # round 9 (r7 of the build)
+    "lm_quality_score",
+    "lm_backoff_census",
+    "ridge_probe",
+    "boilerplate_spans",
+    "boilerplate_by_source",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle
