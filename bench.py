@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "ridge_probe",
     "boilerplate_spans",
     "boilerplate_by_source",
+    "quality_filter_report",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

@@ -5723,35 +5723,37 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# CTE names are bp-prefixed so this block composes with the LM gram
+# block in the fused quality-filter oracle without collisions
 _BP_CTES = f"""
-d AS (SELECT doc_id, source, {_W_SQL} AS w FROM documents),
-sh AS (
+bpd AS (SELECT doc_id, source, {_W_SQL} AS w FROM documents),
+bpsh AS (
   SELECT doc_id, source, i - 1 AS pos,
          array_to_string(w[i:i+{BP_N - 1}], ' ') AS key
-  FROM d, unnest(generate_series(1, len(w) - {BP_N} + 1)) AS u(i)
+  FROM bpd, unnest(generate_series(1, len(w) - {BP_N} + 1)) AS u(i)
 ),
-fl AS (SELECT key FROM sh GROUP BY key
-       HAVING count(DISTINCT source) >= {BP_MIN_SOURCES}),
-cov AS (
+bpfl AS (SELECT key FROM bpsh GROUP BY key
+         HAVING count(DISTINCT source) >= {BP_MIN_SOURCES}),
+bpcov AS (
   SELECT DISTINCT doc_id, pos + t AS p
-  FROM sh JOIN fl USING (key),
+  FROM bpsh JOIN bpfl USING (key),
        unnest(generate_series(0, {BP_N - 1})) AS g(t)
 ),
-nc AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
-per_doc AS (
-  SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+bpnc AS (SELECT doc_id, count(*) AS n_cov FROM bpcov GROUP BY doc_id),
+bp_per_doc AS (
+  SELECT bpd.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
          CAST(coalesce(n_cov, 0) AS BIGINT) AS n_cov,
          CASE WHEN len(w) > 0
               THEN round(CAST(coalesce(n_cov, 0) AS DOUBLE)
                          / CAST(len(w) AS DOUBLE), 6)
               ELSE 0.0 END AS cov_rate
-  FROM d LEFT JOIN nc ON d.doc_id = nc.doc_id
+  FROM bpd LEFT JOIN bpnc ON bpd.doc_id = bpnc.doc_id
 )"""
 
 
 SQL_BOILERPLATE_SPANS = f"""
 WITH {_BP_CTES}
-SELECT doc_id, n_tokens, n_cov, cov_rate FROM per_doc ORDER BY doc_id
+SELECT doc_id, n_tokens, n_cov, cov_rate FROM bp_per_doc ORDER BY doc_id
 """
 
 
@@ -5776,7 +5778,115 @@ SELECT source,
             THEN round(CAST(sum(n_cov) AS DOUBLE)
                        / CAST(sum(n_tokens) AS DOUBLE), 6)
             ELSE 0.0 END AS cov_rate
-FROM per_doc JOIN d USING (doc_id)
+FROM bp_per_doc JOIN bpd USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- round 7: fused quality-filter report --------------------------------
+
+QF_MIN_TOKENS = 20
+#: LM cut avg_score < 0.035 as the exact integer rule
+#: score_q9 * 200 < n_scored * 7 * SCALE  (0.035 = 7/200)
+QF_LM_NUM, QF_LM_DEN = 7, 200
+#: boilerplate cut cov_rate > 0.2 as 5 * n_cov > n_tokens
+QF_BP_DEN = 5
+
+
+def q_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused keep/drop decision a curation run applies per document —
+    LM score (stupid backoff), boilerplate coverage, and length composed
+    into one per-source report. Every cut is an exact integer comparison
+    (never a float threshold on a float aggregate), so the report is
+    value-hash-stable on any cluster:
+
+    - too_short:  n_tokens < 20
+    - lm_low:     score_q9 * 200 < n_scored * 7e9   (avg_score < 0.035)
+    - boiler:     5 * n_cov > n_tokens               (cov_rate > 0.2)
+
+    100 TB shape: the three per-doc frames join on doc_id (one hash
+    exchange each, AQE-coalesced) and roll up by source; drop reasons
+    are counted non-exclusively so the report explains WHY mass is lost.
+    """
+    from .operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm_pd = lm.stupid_backoff_score(docs, salt=LM_SALT, train_pct=LM_TRAIN_PCT)
+    bp = text.boilerplate_spans(docs, n=BP_N, min_sources=BP_MIN_SOURCES)
+    j = (
+        docs.select("doc_id", "source")
+        .join(lm_pd.select("doc_id", "n_scored", "score_q9"), "doc_id")
+        .join(bp.select("doc_id", "n_tokens", "n_cov"), "doc_id")
+    )
+    short = F.col("n_tokens") < QF_MIN_TOKENS
+    lm_low = (F.col("score_q9") * QF_LM_DEN) < (
+        F.col("n_scored") * QF_LM_NUM * F.lit(1_000_000_000)
+    )
+    boiler = (F.col("n_cov") * QF_BP_DEN) > F.col("n_tokens")
+    keep = ~short & ~lm_low & ~boiler
+    g = (
+        j.select(
+            "source",
+            "n_tokens",
+            short.cast("int").alias("_short"),
+            lm_low.cast("int").alias("_lm"),
+            boiler.cast("int").alias("_bp"),
+            keep.cast("int").alias("_keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_keep").alias("kept"),
+            F.sum("_short").alias("drop_short"),
+            F.sum("_lm").alias("drop_lm"),
+            F.sum("_bp").alias("drop_boiler"),
+            F.sum(F.col("n_tokens") * F.col("_keep")).alias("kept_tokens"),
+        )
+    )
+    return g.select(
+        "source", "n_docs", "kept", "drop_short", "drop_lm", "drop_boiler",
+        "kept_tokens",
+        F.round(
+            F.col("kept").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("kept_frac"),
+    ).orderBy("source")
+
+
+SQL_QUALITY_FILTER_REPORT = f"""
+WITH {_sql_lm_grams()},
+{_BP_CTES},
+j AS (
+  SELECT doc.doc_id, doc.source,
+         CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
+         CAST(coalesce(p.score_q9, 0) AS BIGINT) AS score_q9,
+         b.n_tokens, b.n_cov
+  FROM documents doc
+  LEFT JOIN p ON doc.doc_id = p.doc_id
+  JOIN bp_per_doc b ON doc.doc_id = b.doc_id
+),
+fl2 AS (
+  SELECT source, n_tokens,
+         CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 1 ELSE 0 END AS s,
+         CASE WHEN score_q9 * {QF_LM_DEN}
+                   < n_scored * {QF_LM_NUM} * 1000000000 THEN 1 ELSE 0
+              END AS l,
+         CASE WHEN n_cov * {QF_BP_DEN} > n_tokens THEN 1 ELSE 0 END AS bp
+  FROM j
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s = 0 AND l = 0 AND bp = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept,
+       CAST(sum(s) AS BIGINT) AS drop_short,
+       CAST(sum(l) AS BIGINT) AS drop_lm,
+       CAST(sum(bp) AS BIGINT) AS drop_boiler,
+       CAST(sum(CASE WHEN s = 0 AND l = 0 AND bp = 0 THEN n_tokens
+                     ELSE 0 END) AS BIGINT) AS kept_tokens,
+       round(CAST(sum(CASE WHEN s = 0 AND l = 0 AND bp = 0 THEN 1 ELSE 0
+                      END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS kept_frac
+FROM fl2
 GROUP BY source
 ORDER BY source
 """

@@ -36,6 +36,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_boilerplate_by_source,
         catalog_data.SQL_BOILERPLATE_BY_SOURCE,
     ),
+    "quality_filter_report": (
+        catalog_data.q_quality_filter_report,
+        catalog_data.SQL_QUALITY_FILTER_REPORT,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

