@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "boilerplate_spans",
     "boilerplate_by_source",
     "quality_filter_report",
+    "pair_pagerank",
+    "pagerank_canonical",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

@@ -5890,3 +5890,110 @@ FROM fl2
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- round 7: PageRank over the near-dup pair graph ----------------------
+
+PR_ITERS = 3
+
+
+def q_pair_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the MinHash-LSH verified pair graph
+    (operators/graph.pair_pagerank) — the iterative-join workload, made
+    value-hashable by keeping every rank on the 1e-9 integer grid."""
+    from .operators import graph
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    return graph.pair_pagerank(pairs, iters=PR_ITERS).orderBy("doc_id")
+
+
+def _sql_pagerank_iters(iters: int) -> str:
+    """Unrolled integer PageRank CTEs over ``vpairs``: edges, deg, r0..rN
+    (rank tables on the 1e-9 grid, HUGEINT-exact)."""
+    from .operators.graph import BASE, D_DEN, D_NUM, SCALE
+
+    parts = [
+        """
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vpairs
+),
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(%d AS HUGEINT) AS r FROM deg)""" % SCALE
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""
+r{k} AS (
+  SELECT d.id,
+         CAST({BASE} + ({D_NUM} * coalesce(t.inc, 0)) // {D_DEN}
+              AS HUGEINT) AS r
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS id, sum(r.r // dg.deg) AS inc
+    FROM edges e
+    JOIN r{k - 1} r ON e.src = r.id
+    JOIN deg dg ON e.src = dg.id
+    GROUP BY e.dst
+  ) t ON d.id = t.id
+)"""
+        )
+    return ",".join(parts)
+
+
+SQL_PAIR_PAGERANK = f"""
+WITH {_minhash_pair_ctes()},
+{_sql_pagerank_iters(PR_ITERS)}
+SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+       CAST(r.r AS BIGINT) AS rank_q9
+FROM deg d JOIN r{PR_ITERS} r ON d.id = r.id
+ORDER BY doc_id
+"""
+
+
+def q_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-based canonical selection per dedup cluster: the
+    highest-PageRank member survives (tie -> smallest id); singletons
+    are their own canonical at the teleport rank."""
+    from .operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir)
+    return graph.pagerank_canonical(pairs, docs, iters=PR_ITERS).orderBy(
+        "comp"
+    )
+
+
+from .operators.graph import BASE as _PR_BASE  # noqa: E402
+
+SQL_PAGERANK_CANONICAL = f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+{_sql_pagerank_iters(PR_ITERS)},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vpairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.src AS id, r.comp FROM sym e JOIN reach r ON e.dst = r.id
+),
+lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+scored AS (
+  SELECT lab.comp, lab.id,
+         CAST(coalesce(r.r, {_PR_BASE}) AS BIGINT) AS rank_q9
+  FROM lab LEFT JOIN r{PR_ITERS} r ON lab.id = r.id
+),
+ranked AS (
+  SELECT comp, id, rank_q9,
+         row_number() OVER (PARTITION BY comp
+                            ORDER BY rank_q9 DESC, id) AS rn,
+         count(*) OVER (PARTITION BY comp) AS n_docs
+  FROM scored
+)
+SELECT comp, id AS canonical_id, CAST(n_docs AS BIGINT) AS n_docs,
+       rank_q9 AS canonical_rank_q9
+FROM ranked WHERE rn = 1
+ORDER BY comp
+"""

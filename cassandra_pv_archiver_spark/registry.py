@@ -40,6 +40,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_quality_filter_report,
         catalog_data.SQL_QUALITY_FILTER_REPORT,
     ),
+    "pair_pagerank": (
+        catalog_data.q_pair_pagerank,
+        catalog_data.SQL_PAIR_PAGERANK,
+    ),
+    "pagerank_canonical": (
+        catalog_data.q_pagerank_canonical,
+        catalog_data.SQL_PAGERANK_CANONICAL,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

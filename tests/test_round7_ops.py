@@ -254,3 +254,57 @@ def test_quality_filter_report_flags(spark, sf_dir):
     # (thresholds were chosen against the measured distributions)
     assert sum(r["drop_lm"] for r in rep.values()) > 0
     assert sum(r["drop_short"] for r in rep.values()) > 0
+
+
+class TestPairPagerank:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+    def test_star_center_outranks_leaves(self, spark):
+        from cassandra_pv_archiver_spark.operators import graph
+
+        # star: 1 connected to 2,3,4 — the center is the most central
+        pr = {
+            r["doc_id"]: r
+            for r in graph.pair_pagerank(
+                self._pairs(spark, [(1, 2), (1, 3), (1, 4)])
+            ).collect()
+        }
+        assert pr[1]["deg"] == 3
+        assert all(pr[1]["rank_q9"] > pr[i]["rank_q9"] for i in (2, 3, 4))
+        # leaves are symmetric: identical ranks, exactly
+        assert pr[2]["rank_q9"] == pr[3]["rank_q9"] == pr[4]["rank_q9"]
+
+    def test_rank_mass_and_determinism(self, spark):
+        from cassandra_pv_archiver_spark.operators import graph
+
+        pairs = self._pairs(
+            spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6)]
+        )
+        a = sorted(tuple(r) for r in graph.pair_pagerank(pairs).collect())
+        b = sorted(
+            tuple(r)
+            for r in graph.pair_pagerank(pairs.repartition(7)).collect()
+        )
+        assert a == b  # bit-identical at any parallelism (integer grid)
+        # floor division only ever LOSES mass: total <= n * SCALE
+        assert sum(r[2] for r in a) <= 6 * graph.SCALE
+
+    def test_canonical_singletons_and_tie(self, spark):
+        from cassandra_pv_archiver_spark.operators import graph
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(1, 6)], "doc_id bigint"
+        )
+        # pair cluster {1,2} (symmetric -> tie broken by min id); 3,4,5
+        # are singletons at the teleport rank
+        out = {
+            r["comp"]: r
+            for r in graph.pagerank_canonical(
+                self._pairs(spark, [(1, 2)]), docs
+            ).collect()
+        }
+        assert out[1]["canonical_id"] == 1 and out[1]["n_docs"] == 2
+        for c in (3, 4, 5):
+            assert out[c]["canonical_id"] == c
+            assert out[c]["canonical_rank_q9"] == graph.BASE

@@ -977,6 +977,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "pair_pagerank": (
+        None,  # iterative-join workload: per iteration ONE edges-ranks
+        # hash join + ONE groupBy(dst); lineage truncated per iteration
+        # (localCheckpoint), edge list O(pairs) not O(corpus); no
+        # cartesian, no Python
+        ["codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "quality_filter_report": (
         None,  # three doc_id-keyed per-doc frames join then roll up by
         # source: no corpus self-join, every cut an integer comparison,
