@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "quality_filter_report",
     "pair_pagerank",
     "pagerank_canonical",
+    "attribution_last_touch",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

@@ -1494,3 +1494,50 @@ FROM (
 )
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- round 7: last-touch attribution -------------------------------------
+
+ATTR_LOOKBACK_H = 24
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (view/click -> purchase, 24 h
+    lookback) — one LOCF window, revenue on the integer cent grid
+    (operators/events.last_touch_attribution)."""
+    from .operators.events import last_touch_attribution
+
+    return last_touch_attribution(
+        load_events(spark, sf_dir), lookback_h=ATTR_LOOKBACK_H
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+  FROM events
+),
+l AS (
+  SELECT e.*,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN t END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_t,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_et
+  FROM e
+),
+c AS (
+  SELECT CASE WHEN lt_t IS NOT NULL
+                   AND t - lt_t <= CAST({ATTR_LOOKBACK_H} AS BIGINT) * 3600 * 1000000000
+              THEN lt_et ELSE '(none)' END AS touch_type,
+         vq
+  FROM l WHERE event_type = 'purchase'
+)
+SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(vq) AS BIGINT) AS revenue_q2
+FROM c GROUP BY touch_type ORDER BY touch_type
+"""

@@ -139,3 +139,62 @@ def weekly_cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touches: tuple[str, ...] = ("view", "click"),
+    conversion: str = "purchase",
+    lookback_h: int = 24,
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion is credited to
+    the user's most recent preceding touch event (within ``lookback_h``)
+    — the standard marketing-analytics rollup, expressed as ONE LOCF
+    window (no self-join, no per-conversion probe): ``last(touch,
+    ignorenulls)`` over (user, ts, event_id) carries the latest touch
+    forward onto every row; conversions outside the lookback (or with no
+    touch at all) attribute to '(none)'.
+
+    Revenue sums on the integer cent grid (floor(value·100 + 0.5)) so
+    the rollup is BIGINT-exact on any cluster. Ties at identical ts
+    order by event_id — a total order shared with the oracle.
+
+    100 TB shape: one hash exchange on user_id for the window, then a
+    tiny groupBy(touch_type) rollup. Returns: touch_type, n_conversions,
+    revenue_q2, ordered by touch_type.
+    """
+    from pyspark.sql import Window
+
+    lookback_ns = lookback_h * 3600 * 1_000_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin(*touches)
+    e = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vq"),
+    ).select(
+        "*",
+        F.last(F.when(is_touch, F.col("ts")), True).over(w).alias("lt_t"),
+        F.last(F.when(is_touch, F.col("event_type")), True)
+        .over(w)
+        .alias("lt_et"),
+    )
+    conv = e.filter(F.col("event_type") == conversion).select(
+        F.when(
+            F.col("lt_t").isNotNull()
+            & ((F.col("ts") - F.col("lt_t")) <= lookback_ns),
+            F.col("lt_et"),
+        ).otherwise(F.lit("(none)")).alias("touch_type"),
+        "vq",
+    )
+    return (
+        conv.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("vq").alias("revenue_q2"),
+        )
+        .orderBy("touch_type")
+    )

@@ -48,6 +48,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_pagerank_canonical,
         catalog_data.SQL_PAGERANK_CANONICAL,
     ),
+    "attribution_last_touch": (
+        catalog_generic.q_attribution_last_touch,
+        catalog_generic.SQL_ATTRIBUTION_LAST_TOUCH,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

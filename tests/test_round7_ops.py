@@ -308,3 +308,35 @@ class TestPairPagerank:
         for c in (3, 4, 5):
             assert out[c]["canonical_id"] == c
             assert out[c]["canonical_rank_q9"] == graph.BASE
+
+
+def test_last_touch_attribution_rules(spark):
+    from cassandra_pv_archiver_spark.operators.events import (
+        last_touch_attribution,
+    )
+
+    H = 3600 * 1_000_000_000
+    rows = [
+        # user 1: click then purchase 1h later -> attributed to click
+        (1, 0 * H, 1, "click", 0.0),
+        (1, 1 * H, 2, "purchase", 10.0),
+        # user 2: view, then purchase 25h later -> outside 24h lookback
+        (2, 0 * H, 3, "view", 0.0),
+        (2, 25 * H, 4, "purchase", 20.0),
+        # user 3: purchase with no touch at all
+        (3, 5 * H, 5, "purchase", 30.0),
+        # user 4: view then click then purchase -> LAST touch (click)
+        (4, 0 * H, 6, "view", 0.0),
+        (4, 1 * H, 7, "click", 0.0),
+        (4, 2 * H, 8, "purchase", 40.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint,"
+        " event_type string, value double"
+    )
+    out = {r["touch_type"]: r for r in last_touch_attribution(ev).collect()}
+    assert out["click"]["n_conversions"] == 2
+    assert out["click"]["revenue_q2"] == 1000 + 4050
+    assert out["(none)"]["n_conversions"] == 2
+    assert out["(none)"]["revenue_q2"] == 2000 + 3000
+    assert "view" not in out
