@@ -4151,3 +4151,61 @@ SELECT channel, hod,
          / CAST(n_ AS DOUBLE) / 100.0 AS std
 FROM m ORDER BY channel, hod
 """
+
+
+# --- round 7: level freshness report -------------------------------------
+
+
+def q_level_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/T3 operational view: decimation backlog per (channel, level).
+    History up to MID is ingested and the 1 h + 6 h cascade materialized;
+    raw ingest then continues past MID with no catch-up run — the report
+    must show exactly the resulting per-level window lag, computed from
+    hwm METADATA only (no sample scan; plans/jobs.level_freshness)."""
+    from .plans.jobs import incremental_decimation, level_freshness
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, _scratch_dir("pvfresh_") + "/archive")
+    raw = load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    store.write_samples(raw.filter(F.col("t") <= MID), level=0)
+    incremental_decimation(store, PERIOD_1H)
+    incremental_decimation(store, PERIOD_6H)
+    store.write_samples(raw.filter(F.col("t") > MID), level=0)
+    return level_freshness(store, [PERIOD_1H, PERIOD_6H])
+
+
+_P1H_NS = PERIOD_1H * 1_000_000_000
+_P6H_NS = PERIOD_6H * 1_000_000_000
+
+SQL_LEVEL_FRESHNESS_REPORT = f"""
+WITH {SAMPLES_CTE},
+ls AS (
+  SELECT * FROM samples
+  WHERE channel IN ({", ".join(f"'PV:{i}'" for i in range(30))})
+),
+raw AS (SELECT channel, max(t) AS raw_hwm FROM ls GROUP BY channel),
+-- the incremental job materializes only CLOSED windows (a window closes
+-- when a SOURCE row reaches its end), and each cascade level closes
+-- against its source LEVEL's hwm: W1 = (cut div p1 - 1)*p1 from the raw
+-- cut, W6 = (W1 div p6 - 1)*p6 from the 1 h level (empirically pinned
+-- against the store in tests)
+cut AS (SELECT channel,
+               ((max(t) // {_P1H_NS}) - 1) * {_P1H_NS} AS h1
+        FROM ls WHERE t <= {MID} GROUP BY channel),
+cut6 AS (SELECT channel, ((h1 // {_P6H_NS}) - 1) * {_P6H_NS} AS h6
+         FROM cut)
+SELECT r.channel, CAST(3600 AS INTEGER) AS level_s,
+       c.h1 AS level_hwm, r.raw_hwm,
+       CAST((r.raw_hwm // {_P1H_NS}) - (c.h1 // {_P1H_NS}) AS BIGINT)
+         AS lag_periods
+FROM raw r JOIN cut c ON r.channel = c.channel
+UNION ALL
+SELECT r.channel, CAST(21600 AS INTEGER) AS level_s,
+       c6.h6 AS level_hwm, r.raw_hwm,
+       CAST((r.raw_hwm // {_P6H_NS}) - (c6.h6 // {_P6H_NS}) AS BIGINT)
+         AS lag_periods
+FROM raw r JOIN cut6 c6 ON r.channel = c6.channel
+ORDER BY channel, level_s
+"""

@@ -188,3 +188,51 @@ def retention_sweep(
         cutoff = now_ns - retention_s * NS
         dropped[level] = store.delete_older_than(level, cutoff)
     return dropped
+
+
+def level_freshness(store, levels: list[int]) -> "DataFrame":
+    """Materialization-freshness report: how many periods each decimation
+    level lags the raw ingest high-water mark — the operational dashboard
+    behind the reference's per-channel "decimation backlog" view (the
+    catch-up scheduler's queue depth, W3/T3).
+
+    For channel c and level p: ``lag_periods = raw_hwm div p − level_hwm
+    div p`` (0 = the level's last window contains the newest raw sample).
+    All inputs come from the store's append-log hwm snapshots — O(#
+    channels × #appends) metadata rows, no sample scan at all, which is
+    what makes this report viable as a monitoring poll at 100 TB.
+
+    Returns: channel, level_s, level_hwm, raw_hwm, lag_periods.
+    """
+    from ..operators.decimate import NS
+
+    raw_hwm = store.channel_hwm(0)
+    if raw_hwm is None:
+        raise ValueError("store has no raw (level 0) data")
+    raw_hwm = raw_hwm.select("channel", F.col("hwm").alias("raw_hwm"))
+    outs = []
+    for lvl in levels:
+        lh = store.channel_hwm(lvl)
+        if lh is None:
+            continue
+        period_ns = lvl * NS
+        outs.append(
+            lh.select("channel", F.col("hwm").alias("level_hwm"))
+            .join(raw_hwm, "channel")
+            .select(
+                "channel",
+                F.lit(lvl).cast("int").alias("level_s"),
+                "level_hwm",
+                "raw_hwm",
+                (
+                    F.expr(f"raw_hwm div {period_ns}")
+                    - F.expr(f"level_hwm div {period_ns}")
+                ).cast("bigint").alias("lag_periods"),
+            )
+        )
+    if not outs:
+        raise ValueError("no requested level has been materialized")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("channel", "level_s")

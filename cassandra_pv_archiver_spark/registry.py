@@ -52,6 +52,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_attribution_last_touch,
         catalog_generic.SQL_ATTRIBUTION_LAST_TOUCH,
     ),
+    "level_freshness_report": (
+        catalog.q_level_freshness_report,
+        catalog.SQL_LEVEL_FRESHNESS_REPORT,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

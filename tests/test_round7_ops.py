@@ -340,3 +340,26 @@ def test_last_touch_attribution_rules(spark):
     assert out["(none)"]["n_conversions"] == 2
     assert out["(none)"]["revenue_q2"] == 2000 + 3000
     assert "view" not in out
+
+
+def test_level_freshness_closure_rule(spark, sf_dir):
+    """Pin the closure semantics the oracle encodes: W1 = (cut div p1
+    - 1) p1 against the raw cut; W6 = (W1 div p6 - 1) p6 against the 1h
+    LEVEL's hwm (not the raw cut) — and lag counts whole windows."""
+    from cassandra_pv_archiver_spark import catalog
+
+    rows = catalog.q_level_freshness_report(spark, sf_dir).collect()
+    assert rows
+    ns = 1_000_000_000
+    by_ch = {}
+    for r in rows:
+        by_ch.setdefault(r["channel"], {})[r["level_s"]] = r
+    for ch, lv in by_ch.items():
+        r1, r6 = lv[3600], lv[21600]
+        p1, p6 = 3600 * ns, 21600 * ns
+        assert r1["level_hwm"] % p1 == 0 and r6["level_hwm"] % p6 == 0
+        # the 6h hwm derives from the 1h hwm, one closed window back
+        assert r6["level_hwm"] == (r1["level_hwm"] // p6 - 1) * p6
+        assert r1["lag_periods"] >= 0 and r6["lag_periods"] >= 0
+        # raw kept flowing past MID with no catch-up: both levels lag
+        assert r1["lag_periods"] > 0
