@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "pair_pagerank",
     "pagerank_canonical",
     "attribution_last_touch",
+    "chunk_dedup_rewrite",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

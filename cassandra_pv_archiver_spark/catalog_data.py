@@ -5997,3 +5997,57 @@ SELECT comp, id AS canonical_id, CAST(n_docs AS BIGINT) AS n_docs,
 FROM ranked WHERE rn = 1
 ORDER BY comp
 """
+
+
+# --- round 7: chunk dedup with document rewrite --------------------------
+
+CHUNK_REWRITE_TOKENS = 16
+
+
+def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring removal at fixed chunk granularity, with the
+    rewritten document ATTESTED (cleaned_md5 hashes the reassembly) —
+    operators/dedup.chunk_dedup_rewrite."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup_rewrite(
+        docs, chunk_tokens=CHUNK_REWRITE_TOKENS
+    ).orderBy("doc_id")
+
+
+SQL_CHUNK_DEDUP_REWRITE = f"""
+WITH d AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+ch AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(w[(i * {CHUNK_REWRITE_TOKENS}) + 1
+                           :(i + 1) * {CHUNK_REWRITE_TOKENS}], ' ') AS chunk
+  FROM d, unnest(generate_series(0,
+         CAST(ceil(len(w) / {CHUNK_REWRITE_TOKENS}.0) AS BIGINT) - 1))
+       AS u(i)
+  WHERE len(w) > 0
+),
+k AS (SELECT md5(chunk) AS key, doc_id, idx, chunk FROM ch),
+first AS (
+  SELECT key, min(struct_pack(doc_id := doc_id, idx := idx)) AS f
+  FROM k GROUP BY key
+),
+kept AS (
+  SELECT k.doc_id, k.idx, k.chunk,
+         (k.doc_id = f.f.doc_id AND k.idx = f.f.idx) AS keep
+  FROM k JOIN first f ON k.key = f.key
+),
+p AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
+         coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
+                             ORDER BY idx), '') AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(len(list_filter(regexp_split_to_array(coalesce(cleaned, ''),
+            ' '), x -> x != '')) AS BIGINT) AS cleaned_n_tokens,
+       md5(coalesce(cleaned, '')) AS cleaned_md5
+FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id
+ORDER BY doc.doc_id
+"""

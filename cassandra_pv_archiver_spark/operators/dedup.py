@@ -873,3 +873,74 @@ def containment_lsh_pairs(
         )
         .orderBy("id_small", "id_big")
     )
+
+
+def chunk_dedup_rewrite(
+    docs: DataFrame, chunk_tokens: int = 16
+) -> DataFrame:
+    """Chunk-level exact dedup WITH document rewrite — the
+    fixed-granularity analog of suffix-array exact-substring removal
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): documents split into non-overlapping ``chunk_tokens``-token
+    chunks, every chunk occurrence after the global first (ordered by
+    (doc_id, chunk_idx)) is REMOVED, and the document is reassembled
+    from its surviving chunks. Unlike a stats-only dedup report, the
+    rewritten text itself is attested: ``cleaned_md5`` hashes the
+    reassembled string, so the oracle checks the actual reconstruction.
+
+    100 TB shape: one chunk-key exchange for the argmin (two-phase
+    ``min(struct(doc_id, chunk_idx))``), one join back on the key
+    (count side unique per key, AQE-safe), then one groupBy(doc_id)
+    with ``sort_array(collect_list(...))`` — per-doc chunk lists are
+    bounded by doc length, never corpus-sized.
+
+    Returns: doc_id, n_chunks, n_removed, cleaned_n_tokens, cleaned_md5.
+    """
+    from .text import _WORDS
+
+    c = chunk_tokens
+    d = docs.select("doc_id", F.expr(_WORDS).alias("w"))
+    ch = d.filter(F.size("w") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(w) / {c}.0) AS INT)"
+                f" - 1), i -> concat_ws(' ', slice(w, i * {c} + 1, {c})))"
+            )
+        ).alias("idx", "chunk"),
+    ).withColumn("key", F.md5("chunk"))
+    first = ch.groupBy("key").agg(
+        F.min(F.struct("doc_id", "idx")).alias("_f")
+    )
+    kept = ch.join(first, "key").withColumn(
+        "_keep",
+        (F.col("doc_id") == F.col("_f.doc_id"))
+        & (F.col("idx") == F.col("_f.idx")),
+    )
+    per_doc = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((~F.col("_keep")).cast("bigint")).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(CASE WHEN _keep"
+                    " THEN struct(idx, chunk) END)), s -> s.chunk)"
+                ),
+            ).alias("cleaned"),
+        )
+    )
+    spine = docs.select("doc_id")
+    z = F.lit(0).cast("bigint")
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", z).alias("n_chunks"),
+        F.coalesce("n_removed", z).alias("n_removed"),
+        F.size(
+            F.expr(
+                "filter(split(coalesce(cleaned, ''), ' '), x -> x != '')"
+            )
+        ).cast("bigint").alias("cleaned_n_tokens"),
+        F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+    )

@@ -56,6 +56,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_level_freshness_report,
         catalog.SQL_LEVEL_FRESHNESS_REPORT,
     ),
+    "chunk_dedup_rewrite": (
+        catalog_data.q_chunk_dedup_rewrite,
+        catalog_data.SQL_CHUNK_DEDUP_REWRITE,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

@@ -363,3 +363,42 @@ def test_level_freshness_closure_rule(spark, sf_dir):
         assert r1["lag_periods"] >= 0 and r6["lag_periods"] >= 0
         # raw kept flowing past MID with no catch-up: both levels lag
         assert r1["lag_periods"] > 0
+
+
+class TestChunkDedupRewrite:
+    def test_first_occurrence_survives_and_rewrite(self, spark):
+        from cassandra_pv_archiver_spark.operators import dedup
+
+        c16 = " ".join(f"w{i}" for i in range(16))
+        other = " ".join(f"x{i}" for i in range(16))
+        rows = [
+            (1, c16 + " " + other),   # owns both chunks
+            (2, c16 + " unique tail"),  # chunk 0 duplicates doc 1's
+            (3, "short doc"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {
+            r["doc_id"]: r
+            for r in dedup.chunk_dedup_rewrite(d, chunk_tokens=16).collect()
+        }
+        assert out[1]["n_removed"] == 0 and out[1]["n_chunks"] == 2
+        # doc 2 loses its first chunk, keeps the partial tail chunk
+        assert out[2]["n_chunks"] == 2 and out[2]["n_removed"] == 1
+        assert out[2]["cleaned_n_tokens"] == 2
+        import hashlib
+
+        assert out[2]["cleaned_md5"] == hashlib.md5(
+            b"unique tail"
+        ).hexdigest()
+        assert out[3]["n_removed"] == 0 and out[3]["cleaned_n_tokens"] == 2
+
+    def test_within_doc_repeat_removed(self, spark):
+        from cassandra_pv_archiver_spark.operators import dedup
+
+        c = " ".join(f"w{i}" for i in range(16))
+        d = spark.createDataFrame(
+            [(1, c + " " + c)], "doc_id bigint, text string"
+        )
+        out = dedup.chunk_dedup_rewrite(d, chunk_tokens=16).collect()[0]
+        assert out["n_chunks"] == 2 and out["n_removed"] == 1
+        assert out["cleaned_n_tokens"] == 16
