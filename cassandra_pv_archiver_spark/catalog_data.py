@@ -6051,3 +6051,69 @@ SELECT doc.doc_id,
 FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id
 ORDER BY doc.doc_id
 """
+
+
+# --- round 7: VAD segmentation through the WAV codec ---------------------
+
+VAD_FRAME, VAD_THRESHOLD = 16, 16384
+
+
+def q_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based VAD segmentation of every clip through the real WAV
+    codec (operators/audio.vad_segments) — active-frame runs from the
+    DECODED samples; the codec-free oracle recomputes the same integer
+    rule from the synthesis formula, attesting the roundtrip."""
+    from .operators import audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    sam = docs.select("doc_id", F.expr(_AUDIO_SAMPLES).alias("samples"))
+    return audio.vad_segments(
+        sam, frame_samples=VAD_FRAME, threshold=VAD_THRESHOLD, codec="mixed"
+    ).orderBy("doc_id")
+
+
+SQL_AUDIO_VAD_SEGMENTS = f"""
+WITH sam AS (
+  SELECT d.doc_id, t.i,
+         ((strpos('{_NIBS}', substr(md5(d.text || '#' || (t.i // 16)),
+                                    (t.i % 16) * 2 + 1, 1)) - 1) * 16
+          + (strpos('{_NIBS}', substr(md5(d.text || '#' || (t.i // 16)),
+                                      (t.i % 16) * 2 + 2, 1)) - 1)
+         ) * 257 - 32768 AS s
+  FROM documents d, range(0, {AUDIO_N_SAMPLES}) t(i)
+),
+fr AS (
+  SELECT doc_id, i // {VAD_FRAME} AS f, sum(abs(s)) AS sa
+  FROM sam GROUP BY doc_id, i // {VAD_FRAME}
+),
+a AS (
+  SELECT doc_id, f, (sa >= {VAD_THRESHOLD * VAD_FRAME}) AS act FROM fr
+),
+isl AS (
+  SELECT doc_id, f,
+         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+  FROM a WHERE act
+),
+runs AS (SELECT doc_id, g, count(*) AS len FROM isl GROUP BY doc_id, g),
+agg AS (
+  SELECT a.doc_id,
+         count(*) AS n_frames,
+         sum(CASE WHEN act THEN 1 ELSE 0 END) AS n_active,
+         min(CASE WHEN act THEN f END) AS first_f
+  FROM a GROUP BY a.doc_id
+),
+seg AS (
+  SELECT doc_id, count(*) AS n_segments, max(len) AS longest
+  FROM runs GROUP BY doc_id
+)
+SELECT agg.doc_id,
+       CAST(CASE WHEN agg.doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER)
+         AS bits,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(longest, 0) AS BIGINT) AS longest_run,
+       CAST(coalesce(first_f, -1) AS BIGINT) AS first_active
+FROM agg LEFT JOIN seg ON agg.doc_id = seg.doc_id
+ORDER BY agg.doc_id
+"""

@@ -60,6 +60,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_chunk_dedup_rewrite,
         catalog_data.SQL_CHUNK_DEDUP_REWRITE,
     ),
+    "audio_vad_segments": (
+        catalog_data.q_audio_vad_segments,
+        catalog_data.SQL_AUDIO_VAD_SEGMENTS,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

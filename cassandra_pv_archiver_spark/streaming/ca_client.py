@@ -383,10 +383,14 @@ def ca_subscribe(
         # on_frame (when given) observes every monitor frame AS RECEIVED —
         # the at-least-once spooling hook: on a connection fault, frames
         # already delivered to on_frame stay delivered (downstream dedup
-        # reconciles), mirroring SampleListener's fire-per-event contract
+        # reconciles), mirroring SampleListener's fire-per-event contract.
+        # A truthy on_frame return stops collection early (the spooling
+        # layer's capture-complete signal — it counts UNIQUE frames, so
+        # a reconnect replay must not burn the raw-frame quota).
         frames: list[tuple[str, bytes]] = []
         n_got = 0
-        while n_got < n_expected:
+        done = False
+        while not done and n_got < n_expected:
             cmd, dtype, count, p1, p2, frame = reader.next_frame()
             if cmd != CA_PROTO_EVENT_ADD:
                 raise ValueError(f"unexpected command {cmd} mid-subscription")
@@ -394,7 +398,7 @@ def ca_subscribe(
                 raise ValueError(f"unexpected cancel confirm for sub {p2}")
             n_got += 1
             if on_frame is not None:
-                on_frame(bindings[p2], frame)
+                done = bool(on_frame(bindings[p2], frame))
             else:
                 frames.append((bindings[p2], frame))
 
@@ -740,7 +744,17 @@ def spool_capture(
     live sid -> channel bindings for the broadcast resolution dim.
 
     Chunk files are written atomically (tmp + rename) so a concurrent
-    ``readStream`` never sees a partial file."""
+    ``readStream`` never sees a partial file.
+
+    ``n_expected`` counts UNIQUE (channel, frame) events: a reconnect
+    makes the server replay its monitor stream, and counting raw frames
+    would let replayed duplicates consume the quota while the tail of
+    the schedule never arrives (observed under host load: 4 full chunks
+    of duplicates spooled, the last 40 unique events lost). Duplicates
+    are dropped at the spool — the downstream sink's monotonic/anti-join
+    guard would reconcile them anyway — and capture stops early via the
+    ``on_frame`` return signal once the unique quota is met."""
+    import hashlib
     import os
     import uuid
 
@@ -751,6 +765,7 @@ def spool_capture(
 
     os.makedirs(spool_dir, exist_ok=True)
     buf: list[tuple[str, bytes]] = []
+    seen: set[bytes] = set()
     n_files = [0]
 
     def _flush() -> None:
@@ -770,29 +785,37 @@ def spool_capture(
         n_files[0] += 1
         buf.clear()
 
-    def _on_frame(ch: str, fr: bytes) -> None:
-        buf.append((ch, fr))
-        if len(buf) >= chunk_frames:
-            _flush()
+    def _on_frame(ch: str, fr: bytes) -> bool:
+        k = hashlib.md5(ch.encode() + b"\0" + fr).digest()
+        if k not in seen:
+            seen.add(k)
+            buf.append((ch, fr))
+            if len(buf) >= chunk_frames:
+                _flush()
+        return len(seen) >= n_expected
 
     # at-least-once with reconnect: a dropped connection flushes what
     # arrived (already-spooled frames stay spooled) and resubscribes
-    # from scratch — duplicates across attempts are reconciled by the
-    # ingest sink's monotonic/anti-join guard, the same T2 contract the
-    # other sources pin. This is the reference client's reconnect role
-    # (ChannelAccessArchivingChannel connection monitoring).
-    last: Exception | None = None
+    # from scratch — replayed duplicates are skipped by the seen-set, so
+    # the unique quota keeps making progress across attempts. This is
+    # the reference client's reconnect role
+    # (ChannelAccessArchivingChannel connection monitoring). A SUCCESSFUL
+    # subscribe that still came up short on unique frames (the raw-frame
+    # quota was consumed by a replay) retries the same way.
+    last: Exception | str | None = None
     for attempt in range(max_retries + 1):
         try:
             _, bindings = ca_subscribe(
                 host, port, channels, n_expected, on_frame=_on_frame, **kw
             )
             _flush()
-            return bindings
+            if len(seen) >= n_expected:
+                return bindings
+            last = f"{len(seen)}/{n_expected} unique frames"
         except (ConnectionError, socket.timeout) as exc:
             last = exc
             _flush()  # keep partial progress durable
-            time.sleep(0.05 * (attempt + 1))
+        time.sleep(0.05 * (attempt + 1))
     raise ConnectionError(
         f"CA capture failed after {max_retries + 1} attempts: {last}"
     )
