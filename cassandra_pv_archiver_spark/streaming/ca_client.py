@@ -767,6 +767,9 @@ def spool_capture(
     buf: list[tuple[str, bytes]] = []
     seen: set[bytes] = set()
     n_files = [0]
+    _MTIME_EPOCH = int(time.time()) - 86400  # backdated: index-spaced
+    # mtimes must stay in the past so a later capture into a fresh spool
+    # still sorts after nothing unexpected
 
     def _flush() -> None:
         if not buf:
@@ -779,9 +782,18 @@ def spool_capture(
         )
         tmp = os.path.join(spool_dir, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(tbl, tmp)
-        os.rename(
-            tmp, os.path.join(spool_dir, f"chunk-{n_files[0]:05d}.parquet")
-        )
+        dst = os.path.join(spool_dir, f"chunk-{n_files[0]:05d}.parquet")
+        os.rename(tmp, dst)
+        # The sink's F5 monotonic guard REQUIRES chunks to be delivered
+        # in capture order, but Spark's FileStreamSource orders the
+        # initial listing by modification time — and chunks written
+        # milliseconds apart tie, breaking order nondeterministically
+        # (observed: a swapped pair makes the guard drop the earlier
+        # chunk wholesale). The spool owns the ordering contract: stamp
+        # each chunk with a strictly increasing mtime, 1 s apart so even
+        # second-granularity filesystems preserve it.
+        ts = _MTIME_EPOCH + n_files[0]
+        os.utime(dst, (ts, ts))
         n_files[0] += 1
         buf.clear()
 
