@@ -402,3 +402,33 @@ class TestChunkDedupRewrite:
         out = dedup.chunk_dedup_rewrite(d, chunk_tokens=16).collect()[0]
         assert out["n_chunks"] == 2 and out["n_removed"] == 1
         assert out["cleaned_n_tokens"] == 16
+
+
+def test_vad_segments_rule(spark):
+    """VAD run structure on a constructed clip: loud frames 1-2 and 4
+    active (frame=4 samples, threshold avg |s| >= 100) -> 2 segments,
+    longest 2, first active 1."""
+    from cassandra_pv_archiver_spark.operators import audio
+
+    quiet = [1, -1, 2, -2]
+    loud = [5000, -5000, 4000, -4000]
+    samples = quiet + loud + loud + quiet + loud  # frames: Q L L Q L
+    sam = spark.createDataFrame(
+        [(1, samples)], "doc_id long, samples array<int>"
+    )
+    out = audio.vad_segments(
+        sam, frame_samples=4, threshold=100, codec="pcm16"
+    ).collect()[0]
+    assert out["n_frames"] == 5
+    assert out["n_active"] == 3
+    assert out["n_segments"] == 2
+    assert out["longest_run"] == 2
+    assert out["first_active"] == 1
+
+    silent = spark.createDataFrame(
+        [(2, quiet * 2)], "doc_id long, samples array<int>"
+    )
+    z = audio.vad_segments(
+        silent, frame_samples=4, threshold=100, codec="pcm16"
+    ).collect()[0]
+    assert z["n_segments"] == 0 and z["first_active"] == -1

@@ -977,6 +977,12 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "audio_vad_segments": (
+        None,  # one declared Arrow crossing (the codec), row-local —
+        # no shuffle beyond the core-spreading repartition, no joins
+        ["MapInPandas"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+    ),
     "pair_pagerank": (
         None,  # iterative-join workload: per iteration ONE edges-ranks
         # hash join + ONE groupBy(dst); lineage truncated per iteration
