@@ -105,8 +105,11 @@ def ridge_probe(
         aggs.append(F.sum(d38(cols[i]) * d38("y")).alias(f"b{i}"))
     aggs.append(F.sum(d38("y") * d38("y")).alias("yy"))
     aggs.append(F.count(F.lit(1)).alias("n"))
+    out_schema = "kind string, i bigint, value double"
     row = f.agg(*aggs).collect()[0]  # 16 scalars: bounded metadata,
     # the same driver-side contract as the PCA scatter collect
+    if not int(row["n"] or 0):  # empty corpus: no fit, empty report
+        return spark.createDataFrame([], out_schema)
 
     A = [[0.0] * 4 for _ in range(4)]
     Araw = [[0.0] * 4 for _ in range(4)]
@@ -138,7 +141,6 @@ def ridge_probe(
     sst = yy - (b[0] * b[0]) / float(int(row["n"]))
     r2 = 1.0 - sse / sst
 
-    out_schema = "kind string, i bigint, value double"
     rows = [("weight", i, w[i]) for i in range(4)]
     rows.append(("r2", 0, r2))
     comp = spark.createDataFrame(rows, out_schema)

@@ -206,9 +206,14 @@ def level_freshness(store, levels: list[int]) -> "DataFrame":
     """
     from ..operators.decimate import NS
 
+    schema = (
+        "channel string, level_s int, level_hwm bigint, raw_hwm bigint,"
+        " lag_periods bigint"
+    )
     raw_hwm = store.channel_hwm(0)
-    if raw_hwm is None:
-        raise ValueError("store has no raw (level 0) data")
+    if raw_hwm is None:  # empty store: an empty report, not an error —
+        # a freshness poll against a not-yet-started archive is routine
+        return store.spark.createDataFrame([], schema)
     raw_hwm = raw_hwm.select("channel", F.col("hwm").alias("raw_hwm"))
     outs = []
     for lvl in levels:
@@ -231,7 +236,7 @@ def level_freshness(store, levels: list[int]) -> "DataFrame":
             )
         )
     if not outs:
-        raise ValueError("no requested level has been materialized")
+        return store.spark.createDataFrame([], schema)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
