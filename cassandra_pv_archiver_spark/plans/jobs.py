@@ -192,9 +192,12 @@ def retention_sweep(
 
 def level_freshness(store, levels: list[int]) -> "DataFrame":
     """Materialization-freshness report: how many periods each decimation
-    level lags the raw ingest high-water mark — the operational dashboard
-    behind the reference's per-channel "decimation backlog" view (the
-    catch-up scheduler's queue depth, W3/T3).
+    level lags the raw ingest high-water mark — the operational view of
+    the reference's catch-up state (W3/T3:
+    `ArchivedChannelDecimatedSamplesDecimationLevel.java:343-490` reads
+    the target's last generated sample to decide how far behind the
+    source it is; this report surfaces that same distance per
+    (channel, level) as a dashboard).
 
     For channel c and level p: ``lag_periods = raw_hwm div p − level_hwm
     div p`` (0 = the level's last window contains the newest raw sample).
