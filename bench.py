@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "attribution_last_touch",
     "chunk_dedup_rewrite",
     "audio_vad_segments",
+    "curate_round7",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

@@ -6014,41 +6014,49 @@ def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-SQL_CHUNK_DEDUP_REWRITE = f"""
-WITH d AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
-ch AS (
+def _chunk_rewrite_ctes(src: str, pfx: str = "rw") -> str:
+    """CTE block: chunk/rewrite ``src`` (a relation exposing doc_id +
+    tokens ``w``) ending in ``{pfx}p(doc_id, n_chunks, n_removed,
+    cleaned)``. Prefixed so it composes into the fused curation oracle
+    without colliding with the LM/boilerplate blocks."""
+    c = CHUNK_REWRITE_TOKENS
+    return f"""
+{pfx}ch AS (
   SELECT doc_id, i AS idx,
-         array_to_string(w[(i * {CHUNK_REWRITE_TOKENS}) + 1
-                           :(i + 1) * {CHUNK_REWRITE_TOKENS}], ' ') AS chunk
-  FROM d, unnest(generate_series(0,
-         CAST(ceil(len(w) / {CHUNK_REWRITE_TOKENS}.0) AS BIGINT) - 1))
-       AS u(i)
+         array_to_string(w[(i * {c}) + 1:(i + 1) * {c}], ' ') AS chunk
+  FROM {src}, unnest(generate_series(0,
+         CAST(ceil(len(w) / {c}.0) AS BIGINT) - 1)) AS u(i)
   WHERE len(w) > 0
 ),
-k AS (SELECT md5(chunk) AS key, doc_id, idx, chunk FROM ch),
-first AS (
+{pfx}k AS (SELECT md5(chunk) AS key, doc_id, idx, chunk FROM {pfx}ch),
+{pfx}first AS (
   SELECT key, min(struct_pack(doc_id := doc_id, idx := idx)) AS f
-  FROM k GROUP BY key
+  FROM {pfx}k GROUP BY key
 ),
-kept AS (
+{pfx}kept AS (
   SELECT k.doc_id, k.idx, k.chunk,
          (k.doc_id = f.f.doc_id AND k.idx = f.f.idx) AS keep
-  FROM k JOIN first f ON k.key = f.key
+  FROM {pfx}k k JOIN {pfx}first f ON k.key = f.key
 ),
-p AS (
+{pfx}p AS (
   SELECT doc_id, count(*) AS n_chunks,
          sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
          coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
                              ORDER BY idx), '') AS cleaned
-  FROM kept GROUP BY doc_id
-)
+  FROM {pfx}kept GROUP BY doc_id
+)"""
+
+
+SQL_CHUNK_DEDUP_REWRITE = f"""
+WITH rwd AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+{_chunk_rewrite_ctes("rwd")}
 SELECT doc.doc_id,
        CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
        CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
        CAST(len(list_filter(regexp_split_to_array(coalesce(cleaned, ''),
             ' '), x -> x != '')) AS BIGINT) AS cleaned_n_tokens,
        md5(coalesce(cleaned, '')) AS cleaned_md5
-FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id
+FROM documents doc LEFT JOIN rwp ON doc.doc_id = rwp.doc_id
 ORDER BY doc.doc_id
 """
 
@@ -6116,4 +6124,121 @@ SELECT agg.doc_id,
        CAST(coalesce(first_f, -1) AS BIGINT) AS first_active
 FROM agg LEFT JOIN seg ON agg.doc_id = seg.doc_id
 ORDER BY agg.doc_id
+"""
+
+
+# --- round 7 capstone: fused curation (filter -> rewrite -> stats) --------
+
+
+def q_curate_round7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's surface composed as ONE attested pipeline, in the
+    order a real curation run applies it: the fused quality filter
+    (LM + boilerplate + length, integer-rule cuts) selects the kept
+    set; chunk-level dedup REWRITES the kept documents; the per-source
+    report prices the whole run (docs in/kept, token mass in/out,
+    chunks removed). Every stage is the same machinery its standalone
+    registry row attests — this row attests the composition."""
+    from .operators import dedup, lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm_pd = lm.stupid_backoff_score(docs, salt=LM_SALT, train_pct=LM_TRAIN_PCT)
+    bp = text.boilerplate_spans(docs, n=BP_N, min_sources=BP_MIN_SOURCES)
+    j = (
+        docs.select("doc_id", "source")
+        .join(lm_pd.select("doc_id", "n_scored", "score_q9"), "doc_id")
+        .join(bp.select("doc_id", "n_tokens", "n_cov"), "doc_id")
+    )
+    keep = (
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (
+            (F.col("score_q9") * QF_LM_DEN)
+            >= (F.col("n_scored") * QF_LM_NUM * F.lit(1_000_000_000))
+        )
+        & ((F.col("n_cov") * QF_BP_DEN) <= F.col("n_tokens"))
+    )
+    kept = j.filter(keep).select("doc_id", "source", "n_tokens")
+    rw = dedup.chunk_dedup_rewrite(
+        docs.join(kept.select("doc_id"), "doc_id"),
+        chunk_tokens=CHUNK_REWRITE_TOKENS,
+    )
+    per_src = (
+        kept.join(rw, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum("cleaned_n_tokens").alias("tokens_out"),
+            F.sum("n_removed").alias("chunks_removed"),
+        )
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = F.lit(0).cast("bigint")
+    return (
+        totals.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", z).alias("n_kept"),
+            F.coalesce("tokens_in", z).alias("tokens_in"),
+            F.coalesce("tokens_out", z).alias("tokens_out"),
+            F.coalesce("chunks_removed", z).alias("chunks_removed"),
+            F.when(
+                F.coalesce("tokens_in", z) > 0,
+                F.round(
+                    F.col("tokens_out").cast("double")
+                    / F.col("tokens_in").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("token_yield"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CURATE_ROUND7 = f"""
+WITH {_sql_lm_grams()},
+{_BP_CTES},
+j AS (
+  SELECT doc.doc_id, doc.source,
+         CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
+         CAST(coalesce(p.score_q9, 0) AS BIGINT) AS score_q9,
+         b.n_tokens, b.n_cov
+  FROM documents doc
+  LEFT JOIN p ON doc.doc_id = p.doc_id
+  JOIN bp_per_doc b ON doc.doc_id = b.doc_id
+),
+keptd AS (
+  SELECT doc_id, source, n_tokens FROM j
+  WHERE n_tokens >= {QF_MIN_TOKENS}
+    AND score_q9 * {QF_LM_DEN}
+        >= n_scored * {QF_LM_NUM} * 1000000000
+    AND n_cov * {QF_BP_DEN} <= n_tokens
+),
+rwd AS (
+  SELECT d.doc_id, {_W_SQL} AS w
+  FROM documents d JOIN keptd USING (doc_id)
+),
+{_chunk_rewrite_ctes("rwd")},
+per_src AS (
+  SELECT source, count(*) AS n_kept,
+         sum(k.n_tokens) AS tokens_in,
+         sum(len(list_filter(regexp_split_to_array(coalesce(cleaned, ''),
+             ' '), x -> x != ''))) AS tokens_out,
+         sum(coalesce(n_removed, 0)) AS chunks_removed
+  FROM keptd k LEFT JOIN rwp ON k.doc_id = rwp.doc_id
+  GROUP BY source
+)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(tokens_in, 0) AS BIGINT) AS tokens_in,
+       CAST(coalesce(tokens_out, 0) AS BIGINT) AS tokens_out,
+       CAST(coalesce(chunks_removed, 0) AS BIGINT) AS chunks_removed,
+       CASE WHEN coalesce(tokens_in, 0) > 0
+            THEN round(CAST(tokens_out AS DOUBLE)
+                       / CAST(tokens_in AS DOUBLE), 6)
+            ELSE 0.0 END AS token_yield
+FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) t
+LEFT JOIN per_src USING (source)
+ORDER BY t.source
 """

@@ -64,6 +64,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_audio_vad_segments,
         catalog_data.SQL_AUDIO_VAD_SEGMENTS,
     ),
+    "curate_round7": (
+        catalog_data.q_curate_round7,
+        catalog_data.SQL_CURATE_ROUND7,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,
