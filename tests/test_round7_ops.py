@@ -432,3 +432,27 @@ def test_vad_segments_rule(spark):
         silent, frame_samples=4, threshold=100, codec="pcm16"
     ).collect()[0]
     assert z["n_segments"] == 0 and z["first_active"] == -1
+
+
+def test_curate_round7_consistent_with_parts(spark, sf_dir):
+    """The capstone's per-source numbers must re-derive from its
+    standalone parts: kept counts from the filter report, token yield
+    bounded by (0, 1], chunks_removed consistent with a rewrite of the
+    kept set only."""
+    from cassandra_pv_archiver_spark import catalog_data as cd
+
+    cur = {r["source"]: r for r in
+           cd.q_curate_round7(spark, sf_dir).collect()}
+    rep = {r["source"]: r for r in
+           cd.q_quality_filter_report(spark, sf_dir).collect()}
+    assert set(cur) == set(rep)
+    for src in cur:
+        assert cur[src]["n_kept"] == rep[src]["kept"]
+        assert cur[src]["n_docs"] == rep[src]["n_docs"]
+        assert cur[src]["tokens_in"] == rep[src]["kept_tokens"]
+        assert cur[src]["tokens_out"] <= cur[src]["tokens_in"]
+        if cur[src]["n_kept"]:
+            assert 0.0 < cur[src]["token_yield"] <= 1.0
+    # the rewrite must actually remove something somewhere (near-dups
+    # survive the quality filter in this corpus)
+    assert sum(r["chunks_removed"] for r in cur.values()) > 0
