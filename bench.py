@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "chunk_dedup_rewrite",
     "audio_vad_segments",
     "curate_round7",
+    "image_phash_mixed_codec",
     # level_backfill_6h and store_rename_invariance are store-lifecycle
     # correctness queries (per-invocation store build/clone dominates),
     # not throughput queries — the archive_incremental/stream_lifecycle

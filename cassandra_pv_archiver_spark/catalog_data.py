@@ -6242,3 +6242,80 @@ FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) t
 LEFT JOIN per_src USING (source)
 ORDER BY t.source
 """
+
+
+# --- round 7: DCT perceptual hash (pHash) through the codec path ----------
+
+
+def q_image_phash_mixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit DCT perceptual hash of every document's 16x16 thumbnail
+    through the REAL codec path (even doc_ids PNG, odd baseline JPEG)
+    — integer-exact DCT over a quantized cosine table, so the oracle
+    recomputes the hash codec-free from the cell formula and the value
+    gate attests the whole marker/huffman/dequant/IDCT machinery at a
+    4x larger image than the dHash rows (operators/multimodal
+    .image_phash_table)."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    n2 = multimodal.PHASH_N * multimodal.PHASH_N
+    cells = docs.select(
+        "doc_id", F.expr(text._WORDS).alias("_w")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {n2 - 1}), i -> CAST(conv(substring("
+            "md5(CASE WHEN i < size(_w) THEN _w[i] ELSE '' END), 1, 2),"
+            " 16, 10) AS INT))"
+        ).alias("cells"),
+    )
+    return multimodal.image_phash_table(cells, codec="mixed").orderBy(
+        "doc_id"
+    )
+
+
+def _sql_image_phash() -> str:
+    from .operators.multimodal import PHASH_COS, PHASH_N
+
+    ct_rows = ", ".join(
+        f"({k}, {n}, {PHASH_COS[k][n]})"
+        for k in range(8)
+        for n in range(PHASH_N)
+    )
+    n2 = PHASH_N * PHASH_N
+    return f"""
+WITH d AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+cells AS (
+  SELECT doc_id, i.i AS idx, {_dhash_word_sql("i.i")} AS val
+  FROM d, range(0, {n2}) i(i)
+),
+x AS (SELECT doc_id, idx // {PHASH_N} AS r, idx % {PHASH_N} AS n, val
+      FROM cells),
+ct(k, n, c) AS (SELECT * FROM (VALUES {ct_rows}) v(k, n, c)),
+t1 AS (
+  SELECT x.doc_id, ct.k AS u, x.n AS n, sum(ct.c * x.val) AS s
+  FROM x JOIN ct ON ct.n = x.r GROUP BY x.doc_id, ct.k, x.n
+),
+t2 AS (
+  SELECT t1.doc_id, t1.u, c2.k AS v, sum(t1.s * c2.c) AS coeff
+  FROM t1 JOIN ct c2 ON c2.n = t1.n GROUP BY t1.doc_id, t1.u, c2.k
+),
+low AS (SELECT doc_id, u, v, coeff FROM t2 WHERE NOT (u = 0 AND v = 0)),
+med AS (
+  SELECT doc_id, coeff AS med FROM (
+    SELECT doc_id, coeff,
+           row_number() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+    FROM low) WHERE rn = 32
+),
+h AS (
+  SELECT l.doc_id,
+         sum(CASE WHEN l.coeff > m.med
+             THEN (CAST(1 AS BIGINT) << (l.u * 8 + l.v - 1))
+             ELSE CAST(0 AS BIGINT) END) AS phash
+  FROM low l JOIN med m USING (doc_id) GROUP BY l.doc_id
+)
+SELECT doc_id, CAST(phash AS BIGINT) AS phash FROM h ORDER BY doc_id
+"""
+
+
+SQL_IMAGE_PHASH_MIXED_CODEC = _sql_image_phash()

@@ -1142,3 +1142,117 @@ def video_frame_table(
             )
 
     return frames_df.mapInPandas(_frames, schema=VIDEO_FRAME_SCHEMA)
+
+
+#: pHash geometry: 16x16 input, top-left 8x8 DCT block minus DC = 63 bits
+PHASH_N = 16
+#: DCT basis quantization: cos values on a 2^13 integer grid, so the
+#: whole transform is EXACT int64 arithmetic (|T| <= 16^2*255*8192^2
+#: ~ 4.4e12) — no float anywhere, hence bit-identical on any cluster
+#: and in the SQL oracle (which inlines this very table as literals)
+PHASH_SCALE = 8192
+
+
+def _phash_cos_table() -> list[list[int]]:
+    import math
+
+    n_ = PHASH_N
+    return [
+        [
+            int(round(math.cos(math.pi * (2 * n + 1) * k / (2 * n_))
+                      * PHASH_SCALE))
+            for n in range(n_)
+        ]
+        for k in range(n_)
+    ]
+
+
+PHASH_COS = _phash_cos_table()
+
+
+def phash63(pix) -> int:
+    """63-bit perceptual hash (classic pHash structure, integer-exact):
+    2D DCT-II of the 16x16 grayscale image over the quantized cosine
+    table, keep the top-left 8x8 coefficient block minus DC, threshold
+    each coefficient against the exact median (32nd smallest of 63).
+    Bit layout: coefficient (u,v) -> bit (u*8 + v - 1)."""
+    n_, C = PHASH_N, PHASH_COS
+    t1 = [
+        [
+            sum(C[u][r] * int(pix[r * n_ + n]) for r in range(n_))
+            for n in range(n_)
+        ]
+        for u in range(8)
+    ]
+    coeffs: list[tuple[int, int, int]] = []
+    for u in range(8):
+        for v in range(8):
+            if u == 0 and v == 0:
+                continue
+            s = sum(t1[u][n] * C[v][n] for n in range(n_))
+            coeffs.append((u, v, s))
+    med = sorted(c for _, _, c in coeffs)[31]
+    h = 0
+    for u, v, s in coeffs:
+        if s > med:
+            h |= 1 << (u * 8 + v - 1)
+    return h
+
+
+def image_phash_table(cells: DataFrame, codec: str = "png") -> DataFrame:
+    """(doc_id, cells array<int>, 256 values row-major 16x16) ->
+    (doc_id, phash long) through the full image codec path — the DCT
+    upgrade of :func:`image_dhash_table` (pHash is robust to uniform
+    brightness/contrast shifts that flip dHash gradient bits). Same
+    attestation pattern: encode a real image, decode it back, hash the
+    DECODED pixels; the codec-free oracle recomputes the hash from the
+    cell formula, so the codec roundtrip is value-attested.
+
+    ``codec="mixed"``: odd doc_ids ride baseline JPEG (16x16 cells
+    upsampled to a 128x128 block-flat SOF0 image — DC-only blocks
+    roundtrip exactly), even doc_ids lossless PNG."""
+    if codec not in ("png", "mixed"):
+        raise ValueError(f"unknown codec mode: {codec}")
+    n_ = PHASH_N
+    par = cells.sparkSession.sparkContext.defaultParallelism
+    cells = cells.repartition(par)
+
+    def _cells_via_jpeg(cs: bytes) -> bytes:
+        side = n_ * 8
+        up = bytearray(side * side)
+        for r in range(n_):
+            for c in range(n_):
+                v = cs[r * n_ + c]
+                for yy in range(8):
+                    base = (r * 8 + yy) * side + c * 8
+                    for xx in range(8):
+                        up[base + xx] = v
+        jp = encode_jpeg_gray(side, side, bytes(up))
+        w, h, _ch, pix = decode_jpeg_gray(jp, return_pixels=True)
+        assert (w, h) == (side, side)
+        return bytes(
+            pix[(r * 8 + 4) * side + c * 8 + 4]
+            for r in range(n_)
+            for c in range(n_)
+        )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, cs in zip(pdf["doc_id"], pdf["cells"]):
+                raw = bytes(int(v) for v in cs)
+                if codec == "mixed" and int(doc_id) % 2 == 1:
+                    pix = _cells_via_jpeg(raw)
+                else:
+                    png = encode_png_gray(n_, n_, raw)
+                    w, h, _ch, pix = decode_png(png, return_pixels=True)
+                    assert (w, h) == (n_, n_)
+                out.append(phash63(pix))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return cells.mapInPandas(_hash, schema="doc_id long, phash long")

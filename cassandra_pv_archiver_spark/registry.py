@@ -68,6 +68,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_curate_round7,
         catalog_data.SQL_CURATE_ROUND7,
     ),
+    "image_phash_mixed_codec": (
+        catalog_data.q_image_phash_mixed_codec,
+        catalog_data.SQL_IMAGE_PHASH_MIXED_CODEC,
+    ),
     # --- round 4 additions ---
     "lagged_correlation_1h": (
         catalog.q_lagged_correlation_1h,

@@ -456,3 +456,51 @@ def test_curate_round7_consistent_with_parts(spark, sf_dir):
     # the rewrite must actually remove something somewhere (near-dups
     # survive the quality filter in this corpus)
     assert sum(r["chunks_removed"] for r in cur.values()) > 0
+
+
+class TestPhash:
+    def test_brightness_shift_invariance_vs_dhash_sensitivity(self, spark):
+        """pHash's DCT thresholding is invariant to a uniform brightness
+        shift (all AC coefficients unchanged, only DC moves — and DC is
+        excluded); that is the robustness upgrade over gradient dHash."""
+        from cassandra_pv_archiver_spark.operators.multimodal import phash63
+
+        import hashlib
+
+        base = [
+            hashlib.md5(f"px{i}".encode()).digest()[0] % 200
+            for i in range(256)
+        ]
+        shifted = [v + 50 for v in base]  # uniform +50, still in range
+        assert phash63(base) == phash63(shifted)
+
+    def test_distinct_images_distinct_hashes(self, spark):
+        from cassandra_pv_archiver_spark.operators.multimodal import phash63
+
+        import hashlib
+
+        a = [hashlib.md5(f"a{i}".encode()).digest()[0] for i in range(256)]
+        b = [hashlib.md5(f"b{i}".encode()).digest()[0] for i in range(256)]
+        assert phash63(a) != phash63(b)
+
+    def test_codec_roundtrip_matches_direct(self, spark):
+        """PNG and flat-block JPEG legs must both hash the decoded
+        pixels to exactly the direct-formula hash (the oracle's view)."""
+        from cassandra_pv_archiver_spark.operators import multimodal as mm
+
+        import hashlib
+
+        rows = []
+        for doc_id in (2, 3):  # even -> PNG leg, odd -> JPEG leg
+            cells = [
+                hashlib.md5(f"{doc_id}:{i}".encode()).digest()[0]
+                for i in range(256)
+            ]
+            rows.append((doc_id, cells))
+        df = spark.createDataFrame(rows, "doc_id long, cells array<int>")
+        got = {
+            r["doc_id"]: r["phash"]
+            for r in mm.image_phash_table(df, codec="mixed").collect()
+        }
+        for doc_id, cells in rows:
+            assert got[doc_id] == mm.phash63(cells)

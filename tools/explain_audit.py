@@ -977,6 +977,11 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "image_phash_mixed_codec": (
+        None,  # one Arrow crossing (codec + integer DCT), row-local
+        ["MapInPandas"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+    ),
     "audio_vad_segments": (
         None,  # one declared Arrow crossing (the codec), row-local —
         # no shuffle beyond the core-spreading repartition, no joins
