@@ -472,3 +472,97 @@ def start_lm_screen(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def boilerplate_flagged_set(docs: DataFrame, n: int = 5,
+                            min_sources: int = 2) -> DataFrame:
+    """Batch profile for the streaming boilerplate screen: the frozen
+    set of template shingles (``operators/text.boilerplate_spans``'s
+    flagged keys), learned from history."""
+    from ..operators.text import _WORDS
+
+    d = docs.select("source", F.expr(_WORDS).alias("w"))
+    sh = d.filter(F.size("w") >= n).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {n})))"
+            )
+        ).alias("key"),
+    )
+    return (
+        sh.groupBy("key")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") >= min_sources)
+        .select("key")
+    )
+
+
+def stream_boilerplate_coverage(
+    docs: DataFrame, flagged: DataFrame, n: int = 5
+) -> DataFrame:
+    """Score ONE batch of arriving documents against the FROZEN
+    template-shingle set: per-doc covered-position fraction, the same
+    exact interval-union counting as the batch operator — stateless
+    stream-static joins, so a replayed stream equals a batch pass
+    (parity-pinned). The third ingest-time quality leg alongside
+    :func:`start_lm_screen` and :func:`start_decontam_screen`."""
+    from ..operators.text import _WORDS
+
+    d = docs.select("doc_id", F.expr(_WORDS).alias("w"))
+    sh = d.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {n})))"
+            )
+        ).alias("pos", "key"),
+    )
+    cov = (
+        sh.join(F.broadcast(flagged), "key")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
+    spine = d.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+    z = F.lit(0).cast("bigint")
+    nc = F.coalesce("n_cov", z)
+    return spine.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        nc.alias("n_cov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(nc.cast("double") / F.col("n_tokens").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("cov_rate"),
+    )
+
+
+def start_boilerplate_screen(
+    doc_stream: DataFrame,
+    flagged: DataFrame,
+    sink,
+    n: int = 5,
+    checkpoint: str | None = None,
+):
+    """Ingest-time boilerplate screen: every micro-batch scored against
+    the frozen template set via foreachBatch (judged-on-arrival), rows
+    to ``sink(df, batch_id)``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(stream_boilerplate_coverage(batch_df, flagged, n=n), batch_id)
+
+    writer = doc_stream.writeStream.foreachBatch(_sink).trigger(
+        availableNow=True
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

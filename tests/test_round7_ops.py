@@ -504,3 +504,68 @@ class TestPhash:
         }
         for doc_id, cells in rows:
             assert got[doc_id] == mm.phash63(cells)
+
+
+def test_stream_boilerplate_screen_parity(spark, tmp_path):
+    """Ingest-time boilerplate screen: micro-batches scored against the
+    frozen template set produce exactly the batch coverage rows, and
+    the frozen-set scores agree with the batch operator when history
+    == arrivals."""
+    import os
+
+    from cassandra_pv_archiver_spark.operators import text as t
+    from cassandra_pv_archiver_spark.streaming.detect import (
+        boilerplate_flagged_set,
+        start_boilerplate_screen,
+        stream_boilerplate_coverage,
+    )
+
+    hist_rows = [
+        (100, "copy right banner text here alpha beta", "s1"),
+        (101, "copy right banner text here gamma delta", "s2"),
+        (102, "some other words entirely here now folks", "s3"),
+    ]
+    hist = spark.createDataFrame(
+        hist_rows, "doc_id bigint, text string, source string"
+    )
+    flagged = boilerplate_flagged_set(hist, n=5, min_sources=2)
+
+    # sanity: frozen-set scoring of the history equals the batch op
+    batch_cov = {
+        r["doc_id"]: (r["n_cov"], r["cov_rate"])
+        for r in t.boilerplate_spans(hist, n=5, min_sources=2).collect()
+    }
+    frozen_cov = {
+        r["doc_id"]: (r["n_cov"], r["cov_rate"])
+        for r in stream_boilerplate_coverage(hist, flagged, n=5).collect()
+    }
+    assert batch_cov == frozen_cov
+
+    arrivals = [
+        (1, "copy right banner text here fresh tail"),
+        (2, "totally novel arriving document words here"),
+    ]
+    schema = "doc_id bigint, text string"
+    adf = spark.createDataFrame(arrivals, schema)
+    want = sorted(
+        tuple(r)
+        for r in stream_boilerplate_coverage(adf, flagged, n=5).collect()
+    )
+    assert dict((w[0], w[2]) for w in want)[1] == 5  # banner covered
+    assert dict((w[0], w[2]) for w in want)[2] == 0
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    spark.createDataFrame(arrivals[:1], schema).write.mode("append").parquet(src)
+    spark.createDataFrame(arrivals[1:], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    got: list = []
+    q = start_boilerplate_screen(
+        stream, flagged,
+        sink=lambda df, bid: got.extend(df.collect()),
+        n=5, checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert sorted(tuple(r) for r in got) == want
