@@ -569,3 +569,69 @@ def test_stream_boilerplate_screen_parity(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(tuple(r) for r in got) == want
+
+
+class TestRound7Properties:
+    def test_lm_score_bounds_and_tier_partition(self, spark, sf_dir):
+        """Grid invariants: every per-doc score sum fits the grid
+        (score_q9 <= n_scored * SCALE), tiers partition n_scored, and
+        train_pct=0 makes every token OOV with score 0."""
+        from cassandra_pv_archiver_spark.operators import lm
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = lm.stupid_backoff_score(docs).collect()
+        for r in rows:
+            assert 0 <= r["score_q9"] <= r["n_scored"] * lm.SCALE
+            assert (
+                r["hits3"] + r["hits2"] + r["hits1"] + r["oov"]
+                == r["n_scored"]
+            )
+        zero = lm.stupid_backoff_score(docs.limit(50), train_pct=0).collect()
+        for r in zero:
+            assert r["score_q9"] == 0 and r["hits3"] == 0
+            assert r["oov"] == r["n_scored"]
+
+    def test_boilerplate_cov_bounds(self, spark, sf_dir):
+        from cassandra_pv_archiver_spark.operators import text as t
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for r in t.boilerplate_spans(docs).collect():
+            assert 0 <= r["n_cov"] <= r["n_tokens"]
+            assert 0.0 <= r["cov_rate"] <= 1.0
+
+    def test_chunk_rewrite_conservation(self, spark, sf_dir):
+        """Token conservation: cleaned tokens + removed-chunk tokens ==
+        original tokens (every chunk is fully kept or fully removed,
+        and only the final chunk may be partial)."""
+        from cassandra_pv_archiver_spark.operators import dedup
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        c = 16
+        rw = dedup.chunk_dedup_rewrite(docs, chunk_tokens=c)
+        orig = docs.select(
+            "doc_id",
+            F.expr(
+                "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))"
+            ).alias("n_orig"),
+        )
+        for r in rw.join(orig, "doc_id").collect():
+            assert r["cleaned_n_tokens"] <= r["n_orig"]
+            if r["n_removed"] == 0:
+                assert r["cleaned_n_tokens"] == r["n_orig"]
+            else:
+                # removed chunks account for the difference; all but
+                # possibly one removed chunk are full-size
+                diff = r["n_orig"] - r["cleaned_n_tokens"]
+                assert diff >= (r["n_removed"] - 1) * c + 1
+                assert diff <= r["n_removed"] * c
+
+    def test_pagerank_iteration_zero_is_uniform(self, spark):
+        """iters=0 returns the uniform initial rank for every node."""
+        from cassandra_pv_archiver_spark.operators import graph
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+        )
+        out = graph.pair_pagerank(pairs, iters=0).collect()
+        assert {r["rank_q9"] for r in out} == {graph.SCALE}
