@@ -1407,14 +1407,34 @@ SELECT channel, event_id, family,
                  WHEN has_meta THEN 0 END AS INTEGER) AS "precision",
        CASE WHEN has_meta
             THEN 'U' || CAST(event_id % 3 AS VARCHAR) END AS units,
-       CASE WHEN has_meta THEN -w END AS warn_lo,
-       CASE WHEN has_meta THEN w + 1 END AS warn_hi,
-       CASE WHEN has_meta THEN -w - 2 END AS alarm_lo,
-       CASE WHEN has_meta THEN w + 3 END AS alarm_hi,
-       CASE WHEN has_meta THEN -w - 4 END AS disp_lo,
-       CASE WHEN has_meta THEN w + 5 END AS disp_hi,
-       CASE WHEN has_meta THEN -w - 6 END AS ctrl_lo,
-       CASE WHEN has_meta THEN w + 7 END AS ctrl_hi,
+       -- int wire families (char/short/long) carry int8/int16/int32
+       -- limits (db_access.h) which cannot represent -0.0: the limit
+       -- must round-trip through an integer in the oracle too, else a
+       -- -0.0 warn_lo (w = 0) hash-diverges from the engine's +0.0.
+       CASE WHEN family IN ('double', 'float') THEN -w
+            WHEN has_meta THEN CAST(CAST(-w AS BIGINT) AS DOUBLE)
+            END AS warn_lo,
+       CASE WHEN family IN ('double', 'float') THEN w + 1
+            WHEN has_meta THEN CAST(CAST(w + 1 AS BIGINT) AS DOUBLE)
+            END AS warn_hi,
+       CASE WHEN family IN ('double', 'float') THEN -w - 2
+            WHEN has_meta THEN CAST(CAST(-w - 2 AS BIGINT) AS DOUBLE)
+            END AS alarm_lo,
+       CASE WHEN family IN ('double', 'float') THEN w + 3
+            WHEN has_meta THEN CAST(CAST(w + 3 AS BIGINT) AS DOUBLE)
+            END AS alarm_hi,
+       CASE WHEN family IN ('double', 'float') THEN -w - 4
+            WHEN has_meta THEN CAST(CAST(-w - 4 AS BIGINT) AS DOUBLE)
+            END AS disp_lo,
+       CASE WHEN family IN ('double', 'float') THEN w + 5
+            WHEN has_meta THEN CAST(CAST(w + 5 AS BIGINT) AS DOUBLE)
+            END AS disp_hi,
+       CASE WHEN family IN ('double', 'float') THEN -w - 6
+            WHEN has_meta THEN CAST(CAST(-w - 6 AS BIGINT) AS DOUBLE)
+            END AS ctrl_lo,
+       CASE WHEN family IN ('double', 'float') THEN w + 7
+            WHEN has_meta THEN CAST(CAST(w + 7 AS BIGINT) AS DOUBLE)
+            END AS ctrl_hi,
        CASE WHEN family = 'enum' THEN
          'E0,E1,E' || CAST(event_id % 4 AS VARCHAR) END AS labels_str
 FROM j ORDER BY channel, event_id

@@ -234,7 +234,11 @@ def encode_ctrl_event(
         if family in ("float", "double"):
             parts.append(struct.pack(">hxx", int(meta.get("precision") or 0)))
         parts.append(_fixed_str(str(meta.get("units") or ""), MAX_UNITS_SIZE))
-        lims = [meta.get(k) or 0 for k in _WIRE_LIMITS]
+        # None-check, NOT ``or 0``: -0.0 is falsy but the IEEE wire
+        # format carries its sign bit (ChannelAccessSampleValueAccess
+        # .java:98-132 round-trips CTRL floats bit-exactly).
+        lims = [m if (m := meta.get(k)) is not None else 0
+                for k in _WIRE_LIMITS]
         if family in ("float", "double"):
             parts.append(struct.pack(f">8{lf}", *[float(x) for x in lims]))
             if family == "char":  # pragma: no cover - unreachable

@@ -288,3 +288,177 @@ class TestAssembly:
         got = back.collect()
         want = src.orderBy("channel", "t").collect()
         assert got == want
+
+
+def _dbits(x: float) -> int:
+    return struct.unpack(">Q", struct.pack(">d", x))[0]
+
+
+def _f32(x: float) -> float:
+    """The value a float32 wire cell carries for input x."""
+    return struct.unpack(">f", struct.pack(">f", x))[0]
+
+
+_ADVERSARIAL_DOUBLES = [
+    -0.0, 0.0, float("nan"), float("inf"), float("-inf"),
+    5e-324, -5e-324,                      # smallest denormals
+    2.2250738585072014e-308,              # min normal double
+    -2.2250738585072014e-308,
+    3.4028234663852886e38,                # FLT_MAX
+    -3.4028234663852886e38,
+    3.402823466385289e38,                 # just past FLT_MAX (double only)
+    1.7976931348623157e308,               # DBL_MAX
+    -1.7976931348623157e308,
+]
+_INT_RANGE = {"char": (-128, 127), "short": (-32768, 32767),
+              "long": (-2**31, 2**31 - 1), "enum": (0, 2**16 - 1)}
+
+
+class TestAdversarialFloats:
+    """-0.0 / NaN / ±inf / denormal / ±FLT_MAX round-trips through every
+    TIME and CTRL family. Float families must be BIT-exact (the IEEE
+    wire carries the sign bit of -0.0 and the NaN payload class;
+    `ChannelAccessSampleValueAccess.java:98-132`); integer families
+    carry int8/int16/int32 cells, so fractional / signed-zero inputs
+    truncate through `int()` — pinned here as the documented contract.
+    Regression for the r07 `meta.get(k) or 0` bug that replaced a
+    -0.0 warn_lo with +0 before CTRL encode."""
+
+    def _time_roundtrip(self, family, values):
+        from cassandra_pv_archiver_spark.functions.ca_wire_typed import (
+            _parse_header, _parse_time_payload,
+        )
+        frame = encode_time_event(7, T0, family, values, severity=1)
+        _cmd, _ps, dtype, count, _p1, _p2, off = _parse_header(frame)
+        return _parse_time_payload(frame, off, dtype, count)
+
+    def _ctrl_roundtrip(self, family, meta):
+        from cassandra_pv_archiver_spark.functions.ca_wire_typed import (
+            _parse_header, _parse_ctrl_payload,
+        )
+        frame = encode_ctrl_event(9, family, meta=meta, value=0)
+        _cmd, _ps, dtype, _n, _p1, _p2, off = _parse_header(frame)
+        return _parse_ctrl_payload(frame, off, dtype)
+
+    @pytest.mark.parametrize("x", _ADVERSARIAL_DOUBLES)
+    def test_time_double_bit_exact(self, x):
+        _t, typ, v, *_ = self._time_roundtrip("double", [x])
+        assert typ == "scalar_double"
+        assert _dbits(v) == _dbits(x)
+
+    @pytest.mark.parametrize(
+        "x", [y for y in _ADVERSARIAL_DOUBLES if abs(y) <= 3.41e38
+              or y != y or y in (float("inf"), float("-inf"))])
+    def test_time_float_bit_exact_after_f32(self, x):
+        _t, typ, v, *_ = self._time_roundtrip("float", [x])
+        assert typ == "scalar_float"
+        assert _dbits(v) == _dbits(_f32(x))
+
+    def test_time_double_array_bit_exact(self):
+        _t, typ, _v, aval, *_ = self._time_roundtrip(
+            "double", _ADVERSARIAL_DOUBLES)
+        assert typ == "array_double"
+        assert [_dbits(v) for v in aval] == [
+            _dbits(x) for x in _ADVERSARIAL_DOUBLES]
+
+    @pytest.mark.parametrize("family", ["short", "char", "long", "enum"])
+    def test_time_int_families_truncate_signed_zero(self, family):
+        # -0.0 cannot ride an integer wire: int(-0.0) == 0, decode +0.0
+        got = self._time_roundtrip(family, [-0.0])
+        v_or_e = got[4] if family == "enum" else got[2]
+        assert v_or_e == 0
+        assert _dbits(float(v_or_e)) == _dbits(0.0)
+
+    @pytest.mark.parametrize("family", ["short", "char", "long", "enum"])
+    def test_time_int_families_exact_at_bounds(self, family):
+        lo, hi = _INT_RANGE[family]
+        got = self._time_roundtrip(family, [lo, hi] if family != "enum"
+                                   else [lo, hi])
+        aval = got[3]
+        assert [int(v) for v in aval] == [lo, hi]
+
+    @pytest.mark.parametrize("family", ["double", "float"])
+    def test_ctrl_float_limits_bit_exact(self, family):
+        keys = ("lower_warning_limit", "upper_warning_limit",
+                "lower_alarm_limit", "upper_alarm_limit",
+                "lower_display_limit", "upper_display_limit",
+                "lower_control_limit", "upper_control_limit")
+        vals = [-0.0, float("nan"), float("inf"), float("-inf"),
+                5e-324, -5e-324, 3.4028234663852886e38, -0.0]
+        meta = dict(zip(keys, vals), precision=3, units="V")
+        fam, back, _ = self._ctrl_roundtrip(family, meta)
+        assert fam == family
+        for k, x in zip(keys, vals):
+            want = x if family == "double" else _f32(x)
+            assert _dbits(back[k]) == _dbits(want), (k, x, back[k])
+
+    @pytest.mark.parametrize("family", ["char", "short", "long"])
+    def test_ctrl_int_limits_truncate_signed_zero(self, family):
+        keys = ("lower_warning_limit", "upper_warning_limit",
+                "lower_alarm_limit", "upper_alarm_limit",
+                "lower_display_limit", "upper_display_limit",
+                "lower_control_limit", "upper_control_limit")
+        lo, hi = _INT_RANGE[family]
+        vals = [-0.0, 1.0, float(lo), float(hi), -0.0, 2.0, -0.0, 0.0]
+        meta = dict(zip(keys, vals), precision=0, units="")
+        fam, back, _ = self._ctrl_roundtrip(family, meta)
+        assert fam == family
+        for k, x in zip(keys, vals):
+            assert _dbits(back[k]) == _dbits(float(int(x))), (k, x)
+
+    def test_ctrl_missing_limits_default_plus_zero(self):
+        # meta with NO limit keys: defaults are +0, never -0.0
+        fam, back, _ = self._ctrl_roundtrip(
+            "double", {"precision": 1, "units": "A"})
+        for k, v in back.items():
+            if k not in ("precision", "units"):
+                assert _dbits(v) == _dbits(0.0)
+
+    def test_hypothesis_double_time_roundtrip(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                                  allow_subnormal=True),
+                        min_size=1, max_size=8))
+        def check(xs):
+            got = self._time_roundtrip("double", xs)
+            vals = [got[2]] if len(xs) == 1 else got[3]
+            assert [_dbits(v) for v in vals] == [_dbits(x) for x in xs]
+
+        check()
+
+    def test_hypothesis_float32_time_roundtrip(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.floats(width=32, allow_nan=True,
+                                  allow_infinity=True,
+                                  allow_subnormal=True),
+                        min_size=1, max_size=8))
+        def check(xs):
+            got = self._time_roundtrip("float", xs)
+            vals = [got[2]] if len(xs) == 1 else got[3]
+            assert [_dbits(v) for v in vals] == [_dbits(_f32(x))
+                                                 for x in xs]
+
+        check()
+
+    def test_hypothesis_ctrl_double_limits(self):
+        from hypothesis import given, settings, strategies as st
+        keys = ("lower_warning_limit", "upper_warning_limit",
+                "lower_alarm_limit", "upper_alarm_limit",
+                "lower_display_limit", "upper_display_limit",
+                "lower_control_limit", "upper_control_limit")
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                                  allow_subnormal=True),
+                        min_size=8, max_size=8))
+        def check(vals):
+            meta = dict(zip(keys, vals), precision=0, units="x")
+            _fam, back, _ = self._ctrl_roundtrip("double", meta)
+            for k, x in zip(keys, vals):
+                assert _dbits(back[k]) == _dbits(x)
+
+        check()

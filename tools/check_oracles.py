@@ -20,6 +20,7 @@ import time
 os.environ.setdefault("MALLOC_CONF", "retain:false")
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,6 +29,24 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+#: Queries whose oracle contract is a documented grid/rounding tolerance
+#: rather than bit-exactness, mapped to the absolute tolerance and WHY.
+#: Keep this empty unless a written per-query contract justifies an
+#: entry — the driver hashes float values bit-exactly, and r07 proved a
+#: tolerant local gate can pass what the driver fails (-0.0 vs +0.0 in
+#: the CA CTRL wire queries survived five rounds under 1e-12).
+FLOAT_TOLERANCE: dict[str, float] = {}
+
+
+def _float_bits(s: pd.Series) -> np.ndarray:
+    """float64 column -> uint64 bit patterns, with every NaN collapsed
+    to the canonical quiet NaN so differing NaN payloads (but only
+    payloads) compare equal. -0.0 vs +0.0 and denormals stay distinct —
+    exactly what the driver's value hash sees."""
+    a = s.astype("float64").to_numpy(dtype="float64", copy=True)
+    a[np.isnan(a)] = np.nan
+    return a.view("uint64")
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -58,7 +77,16 @@ def compare(name: str, spark_df: pd.DataFrame, ora_df: pd.DataFrame) -> list[str
             )
             continue
         if x.dtype.kind == "f" or y.dtype.kind == "f":
-            bad = ~((x.isna() & y.isna()) | ((x - y).abs() <= 1e-12))
+            tol = FLOAT_TOLERANCE.get(name)
+            if tol is not None:
+                bad = ~((x.isna() & y.isna()) | ((x - y).abs() <= tol))
+                bad = pd.Series(bad, index=x.index)
+            else:
+                # driver-faithful: bit-exact uint64 compare (NaN-payload
+                # canonicalized, -0.0/+0.0/denormal aware)
+                bad = pd.Series(
+                    _float_bits(x) != _float_bits(y), index=x.index
+                )
         else:
             bad = x.astype(str) != y.astype(str)
         nbad = int(bad.sum())
