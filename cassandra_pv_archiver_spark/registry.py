@@ -705,32 +705,42 @@ _LAST_DRIVER_CHECKED = {
     "asof_after": 5,
     "asof_before": 5,
     "asof_pair_align": 5,
+    "attribution_last_touch": 7,
+    "audio_downsample_features": 7,
     "audio_features_wav": 5,
     "audio_fingerprint_near_dup": 5,
+    "audio_vad_segments": 7,
     "balanced_sample_per_lang": 4,
     "bloom_decontam_audit": 5,
+    "boilerplate_by_source": 7,
+    "boilerplate_spans": 7,
     "bpe_merges": 5,
     "bpe_tokenize_audit": 5,
     "build_training_shard": 5,
     "ca_array_roundtrip_stats": 5,
+    "ca_ctrl_metadata": 7,
     "ca_ingest_roundtrip_1h": 5,
     "ca_live_subscribe": 5,
+    "ca_live_subscribe_typed": 7,
+    "ca_typed_roundtrip_1h": 7,
+    "ca_wire_matrix": 7,
     "cdc_chunk_dedup": 4,
     "channel_acf_1h": 4,
     "channel_correlation_matrix": 3,
     "channel_dim_join": 5,
     "channel_gap_stats": 5,
-    "channel_glob": 2,
+    "channel_glob": 7,
     "channel_health_report": 5,
     "channel_outliers_mad": 4,
-    "channel_regex": 2,
+    "channel_regex": 7,
     "channel_trend_1h": 4,
+    "chunk_dedup_rewrite": 7,
     "cluster_quality_report": 4,
     "cluster_representatives": 3,
     "cms_heavy_hitters": 4,
-    "compact_invariance": 2,
+    "compact_invariance": 7,
     "compact_zorder_invariance": 4,
-    "config_xml_roundtrip": 2,
+    "config_xml_roundtrip": 7,
     "containment_pairs": 4,
     "containment_pairs_lsh": 5,
     "containment_recall_audit": 5,
@@ -743,14 +753,16 @@ _LAST_DRIVER_CHECKED = {
     "crossmodal_pairs": 4,
     "csv_ingest_roundtrip_1h": 3,
     "curate_corpus": 4,
+    "curate_round7": 7,
     "curriculum_bins": 4,
     "cusum_changepoints": 4,
-    "decimate_1h": 2,
-    "decimate_cascade_1d": 2,
-    "decimate_cascade_6h": 2,
-    "decimate_mixed_1h": 2,
+    "decimate_1h": 7,
+    "decimate_1h_auto_skew": 7,
+    "decimate_cascade_1d": 7,
+    "decimate_cascade_6h": 7,
+    "decimate_mixed_1h": 7,
     "decimate_plugin_median_1h": 3,
-    "decimate_typed_1h": 2,
+    "decimate_typed_1h": 7,
     "decontam_two_stage": 5,
     "dedup_best_survivor": 3,
     "dedup_clusters": 3,
@@ -760,6 +772,7 @@ _LAST_DRIVER_CHECKED = {
     "dedup_ngram_jaccard": 3,
     "dedup_rate_by_source": 4,
     "dim_truncation_recall": 5,
+    "dim_variance_selection_recall": 7,
     "distinctive_terms": 4,
     "distribution_drift": 4,
     "doc_fingerprint": 5,
@@ -770,7 +783,7 @@ _LAST_DRIVER_CHECKED = {
     "embedding_near_dup": 5,
     "embedding_near_dup_lsh": 4,
     "embedding_quantize_audit": 3,
-    "enabling_link": 2,
+    "enabling_link": 7,
     "enabling_link_multi": 5,
     "epoch_shuffle": 5,
     "events_dow_profile": 3,
@@ -779,54 +792,67 @@ _LAST_DRIVER_CHECKED = {
     "events_sliding_1h": 3,
     "events_unpivot": 3,
     "ewma_by_channel": 5,
-    "fuzzy_channel_pairs": 2,
+    "fuzzy_channel_pairs": 7,
     "group_split_guard": 4,
-    "heartbeat_1h": 2,
+    "hard_negative_mining": 7,
+    "heartbeat_1h": 7,
     "image_dhash_mixed_codec": 5,
     "image_dhash_near_dup": 4,
+    "image_phash_mixed_codec": 7,
+    "image_resize_dhash": 7,
     "ivfpq_adc_recall": 5,
     "ivfpq_rerank_recall": 5,
-    "json_v1_mixed_1h": 2,
-    "json_v1_raw_typed": 2,
-    "json_v1_typed_1h": 2,
+    "json_v1_ca_wire": 7,
+    "json_v1_mixed_1h": 7,
+    "json_v1_raw_typed": 7,
+    "json_v1_typed_1h": 7,
     "jsonl_ingest_roundtrip_1h": 3,
     "lagged_correlation_1h": 4,
     "lang_confusion": 4,
     "lang_id": 5,
     "lapsed_customers": 3,
     "level_backfill_6h": 5,
+    "level_freshness_report": 7,
+    "lm_backoff_census": 7,
+    "lm_quality_score": 7,
     "lsh_recall_audit": 4,
-    "markers_disconnect": 2,
-    "missing_level_empty": 2,
+    "markers_disconnect": 7,
+    "missing_level_empty": 7,
     "mix_corpus_ratios": 3,
     "mixture_temperature_alloc": 4,
-    "monotonic_stats": 2,
+    "monotonic_stats": 7,
     "multimodal_frames": 4,
     "multimodal_meta": 5,
     "ngram_novelty": 4,
     "oov_rate": 4,
     "orc_ingest_roundtrip_1h": 3,
     "pack_efficiency": 4,
+    "pagerank_canonical": 7,
+    "pair_pagerank": 7,
     "pair_table_incremental": 5,
-    "pick_first_1h": 2,
+    "pca_top_component": 7,
+    "pick_first_1h": 7,
     "pii_scan_by_source": 3,
-    "planner_fallback": 2,
+    "planner_fallback": 7,
     "plot_downsample_m4": 4,
     "plot_query_240px": 4,
     "pq_adc_recall": 5,
     "pq_codebook_audit": 5,
     "pq_staleness_audit": 5,
+    "quality_filter_report": 7,
     "quality_filtered_stats": 4,
     "quality_ks_by_source": 4,
     "quality_quantiles": 4,
     "quality_quantiles_approx": 3,
-    "range_limit_modes": 2,
-    "rate_limit_10m": 2,
+    "range_limit_modes": 7,
+    "rate_limit_10m": 7,
     "raw_latest_n": 2,
     "raw_scan": 2,
     "repetition_metrics": 4,
     "resample_linear_1h": 4,
+    "retention_fallback_plan": 7,
     "retention_sweep_daily": 2,
+    "ridge_probe": 7,
     "sax_motifs": 4,
     "seasonal_hod_anomalies": 5,
     "seasonal_profile_incremental": 5,
@@ -838,10 +864,12 @@ _LAST_DRIVER_CHECKED = {
     "shuffle_skew_report": 5,
     "simhash_near_pairs": 3,
     "source_vocab_overlap": 5,
+    "split_leakage_audit": 7,
     "store_cdc_diff": 4,
     "store_delete_invariance": 5,
     "store_rename_invariance": 5,
     "store_time_travel": 4,
+    "store_typed_roundtrip": 7,
     "stratified_split": 4,
     "stream_lifecycle_1h": 2,
     "substring_dup_spans": 3,
@@ -881,10 +909,22 @@ _LAST_DRIVER_CHECKED = {
     "zipf_vocab_profile": 5,
 }
 
+#: Queries whose LATEST driver record is red (regenerated alongside the
+#: ledger): their fixes need driver re-attestation next round, so they
+#: outrank even never-checked additions in the rotation order.
+_LATEST_DRIVER_RED = frozenset({
+    "ca_ctrl_metadata",
+    "ca_live_subscribe_typed",
+    "ca_typed_roundtrip_1h",
+    "json_v1_ca_wire",
+})
+
 REGISTRY = {
     name: REGISTRY[name]
     for name in sorted(
-        REGISTRY, key=lambda n: (_LAST_DRIVER_CHECKED.get(n, 0), n)
+        REGISTRY,
+        key=lambda n: (n not in _LATEST_DRIVER_RED,
+                       _LAST_DRIVER_CHECKED.get(n, 0), n),
     )
 }
 
