@@ -1,0 +1,332 @@
+"""Admin REST surface: channel CRUD, XML import/export, and status over
+HTTP — the reference's administrative web-service API
+(`web/admin/controller/ApiController.java:225-806`) bound onto the
+already-tested ``management.py`` operations (VERDICT r7 #7).
+
+Route map (all under ``/admin/api``; field names match the reference's
+``wsapi`` JSON contracts exactly):
+
+  GET  /1.0/channels/all
+       every channel (`ApiController.channelsAll:270-330`;
+       `ChannelsAllResponse.ChannelItem`: channelDataId, channelName,
+       controlSystemName, controlSystemType, decimationLevels,
+       serverId, serverName).
+  GET  /1.0/channels/all/by-name/{channelName}
+       one channel's full configuration (`channelDetails:253-259`;
+       `ChannelResponse.java:123-136`).
+  GET  /1.0/channels/by-server/{serverId}
+       channels of one server (`channelsByServer:341`); this engine is
+       single-server — Spark owns the cluster (SURVEY §7.6) — so the
+       fixed ``SERVER_ID`` holds every channel and any other valid UUID
+       holds none (404, matching the reference's unknown-server reply).
+  GET  /1.0/channels/by-server/{serverId}/export
+       XML config export (`channelsByServerExport:474-514`;
+       `ChannelsByServerExportResponse`: base64 ``configurationFile``).
+  POST /1.0/channels/by-server/{serverId}/import
+       XML config import (`channelsByServerImport:530-640`;
+       request: configurationFile/addChannels/updateChannels/
+       removeChannels/simulate, response: addOrUpdateSucceeded/
+       addOrUpdateFailed/removeSucceeded/removeFailed).
+  POST /1.0/run-archive-configuration-commands
+       batched CRUD (`runArchiveConfigurationCommands:762-798`): each
+       command a JSON object with ``commandType`` in {add_channel,
+       add_or_update_channel, update_channel, remove_channel,
+       rename_channel, move_channel, refresh_channel}
+       (`ArchiveConfigurationCommand.java:67-74`); per-command results,
+       failures reported in-band, never aborting the batch.
+  GET  /1.0/server-status/this-server
+       single-node status (`serverStatus:804`; `ServerStatusResponse`).
+  GET  /1.0/cluster-status
+       one-server cluster listing (`clusterStatus:726-760`).
+
+Like ``server.ArchiveApp`` this is deliberately a shim: every mutation
+is one ``ChannelRegistry`` call, so the HTTP layer adds no semantics —
+and the registry's atomic parquet swap gives each command the same
+crash-safety the reference gets from its Cassandra LWTs.
+"""
+
+from __future__ import annotations
+
+import base64
+import time
+import uuid
+
+from .management import ChannelConfig, ChannelRegistry, export_xml, import_xml
+from .server import ApiError
+
+_PREFIX = "/admin/api/1.0"
+
+#: this engine is single-server: one well-known server UUID
+SERVER_ID = "00000000-0000-0000-0000-000000000001"
+SERVER_NAME = "spark-archiver"
+
+#: controlSystemType -> human-readable name (`ControlSystemSupport.getName`)
+_CS_NAMES = {"channel_access": "Channel Access"}
+
+
+def _require_uuid(s: str) -> str:
+    """Reference contract: a malformed server UUID is a 404, not a 400
+    (`channelsByServerExport:479-487`)."""
+    try:
+        return str(uuid.UUID(s))
+    except ValueError:
+        raise ApiError(404, f"not a server id: {s}") from None
+
+
+class AdminApp:
+    """Request -> response-dict dispatcher for the admin API (framework-
+    free like ``ArchiveApp``; ``server.serve`` binds both)."""
+
+    def __init__(self, registry: ChannelRegistry):
+        self.registry = registry
+        self._started_ns = time.time_ns()
+
+    # -- routing ------------------------------------------------------------
+    def handle_get(self, path: str, query: dict[str, list[str]]):
+        from .management import url_decode
+
+        if not path.startswith(_PREFIX):
+            raise ApiError(404, f"unknown path: {path}")
+        rest = [p for p in path[len(_PREFIX):].split("/") if p]
+        if rest == ["channels", "all"]:
+            return self.channels_all()
+        if len(rest) == 4 and rest[:3] == ["channels", "all", "by-name"]:
+            return self.channel_details(url_decode(rest[3]))
+        if len(rest) == 3 and rest[0] == "channels" and rest[1] == "by-server":
+            return self.channels_by_server(_require_uuid(rest[2]))
+        if (len(rest) == 5 and rest[0] == "channels"
+                and rest[1] == "by-server" and rest[3] == "by-name"):
+            return self.channel_details(url_decode(rest[4]),
+                                        server_id=_require_uuid(rest[2]))
+        if (len(rest) == 4 and rest[0] == "channels"
+                and rest[1] == "by-server" and rest[3] == "export"):
+            return self.export(_require_uuid(rest[2]))
+        if rest == ["server-status", "this-server"]:
+            return self.server_status()
+        if rest == ["cluster-status"]:
+            return self.cluster_status()
+        raise ApiError(404, f"unknown path: {path}")
+
+    def handle_post(self, path: str, body: dict):
+        if not path.startswith(_PREFIX):
+            raise ApiError(404, f"unknown path: {path}")
+        rest = [p for p in path[len(_PREFIX):].split("/") if p]
+        if rest == ["run-archive-configuration-commands"]:
+            return self.run_commands(body)
+        if (len(rest) == 4 and rest[0] == "channels"
+                and rest[1] == "by-server" and rest[3] == "import"):
+            return self.import_config(_require_uuid(rest[2]), body)
+        raise ApiError(404, f"unknown path: {path}")
+
+    # -- read endpoints ------------------------------------------------------
+    def _item(self, c: ChannelConfig) -> dict:
+        """`ChannelsAllResponse.ChannelItem` field-for-field."""
+        return {
+            "channelDataId": c.channel_data_id,
+            "channelName": c.channel_name,
+            "controlSystemName": _CS_NAMES.get(
+                c.control_system_type, c.control_system_type),
+            "controlSystemType": c.control_system_type,
+            "decimationLevels": sorted(c.decimation_levels),
+            "serverId": SERVER_ID,
+            "serverName": SERVER_NAME,
+        }
+
+    def channels_all(self):
+        return {"channels": [self._item(c)
+                             for c in self.registry.list_channels()]}
+
+    def channels_by_server(self, server_id: str):
+        if server_id != SERVER_ID:
+            raise ApiError(404, f"unknown server: {server_id}")
+        return {"channels": [self._item(c)
+                             for c in self.registry.list_channels()]}
+
+    def channel_details(self, name: str, server_id: str | None = None):
+        """`ChannelResponse.java:123-136` (the sample counters come from
+        the live archiving service in the reference; this engine's
+        ingestion is replayable Structured Streaming, so they are 0 —
+        the reference reports the same for a channel not being
+        archived by the queried node)."""
+        if server_id is not None and server_id != SERVER_ID:
+            raise ApiError(404, f"unknown server: {server_id}")
+        c = self.registry.get_channel(name)
+        if c is None:
+            raise ApiError(404, f"unknown channel: {name}")
+        return {
+            "channelDataId": c.channel_data_id,
+            "channelName": c.channel_name,
+            "controlSystemName": _CS_NAMES.get(
+                c.control_system_type, c.control_system_type),
+            "controlSystemType": c.control_system_type,
+            "decimationLevelToRetentionPeriod": {
+                str(k): v for k, v in sorted(c.decimation_levels.items())},
+            "enabled": c.enabled,
+            "errorMessage": None,
+            "options": dict(sorted(c.options.items())),
+            "serverId": SERVER_ID,
+            "serverName": SERVER_NAME,
+            "state": "ok" if c.enabled else "disabled",
+            "totalSamplesDropped": 0,
+            "totalSamplesSkippedBack": 0,
+            "totalSamplesWritten": 0,
+        }
+
+    def export(self, server_id: str):
+        """`ChannelsByServerExportResponse`: the XML file base64-inlined
+        in JSON (Jackson's byte[] rendering)."""
+        if server_id != SERVER_ID:
+            raise ApiError(404, f"unknown server: {server_id}")
+        xml = export_xml(self.registry.list_channels())
+        return {"configurationFile":
+                base64.b64encode(xml.encode("utf-8")).decode("ascii")}
+
+    def server_status(self):
+        reg = self.registry
+        channels = reg.list_channels()
+        return {
+            "cassandraClusterName": "spark",
+            "cassandraError": None,
+            "cassandraKeyspaceName": "archive",
+            "channelsDisconnected": 0,
+            "channelsError": 0,
+            "channelsTotal": len(channels),
+            "serverId": SERVER_ID,
+            "serverLastOnlineTime": self._started_ns // 1_000_000,
+            "serverName": SERVER_NAME,
+            "serverOnline": True,
+            "totalSamplesDropped": 0,
+            "totalSamplesWritten": 0,
+        }
+
+    def cluster_status(self):
+        return {"servers": [{
+            "serverId": SERVER_ID,
+            "serverName": SERVER_NAME,
+            "online": True,
+            "lastOnlineTime": self._started_ns // 1_000_000,
+        }]}
+
+    # -- mutations -----------------------------------------------------------
+    def run_commands(self, body: dict):
+        """`runArchiveConfigurationCommands:762-798`: validation problems
+        with individual channels are reported per-command, never failing
+        the batch — only a malformed request is an HTTP error."""
+        commands = body.get("commands")
+        if not isinstance(commands, list):
+            raise ApiError(400, "body must carry a 'commands' list")
+        results = []
+        for cmd in commands:
+            try:
+                self._apply(cmd)
+                results.append(
+                    {"command": cmd, "success": True, "errorMessage": None})
+            except (KeyError, ValueError, TypeError) as e:
+                results.append(
+                    {"command": cmd, "success": False,
+                     "errorMessage": str(e) or type(e).__name__})
+        return {"errorMessage": None, "results": results}
+
+    def _apply(self, cmd: dict) -> None:
+        ctype = cmd.get("commandType")
+        reg = self.registry
+        if ctype in ("add_channel", "add_or_update_channel",
+                     "update_channel"):
+            name = cmd["channelName"]
+            cfg = ChannelConfig(
+                channel_name=name,
+                control_system_type=cmd.get(
+                    "controlSystemType", "channel_access"),
+                enabled=bool(cmd.get("enabled", True)),
+                decimation_levels={
+                    int(k): int(v)
+                    for k, v in (cmd.get("decimationLevelToRetentionPeriod")
+                                 or {}).items()}
+                or {int(p): 0 for p in cmd.get("decimationLevels") or [0]},
+                options=dict(cmd.get("options") or {}),
+            )
+            if ctype == "add_channel":
+                reg.add_channel(cfg)
+            elif ctype == "update_channel":
+                reg.update_channel(cfg)
+            elif reg.get_channel(name) is None:
+                reg.add_channel(cfg)
+            else:
+                reg.update_channel(cfg)
+        elif ctype == "remove_channel":
+            reg.remove_channel(cmd["channelName"])
+        elif ctype == "rename_channel":
+            reg.rename_channel(cmd["oldChannelName"], cmd["newChannelName"])
+        elif ctype == "move_channel":
+            # single-server engine: moving to this server is a no-op
+            # success, to any other UUID an error (reference semantics:
+            # the target server must exist in the cluster)
+            if _require_uuid(cmd.get("newServerId", "")) != SERVER_ID:
+                raise ValueError("unknown target server")
+            if self.registry.get_channel(cmd["channelName"]) is None:
+                raise KeyError(cmd["channelName"])
+        elif ctype == "refresh_channel":
+            # no cached per-node channel state to refresh here
+            if self.registry.get_channel(cmd["channelName"]) is None:
+                raise KeyError(cmd["channelName"])
+        else:
+            raise ValueError(f"unknown commandType: {ctype}")
+
+    def import_config(self, server_id: str, body: dict):
+        """`channelsByServerImport:530-640`: add/update channels from the
+        file per flags, remove server channels NOT in the file when
+        ``removeChannels``; ``simulate`` runs the same decisions without
+        mutating. Per-channel failures land in the *Failed maps."""
+        if server_id != SERVER_ID:
+            raise ApiError(404, f"unknown server: {server_id}")
+        raw = body.get("configurationFile") or ""
+        try:
+            xml = base64.b64decode(raw).decode("utf-8")
+        except Exception:  # noqa: BLE001 - any decode problem is a 400
+            raise ApiError(400, "configurationFile must be base64 XML") from None
+        if not xml:
+            raise ApiError(400, "Configuration file must have non-zero length.")
+        add = bool(body.get("addChannels", True))
+        update = bool(body.get("updateChannels", True))
+        remove = bool(body.get("removeChannels", False))
+        simulate = bool(body.get("simulate", False))
+        try:
+            incoming = import_xml(xml)
+        except Exception as e:  # noqa: BLE001 - malformed XML is a 400
+            raise ApiError(400, f"cannot parse configuration file: {e}") from None
+
+        reg = self.registry
+        ok_up: list[str] = []
+        fail_up: dict[str, str] = {}
+        ok_rm: list[str] = []
+        fail_rm: dict[str, str] = {}
+        names_in_file = {c.channel_name for c in incoming}
+        for cfg in incoming:
+            exists = reg.get_channel(cfg.channel_name) is not None
+            try:
+                if not exists and add:
+                    if not simulate:
+                        reg.add_channel(cfg)
+                    ok_up.append(cfg.channel_name)
+                elif exists and update:
+                    if not simulate:
+                        reg.update_channel(cfg)
+                    ok_up.append(cfg.channel_name)
+            except (KeyError, ValueError) as e:
+                fail_up[cfg.channel_name] = str(e)
+        if remove:
+            for c in list(reg.list_channels()):
+                if c.channel_name not in names_in_file:
+                    try:
+                        if not simulate:
+                            reg.remove_channel(c.channel_name)
+                        ok_rm.append(c.channel_name)
+                    except KeyError as e:
+                        fail_rm[c.channel_name] = str(e)
+        return {
+            "addOrUpdateSucceeded": sorted(ok_up),
+            "addOrUpdateFailed": fail_up,
+            "removeSucceeded": sorted(ok_rm),
+            "removeFailed": fail_rm,
+            "errorMessage": None,
+        }

@@ -194,12 +194,16 @@ def _render_plan_json_v1(plan):
 
 class _Handler(BaseHTTPRequestHandler):
     app: ArchiveApp  # set by serve()
+    admin = None  # optional AdminApp, set by serve()
     protocol_version = "HTTP/1.1"  # needed for chunked transfer encoding
 
     def do_GET(self):  # noqa: N802 (stdlib API name)
         u = urlparse(self.path)
         try:
-            body = self.app.handle(u.path, parse_qs(u.query))
+            if self.admin is not None and u.path.startswith("/admin/api"):
+                body = self.admin.handle_get(u.path, parse_qs(u.query))
+            else:
+                body = self.app.handle(u.path, parse_qs(u.query))
         except ApiError as e:
             payload = json.dumps({"error": str(e)}).encode("utf-8")
             self._send_whole(e.status, payload)
@@ -222,6 +226,36 @@ class _Handler(BaseHTTPRequestHandler):
             self._write_chunk(b"]")
             self.wfile.write(b"0\r\n\r\n")
 
+    def do_POST(self):  # noqa: N802 (stdlib API name)
+        """Admin mutations (`ApiController.java` POST routes). Request
+        bodies are JSON; per-command failures ride inside a 200 response
+        (the reference's batch contract), only malformed requests and
+        unknown routes produce error statuses."""
+        u = urlparse(self.path)
+        try:
+            if self.admin is None or not u.path.startswith("/admin/api"):
+                raise ApiError(404, f"unknown path: {u.path}")
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b""
+            try:
+                body = json.loads(raw.decode("utf-8")) if raw else {}
+            except (UnicodeDecodeError, json.JSONDecodeError):
+                raise ApiError(400, "request body must be JSON") from None
+            result = self.admin.handle_post(u.path, body)
+        except ApiError as e:
+            payload = json.dumps({"error": str(e)}).encode("utf-8")
+            self._send_whole(e.status, payload)
+            return
+        # reference parity: any failed command in a batch flips the
+        # status to 500 while still returning the full results body
+        # (`runArchiveConfigurationCommands:789-795`)
+        status = 200
+        if isinstance(result, dict) and any(
+            not r.get("success", True) for r in result.get("results", [])
+        ):
+            status = 500
+        self._send_whole(status, json.dumps(result).encode("utf-8"))
+
     def _send_whole(self, status: int, payload: bytes):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
@@ -239,13 +273,15 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
 
-def serve(app: ArchiveApp, host: str = "127.0.0.1", port: int = 0):
+def serve(app: ArchiveApp, host: str = "127.0.0.1", port: int = 0,
+          admin=None):
     """Start the shim on (host, port); port 0 picks an ephemeral port.
     Returns the server object (``server_address[1]`` has the bound port;
     ``shutdown()`` stops it). Runs in a daemon thread — the Spark session
     and driver own process lifetime, matching the reference's embedded
-    servlet container."""
-    handler = type("Handler", (_Handler,), {"app": app})
+    servlet container. Pass an ``admin_api.AdminApp`` to also bind the
+    administrative routes under ``/admin/api``."""
+    handler = type("Handler", (_Handler,), {"app": app, "admin": admin})
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

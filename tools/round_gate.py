@@ -23,8 +23,10 @@ Exit code 0 = every gate green. Usage:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -35,6 +37,27 @@ REPO = os.path.dirname(HERE)
 
 REGRESSION_FACTOR = 1.3
 REGRESSION_FLOOR = 0.5  # seconds
+
+
+def _current_round() -> int:
+    """The round being built = 1 + the newest driver BENCH record."""
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def _prior_details(cur: int) -> str | None:
+    """The last RECORDED round's bench details (`bench_details_r{N}.json`),
+    not merely the previous gate run — the r05->r07 `.prev` overwrite
+    destroyed the midpoint of the prior chain (VERDICT r7 #6)."""
+    best, best_round = None, -1
+    for f in glob.glob(os.path.join(REPO, "bench_details_r*.json")):
+        n = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if best_round < n < cur:
+            best, best_round = f, n
+    return best
 
 
 def run(cmd: list[str], log_name: str) -> tuple[int, str]:
@@ -92,11 +115,9 @@ def main() -> int:
         ))
 
     if not fast:
-        prev = os.path.join(REPO, "bench_details.json")
-        prev_copy = None
-        if os.path.exists(prev):
-            prev_copy = prev + ".prev"
-            shutil.copy(prev, prev_copy)
+        cur = _current_round()
+        details = os.path.join(REPO, "bench_details.json")
+        prior = _prior_details(cur)
         print("[gate] bench @ sf0.1")
         rc, out = run([sys.executable, os.path.join(REPO, "bench.py")], "bench")
         line = next(
@@ -108,24 +129,26 @@ def main() -> int:
             rec = json.loads(line)
             n = rec.get("n_queries", len(rec["queries"]))
             print(f"  {rec['value']}s total, {n} queries")
-            if prev_copy:
+            # dated sidecar: this round's record, for the NEXT round's prior
+            shutil.copy(details, os.path.join(
+                REPO, f"bench_details_r{cur:02d}.json"))
+            if prior:
+                print(f"  diff vs {os.path.basename(prior)}")
                 rc2, out2 = run(
                     [
                         sys.executable,
                         os.path.join(HERE, "bench_compare.py"),
-                        prev_copy,
-                        prev,
+                        prior,
+                        details,
                     ],
                     "bench_compare",
                 )
-                reg = [
-                    ln
-                    for ln in out2.splitlines()
-                    if "x" in ln and ln.strip().startswith("+")
-                ]
                 print(out2)
                 # bench_compare output is advisory (box variance); the hard
                 # gate is oracle + audit. Surface, don't fail.
+
+    if "--sf1" in sys.argv:
+        failures += sf1_sweep()
 
     print()
     if failures:
@@ -135,6 +158,73 @@ def main() -> int:
         return 1
     print("ROUND GATE: all green")
     return 0
+
+
+SF1_DIR = "/tmp/pvspark-sf1"
+SF1_QUERIES = [
+    "decimate_1h", "decimate_cascade_6h", "union_levels",
+    "planner_fallback", "materialize_minhash_pairs",
+    "materialize_pq_index", "pq_adc_recall",
+]
+SF1_RECEIPT = ["decimate_1h", "union_levels", "raw_latest_n",
+               "hard_negative_mining"]
+SF1_MARK, SF1_END = "<!-- sf1-sweep -->", "<!-- /sf1-sweep -->"
+
+
+def sf1_sweep() -> list[str]:
+    """Decade-up sweep (VERDICT r7 #8): regenerate the 10x slice, sweep
+    the headline families, value-check the receipt queries on it, and
+    refresh PERF.md's marker-delimited sf1 block."""
+    failures: list[str] = []
+    print(f"[gate] sf1 slice -> {SF1_DIR} (gen_sf1.py)")
+    rc, out = run(
+        [sys.executable, os.path.join(HERE, "gen_sf1.py"), SF1_DIR],
+        "gen_sf1",
+    )
+    if rc != 0:
+        return [f"gen_sf1 failed:\n{out.strip().splitlines()[-3:]}"]
+
+    print("[gate] sf1 correctness receipt (check_oracles @ sf1)")
+    rc, out = run(
+        [sys.executable, os.path.join(HERE, "check_oracles.py"), SF1_DIR]
+        + SF1_RECEIPT,
+        "oracles_sf1",
+    )
+    if rc != 0 or "0 failures" not in out:
+        failures.append("sf1 oracle receipt:\n"
+                        + "\n".join(out.strip().splitlines()[-5:]))
+
+    print("[gate] sf1 perf sweep (perf_sweep --sf1)")
+    rc, out = run(
+        [sys.executable, os.path.join(HERE, "perf_sweep.py"),
+         f"--sf1={SF1_DIR}"] + SF1_QUERIES,
+        "perf_sweep_sf1",
+    )
+    table = [ln for ln in out.splitlines() if ln.startswith("|")]
+    if rc != 0 or len(table) < 3:
+        failures.append("perf_sweep --sf1 produced no table")
+        return failures
+    print("\n".join(table))
+
+    perf_path = os.path.join(REPO, "PERF.md")
+    perf = open(perf_path).read()
+    cur = _current_round()
+    block = (
+        f"{SF1_MARK}\n"
+        f"### sf1 sweep — regenerated by `round_gate --sf1` (round {cur})\n\n"
+        + "\n".join(table) + f"\n{SF1_END}"
+    )
+    if SF1_MARK in perf:
+        new_perf = re.sub(
+            re.escape(SF1_MARK) + r".*?" + re.escape(SF1_END),
+            block, perf, count=1, flags=re.S,
+        )
+    else:
+        new_perf = perf.rstrip() + "\n\n" + block + "\n"
+    if new_perf != perf:
+        open(perf_path, "w").write(new_perf)
+        print("  PERF.md sf1 block refreshed")
+    return failures
 
 
 if __name__ == "__main__":
