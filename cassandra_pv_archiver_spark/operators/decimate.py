@@ -254,6 +254,48 @@ def _severity_agg():
     ).alias("_sevpick")
 
 
+def _extrema_aggs(vmin_src: str, vmax_src: str) -> list:
+    """Aggregate legs for Math.min/Math.max-faithful extrema
+    (`AggregatedScalarDoubleAggregator.java:100-103`). Native
+    ``F.min``/``F.max`` keep the FIRST of a ``{-0.0, +0.0}`` tie —
+    encounter-order-dependent, i.e. nondeterministic under shuffle
+    partitioning — and Spark's min sorts NaN largest while Java's
+    ``Math.min`` propagates it. The zero-sign probe is a string cast
+    (Java ``Double.toString(-0.0)`` keeps the sign): a division probe
+    trips ANSI DIVIDE_BY_ZERO and Spark's ``atan2`` normalizes ``-0.0``
+    operands away (it adds ``+0.0`` to both). The conjunction
+    short-circuits in codegen, so the cast only ever runs on
+    zero-valued rows; the boolean legs are map-side combinable."""
+    mn, mx = F.col(vmin_src), F.col(vmax_src)
+    neg_sign_mn = mn.cast("string").startswith("-")
+    neg_sign_mx = mx.cast("string").startswith("-")
+    return [
+        F.min(vmin_src).alias("_vmin0"),
+        F.max(vmax_src).alias("_vmax0"),
+        F.max(F.isnan(mn)).alias("_has_nan"),
+        F.max((mn == 0.0) & neg_sign_mn).alias("_has_nz"),
+        F.max((mx == 0.0) & ~neg_sign_mx).alias("_has_pz"),
+    ]
+
+
+def _extrema_cols() -> tuple:
+    """Post-aggregate corrections for :func:`_extrema_aggs`: min prefers
+    ``-0.0`` on a zero tie and propagates NaN; max prefers ``+0.0`` (its
+    NaN propagation is native — Spark sorts NaN largest)."""
+    vmin = (
+        F.when(F.col("_has_nan"), F.lit(float("nan")))
+        .when((F.col("_vmin0") == 0.0) & F.col("_has_nz"), F.lit(-0.0))
+        .otherwise(F.col("_vmin0"))
+        .alias("vmin")
+    )
+    vmax = (
+        F.when((F.col("_vmax0") == 0.0) & F.col("_has_pz"), F.lit(0.0))
+        .otherwise(F.col("_vmax0"))
+        .alias("vmax")
+    )
+    return vmin, vmax
+
+
 def decimate(
     df: DataFrame,
     period_s: int,
@@ -301,8 +343,7 @@ def decimate(
         F.sum("ws_ns").alias("_sw"),  # ≤ period_ns: exact in int64/double
         F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi")).alias("_swv"),
         F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi * _vi")).alias("_swv2"),
-        F.min("v").alias("vmin"),
-        F.max("v").alias("vmax"),
+        *_extrema_aggs("v", "v"),
         _severity_agg(),
         F.count(F.lit(1)).alias("n_samples"),
     )
@@ -311,13 +352,14 @@ def decimate(
     var = F.expr(big_to_double("_swv2")) / swd / F.lit(float(vs * vs)) - mean * mean
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     frac = swd / F.lit(1e9) / F.lit(float(period_s))
+    vmin, vmax = _extrema_cols()
     return g.select(
         F.col(key),
         (F.col("win") * F.lit(period_ns)).alias("t"),
         _r(mean).alias("mean"),
         _r(std).alias("std"),
-        "vmin",
-        "vmax",
+        vmin,
+        vmax,
         _r(frac).alias("covered_fraction"),
         F.col("_sevpick.severity").alias("severity"),
         F.col("_sevpick.status").alias("status"),
@@ -376,8 +418,7 @@ def reaggregate(
         F.sum(
             F.col("_w") * (F.col("_s") * F.col("_s") + F.col("_m") * F.col("_m"))
         ).alias("_swm2"),
-        F.min("vmin").alias("vmin"),
-        F.max("vmax").alias("vmax"),
+        *_extrema_aggs("vmin", "vmax"),
         _severity_agg(),
         F.sum("n_samples").alias("n_samples"),
     )
@@ -388,13 +429,14 @@ def reaggregate(
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     # sw is ns·frac-units: /1e9 -> s·frac-units, /rs -> s, /target -> fraction
     frac = swd / F.lit(1e9) / F.lit(float(rs)) / F.lit(float(target_period_s))
+    vmin, vmax = _extrema_cols()
     return g.select(
         F.col(key),
         (F.col("win") * F.lit(period_ns)).alias("t"),
         _r(mean).alias("mean"),
         _r(std).alias("std"),
-        "vmin",
-        "vmax",
+        vmin,
+        vmax,
         _r(frac).alias("covered_fraction"),
         F.col("_sevpick.severity").alias("severity"),
         F.col("_sevpick.status").alias("status"),

@@ -197,3 +197,108 @@ def test_decimate_negative_timestamps_floor_windows(spark):
     w0 = out[0]
     assert abs(w0.mean - (10.0 * 10 + 40.0 * 20) / 30) < 1e-9
     assert abs(w0.covered_fraction - 1.0) < 1e-12
+
+
+def _bits(x: float) -> int:
+    import struct
+
+    return struct.unpack(">Q", struct.pack(">d", x))[0]
+
+
+class TestSignedZeroExtrema:
+    """VERDICT r7 #9: vmin/vmax over ``{-0.0, +0.0}`` mixtures must be
+    deterministic and reference-faithful — the reference accumulates via
+    ``Math.min``/``Math.max`` (`AggregatedScalarDoubleAggregator.java:
+    100-103`), which prefer ``-0.0`` for min, ``+0.0`` for max, and
+    propagate NaN. Spark's native F.min/F.max keep the FIRST of a zero
+    tie (partition-order-dependent), the same bug class as the r07
+    ``meta.get(k) or 0`` wire failure. Pinned bit-exact against a DuckDB
+    oracle leg so both engines agree byte-for-byte."""
+
+    ORACLE = """
+        SELECT CASE WHEN bool_or(isnan(v)) THEN 'NaN'::DOUBLE
+                    WHEN min(v) = 0 AND bool_or(v = 0 AND signbit(v))
+                         THEN -0.0::DOUBLE
+                    ELSE min(v) END AS vmin,
+               CASE WHEN bool_or(isnan(v)) THEN 'NaN'::DOUBLE
+                    WHEN max(v) = 0 AND bool_or(v = 0 AND NOT signbit(v))
+                         THEN 0.0::DOUBLE
+                    ELSE max(v) END AS vmax
+        FROM vals
+    """
+
+    @staticmethod
+    def _lit(v: float) -> str:
+        # explicit SQL literals: a pandas float64 scan would turn NaN
+        # into NULL (pandas' null marker), hiding it from isnan()
+        if math.isnan(v):
+            return "('NaN'::DOUBLE)"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "(-0.0::DOUBLE)"
+        return f"({v!r}::DOUBLE)"
+
+    CASES = [
+        [-0.0, 0.0],
+        [0.0, -0.0],
+        [0.0, 0.0, -0.0, 0.0],
+        [-0.0, -0.0],
+        [0.0, 0.0],
+        [3.0, 0.0, -0.0],
+        [-1.0, float("nan"), 0.0],
+    ]
+
+    def test_decimate_extrema_bit_exact_both_engines(self, spark):
+        import duckdb
+
+        for vals in self.CASES:
+            rows = [("a", 60 + 60 * i, v, 0, 0) for i, v in enumerate(vals)]
+            rows.append(("a", 7300, 9.0, 0, 0))  # hwm past the window
+            got = (
+                decimate(_raw(spark, rows), 3600)
+                .orderBy("t").select("vmin", "vmax").collect()[0]
+            )
+            lits = ", ".join(self._lit(v) for v in vals)
+            want = duckdb.sql(
+                f"WITH vals(v) AS (VALUES {lits}) {self.ORACLE}"
+            ).fetchone()
+            assert _bits(got.vmin) == _bits(want[0]), (vals, got.vmin)
+            assert _bits(got.vmax) == _bits(want[1]), (vals, got.vmax)
+
+    def test_decimate_extrema_order_insensitive(self, spark):
+        """Both encounter orders of a zero tie give the same bits — the
+        property Spark's native min/max lacks."""
+        for vals in ([-0.0, 0.0], [0.0, -0.0]):
+            rows = [("a", 60 + 60 * i, v, 0, 0) for i, v in enumerate(vals)]
+            rows.append(("a", 7300, 9.0, 0, 0))
+            got = (
+                decimate(_raw(spark, rows), 3600)
+                .orderBy("t").select("vmin", "vmax").collect()[0]
+            )
+            assert _bits(got.vmin) == _bits(-0.0)
+            assert _bits(got.vmax) == _bits(0.0)
+
+    def test_cascade_extrema_signed_zero(self, spark):
+        """Re-aggregation recombines source vmin/vmax with the same
+        Math.min/Math.max tie behavior."""
+        rows = [
+            ("a", 0, 0.0, 0.0, -0.0, -0.0, 1.0, 0, 0, 2),
+            ("a", 3600, 0.0, 0.0, 0.0, 0.0, 1.0, 0, 0, 2),
+            ("a", 7 * 3600, 1.0, 0.0, 1.0, 1.0, 1.0, 0, 0, 2),
+        ]
+        got = (
+            reaggregate(_agg(spark, rows), 3600, 6 * 3600)
+            .orderBy("t").select("vmin", "vmax").collect()[0]
+        )
+        assert _bits(got.vmin) == _bits(-0.0)
+        assert _bits(got.vmax) == _bits(0.0)
+
+    def test_nan_propagates_like_java_math(self, spark):
+        """Math.min(x, NaN) = NaN = Math.max(x, NaN); Spark's native min
+        would return x (NaN sorts largest)."""
+        rows = [("a", 60, -1.0, 0, 0), ("a", 120, float("nan"), 0, 0),
+                ("a", 7300, 9.0, 0, 0)]
+        got = (
+            decimate(_raw(spark, rows), 3600)
+            .orderBy("t").select("vmin", "vmax").collect()[0]
+        )
+        assert math.isnan(got.vmin) and math.isnan(got.vmax)
