@@ -4211,21 +4211,28 @@ raw AS (SELECT channel, max(t) AS raw_hwm FROM ls GROUP BY channel),
 -- against its source LEVEL's hwm: W1 = (cut div p1 - 1)*p1 from the raw
 -- cut, W6 = (W1 div p6 - 1)*p6 from the 1 h level (empirically pinned
 -- against the store in tests)
+-- HAVING >= 0: a channel with less than one closed window before MID
+-- writes nothing, so it has NO level hwm (the engine reports it as
+-- never-materialized via the LEFT join, not as a negative hwm)
 cut AS (SELECT channel,
                ((max(t) // {_P1H_NS}) - 1) * {_P1H_NS} AS h1
-        FROM ls WHERE t <= {MID} GROUP BY channel),
+        FROM ls WHERE t <= {MID} GROUP BY channel
+        HAVING ((max(t) // {_P1H_NS}) - 1) >= 0),
 cut6 AS (SELECT channel, ((h1 // {_P6H_NS}) - 1) * {_P6H_NS} AS h6
-         FROM cut)
+         FROM cut WHERE ((h1 // {_P6H_NS}) - 1) >= 0)
+-- LEFT joins from the raw spine (plans/jobs.level_freshness contract):
+-- a channel with no materialized level appears with level_hwm NULL and
+-- lag counted from period 0, never silently dropped
 SELECT r.channel, CAST(3600 AS INTEGER) AS level_s,
        c.h1 AS level_hwm, r.raw_hwm,
-       CAST((r.raw_hwm // {_P1H_NS}) - (c.h1 // {_P1H_NS}) AS BIGINT)
-         AS lag_periods
-FROM raw r JOIN cut c ON r.channel = c.channel
+       CAST((r.raw_hwm // {_P1H_NS})
+            - COALESCE(c.h1 // {_P1H_NS}, 0) AS BIGINT) AS lag_periods
+FROM raw r LEFT JOIN cut c ON r.channel = c.channel
 UNION ALL
 SELECT r.channel, CAST(21600 AS INTEGER) AS level_s,
        c6.h6 AS level_hwm, r.raw_hwm,
-       CAST((r.raw_hwm // {_P6H_NS}) - (c6.h6 // {_P6H_NS}) AS BIGINT)
-         AS lag_periods
-FROM raw r JOIN cut6 c6 ON r.channel = c6.channel
+       CAST((r.raw_hwm // {_P6H_NS})
+            - COALESCE(c6.h6 // {_P6H_NS}, 0) AS BIGINT) AS lag_periods
+FROM raw r LEFT JOIN cut6 c6 ON r.channel = c6.channel
 ORDER BY channel, level_s
 """

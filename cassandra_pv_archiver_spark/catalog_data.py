@@ -5687,10 +5687,14 @@ dets AS (SELECT m.*, {det_a} AS det_a,
 wts AS (SELECT dets.*, {", ".join(f"det{k} / det_a AS w{k}" for k in range(4))}
         FROM dets),
 fit AS (
+  -- empty-corpus guard: with n = 0 every division above is NULL/NaN,
+  -- but the Spark side (operators/probe.ridge_probe) returns an EMPTY
+  -- report — gate the fit (and via the CROSS JOIN every output row) so
+  -- both engines agree at an empty scale factor
   SELECT w0, w1, w2, w3,
          yyd - 2.0 * ({wb}) + ({waw}) AS sse,
          yyd - (bd0 * bd0) / nd AS sst
-  FROM wts
+  FROM wts WHERE (SELECT n FROM s) > 0
 )
 SELECT 'weight' AS kind, CAST(0 AS BIGINT) AS i, w0 AS value FROM fit
 UNION ALL SELECT 'weight', 1, w1 FROM fit

@@ -90,6 +90,12 @@ def ridge_probe(
     - kind='r2',       i=0:     1 − SSE/SST (algebraic — SSE from the
       exact sums and the weights, never a float sum over rows)
     - kind='residual', i=doc_id (for ``probe_ids``): y − ŷ
+
+    Construction is EAGER: the sufficient-statistics aggregation runs
+    (one corpus scan, 16 scalars collected — the PCA-scatter precedent)
+    when this function is CALLED, not when the returned frame is
+    consumed. The result is therefore a snapshot of ``docs`` at build
+    time; merely wiring the query (explain/audit) pays the scan.
     """
     spark = docs.sparkSession
     f = feature_frame(docs)

@@ -222,11 +222,19 @@ def level_freshness(store, levels: list[int]) -> "DataFrame":
     for lvl in levels:
         lh = store.channel_hwm(lvl)
         if lh is None:
-            continue
+            # level never materialized at all: still report every raw
+            # channel (below), never silently drop the whole level
+            lh = store.spark.createDataFrame([], "channel string, hwm bigint")
         period_ns = lvl * NS
+        # LEFT join from the raw spine: a channel whose first window
+        # never closed has no level hwm yet, but the freshness report
+        # must show it as maximally behind (level_hwm NULL, lag counted
+        # from period 0) rather than omit it — omission reads as "fresh"
+        # on a dashboard, the opposite of the truth.
         outs.append(
-            lh.select("channel", F.col("hwm").alias("level_hwm"))
-            .join(raw_hwm, "channel")
+            raw_hwm
+            .join(lh.select("channel", F.col("hwm").alias("level_hwm")),
+                  "channel", "left")
             .select(
                 "channel",
                 F.lit(lvl).cast("int").alias("level_s"),
@@ -234,7 +242,9 @@ def level_freshness(store, levels: list[int]) -> "DataFrame":
                 "raw_hwm",
                 (
                     F.expr(f"raw_hwm div {period_ns}")
-                    - F.expr(f"level_hwm div {period_ns}")
+                    - F.coalesce(
+                        F.expr(f"level_hwm div {period_ns}"), F.lit(0)
+                    )
                 ).cast("bigint").alias("lag_periods"),
             )
         )

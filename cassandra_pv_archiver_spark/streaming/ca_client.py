@@ -764,12 +764,26 @@ def spool_capture(
     import time
 
     os.makedirs(spool_dir, exist_ok=True)
+    # The mtime-ordering contract below assumes THIS capture owns the
+    # chunk numbering: a second capture restarting at chunk-00000 would
+    # silently overwrite earlier chunks with a new backdated epoch that
+    # sorts unpredictably against the leftovers. Resume the numbering
+    # and epoch from any existing chunks instead.
+    existing = sorted(
+        f for f in os.listdir(spool_dir)
+        if f.startswith("chunk-") and f.endswith(".parquet")
+    )
     buf: list[tuple[str, bytes]] = []
     seen: set[bytes] = set()
-    n_files = [0]
-    _MTIME_EPOCH = int(time.time()) - 86400  # backdated: index-spaced
-    # mtimes must stay in the past so a later capture into a fresh spool
-    # still sorts after nothing unexpected
+    if existing:
+        last = os.path.join(spool_dir, existing[-1])
+        n_files = [int(existing[-1][6:11]) + 1]
+        _MTIME_EPOCH = int(os.stat(last).st_mtime) + 1 - n_files[0]
+    else:
+        n_files = [0]
+        # backdated far enough that index-spaced mtimes (1 s per chunk)
+        # stay in the past for any realistic capture size
+        _MTIME_EPOCH = int(time.time()) - 7 * 86400
 
     def _flush() -> None:
         if not buf:
