@@ -215,6 +215,11 @@ BENCH_QUERIES = [
     # not throughput queries — the archive_incremental/stream_lifecycle
     # precedent keeps those out of bench
 
+    # round 8: retrieval + range join (admin_commands_roundtrip and
+    # stream_watermark_counts are store-build correctness rows, out by
+    # the same precedent)
+    "bm25_topk",
+    "purchase_window_rollup",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

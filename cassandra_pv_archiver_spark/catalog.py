@@ -4236,3 +4236,241 @@ SELECT r.channel, CAST(21600 AS INTEGER) AS level_s,
 FROM raw r LEFT JOIN cut6 c6 ON r.channel = c6.channel
 ORDER BY channel, level_s
 """
+
+
+# --- round 8: admin REST command surface, value-hashed --------------------
+
+
+def q_admin_commands_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admin web-service API driven end-to-end through its own
+    routing + JSON contract (`ApiController.java:225-806` surface,
+    admin_api.AdminApp): a deterministic per-channel command batch —
+    add (run-archive-configuration-commands), update every third,
+    rename every fifth, remove every seventh — then XML export over the
+    same API (base64 ``configurationFile``) and re-import. The output
+    value-hashes the full command dispatch: any mis-routed command,
+    lost rename, or export field drift diverges from the oracle.
+
+    The channel list is a bounded dimension (driver-side metadata, like
+    the reference's channel config tables), so the one ``collect()``
+    here is a dimension read, not a data-path collect."""
+    import base64
+
+    from . import management as M
+    from .admin_api import SERVER_ID, AdminApp
+
+    chans = sorted(
+        r[0]
+        for r in load_samples(spark, sf_dir).select("channel")
+        .distinct().collect()
+    )
+    reg = M.ChannelRegistry(spark, _scratch_dir("pvadmin_") + "/channels")
+    app = AdminApp(reg)
+    prefix = "/admin/api/1.0"
+    cmds = []
+    for name in chans:
+        num = int(name.split(":", 1)[1])
+        cmds.append({
+            "commandType": "add_channel",
+            "channelName": name,
+            "controlSystemType": "channel_access",
+            "enabled": num % 2 == 0,
+            "decimationLevelToRetentionPeriod":
+                {"0": 0, "3600": 86400 * (num % 5 + 1)},
+            "options": {"src": M.url_encode(name)},
+            "serverId": SERVER_ID,
+        })
+    for name in chans:
+        num = int(name.split(":", 1)[1])
+        if num % 3 == 0:
+            cmds.append({
+                "commandType": "update_channel",
+                "channelName": name,
+                "controlSystemType": "channel_access",
+                "enabled": True,
+                "decimationLevelToRetentionPeriod": {"0": 0, "60": 3600},
+                "options": {"upd": "1"},
+            })
+        if num % 5 == 0:
+            cmds.append({
+                "commandType": "rename_channel",
+                "oldChannelName": name,
+                "newChannelName": f"R:{name}",
+            })
+        if num % 7 == 0:
+            cur = f"R:{name}" if num % 5 == 0 else name
+            cmds.append({"commandType": "remove_channel",
+                         "channelName": cur})
+    resp = app.handle_post(
+        f"{prefix}/run-archive-configuration-commands", {"commands": cmds}
+    )
+    failed = [r for r in resp["results"] if not r["success"]]
+    if failed:  # a failed command is a broken engine, not a data state
+        raise RuntimeError(f"admin command failed: {failed[0]}")
+    exported = app.handle_get(
+        f"{prefix}/channels/by-server/{SERVER_ID}/export", {}
+    )
+    xml = base64.b64decode(exported["configurationFile"]).decode("utf-8")
+    rows = [
+        (
+            c.channel_name,
+            c.control_system_type,
+            c.enabled,
+            ",".join(
+                f"{p}:{r}" for p, r in sorted(c.decimation_levels.items())
+            ),
+            ",".join(f"{k}={v}" for k, v in sorted(c.options.items())),
+        )
+        for c in M.import_xml(xml)
+    ]
+    schema = (
+        "channel_name string, control_system_type string, enabled boolean,"
+        " levels string, options string"
+    )
+    return spark.createDataFrame(rows, schema).orderBy("channel_name")
+
+
+SQL_ADMIN_COMMANDS_ROUNDTRIP = f"""
+WITH {SAMPLES_CTE.strip().rstrip()},
+ch AS (SELECT DISTINCT channel FROM samples),
+n AS (SELECT channel, CAST(substr(channel, 4) AS INTEGER) AS num FROM ch),
+st AS (
+  SELECT CASE WHEN num % 5 = 0 THEN 'R:' || channel ELSE channel END
+           AS channel_name,
+         'channel_access' AS control_system_type,
+         CASE WHEN num % 3 = 0 THEN TRUE ELSE (num % 2 = 0) END AS enabled,
+         CASE WHEN num % 3 = 0 THEN '0:0,60:3600'
+              ELSE '0:0,3600:' || CAST(86400 * (num % 5 + 1) AS VARCHAR)
+              END AS levels,
+         CASE WHEN num % 3 = 0 THEN 'upd=1'
+              ELSE 'src=' || replace(channel, ':', '%3A') END AS options,
+         num
+  FROM n
+)
+SELECT channel_name, control_system_type, enabled, levels, options
+FROM st WHERE num % 7 <> 0 ORDER BY channel_name
+"""
+
+
+# --- round 8: watermarked streaming aggregation parity --------------------
+
+#: watermark delay for the parity row, seconds
+WM_DELAY_S = 7200
+
+
+def q_stream_watermark_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermark semantics, value-hashed: a REAL
+    ``withWatermark(2h)`` + 1 h tumbling-window aggregation runs over the
+    raw series in two chunks through a checkpoint restart. The chunks
+    split by µs-parity of the event time — both span the FULL time range,
+    so after run 1 the watermark stands near the series end and most of
+    chunk 2 is genuinely late: rows for already-finalized windows must
+    be DROPPED, and only windows the final watermark passed may be
+    EMITTED (append mode). The oracle replicates the contract in batch
+    SQL: wm1 = chunk-1 max event time (ms floor) − delay; a chunk-2 row
+    survives iff its window's end > wm1; a window is emitted iff its end
+    <= the final watermark. Any drift in the engine's late-drop or
+    finalization rule hash-diverges. (A time-ordered split would leave
+    the drop leg vacuous — every chunk-2 row would be newer than the
+    watermark.)
+
+    Watermarks are millisecond-granular in Spark's state machinery, so
+    the oracle floors event times to ms before subtracting the delay;
+    window bounds are hour-aligned and unaffected."""
+    from pyspark.sql.types import StructType
+
+    root = _scratch_dir("pvarch_wm_")
+    raw = load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    tmin, tmax = raw.agg(F.min("t"), F.max("t")).first()
+    out_schema = (
+        "channel string, w_start bigint, n_samples bigint, sum_vq bigint"
+    )
+    if tmin is None:
+        return spark.createDataFrame([], out_schema)
+    even = F.expr("(t div 1000) % 2 = 0")
+    src, ckpt, sink = f"{root}/incoming", f"{root}/ckpt", f"{root}/out"
+
+    def _run() -> None:
+        stream = (
+            spark.readStream.schema(raw.schema).parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("t div 1000")))
+            .withWatermark("ts", f"{WM_DELAY_S} seconds")
+            .groupBy("channel", F.window("ts", "3600 seconds"))
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)"))
+                .alias("sum_vq"),
+            )
+            .select(
+                "channel",
+                (F.unix_micros("window.start") * 1000).alias("w_start"),
+                "n_samples",
+                "sum_vq",
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    # chunk 1 (one file -> one micro-batch), run to completion: finalizes
+    # every window the run-1 watermark passed
+    raw.filter(even).coalesce(1).write.mode("overwrite").parquet(src)
+    _run()
+    # chunk 2: spans the full range again, so most rows are event-time
+    # late; the restart resumes the watermark from the checkpoint commit
+    raw.filter(~even).coalesce(1).write.mode("append").parquet(src)
+    _run()
+    got = spark.read.schema(StructType.fromDDL(out_schema)).parquet(sink)
+    return got.orderBy("channel", "w_start")
+
+
+_WM_NS = WM_DELAY_S * 1_000_000_000
+_H_NS = 3600 * 1_000_000_000
+
+SQL_STREAM_WATERMARK_COUNTS = f"""
+WITH {{SAMPLES}},
+ls AS (
+  SELECT channel, t, CAST(floor(v * 100 + 0.5) AS BIGINT) AS vq
+  FROM samples
+  WHERE channel IN ({{CHANNELS}})
+),
+-- watermark is ms-granular: floor event time to ms before the delay
+wm1 AS (
+  SELECT ((max(t) // 1000000) - {WM_DELAY_S * 1000}) * 1000000 AS w
+  FROM ls WHERE (t // 1000) % 2 = 0
+),
+fin AS (
+  SELECT greatest(
+           (SELECT w FROM wm1),
+           ((max(t) // 1000000) - {WM_DELAY_S * 1000}) * 1000000
+         ) AS w
+  FROM ls
+),
+-- late-drop rule: a chunk-2 row survives iff its WINDOW's end is still
+-- above the restart watermark (the state key predicate, not the raw
+-- event time)
+kept AS (
+  SELECT ls.* FROM ls, wm1
+  WHERE (t // 1000) % 2 = 0
+     OR ((t // {_H_NS}) + 1) * {_H_NS} > wm1.w
+)
+SELECT channel,
+       (t // {_H_NS}) * {_H_NS} AS w_start,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(vq) AS BIGINT) AS sum_vq
+FROM kept, fin
+GROUP BY channel, w_start, fin.w
+HAVING w_start + {_H_NS} <= fin.w
+ORDER BY channel, w_start
+"""
+SQL_STREAM_WATERMARK_COUNTS = SQL_STREAM_WATERMARK_COUNTS.replace(
+    "{SAMPLES}", SAMPLES_CTE.strip()
+).replace("{CHANNELS}", ", ".join(f"'{c}'" for c in _LIFECYCLE_CHANNELS))

@@ -6323,3 +6323,29 @@ SELECT doc_id, CAST(phash AS BIGINT) AS phash FROM h ORDER BY doc_id
 
 
 SQL_IMAGE_PHASH_MIXED_CODEC = _sql_image_phash()
+
+
+# --- round 8: integer-grid BM25 retrieval ---------------------------------
+
+BM25_QUERY = ["hash", "join", "spark", "vector"]
+BM25_K = 25
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus retrieval for a fixed query under integer-grid BM25
+    (operators/retrieval.bm25_topk): log-free RSJ odds idf + exact
+    rational tf saturation, BIGINT per-doc sums — bit-checkable top-k on
+    any partitioning."""
+    from .operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, BM25_QUERY, k=BM25_K)
+
+
+def _sql_bm25_topk() -> str:
+    from .operators import retrieval
+
+    return "WITH " + retrieval.bm25_oracle_sql(BM25_QUERY, k=BM25_K)
+
+
+SQL_BM25_TOPK = _sql_bm25_topk()

@@ -1541,3 +1541,231 @@ SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
        CAST(sum(vq) AS BIGINT) AS revenue_q2
 FROM c GROUP BY touch_type ORDER BY touch_type
 """
+
+
+# --- round 8: bucketed interval (range) join ------------------------------
+
+#: 15-minute purchase attribution windows, ns
+PW_SPAN_NS = 900 * 1_000_000_000
+
+
+def q_purchase_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join at scale: every purchase opens a [t-15min, t) window;
+    all same-user non-purchase events inside it are rolled up. The join
+    is operators/interval.interval_join — interval-side block explosion
+    (<= 2 blocks per window at block = span) restoring a hash equi-join;
+    a naive theta join would plan BroadcastNestedLoopJoin/cartesian,
+    which the explain audit forbids for this query."""
+    from .operators.interval import interval_join
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("t"), "event_id", "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    windows = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        (F.col("t") - F.lit(PW_SPAN_NS)).alias("t_start"),
+        F.col("t").alias("t_end"),
+    )
+    points = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "t",
+        F.col("event_type").alias("p_type"),
+        F.col("vq").alias("p_vq"),
+    )
+    j = interval_join(points, windows, key="user_id", block=PW_SPAN_NS)
+    roll = j.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("p_type") == "view").cast("long")).alias("n_views"),
+        F.sum((F.col("p_type") == "click").cast("long")).alias("n_clicks"),
+        F.sum("p_vq").alias("touched_value_q2"),
+    )
+    return (
+        windows.join(roll, "win_id", "left")
+        .select(
+            "win_id", "user_id", "t_start", "t_end",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("n_views", F.lit(0)).cast("long").alias("n_views"),
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+            F.coalesce("touched_value_q2", F.lit(0)).cast("long")
+            .alias("touched_value_q2"),
+        )
+        .orderBy("win_id")
+    )
+
+
+SQL_PURCHASE_WINDOW_ROLLUP = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+  FROM events
+),
+w AS (
+  SELECT event_id AS win_id, user_id,
+         t - {PW_SPAN_NS} AS t_start, t AS t_end
+  FROM e WHERE event_type = 'purchase'
+),
+p AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+j AS (
+  SELECT w.win_id,
+         count(*) AS n_events,
+         sum(CASE WHEN p.event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+         sum(CASE WHEN p.event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+         sum(p.vq) AS touched_value_q2
+  FROM w JOIN p
+    ON w.user_id = p.user_id AND p.t >= w.t_start AND p.t < w.t_end
+  GROUP BY w.win_id
+)
+SELECT w.win_id, w.user_id, w.t_start, w.t_end,
+       CAST(coalesce(j.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(j.n_views, 0) AS BIGINT) AS n_views,
+       CAST(coalesce(j.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(coalesce(j.touched_value_q2, 0) AS BIGINT) AS touched_value_q2
+FROM w LEFT JOIN j USING (win_id)
+ORDER BY win_id
+"""
+
+
+# --- round 8: stream-stream interval join ---------------------------------
+
+SSJ_DELAY_S = 7200
+SSJ_SPAN_NS = 21600 * 1_000_000_000
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with an event-time range condition —
+    the Structured Streaming feature the rest of the registry's
+    stream-static joins never touch. Clicks and purchases run as two
+    file-source streams (withWatermark 2h each), joined on user within
+    a [p.t − 6h, p.t] band, through a checkpoint restart whose second
+    chunk (µs-parity split, full time range) is largely late data.
+
+    The oracle replicates the engine's contract in batch SQL
+    (empirically pinned at three SFs): a late-ARRIVING row is admitted
+    iff its own event time >= the global watermark wm1 = min(side
+    maxima) − delay (the too-late input filter uses the event-time
+    watermark, not the looser join-condition bound), while an
+    already-BUFFERED chunk-1 row survives under its side's
+    state-retention bound (clicks until wm passes ``c.t + 6h``,
+    purchases until wm passes ``p.t``; ms-granular). Any drift in
+    Spark's eviction/late-filter arithmetic hash-diverges."""
+    from pyspark.sql.types import StructType
+
+    root = _scratch_dir_generic("pvarch_ssj_")
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("t"), "event_id", "event_type"
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    purch = e.filter(F.col("event_type") == "purchase")
+    out_schema = (
+        "user_id bigint, c_event_id bigint, p_event_id bigint,"
+        " c_t bigint, p_t bigint"
+    )
+    if clicks.isEmpty() or purch.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    even = F.expr("(t div 1000) % 2 = 0")
+    cdir, pdir = f"{root}/clicks", f"{root}/purch"
+    ckpt, sink = f"{root}/ckpt", f"{root}/out"
+    side_schema = "user_id bigint, t bigint, event_id bigint"
+
+    def _run() -> None:
+        cs = (
+            spark.readStream.schema(side_schema).parquet(cdir)
+            .withColumn("c_ts", F.timestamp_micros(F.expr("t div 1000")))
+            .withWatermark("c_ts", f"{SSJ_DELAY_S} seconds")
+            .select(F.col("user_id").alias("c_user"),
+                    F.col("event_id").alias("c_event_id"),
+                    F.col("t").alias("c_t"), "c_ts")
+        )
+        ps = (
+            spark.readStream.schema(side_schema).parquet(pdir)
+            .withColumn("p_ts", F.timestamp_micros(F.expr("t div 1000")))
+            .withWatermark("p_ts", f"{SSJ_DELAY_S} seconds")
+            .select(F.col("user_id").alias("p_user"),
+                    F.col("event_id").alias("p_event_id"),
+                    F.col("t").alias("p_t"), "p_ts")
+        )
+        j = cs.join(
+            ps,
+            F.expr(
+                "c_user = p_user AND c_ts <= p_ts"
+                f" AND c_ts >= p_ts - INTERVAL {SSJ_SPAN_NS // 1_000_000_000}"
+                " SECONDS"
+            ),
+            "inner",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "c_event_id", "p_event_id", "c_t", "p_t",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    sel = ["user_id", "t", "event_id"]
+    clicks.filter(even).select(sel).coalesce(1).write.mode(
+        "overwrite").parquet(cdir)
+    purch.filter(even).select(sel).coalesce(1).write.mode(
+        "overwrite").parquet(pdir)
+    _run()
+    clicks.filter(~even).select(sel).coalesce(1).write.mode(
+        "append").parquet(cdir)
+    purch.filter(~even).select(sel).coalesce(1).write.mode(
+        "append").parquet(pdir)
+    _run()
+    got = spark.read.schema(StructType.fromDDL(out_schema)).parquet(sink)
+    return got.orderBy("user_id", "c_event_id", "p_event_id")
+
+
+def _scratch_dir_generic(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+SQL_STREAM_STREAM_JOIN = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type FROM events
+),
+c AS (SELECT user_id, t, event_id, (t // 1000) % 2 = 0 AS even
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, t, event_id, (t // 1000) % 2 = 0 AS even
+      FROM e WHERE event_type = 'purchase'),
+-- restart watermark: ms-floored per-side maxima of chunk 1, global = min
+wm AS (
+  SELECT (least((SELECT max(t) FROM c WHERE even) // 1000000,
+                (SELECT max(t) FROM p WHERE even) // 1000000)
+          - {SSJ_DELAY_S * 1000}) * 1000000 AS w
+),
+pairs AS (
+  SELECT c.user_id, c.event_id AS c_event_id, p.event_id AS p_event_id,
+         c.t AS c_t, p.t AS p_t, c.even AS c_even, p.even AS p_even
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND c.t <= p.t AND c.t >= p.t - {SSJ_SPAN_NS}
+)
+-- emission contract (empirically pinned at three SFs):
+--   * both chunk-1: matched in run 1 before any eviction — emit.
+--   * a chunk-2 (late-arriving) row is ADMITTED iff its own event time
+--     >= the global watermark — the engine's too-late input filter uses
+--     the event-time watermark, NOT the looser join-condition state
+--     bound;
+--   * a chunk-1 row is still BUFFERED during run 2 iff it survives its
+--     side's state-retention bound derived from the join condition:
+--     clicks until wm passes c_t + span, purchases until wm passes p_t.
+SELECT user_id, c_event_id, p_event_id, c_t, p_t
+FROM pairs, wm
+WHERE (c_even AND p_even)
+   OR (p_t >= wm.w
+       AND ((c_even AND c_t >= wm.w - {SSJ_SPAN_NS})
+            OR (NOT c_even AND c_t >= wm.w)))
+ORDER BY user_id, c_event_id, p_event_id
+"""

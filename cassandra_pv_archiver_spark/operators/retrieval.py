@@ -1,0 +1,168 @@
+"""BM25 retrieval over the document corpus, integer-exact.
+
+A training-data pipeline needs corpus search: dedup forensics ("which
+documents match this boilerplate probe"), targeted decontamination
+(query = benchmark passage), and mixture curation (retrieve-then-weight).
+The classic scorer is Okapi BM25; its log-idf is a per-term monotone
+transform whose float evaluation (``ln`` ULP differences across libm
+implementations) cannot be value-hashed across engines, so — following
+this repo's integer-grid discipline (operators/lm.py avoids log the same
+way) — the idf here is the **log-free Robertson/Spärck-Jones odds
+ratio** on a 1e-9 grid::
+
+    idf_q9(t)  = (SCALE * (2*(N - df) + 1)) div (2*df + 1)
+                 -- exact rational form of (N - df + 0.5)/(df + 0.5)
+
+and the tf leg is classic BM25 saturation + length normalization with
+k1 = 6/5, b = 3/4 as exact rationals (TT = total corpus tokens, dl =
+doc length, avgdl = TT/N)::
+
+    contrib_q9 = (idf_q9 * 44 * tf * TT)
+                 div (20*tf*TT + 6*TT + 18*dl*N)
+
+(derivation: tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with every
+denominator cleared; 44/20 = k1+1 over the common factor). Products run
+through DECIMAL(38,0): worst case ``idf_q9 * 44 * tf * TT`` at
+N = 1e10 docs / TT = 1e13 tokens is ~1e37 < 1e38. Per-document scores
+are BIGINT sums of per-term integers — addition-order-free, hence
+bit-identical on any partitioning and in the DuckDB oracle.
+
+100 TB shape: the query-term list is a tiny literal, so per-document
+term frequencies are computed INSIDE the row (``size(filter(words,
+x -> x = term))`` per term — no explode of the corpus vocabulary, no
+shuffle until the statistics); df/N/TT are one global aggregate plus a
+k-row per-term aggregate, both broadcast back; the final top-k is a
+``TakeOrderedAndProject`` (per-partition heads, never a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import _WORDS
+
+SCALE = 1_000_000_000
+#: k1 = 6/5, b = 3/4 cleared to integer coefficients (see module doc)
+C_NUM, C_TF, C_CONST, C_DL = 44, 20, 6, 18
+
+
+def bm25_topk(
+    docs: DataFrame, query_terms: list[str], k: int = 20
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` under integer-grid BM25.
+
+    Returns: doc_id, n_hit_terms, score_q9 — ordered by (score desc,
+    doc_id) with ties broken deterministically; only documents matching
+    at least one query term appear.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+
+    base = docs.select(
+        "doc_id",
+        F.expr(_WORDS).alias("_w"),
+    ).select(
+        "doc_id",
+        F.size("_w").alias("dl"),
+        *[
+            F.expr(f"size(filter(_w, x -> x = '{t}'))").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # corpus stats: one row (N docs, TT tokens) + per-term df — tiny,
+    # broadcast back against the scan
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("dl").alias("TT"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    d38 = "CAST({} AS DECIMAL(38,0))"
+    contribs = []
+    for i in range(len(terms)):
+        tf, df = f"_tf{i}", f"_df{i}"
+        idf = (
+            f"(CAST({SCALE} AS DECIMAL(38,0)) * (2 * (N - {df}) + 1))"
+            f" div (2 * {df} + 1)"
+        )
+        num = f"({d38.format(idf)} * {C_NUM} * {tf} * TT)"
+        den = (
+            f"({d38.format(f'{C_TF} * {tf}')} * TT"
+            f" + {d38.format(f'{C_CONST}')} * TT"
+            f" + {d38.format(f'{C_DL} * dl')} * N)"
+        )
+        contribs.append(
+            f"CASE WHEN {tf} > 0 THEN CAST({num} div {den} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+    hit = " + ".join(
+        f"CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(terms))
+    )
+    out = scored.select(
+        "doc_id",
+        F.expr(hit).cast("int").alias("n_hit_terms"),
+        F.expr(" + ".join(contribs)).alias("score_q9"),
+    ).filter(F.col("n_hit_terms") > 0)
+    return out.orderBy(F.desc("score_q9"), "doc_id").limit(k)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str], k: int = 20, docs_sql: str = "documents"
+) -> str:
+    """The DuckDB mirror of :func:`bm25_topk` (same grid, same fixed
+    evaluation order; HUGEINT stands in for DECIMAL(38,0))."""
+    terms = sorted(set(query_terms))
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = []
+    for i in range(len(terms)):
+        idf = (
+            f"((CAST({SCALE} AS HUGEINT) * (2 * (N - df{i}) + 1))"
+            f" // (2 * df{i} + 1))"
+        )
+        num = f"(CAST({idf} AS HUGEINT) * {C_NUM} * tf{i} * TT)"
+        den = (
+            f"(CAST({C_TF} * tf{i} AS HUGEINT) * TT"
+            f" + CAST({C_CONST} AS HUGEINT) * TT"
+            f" + CAST({C_DL} * dl AS HUGEINT) * N)"
+        )
+        contribs.append(
+            f"CASE WHEN tf{i} > 0 THEN CAST({num} // {den} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+    hit = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    w_sql = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x != '')"
+    )
+    return f"""
+bmbase AS (
+  SELECT doc_id, len(w) AS dl, {tf_cols}
+  FROM (SELECT doc_id, {w_sql} AS w FROM {docs_sql})
+),
+bmstats AS (
+  SELECT count(*) AS N, sum(dl) AS TT, {df_cols} FROM bmbase
+),
+bmscored AS (
+  SELECT doc_id,
+         CAST({hit} AS INTEGER) AS n_hit_terms,
+         CAST({" + ".join(contribs)} AS BIGINT) AS score_q9
+  FROM bmbase CROSS JOIN bmstats
+)
+SELECT doc_id, n_hit_terms, score_q9 FROM bmscored
+WHERE n_hit_terms > 0
+ORDER BY score_q9 DESC, doc_id LIMIT {k}
+"""

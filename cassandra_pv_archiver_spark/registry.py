@@ -15,6 +15,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- round 8 additions ---
+    "bm25_topk": (
+        catalog_data.q_bm25_topk,
+        catalog_data.SQL_BM25_TOPK,
+    ),
+    "purchase_window_rollup": (
+        catalog_generic.q_purchase_window_rollup,
+        catalog_generic.SQL_PURCHASE_WINDOW_ROLLUP,
+    ),
+    "admin_commands_roundtrip": (
+        catalog.q_admin_commands_roundtrip,
+        catalog.SQL_ADMIN_COMMANDS_ROUNDTRIP,
+    ),
+    "stream_watermark_counts": (
+        catalog.q_stream_watermark_counts,
+        catalog.SQL_STREAM_WATERMARK_COUNTS,
+    ),
+    "stream_stream_join": (
+        catalog_generic.q_stream_stream_join,
+        catalog_generic.SQL_STREAM_STREAM_JOIN,
+    ),
     # --- round 7 additions (never driver-checked: keep at the front) ---
     "lm_quality_score": (
         catalog_data.q_lm_quality_score,

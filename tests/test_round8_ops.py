@@ -1,0 +1,144 @@
+"""Round-8 operators: bucketed interval join (operators/interval.py) and
+integer-grid BM25 retrieval (operators/retrieval.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_pv_archiver_spark.operators.interval import interval_join
+from cassandra_pv_archiver_spark.operators.retrieval import bm25_topk
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "k string, t long, tag string")
+
+
+def _ivs(spark, rows):
+    return spark.createDataFrame(
+        rows, "win string, k string, t_start long, t_end long"
+    )
+
+
+class TestIntervalJoin:
+    def test_boundaries_start_inclusive_end_exclusive(self, spark):
+        pts = _points(spark, [("a", 10, "at-start"), ("a", 19, "inside"),
+                              ("a", 20, "at-end"), ("a", 9, "before")])
+        ivs = _ivs(spark, [("w1", "a", 10, 20)])
+        got = sorted(
+            r.tag for r in interval_join(pts, ivs, key="k", block=10)
+            .collect()
+        )
+        assert got == ["at-start", "inside"]
+
+    def test_interval_spanning_many_blocks(self, spark):
+        # span 50 with block 10: the interval explodes into 6 blocks and
+        # still catches a point in each
+        pts = _points(spark, [("a", t, f"p{t}") for t in range(0, 60, 10)])
+        ivs = _ivs(spark, [("w", "a", 5, 55)])
+        got = sorted(
+            r.tag for r in interval_join(pts, ivs, key="k", block=10)
+            .collect()
+        )
+        assert got == ["p10", "p20", "p30", "p40", "p50"]
+
+    def test_no_cross_key_matches(self, spark):
+        pts = _points(spark, [("b", 15, "other-key")])
+        ivs = _ivs(spark, [("w", "a", 10, 20)])
+        assert interval_join(pts, ivs, key="k", block=10).count() == 0
+
+    def test_point_in_two_overlapping_intervals(self, spark):
+        pts = _points(spark, [("a", 15, "p")])
+        ivs = _ivs(spark, [("w1", "a", 10, 20), ("w2", "a", 12, 16)])
+        wins = sorted(
+            r.win for r in interval_join(pts, ivs, key="k", block=10)
+            .collect()
+        )
+        assert wins == ["w1", "w2"]
+
+    def test_block_default_derived_from_max_span(self, spark):
+        pts = _points(spark, [("a", 15, "p")])
+        ivs = _ivs(spark, [("w", "a", 10, 20)])
+        assert interval_join(pts, ivs, key="k").count() == 1
+
+    def test_end_on_block_boundary_does_not_reach_next_block(self, spark):
+        # [0, 10) with block 10 must explode into block 0 only
+        ivs = _ivs(spark, [("w", "a", 0, 10)])
+        iv_blocks = (
+            ivs.withColumn(
+                "_blk",
+                F.explode(F.sequence(F.expr("t_start div 10"),
+                                     F.expr("(t_end - 1) div 10"))),
+            ).select("_blk").collect()
+        )
+        assert [r._blk for r in iv_blocks] == [0]
+
+    def test_plan_is_equi_join_not_nested_loop(self, spark):
+        pts = _points(spark, [("a", 15, "p")])
+        ivs = _ivs(spark, [("w", "a", 10, 20)])
+        plan = interval_join(pts, ivs, key="k", block=10)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+DOCS = [
+    (1, "spark join join join"),        # tf(join)=3, dl=4
+    (2, "spark hash"),                  # short doc, rare term
+    (3, "join hash spark spark spark"),
+    (4, "filter scan sort"),            # no query terms
+    (5, "hash"),                        # dl=1: strongest length norm win
+]
+
+
+class TestBM25:
+    def _docs(self, spark):
+        return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def test_only_matching_docs_ranked(self, spark):
+        got = bm25_topk(self._docs(spark), ["hash", "join"], k=10).collect()
+        assert sorted(r.doc_id for r in got) == [1, 2, 3, 5]
+
+    def test_scores_deterministic_across_partitionings(self, spark):
+        docs = self._docs(spark)
+        a = bm25_topk(docs, ["hash", "join"], k=10).collect()
+        b = bm25_topk(docs.repartition(7), ["hash", "join"], k=10).collect()
+        assert [(r.doc_id, r.score_q9) for r in a] == [
+            (r.doc_id, r.score_q9) for r in b
+        ]
+
+    def test_short_doc_wins_on_length_norm(self, spark):
+        # doc 5 is "hash" alone: same tf=1 as doc 2 but dl 1 vs 2 —
+        # BM25 length normalization must rank 5 over 2
+        got = bm25_topk(self._docs(spark), ["hash"], k=10).collect()
+        ids = [r.doc_id for r in got]
+        assert ids.index(5) < ids.index(2)
+
+    def test_two_term_match_beats_one(self, spark):
+        got = bm25_topk(self._docs(spark), ["hash", "join"], k=10).collect()
+        by_id = {r.doc_id: r for r in got}
+        assert by_id[3].n_hit_terms == 2
+        assert by_id[5].n_hit_terms == 1
+
+    def test_k_limits_and_orders(self, spark):
+        got = bm25_topk(self._docs(spark), ["hash", "join"], k=2).collect()
+        assert len(got) == 2
+        assert got[0].score_q9 >= got[1].score_q9
+
+    def test_empty_query_rejected(self, spark):
+        with pytest.raises(ValueError):
+            bm25_topk(self._docs(spark), [])
+
+    def test_oracle_parity_tiny(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from cassandra_pv_archiver_spark.operators.retrieval import (
+            bm25_oracle_sql,
+        )
+
+        sdf = bm25_topk(self._docs(spark), ["hash", "join"], k=10).toPandas()
+        documents = pd.DataFrame(DOCS, columns=["doc_id", "text"])  # noqa: F841
+        odf = duckdb.sql("WITH " + bm25_oracle_sql(["hash", "join"], k=10)).df()
+        assert sdf.astype("int64").reset_index(drop=True).equals(
+            odf.astype("int64").reset_index(drop=True)
+        )

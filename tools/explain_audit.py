@@ -1010,6 +1010,25 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "purchase_window_rollup": (
+        None,  # the WHOLE POINT of interval_join: the range predicate
+        # rides a (key, block) hash equi-join — a theta-join plan
+        # (BroadcastNestedLoopJoin / cartesian) is the quadratic failure
+        # mode this operator exists to avoid
+        ["codegen id"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct",
+         "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "bm25_topk": (
+        None,  # per-doc tf computed inside the row (no vocabulary
+        # explode); corpus stats attach as a keyless SINGLE-ROW
+        # broadcast (BroadcastNestedLoopJoin with a 1-row build side is
+        # the correct plan for that, like the LM's corpus-total ride);
+        # global top-k as TakeOrderedAndProject — never a full sort
+        ["TakeOrderedAndProject", "BroadcastExchange"],
+        ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
 }
 
 
