@@ -6349,3 +6349,154 @@ def _sql_bm25_topk() -> str:
 
 
 SQL_BM25_TOPK = _sql_bm25_topk()
+
+
+# --- round 8: retrieval-guarded curation composition ----------------------
+
+#: benchmark-probe query + drop threshold for the decontamination guard
+DECON_QUERY = ["customer", "query", "table"]
+DECON_Q9 = 900_000_000
+
+
+def q_curate_round8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7's curation pipeline extended with a RETRIEVAL-GUARDED
+    decontamination stage, composed as ONE attested plan: the fused
+    quality filter selects the kept set; integer-grid BM25 scores every
+    kept document against a fixed benchmark probe and drops scores >=
+    the threshold (the retrieve-then-drop decontamination shape — a
+    benchmark passage is the probe, high-scoring near-matches leave the
+    corpus); chunk-level dedup REWRITES the survivors; the per-source
+    report prices the run including the decontaminated count. BM25
+    corpus statistics (df/N/avgdl) are computed over the KEPT set — the
+    corpus actually being guarded."""
+    from .operators import dedup, lm, retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm_pd = lm.stupid_backoff_score(docs, salt=LM_SALT, train_pct=LM_TRAIN_PCT)
+    bp = text.boilerplate_spans(docs, n=BP_N, min_sources=BP_MIN_SOURCES)
+    j = (
+        docs.select("doc_id", "source")
+        .join(lm_pd.select("doc_id", "n_scored", "score_q9"), "doc_id")
+        .join(bp.select("doc_id", "n_tokens", "n_cov"), "doc_id")
+    )
+    keep = (
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (
+            (F.col("score_q9") * QF_LM_DEN)
+            >= (F.col("n_scored") * QF_LM_NUM * F.lit(1_000_000_000))
+        )
+        & ((F.col("n_cov") * QF_BP_DEN) <= F.col("n_tokens"))
+    )
+    kept = j.filter(keep).select("doc_id", "source", "n_tokens")
+    kept_docs = docs.join(kept.select("doc_id"), "doc_id")
+    flagged = (
+        retrieval.bm25_scores(kept_docs, DECON_QUERY)
+        .filter(F.col("score_q9") >= DECON_Q9)
+        .select("doc_id")
+    )
+    clean = kept.join(flagged, "doc_id", "left_anti")
+    rw = dedup.chunk_dedup_rewrite(
+        docs.join(clean.select("doc_id"), "doc_id"),
+        chunk_tokens=CHUNK_REWRITE_TOKENS,
+    )
+    decon = (
+        kept.join(flagged, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_decontam"))
+    )
+    per_src = (
+        clean.join(rw, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum("cleaned_n_tokens").alias("tokens_out"),
+            F.sum("n_removed").alias("chunks_removed"),
+        )
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = F.lit(0).cast("bigint")
+    return (
+        totals.join(per_src, "source", "left")
+        .join(decon, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", z).alias("n_kept"),
+            F.coalesce("n_decontam", z).alias("n_decontam"),
+            F.coalesce("tokens_in", z).alias("tokens_in"),
+            F.coalesce("tokens_out", z).alias("tokens_out"),
+            F.coalesce("chunks_removed", z).alias("chunks_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_curate_round8() -> str:
+    from .operators.retrieval import bm25_scores_ctes
+
+    bm = bm25_scores_ctes(
+        DECON_QUERY,
+        docs_sql="(SELECT d.* FROM documents d JOIN keptd USING (doc_id))",
+    )
+    return f"""
+WITH {_sql_lm_grams()},
+{_BP_CTES},
+j AS (
+  SELECT doc.doc_id, doc.source,
+         CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
+         CAST(coalesce(p.score_q9, 0) AS BIGINT) AS score_q9,
+         b.n_tokens, b.n_cov
+  FROM documents doc
+  LEFT JOIN p ON doc.doc_id = p.doc_id
+  JOIN bp_per_doc b ON doc.doc_id = b.doc_id
+),
+keptd AS (
+  SELECT doc_id, source, n_tokens FROM j
+  WHERE n_tokens >= {QF_MIN_TOKENS}
+    AND score_q9 * {QF_LM_DEN}
+        >= n_scored * {QF_LM_NUM} * 1000000000
+    AND n_cov * {QF_BP_DEN} <= n_tokens
+),
+{bm},
+flagged AS (
+  SELECT doc_id FROM bmscored
+  WHERE n_hit_terms > 0 AND score_q9 >= {DECON_Q9}
+),
+cleand AS (
+  SELECT k.* FROM keptd k ANTI JOIN flagged USING (doc_id)
+),
+rwd AS (
+  SELECT d.doc_id, {_W_SQL} AS w
+  FROM documents d JOIN cleand USING (doc_id)
+),
+{_chunk_rewrite_ctes("rwd")},
+decon AS (
+  SELECT source, count(*) AS n_decontam
+  FROM keptd JOIN flagged USING (doc_id) GROUP BY source
+),
+per_src AS (
+  SELECT source, count(*) AS n_kept,
+         sum(k.n_tokens) AS tokens_in,
+         sum(len(list_filter(regexp_split_to_array(coalesce(cleaned, ''),
+             ' '), x -> x != ''))) AS tokens_out,
+         sum(coalesce(n_removed, 0)) AS chunks_removed
+  FROM cleand k LEFT JOIN rwp ON k.doc_id = rwp.doc_id
+  GROUP BY source
+),
+totals AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(n_decontam, 0) AS BIGINT) AS n_decontam,
+       CAST(coalesce(tokens_in, 0) AS BIGINT) AS tokens_in,
+       CAST(coalesce(tokens_out, 0) AS BIGINT) AS tokens_out,
+       CAST(coalesce(chunks_removed, 0) AS BIGINT) AS chunks_removed
+FROM totals t
+LEFT JOIN per_src USING (source)
+LEFT JOIN decon USING (source)
+ORDER BY source
+"""
+
+
+SQL_CURATE_ROUND8 = _sql_curate_round8()

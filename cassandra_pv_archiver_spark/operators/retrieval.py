@@ -55,6 +55,15 @@ def bm25_topk(
     doc_id) with ties broken deterministically; only documents matching
     at least one query term appear.
     """
+    out = bm25_scores(docs, query_terms)
+    return out.orderBy(F.desc("score_q9"), "doc_id").limit(k)
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
+    """Every matching document's integer-grid BM25 score (the un-limited
+    scoring frame behind :func:`bm25_topk`) — the shape a
+    retrieval-guarded decontamination pass consumes: score every doc
+    against a benchmark probe, drop above a threshold."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
@@ -103,12 +112,11 @@ def bm25_topk(
         f"CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END"
         for i in range(len(terms))
     )
-    out = scored.select(
+    return scored.select(
         "doc_id",
         F.expr(hit).cast("int").alias("n_hit_terms"),
         F.expr(" + ".join(contribs)).alias("score_q9"),
     ).filter(F.col("n_hit_terms") > 0)
-    return out.orderBy(F.desc("score_q9"), "doc_id").limit(k)
 
 
 def bm25_oracle_sql(
@@ -116,6 +124,20 @@ def bm25_oracle_sql(
 ) -> str:
     """The DuckDB mirror of :func:`bm25_topk` (same grid, same fixed
     evaluation order; HUGEINT stands in for DECIMAL(38,0))."""
+    return bm25_scores_ctes(query_terms, docs_sql=docs_sql) + f"""
+SELECT doc_id, n_hit_terms, score_q9 FROM bmscored
+WHERE n_hit_terms > 0
+ORDER BY score_q9 DESC, doc_id LIMIT {k}
+"""
+
+
+def bm25_scores_ctes(
+    query_terms: list[str], docs_sql: str = "documents"
+) -> str:
+    """The scoring CTE block (``bmbase``/``bmstats``/``bmscored``) — the
+    DuckDB mirror of :func:`bm25_scores`, composable into larger
+    pipeline oracles (``bmscored`` keeps non-matching docs at score 0;
+    filter ``n_hit_terms > 0`` for parity with the Spark frame)."""
     terms = sorted(set(query_terms))
     tf_cols = ", ".join(
         f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
@@ -161,8 +183,4 @@ bmscored AS (
          CAST({hit} AS INTEGER) AS n_hit_terms,
          CAST({" + ".join(contribs)} AS BIGINT) AS score_q9
   FROM bmbase CROSS JOIN bmstats
-)
-SELECT doc_id, n_hit_terms, score_q9 FROM bmscored
-WHERE n_hit_terms > 0
-ORDER BY score_q9 DESC, doc_id LIMIT {k}
-"""
+)"""

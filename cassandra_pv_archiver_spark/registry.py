@@ -36,6 +36,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_stream_stream_join,
         catalog_generic.SQL_STREAM_STREAM_JOIN,
     ),
+    "curate_round8": (
+        catalog_data.q_curate_round8,
+        catalog_data.SQL_CURATE_ROUND8,
+    ),
     # --- round 7 additions (never driver-checked: keep at the front) ---
     "lm_quality_score": (
         catalog_data.q_lm_quality_score,

@@ -1019,6 +1019,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin", "CartesianProduct",
          "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "curate_round8": (
+        None,  # quality filter -> BM25 decontam guard -> chunk rewrite
+        # as one plan: every join doc_id/source-keyed, the only
+        # keyless join is the single-row BM25 stats broadcast; no
+        # Python anywhere in the composition
+        ["codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "bm25_topk": (
         None,  # per-doc tf computed inside the row (no vocabulary
         # explode); corpus stats attach as a keyless SINGLE-ROW
