@@ -6500,3 +6500,38 @@ ORDER BY source
 
 
 SQL_CURATE_ROUND8 = _sql_curate_round8()
+
+
+# --- round 8: attested PII redaction rewrite -------------------------------
+
+
+def q_pii_redact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII REWRITE attested, not just the report: the augmented
+    corpus (same deterministic in-query fixture as the scan row) runs
+    through operators/text.pii_redact and the full redacted text is
+    value-hashed via md5 — any drift in pattern order, span boundaries,
+    or replacement tokens diverges. Chained regexp_replace: zero
+    shuffles, zero Python."""
+    docs = _pii_augmented(load_table(spark, sf_dir, "documents"))
+    red = text.pii_redact(docs)
+    return red.select(
+        "doc_id",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+        F.col("chars_delta").cast("long").alias("chars_delta"),
+    ).orderBy("doc_id")
+
+
+def _sql_pii_redact_rewrite() -> str:
+    red = "text"
+    for _name, pat, repl in text.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH {_SQL_PII_AUG.strip().lstrip()}
+SELECT doc_id,
+       md5({red}) AS redacted_md5,
+       CAST(len(text) - len({red}) AS BIGINT) AS chars_delta
+FROM aug ORDER BY doc_id
+"""
+
+
+SQL_PII_REDACT_REWRITE = _sql_pii_redact_rewrite()

@@ -40,6 +40,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_curate_round8,
         catalog_data.SQL_CURATE_ROUND8,
     ),
+    "pii_redact_rewrite": (
+        catalog_data.q_pii_redact_rewrite,
+        catalog_data.SQL_PII_REDACT_REWRITE,
+    ),
     # --- round 7 additions (never driver-checked: keep at the front) ---
     "lm_quality_score": (
         catalog_data.q_lm_quality_score,
