@@ -1769,3 +1769,150 @@ WHERE (c_even AND p_even)
             OR (NOT c_even AND c_t >= wm.w)))
 ORDER BY user_id, c_event_id, p_event_id
 """
+
+
+# --- round 8: streaming session windows ------------------------------------
+
+SSW_GAP_S = 1800
+SSW_DELAY_S = 7200
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (gap-merged event-time sessions) under
+    a real watermark, through a checkpoint restart with late data — the
+    third Structured Streaming primitive of this round's parity set
+    (tumbling windows, stream-stream join, sessions). Per-user sessions
+    with a 30 min gap over the click/view stream, 2 h watermark,
+    µs-parity chunks. Emitted = sessions the final watermark closed;
+    a late chunk-2 row is admitted iff its own event time >= the restart
+    watermark (the same admission rule stream_stream_join pinned), and
+    admitted residuals re-sessionize with chunk-1 rows whose sessions
+    were NOT yet finalized. The oracle runs the two-phase sessionization
+    in batch SQL (gaps-and-islands twice)."""
+    from pyspark.sql.types import StructType
+
+    root = _scratch_dir_generic("pvarch_ssw_")
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    ).select("user_id", F.col("ts").alias("t"))
+    out_schema = (
+        "user_id bigint, s_start bigint, s_end bigint, n_events bigint"
+    )
+    if e.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    even = F.expr("(t div 1000) % 2 = 0")
+    src, ckpt, sink = f"{root}/incoming", f"{root}/ckpt", f"{root}/out"
+
+    def _run() -> None:
+        s = (
+            spark.readStream.schema("user_id bigint, t bigint").parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("t div 1000")))
+            .withWatermark("ts", f"{SSW_DELAY_S} seconds")
+            .groupBy(
+                "user_id",
+                F.session_window("ts", f"{SSW_GAP_S} seconds"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                (F.unix_micros("session_window.start") * 1000)
+                .alias("s_start"),
+                (F.unix_micros("session_window.end") * 1000).alias("s_end"),
+                "n_events",
+            )
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    e.filter(even).coalesce(1).write.mode("overwrite").parquet(src)
+    _run()
+    e.filter(~even).coalesce(1).write.mode("append").parquet(src)
+    _run()
+    got = spark.read.schema(StructType.fromDDL(out_schema)).parquet(sink)
+    return got.orderBy("user_id", "s_start")
+
+
+_SSW_GAP_NS = SSW_GAP_S * 1_000_000_000
+
+SQL_STREAM_SESSION_WINDOWS = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS t FROM events
+  WHERE event_type IN ('click', 'view')
+),
+wm1 AS (
+  SELECT ((max(t) // 1000000) - {SSW_DELAY_S * 1000}) * 1000000 AS w
+  FROM e WHERE (t // 1000) % 2 = 0
+),
+fin AS (
+  SELECT greatest((SELECT w FROM wm1),
+                  ((max(t) // 1000000) - {SSW_DELAY_S * 1000}) * 1000000)
+         AS w
+  FROM e
+),
+-- phase 1: sessionize the chunk-1 rows (merge while the next row starts
+-- strictly inside the previous row's [t, t+gap) tentative window)
+r1 AS (SELECT user_id, t FROM e WHERE (t // 1000) % 2 = 0),
+i1 AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w >= {_SSW_GAP_NS} THEN 1 ELSE 0 END
+           AS brk
+  FROM r1 WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+g1 AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM i1
+),
+s1 AS (
+  SELECT user_id, grp, min(t) AS s_start,
+         max(t) + {_SSW_GAP_NS} AS s_end, count(*) AS n_events
+  FROM g1 GROUP BY user_id, grp
+),
+e1 AS (SELECT user_id, s_start, s_end, n_events
+       FROM s1, wm1 WHERE s_end <= wm1.w),
+-- phase 2: un-finalized chunk-1 rows re-sessionize with the ADMITTED
+-- chunk-2 rows (admitted iff the row's tentative session window is
+-- still live: t + gap > wm1)
+res1 AS (
+  SELECT g.user_id, g.t
+  FROM g1 g JOIN s1 USING (user_id, grp), wm1
+  WHERE s1.s_end > wm1.w
+),
+adm2 AS (
+  SELECT user_id, t FROM e, wm1
+  WHERE (t // 1000) % 2 <> 0 AND t + {_SSW_GAP_NS} > wm1.w
+),
+r2 AS (SELECT * FROM res1 UNION ALL SELECT * FROM adm2),
+i2 AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w >= {_SSW_GAP_NS} THEN 1 ELSE 0 END
+           AS brk
+  FROM r2 WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+g2 AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM i2
+),
+s2 AS (
+  SELECT user_id, grp, min(t) AS s_start,
+         max(t) + {_SSW_GAP_NS} AS s_end, count(*) AS n_events
+  FROM g2 GROUP BY user_id, grp
+),
+e2 AS (SELECT user_id, s_start, s_end, n_events
+       FROM s2, fin WHERE s_end <= fin.w)
+SELECT user_id, s_start, s_end, CAST(n_events AS BIGINT) AS n_events
+FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+ORDER BY user_id, s_start
+"""

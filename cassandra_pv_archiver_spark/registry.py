@@ -44,6 +44,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_pii_redact_rewrite,
         catalog_data.SQL_PII_REDACT_REWRITE,
     ),
+    "stream_session_windows": (
+        catalog_generic.q_stream_session_windows,
+        catalog_generic.SQL_STREAM_SESSION_WINDOWS,
+    ),
     # --- round 7 additions (never driver-checked: keep at the front) ---
     "lm_quality_score": (
         catalog_data.q_lm_quality_score,
