@@ -142,3 +142,41 @@ class TestBM25:
         assert sdf.astype("int64").reset_index(drop=True).equals(
             odf.astype("int64").reset_index(drop=True)
         )
+
+
+class TestIntervalJoinBruteForce:
+    def test_randomized_vs_brute_force(self, spark):
+        """Seeded randomized corpus vs an all-pairs pandas brute force:
+        every (point, interval) pair with the same key and
+        t_start <= t < t_end, across block sizes that divide, exceed,
+        and straddle the interval spans."""
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(20260815)
+        n_pts, n_ivs, n_keys = 500, 80, 7
+        pts = pd.DataFrame({
+            "k": [f"k{i}" for i in rng.integers(0, n_keys, n_pts)],
+            "t": rng.integers(0, 10_000, n_pts).astype("int64"),
+            "pid": np.arange(n_pts, dtype="int64"),
+        })
+        starts = rng.integers(0, 9_500, n_ivs).astype("int64")
+        ivs = pd.DataFrame({
+            "win": np.arange(n_ivs, dtype="int64"),
+            "k": [f"k{i}" for i in rng.integers(0, n_keys, n_ivs)],
+            "t_start": starts,
+            "t_end": starts + rng.integers(1, 800, n_ivs).astype("int64"),
+        })
+        brute = pts.merge(ivs, on="k")
+        brute = brute[(brute.t >= brute.t_start) & (brute.t < brute.t_end)]
+        want = sorted(zip(brute.pid, brute.win))
+
+        pdf = spark.createDataFrame(pts)
+        idf = spark.createDataFrame(ivs)
+        for block in (64, 100, 799, 1000, 5000):
+            got = sorted(
+                (r.pid, r.win)
+                for r in interval_join(pdf, idf, key="k", block=block)
+                .collect()
+            )
+            assert got == want, f"block={block}"
