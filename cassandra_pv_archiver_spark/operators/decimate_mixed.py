@@ -45,6 +45,8 @@ from .decimate import (
     AGGREGATABLE_TYPES,
     MARKER_TYPES,
     NS,
+    _extrema_aggs,
+    _extrema_cols,
     _severity_agg,
     big_to_double,
     explode_validity_windows,
@@ -118,8 +120,11 @@ def decimate_mixed(
         sw.alias("cov"),
         swv.alias("_swv"),
         swv2.alias("_swv2"),
-        F.min("v").alias("vmin"),
-        F.max("v").alias("vmax"),
+        # Math.min/Math.max-faithful extrema, shared with decimate —
+        # signed-zero ties deterministic, NaN propagating (the native
+        # F.min/F.max keep the FIRST of a {-0.0,+0.0} tie, i.e. are
+        # partition-order-dependent)
+        *_extrema_aggs("v", "v"),
         _severity_agg(),  # A2: shared with decimate — ONE tie-break rule
         F.expr(
             "min_by(named_struct('sval', sval, 'aval', aval, 'eval', eval,"
@@ -135,6 +140,7 @@ def decimate_mixed(
     swd = F.col("cov").cast("double")
     mean = F.expr(big_to_double("_swv")) / swd / F.lit(float(vs))
     var = F.expr(big_to_double("_swv2")) / swd / F.lit(float(vs * vs)) - mean * mean
+    vmin_c, vmax_c = _extrema_cols()
     g1 = g1.select(
         key,
         "win",
@@ -144,8 +150,8 @@ def decimate_mixed(
             F.col("cov"),
             F.when(F.col("is_agg"), mean).alias("mean"),
             F.when(F.col("is_agg"), F.sqrt(F.greatest(var, F.lit(0.0)))).alias("std"),
-            F.col("vmin"),
-            F.col("vmax"),
+            vmin_c,
+            vmax_c,
             F.when(
                 F.col("is_agg"),
                 swd / F.lit(1e9) / F.lit(float(period_s)),

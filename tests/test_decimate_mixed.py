@@ -270,3 +270,40 @@ def test_aggregatable_first_wins_under_veto_with_meta(spark):
     r = _one(decimate_mixed(df, 60), 0)
     assert r.type == "aggregated_scalar_double"
     assert r.eval is None and tuple(r.meta) == META_A
+
+
+def test_mixed_signed_zero_extrema_deterministic(spark):
+    """The mixed-type path shares decimate's Math.min/Math.max-faithful
+    extrema: a {+0.0, -0.0} interval yields vmin=-0.0 / vmax=+0.0 bits
+    regardless of encounter order (VERDICT r7 #9 bug class)."""
+    import struct as _st
+
+    from cassandra_pv_archiver_spark.operators.decimate_mixed import (
+        decimate_mixed,
+    )
+
+    def bits(x):
+        return _st.unpack(">Q", _st.pack(">d", x))[0]
+
+    NS = 1_000_000_000
+    rows = [
+        ("a", 60 * NS, "scalar_double", 0.0, None, None, None, None, None,
+         None, 0, 0),
+        ("a", 120 * NS, "scalar_double", -0.0, None, None, None, None, None,
+         None, 0, 0),
+        ("a", 7300 * NS, "scalar_double", 9.0, None, None, None, None, None,
+         None, 0, 0),
+    ]
+    schema = (
+        "channel string, t long, type string, v double, aval array<double>,"
+        " eval int, labels array<string>, sval string, asval array<string>,"
+        " meta struct<precision:int,units:string,lower_warning_limit:double,"
+        "upper_warning_limit:double,lower_alarm_limit:double,"
+        "upper_alarm_limit:double,lower_display_limit:double,"
+        "upper_display_limit:double,lower_control_limit:double,"
+        "upper_control_limit:double>, severity int, status int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = decimate_mixed(df, 3600).orderBy("t").collect()[0]
+    assert bits(out.vmin) == bits(-0.0)
+    assert bits(out.vmax) == bits(0.0)
