@@ -165,9 +165,13 @@ SF1_QUERIES = [
     "decimate_1h", "decimate_cascade_6h", "union_levels",
     "planner_fallback", "materialize_minhash_pairs",
     "materialize_pq_index", "pq_adc_recall",
+    # round-8 throughput ops (documents / events tables, both in the
+    # sf1 slice)
+    "bm25_topk", "purchase_window_rollup",
 ]
 SF1_RECEIPT = ["decimate_1h", "union_levels", "raw_latest_n",
-               "hard_negative_mining"]
+               "hard_negative_mining", "bm25_topk",
+               "purchase_window_rollup"]
 SF1_MARK, SF1_END = "<!-- sf1-sweep -->", "<!-- /sf1-sweep -->"
 
 
