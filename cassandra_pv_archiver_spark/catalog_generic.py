@@ -1916,3 +1916,101 @@ SELECT user_id, s_start, s_end, CAST(n_events AS BIGINT) AS n_events
 FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
 ORDER BY user_id, s_start
 """
+
+
+# --- round 8: streaming dedup within watermark ------------------------------
+
+SDD_DELAY_S = 7200
+#: duplicate re-send lag: ABOVE the watermark delay, so re-sent copies of
+#: old-enough originals arrive after state eviction (the documented
+#: dropDuplicatesWithinWatermark caveat this row attests)
+SDD_SHIFT_NS = 3 * 3600 * 1_000_000_000
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` semantics, value-hashed: unique
+    events stream in chunk 1; chunk 2 re-sends every fifth chunk-1 event
+    3 h later (above the 2 h dedup horizon) alongside the odd-parity
+    originals. Three regimes, all exercised and pinned by the oracle:
+    a re-sent copy is (a) dropped while its original is still in dedup
+    state (original newer than wm1 − delay), (b) RE-EMITTED as a fresh
+    row once the original's state was evicted — the documented
+    within-watermark-only guarantee — or (c) filtered as late input when
+    the copy itself is older than the restart watermark. Odd originals
+    are admitted under the same late filter."""
+    from pyspark.sql.types import StructType
+
+    root = _scratch_dir_generic("pvarch_sdd_")
+    e = load_events(spark, sf_dir).select(
+        "event_id", F.col("ts").alias("t"), "user_id"
+    )
+    out_schema = "event_id bigint, t bigint, user_id bigint"
+    if e.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    even = F.expr("(t div 1000) % 2 = 0")
+    src, ckpt, sink = f"{root}/incoming", f"{root}/ckpt", f"{root}/out"
+
+    def _run() -> None:
+        s = (
+            spark.readStream.schema(out_schema).parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("t div 1000")))
+            .withWatermark("ts", f"{SDD_DELAY_S} seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "t", "user_id")
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    e.filter(even).coalesce(1).write.mode("overwrite").parquet(src)
+    _run()
+    resent = (
+        e.filter(even & (F.col("event_id") % 5 == 0))
+        .withColumn("t", F.col("t") + F.lit(SDD_SHIFT_NS))
+    )
+    e.filter(~even).unionByName(resent).coalesce(1).write.mode(
+        "append").parquet(src)
+    _run()
+    got = spark.read.schema(StructType.fromDDL(out_schema)).parquet(sink)
+    return got.orderBy("event_id", "t")
+
+
+SQL_STREAM_DEDUP_WATERMARK = f"""
+WITH e AS (
+  SELECT event_id, epoch_ns(ts) AS t, user_id FROM events
+),
+ev AS (SELECT *, (t // 1000) % 2 = 0 AS even FROM e),
+wm1 AS (
+  SELECT ((max(t) // 1000000) - {SDD_DELAY_S * 1000}) * 1000000 AS w
+  FROM ev WHERE even
+),
+-- run 1: every (unique) chunk-1 row emits
+run1 AS (SELECT event_id, t, user_id FROM ev WHERE even),
+-- run 2 admits input with event time >= the restart watermark
+odd2 AS (
+  SELECT event_id, t, user_id FROM ev, wm1
+  WHERE NOT even AND t >= wm1.w
+),
+-- re-sent copies (+3 h): late-filtered below wm1; DROPPED while the
+-- original is still in dedup state (original t within the 2 h horizon
+-- of wm1); RE-EMITTED once the original's state was evicted
+resent AS (
+  SELECT event_id, t + {SDD_SHIFT_NS} AS t, user_id
+  FROM ev WHERE even AND event_id % 5 = 0
+),
+reemit AS (
+  SELECT r.event_id, r.t, r.user_id FROM resent r, wm1
+  WHERE r.t >= wm1.w
+    AND (r.t - {SDD_SHIFT_NS}) + {SDD_DELAY_S * 1_000_000_000} < wm1.w
+)
+SELECT event_id, t, user_id FROM run1
+UNION ALL SELECT * FROM odd2
+UNION ALL SELECT * FROM reemit
+ORDER BY event_id, t
+"""

@@ -48,6 +48,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_stream_session_windows,
         catalog_generic.SQL_STREAM_SESSION_WINDOWS,
     ),
+    "stream_dedup_watermark": (
+        catalog_generic.q_stream_dedup_watermark,
+        catalog_generic.SQL_STREAM_DEDUP_WATERMARK,
+    ),
     # --- round 7 additions (never driver-checked: keep at the front) ---
     "lm_quality_score": (
         catalog_data.q_lm_quality_score,
