@@ -220,6 +220,10 @@ BENCH_QUERIES = [
     # the same precedent)
     "bm25_topk",
     "purchase_window_rollup",
+    # round 8: storage-sizing analytics (lag-lag windows on the shared
+    # per-channel exchange; raw + lattice union for gorilla)
+    "ts_gorilla_size",
+    "bucket_rollover_estimate",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import asof
+from .operators import asof, storage
 from .operators.decimate import (
     NS,
     big_to_double,
@@ -23,7 +23,7 @@ from .operators.decimate import (
     reaggregate,
 )
 from .operators.decimate_mixed import decimate_mixed
-from .params import DAY_NS, HI, LO, MID, PERIOD_1H, PERIOD_6H
+from .params import DAY_NS, HI, LO, MID, NS, PERIOD_1H, PERIOD_6H
 from .plans.planner import plan_samples
 from .sources.testdata import (
     MIXED_SAMPLES_CTE,
@@ -4474,3 +4474,138 @@ ORDER BY channel, w_start
 SQL_STREAM_WATERMARK_COUNTS = SQL_STREAM_WATERMARK_COUNTS.replace(
     "{SAMPLES}", SAMPLES_CTE.strip()
 ).replace("{CHANNELS}", ", ".join(f"'{c}'" for c in _LIFECYCLE_CHANNELS))
+
+
+# ---------------------------------------------------------------------------
+# round 8: storage-sizing analytics (operators/storage.py)
+# ---------------------------------------------------------------------------
+
+
+def q_severity_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alarm-severity transition matrix over every channel's sample
+    stream: (from, to) counts + distinct channels. The alarm-analytics
+    view over the severity codes each sample carries
+    (`JsonV1SampleSerializer.java:57-86`). One lag window on the shared
+    per-channel exchange, then a |severity|^2-row groupBy — output size
+    independent of data size."""
+    s = load_samples(spark, sf_dir)
+    return storage.severity_transitions(s).orderBy("from_sev", "to_sev")
+
+
+SQL_SEVERITY_TRANSITIONS = f"""
+WITH {SAMPLES_CTE.strip()},
+d AS (
+  SELECT channel, severity,
+         lag(severity) OVER (PARTITION BY channel ORDER BY t) AS prev
+  FROM samples)
+SELECT CAST(prev AS INTEGER) AS from_sev,
+       CAST(severity AS INTEGER) AS to_sev,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT channel) AS BIGINT) AS n_channels
+FROM d WHERE prev IS NOT NULL
+GROUP BY from_sev, to_sev ORDER BY from_sev, to_sev
+"""
+
+
+def q_ts_gorilla_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla delta-of-delta timestamp-compression estimate (Pelkonen
+    et al., VLDB 2015 §4.1.1), per channel, for TWO series shapes: the
+    raw irregular telemetry and the epoch-aligned 1h lattice a decimated
+    level stores (`ArchivedChannelDecimatedSamplesDecimationLevel
+    .java:854-888`). Quantifies the archiver's storage argument: the
+    regular lattice costs ~1 bit/timestamp while irregular raw arrivals
+    pay the 36-bit escape. Integer arithmetic end-to-end (grid `div`,
+    lag-lag, CASE buckets) — bit-exact in both engines."""
+    s = load_samples(spark, sf_dir).select("channel", "t")
+    raw = s.withColumn("series", F.lit("raw"))
+    lat = storage.decimation_lattice(s, PERIOD_1H * NS).withColumn(
+        "series", F.lit("grid_1h")
+    )
+    return storage.gorilla_ts_bits(
+        raw.unionByName(lat), series_col="series"
+    ).orderBy("channel", "series")
+
+
+_P1H_NS = PERIOD_1H * NS
+
+SQL_TS_GORILLA_SIZE = f"""
+WITH {SAMPLES_CTE.strip()},
+raw AS (SELECT channel, t, 'raw' AS series FROM samples),
+bounds AS (
+  SELECT channel, min(t) // {_P1H_NS} AS lo_w, max(t) // {_P1H_NS} AS hi_w
+  FROM samples GROUP BY channel),
+lat AS (
+  SELECT channel, unnest(range(lo_w, hi_w + 1)) * {_P1H_NS} AS t,
+         'grid_1h' AS series
+  FROM bounds),
+u AS (SELECT * FROM raw UNION ALL SELECT * FROM lat),
+d1 AS (
+  SELECT channel, series, t, t // 1000000000 AS ts_g,
+         (t // 1000000000)
+           - lag(t // 1000000000)
+             OVER (PARTITION BY channel, series ORDER BY t) AS dt
+  FROM u),
+d2 AS (
+  SELECT *, dt - lag(dt) OVER (PARTITION BY channel, series ORDER BY t)
+              AS dod
+  FROM d1),
+bits AS (
+  SELECT channel, series,
+         CASE WHEN dt IS NULL THEN 64
+              WHEN dod IS NULL THEN 27
+              WHEN dod = 0 THEN 1
+              WHEN dod BETWEEN -63 AND 64 THEN 9
+              WHEN dod BETWEEN -255 AND 256 THEN 12
+              WHEN dod BETWEEN -2047 AND 2048 THEN 16
+              ELSE 36 END AS b
+  FROM d2)
+SELECT channel, series, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(b) AS BIGINT) AS bits_ts,
+       CAST((sum(b) + 7) // 8 AS BIGINT) AS bytes_est,
+       CAST(count(*) * 8 AS BIGINT) AS bytes_raw
+FROM bits GROUP BY channel, series ORDER BY channel, series
+"""
+
+
+#: tiny cap so the synthetic series rolls over many times per channel
+#: (the reference constant is 96 MB; the math is cap-invariant)
+ROLLOVER_CAP_BYTES = 2048
+ROLLOVER_OVERHEAD_BYTES = 32
+
+
+def q_bucket_rollover_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 analytic role: predicted size-capped bucket layout over the
+    variable-payload string series — per-sample size estimate
+    (`SampleSizeEstimator` contract, `SampleDecimator.java:152-177`)
+    accumulated per channel and split at the cap
+    (`MAX_BUCKET_SIZE_BYTES`, `ArchivedChannelDecimationLevel.java:97`;
+    offset-grid form — see operators/storage.bucket_rollover_estimate
+    for the documented greedy-rule deviation). Output rows play the
+    bucket-index role (`ChannelMetaDataDAOImpl.java:2092-2103`)."""
+    s = load_string_samples(spark, sf_dir)
+    return storage.bucket_rollover_estimate(
+        s,
+        cap_bytes=ROLLOVER_CAP_BYTES,
+        overhead_bytes=ROLLOVER_OVERHEAD_BYTES,
+        payload_len=F.octet_length("sval"),
+    ).orderBy("channel", "bucket_seq")
+
+
+SQL_BUCKET_ROLLOVER_ESTIMATE = f"""
+WITH {STRING_SAMPLES_CTE.strip()},
+d AS (
+  SELECT channel, t,
+         CAST({ROLLOVER_OVERHEAD_BYTES} + strlen(sval) AS BIGINT) AS sz
+  FROM string_samples),
+w AS (
+  SELECT channel, t, sz,
+         sum(sz) OVER (PARTITION BY channel ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) - sz AS off
+  FROM d)
+SELECT channel, CAST(off // {ROLLOVER_CAP_BYTES} AS BIGINT) AS bucket_seq,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(sz) AS BIGINT) AS bucket_bytes,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last
+FROM w GROUP BY channel, bucket_seq ORDER BY channel, bucket_seq
+"""

@@ -6535,3 +6535,61 @@ FROM aug ORDER BY doc_id
 
 
 SQL_PII_REDACT_REWRITE = _sql_pii_redact_rewrite()
+
+
+# ---------------------------------------------------------------------------
+# round 8: leakage-free split assignment by near-dup component
+# ---------------------------------------------------------------------------
+
+CLUSTER_SPLIT_SALT = "cluster-split"
+
+
+def q_cluster_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructive counterpart of ``split_leakage_audit``: assign
+    train/val/test by hashing the near-dup COMPONENT label instead of the
+    document id, so transitively-duplicated documents land in the same
+    split by construction (the standard fix for eval contamination via
+    near-dups; cf. Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"). Pipeline: MinHash-LSH verified pairs ->
+    connected components (hash-min propagation, `operators/dedup.py`) ->
+    md5 threshold on the component id (`sampling.split_assign`). One
+    extra broadcast-sized join over the per-doc label table; the split
+    is a pure function of comp, so zero cross-split near-dup pairs —
+    structurally, not statistically."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir)
+    comp = dedup.connected_components(pairs, docs)
+    assigned = sampling.split_assign(
+        comp, id_col="comp", salt=CLUSTER_SPLIT_SALT
+    )
+    return assigned.select("doc_id", "comp", "split").orderBy("doc_id")
+
+
+_SQL_COMP_H16 = (
+    "CAST(list_sum(list_transform(range(0, 4), i -> "
+    f"CAST(strpos('0123456789abcdef', substr(md5('{CLUSTER_SPLIT_SALT}:' || "
+    "CAST(comp AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)"
+    " << (4 * (3 - i)))) AS INTEGER)"
+)
+
+SQL_CLUSTER_SPLIT_ASSIGN = f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vpairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+),
+lab AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id),
+h AS (SELECT doc_id, comp, {_SQL_COMP_H16} AS b16 FROM lab)
+SELECT doc_id, comp,
+       CASE WHEN b16 < {65536 * SPLIT_TRAIN_PCT // 100} THEN 'train'
+            WHEN b16 < {65536 * (SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) // 100}
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""

@@ -16,6 +16,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- round 8 additions ---
+    "severity_transitions": (
+        catalog.q_severity_transitions,
+        catalog.SQL_SEVERITY_TRANSITIONS,
+    ),
+    "ts_gorilla_size": (
+        catalog.q_ts_gorilla_size,
+        catalog.SQL_TS_GORILLA_SIZE,
+    ),
+    "bucket_rollover_estimate": (
+        catalog.q_bucket_rollover_estimate,
+        catalog.SQL_BUCKET_ROLLOVER_ESTIMATE,
+    ),
+    "cluster_split_assign": (
+        catalog_data.q_cluster_split_assign,
+        catalog_data.SQL_CLUSTER_SPLIT_ASSIGN,
+    ),
     "bm25_topk": (
         catalog_data.q_bm25_topk,
         catalog_data.SQL_BM25_TOPK,

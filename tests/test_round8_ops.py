@@ -180,3 +180,28 @@ class TestIntervalJoinBruteForce:
                 .collect()
             )
             assert got == want, f"block={block}"
+
+
+class TestClusterSplitAssign:
+    """Leakage-free split: split is a function of the near-dup component,
+    so pair endpoints can never straddle splits (catalog_data.
+    q_cluster_split_assign)."""
+
+    def test_pair_endpoints_share_split(self, spark):
+        from cassandra_pv_archiver_spark.operators import dedup, sampling
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        docs = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long"
+        )
+        comp = dedup.connected_components(pairs, docs)
+        assigned = sampling.split_assign(comp, id_col="comp", salt="t")
+        by_id = {r.doc_id: (r.comp, r.split) for r in assigned.collect()}
+        # transitive component {1,2,3} all share comp and split
+        assert by_id[1] == by_id[2] == by_id[3]
+        assert by_id[10] == by_id[11]
+        # singleton keeps its own id as component
+        assert by_id[99][0] == 99
+        assert {s for _, s in by_id.values()} <= {"train", "val", "test"}

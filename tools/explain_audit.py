@@ -48,6 +48,33 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["codegen id"],
         ["CartesianProduct"],
     ),
+    "severity_transitions": (
+        3,  # F5-dedup channel hash (lag window reuses it) + the
+        # |severity|^2 groupBy + the output sort
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "ts_gorilla_size": (
+        3,  # channel hash (raw dedup; lattice agg reuses it) + one
+        # post-union (channel, series) window exchange + output sort;
+        # the (channel, series) groupBy reuses the window's clustering
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "bucket_rollover_estimate": (
+        2,  # ONE channel hash serves dedup + the prefix-sum window + the
+        # (channel, bucket_seq) groupBy (subset clustering); + output sort
+        ["codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "cluster_split_assign": (
+        None,
+        # CC loop + md5 threshold: no cartesian, no Python crossing; the
+        # nodes-vs-labels attach join may sort-merge (both sides are
+        # corpus-scale in the worst case — broadcast would be a lie)
+        ["codegen id"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "tpch_q3": (
         None,
         ["BroadcastHashJoin", "PushedFilters"],
