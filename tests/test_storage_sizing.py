@@ -171,3 +171,101 @@ class TestSeverityTransitions:
             [("A", 0, 1)], "channel string, t long, severity int"
         )
         assert severity_transitions(df).count() == 0
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    def _py_gorilla_bits(ts, grid_ns=NS):
+        """Brute-force Gorilla §4.1.1 bit count of one sorted series."""
+        g = [t // grid_ns for t in ts]
+        bits = 0
+        prev_d = None
+        for i, _ in enumerate(g):
+            if i == 0:
+                bits += GORILLA_FIRST_TS_BITS
+                continue
+            d = g[i] - g[i - 1]
+            if prev_d is None:
+                bits += GORILLA_FIRST_DELTA_BITS
+            else:
+                dod = d - prev_d
+                if dod == 0:
+                    bits += 1
+                elif -63 <= dod <= 64:
+                    bits += 9
+                elif -255 <= dod <= 256:
+                    bits += 12
+                elif -2047 <= dod <= 2048:
+                    bits += 16
+                else:
+                    bits += GORILLA_DOD_ESCAPE_BITS
+            prev_d = d
+        return bits
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=3_000_000 * NS),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        )
+    )
+    def test_gorilla_bits_match_bruteforce(spark, ts):
+        ts = sorted(ts)
+        row = gorilla_ts_bits(_series(spark, ts)).collect()[0]
+        want = _py_gorilla_bits(ts)
+        assert row.bits_ts == want
+        assert row.bytes_est == (want + 7) // 8
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=0, max_value=12),
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda p: p[0],
+        ),
+        st.integers(min_value=64, max_value=512),
+    )
+    def test_rollover_matches_bruteforce_offset_grid(spark, rows, cap):
+        rows = sorted(rows)
+        df = spark.createDataFrame(
+            [("c", t, "z" * ln) for t, ln in rows],
+            "channel string, t long, sval string",
+        )
+        got = {
+            r.bucket_seq: (r.n_samples, r.bucket_bytes)
+            for r in bucket_rollover_estimate(
+                df, cap_bytes=cap, overhead_bytes=32,
+                payload_len=F.octet_length("sval"),
+            ).collect()
+        }
+        want: dict[int, list[int]] = {}
+        off = 0
+        for _t, ln in rows:
+            sz = 32 + ln
+            want.setdefault(off // cap, []).append(sz)
+            off += sz
+        assert got == {
+            b: (len(szs), sum(szs)) for b, szs in want.items()
+        }
