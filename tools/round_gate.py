@@ -168,10 +168,12 @@ SF1_QUERIES = [
     # round-8 throughput ops (documents / events tables, both in the
     # sf1 slice)
     "bm25_topk", "purchase_window_rollup",
+    # storage-sizing ops: linear per-channel window shape
+    "ts_gorilla_size", "bucket_rollover_estimate",
 ]
 SF1_RECEIPT = ["decimate_1h", "union_levels", "raw_latest_n",
                "hard_negative_mining", "bm25_topk",
-               "purchase_window_rollup"]
+               "purchase_window_rollup", "ts_gorilla_size"]
 SF1_MARK, SF1_END = "<!-- sf1-sweep -->", "<!-- /sf1-sweep -->"
 
 
