@@ -221,13 +221,22 @@ class AdminApp:
                 self._apply(cmd)
                 results.append(
                     {"command": cmd, "success": True, "errorMessage": None})
-            except (KeyError, ValueError, TypeError) as e:
+            # ApiError and AttributeError included: a per-command problem
+            # (malformed UUID from _require_uuid, non-dict command, list
+            # where a map belongs) must be reported IN-BAND like any other
+            # validation failure — an escaping exception would abort the
+            # batch mid-way with earlier commands already applied,
+            # violating the never-abort contract above.
+            except (KeyError, ValueError, TypeError, AttributeError,
+                    ApiError) as e:
                 results.append(
                     {"command": cmd, "success": False,
                      "errorMessage": str(e) or type(e).__name__})
         return {"errorMessage": None, "results": results}
 
     def _apply(self, cmd: dict) -> None:
+        if not isinstance(cmd, dict):
+            raise ValueError(f"command must be an object, got {cmd!r}")
         ctype = cmd.get("commandType")
         reg = self.registry
         if ctype in ("add_channel", "add_or_update_channel",

@@ -23,7 +23,7 @@ from .operators.decimate import (
     reaggregate,
 )
 from .operators.decimate_mixed import decimate_mixed
-from .params import DAY_NS, HI, LO, MID, NS, PERIOD_1H, PERIOD_6H
+from .params import DAY_NS, HI, LO, MID, PERIOD_1H, PERIOD_6H
 from .plans.planner import plan_samples
 from .sources.testdata import (
     MIXED_SAMPLES_CTE,

@@ -6134,17 +6134,14 @@ ORDER BY agg.doc_id
 # --- round 7 capstone: fused curation (filter -> rewrite -> stats) --------
 
 
-def q_curate_round7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round's surface composed as ONE attested pipeline, in the
-    order a real curation run applies it: the fused quality filter
-    (LM + boilerplate + length, integer-rule cuts) selects the kept
-    set; chunk-level dedup REWRITES the kept documents; the per-source
-    report prices the whole run (docs in/kept, token mass in/out,
-    chunks removed). Every stage is the same machinery its standalone
-    registry row attests — this row attests the composition."""
-    from .operators import dedup, lm
+def _quality_kept(docs: DataFrame) -> DataFrame:
+    """The fused quality-filter kept set (LM + boilerplate + length,
+    integer-rule cuts) — ONE implementation shared by every curation
+    composition (`curate_round7`, `curate_round8`), so a threshold or
+    join-shape change cannot silently fork the rule between rounds.
+    Returns (doc_id, source, n_tokens)."""
+    from .operators import lm
 
-    docs = load_table(spark, sf_dir, "documents")
     lm_pd = lm.stupid_backoff_score(docs, salt=LM_SALT, train_pct=LM_TRAIN_PCT)
     bp = text.boilerplate_spans(docs, n=BP_N, min_sources=BP_MIN_SOURCES)
     j = (
@@ -6160,7 +6157,21 @@ def q_curate_round7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & ((F.col("n_cov") * QF_BP_DEN) <= F.col("n_tokens"))
     )
-    kept = j.filter(keep).select("doc_id", "source", "n_tokens")
+    return j.filter(keep).select("doc_id", "source", "n_tokens")
+
+
+def q_curate_round7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's surface composed as ONE attested pipeline, in the
+    order a real curation run applies it: the fused quality filter
+    (LM + boilerplate + length, integer-rule cuts) selects the kept
+    set; chunk-level dedup REWRITES the kept documents; the per-source
+    report prices the whole run (docs in/kept, token mass in/out,
+    chunks removed). Every stage is the same machinery its standalone
+    registry row attests — this row attests the composition."""
+    from .operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _quality_kept(docs)
     rw = dedup.chunk_dedup_rewrite(
         docs.join(kept.select("doc_id"), "doc_id"),
         chunk_tokens=CHUNK_REWRITE_TOKENS,
@@ -6368,26 +6379,12 @@ def q_curate_round8(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); chunk-level dedup REWRITES the survivors; the per-source
     report prices the run including the decontaminated count. BM25
     corpus statistics (df/N/avgdl) are computed over the KEPT set — the
-    corpus actually being guarded."""
-    from .operators import dedup, lm, retrieval
+    corpus actually being guarded. The kept set is `_quality_kept` —
+    the exact rule `curate_round7` applies."""
+    from .operators import dedup, retrieval
 
     docs = load_table(spark, sf_dir, "documents")
-    lm_pd = lm.stupid_backoff_score(docs, salt=LM_SALT, train_pct=LM_TRAIN_PCT)
-    bp = text.boilerplate_spans(docs, n=BP_N, min_sources=BP_MIN_SOURCES)
-    j = (
-        docs.select("doc_id", "source")
-        .join(lm_pd.select("doc_id", "n_scored", "score_q9"), "doc_id")
-        .join(bp.select("doc_id", "n_tokens", "n_cov"), "doc_id")
-    )
-    keep = (
-        (F.col("n_tokens") >= QF_MIN_TOKENS)
-        & (
-            (F.col("score_q9") * QF_LM_DEN)
-            >= (F.col("n_scored") * QF_LM_NUM * F.lit(1_000_000_000))
-        )
-        & ((F.col("n_cov") * QF_BP_DEN) <= F.col("n_tokens"))
-    )
-    kept = j.filter(keep).select("doc_id", "source", "n_tokens")
+    kept = _quality_kept(docs)
     kept_docs = docs.join(kept.select("doc_id"), "doc_id")
     flagged = (
         retrieval.bm25_scores(kept_docs, DECON_QUERY)

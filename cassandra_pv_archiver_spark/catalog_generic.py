@@ -1723,13 +1723,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scratch_dir_generic(prefix: str) -> str:
-    import atexit
-    import shutil
-    import tempfile
+    """Delegates to catalog._scratch_dir (one cleanup policy to rule the
+    scratch roots); imported lazily — catalog does not import this
+    module, so there is no cycle."""
+    from .catalog import _scratch_dir
 
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+    return _scratch_dir(prefix)
 
 
 SQL_STREAM_STREAM_JOIN = f"""
@@ -1784,10 +1783,13 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tumbling windows, stream-stream join, sessions). Per-user sessions
     with a 30 min gap over the click/view stream, 2 h watermark,
     µs-parity chunks. Emitted = sessions the final watermark closed;
-    a late chunk-2 row is admitted iff its own event time >= the restart
-    watermark (the same admission rule stream_stream_join pinned), and
-    admitted residuals re-sessionize with chunk-1 rows whose sessions
-    were NOT yet finalized. The oracle runs the two-phase sessionization
+    a late chunk-2 row is admitted iff its one-row session could still
+    merge into live state — `t + gap > restart watermark` (the
+    session-window END predicate, the session analog of
+    stream_watermark_counts' window-end drop rule; NOT the raw
+    event-time rule stream_stream_join pins), and admitted residuals
+    re-sessionize with chunk-1 rows whose sessions were NOT yet
+    finalized. The oracle runs the two-phase sessionization
     in batch SQL (gaps-and-islands twice)."""
     from pyspark.sql.types import StructType
 

@@ -10,8 +10,12 @@ this repo's integer-grid discipline (operators/lm.py avoids log the same
 way) — the idf here is the **log-free Robertson/Spärck-Jones odds
 ratio** on a 1e-9 grid::
 
-    idf_q9(t)  = (SCALE * (2*(N - df) + 1)) div (2*df + 1)
-                 -- exact rational form of (N - df + 0.5)/(df + 0.5)
+    g          = greatest(1, (N * Q) div 4e9)   -- Q = #query terms
+    idf_q9(t)  = (SCALE * (2*(N - df) + 1)) div ((2*df + 1) * g)
+                 -- exact rational form of (N - df + 0.5)/(df + 0.5),
+                 -- grid coarsened by g so the BIGINT output cannot
+                 -- overflow (see bound below); g = 1 for N*Q < 4e9,
+                 -- i.e. every current fixture is bit-unchanged
 
 and the tf leg is classic BM25 saturation + length normalization with
 k1 = 6/5, b = 3/4 as exact rationals (TT = total corpus tokens, dl =
@@ -26,6 +30,15 @@ through DECIMAL(38,0): worst case ``idf_q9 * 44 * tf * TT`` at
 N = 1e10 docs / TT = 1e13 tokens is ~1e37 < 1e38. Per-document scores
 are BIGINT sums of per-term integers — addition-order-free, hence
 bit-identical on any partitioning and in the DuckDB oracle.
+
+BIGINT output bound (the reason for ``g``): a term's contribution is at
+most ``idf_q9 * 44/20``, and ``idf_q9 <= SCALE * (2N+1) / (3g)``. With
+``g >= N*Q/4e9`` that gives ``Q * contrib <= 2.2 * 1e9 * (2/3) * 4e9
+~ 5.9e18 < 2^63-1`` — the whole-query score fits int64 at ANY corpus
+size. Without ``g``, df = 1 at N = 1e10 puts a single contribution at
+~1.5e19, past int64 (Spark's non-ANSI cast would return NULL, DuckDB
+would raise — a silent cross-engine divergence at exactly the
+docstring's stated envelope).
 
 100 TB shape: the query-term list is a tiny literal, so per-document
 term frequencies are computed INSIDE the row (``size(filter(words,
@@ -44,6 +57,11 @@ from .text import _WORDS
 SCALE = 1_000_000_000
 #: k1 = 6/5, b = 3/4 cleared to integer coefficients (see module doc)
 C_NUM, C_TF, C_CONST, C_DL = 44, 20, 6, 18
+#: grid-coarsening threshold: g = max(1, N*Q div GRID_DIV) keeps the
+#: BIGINT score sum under 2^63 at any corpus size. 2e9, not 4e9: floor
+#: can halve the ratio (floor(x) >= x/2 for x >= 1), so the divisor
+#: must leave 2x headroom against the 4e9 the bound itself needs
+GRID_DIV = 2_000_000_000
 
 
 def bm25_topk(
@@ -91,12 +109,15 @@ def bm25_scores(docs: DataFrame, query_terms: list[str]) -> DataFrame:
     )
     scored = base.join(F.broadcast(stats))
     d38 = "CAST({} AS DECIMAL(38,0))"
+    # overflow guard (module doc): coarsen the idf grid once N*Q passes
+    # GRID_DIV; greatest(1, ...) keeps every small corpus bit-unchanged
+    g = f"greatest(CAST(1 AS BIGINT), (N * {len(terms)}) div {GRID_DIV})"
     contribs = []
     for i in range(len(terms)):
         tf, df = f"_tf{i}", f"_df{i}"
         idf = (
             f"(CAST({SCALE} AS DECIMAL(38,0)) * (2 * (N - {df}) + 1))"
-            f" div (2 * {df} + 1)"
+            f" div ((2 * {df} + 1) * {g})"
         )
         num = f"({d38.format(idf)} * {C_NUM} * {tf} * TT)"
         den = (
@@ -147,11 +168,12 @@ def bm25_scores_ctes(
         f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
         for i in range(len(terms))
     )
+    g = f"greatest(1, (N * {len(terms)}) // {GRID_DIV})"
     contribs = []
     for i in range(len(terms)):
         idf = (
             f"((CAST({SCALE} AS HUGEINT) * (2 * (N - df{i}) + 1))"
-            f" // (2 * df{i} + 1))"
+            f" // ((2 * df{i} + 1) * {g}))"
         )
         num = f"(CAST({idf} AS HUGEINT) * {C_NUM} * tf{i} * TT)"
         den = (

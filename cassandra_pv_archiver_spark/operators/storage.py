@@ -158,7 +158,17 @@ def bucket_rollover_estimate(
     size = F.lit(overhead_bytes) + (
         payload_len if payload_len is not None else F.lit(0)
     )
-    w = Window.partitionBy(channel_col).orderBy(t_col)
+    # explicit ROWS frame: Spark's default frame with an ORDER BY is
+    # RANGE, under which duplicate timestamps would each see the full
+    # tied-group sum and diverge from a per-row prefix. With ties the
+    # prefix order is still nondeterministic — callers must provide a
+    # unique t per channel (the canonical loaders' F5 dedup guarantees
+    # exactly that).
+    w = (
+        Window.partitionBy(channel_col)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     d = samples.withColumn("_sz", size.cast("long"))
     d = d.withColumn(
         "_off", F.sum("_sz").over(w) - F.col("_sz")

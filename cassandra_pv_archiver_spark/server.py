@@ -232,11 +232,14 @@ class _Handler(BaseHTTPRequestHandler):
         (the reference's batch contract), only malformed requests and
         unknown routes produce error statuses."""
         u = urlparse(self.path)
+        # drain the body BEFORE any routing decision: on an HTTP/1.1
+        # keep-alive connection an early 404 would leave the unread body
+        # bytes on the socket, desynchronizing the next request's parse
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n) if n else b""
         try:
             if self.admin is None or not u.path.startswith("/admin/api"):
                 raise ApiError(404, f"unknown path: {u.path}")
-            n = int(self.headers.get("Content-Length") or 0)
-            raw = self.rfile.read(n) if n else b""
             try:
                 body = json.loads(raw.decode("utf-8")) if raw else {}
             except (UnicodeDecodeError, json.JSONDecodeError):

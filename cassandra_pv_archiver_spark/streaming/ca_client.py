@@ -38,6 +38,7 @@ already-attested `ca_ingest_roundtrip_1h` shape.
 
 from __future__ import annotations
 
+import re
 import socket
 import struct
 import threading
@@ -727,6 +728,32 @@ def ca_subscribe_by_name(
     return frames, bindings
 
 
+_CHUNK_RE = re.compile(r"^chunk-(\d+)\.parquet$")
+
+
+def _spool_resume_state(spool_dir: str) -> tuple[int, int]:
+    """(next chunk index, mtime epoch) for a capture over a possibly
+    pre-populated spool. The index is parsed NUMERICALLY: the writer
+    zero-pads to 5 digits, but past chunk-99999 the name grows a digit
+    and lexicographic order (or a fixed [6:11] slice) would pick the
+    wrong maximum and restart the counter into live chunks."""
+    import os
+    import time
+
+    indexed = sorted(
+        (int(m.group(1)), f)
+        for f in os.listdir(spool_dir)
+        if (m := _CHUNK_RE.match(f))
+    )
+    if indexed:
+        last_idx, last_name = indexed[-1]
+        last = os.path.join(spool_dir, last_name)
+        return last_idx + 1, int(os.stat(last).st_mtime) - last_idx
+    # backdated far enough that index-spaced mtimes (1 s per chunk)
+    # stay in the past for any realistic capture size
+    return 0, int(time.time()) - 7 * 86400
+
+
 def spool_capture(
     host: str,
     port: int,
@@ -768,22 +795,12 @@ def spool_capture(
     # chunk numbering: a second capture restarting at chunk-00000 would
     # silently overwrite earlier chunks with a new backdated epoch that
     # sorts unpredictably against the leftovers. Resume the numbering
-    # and epoch from any existing chunks instead.
-    existing = sorted(
-        f for f in os.listdir(spool_dir)
-        if f.startswith("chunk-") and f.endswith(".parquet")
-    )
+    # and epoch from any existing chunks instead (numeric-index parse —
+    # see _spool_resume_state).
     buf: list[tuple[str, bytes]] = []
     seen: set[bytes] = set()
-    if existing:
-        last = os.path.join(spool_dir, existing[-1])
-        n_files = [int(existing[-1][6:11]) + 1]
-        _MTIME_EPOCH = int(os.stat(last).st_mtime) + 1 - n_files[0]
-    else:
-        n_files = [0]
-        # backdated far enough that index-spaced mtimes (1 s per chunk)
-        # stay in the past for any realistic capture size
-        _MTIME_EPOCH = int(time.time()) - 7 * 86400
+    next_idx, _MTIME_EPOCH = _spool_resume_state(spool_dir)
+    n_files = [next_idx]
 
     def _flush() -> None:
         if not buf:

@@ -225,3 +225,69 @@ class TestReadsAndStatus:
         base, _reg = admin
         status, _ = _post(base, "/admin/api/1.0/nope", {})
         assert status == 404
+
+
+CMD_PATH = "/admin/api/1.0/run-archive-configuration-commands"
+
+
+class TestBatchNeverAborts:
+    """Per-command failures must ride inside the batch response — an
+    escaping exception would leave earlier commands applied and later
+    ones never run (`runArchiveConfigurationCommands:762-798`)."""
+
+    def test_malformed_server_uuid_reports_in_band(self, admin):
+        base, reg = admin
+        status, body = _post(base, CMD_PATH, {"commands": [
+            {"commandType": "add_channel", "channelName": "PV:B1"},
+            {"commandType": "move_channel", "channelName": "PV:B1",
+             "newServerId": "not-a-uuid"},
+            {"commandType": "add_channel", "channelName": "PV:B2"},
+        ]})
+        # batch completed: first and third applied, second failed in-band
+        assert status == 500  # any failed command flips the status
+        oks = [r["success"] for r in body["results"]]
+        assert oks == [True, False, True]
+        assert "not a server id" in body["results"][1]["errorMessage"]
+        assert reg.get_channel("PV:B1") is not None
+        assert reg.get_channel("PV:B2") is not None
+
+    def test_non_dict_command_reports_in_band(self, admin):
+        base, _reg = admin
+        status, body = _post(base, CMD_PATH, {"commands": [
+            "add_channel",
+            {"commandType": "add_channel", "channelName": "PV:B3"},
+        ]})
+        assert status == 500
+        assert [r["success"] for r in body["results"]] == [False, True]
+
+    def test_missing_server_id_on_move_reports_in_band(self, admin):
+        base, _reg = admin
+        status, body = _post(base, CMD_PATH, {"commands": [
+            {"commandType": "move_channel", "channelName": "PV:A"},
+        ]})
+        assert status == 500
+        assert body["results"][0]["success"] is False
+
+
+class TestKeepAliveBodyDrain:
+    def test_post_404_does_not_desync_keepalive(self, admin):
+        """A POST body must be drained even when routing 404s, or the
+        unread bytes corrupt the next request on a keep-alive
+        connection."""
+        import http.client
+
+        base, _reg = admin
+        host = base.split("//", 1)[1]
+        conn = http.client.HTTPConnection(host, timeout=10)
+        payload = json.dumps({"filler": "x" * 4096})
+        conn.request("POST", "/nope", body=payload,
+                     headers={"Content-Type": "application/json"})
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        # same connection: a valid follow-up must parse cleanly
+        conn.request("GET", "/admin/api/1.0/channels/all")
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read())
+        conn.close()

@@ -230,3 +230,37 @@ def test_mid_frame_cut_discards_partial_frame():
     for ch, fr in got:
         t, v, sev, st = _decode_frame(fr)
         assert (t, v, sev, st) in sched[ch]
+
+
+def test_spool_resume_parses_index_numerically(tmp_path):
+    """Past chunk-99999 the filename grows a digit; lexicographic order
+    (or a fixed [6:11] slice) would resume INTO live chunks. The resume
+    state must pick the numeric maximum."""
+    from cassandra_pv_archiver_spark.streaming.ca_client import (
+        _spool_resume_state,
+    )
+
+    d = tmp_path / "spool"
+    d.mkdir()
+    for name in ["chunk-99998.parquet", "chunk-99999.parquet",
+                 "chunk-100000.parquet", ".tmp-junk", "other.txt"]:
+        (d / name).write_bytes(b"")
+    nxt, epoch = _spool_resume_state(str(d))
+    assert nxt == 100001
+    # epoch anchored to the true newest chunk: epoch + idx == its mtime
+    import os
+    assert epoch + 100000 == int(os.stat(d / "chunk-100000.parquet").st_mtime)
+
+
+def test_spool_resume_empty_dir_backdates(tmp_path):
+    import time
+
+    from cassandra_pv_archiver_spark.streaming.ca_client import (
+        _spool_resume_state,
+    )
+
+    d = tmp_path / "spool"
+    d.mkdir()
+    nxt, epoch = _spool_resume_state(str(d))
+    assert nxt == 0
+    assert epoch <= int(time.time()) - 6 * 86400

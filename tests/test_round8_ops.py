@@ -205,3 +205,46 @@ class TestClusterSplitAssign:
         # singleton keeps its own id as component
         assert by_id[99][0] == 99
         assert {s for _, s in by_id.values()} <= {"train", "val", "test"}
+
+
+class TestBm25GridBound:
+    """The adaptive grid divisor g = max(1, N*Q div GRID_DIV) keeps the
+    BIGINT score bounded at any corpus size (module-doc proof, checked
+    here in exact integer arithmetic at the worst case)."""
+
+    def test_worst_case_score_fits_int64_at_1e10_docs(self):
+        from cassandra_pv_archiver_spark.operators.retrieval import (
+            C_CONST, C_DL, C_NUM, C_TF, GRID_DIV, SCALE,
+        )
+
+        for n_docs in [10**8, 10**10, 10**12]:
+            for q_terms in [1, 8, 64, 1024]:
+                g = max(1, (n_docs * q_terms) // GRID_DIV)
+                # df = 1 maximizes idf; tf -> inf maximizes saturation
+                idf = (SCALE * (2 * (n_docs - 1) + 1)) // (3 * g)
+                # contribution upper bound: idf * C_NUM/C_TF (tf*TT term
+                # dominates both numerator and denominator)
+                contrib = (idf * C_NUM) // C_TF + 1
+                assert q_terms * contrib < 2**63, (n_docs, q_terms)
+
+    def test_small_corpus_unchanged_by_guard(self, spark):
+        # N*Q far below GRID_DIV: g == 1, so scores match the g-free
+        # formula computed directly
+        from cassandra_pv_archiver_spark.operators.retrieval import (
+            bm25_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana pear"),
+             (3, "apple apple apple pear")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.score_q9
+               for r in bm25_scores(docs, ["apple"]).collect()}
+        # hand-computed: N=3, df=2, TT=9 tokens; idf = (1e9*(2*1+1))//5
+        idf = (10**9 * 3) // 5
+        def contrib(tf, dl):
+            num = idf * 44 * tf * 9
+            den = 20 * tf * 9 + 6 * 9 + 18 * dl * 3
+            return num // den
+        assert got == {1: contrib(2, 3), 3: contrib(3, 4)}
