@@ -41,12 +41,27 @@ def _probe(df: DataFrame, key: str, agg: str) -> DataFrame:
     per-column independent aggregates could each break a duplicate-t tie
     differently and stitch together a chimera row that never existed."""
     cols = [c for c in df.columns if c != key]
-    packed = "named_struct(" + ", ".join(f"'{c}', {c}" for c in cols) + ")"
-    return (
-        df.groupBy(key)
-        .agg(F.expr(f"{agg}({packed}, t)").alias("_r"))
-        .select(key, *[F.col(f"_r.{c}").alias(c) for c in cols])
-        .select(df.columns)
+    # backtick-quote every column reference: this is a public read-path
+    # API over arbitrary schemas, and an unquoted name like `ref-v`
+    # would PARSE as the expression ref - v and probe a value that never
+    # existed (quotes inside a name escape by doubling)
+    def q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    packed = (
+        "named_struct("
+        + ", ".join(f"'{c.replace(chr(39), chr(39) * 2)}', {q(c)}"
+                    for c in cols)
+        + ")"
+    )
+    r = F.col("_r")
+    return df.groupBy(key).agg(
+        F.expr(f"{agg}({packed}, `t`)").alias("_r")
+    ).select(
+        *[
+            F.col(key) if c == key else r.getField(c).alias(c)
+            for c in df.columns
+        ]
     )
 
 

@@ -278,6 +278,38 @@ def _extrema_aggs(vmin_src: str, vmax_src: str) -> list:
     ]
 
 
+_NAN, _PINF, _NINF = float("nan"), float("inf"), float("-inf")
+
+
+def _inf_flag_aggs(col: str, tag: str) -> list:
+    """±Infinity presence flags for one source column (NaN presence rides
+    `_extrema_aggs`/its own `isnan` leg). The integer grid the moment
+    sums run on cannot carry non-finite values — ``CAST(floor(NaN*s+0.5)
+    AS BIGINT)`` silently yields 0 and ±Infinity saturates — so windows
+    containing one are detected here and their mean/std overridden
+    post-aggregate with the exact outcome Java's double sums produce
+    (`ScalarDoubleAggregator.java:61-85` accumulates in primitive
+    doubles: NaN poisons both sums; +inf/-inf dominate the mean sum and
+    turn the variance into inf-inf = NaN)."""
+    c = F.col(col)
+    return [
+        F.max(c == _PINF).alias(f"_pi_{tag}"),
+        F.max(c == _NINF).alias(f"_ni_{tag}"),
+    ]
+
+
+def _nonfinite_mean(grid_mean, nan_flag, pi_flag, ni_flag):
+    """Java double-sum outcome for the weighted mean when the window holds
+    non-finite values; grid result otherwise."""
+    return (
+        F.when(nan_flag, F.lit(_NAN))
+        .when(pi_flag & ni_flag, F.lit(_NAN))
+        .when(pi_flag, F.lit(_PINF))
+        .when(ni_flag, F.lit(_NINF))
+        .otherwise(grid_mean)
+    )
+
+
 def _extrema_cols() -> tuple:
     """Post-aggregate corrections for :func:`_extrema_aggs`: min prefers
     ``-0.0`` on a zero tie and propagates NaN; max prefers ``+0.0`` (its
@@ -335,7 +367,14 @@ def decimate(
         skew_safe=skew_safe,
     )
     vs = 10 ** v_decimals
-    d = d.withColumn("_vi", F.expr(f"CAST(floor(v * {vs} + 0.5) AS BIGINT)"))
+    # non-finite v is ZEROED on the grid (NaN casts to 0 anyway; ±inf
+    # saturates to ±Long.MAX whose square overflows the DECIMAL(38,0)
+    # moment sum and aborts under ANSI) — the window's mean/std are
+    # overridden post-aggregate from the non-finite flags instead
+    d = d.withColumn("_vi", F.expr(
+        f"CAST(floor((CASE WHEN isnan(v) OR abs(v) = double('inf')"
+        f" THEN 0.0d ELSE v END) * {vs} + 0.5) AS BIGINT)"
+    ))
     _r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
     # exact integer sums first; the >2^53 moment sums go to double via the
     # big_to_double decomposition so any IEEE engine lands the same bits
@@ -344,13 +383,25 @@ def decimate(
         F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi")).alias("_swv"),
         F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi * _vi")).alias("_swv2"),
         *_extrema_aggs("v", "v"),
+        *_inf_flag_aggs("v", "v"),
         _severity_agg(),
         F.count(F.lit(1)).alias("n_samples"),
     )
     swd = F.col("_sw").cast("double")
-    mean = F.expr(big_to_double("_swv")) / swd / F.lit(float(vs))
-    var = F.expr(big_to_double("_swv2")) / swd / F.lit(float(vs * vs)) - mean * mean
-    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    grid_mean = F.expr(big_to_double("_swv")) / swd / F.lit(float(vs))
+    grid_var = (
+        F.expr(big_to_double("_swv2")) / swd / F.lit(float(vs * vs))
+        - grid_mean * grid_mean
+    )
+    grid_std = F.sqrt(F.greatest(grid_var, F.lit(0.0)))
+    # non-finite windows: the integer grid saw garbage (NaN->0), so
+    # replace with the Java double-sum outcome (_inf_flag_aggs doc);
+    # any non-finite v makes the variance inf-inf or NaN -> std is NaN
+    nf = F.col("_has_nan") | F.col("_pi_v") | F.col("_ni_v")
+    mean = _nonfinite_mean(
+        grid_mean, F.col("_has_nan"), F.col("_pi_v"), F.col("_ni_v")
+    )
+    std = F.when(nf, F.lit(_NAN)).otherwise(grid_std)
     frac = swd / F.lit(1e9) / F.lit(float(period_s))
     vmin, vmax = _extrema_cols()
     return g.select(
@@ -391,6 +442,14 @@ def reaggregate(
     any IEEE engine), weights are int64 ns × integer frac — so every sum is
     exact and order-free, and the final double divisions are bit-identical
     across engines; outputs are left unrounded by default.
+
+    Magnitude envelope: the second-moment sum is DECIMAL(38,0), so it
+    requires ``target_period_ns · 10^r · (max(|mean|, std) · 10^r)^2
+    < 1e38`` — with the default r=4 that is |mean|, std ≤ ~2.1e6 for a
+    6 h target (~1.1e6 for 1 d); beyond it the job fails loudly under
+    ANSI (never silently) — lower ``input_scale`` for larger-magnitude
+    channels. (Raw BIGINT squares, the pre-round-8 formulation, aborted
+    at ~3.0e5 already.)
     """
     if target_period_s % source_period_s != 0:
         raise ValueError(
@@ -403,30 +462,71 @@ def reaggregate(
                                  max_gap_windows=max_gap_windows,
                                  skew_safe=skew_safe)
     rs = 10 ** input_scale
+    # same non-finite zeroing as decimate's _vi (±inf saturates to
+    # ±Long.MAX and overflows the decimal sums under ANSI); the
+    # post-aggregate flag override supplies the Java outcome
+    def _fin(col: str) -> str:
+        return (
+            f"(CASE WHEN isnan({col}) OR abs({col}) = double('inf')"
+            f" THEN 0.0d ELSE {col} END)"
+        )
+
     d = (
-        d.withColumn("_m", F.expr(f"CAST(floor(mean * {rs} + 0.5) AS BIGINT)"))
-        .withColumn("_s", F.expr(f"CAST(floor(std * {rs} + 0.5) AS BIGINT)"))
+        d.withColumn(
+            "_m", F.expr(f"CAST(floor({_fin('mean')} * {rs} + 0.5) AS BIGINT)")
+        )
+        .withColumn(
+            "_s", F.expr(f"CAST(floor({_fin('std')} * {rs} + 0.5) AS BIGINT)")
+        )
         .withColumn(
             "_f", F.expr(f"CAST(floor(covered_fraction * {rs} + 0.5) AS BIGINT)")
         )
         .withColumn("_w", F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _f"))
     )
     _r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    # the squares go through DECIMAL(38,0) like decimate's moment sums:
+    # _s*_s in raw BIGINT overflows (and under ANSI aborts the job) at
+    # |mean| or std >= ~3.04e5 with the default input_scale — legitimate
+    # magnitudes for counter/frequency PVs
+    md = F.col("_m").cast("decimal(38,0)")
+    sd_ = F.col("_s").cast("decimal(38,0)")
     g = d.groupBy(key, "win").agg(
         F.sum(F.col("_w")).alias("_sw"),
-        F.sum(F.col("_w") * F.col("_m")).alias("_swm"),
-        F.sum(
-            F.col("_w") * (F.col("_s") * F.col("_s") + F.col("_m") * F.col("_m"))
-        ).alias("_swm2"),
+        F.sum(F.col("_w") * md).alias("_swm"),
+        F.sum(F.col("_w") * (sd_ * sd_ + md * md)).alias("_swm2"),
         *_extrema_aggs("vmin", "vmax"),
+        *_inf_flag_aggs("mean", "m"),
+        F.max(F.isnan(F.col("mean"))).alias("_nan_m"),
+        F.max(F.isnan(F.col("std"))).alias("_nan_s"),
+        F.max(F.col("std") == _PINF).alias("_pi_s"),
         _severity_agg(),
         F.sum("n_samples").alias("n_samples"),
     )
     # every one of these sums can exceed 2^53 (weights carry the frac scale)
     swd = F.expr(big_to_double("_sw"))
-    mean = F.expr(big_to_double("_swm")) / swd / F.lit(float(rs))
-    var = F.expr(big_to_double("_swm2")) / swd / F.lit(float(rs * rs)) - mean * mean
-    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    grid_mean = F.expr(big_to_double("_swm")) / swd / F.lit(float(rs))
+    grid_var = (
+        F.expr(big_to_double("_swm2")) / swd / F.lit(float(rs * rs))
+        - grid_mean * grid_mean
+    )
+    grid_std = F.sqrt(F.greatest(grid_var, F.lit(0.0)))
+    # non-finite source aggregates (see _inf_flag_aggs): the mean sum only
+    # sees source MEANS (a NaN std leaves it finite); the m2 sum sees
+    # std^2 + mean^2, so a NaN in either poisons it, an infinite mean
+    # makes var = inf - inf = NaN, and an infinite std alone makes
+    # var = +inf -> std = +inf (Java Math.sqrt(inf))
+    mean = _nonfinite_mean(
+        grid_mean, F.col("_nan_m"), F.col("_pi_m"), F.col("_ni_m")
+    )
+    std = (
+        F.when(
+            F.col("_nan_m") | F.col("_nan_s")
+            | F.col("_pi_m") | F.col("_ni_m"),
+            F.lit(_NAN),
+        )
+        .when(F.col("_pi_s"), F.lit(_PINF))
+        .otherwise(grid_std)
+    )
     # sw is ns·frac-units: /1e9 -> s·frac-units, /rs -> s, /target -> fraction
     frac = swd / F.lit(1e9) / F.lit(float(rs)) / F.lit(float(target_period_s))
     vmin, vmax = _extrema_cols()

@@ -4,9 +4,13 @@ Reference (`Api10Controller.java:382-518`):
 
   * ``count`` absent -> raw level 0, limit modes (AT_OR_BEFORE, AT_OR_AFTER).
   * ``count`` present -> ``perfectPeriod = (end-start)/count/1e9`` seconds;
-    candidates are the floor/ceiling available levels around it; the shorter
-    one is preferred unless the longer one deviates < 5 % AND less than the
-    shorter one does.
+    candidates are ``TreeSet.floor/ceiling`` of the INT-floored perfect
+    period (`:399-409` — both probes use ``(int) Math.floor(perfect)``,
+    so a fractional perfect period whose floor is itself an available
+    level selects that level directly, ceiling never consulted); when
+    floor != ceiling, the shorter is preferred unless the longer one
+    deviates < 5 % AND less than the shorter one does — deviations
+    measured against the DOUBLE perfect period (`:431-440`).
   * If the chosen level's data does not reach back to ``start``, iterate
     coarser levels; each one only serves the range before the earliest
     sample found so far (exclusive upper bound ``earliest - 1``, both limit
@@ -167,6 +171,22 @@ def _plan_from_stats(levels, usable, stats, start_ns, end_ns, key):
     for spec, group in by_decision.items():
         for period, lo, hi, lo_mode, hi_mode in spec:
             df = levels[period].filter(F.col(key).isin(group))
+            # Bound the piece's scan from below: the backward-probe arm
+            # (t <= lo) otherwise has NO lower bound and re-reads every
+            # history partition at execution time — the cost the stats
+            # fast lane exists to avoid, paid again per request. The
+            # probe stats already know each key's latest t <= lo (bt),
+            # and only that row can survive the probe's max_by, so
+            # t >= min(bt over the group) keeps every contributing row
+            # (keys with no backward row contribute nothing below lo).
+            # The bound is a plain range predicate -> partition pruning.
+            bts = [
+                bt if (r := stats.get((period, kv))) is not None
+                and (bt := getattr(r, "bt", None)) is not None
+                else lo
+                for kv in group
+            ]
+            df = df.filter(F.col("t") >= min(bts, default=lo))
             pieces.append(
                 asof.get_samples(df, lo, hi, lo_mode, hi_mode, key=key)
             )

@@ -53,10 +53,17 @@ DEC_SCHEMA = (
 
 
 def _date_expr(t_col: str = "t"):
-    """ns epoch -> yyyy-MM-dd partition string (UTC, integer floor-div so
-    negative ns before 1970 still bucket consistently)."""
+    """ns epoch -> yyyy-MM-dd partition string (UTC, true FLOOR division:
+    Spark's `div` truncates toward zero, so pre-1970 negative ns would
+    otherwise land one day LATER than the Python `//` the read-side
+    pruning uses (`_py_date`) — written to a partition bounded reads
+    never look in)."""
+    day = (
+        f"(({t_col} div {DAY_NS})"
+        f" + (CASE WHEN {t_col} % {DAY_NS} < 0 THEN -1 ELSE 0 END))"
+    )
     return F.date_format(
-        F.expr(f"date_add(DATE '1970-01-01', CAST({t_col} div {DAY_NS} AS INT))"),
+        F.expr(f"date_add(DATE '1970-01-01', CAST({day} AS INT))"),
         "yyyy-MM-dd",
     )
 
@@ -186,7 +193,7 @@ class ArchiveStore:
         # one commit replaces the whole log; a concurrent hwm reader
         # resolving the previous manifest still finds its files until gc
         table.publish_stage(stage, remove=old)
-        table.gc(keep_versions=2)
+        table.gc(keep_versions=self.keep_versions)
 
     def _localize(self, df: DataFrame) -> DataFrame:
         """Materialize a BOUNDED metadata table into a driver-local
@@ -231,7 +238,7 @@ class ArchiveStore:
         stage = table.stage_dir()
         seeds.coalesce(1).write.parquet(stage)
         table.publish_stage(stage, remove=old)
-        table.gc(keep_versions=2)
+        table.gc(keep_versions=self.keep_versions)
 
     # -- read (S1/S2) ----------------------------------------------------
     def read_samples(
@@ -592,87 +599,22 @@ class ArchiveStore:
 
         Renaming onto an existing channel refuses loudly (the reference
         rejects colliding renames the same way)."""
-        moved = 0
         for level in self.levels():
             df = self.read_samples(level, channels=[new])
             if df.limit(1).count() > 0:
                 raise ValueError(
                     f"rename target already exists: {new!r} (level {level})"
                 )
-        for level in self.levels():
-            table = self._level_table(level)
-            rel = table.files() or []
-            if not rel:
-                continue
-            full = self.spark.read.option("basePath", table.root).parquet(
-                *(f"{table.root}/{r}" for r in rel)
+
+        def xf(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "channel",
+                F.when(F.col("channel") == old, F.lit(new)).otherwise(
+                    F.col("channel")
+                ),
             )
-            # bounded metadata collect: the affected-file list (a subset
-            # of one channel's files)
-            hit = {
-                r[0]
-                for r in full.filter(F.col("channel") == old)
-                .select(F.input_file_name())
-                .distinct()
-                .collect()
-            }
-            if not hit:
-                continue
-            affected = [r for r in rel if any(h.endswith(r) for h in hit)]
-            part = self.spark.read.option("basePath", table.root).parquet(
-                *(f"{table.root}/{r}" for r in affected)
-            )
-            moved += part.filter(F.col("channel") == old).count()
-            out = (
-                part.withColumn(
-                    "channel",
-                    F.when(F.col("channel") == old, F.lit(new)).otherwise(
-                        F.col("channel")
-                    ),
-                )
-                .repartition("date", "channel")
-                .sortWithinPartitions("date", "channel", "t")
-            )
-            stage = table.stage_dir()
-            (
-                out.write.option(
-                    "maxRecordsPerFile", self.max_records_per_file
-                )
-                .partitionBy("date")
-                .parquet(stage)
-            )
-            table.publish_stage(stage, remove=affected)
-            table.gc(keep_versions=self.keep_versions)
-            # HWM log: fold, rename, replace in one commit
-            htable = self._hwm_table(level)
-            hpaths = htable.paths()
-            if hpaths:
-                folded = (
-                    self.spark.read.parquet(*hpaths)
-                    .withColumn(
-                        "channel",
-                        F.when(F.col("channel") == old, F.lit(new)).otherwise(
-                            F.col("channel")
-                        ),
-                    )
-                    .groupBy("channel")
-                    .agg(F.max("hwm").alias("hwm"))
-                )
-                hstage = htable.stage_dir()
-                folded.coalesce(1).write.parquet(hstage)
-                htable.publish_stage(hstage, remove=htable.files() or [])
-                htable.gc(keep_versions=2)
-            # decimation carry seeds for this target level
-            seeds = self.read_seed_state(level)
-            if seeds is not None and "channel" in seeds.columns:
-                renamed = seeds.withColumn(
-                    "channel",
-                    F.when(F.col("channel") == old, F.lit(new)).otherwise(
-                        F.col("channel")
-                    ),
-                )
-                self.write_seed_state(level, renamed)
-        return moved
+
+        return self._rewrite_channel_rows(old, xf)
 
     def delete_channel(self, channel: str) -> int:
         """Remove a channel across every level, metadata included — the
@@ -688,7 +630,20 @@ class ArchiveStore:
         single-commit replaces; pre-delete snapshots still show it
         (immutable files + time travel). Returns sample rows removed.
         Deleting an unknown channel is a no-op returning 0."""
-        removed = 0
+        return self._rewrite_channel_rows(
+            channel, lambda df: df.filter(F.col("channel") != channel)
+        )
+
+    def _rewrite_channel_rows(self, channel: str, transform) -> int:
+        """Bounded-rewrite machinery shared by :meth:`rename_channel` and
+        :meth:`delete_channel`: per level, discover the files carrying
+        ``channel`` (bounded metadata collect — a subset of one
+        channel's footprint), apply ``transform`` to exactly those
+        files' rows, and swap the rewrite in with ONE atomic manifest
+        commit; then fold-and-replace the HWM log and rewrite the
+        decimation seed state through the same ``transform``. Returns
+        the number of sample rows that matched ``channel``."""
+        touched = 0
         for level in self.levels():
             table = self._level_table(level)
             rel = table.files() or []
@@ -697,8 +652,6 @@ class ArchiveStore:
             full = self.spark.read.option("basePath", table.root).parquet(
                 *(f"{table.root}/{r}" for r in rel)
             )
-            # bounded metadata collect: the affected-file list (a subset
-            # of one channel's files)
             hit = {
                 r[0]
                 for r in full.filter(F.col("channel") == channel)
@@ -712,9 +665,9 @@ class ArchiveStore:
             part = self.spark.read.option("basePath", table.root).parquet(
                 *(f"{table.root}/{r}" for r in affected)
             )
-            removed += part.filter(F.col("channel") == channel).count()
+            touched += part.filter(F.col("channel") == channel).count()
             out = (
-                part.filter(F.col("channel") != channel)
+                transform(part)
                 .repartition("date", "channel")
                 .sortWithinPartitions("date", "channel", "t")
             )
@@ -728,27 +681,25 @@ class ArchiveStore:
             )
             table.publish_stage(stage, remove=affected)
             table.gc(keep_versions=self.keep_versions)
-            # HWM log: fold, drop the channel, replace in one commit
+            # HWM log: fold through the same transform, replace in one
+            # commit (for a rename the groupBy merges old+new maxima)
             htable = self._hwm_table(level)
             hpaths = htable.paths()
             if hpaths:
                 folded = (
-                    self.spark.read.parquet(*hpaths)
-                    .filter(F.col("channel") != channel)
+                    transform(self.spark.read.parquet(*hpaths))
                     .groupBy("channel")
                     .agg(F.max("hwm").alias("hwm"))
                 )
                 hstage = htable.stage_dir()
                 folded.coalesce(1).write.parquet(hstage)
                 htable.publish_stage(hstage, remove=htable.files() or [])
-                htable.gc(keep_versions=2)
+                htable.gc(keep_versions=self.keep_versions)
             # decimation carry seeds for this target level
             seeds = self.read_seed_state(level)
             if seeds is not None and "channel" in seeds.columns:
-                self.write_seed_state(
-                    level, seeds.filter(F.col("channel") != channel)
-                )
-        return removed
+                self.write_seed_state(level, transform(seeds))
+        return touched
 
     @staticmethod
     def zorder_key_expr(channel_col: str = "channel", t_col: str = "t") -> str:

@@ -586,3 +586,33 @@ class TestDeleteChannel:
         assert incremental_decimation(store, 3600) == 0
         assert store.read_samples(3600, channels=["PV:a"]).count() == 0
         assert store.read_samples(3600, channels=["PV:b"]).count() == n_b
+
+
+def test_negative_ns_write_read_same_partition(spark, tmp_path):
+    """Pre-1970 samples: the write-side date partition (Spark `div`
+    truncates toward zero) must agree with the read-side floor pruning
+    (`_py_date` uses Python //) — a t = -1 ns sample written to
+    1970-01-01 but pruned under 1969-12-31 would be invisible to
+    bounded reads."""
+    from cassandra_pv_archiver_spark.sources.archive_store import (
+        DAY_NS,
+        ArchiveStore,
+    )
+
+    store = ArchiveStore(spark, str(tmp_path / "arch"))
+    rows = [("PV:N", -1, 1.0, 0, 0),
+            ("PV:N", -DAY_NS, 2.0, 0, 0),
+            ("PV:N", -DAY_NS - 1, 3.0, 0, 0),
+            ("PV:N", 5, 4.0, 0, 0)]
+    df = spark.createDataFrame(
+        rows, "channel string, t long, v double, severity int, status int"
+    )
+    store.write_samples(df, level=0)
+    # bounded read covering only the negative range must see all three
+    got = sorted(
+        r.t for r in store.read_samples(
+            0, lo_ns=-2 * DAY_NS, hi_ns=-1
+        ).collect()
+    )
+    assert got == [-DAY_NS - 1, -DAY_NS, -1]
+    assert store.latest_at_or_before(0, -1) == -1

@@ -302,3 +302,92 @@ class TestSignedZeroExtrema:
             .orderBy("t").select("vmin", "vmax").collect()[0]
         )
         assert math.isnan(got.vmin) and math.isnan(got.vmax)
+
+
+class TestNonFiniteValues:
+    """Windows holding NaN/±Infinity samples must reproduce the Java
+    double-sum outcome (`ScalarDoubleAggregator.java:61-85` accumulates
+    in primitive doubles): the integer grid the moment sums run on
+    cannot carry non-finite values, so these come from the post-aggregate
+    flag override."""
+
+    def test_nan_poisons_mean_and_std(self, spark):
+        rows = [("a", 60, -1.0, 0, 0), ("a", 120, float("nan"), 0, 0),
+                ("a", 7300, 9.0, 0, 0)]
+        got = decimate(_raw(spark, rows), 3600).orderBy("t").collect()[0]
+        assert math.isnan(got.mean) and math.isnan(got.std)
+
+    def test_pos_inf_mean_inf_std_nan(self, spark):
+        rows = [("a", 60, 1.0, 0, 0), ("a", 120, float("inf"), 0, 0),
+                ("a", 7300, 9.0, 0, 0)]
+        got = decimate(_raw(spark, rows), 3600).orderBy("t").collect()[0]
+        assert got.mean == float("inf")
+        assert math.isnan(got.std)  # var = inf - inf
+        assert got.vmax == float("inf")
+        assert got.vmin == 1.0  # Math.min(finite, +inf) keeps the finite
+
+    def test_mixed_inf_mean_nan(self, spark):
+        rows = [("a", 60, float("-inf"), 0, 0),
+                ("a", 120, float("inf"), 0, 0),
+                ("a", 7300, 9.0, 0, 0)]
+        got = decimate(_raw(spark, rows), 3600).orderBy("t").collect()[0]
+        assert math.isnan(got.mean) and math.isnan(got.std)
+        assert got.vmin == float("-inf") and got.vmax == float("inf")
+
+    def test_finite_windows_unchanged(self, spark):
+        # the zeroed-grid guard must not touch all-finite windows
+        rows = [("a", 0, 10.0, 0, 0), ("a", 10, 20.0, 1, 6),
+                ("a", 30, 40.0, 0, 0), ("a", 60, 0.0, 0, 0)]
+        r = _one(decimate(_raw(spark, rows), 60), 0)
+        assert abs(r.mean - 1700.0 / 60.0) < 1e-9
+
+    def test_reaggregate_large_mean_no_overflow(self, spark):
+        """_m*_m in raw BIGINT overflowed (ANSI abort) at |mean| >= ~3e5
+        with input_scale=4; the DECIMAL squares must survive a 1e6-mean
+        counter PV and recombine exactly."""
+        rows = [
+            ("a", 0, 4.0e5, 10.0, 3.9e5, 4.1e5, 1.0, 0, 0, 5),
+            ("a", 3600, 1.0e6, 20.0, 9.9e5, 1.1e6, 1.0, 1, 6, 5),
+            ("a", 6 * 3600, 1.0, 0.0, 1.0, 1.0, 1.0, 0, 0, 1),
+        ]
+        got = (
+            reaggregate(_agg(spark, rows), 3600, 6 * 3600)
+            .orderBy("t").collect()[0]
+        )
+        # first source held [0, 3600), second held [3600, 6h)
+        w1, w2 = 3600.0, 5 * 3600.0
+        want_mean = (w1 * 4.0e5 + w2 * 1.0e6) / (w1 + w2)
+        assert abs(got.mean - want_mean) / want_mean < 1e-9
+        e2 = (w1 * (10.0**2 + 1.6e11) + w2 * (20.0**2 + 1.0e12)) / (w1 + w2)
+        want_std = math.sqrt(e2 - want_mean**2)
+        assert abs(got.std - want_std) / want_std < 1e-6
+
+    def test_reaggregate_nan_source_mean(self, spark):
+        rows = [
+            ("a", 0, float("nan"), float("nan"), float("nan"), float("nan"),
+             1.0, 0, 0, 2),
+            ("a", 3600, 5.0, 1.0, 4.0, 6.0, 1.0, 0, 0, 2),
+            ("a", 6 * 3600, 1.0, 0.0, 1.0, 1.0, 1.0, 0, 0, 1),
+        ]
+        got = (
+            reaggregate(_agg(spark, rows), 3600, 6 * 3600)
+            .orderBy("t").collect()[0]
+        )
+        assert math.isnan(got.mean) and math.isnan(got.std)
+
+    def test_reaggregate_inf_source_std_only(self, spark):
+        # finite means, one +inf std: meanSum finite, m2Sum = +inf
+        # -> var = +inf -> std = +inf (Java Math.sqrt(inf))
+        rows = [
+            ("a", 0, 2.0, float("inf"), 1.0, 3.0, 1.0, 0, 0, 2),
+            ("a", 3600, 4.0, 1.0, 3.0, 5.0, 1.0, 0, 0, 2),
+            ("a", 6 * 3600, 1.0, 0.0, 1.0, 1.0, 1.0, 0, 0, 1),
+        ]
+        got = (
+            reaggregate(_agg(spark, rows), 3600, 6 * 3600)
+            .orderBy("t").collect()[0]
+        )
+        w1, w2 = 3600.0, 5 * 3600.0
+        want_mean = (w1 * 2.0 + w2 * 4.0) / (w1 + w2)
+        assert abs(got.mean - want_mean) < 1e-9
+        assert got.std == float("inf")
