@@ -77,8 +77,16 @@ class AdminApp:
     """Request -> response-dict dispatcher for the admin API (framework-
     free like ``ArchiveApp``; ``server.serve`` binds both)."""
 
-    def __init__(self, registry: ChannelRegistry):
+    def __init__(self, registry: ChannelRegistry, store=None):
+        """``store`` (an ``ArchiveStore``) makes rename/remove commands
+        cascade to the archived samples: this engine keys the physical
+        layout by channel NAME (unlike the reference's rename-stable
+        channelDataId, `SampleBucketId.java:80-89`), so a registry-only
+        rename would orphan the channel's entire history under the old
+        name. Without a store only the dimension table is mutated — the
+        config-surface-only mode the tests of the command contract use."""
         self.registry = registry
+        self.store = store
         self._started_ns = time.time_ns()
 
     # -- routing ------------------------------------------------------------
@@ -264,8 +272,19 @@ class AdminApp:
                 reg.update_channel(cfg)
         elif ctype == "remove_channel":
             reg.remove_channel(cmd["channelName"])
+            if self.store is not None:
+                # the reference deletes the channel's sample buckets too
+                # (`RemoveChannelOperation`); registry first — a failed
+                # registry removal must not touch data
+                self.store.delete_channel(cmd["channelName"])
         elif ctype == "rename_channel":
             reg.rename_channel(cmd["oldChannelName"], cmd["newChannelName"])
+            if self.store is not None:
+                # name-keyed layout: the archived history must follow the
+                # name or every read under the new name finds nothing
+                self.store.rename_channel(
+                    cmd["oldChannelName"], cmd["newChannelName"]
+                )
         elif ctype == "move_channel":
             # single-server engine: moving to this server is a no-op
             # success, to any other UUID an error (reference semantics:

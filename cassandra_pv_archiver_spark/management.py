@@ -75,6 +75,19 @@ def _pa_schema():
     return _PA_SCHEMA
 
 
+def _parquet_readable(d: str) -> bool:
+    """True iff ``d`` holds a fully-readable parquet table — the
+    completeness check the crash-recovery promotion needs (a truncated
+    file from a killed writer raises on read)."""
+    import pyarrow.parquet as pq
+
+    try:
+        pq.read_table(d)
+        return True
+    except Exception:  # noqa: BLE001 - any unreadability means incomplete
+        return False
+
+
 class ChannelRegistry:
     """CRUD over the channel dimension table (a tiny parquet table written
     atomically; reads broadcast-join against the fact table).
@@ -95,10 +108,16 @@ class ChannelRegistry:
         # silently restarts empty.
         tmp, bak = self.path + ".tmp", self.path + ".bak"
         if not os.path.isdir(self.path):
-            if os.path.isdir(tmp) and os.listdir(tmp):
+            # "complete" must be VERIFIED, not inferred from non-empty: a
+            # crash mid-pq.write_table leaves a truncated parquet file
+            # that would brick every subsequent startup if promoted
+            if os.path.isdir(tmp) and _parquet_readable(tmp):
                 os.rename(tmp, self.path)
-            elif os.path.isdir(bak):
-                os.rename(bak, self.path)
+            else:
+                if os.path.isdir(tmp):
+                    shutil.rmtree(tmp)  # truncated first-ever flush
+                if os.path.isdir(bak):
+                    os.rename(bak, self.path)
         if os.path.isdir(bak):
             shutil.rmtree(bak)
         if os.path.isdir(self.path):
@@ -179,8 +198,14 @@ class ChannelRegistry:
         return cfg
 
     def rename_channel(self, old_name: str, new_name: str) -> None:
-        """Rename keeps the channel_data_id, so archived data (keyed by the
-        id in the reference, by name partition here) stays reachable."""
+        """Rename the REGISTRY entry, keeping the permanent
+        channel_data_id (`SampleBucketId.java:80-89`). The reference keys
+        archived data by that id, so its rename is metadata-only — but
+        THIS engine keys the sample layout by channel NAME, so archived
+        history only follows the rename when ``ArchiveStore
+        .rename_channel`` runs too (the admin command surface,
+        ``AdminApp(registry, store=...)``, cascades both; callers using
+        the registry directly own that second step)."""
         if old_name == new_name:
             if old_name not in self._channels:
                 raise KeyError(old_name)
@@ -241,16 +266,30 @@ def import_xml(text: str) -> list[ChannelConfig]:
             continue
         levels: dict[int, int] = {}
         options: dict[str, str] = {}
+        # validate at the point of import — a channel_name=None stored
+        # here detonates far away (sort keys, registry lookups) with
+        # errors that never mention the malformed XML
+        name = ch.get("name")
+        if not name:
+            raise ValueError(
+                "channel element without a name attribute in import"
+            )
         for el in ch:
             tag = el.tag.split("}")[-1]
             if tag == "decimation-level":
                 period = int(el.get("decimation-period", "0"))
                 levels[period] = int(el.get("retention-period", "0"))
             elif tag == "control-system-option":
-                options[el.get("name")] = el.get("value", "")
+                oname = el.get("name")
+                if not oname:
+                    raise ValueError(
+                        "control-system-option without a name attribute"
+                        f" on channel {name!r}"
+                    )
+                options[oname] = el.get("value", "")
         out.append(
             ChannelConfig(
-                channel_name=ch.get("name"),
+                channel_name=name,
                 control_system_type=ch.get("control-system-type", "channel_access"),
                 enabled=ch.get("enabled", "true") != "false",
                 decimation_levels=levels or {0: 0},
@@ -296,6 +335,15 @@ def url_decode(s: str) -> str:
             buf.append(int(hx, 16))
             i += 3
         else:
-            buf.append(ord(c))
+            # literal characters pass through as their UTF-8 bytes:
+            # `ord(c)` would raise a bare range error for c > U+00FF and
+            # mojibake/UnicodeDecodeError for 128-255 (latin-1 byte fed
+            # to the utf-8 decode below)
+            buf.extend(c.encode("utf-8"))
             i += 1
-    return buf.decode("utf-8")
+    try:
+        return buf.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ValueError(
+            f"percent escapes do not decode as UTF-8: {s!r}"
+        ) from e

@@ -67,15 +67,31 @@ def incremental_decimation(
     # level's schema — unioning them would crash every subsequent run.
     # Discard mismatched (or legacy untagged) state: the scan falls back
     # to a one-time full rescan and the hwm filter keeps outputs exact.
+    prev_src_hwm = None  # the source hwm the persisted seeds were built at
     if state is not None:
         if "_src_level" in state.columns:
-            tag = state.select("_src_level").first()
+            tag = state.select(
+                "_src_level",
+                *(
+                    ["_src_hwm"]
+                    if "_src_hwm" in state.columns
+                    else []
+                ),
+            ).first()
             if tag is None or tag._src_level != source_level:
                 state = None
             else:
-                state = state.drop("_src_level")
+                prev_src_hwm = getattr(tag, "_src_hwm", None)
+                state = state.drop("_src_level", "_src_hwm")
         else:
             state = None
+    # one tiny metadata read serves the newcomer walk, the idle-run
+    # detection tag, and nothing else — never a data scan
+    src_hwm_df = store.channel_hwm(source_level)
+    src_hwm_max = None
+    if src_hwm_df is not None:
+        row = src_hwm_df.agg(F.max("hwm").alias("m")).first()
+        src_hwm_max = row.m if row is not None else None
 
     if hwm_df is None:
         src_all = store.read_samples(source_level)
@@ -93,15 +109,14 @@ def incremental_decimation(
             # a backlog): scan their FULL history, channel-pruned. The
             # channel sets come from the two tiny metadata tables — a
             # bounded driver-side set difference, not a data scan.
-            src_hwm = store.channel_hwm(source_level)
-            if src_hwm is not None:
+            if src_hwm_df is not None:
                 known = {
                     r.channel
                     for r in state.select("channel").distinct().collect()
                 }
                 newcomers = sorted(
                     r.channel
-                    for r in src_hwm.select("channel").collect()
+                    for r in src_hwm_df.select("channel").collect()
                     if r.channel not in known
                 )
                 if newcomers:
@@ -133,6 +148,22 @@ def incremental_decimation(
                 .filter(F.col("hwm").isNull() | (F.col("t") > F.col("hwm")))
                 .drop("hwm")
             )
+        # crash-consistency second layer (same discipline as
+        # ingest_batch's level-0 anti-join): write_samples commits the
+        # DATA manifest, then the hwm manifest — a crash between the two
+        # leaves committed decimated rows ABOVE the stale hwm, and the
+        # replayed run would regenerate and re-append them forever. The
+        # anti-join re-reads only the target's rows above min(hwm) (a
+        # partition-pruned, normally-empty slice) and drops exactly the
+        # orphaned duplicates.
+        lo_t = None
+        if hwm_df is not None:
+            lo_row = hwm_df.agg(F.min("hwm").alias("m")).first()
+            lo_t = lo_row.m if lo_row is not None else None
+        existing = store.read_samples(target_period_s, lo_ns=lo_t).select(
+            "channel", "t"
+        )
+        dec = dec.join(existing, ["channel", "t"], "left_anti")
         dec = dec.persist()
         n = dec.count()
         if n:
@@ -140,6 +171,21 @@ def incremental_decimation(
         # persist the next run's seeds: latest source row at/before each
         # channel's new next-interval start (the reference's decimator
         # carry state, `...DecimatedSamplesDecimationLevel.java:1127-1146`)
+        # idle-run fast path: nothing materialized AND the source hwm is
+        # exactly where the persisted seeds were built -> the recompute
+        # would rewrite byte-identical seeds (plus a manifest commit and
+        # gc) on every empty micro-batch; skip it. Crash-orphaned source
+        # rows (data committed, hwm not) are picked up as soon as the
+        # next source append bumps the hwm — the seed recompute rescans
+        # storage, not a delta.
+        if (
+            n == 0
+            and state is not None
+            and prev_src_hwm is not None
+            and prev_src_hwm == src_hwm_max
+        ):
+            dec.unpersist()
+            return 0
         new_hwm = store.channel_hwm(target_period_s)
         if new_hwm is not None:
             cols = src_all.columns
@@ -165,8 +211,13 @@ def incremental_decimation(
             # window from its tail rows only once it finally closed).
             # Bounded: no completed window ⇒ the rows span < ~2 periods.
             young = j.filter(F.col("hwm").isNull()).select(*cols)
-            seeds = mature.unionByName(young).withColumn(
-                "_src_level", F.lit(source_level)
+            seeds = (
+                mature.unionByName(young)
+                .withColumn("_src_level", F.lit(source_level))
+                .withColumn(
+                    "_src_hwm",
+                    F.lit(src_hwm_max).cast("long"),  # idle-run tag
+                )
             )
             store.write_seed_state(target_period_s, seeds)
         dec.unpersist()
@@ -220,6 +271,12 @@ def level_freshness(store, levels: list[int]) -> "DataFrame":
     raw_hwm = raw_hwm.select("channel", F.col("hwm").alias("raw_hwm"))
     outs = []
     for lvl in levels:
+        if lvl <= 0:
+            # raw (0) IS the reference point — its lag is definitionally
+            # zero, and the div-by-period below would divide by zero
+            # (ANSI abort); skipping makes level_freshness(store,
+            # store.levels()) safe to call as-is
+            continue
         lh = store.channel_hwm(lvl)
         if lh is None:
             # level never materialized at all: still report every raw

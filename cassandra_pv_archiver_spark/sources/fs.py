@@ -138,3 +138,11 @@ class HadoopFS:
                 continue
             out.append(rel)
         return sorted(out)
+
+    def mtime_ms(self, path: str) -> int:
+        """Modification time of ``path`` in epoch milliseconds (one
+        getFileStatus RPC) — the age signal ManifestTable.gc uses to
+        tell a concurrent in-flight publish from a crashed orphan."""
+        return int(
+            self._fs.getFileStatus(self._Path(path)).getModificationTime()
+        )

@@ -118,8 +118,10 @@ class ManifestTable:
             cur = self.current_version()
             base = self.files(cur) if cur is not None else []
             drop = set(remove)
+            base_set = set(base)  # O(add+base), not O(add*base): the
+            # module sizes manifests at ~10^5 lines and retries race
             nxt = [f for f in base if f not in drop] + [
-                f for f in add if f not in base
+                f for f in add if f not in base_set
             ]
             v = (cur if cur is not None else -1) + 1
             tmp = f"{self._mdir}/.tmp-{uuid.uuid4().hex}"
@@ -132,27 +134,70 @@ class ManifestTable:
         )
 
     # -- maintenance -----------------------------------------------------
-    def gc(self, keep_versions: int = 2) -> list[str]:
+    #: age below which a NEVER-referenced file is presumed to be a
+    #: concurrent writer's in-flight publish, not a crashed writer's
+    #: orphan (see gc) — 10 min covers any realistic publish duration
+    GC_GRACE_SECONDS = 600
+
+    def gc(
+        self, keep_versions: int = 2, grace_seconds: int | None = None
+    ) -> list[str]:
         """Delete data files referenced by NO retained manifest (orphans
         from crashed writers + files replaced more than ``keep_versions``
         commits ago — kept that long so in-flight readers of recent
         versions survive), stale ``.tmp`` manifests, and pruned manifest
-        files. Returns the deleted data-file paths."""
+        files. Returns the deleted data-file paths.
+
+        Concurrent-committer safety: a file referenced by NO manifest at
+        all is indistinguishable from another writer's publish_stage
+        in flight (files moved into the layout, commit rename not yet
+        run) — AGE is the only separating signal, so never-referenced
+        files and ``.tmp`` manifests younger than ``grace_seconds``
+        survive this pass (deleting them would lose the concurrent
+        writer's committed-in-a-moment data, or fail its commit rename
+        mid-flight). Files referenced by a PRUNED manifest carry no such
+        ambiguity — they were committed history — and are removed
+        immediately. ``grace_seconds=0`` is the single-writer/test
+        fast path."""
+        import time
+
+        if grace_seconds is None:
+            grace_seconds = self.GC_GRACE_SECONDS
         vs = self.versions()
         keep = vs[-keep_versions:] if keep_versions > 0 else []
         live: set[str] = set()
-        for v in keep:
-            live.update(self.files(v))
+        ever: set[str] = set()  # referenced by ANY version (incl. pruned)
+        for v in vs:
+            refs = self.files(v) or []
+            ever.update(refs)
+            if v in keep:
+                live.update(refs)
+        now_ms = int(time.time() * 1000)
+        grace_ms = grace_seconds * 1000
+
+        def young(path: str) -> bool:
+            if grace_ms <= 0:
+                return False
+            try:
+                return now_ms - self.fs.mtime_ms(path) < grace_ms
+            except Exception:  # noqa: BLE001 - raced with a deleter
+                return True
         deleted = []
         for rel in self.fs.list_files_recursive(self.root):
-            if rel not in live:
-                self.fs.delete(f"{self.root}/{rel}")
-                deleted.append(rel)
+            if rel in live:
+                continue
+            full = f"{self.root}/{rel}"
+            if rel not in ever and young(full):
+                continue
+            self.fs.delete(full)
+            deleted.append(rel)
         for name in self.fs.listdir(self._mdir):
+            full = f"{self._mdir}/{name}"
             if name.startswith(".tmp-"):
-                self.fs.delete(f"{self._mdir}/{name}")
+                if not young(full):
+                    self.fs.delete(full)
             elif name.startswith("m-") and int(name[2:]) not in keep:
-                self.fs.delete(f"{self._mdir}/{name}")
+                self.fs.delete(full)
         return deleted
 
     # -- staged writes ---------------------------------------------------

@@ -36,7 +36,7 @@ def admin(spark, tmp_path):
     reg = ChannelRegistry(spark, str(tmp_path / "channels"))
     reg.add_channel(ChannelConfig(channel_name="PV:A",
                                   decimation_levels={0: 0, 3600: 0}))
-    srv = serve(ArchiveApp(store, reg), admin=AdminApp(reg))
+    srv = serve(ArchiveApp(store, reg), admin=AdminApp(reg, store=store))
     port = srv.server_address[1]
     yield f"http://127.0.0.1:{port}", reg
     srv.shutdown()
@@ -291,3 +291,82 @@ class TestKeepAliveBodyDrain:
         assert r2.status == 200
         assert json.loads(r2.read())
         conn.close()
+
+
+class TestRenameCascadesToStore:
+    def test_rename_moves_archived_history(self, admin, spark):
+        """The layout is name-keyed: a registry-only rename would orphan
+        every archived sample under the old name. With a store wired,
+        the rename command rewrites the history too."""
+        base, reg = admin
+        status, body = _post(base, CMD_PATH, {"commands": [
+            {"commandType": "rename_channel", "oldChannelName": "PV:A",
+             "newChannelName": "PV:RENAMED"},
+        ]})
+        assert status == 200, body
+        assert body["results"][0]["success"] is True
+        # archived sample now lives under the new name (read API)
+        st, data = _get(
+            base,
+            "/archive-access/api/1.0/archive/1/channels/PV%3ARENAMED/samples"
+            "?start=0&end=" + str(2 * 60 * NS),
+        )
+        assert st == 200
+        assert len(data) == 1
+
+    def test_remove_deletes_archived_history(self, admin, spark):
+        base, reg = admin
+        status, body = _post(base, CMD_PATH, {"commands": [
+            {"commandType": "remove_channel", "channelName": "PV:A"},
+        ]})
+        assert status == 200, body
+        st, data = _get(base, "/archive-access/api/1.0/archive/1/channels")
+        assert "PV:A" not in data
+
+
+class TestImportValidation:
+    def test_channel_without_name_rejected_at_import(self):
+        import pytest as _pytest
+
+        xml = ('<server-configuration xmlns="x">'
+               '<channel control-system-type="channel_access"/>'
+               "</server-configuration>")
+        with _pytest.raises(ValueError, match="name attribute"):
+            import_xml(xml)
+
+
+class TestUrlCodecNonAscii:
+    def test_literal_non_ascii_passthrough(self):
+        from cassandra_pv_archiver_spark.management import (
+            url_decode,
+            url_encode,
+        )
+
+        assert url_decode("café") == "café"
+        assert url_decode("PV€:1") == "PV€:1"
+        for s in ["café", "PV€:1", "temp:°C"]:
+            assert url_decode(url_encode(s)) == s
+
+    def test_invalid_utf8_escape_is_a_value_error(self):
+        from cassandra_pv_archiver_spark.management import url_decode
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="UTF-8"):
+            url_decode("%FF%FE")
+
+
+class TestRegistryCrashRecovery:
+    def test_truncated_first_flush_does_not_brick(self, spark, tmp_path):
+        """A crash during the FIRST _flush leaves a truncated tmp dir and
+        no live dir; promotion must verify completeness, not just
+        non-emptiness, or every subsequent startup raises."""
+        import os
+
+        path = str(tmp_path / "reg")
+        os.makedirs(path + ".tmp")
+        with open(path + ".tmp/part-00000.parquet", "wb") as fh:
+            fh.write(b"PAR1\x00\x00garbage")  # truncated parquet
+        reg = ChannelRegistry(spark, path)  # must not raise
+        assert reg.list_channels() == []
+        reg.add_channel(ChannelConfig(channel_name="PV:N"))
+        assert ChannelRegistry(spark, path).get_channel("PV:N") is not None

@@ -616,3 +616,36 @@ def test_negative_ns_write_read_same_partition(spark, tmp_path):
     )
     assert got == [-DAY_NS - 1, -DAY_NS, -1]
     assert store.latest_at_or_before(0, -1) == -1
+
+
+def test_cascade_crash_between_data_and_hwm_commits(spark, tmp_path):
+    """write_samples commits the DATA manifest, then the hwm manifest; a
+    crash in between leaves decimated rows above the stale hwm. The
+    replayed incremental run must NOT re-append them (the anti-join
+    second layer — same discipline as the level-0 ingest guard)."""
+    store = _store(spark, tmp_path)
+    raw = load_samples(spark, SF_DIR).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    tmin = raw.agg(F.min("t")).first()[0]
+    cut = tmin + 15 * DAY_NS
+    store.write_samples(raw.filter(F.col("t") < cut), level=0)
+    incremental_decimation(store, 3600)
+    store.write_samples(raw.filter(F.col("t") >= cut), level=0)
+    incremental_decimation(store, 3600)
+    before = store.read_samples(3600).count()
+
+    # simulate the crash: revert the target's hwm table to its previous
+    # committed version (data manifest stays at the newer state)
+    ht = store._hwm_table(3600)
+    vs = ht.versions()
+    assert len(vs) >= 2
+    ht.fs.delete(f"{ht._mdir}/m-{vs[-1]:020d}")
+
+    # replay: no duplicates, no row-count change
+    incremental_decimation(store, 3600)
+    after = store.read_samples(3600)
+    assert after.count() == before
+    assert after.count() == (
+        after.dropDuplicates(["channel", "t"]).count()
+    )

@@ -72,7 +72,18 @@ def test_crashed_writer_leaves_table_unchanged(spark, tmp_path):
     assert sorted(t.files()) == before_files
     assert spark.read.parquet(*t.paths()).count() == 3
 
-    deleted = t.gc(keep_versions=2)
+    # a DEFAULT-grace gc must NOT touch the fresh debris: a
+    # never-referenced file is indistinguishable from a concurrent
+    # writer's in-flight publish, and deleting its .tmp manifest would
+    # fail that writer's commit rename mid-flight
+    kept = t.gc(keep_versions=2)
+    assert not any("crashed-" in d for d in kept)
+    assert any(
+        n.startswith(".tmp-") for n in t.fs.listdir(f"{t.root}/_manifests")
+    )
+
+    # grace 0 (single-writer recovery): all crash debris removed
+    deleted = t.gc(keep_versions=2, grace_seconds=0)
     assert any("crashed-" in d for d in deleted)
     assert sorted(t.files()) == before_files
     assert not any(
@@ -484,3 +495,29 @@ class TestPairStore:
         view.apply_batch(sh, sh, marker="batch-1")
         assert view.table.current_version() == v_before
         assert view.read().count() == n_before
+
+
+def test_gc_grace_spares_young_orphans_but_not_old(spark, tmp_path):
+    """Age is the only signal separating a crashed orphan from a
+    concurrent in-flight publish: young never-referenced files survive a
+    default-grace gc, backdated ones do not, and committed files are
+    never touched either way."""
+    import os
+
+    t = _mk(spark, str(tmp_path / "tg"))
+    _write_files(spark, t, 2)
+    spark.range(5).coalesce(1).write.parquet(f"{t.root}/_probe")
+    rel = t.fs.list_files_recursive(f"{t.root}/_probe")[0]
+    young = f"{t.root}/young-{rel}"
+    old_f = f"{t.root}/old-{rel}"
+    assert t.fs.rename_no_overwrite(f"{t.root}/_probe/{rel}", young)
+    spark.range(5).coalesce(1).write.parquet(f"{t.root}/_probe2")
+    rel2 = t.fs.list_files_recursive(f"{t.root}/_probe2")[0]
+    assert t.fs.rename_no_overwrite(f"{t.root}/_probe2/{rel2}", old_f)
+    os.utime(old_f.removeprefix("file:"), (0, 0))  # backdate past grace
+
+    deleted = t.gc(keep_versions=2)
+    assert any(d.startswith("old-") for d in deleted)
+    assert not any(d.startswith("young-") for d in deleted)
+    assert t.fs.exists(young)
+    assert spark.read.parquet(*t.paths()).count() == 2
