@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -361,12 +362,24 @@ def main() -> None:
     # — round_gate's own regression thresholds) re-runs ISOLATED,
     # min-of-3, before the record is written; both numbers are kept in
     # the details sidecar so a future diff sees the adjudication.
-    details_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    details_path = os.path.join(repo_dir, "bench_details.json")
+    # the PRIOR for adjudication is the newest DATED sidecar
+    # (bench_details_r{N}.json, N parsed numerically — lexicographic
+    # compare breaks past the pad width), i.e. the last *recorded
+    # round*, not the mutable bench_details.json that every local rerun
+    # overwrites (VERDICT r8 #2: a noisy local run would otherwise
+    # become the baseline and mask the 1.3x trigger). Falls back to
+    # bench_details.json only when no dated sidecar exists yet.
+    prior_path, prior_round = details_path, -1
+    for fn in os.listdir(repo_dir):
+        m = re.fullmatch(r"bench_details_r(\d+)\.json", fn)
+        if m and int(m.group(1)) > prior_round:
+            prior_round = int(m.group(1))
+            prior_path = os.path.join(repo_dir, fn)
     prior: dict[str, float] = {}
     try:
-        with open(details_path) as fh:
+        with open(prior_path) as fh:
             rec = json.load(fh)
         if rec.get("sf") == sf:  # a different-SF record is no baseline
             prior = rec.get("queries", {})

@@ -77,17 +77,56 @@ class AdminApp:
     """Request -> response-dict dispatcher for the admin API (framework-
     free like ``ArchiveApp``; ``server.serve`` binds both)."""
 
-    def __init__(self, registry: ChannelRegistry, store=None):
+    def __init__(self, registry: ChannelRegistry, store=None, users=None):
         """``store`` (an ``ArchiveStore``) makes rename/remove commands
         cascade to the archived samples: this engine keys the physical
         layout by channel NAME (unlike the reference's rename-stable
         channelDataId, `SampleBucketId.java:80-89`), so a registry-only
         rename would orphan the channel's entire history under the old
         name. Without a store only the dimension table is mutated — the
-        config-surface-only mode the tests of the command contract use."""
+        config-surface-only mode the tests of the command contract use.
+
+        ``users`` (a ``users.UserRegistry``) backs HTTP Basic auth on the
+        MUTATING routes (the reference's ``@Secured("ROLE_ADMIN")`` pair,
+        `ApiController.java:532,764`); None means the default registry —
+        only the implicit ``admin``/``admin`` user, exactly an
+        unconfigured reference install. Reads stay unauthenticated
+        (`AdminWebApplication.java` secures only ``/admin/api`` POSTs
+        beyond the authenticated-user baseline)."""
+        from .users import UserRegistry
+
         self.registry = registry
         self.store = store
+        self.users = users if users is not None else UserRegistry()
         self._started_ns = time.time_ns()
+
+    # -- authentication -------------------------------------------------
+    def check_admin(self, authorization: str | None) -> str:
+        """Enforce HTTP Basic + ROLE_ADMIN for a mutating route. Returns
+        the authenticated username; raises ApiError(401) for missing/
+        malformed/bad credentials (with a Basic challenge at the HTTP
+        layer) and ApiError(403) for an authenticated user without the
+        ADMIN role — the verdict's 401/403/200 contract."""
+        import base64
+        import binascii
+
+        from .users import ROLE_ADMIN
+
+        if not authorization or not authorization.startswith("Basic "):
+            raise ApiError(401, "authentication required")
+        try:
+            raw = base64.b64decode(
+                authorization[len("Basic "):], validate=True
+            ).decode("utf-8")
+            username, _, password = raw.partition(":")
+        except (binascii.Error, UnicodeDecodeError):
+            raise ApiError(401, "malformed Basic credentials") from None
+        roles = self.users.authenticate(username, password)
+        if roles is None:
+            raise ApiError(401, "bad credentials")
+        if ROLE_ADMIN not in roles:
+            raise ApiError(403, "ROLE_ADMIN required")
+        return username
 
     # -- routing ------------------------------------------------------------
     def handle_get(self, path: str, query: dict[str, list[str]]):
@@ -229,14 +268,15 @@ class AdminApp:
                 self._apply(cmd)
                 results.append(
                     {"command": cmd, "success": True, "errorMessage": None})
-            # ApiError and AttributeError included: a per-command problem
-            # (malformed UUID from _require_uuid, non-dict command, list
-            # where a map belongs) must be reported IN-BAND like any other
-            # validation failure — an escaping exception would abort the
-            # batch mid-way with earlier commands already applied,
-            # violating the never-abort contract above.
-            except (KeyError, ValueError, TypeError, AttributeError,
-                    ApiError) as e:
+            # Broad by contract: a per-command problem — validation
+            # (malformed UUID, non-dict command) OR a store-side runtime
+            # failure (the rename cascade's mid-rewrite I/O error
+            # surfaces as Py4J/OS/Runtime errors) — must be reported
+            # IN-BAND like the reference's per-command *Failed maps; an
+            # escaping exception would abort the batch mid-way with
+            # earlier commands already applied, violating the
+            # never-abort contract above.
+            except Exception as e:  # noqa: BLE001 - see contract above
                 results.append(
                     {"command": cmd, "success": False,
                      "errorMessage": str(e) or type(e).__name__})
@@ -278,13 +318,40 @@ class AdminApp:
                 # registry removal must not touch data
                 self.store.delete_channel(cmd["channelName"])
         elif ctype == "rename_channel":
-            reg.rename_channel(cmd["oldChannelName"], cmd["newChannelName"])
+            old, new = cmd["oldChannelName"], cmd["newChannelName"]
+            # failure-atomicity: registry.rename_channel flushes to disk
+            # BEFORE the store rewrite runs, so a store-side refusal
+            # (rename-target collision) or mid-rewrite failure would leave
+            # the registry renamed while the archived history stays under
+            # the old name — the orphaned-history state this cascade
+            # exists to prevent. Pre-flight the collision probe (bounded:
+            # one limit(1) scan per level, channel-pruned) so the common
+            # failure never touches the registry at all…
             if self.store is not None:
-                # name-keyed layout: the archived history must follow the
-                # name or every read under the new name finds nothing
-                self.store.rename_channel(
-                    cmd["oldChannelName"], cmd["newChannelName"]
-                )
+                for level in self.store.levels():
+                    if (
+                        self.store.read_samples(level, channels=[new])
+                        .limit(1)
+                        .count()
+                        > 0
+                    ):
+                        raise ValueError(
+                            f"rename target already exists: {new!r}"
+                            f" (level {level})"
+                        )
+            reg.rename_channel(old, new)
+            if self.store is not None:
+                try:
+                    # name-keyed layout: the archived history must follow
+                    # the name or every read under the new name finds
+                    # nothing
+                    self.store.rename_channel(old, new)
+                except Exception:
+                    # …and roll the registry back on any store-side
+                    # failure so the command is all-or-nothing as far as
+                    # any caller can observe
+                    reg.rename_channel(new, old)
+                    raise
         elif ctype == "move_channel":
             # single-server engine: moving to this server is a no-op
             # success, to any other UUID an error (reference semantics:

@@ -1649,9 +1649,19 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-retention bound (clicks until wm passes ``c.t + 6h``,
     purchases until wm passes ``p.t``; ms-granular). Any drift in
     Spark's eviction/late-filter arithmetic hash-diverges."""
+    return _ssj_band_join(spark, sf_dir, "inner", "pvarch_ssj_")
+
+
+def _ssj_band_join(
+    spark: SparkSession, sf_dir: str, join_type: str, prefix: str
+) -> DataFrame:
+    """Shared click/purchase stream-stream band-join harness: two file
+    streams, 2 h watermarks, µs-parity chunk split, checkpoint restart —
+    q_stream_stream_join (inner) and q_stream_stream_join_outer
+    (leftOuter) differ only in ``join_type``."""
     from pyspark.sql.types import StructType
 
-    root = _scratch_dir_generic("pvarch_ssj_")
+    root = _scratch_dir_generic(prefix)
     e = load_events(spark, sf_dir).select(
         "user_id", F.col("ts").alias("t"), "event_id", "event_type"
     )
@@ -1692,7 +1702,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" AND c_ts >= p_ts - INTERVAL {SSJ_SPAN_NS // 1_000_000_000}"
                 " SECONDS"
             ),
-            "inner",
+            join_type,
         ).select(
             F.col("c_user").alias("user_id"),
             "c_event_id", "p_event_id", "c_t", "p_t",
@@ -1720,6 +1730,32 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run()
     got = spark.read.schema(StructType.fromDDL(out_schema)).parquet(sink)
     return got.orderBy("user_id", "c_event_id", "p_event_id")
+
+
+def q_stream_stream_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER band join (VERDICT r8 #3) — the
+    null-emission rule is the subtlest documented Structured Streaming
+    semantic: an unmatched left (click) row emits with nulls only when
+    the watermark passes its join-condition state bound (``c.t + 6h``),
+    i.e. at state EVICTION, never on arrival.
+
+    Same harness as q_stream_stream_join (µs-parity chunks, checkpoint
+    restart, genuinely late second chunk). The oracle pins BOTH sets:
+
+    * matched pairs — identical to the inner join's admission/eviction
+      contract under the restart watermark ``w1``;
+    * null extensions — an admitted-but-never-matched click emits nulls
+      iff the FINAL watermark passes ``c.t + span``. The final watermark
+      is itself subtle (empirically pinned via the checkpoint offset
+      log, tools/scratch probes, r9): Spark's per-side event-time maxima
+      are per-BATCH, not remembered across batches, so
+      ``wf = greatest(w1, min(side chunk-2 maxima, ms) − delay)`` — NOT
+      ``min(side overall maxima) − delay``. A click the final watermark
+      has not evicted stays buffered and emits NOTHING (the documented
+      outer-join latency caveat, here made bit-exact)."""
+    return _ssj_band_join(spark, sf_dir, "leftOuter", "pvarch_ssjo_")
 
 
 def _scratch_dir_generic(prefix: str) -> str:
@@ -1766,6 +1802,66 @@ WHERE (c_even AND p_even)
    OR (p_t >= wm.w
        AND ((c_even AND c_t >= wm.w - {SSJ_SPAN_NS})
             OR (NOT c_even AND c_t >= wm.w)))
+ORDER BY user_id, c_event_id, p_event_id
+"""
+
+
+SQL_STREAM_STREAM_JOIN_OUTER = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type FROM events
+),
+c AS (SELECT user_id, t, event_id, (t // 1000) % 2 = 0 AS even
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, t, event_id, (t // 1000) % 2 = 0 AS even
+      FROM e WHERE event_type = 'purchase'),
+-- w1: restart watermark (ms-floored per-side maxima of chunk 1, min).
+-- wf: FINAL watermark — per-side event-time maxima are per-BATCH in
+-- Spark (empirically pinned via the checkpoint offset log): the run-2
+-- candidate uses each side's CHUNK-2 maximum (falling back to the
+-- side's chunk-1 maximum when chunk 2 is empty — the operator keeps its
+-- last value), and the global watermark only ever advances.
+wm AS (
+  SELECT (least((SELECT max(t) FROM c WHERE even) // 1000000,
+                (SELECT max(t) FROM p WHERE even) // 1000000)
+          - {SSJ_DELAY_S * 1000}) * 1000000 AS w1,
+         greatest(
+           (least((SELECT max(t) FROM c WHERE even) // 1000000,
+                  (SELECT max(t) FROM p WHERE even) // 1000000)
+            - {SSJ_DELAY_S * 1000}) * 1000000,
+           (least(coalesce((SELECT max(t) FROM c WHERE NOT even),
+                           (SELECT max(t) FROM c WHERE even)) // 1000000,
+                  coalesce((SELECT max(t) FROM p WHERE NOT even),
+                           (SELECT max(t) FROM p WHERE even)) // 1000000)
+            - {SSJ_DELAY_S * 1000}) * 1000000) AS wf
+),
+pairs AS (
+  SELECT c.user_id, c.event_id AS c_event_id, p.event_id AS p_event_id,
+         c.t AS c_t, p.t AS p_t, c.even AS c_even, p.even AS p_even
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND c.t <= p.t AND c.t >= p.t - {SSJ_SPAN_NS}
+),
+-- matched set: the inner join's emission contract, verbatim
+matched AS (
+  SELECT user_id, c_event_id, p_event_id, c_t, p_t
+  FROM pairs, wm
+  WHERE (c_even AND p_even)
+     OR (p_t >= wm.w1
+         AND ((c_even AND c_t >= wm.w1 - {SSJ_SPAN_NS})
+              OR (NOT c_even AND c_t >= wm.w1)))
+),
+-- null extensions: admitted (chunk-1, or late with c_t >= w1), never
+-- matched, and EVICTED by the final watermark (wf passes c_t + span);
+-- a never-evicted unmatched click emits nothing
+nulls AS (
+  SELECT a.user_id, a.c_event_id, CAST(NULL AS BIGINT) AS p_event_id,
+         a.c_t, CAST(NULL AS BIGINT) AS p_t
+  FROM (SELECT c.user_id, c.event_id AS c_event_id, c.t AS c_t
+        FROM c, wm WHERE c.even OR c.t >= wm.w1) a, wm
+  WHERE NOT EXISTS (SELECT 1 FROM matched m
+                    WHERE m.c_event_id = a.c_event_id)
+    AND a.c_t < wm.wf - {SSJ_SPAN_NS}
+)
+SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM nulls)
 ORDER BY user_id, c_event_id, p_event_id
 """
 

@@ -88,6 +88,48 @@ def _parquet_readable(d: str) -> bool:
         return False
 
 
+def recover_atomic_dir(path: str) -> None:
+    """Crash recovery for the :func:`atomic_swap_dir` protocol: a writer
+    killed mid-swap leaves either (tmp complete, live renamed to .bak) or
+    (live missing, .bak present). The NEW content (tmp) wins if it is
+    VERIFIED complete (a truncated parquet from a killed write would
+    brick every startup if promoted); otherwise the backup is restored —
+    a registry never silently restarts empty. Shared by the channel and
+    user registries."""
+    tmp, bak = path + ".tmp", path + ".bak"
+    if not os.path.isdir(path):
+        if os.path.isdir(tmp) and _parquet_readable(tmp):
+            os.rename(tmp, path)
+        else:
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)  # truncated first-ever flush
+            if os.path.isdir(bak):
+                os.rename(bak, path)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+
+
+def atomic_swap_dir(path: str, table) -> None:
+    """Publish a pyarrow ``table`` at ``path`` via the backup-rename swap:
+    write tmp, rename live -> .bak, tmp -> live, drop backup — never
+    rmtree-the-live-dir-first (a crash in that window would lose every
+    row). :func:`recover_atomic_dir` repairs either crash window."""
+    import pyarrow.parquet as pq
+
+    tmp, bak = path + ".tmp", path + ".bak"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    if os.path.isdir(path):
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+
+
 class ChannelRegistry:
     """CRUD over the channel dimension table (a tiny parquet table written
     atomically; reads broadcast-join against the fact table).
@@ -101,25 +143,7 @@ class ChannelRegistry:
         self.spark = spark
         self.path = path.rstrip("/")
         self._channels: dict[str, ChannelConfig] = {}
-        # crash recovery for the _flush swap: a writer killed mid-swap
-        # leaves either (tmp complete, live renamed to .bak) or (live
-        # missing, .bak present). The NEW content (tmp) wins if it is
-        # complete; otherwise the backup is restored — the registry never
-        # silently restarts empty.
-        tmp, bak = self.path + ".tmp", self.path + ".bak"
-        if not os.path.isdir(self.path):
-            # "complete" must be VERIFIED, not inferred from non-empty: a
-            # crash mid-pq.write_table leaves a truncated parquet file
-            # that would brick every subsequent startup if promoted
-            if os.path.isdir(tmp) and _parquet_readable(tmp):
-                os.rename(tmp, self.path)
-            else:
-                if os.path.isdir(tmp):
-                    shutil.rmtree(tmp)  # truncated first-ever flush
-                if os.path.isdir(bak):
-                    os.rename(bak, self.path)
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)
+        recover_atomic_dir(self.path)
         if os.path.isdir(self.path):
             import pyarrow.parquet as pq
 
@@ -137,7 +161,6 @@ class ChannelRegistry:
     # -- persistence ------------------------------------------------------
     def _flush(self) -> None:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         rows = [
             {
@@ -150,23 +173,9 @@ class ChannelRegistry:
             }
             for c in self._channels.values()
         ]
-        table = pa.Table.from_pylist(rows, schema=_pa_schema())
-        tmp, bak = self.path + ".tmp", self.path + ".bak"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
-        # swap via backup rename, never rmtree-the-live-dir-first (a crash
-        # in that window would lose every channel config): rename live ->
-        # .bak, tmp -> live, then drop the backup. __init__ repairs either
-        # crash window from tmp/.bak.
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)
-        if os.path.isdir(self.path):
-            os.rename(self.path, bak)
-        os.rename(tmp, self.path)
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)
+        atomic_swap_dir(
+            self.path, pa.Table.from_pylist(rows, schema=_pa_schema())
+        )
 
     def to_df(self) -> DataFrame:
         """The dimension table as a DataFrame (for broadcast joins, J3)."""

@@ -10,11 +10,14 @@ this repo's integer-grid discipline (operators/lm.py avoids log the same
 way) — the idf here is the **log-free Robertson/Spärck-Jones odds
 ratio** on a 1e-9 grid::
 
-    g          = greatest(1, (N * Q) div 4e9)   -- Q = #query terms
+    g          = greatest(1, (N * Q) div GRID_DIV)  -- Q = #query terms;
+                 -- GRID_DIV = 2e9, NOT the 4e9 the overflow bound needs:
+                 -- floor() can halve the ratio, so the implemented
+                 -- divisor carries 2x headroom (see GRID_DIV's comment)
     idf_q9(t)  = (SCALE * (2*(N - df) + 1)) div ((2*df + 1) * g)
                  -- exact rational form of (N - df + 0.5)/(df + 0.5),
                  -- grid coarsened by g so the BIGINT output cannot
-                 -- overflow (see bound below); g = 1 for N*Q < 4e9,
+                 -- overflow (see bound below); g = 1 for N*Q < 2e9,
                  -- i.e. every current fixture is bit-unchanged
 
 and the tf leg is classic BM25 saturation + length normalization with

@@ -90,7 +90,10 @@ def gorilla_ts_bits(
     return d.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.sum("_bits").cast("long").alias("bits_ts"),
-        ((F.sum("_bits") + 7) / 8).cast("long").alias("bytes_est"),
+        # integer `div`, not `/`+cast: double division is exact only
+        # while bits_ts + 7 < 2^53; the oracle's `(s + 7) // 8` never
+        # rounds, so past that the engines would diverge bitwise
+        F.expr("(sum(_bits) + 7) div 8").cast("long").alias("bytes_est"),
         (F.count(F.lit(1)) * 8).cast("long").alias("bytes_raw"),
     )
 

@@ -157,12 +157,38 @@ def incremental_decimation(
         # partition-pruned, normally-empty slice) and drops exactly the
         # orphaned duplicates.
         lo_t = None
+        no_hwm_channels = []
         if hwm_df is not None:
             lo_row = hwm_df.agg(F.min("hwm").alias("m")).first()
             lo_t = lo_row.m if lo_row is not None else None
+            # a channel whose FIRST-ever decimated window was orphaned
+            # (data manifest committed, hwm manifest not) has NO hwm row
+            # at all, so its orphans can sit BELOW min(hwm) of the other
+            # channels and the bounded slice above lo_t would miss them —
+            # the replay would re-append them as permanent duplicates.
+            # Widen to full history for exactly those channels,
+            # channel-pruned (a driver-side set difference over the two
+            # tiny hwm metadata tables, normally empty).
+            if src_hwm_df is not None:
+                with_hwm = {
+                    r.channel for r in hwm_df.select("channel").collect()
+                }
+                no_hwm_channels = sorted(
+                    r.channel
+                    for r in src_hwm_df.select("channel").collect()
+                    if r.channel not in with_hwm
+                )
         existing = store.read_samples(target_period_s, lo_ns=lo_t).select(
             "channel", "t"
         )
+        if no_hwm_channels:
+            # duplicates between the two reads are harmless: `existing`
+            # is only ever the right side of a left_anti join
+            existing = existing.unionByName(
+                store.read_samples(
+                    target_period_s, channels=no_hwm_channels
+                ).select("channel", "t")
+            )
         dec = dec.join(existing, ["channel", "t"], "left_anti")
         dec = dec.persist()
         n = dec.count()

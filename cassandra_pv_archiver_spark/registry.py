@@ -52,6 +52,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_stream_stream_join,
         catalog_generic.SQL_STREAM_STREAM_JOIN,
     ),
+    "stream_stream_join_outer": (
+        catalog_generic.q_stream_stream_join_outer,
+        catalog_generic.SQL_STREAM_STREAM_JOIN_OUTER,
+    ),
     "curate_round8": (
         catalog_data.q_curate_round8,
         catalog_data.SQL_CURATE_ROUND8,
@@ -747,12 +751,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: budget: any spillover is the alphabetical tail of the r02 group
 #: (cheap tpch rows), which rotates to the front next round.
 _LAST_DRIVER_CHECKED = {
+    "admin_commands_roundtrip": 8,
     "ann_cosine_topk": 5,
     "ann_ivf_topk": 4,
     "ann_kmeans_clusters": 4,
     "ann_kmeans_ivf_topk": 4,
     "ann_recall_audit": 4,
-    "approx_distinct_audit": 3,
+    "approx_distinct_audit": 8,
     "archive_incremental_1h": 5,
     "array_elementwise_stats": 4,
     "asof_after": 5,
@@ -765,21 +770,23 @@ _LAST_DRIVER_CHECKED = {
     "audio_vad_segments": 7,
     "balanced_sample_per_lang": 4,
     "bloom_decontam_audit": 5,
+    "bm25_topk": 8,
     "boilerplate_by_source": 7,
     "boilerplate_spans": 7,
     "bpe_merges": 5,
     "bpe_tokenize_audit": 5,
+    "bucket_rollover_estimate": 8,
     "build_training_shard": 5,
     "ca_array_roundtrip_stats": 5,
-    "ca_ctrl_metadata": 7,
+    "ca_ctrl_metadata": 8,
     "ca_ingest_roundtrip_1h": 5,
     "ca_live_subscribe": 5,
-    "ca_live_subscribe_typed": 7,
-    "ca_typed_roundtrip_1h": 7,
+    "ca_live_subscribe_typed": 8,
+    "ca_typed_roundtrip_1h": 8,
     "ca_wire_matrix": 7,
     "cdc_chunk_dedup": 4,
     "channel_acf_1h": 4,
-    "channel_correlation_matrix": 3,
+    "channel_correlation_matrix": 8,
     "channel_dim_join": 5,
     "channel_gap_stats": 5,
     "channel_glob": 7,
@@ -789,7 +796,8 @@ _LAST_DRIVER_CHECKED = {
     "channel_trend_1h": 4,
     "chunk_dedup_rewrite": 7,
     "cluster_quality_report": 4,
-    "cluster_representatives": 3,
+    "cluster_representatives": 8,
+    "cluster_split_assign": 8,
     "cms_heavy_hitters": 4,
     "compact_invariance": 7,
     "compact_zorder_invariance": 4,
@@ -798,15 +806,16 @@ _LAST_DRIVER_CHECKED = {
     "containment_pairs_lsh": 5,
     "containment_recall_audit": 5,
     "contamination_3gram": 4,
-    "contamination_exact_run": 3,
+    "contamination_exact_run": 8,
     "context_chunks": 4,
-    "conversion_funnel": 3,
+    "conversion_funnel": 8,
     "corpus_correlations": 4,
     "counter_rate_6h": 4,
     "crossmodal_pairs": 4,
-    "csv_ingest_roundtrip_1h": 3,
+    "csv_ingest_roundtrip_1h": 8,
     "curate_corpus": 4,
     "curate_round7": 7,
+    "curate_round8": 8,
     "curriculum_bins": 4,
     "cusum_changepoints": 4,
     "decimate_1h": 7,
@@ -814,13 +823,13 @@ _LAST_DRIVER_CHECKED = {
     "decimate_cascade_1d": 7,
     "decimate_cascade_6h": 7,
     "decimate_mixed_1h": 7,
-    "decimate_plugin_median_1h": 3,
+    "decimate_plugin_median_1h": 8,
     "decimate_typed_1h": 7,
     "decontam_two_stage": 5,
-    "dedup_best_survivor": 3,
-    "dedup_clusters": 3,
-    "dedup_exact": 3,
-    "dedup_incremental": 3,
+    "dedup_best_survivor": 8,
+    "dedup_clusters": 8,
+    "dedup_exact": 8,
+    "dedup_incremental": 8,
     "dedup_minhash_lsh": 3,
     "dedup_ngram_jaccard": 3,
     "dedup_rate_by_source": 4,
@@ -855,7 +864,7 @@ _LAST_DRIVER_CHECKED = {
     "image_resize_dhash": 7,
     "ivfpq_adc_recall": 5,
     "ivfpq_rerank_recall": 5,
-    "json_v1_ca_wire": 7,
+    "json_v1_ca_wire": 8,
     "json_v1_mixed_1h": 7,
     "json_v1_raw_typed": 7,
     "json_v1_typed_1h": 7,
@@ -885,6 +894,7 @@ _LAST_DRIVER_CHECKED = {
     "pair_table_incremental": 5,
     "pca_top_component": 7,
     "pick_first_1h": 7,
+    "pii_redact_rewrite": 8,
     "pii_scan_by_source": 3,
     "planner_fallback": 7,
     "plot_downsample_m4": 4,
@@ -892,6 +902,7 @@ _LAST_DRIVER_CHECKED = {
     "pq_adc_recall": 5,
     "pq_codebook_audit": 5,
     "pq_staleness_audit": 5,
+    "purchase_window_rollup": 8,
     "quality_filter_report": 7,
     "quality_filtered_stats": 4,
     "quality_ks_by_source": 4,
@@ -899,12 +910,12 @@ _LAST_DRIVER_CHECKED = {
     "quality_quantiles_approx": 3,
     "range_limit_modes": 7,
     "rate_limit_10m": 7,
-    "raw_latest_n": 2,
-    "raw_scan": 2,
+    "raw_latest_n": 8,
+    "raw_scan": 8,
     "repetition_metrics": 4,
     "resample_linear_1h": 4,
     "retention_fallback_plan": 7,
-    "retention_sweep_daily": 2,
+    "retention_sweep_daily": 8,
     "ridge_probe": 7,
     "sax_motifs": 4,
     "seasonal_hod_anomalies": 5,
@@ -912,8 +923,9 @@ _LAST_DRIVER_CHECKED = {
     "semantic_dedup": 3,
     "sequence_packing": 4,
     "sessionize_30m": 3,
-    "severity_daily": 2,
-    "severity_rollup": 2,
+    "severity_daily": 8,
+    "severity_rollup": 8,
+    "severity_transitions": 8,
     "shuffle_skew_report": 5,
     "simhash_near_pairs": 3,
     "source_vocab_overlap": 5,
@@ -924,34 +936,39 @@ _LAST_DRIVER_CHECKED = {
     "store_time_travel": 4,
     "store_typed_roundtrip": 7,
     "stratified_split": 4,
-    "stream_lifecycle_1h": 2,
+    "stream_dedup_watermark": 8,
+    "stream_lifecycle_1h": 8,
+    "stream_session_windows": 8,
+    "stream_stream_join": 8,
+    "stream_watermark_counts": 8,
     "substring_dup_spans": 3,
     "text_metrics": 5,
     "threshold_crossings": 3,
     "token_count_bpe": 5,
-    "tpch_q1": 2,
-    "tpch_q10": 2,
+    "tpch_q1": 8,
+    "tpch_q10": 8,
     "tpch_q11": 3,
     "tpch_q12": 3,
-    "tpch_q13": 2,
-    "tpch_q14": 2,
-    "tpch_q15": 2,
-    "tpch_q16": 2,
-    "tpch_q17": 2,
+    "tpch_q13": 8,
+    "tpch_q14": 8,
+    "tpch_q15": 8,
+    "tpch_q16": 8,
+    "tpch_q17": 8,
     "tpch_q18": 3,
-    "tpch_q19": 2,
+    "tpch_q19": 8,
     "tpch_q2": 3,
     "tpch_q20": 3,
     "tpch_q21": 3,
-    "tpch_q22": 2,
-    "tpch_q3": 2,
-    "tpch_q4": 2,
-    "tpch_q5": 2,
-    "tpch_q6": 2,
-    "tpch_q7": 2,
-    "tpch_q8": 2,
+    "tpch_q22": 8,
+    "tpch_q3": 8,
+    "tpch_q4": 8,
+    "tpch_q5": 8,
+    "tpch_q6": 8,
+    "tpch_q7": 8,
+    "tpch_q8": 8,
     "tpch_q9": 3,
-    "union_levels": 2,
+    "ts_gorilla_size": 8,
+    "union_levels": 8,
     "value_histogram": 4,
     "video_frame_sample": 5,
     "vocab_topk": 3,
@@ -966,10 +983,6 @@ _LAST_DRIVER_CHECKED = {
 #: ledger): their fixes need driver re-attestation next round, so they
 #: outrank even never-checked additions in the rotation order.
 _LATEST_DRIVER_RED = frozenset({
-    "ca_ctrl_metadata",
-    "ca_live_subscribe_typed",
-    "ca_typed_roundtrip_1h",
-    "json_v1_ca_wire",
 })
 
 REGISTRY = {

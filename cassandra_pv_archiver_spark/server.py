@@ -240,6 +240,11 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if self.admin is None or not u.path.startswith("/admin/api"):
                 raise ApiError(404, f"unknown path: {u.path}")
+            # every admin POST is a mutation: HTTP Basic + ROLE_ADMIN
+            # before the body is even parsed (the reference's
+            # @Secured("ROLE_ADMIN") filter runs ahead of the controller,
+            # `ApiController.java:532,764`)
+            self.admin.check_admin(self.headers.get("Authorization"))
             try:
                 body = json.loads(raw.decode("utf-8")) if raw else {}
             except (UnicodeDecodeError, json.JSONDecodeError):
@@ -247,7 +252,12 @@ class _Handler(BaseHTTPRequestHandler):
             result = self.admin.handle_post(u.path, body)
         except ApiError as e:
             payload = json.dumps({"error": str(e)}).encode("utf-8")
-            self._send_whole(e.status, payload)
+            extra = (
+                {"WWW-Authenticate": 'Basic realm="archive-admin"'}
+                if e.status == 401
+                else None
+            )
+            self._send_whole(e.status, payload, extra)
             return
         # reference parity: any failed command in a batch flips the
         # status to 500 while still returning the full results body
@@ -259,10 +269,12 @@ class _Handler(BaseHTTPRequestHandler):
             status = 500
         self._send_whole(status, json.dumps(result).encode("utf-8"))
 
-    def _send_whole(self, status: int, payload: bytes):
+    def _send_whole(self, status: int, payload: bytes, extra=None):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(payload)
 

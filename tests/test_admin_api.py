@@ -47,10 +47,17 @@ def _get(base: str, path: str):
         return resp.status, json.loads(resp.read())
 
 
-def _post(base: str, path: str, body: dict):
+def _basic(user: str, pw: str) -> str:
+    return "Basic " + base64.b64encode(f"{user}:{pw}".encode()).decode()
+
+
+def _post(base: str, path: str, body: dict, auth=_basic("admin", "admin")):
+    headers = {"Content-Type": "application/json"}
+    if auth is not None:
+        headers["Authorization"] = auth
     req = urllib.request.Request(
         base + path, data=json.dumps(body).encode("utf-8"),
-        headers={"Content-Type": "application/json"}, method="POST",
+        headers=headers, method="POST",
     )
     try:
         with urllib.request.urlopen(req) as resp:
@@ -314,6 +321,66 @@ class TestRenameCascadesToStore:
         assert st == 200
         assert len(data) == 1
 
+    def test_rename_store_failure_rolls_registry_back(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r8 #2: if the store-side rewrite fails AFTER the
+        registry flushed, the cascade must roll the registry rename back
+        before reporting the per-command error — all-or-nothing."""
+        store = ArchiveStore(spark, str(tmp_path / "arch2"))
+        raw = spark.createDataFrame(
+            [("PV:A", 60 * NS, 1.0, 0, 0)],
+            "channel string, t long, v double, severity int, status int",
+        )
+        store.write_samples(raw, level=0)
+        reg = ChannelRegistry(spark, str(tmp_path / "chan2"))
+        reg.add_channel(ChannelConfig(channel_name="PV:A",
+                                      decimation_levels={0: 0}))
+        app = AdminApp(reg, store=store)
+
+        def boom(old, new):
+            raise RuntimeError("mid-rewrite I/O failure")
+
+        monkeypatch.setattr(store, "rename_channel", boom)
+        out = app.run_commands({"commands": [
+            {"commandType": "rename_channel", "oldChannelName": "PV:A",
+             "newChannelName": "PV:Z"},
+        ]})
+        res = out["results"][0]
+        assert res["success"] is False
+        # registry rolled back: old name present, new name absent
+        assert reg.get_channel("PV:A") is not None
+        assert reg.get_channel("PV:Z") is None
+
+    def test_rename_collision_preflight_blocks_registry(
+        self, spark, tmp_path
+    ):
+        """Store-side collision (archived rows already under the new
+        name, registry unaware of it) is pre-flighted: the command fails
+        and the registry keeps the OLD name."""
+        store = ArchiveStore(spark, str(tmp_path / "arch3"))
+        schema = "channel string, t long, v double, severity int, status int"
+        store.write_samples(
+            spark.createDataFrame(
+                [("PV:A", 60 * NS, 1.0, 0, 0),
+                 ("PV:B", 61 * NS, 2.0, 0, 0)], schema
+            ),
+            level=0,
+        )
+        reg = ChannelRegistry(spark, str(tmp_path / "chan3"))
+        reg.add_channel(ChannelConfig(channel_name="PV:A",
+                                      decimation_levels={0: 0}))
+        app = AdminApp(reg, store=store)
+        out = app.run_commands({"commands": [
+            {"commandType": "rename_channel", "oldChannelName": "PV:A",
+             "newChannelName": "PV:B"},
+        ]})
+        res = out["results"][0]
+        assert res["success"] is False
+        assert "exists" in res["errorMessage"]
+        assert reg.get_channel("PV:A") is not None
+        assert reg.get_channel("PV:B") is None
+
     def test_remove_deletes_archived_history(self, admin, spark):
         base, reg = admin
         status, body = _post(base, CMD_PATH, {"commands": [
@@ -370,3 +437,108 @@ class TestRegistryCrashRecovery:
         assert reg.list_channels() == []
         reg.add_channel(ChannelConfig(channel_name="PV:N"))
         assert ChannelRegistry(spark, path).get_channel("PV:N") is not None
+
+
+class TestAdminAuth:
+    """VERDICT r8 #4: HTTP Basic + ROLE_ADMIN on the mutating routes
+    (`ApiController.java:532,764` @Secured("ROLE_ADMIN"), users per
+    `ArchiveUserDetailsManager.java`), reads stay open."""
+
+    ADD = {"commands": [{
+        "commandType": "add_channel", "channelName": "PV:AUTH",
+        "decimationLevels": [0]}]}
+
+    def test_no_credentials_is_401_with_challenge(self, admin):
+        base, reg = admin
+        req = urllib.request.Request(
+            base + CMD_PATH, data=json.dumps(self.ADD).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert e.headers.get("WWW-Authenticate", "").startswith("Basic")
+        assert reg.get_channel("PV:AUTH") is None  # nothing applied
+
+    def test_bad_password_is_401(self, admin):
+        base, reg = admin
+        st, _ = _post(base, CMD_PATH, self.ADD, auth=_basic("admin", "nope"))
+        assert st == 401
+        assert reg.get_channel("PV:AUTH") is None
+
+    def test_wrong_role_is_403(self, spark, tmp_path):
+        from cassandra_pv_archiver_spark.users import UserRegistry
+
+        users = UserRegistry(str(tmp_path / "users"))
+        users.create_user("viewer", "secret", roles=[])
+        reg = ChannelRegistry(spark, str(tmp_path / "chan"))
+        srv = serve(ArchiveApp(None, reg),
+                    admin=AdminApp(reg, users=users))
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            st, _ = _post(base, CMD_PATH, self.ADD,
+                          auth=_basic("viewer", "secret"))
+            assert st == 403
+            assert reg.get_channel("PV:AUTH") is None
+        finally:
+            srv.shutdown()
+
+    def test_admin_role_succeeds_on_add_rename_remove(self, spark, tmp_path):
+        from cassandra_pv_archiver_spark.users import ROLE_ADMIN, UserRegistry
+
+        users = UserRegistry(str(tmp_path / "users"))
+        users.create_user("op", "pw123", roles=[ROLE_ADMIN])
+        reg = ChannelRegistry(spark, str(tmp_path / "chan"))
+        srv = serve(ArchiveApp(None, reg), admin=AdminApp(reg, users=users))
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            auth = _basic("op", "pw123")
+            st, body = _post(base, CMD_PATH, self.ADD, auth=auth)
+            assert st == 200 and body["results"][0]["success"]
+            st, body = _post(base, CMD_PATH, {"commands": [
+                {"commandType": "rename_channel",
+                 "oldChannelName": "PV:AUTH", "newChannelName": "PV:R"}
+            ]}, auth=auth)
+            assert st == 200 and body["results"][0]["success"]
+            st, body = _post(base, CMD_PATH, {"commands": [
+                {"commandType": "remove_channel", "channelName": "PV:R"}
+            ]}, auth=auth)
+            assert st == 200 and body["results"][0]["success"]
+            assert reg.get_channel("PV:R") is None
+        finally:
+            srv.shutdown()
+
+    def test_reads_stay_open(self, admin):
+        base, _ = admin
+        st, data = _get(base, "/admin/api/1.0/channels/all")
+        assert st == 200
+        st, data = _get(base, "/admin/api/1.0/server-status/this-server")
+        assert st == 200
+
+    def test_default_admin_password_change_and_old_rejected(self, tmp_path):
+        from cassandra_pv_archiver_spark.users import ROLE_ADMIN, UserRegistry
+
+        users = UserRegistry(str(tmp_path / "users"))
+        # implicit default admin works...
+        assert users.authenticate("admin", "admin") == frozenset({ROLE_ADMIN})
+        # ...until the password changes (materializing the row)
+        users.change_password("admin", "admin", "s3cret")
+        assert users.authenticate("admin", "admin") is None
+        assert users.authenticate("admin", "s3cret") == frozenset(
+            {ROLE_ADMIN})
+        # persisted: a fresh registry over the same path sees the change
+        again = UserRegistry(str(tmp_path / "users"))
+        assert again.authenticate("admin", "admin") is None
+        assert again.authenticate("admin", "s3cret") is not None
+
+    def test_admin_user_cannot_be_created_or_deleted(self, tmp_path):
+        from cassandra_pv_archiver_spark.users import UserRegistry
+
+        users = UserRegistry(str(tmp_path / "users"))
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            users.create_user("admin", "x", roles=[])
+        with _pytest.raises(ValueError):
+            users.delete_user("admin")

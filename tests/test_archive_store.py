@@ -649,3 +649,45 @@ def test_cascade_crash_between_data_and_hwm_commits(spark, tmp_path):
     assert after.count() == (
         after.dropDuplicates(["channel", "t"]).count()
     )
+
+
+def test_replay_first_window_orphan_below_min_hwm(spark, tmp_path):
+    """ADVICE r8 #1: a channel whose FIRST-ever decimated window was
+    orphaned (data manifest committed, hwm manifest not) has no hwm row
+    at all, so its orphans sit BELOW min(hwm) of the other channels —
+    the bounded anti-join slice must widen to full history for exactly
+    those channels or the replay re-appends permanent duplicates."""
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    hour = 3600 * NS
+
+    # channel A: 40 hours of history, decimated FIRST -> its hwm is high
+    rows_a = [("PV:A", i * hour + 7, float(i), 0, 0) for i in range(41)]
+    store.write_samples(spark.createDataFrame(rows_a, schema), level=0)
+    assert incremental_decimation(store, 3600) > 0
+
+    # channel B arrives late with EARLY history (entirely below A's hwm)
+    rows_b = [("PV:B", i * hour + 9, float(i), 0, 0) for i in range(6)]
+    store.write_samples(spark.createDataFrame(rows_b, schema), level=0)
+    assert incremental_decimation(store, 3600) > 0
+    before = store.read_samples(3600).count()
+
+    # crash between B's data commit and B's hwm commit: revert the hwm
+    # append-log one version (drops B's hwm rows, keeps A's)
+    ht = store._hwm_table(3600)
+    vs = ht.versions()
+    assert len(vs) >= 2
+    ht.fs.delete(f"{ht._mdir}/m-{vs[-1]:020d}")
+    hwm = store.channel_hwm(3600)
+    assert hwm.filter(F.col("channel") == "PV:B").count() == 0  # no hwm
+    min_hwm = hwm.agg(F.min("hwm")).first()[0]
+    orphan_max = store.read_samples(3600).filter(
+        F.col("channel") == "PV:B"
+    ).agg(F.max("t")).first()[0]
+    assert orphan_max < min_hwm  # the slice above min(hwm) misses them
+
+    # replay: B's orphans must be recognized, not re-appended
+    incremental_decimation(store, 3600)
+    after = store.read_samples(3600)
+    assert after.count() == before
+    assert after.count() == after.dropDuplicates(["channel", "t"]).count()

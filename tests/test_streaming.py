@@ -1269,3 +1269,75 @@ def test_stream_typed_ca_assembly_parity_and_state_carry(spark, tmp_path):
     assert by_seq[30][11] is not None and by_seq[30][11][0] == 1  # m1
     assert by_seq[50][11][0] == 9 and by_seq[50][11][1] == "B"    # m2
     assert by_seq[60][12] == ("X", "Y", "Z")
+
+
+def test_stream_stream_left_outer_null_emission_on_eviction(spark, tmp_path):
+    """VERDICT r8 #3 core semantic: an unmatched left row null-emits only
+    when the watermark passes its join-condition state bound (c_t +
+    span); a younger unmatched row stays buffered and emits NOTHING."""
+    from pyspark.sql.types import StructType
+
+    DELAY_S, SPAN_S = 7200, 21600
+    MS = 1_000_000
+    HOUR_NS = 3600 * 1000 * MS
+    T0 = 1_700_000_000_000 * MS
+    side_schema = "user_id bigint, t bigint, event_id bigint"
+    out_schema = (
+        "user_id bigint, c_event_id bigint, p_event_id bigint,"
+        " c_t bigint, p_t bigint"
+    )
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "out")
+    # watermark driver rows on both sides at T0+100h -> wm = T0+98h
+    # c_old: unmatched, bound T0+1h+6h = T0+7h  < wm -> null-emits
+    # c_young: unmatched, bound T0+95h+6h       > wm -> emits NOTHING
+    # c_m: matched by p_m inside the band -> inner row, no null
+    clicks = [(1, T0 + 1 * HOUR_NS, 11),        # c_old
+              (1, T0 + 95 * HOUR_NS, 12),       # c_young
+              (2, T0 + 10 * HOUR_NS, 13),       # c_m
+              (9, T0 + 100 * HOUR_NS, 19)]      # wm driver
+    purch = [(2, T0 + 12 * HOUR_NS, 23),        # p_m (2h after c_m)
+             (8, T0 + 100 * HOUR_NS, 28)]       # wm driver
+    spark.createDataFrame(clicks, side_schema).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(purch, side_schema).coalesce(1).write.parquet(pdir)
+
+    cs = (
+        spark.readStream.schema(side_schema).parquet(cdir)
+        .withColumn("c_ts", F.timestamp_micros(F.expr("t div 1000")))
+        .withWatermark("c_ts", f"{DELAY_S} seconds")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("c_event_id"),
+                F.col("t").alias("c_t"), "c_ts")
+    )
+    ps = (
+        spark.readStream.schema(side_schema).parquet(pdir)
+        .withColumn("p_ts", F.timestamp_micros(F.expr("t div 1000")))
+        .withWatermark("p_ts", f"{DELAY_S} seconds")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("p_event_id"),
+                F.col("t").alias("p_t"), "p_ts")
+    )
+    j = cs.join(
+        ps,
+        F.expr(
+            "c_user = p_user AND c_ts <= p_ts"
+            f" AND c_ts >= p_ts - INTERVAL {SPAN_S} SECONDS"
+        ),
+        "leftOuter",
+    ).select(F.col("c_user").alias("user_id"),
+             "c_event_id", "p_event_id", "c_t", "p_t")
+    q = (
+        j.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.schema(StructType.fromDDL(out_schema)).parquet(sink)
+    rows = {(r.c_event_id, r.p_event_id) for r in got.collect()}
+    assert (13, 23) in rows          # matched pair emits
+    assert (11, None) in rows        # evicted unmatched -> null row
+    assert (12, None) not in rows    # young unmatched -> still buffered
+    assert all(c != 12 for c, _ in rows)
+    # wm drivers: 19 young (no), 28 matched nothing but right side rows
+    # never null-extend in a LEFT outer join
+    assert all(p != 28 for _, p in rows)
