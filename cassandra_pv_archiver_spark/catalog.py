@@ -4018,6 +4018,95 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+#: evolution-batch shape: rows per channel appended AFTER its history,
+#: spaced one hour apart, carrying the NEW column
+SCHEMA_EVO_ROWS = 3
+SCHEMA_EVO_STEP_NS = 3600 * 1_000_000_000
+
+
+def q_store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store lifecycle op the rename/delete/compact/time-travel rows
+    don't cover (VERDICT r8 #6): ADD COLUMN mid-history. A new
+    per-sample metadata field (``src_tag``) arrives with a later batch;
+    old files read with NULLs, new files carry it, and a compaction
+    rewrite of the mixed-schema table must PRESERVE the evolved column
+    (``archive_store.level_schema``: the level's widest schema comes
+    from one footer read of the newest committed file — never
+    schema-by-first-footer, which would silently strip the column from
+    a mixed-schema subset read).
+
+    The evolution batch is deterministic from the data: per channel,
+    {SCHEMA_EVO_ROWS} rows one hour apart after its last sample, tagged
+    ``channel#k``. Output: per-channel census over the UNION —
+    untagged history + tagged extension — after compact(0); the
+    reference pendant is Cassandra's sparse rows returning null for
+    cells written before a column existed."""
+    store = _clone_store(spark, sf_dir)
+    last = store.read_samples(0).groupBy("channel").agg(
+        F.max("t").alias("m")
+    )
+    ks = spark.range(1, SCHEMA_EVO_ROWS + 1).select(
+        F.col("id").alias("k")
+    )
+    ext = last.crossJoin(F.broadcast(ks)).select(
+        "channel",
+        (F.col("m") + F.col("k") * F.lit(SCHEMA_EVO_STEP_NS)).alias("t"),
+        F.col("k").cast("double").alias("v"),
+        F.lit(0).cast("int").alias("severity"),
+        F.lit(0).cast("int").alias("status"),
+        F.concat_ws("#", F.col("channel"), F.col("k")).alias("src_tag"),
+    )
+    store.write_samples(ext, level=0)
+    store.compact(0)  # the rewrite must carry the evolved column through
+    return (
+        store.read_samples(0)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("t").alias("n_ts"),
+            F.min("t").alias("t_first"),
+            F.max("t").alias("t_last"),
+            F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).alias(
+                "v_checksum"
+            ),
+            F.count("src_tag").alias("n_tagged"),
+            F.sum(F.col("src_tag").isNull().cast("bigint")).alias(
+                "n_untagged"
+            ),
+            F.min("src_tag").alias("tag_first"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_STORE_SCHEMA_EVOLUTION = f"""
+WITH {{SAMPLES_CTE}}
+, m AS (SELECT channel, max(t) AS m FROM samples GROUP BY channel),
+ext AS (
+  SELECT m.channel, m.m + ks.k * {SCHEMA_EVO_STEP_NS} AS t,
+         CAST(ks.k AS DOUBLE) AS v, 0 AS severity, 0 AS status,
+         m.channel || '#' || CAST(ks.k AS VARCHAR) AS src_tag
+  FROM m, (VALUES (1), (2), (3)) AS ks(k)
+),
+u AS (
+  SELECT channel, t, v, CAST(NULL AS VARCHAR) AS src_tag FROM samples
+  UNION ALL
+  SELECT channel, t, v, src_tag FROM ext
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_ts,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_checksum,
+       CAST(count(src_tag) AS BIGINT) AS n_tagged,
+       CAST(sum(CASE WHEN src_tag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_untagged,
+       min(src_tag) AS tag_first
+FROM u GROUP BY channel ORDER BY channel
+""".replace("{SAMPLES_CTE}", SAMPLES_CTE.strip().rstrip())
+
+
 # ---------------------------------------------------------------------------
 # fused channel-health dashboard (composition of the analytics family)
 # ---------------------------------------------------------------------------

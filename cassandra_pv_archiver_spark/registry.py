@@ -154,6 +154,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.SQL_COMPACT_INVARIANCE,
     ),
     "store_time_travel": (catalog.q_store_time_travel, catalog.SQL_STORE_TIME_TRAVEL),
+    "store_schema_evolution": (
+        catalog.q_store_schema_evolution,
+        catalog.SQL_STORE_SCHEMA_EVOLUTION,
+    ),
     "approx_distinct_audit": (
         catalog_generic.q_approx_distinct_audit,
         catalog_generic.SQL_APPROX_DISTINCT_AUDIT,

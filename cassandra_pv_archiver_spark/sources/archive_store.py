@@ -91,6 +91,54 @@ class ArchiveStore:
         #: all metadata path ops go through Hadoop FileSystem so the store
         #: works on file:/hdfs:/s3a: alike — no local-FS-only primitives
         self.fs = HadoopFS(spark, self.root)
+        #: footer-schema cache keyed by data-file path — safe to cache
+        #: forever because data files are immutable (manifest.py contract)
+        self._schema_cache: dict[str, "StructType"] = {}
+
+    # -- schema evolution (ADD COLUMN) ------------------------------------
+    def level_schema(self, level: int, at_version: int | None = None):
+        """Current read schema of one level: the base columns plus any
+        evolved (ADD COLUMN) metadata fields — or None when the level has
+        never been written.
+
+        The schema comes from ONE driver-side footer read of the NEWEST
+        committed data file (cached; files are immutable). The invariant
+        making a single footer sufficient — and the read O(1) in table
+        size, where ``mergeSchema`` would read every footer —
+        is append-only evolution: :meth:`write_samples` refuses a batch
+        missing a previously-evolved column, and every rewrite path
+        (compact / retention-boundary / rename) reads with this schema
+        and writes all of it back, so the last-committed file always
+        carries the widest schema. Iceberg records schemas in table
+        metadata for the same reason; here the manifest stays a pure
+        file list and the newest footer IS the schema record.
+
+        Old files simply lack the new columns and read as NULL (the
+        reference's pendant: a new per-sample metadata field arriving in
+        mid-history — Cassandra's sparse rows return null for cells
+        written before the column existed)."""
+        rel = self._level_table(level).files(at_version)
+        if not rel:
+            return None
+        newest = f"{self._level_path(level)}/{rel[-1]}"
+        schema = self._schema_cache.get(newest)
+        if schema is None:
+            schema = self.spark.read.parquet(newest).schema
+            self._schema_cache[newest] = schema
+        return schema
+
+    def _read_level_files(
+        self, level: int, paths: list[str], at_version: int | None = None
+    ) -> DataFrame:
+        """Read a subset of one level's data files under the level's
+        CURRENT (widest) schema — never schema-by-first-footer, which
+        on a mixed-schema subset would silently drop an evolved column
+        (or strip it during a compaction/retention rewrite)."""
+        reader = self.spark.read.option("basePath", self._level_path(level))
+        schema = self.level_schema(level, at_version)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
     # -- paths -----------------------------------------------------------
     @property
@@ -128,6 +176,31 @@ class ArchiveStore:
         ``decimation_level_to_current_bucket_start_time`` map
         (`ChannelMetaDataDAOImpl.java:2111-2123`).
         """
+        cur = self.level_schema(level)
+        if cur is not None:
+            # append-only evolution guard: the level_schema() fast path
+            # (newest footer = widest schema) holds only if no batch ever
+            # REGRESSES the schema; a shared column changing type would
+            # corrupt the parquet scan the same way
+            missing = [
+                f.name for f in cur.fields if f.name not in df.columns
+            ]
+            if missing:
+                raise ValueError(
+                    "schema evolution is ADD COLUMN only: batch is "
+                    f"missing existing column(s) {missing} of level "
+                    f"{level} (write them as NULL literals to keep the "
+                    "newest-file-carries-the-widest-schema invariant)"
+                )
+            have = dict(df.dtypes)
+            for f in cur.fields:
+                if have.get(f.name) != f.dataType.simpleString():
+                    raise ValueError(
+                        f"column {f.name!r} type changed: level {level} "
+                        f"stores {f.dataType.simpleString()}, batch has "
+                        f"{have.get(f.name)} (type changes are not "
+                        "supported; add a NEW column instead)"
+                    )
         df = df.persist()
         try:
             # "date" MUST lead the sort: the V1 parquet writer requires
@@ -287,9 +360,7 @@ class ArchiveStore:
         if not files:
             schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("basePath", self._level_path(level)).parquet(
-            *files
-        )
+        df = self._read_level_files(level, files, at_version=at_version)
         if lo_ns is not None:
             df = df.filter(F.col("t") >= lo_ns)
         if hi_ns is not None:
@@ -562,11 +633,9 @@ class ArchiveStore:
             # stage dir, ONE commit swaps them in and drops both the
             # boundary's old files and the expired partitions — readers
             # see the pre- or post-retention table, never a partial sweep
-            kept = self.spark.read.option(
-                "basePath", table.root
-            ).parquet(*(f"{table.root}/{r}" for r in boundary)).filter(
-                F.col("t") >= cutoff_ns
-            )
+            kept = self._read_level_files(
+                level, [f"{table.root}/{r}" for r in boundary]
+            ).filter(F.col("t") >= cutoff_ns)
             stage = table.stage_dir()
             (
                 kept.withColumn("date", F.lit(cutoff_date))
@@ -649,8 +718,8 @@ class ArchiveStore:
             rel = table.files() or []
             if not rel:
                 continue
-            full = self.spark.read.option("basePath", table.root).parquet(
-                *(f"{table.root}/{r}" for r in rel)
+            full = self._read_level_files(
+                level, [f"{table.root}/{r}" for r in rel]
             )
             hit = {
                 r[0]
@@ -662,8 +731,8 @@ class ArchiveStore:
             if not hit:
                 continue
             affected = [r for r in rel if any(h.endswith(r) for h in hit)]
-            part = self.spark.read.option("basePath", table.root).parquet(
-                *(f"{table.root}/{r}" for r in affected)
+            part = self._read_level_files(
+                level, [f"{table.root}/{r}" for r in affected]
             )
             touched += part.filter(F.col("channel") == channel).count()
             out = (
@@ -762,8 +831,8 @@ class ArchiveStore:
         ]
         if not old:
             return
-        df = self.spark.read.option("basePath", table.root).parquet(
-            *(f"{table.root}/{r}" for r in old)
+        df = self._read_level_files(
+            level, [f"{table.root}/{r}" for r in old]
         )
         part_cols = (
             ["date"] if target_files_per_partition == 1 else ["date", "channel"]
