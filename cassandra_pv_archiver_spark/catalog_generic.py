@@ -1652,6 +1652,52 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ssj_band_join(spark, sf_dir, "inner", "pvarch_ssj_")
 
 
+#: chunk-file cache for the two stream-stream join rows (inner + outer):
+#: both consume IDENTICAL µs-parity click/purchase chunks, so the four
+#: chunk-write Spark jobs run once per (app, sf) and the second row
+#: copies the files (VERDICT r8 #8: keep the streaming parity rows cheap)
+_SSJ_CHUNK_CACHE: dict = {}
+
+
+def _ssj_chunks(spark: SparkSession, sf_dir: str) -> str | None:
+    """Materialize the four chunk files (clicks/purch x chunk1/chunk2)
+    once per (app, sf); returns the cache root, or None when either side
+    is empty."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SSJ_CHUNK_CACHE:
+        return _SSJ_CHUNK_CACHE[key]
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("t"), "event_id", "event_type"
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    purch = e.filter(F.col("event_type") == "purchase")
+    if clicks.isEmpty() or purch.isEmpty():
+        _SSJ_CHUNK_CACHE[key] = None
+        return None
+    root = _scratch_dir_generic("pvarch_ssj_chunks_")
+    even = F.expr("(t div 1000) % 2 = 0")
+    sel = ["user_id", "t", "event_id"]
+    for side, df in (("clicks", clicks), ("purch", purch)):
+        df.filter(even).select(sel).coalesce(1).write.parquet(
+            f"{root}/{side}_c1"
+        )
+        df.filter(~even).select(sel).coalesce(1).write.parquet(
+            f"{root}/{side}_c2"
+        )
+    _SSJ_CHUNK_CACHE[key] = root
+    return root
+
+
+def _copy_parquet_files(src_dir: str, dst_dir: str) -> None:
+    import os
+    import shutil
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for f in os.listdir(src_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{src_dir}/{f}", f"{dst_dir}/{f}")
+
+
 def _ssj_band_join(
     spark: SparkSession, sf_dir: str, join_type: str, prefix: str
 ) -> DataFrame:
@@ -1662,18 +1708,13 @@ def _ssj_band_join(
     from pyspark.sql.types import StructType
 
     root = _scratch_dir_generic(prefix)
-    e = load_events(spark, sf_dir).select(
-        "user_id", F.col("ts").alias("t"), "event_id", "event_type"
-    )
-    clicks = e.filter(F.col("event_type") == "click")
-    purch = e.filter(F.col("event_type") == "purchase")
     out_schema = (
         "user_id bigint, c_event_id bigint, p_event_id bigint,"
         " c_t bigint, p_t bigint"
     )
-    if clicks.isEmpty() or purch.isEmpty():
+    chunks = _ssj_chunks(spark, sf_dir)
+    if chunks is None:
         return spark.createDataFrame([], out_schema)
-    even = F.expr("(t div 1000) % 2 = 0")
     cdir, pdir = f"{root}/clicks", f"{root}/purch"
     ckpt, sink = f"{root}/ckpt", f"{root}/out"
     side_schema = "user_id bigint, t bigint, event_id bigint"
@@ -1717,16 +1758,11 @@ def _ssj_band_join(
         )
         q.awaitTermination(600)
 
-    sel = ["user_id", "t", "event_id"]
-    clicks.filter(even).select(sel).coalesce(1).write.mode(
-        "overwrite").parquet(cdir)
-    purch.filter(even).select(sel).coalesce(1).write.mode(
-        "overwrite").parquet(pdir)
+    _copy_parquet_files(f"{chunks}/clicks_c1", cdir)
+    _copy_parquet_files(f"{chunks}/purch_c1", pdir)
     _run()
-    clicks.filter(~even).select(sel).coalesce(1).write.mode(
-        "append").parquet(cdir)
-    purch.filter(~even).select(sel).coalesce(1).write.mode(
-        "append").parquet(pdir)
+    _copy_parquet_files(f"{chunks}/clicks_c2", cdir)
+    _copy_parquet_files(f"{chunks}/purch_c2", pdir)
     _run()
     got = spark.read.schema(StructType.fromDDL(out_schema)).parquet(sink)
     return got.orderBy("user_id", "c_event_id", "p_event_id")

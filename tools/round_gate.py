@@ -170,6 +170,11 @@ SF1_QUERIES = [
     "bm25_topk", "purchase_window_rollup",
     # storage-sizing ops: linear per-channel window shape
     "ts_gorilla_size", "bucket_rollover_estimate",
+    # containment/LSH family (VERDICT r8 #5): the banded-vs-exact cost
+    # story that most needs a second decade of evidence, and the rows
+    # whose suite-pass noise most needs the isolated-rerun protocol
+    "containment_pairs_lsh", "containment_recall_audit",
+    "substring_dup_spans",
 ]
 SF1_RECEIPT = ["decimate_1h", "union_levels", "raw_latest_n",
                "hard_negative_mining", "bm25_topk",
