@@ -112,11 +112,13 @@ class AdminApp:
 
         from .users import ROLE_ADMIN
 
-        if not authorization or not authorization.startswith("Basic "):
+        # scheme token is case-insensitive (RFC 7235 §2.1; some proxies
+        # lowercase it)
+        if not authorization or authorization[:6].lower() != "basic ":
             raise ApiError(401, "authentication required")
         try:
             raw = base64.b64decode(
-                authorization[len("Basic "):], validate=True
+                authorization[6:], validate=True
             ).decode("utf-8")
             username, _, password = raw.partition(":")
         except (binascii.Error, UnicodeDecodeError):
@@ -311,40 +313,51 @@ class AdminApp:
             else:
                 reg.update_channel(cfg)
         elif ctype == "remove_channel":
-            reg.remove_channel(cmd["channelName"])
+            removed = reg.remove_channel(cmd["channelName"])
             if self.store is not None:
-                # the reference deletes the channel's sample buckets too
-                # (`RemoveChannelOperation`); registry first — a failed
-                # registry removal must not touch data
-                self.store.delete_channel(cmd["channelName"])
+                try:
+                    # the reference deletes the channel's sample buckets
+                    # too (`RemoveChannelOperation`); registry first — a
+                    # failed registry removal must not touch data
+                    self.store.delete_channel(cmd["channelName"])
+                except Exception:
+                    # same all-or-nothing discipline as rename: a store-
+                    # side failure must not leave the history orphaned
+                    # behind a registry that no longer knows the channel
+                    # (a retry would KeyError in the registry before ever
+                    # reaching the store)
+                    reg.add_channel(removed)
+                    raise
         elif ctype == "rename_channel":
             old, new = cmd["oldChannelName"], cmd["newChannelName"]
+            if old == new:
+                # self-rename is a no-op success (management.py:218-221),
+                # never a collision — the store probe below would see the
+                # channel's OWN history under the "target" name
+                reg.rename_channel(old, new)
+                return
             # failure-atomicity: registry.rename_channel flushes to disk
             # BEFORE the store rewrite runs, so a store-side refusal
             # (rename-target collision) or mid-rewrite failure would leave
             # the registry renamed while the archived history stays under
             # the old name — the orphaned-history state this cascade
-            # exists to prevent. Pre-flight the collision probe (bounded:
-            # one limit(1) scan per level, channel-pruned) so the common
+            # exists to prevent. Pre-flight the collision probe (the
+            # store's own bounded per-level limit(1) scan) so the common
             # failure never touches the registry at all…
             if self.store is not None:
-                for level in self.store.levels():
-                    if (
-                        self.store.read_samples(level, channels=[new])
-                        .limit(1)
-                        .count()
-                        > 0
-                    ):
-                        raise ValueError(
-                            f"rename target already exists: {new!r}"
-                            f" (level {level})"
-                        )
+                occupied = self.store.rename_target_occupied(new)
+                if occupied is not None:
+                    raise ValueError(
+                        f"rename target already exists: {new!r}"
+                        f" (level {occupied})"
+                    )
             reg.rename_channel(old, new)
             if self.store is not None:
                 try:
                     # name-keyed layout: the archived history must follow
                     # the name or every read under the new name finds
-                    # nothing
+                    # nothing (the store rolls its own per-level swaps
+                    # back on a mid-loop failure)
                     self.store.rename_channel(old, new)
                 except Exception:
                     # …and roll the registry back on any store-side

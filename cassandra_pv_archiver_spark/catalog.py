@@ -4086,7 +4086,7 @@ ext AS (
   SELECT m.channel, m.m + ks.k * {SCHEMA_EVO_STEP_NS} AS t,
          CAST(ks.k AS DOUBLE) AS v, 0 AS severity, 0 AS status,
          m.channel || '#' || CAST(ks.k AS VARCHAR) AS src_tag
-  FROM m, (VALUES (1), (2), (3)) AS ks(k)
+  FROM m, (VALUES {{SCHEMA_EVO_VALUES}}) AS ks(k)
 ),
 u AS (
   SELECT channel, t, v, CAST(NULL AS VARCHAR) AS src_tag FROM samples
@@ -4104,7 +4104,12 @@ SELECT channel,
          AS n_untagged,
        min(src_tag) AS tag_first
 FROM u GROUP BY channel ORDER BY channel
-""".replace("{SAMPLES_CTE}", SAMPLES_CTE.strip().rstrip())
+""".replace("{SAMPLES_CTE}", SAMPLES_CTE.strip().rstrip()).replace(
+    # derived from the same constant as the engine's extension batch so
+    # a SCHEMA_EVO_ROWS bump can never desync the oracle
+    "{SCHEMA_EVO_VALUES}",
+    ", ".join(f"({k})" for k in range(1, SCHEMA_EVO_ROWS + 1)),
+)
 
 
 # ---------------------------------------------------------------------------

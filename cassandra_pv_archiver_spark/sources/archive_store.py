@@ -358,7 +358,13 @@ class ArchiveStore:
             at_version=at_version,
         )
         if not files:
-            schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
+            # schema-stable empty result: after evolution an empty time
+            # window must still carry the evolved columns, or unionByName
+            # / .select("src_tag") against a non-empty read breaks only
+            # on empty windows
+            schema = self.level_schema(level, at_version)
+            if schema is None:
+                schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
             return self.spark.createDataFrame([], schema)
         df = self._read_level_files(level, files, at_version=at_version)
         if lo_ns is not None:
@@ -439,11 +445,14 @@ class ArchiveStore:
             )
         added = [f"{self._level_path(level)}/{r}" for r in after if r not in before]
         if not added:
-            schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
+            schema = self.level_schema(level, to_version)
+            if schema is None:
+                schema = RAW_SCHEMA if level == 0 else DEC_SCHEMA
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option(
-            "basePath", self._level_path(level)
-        ).parquet(*added)
+        # widest schema AS OF to_version, never schema-by-first-footer:
+        # a CDC window spanning an ADD COLUMN commit mixes file schemas,
+        # and an inferred read could silently drop the evolved column
+        df = self._read_level_files(level, added, at_version=to_version)
         return df.drop("date")
 
     def stats(self) -> list[dict]:
@@ -667,23 +676,54 @@ class ArchiveStore:
         of sample rows that changed name.
 
         Renaming onto an existing channel refuses loudly (the reference
-        rejects colliding renames the same way)."""
+        rejects colliding renames the same way). A failure mid-way
+        through the per-level loop triggers a best-effort COMPENSATION
+        (reverse-rename of the already-swapped levels) before the error
+        propagates — each level's swap is its own atomic manifest
+        commit, so without compensation a crash between levels would
+        leave half the history under each name."""
+        occupied = self.rename_target_occupied(new)
+        if occupied is not None:
+            raise ValueError(
+                f"rename target already exists: {new!r} (level {occupied})"
+            )
+
+        def _xf(a: str, b: str):
+            def xf(df: DataFrame) -> DataFrame:
+                return df.withColumn(
+                    "channel",
+                    F.when(F.col("channel") == a, F.lit(b)).otherwise(
+                        F.col("channel")
+                    ),
+                )
+
+            return xf
+
+        try:
+            return self._rewrite_channel_rows(old, _xf(old, new))
+        except Exception:
+            # roll already-renamed levels back (rows under `new` can only
+            # be ours: the probe above found none). If the compensation
+            # itself fails the original error still propagates — the
+            # store is then in the documented half-renamed state and a
+            # re-run of either direction completes the repair (the
+            # rewrite is idempotent per level).
+            try:
+                self._rewrite_channel_rows(new, _xf(new, old))
+            except Exception:  # noqa: BLE001 - keep the primary error
+                pass
+            raise
+
+    def rename_target_occupied(self, new: str) -> int | None:
+        """First level holding any row under ``new`` (None = free): the
+        collision probe shared by :meth:`rename_channel` and the admin
+        cascade's pre-flight — one channel-pruned limit(1) scan per
+        level."""
         for level in self.levels():
             df = self.read_samples(level, channels=[new])
             if df.limit(1).count() > 0:
-                raise ValueError(
-                    f"rename target already exists: {new!r} (level {level})"
-                )
-
-        def xf(df: DataFrame) -> DataFrame:
-            return df.withColumn(
-                "channel",
-                F.when(F.col("channel") == old, F.lit(new)).otherwise(
-                    F.col("channel")
-                ),
-            )
-
-        return self._rewrite_channel_rows(old, xf)
+                return level
+        return None
 
     def delete_channel(self, channel: str) -> int:
         """Remove a channel across every level, metadata included — the

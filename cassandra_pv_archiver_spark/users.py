@@ -195,6 +195,10 @@ class UserRegistry:
         password are indistinguishable to the caller."""
         rec = self._lookup(username)
         if rec is None:
+            # burn the same KDF cost as a real verification: an instant
+            # rejection for unknown usernames is a timing oracle that
+            # enumerates valid accounts
+            _pbkdf2(password, b"timing-equalizer", _ITERATIONS)
             return None
         if not hmac.compare_digest(
             rec.pw_hash, _pbkdf2(password, rec.salt, rec.iterations)

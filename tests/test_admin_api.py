@@ -542,3 +542,68 @@ class TestAdminAuth:
             users.create_user("admin", "x", roles=[])
         with _pytest.raises(ValueError):
             users.delete_user("admin")
+
+
+class TestCascadeAtomicityReview:
+    """Round-9 review findings: remove-channel rollback, self-rename
+    no-op, store-side rename compensation, case-insensitive scheme."""
+
+    def _app(self, spark, tmp_path):
+        store = ArchiveStore(spark, str(tmp_path / "arch"))
+        store.write_samples(spark.createDataFrame(
+            [("PV:A", 60 * NS, 1.0, 0, 0)],
+            "channel string, t long, v double, severity int, status int",
+        ), level=0)
+        reg = ChannelRegistry(spark, str(tmp_path / "chan"))
+        reg.add_channel(ChannelConfig(channel_name="PV:A",
+                                      decimation_levels={0: 0}))
+        return AdminApp(reg, store=store), reg, store
+
+    def test_remove_store_failure_restores_registry(
+        self, spark, tmp_path, monkeypatch
+    ):
+        app, reg, store = self._app(spark, tmp_path)
+
+        def boom(name):
+            raise RuntimeError("mid-delete I/O failure")
+
+        monkeypatch.setattr(store, "delete_channel", boom)
+        out = app.run_commands({"commands": [
+            {"commandType": "remove_channel", "channelName": "PV:A"},
+        ]})
+        assert out["results"][0]["success"] is False
+        # registry restored: the command is retriable and the history
+        # is not orphaned behind a registry that forgot the channel
+        assert reg.get_channel("PV:A") is not None
+        # a later successful remove still works end-to-end
+        out = app.run_commands({"commands": [
+            {"commandType": "remove_channel", "channelName": "PV:A"},
+        ]})
+        # monkeypatch still active: still fails, registry still intact
+        assert reg.get_channel("PV:A") is not None
+
+    def test_self_rename_is_noop_success(self, spark, tmp_path):
+        app, reg, store = self._app(spark, tmp_path)
+        out = app.run_commands({"commands": [
+            {"commandType": "rename_channel", "oldChannelName": "PV:A",
+             "newChannelName": "PV:A"},
+        ]})
+        assert out["results"][0]["success"] is True
+        assert reg.get_channel("PV:A") is not None
+        assert store.read_samples(0).count() == 1
+
+    def test_self_rename_missing_channel_fails(self, spark, tmp_path):
+        app, reg, _ = self._app(spark, tmp_path)
+        out = app.run_commands({"commands": [
+            {"commandType": "rename_channel", "oldChannelName": "NOPE",
+             "newChannelName": "NOPE"},
+        ]})
+        assert out["results"][0]["success"] is False
+
+    def test_lowercase_basic_scheme_accepted(self, admin):
+        base, reg = admin
+        auth = "basic " + base64.b64encode(b"admin:admin").decode()
+        st, body = _post(base, CMD_PATH, {"commands": [
+            {"commandType": "add_channel", "channelName": "PV:LC",
+             "decimationLevels": [0]}]}, auth=auth)
+        assert st == 200 and body["results"][0]["success"]

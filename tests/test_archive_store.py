@@ -691,3 +691,64 @@ def test_replay_first_window_orphan_below_min_hwm(spark, tmp_path):
     after = store.read_samples(3600)
     assert after.count() == before
     assert after.count() == after.dropDuplicates(["channel", "t"]).count()
+
+
+def test_rename_mid_level_failure_compensates(spark, tmp_path, monkeypatch):
+    """Round-9 review: a rename that fails between per-level swaps must
+    reverse the already-renamed levels — each level's swap commits
+    independently, so without compensation half the history would live
+    under each name (and the collision probe would block every retry)."""
+    from cassandra_pv_archiver_spark.sources import archive_store as mod
+
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [("PV:A", i * 3600 * NS, float(i), 0, 0) for i in range(30)]
+    store.write_samples(spark.createDataFrame(rows, schema), level=0)
+    assert incremental_decimation(store, 3600) > 0  # level 3600 exists
+
+    calls = {"n": 0}
+    orig = mod.ArchiveStore._read_level_files
+
+    def flaky(self, level, paths, at_version=None):
+        # fail on the FIRST touch of the second level's rewrite pass,
+        # after level 0 already swapped
+        if level == 3600 and calls["n"] == 0 and len(paths) > 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated mid-rename I/O failure")
+        return orig(self, level, paths, at_version=at_version)
+
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", flaky)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        store.rename_channel("PV:A", "PV:B")
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", orig)
+    # compensation: EVERY level is back under the old name
+    for level in store.levels():
+        df = store.read_samples(level)
+        assert df.filter(F.col("channel") == "PV:B").count() == 0
+        assert df.filter(F.col("channel") == "PV:A").count() > 0
+    # and the rename is retriable to completion
+    assert store.rename_channel("PV:A", "PV:B") > 0
+    assert store.read_samples(0).filter(
+        F.col("channel") == "PV:A").count() == 0
+
+
+def test_read_samples_empty_window_keeps_evolved_schema(spark, tmp_path):
+    """Round-9 review: an empty (fully pruned) read of an evolved level
+    must still carry the evolved column — schema-unstable empties break
+    unionByName exactly when a time window is quiet."""
+    store = _store(spark, tmp_path)
+    base = "channel string, t long, v double, severity int, status int"
+    evo = base + ", src_tag string"
+    store.write_samples(spark.createDataFrame(
+        [("PV:A", 3600 * NS, 1.0, 0, 0)], base), level=0)
+    store.write_samples(spark.createDataFrame(
+        [("PV:A", 7200 * NS, 2.0, 0, 0, "x")], evo), level=0)
+    empty = store.read_samples(0, lo_ns=10**18, hi_ns=2 * 10**18)
+    assert empty.count() == 0
+    assert "src_tag" in empty.columns
+    # CDC over the evolution window carries the column too
+    vs = store._level_table(0).versions()
+    cdc = store.read_changes(0, vs[0], vs[-1])
+    assert [r.src_tag for r in cdc.collect()] == ["x"]
