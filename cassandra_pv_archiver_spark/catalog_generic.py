@@ -1745,7 +1745,9 @@ def _ssj_band_join(
             ),
             join_type,
         ).select(
-            F.col("c_user").alias("user_id"),
+            # coalesce is the identity for inner/leftOuter (c_user never
+            # null there) and the right-null rows' key for fullOuter
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
             "c_event_id", "p_event_id", "c_t", "p_t",
         )
         q = (
@@ -1792,6 +1794,23 @@ def q_stream_stream_join_outer(
       has not evicted stays buffered and emits NOTHING (the documented
       outer-join latency caveat, here made bit-exact)."""
     return _ssj_band_join(spark, sf_dir, "leftOuter", "pvarch_ssjo_")
+
+
+def q_stream_stream_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL outer band join — completes the outer-join matrix on the
+    shared harness. The oracle is the union of three pinned sets: the
+    inner contract's matched pairs; the left (click) null extensions
+    under the ``c.t + span`` state bound (q_stream_stream_join_outer);
+    and the right (purchase) null extensions under the purchase side's
+    OWN bound — ``wf`` passing ``p.t`` itself, the asymmetric state
+    retention the inner row's contract documents (``c_ts <= p_ts`` means
+    a buffered purchase can only ever match a click at or before it, so
+    it expires the moment the watermark reaches its event time,
+    span-free). Both null sets use the per-batch final watermark
+    ``wf``."""
+    return _ssj_band_join(spark, sf_dir, "fullOuter", "pvarch_ssjf_")
 
 
 def _scratch_dir_generic(prefix: str) -> str:
@@ -1898,6 +1917,71 @@ nulls AS (
     AND a.c_t < wm.wf - {SSJ_SPAN_NS}
 )
 SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM nulls)
+ORDER BY user_id, c_event_id, p_event_id
+"""
+
+
+SQL_STREAM_STREAM_JOIN_FULL = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type FROM events
+),
+c AS (SELECT user_id, t, event_id, (t // 1000) % 2 = 0 AS even
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, t, event_id, (t // 1000) % 2 = 0 AS even
+      FROM e WHERE event_type = 'purchase'),
+wm AS (
+  SELECT (least((SELECT max(t) FROM c WHERE even) // 1000000,
+                (SELECT max(t) FROM p WHERE even) // 1000000)
+          - {SSJ_DELAY_S * 1000}) * 1000000 AS w1,
+         greatest(
+           (least((SELECT max(t) FROM c WHERE even) // 1000000,
+                  (SELECT max(t) FROM p WHERE even) // 1000000)
+            - {SSJ_DELAY_S * 1000}) * 1000000,
+           (least(coalesce((SELECT max(t) FROM c WHERE NOT even),
+                           (SELECT max(t) FROM c WHERE even)) // 1000000,
+                  coalesce((SELECT max(t) FROM p WHERE NOT even),
+                           (SELECT max(t) FROM p WHERE even)) // 1000000)
+            - {SSJ_DELAY_S * 1000}) * 1000000) AS wf
+),
+pairs AS (
+  SELECT c.user_id, c.event_id AS c_event_id, p.event_id AS p_event_id,
+         c.t AS c_t, p.t AS p_t, c.even AS c_even, p.even AS p_even
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND c.t <= p.t AND c.t >= p.t - {SSJ_SPAN_NS}
+),
+matched AS (
+  SELECT user_id, c_event_id, p_event_id, c_t, p_t
+  FROM pairs, wm
+  WHERE (c_even AND p_even)
+     OR (p_t >= wm.w1
+         AND ((c_even AND c_t >= wm.w1 - {SSJ_SPAN_NS})
+              OR (NOT c_even AND c_t >= wm.w1)))
+),
+-- left (click) null extensions: the leftOuter row's rule verbatim
+lnull AS (
+  SELECT a.user_id, a.c_event_id, CAST(NULL AS BIGINT) AS p_event_id,
+         a.c_t, CAST(NULL AS BIGINT) AS p_t
+  FROM (SELECT c.user_id, c.event_id AS c_event_id, c.t AS c_t
+        FROM c, wm WHERE c.even OR c.t >= wm.w1) a, wm
+  WHERE NOT EXISTS (SELECT 1 FROM matched m
+                    WHERE m.c_event_id = a.c_event_id)
+    AND a.c_t < wm.wf - {SSJ_SPAN_NS}
+),
+-- right (purchase) null extensions: a purchase's state bound is its own
+-- event time (c_ts <= p_ts: only earlier-or-equal clicks can match, so
+-- the watermark reaching p.t ends its matchable window — span-free)
+rnull AS (
+  SELECT a.user_id, CAST(NULL AS BIGINT) AS c_event_id, a.p_event_id,
+         CAST(NULL AS BIGINT) AS c_t, a.p_t
+  FROM (SELECT p.user_id, p.event_id AS p_event_id, p.t AS p_t
+        FROM p, wm WHERE p.even OR p.t >= wm.w1) a, wm
+  WHERE NOT EXISTS (SELECT 1 FROM matched m
+                    WHERE m.p_event_id = a.p_event_id)
+    AND a.p_t < wm.wf
+)
+SELECT * FROM (SELECT * FROM matched
+               UNION ALL SELECT * FROM lnull
+               UNION ALL SELECT * FROM rnull)
 ORDER BY user_id, c_event_id, p_event_id
 """
 

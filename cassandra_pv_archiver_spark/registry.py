@@ -56,6 +56,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_generic.q_stream_stream_join_outer,
         catalog_generic.SQL_STREAM_STREAM_JOIN_OUTER,
     ),
+    "stream_stream_join_full": (
+        catalog_generic.q_stream_stream_join_full,
+        catalog_generic.SQL_STREAM_STREAM_JOIN_FULL,
+    ),
     "curate_round8": (
         catalog_data.q_curate_round8,
         catalog_data.SQL_CURATE_ROUND8,
