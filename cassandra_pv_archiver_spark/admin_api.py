@@ -357,8 +357,9 @@ class AdminApp:
                     # name-keyed layout: the archived history must follow
                     # the name or every read under the new name finds
                     # nothing (the store rolls its own per-level swaps
-                    # back on a mid-loop failure)
-                    self.store.rename_channel(old, new)
+                    # back on a mid-loop failure); preflighted: the probe
+                    # above already ran, don't pay it twice
+                    self.store.rename_channel(old, new, preflighted=True)
                 except Exception:
                     # …and roll the registry back on any store-side
                     # failure so the command is all-or-nothing as far as
@@ -420,17 +421,33 @@ class AdminApp:
                     if not simulate:
                         reg.update_channel(cfg)
                     ok_up.append(cfg.channel_name)
-            except (KeyError, ValueError) as e:
-                fail_up[cfg.channel_name] = str(e)
+            # broad by the same never-abort contract as run_commands: a
+            # registry _flush I/O error on channel 5 of 20 must land in
+            # the per-channel *Failed map, not abort the import
+            # half-applied with no response
+            except Exception as e:  # noqa: BLE001 - per-channel report
+                fail_up[cfg.channel_name] = str(e) or type(e).__name__
         if remove:
             for c in list(reg.list_channels()):
                 if c.channel_name not in names_in_file:
                     try:
                         if not simulate:
-                            reg.remove_channel(c.channel_name)
+                            # same cascade + rollback as the
+                            # remove_channel command: a registry-only
+                            # remove would orphan the name-keyed history,
+                            # and a later re-add would resurrect it
+                            removed = reg.remove_channel(c.channel_name)
+                            if self.store is not None:
+                                try:
+                                    self.store.delete_channel(
+                                        c.channel_name
+                                    )
+                                except Exception:
+                                    reg.add_channel(removed)
+                                    raise
                         ok_rm.append(c.channel_name)
-                    except KeyError as e:
-                        fail_rm[c.channel_name] = str(e)
+                    except Exception as e:  # noqa: BLE001 - per-channel
+                        fail_rm[c.channel_name] = str(e) or type(e).__name__
         return {
             "addOrUpdateSucceeded": sorted(ok_up),
             "addOrUpdateFailed": fail_up,

@@ -700,6 +700,9 @@ l AS (
   SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM e
 ),
 g AS (
+  -- strict >: native session_window MERGES a pair EXACTLY gap apart
+  -- (session [t, t+gap] absorbs a row starting at its end — pinned by
+  -- tests/test_round4_ops.test_sessionize_exact_gap_boundary)
   SELECT *, CASE WHEN prev IS NULL OR t - prev > {SESSION_GAP_MIN} * 60000000
                  THEN 1 ELSE 0 END AS newflag
   FROM l
@@ -1917,6 +1920,10 @@ nulls AS (
     AND a.c_t < wm.wf - {SSJ_SPAN_NS}
 )
 SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM nulls)
+-- engine parity: the harness returns an EMPTY frame when either side
+-- has no rows at all (no streams to run), while the null CTE alone
+-- would still emit unmatched rows for the non-empty side
+WHERE EXISTS (SELECT 1 FROM c) AND EXISTS (SELECT 1 FROM p)
 ORDER BY user_id, c_event_id, p_event_id
 """
 
@@ -1982,6 +1989,9 @@ rnull AS (
 SELECT * FROM (SELECT * FROM matched
                UNION ALL SELECT * FROM lnull
                UNION ALL SELECT * FROM rnull)
+-- engine parity: empty either side -> empty result (see the leftOuter
+-- oracle's identical guard)
+WHERE EXISTS (SELECT 1 FROM c) AND EXISTS (SELECT 1 FROM p)
 ORDER BY user_id, c_event_id, p_event_id
 """
 
@@ -2074,13 +2084,16 @@ fin AS (
          AS w
   FROM e
 ),
--- phase 1: sessionize the chunk-1 rows (merge while the next row starts
--- strictly inside the previous row's [t, t+gap) tentative window)
+-- phase 1: sessionize the chunk-1 rows. Merge at <= gap, break at
+-- STRICT >: native session_window absorbs a row starting EXACTLY at
+-- the tentative window end [t, t+gap] (boundary pinned by
+-- tests/test_round4_ops.test_sessionize_exact_gap_boundary; the
+-- tested SFs carry no boundary pair, so this is belt-and-braces)
 r1 AS (SELECT user_id, t FROM e WHERE (t // 1000) % 2 = 0),
 i1 AS (
   SELECT user_id, t,
          CASE WHEN lag(t) OVER w IS NULL
-                   OR t - lag(t) OVER w >= {_SSW_GAP_NS} THEN 1 ELSE 0 END
+                   OR t - lag(t) OVER w > {_SSW_GAP_NS} THEN 1 ELSE 0 END
            AS brk
   FROM r1 WINDOW w AS (PARTITION BY user_id ORDER BY t)
 ),
@@ -2113,7 +2126,7 @@ r2 AS (SELECT * FROM res1 UNION ALL SELECT * FROM adm2),
 i2 AS (
   SELECT user_id, t,
          CASE WHEN lag(t) OVER w IS NULL
-                   OR t - lag(t) OVER w >= {_SSW_GAP_NS} THEN 1 ELSE 0 END
+                   OR t - lag(t) OVER w > {_SSW_GAP_NS} THEN 1 ELSE 0 END
            AS brk
   FROM r2 WINDOW w AS (PARTITION BY user_id ORDER BY t)
 ),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
@@ -143,6 +144,11 @@ class ChannelRegistry:
         self.spark = spark
         self.path = path.rstrip("/")
         self._channels: dict[str, ChannelConfig] = {}
+        #: serializes mutations + snapshot reads: the HTTP surface is a
+        #: ThreadingHTTPServer, and two racing _flush swaps on one path
+        #: can delete each other's backup inside the rename window (and
+        #: last-writer-wins would silently drop the other's channel)
+        self._lock = threading.RLock()
         recover_atomic_dir(self.path)
         if os.path.isdir(self.path):
             import pyarrow.parquet as pq
@@ -185,26 +191,29 @@ class ChannelRegistry:
 
     # -- CRUD (ArchiveConfigurationService add/update/remove/rename) ------
     def add_channel(self, config: ChannelConfig) -> None:
-        if config.channel_name in self._channels:
-            raise ValueError(f"channel exists: {config.channel_name}")
-        self._channels[config.channel_name] = config
-        self._flush()
+        with self._lock:
+            if config.channel_name in self._channels:
+                raise ValueError(f"channel exists: {config.channel_name}")
+            self._channels[config.channel_name] = config
+            self._flush()
 
     def update_channel(self, config: ChannelConfig) -> None:
-        old = self._channels.get(config.channel_name)
-        if old is None:
-            raise KeyError(config.channel_name)
-        # data id is permanent (`SampleBucketId.java:80-89`)
-        config.channel_data_id = old.channel_data_id
-        self._channels[config.channel_name] = config
-        self._flush()
+        with self._lock:
+            old = self._channels.get(config.channel_name)
+            if old is None:
+                raise KeyError(config.channel_name)
+            # data id is permanent (`SampleBucketId.java:80-89`)
+            config.channel_data_id = old.channel_data_id
+            self._channels[config.channel_name] = config
+            self._flush()
 
     def remove_channel(self, name: str) -> ChannelConfig:
-        cfg = self._channels.pop(name, None)
-        if cfg is None:
-            raise KeyError(name)
-        self._flush()
-        return cfg
+        with self._lock:
+            cfg = self._channels.pop(name, None)
+            if cfg is None:
+                raise KeyError(name)
+            self._flush()
+            return cfg
 
     def rename_channel(self, old_name: str, new_name: str) -> None:
         """Rename the REGISTRY entry, keeping the permanent
@@ -215,24 +224,29 @@ class ChannelRegistry:
         .rename_channel`` runs too (the admin command surface,
         ``AdminApp(registry, store=...)``, cascades both; callers using
         the registry directly own that second step)."""
-        if old_name == new_name:
-            if old_name not in self._channels:
+        with self._lock:
+            if old_name == new_name:
+                if old_name not in self._channels:
+                    raise KeyError(old_name)
+                return  # renaming to itself is a no-op, not a collision
+            if new_name in self._channels:
+                raise ValueError(f"channel exists: {new_name}")
+            cfg = self._channels.pop(old_name, None)
+            if cfg is None:
                 raise KeyError(old_name)
-            return  # renaming to itself is a no-op, not a collision
-        if new_name in self._channels:
-            raise ValueError(f"channel exists: {new_name}")
-        cfg = self._channels.pop(old_name, None)
-        if cfg is None:
-            raise KeyError(old_name)
-        cfg.channel_name = new_name
-        self._channels[new_name] = cfg
-        self._flush()
+            cfg.channel_name = new_name
+            self._channels[new_name] = cfg
+            self._flush()
 
     def get_channel(self, name: str) -> ChannelConfig | None:
-        return self._channels.get(name)
+        with self._lock:
+            return self._channels.get(name)
 
     def list_channels(self) -> list[ChannelConfig]:
-        return sorted(self._channels.values(), key=lambda c: c.channel_name)
+        with self._lock:
+            return sorted(
+                self._channels.values(), key=lambda c: c.channel_name
+            )
 
     def channels_by_glob(self, pattern: str) -> list[ChannelConfig]:
         """F2: ``*``/``?`` glob, case-insensitive

@@ -235,8 +235,19 @@ class _Handler(BaseHTTPRequestHandler):
         # drain the body BEFORE any routing decision: on an HTTP/1.1
         # keep-alive connection an early 404 would leave the unread body
         # bytes on the socket, desynchronizing the next request's parse
-        n = int(self.headers.get("Content-Length") or 0)
-        raw = self.rfile.read(n) if n else b""
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+        except ValueError:
+            # a malformed length means the body CANNOT be drained — any
+            # uncaught error here would kill the socket with no response
+            # at all; answer 400 and drop the (undrainable) connection
+            self.close_connection = True
+            self._send_whole(
+                400,
+                json.dumps({"error": "malformed Content-Length"}).encode(),
+            )
+            return
+        raw = self.rfile.read(n) if n > 0 else b""
         try:
             if self.admin is None or not u.path.startswith("/admin/api"):
                 raise ApiError(404, f"unknown path: {u.path}")
@@ -249,6 +260,12 @@ class _Handler(BaseHTTPRequestHandler):
                 body = json.loads(raw.decode("utf-8")) if raw else {}
             except (UnicodeDecodeError, json.JSONDecodeError):
                 raise ApiError(400, "request body must be JSON") from None
+            if not isinstance(body, dict):
+                # valid JSON but not an object ([] / 42 / "x"): every
+                # admin route takes a JSON object; letting it through
+                # ends as an AttributeError that kills the connection
+                # with no response
+                raise ApiError(400, "request body must be a JSON object")
             result = self.admin.handle_post(u.path, body)
         except ApiError as e:
             payload = json.dumps({"error": str(e)}).encode("utf-8")

@@ -659,7 +659,7 @@ class ArchiveStore:
         return dropped
 
     # -- compaction (96 MB rollover analog) ------------------------------
-    def rename_channel(self, old: str, new: str) -> int:
+    def rename_channel(self, old: str, new: str, preflighted: bool = False) -> int:
         """Rename a channel across every level, metadata included — the
         reference's configuration rename/move operation
         (`ArchiveConfigurationService.java`, `archiving/internal/
@@ -681,12 +681,18 @@ class ArchiveStore:
         (reverse-rename of the already-swapped levels) before the error
         propagates — each level's swap is its own atomic manifest
         commit, so without compensation a crash between levels would
-        leave half the history under each name."""
-        occupied = self.rename_target_occupied(new)
-        if occupied is not None:
-            raise ValueError(
-                f"rename target already exists: {new!r} (level {occupied})"
-            )
+        leave half the history under each name.
+
+        ``preflighted=True`` skips the collision probe for a caller that
+        just ran :meth:`rename_target_occupied` itself (the admin
+        cascade's pre-flight) — one per-level probe pass, not two."""
+        if not preflighted:
+            occupied = self.rename_target_occupied(new)
+            if occupied is not None:
+                raise ValueError(
+                    f"rename target already exists: {new!r}"
+                    f" (level {occupied})"
+                )
 
         def _xf(a: str, b: str):
             def xf(df: DataFrame) -> DataFrame:

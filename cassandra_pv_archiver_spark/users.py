@@ -23,6 +23,7 @@ import hashlib
 import hmac
 import os
 import secrets
+import threading
 from dataclasses import dataclass, field
 
 from .management import atomic_swap_dir, recover_atomic_dir
@@ -60,15 +61,26 @@ class UserRecord:
     roles: list[str] = field(default_factory=list)
 
 
+#: computed once per process (salt + password are module constants):
+#: rebuilding the 20k-iteration hash on every admin lookup of an
+#: unconfigured install would double each authentication's KDF cost
+_DEFAULT_ADMIN_HASH: bytes | None = None
+_DEFAULT_ADMIN_SALT = b"cassandra-pv-archiver-default"  # fixed: the
+# DEFAULT hash is public knowledge anyway (it guards a fresh install)
+
+
 def _default_admin_record() -> UserRecord:
     """A fresh default-credentials admin row (new instance every call —
     the reference returns a new mutable object each time, :566)."""
-    salt = b"cassandra-pv-archiver-default"  # fixed: the DEFAULT hash is
-    # public knowledge anyway (it guards a fresh, unconfigured install)
+    global _DEFAULT_ADMIN_HASH
+    if _DEFAULT_ADMIN_HASH is None:
+        _DEFAULT_ADMIN_HASH = _pbkdf2(
+            _DEFAULT_ADMIN_PASSWORD, _DEFAULT_ADMIN_SALT, _ITERATIONS
+        )
     return UserRecord(
         username=ADMIN_USER_NAME,
-        salt=salt,
-        pw_hash=_pbkdf2(_DEFAULT_ADMIN_PASSWORD, salt, _ITERATIONS),
+        salt=_DEFAULT_ADMIN_SALT,
+        pw_hash=_DEFAULT_ADMIN_HASH,
         iterations=_ITERATIONS,
         roles=[ROLE_ADMIN],
     )
@@ -84,6 +96,10 @@ class UserRegistry:
     def __init__(self, path: str | None = None):
         self.path = path.rstrip("/") if path else None
         self._users: dict[str, UserRecord] = {}
+        #: same serialization contract as ChannelRegistry: the HTTP
+        #: surface is threaded, and racing atomic_swap_dir calls on one
+        #: path can destroy each other's backup mid-swap
+        self._lock = threading.RLock()
         if self.path:
             recover_atomic_dir(self.path)
             if os.path.isdir(self.path):
@@ -137,24 +153,28 @@ class UserRegistry:
             raise ValueError("A user with the specified name already exists.")
         if not password:
             raise ValueError("The password must not be empty.")
-        if username in self._users:
-            raise ValueError("A user with the specified name already exists.")
-        salt = secrets.token_bytes(16)
-        self._users[username] = UserRecord(
-            username=username,
-            salt=salt,
-            pw_hash=_pbkdf2(password, salt, _ITERATIONS),
-            iterations=_ITERATIONS,
-            roles=sorted(set(roles)),
-        )
-        self._flush()
+        with self._lock:
+            if username in self._users:
+                raise ValueError(
+                    "A user with the specified name already exists."
+                )
+            salt = secrets.token_bytes(16)
+            self._users[username] = UserRecord(
+                username=username,
+                salt=salt,
+                pw_hash=_pbkdf2(password, salt, _ITERATIONS),
+                iterations=_ITERATIONS,
+                roles=sorted(set(roles)),
+            )
+            self._flush()
 
     def delete_user(self, username: str) -> None:
         if username == ADMIN_USER_NAME:
             # `ArchiveUserDetailsManager.java:328`
             raise ValueError("The admin user may not be removed.")
-        self._users.pop(username, None)  # reference delete is idempotent
-        self._flush()
+        with self._lock:
+            self._users.pop(username, None)  # reference delete idempotent
+            self._flush()
 
     def change_password(self, username: str, old: str, new: str) -> None:
         """`changePassword:188-252`: verifies the OLD password before
@@ -162,6 +182,10 @@ class UserRegistry:
         first password change materializes it)."""
         if not new:
             raise ValueError("The new password must not be empty.")
+        with self._lock:
+            return self._change_password_locked(username, old, new)
+
+    def _change_password_locked(self, username: str, old: str, new: str):
         rec = self._lookup(username)
         if rec is None:
             raise KeyError(username)

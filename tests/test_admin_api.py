@@ -13,6 +13,8 @@ import urllib.request
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from cassandra_pv_archiver_spark.admin_api import SERVER_ID, AdminApp
 from cassandra_pv_archiver_spark.management import (
     ChannelConfig,
@@ -607,3 +609,85 @@ class TestCascadeAtomicityReview:
             {"commandType": "add_channel", "channelName": "PV:LC",
              "decimationLevels": [0]}]}, auth=auth)
         assert st == 200 and body["results"][0]["success"]
+
+
+class TestReviewPassTwo:
+    """Round-9 second review pass: non-dict bodies, malformed
+    Content-Length, import remove cascade, concurrent mutations."""
+
+    def test_non_dict_json_body_is_400(self, admin):
+        base, _ = admin
+        req = urllib.request.Request(
+            base + CMD_PATH, data=b"[]",
+            headers={"Content-Type": "application/json",
+                     "Authorization": _basic("admin", "admin")},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "JSON object" in json.loads(e.read())["error"]
+
+    def test_malformed_content_length_is_400_not_reset(self, admin):
+        import http.client
+
+        base, _ = admin
+        host = base.split("//", 1)[1]
+        conn = http.client.HTTPConnection(host, timeout=10)
+        conn.putrequest("POST", CMD_PATH, skip_accept_encoding=True)
+        conn.putheader("Content-Length", "abc")
+        conn.putheader("Authorization", _basic("admin", "admin"))
+        conn.endheaders()
+        r = conn.getresponse()
+        assert r.status == 400
+        conn.close()
+
+    def test_import_remove_cascades_to_store(self, spark, tmp_path):
+        # PV:A exists with archived history; an import that doesn't list
+        # it (removeChannels=true) must delete the history too — a
+        # registry-only remove would orphan it, and a later re-add would
+        # resurrect the stale pre-removal samples
+        store = ArchiveStore(spark, str(tmp_path / "arch"))
+        store.write_samples(spark.createDataFrame(
+            [("PV:A", 60 * NS, 1.0, 0, 0)],
+            "channel string, t long, v double, severity int, status int",
+        ), level=0)
+        reg = ChannelRegistry(spark, str(tmp_path / "chan"))
+        reg.add_channel(ChannelConfig(channel_name="PV:A",
+                                      decimation_levels={0: 0}))
+        app = AdminApp(reg, store=store)
+        xml = ('<?xml version="1.0"?><server-configuration>'
+               '<channel name="PV:KEEP"/></server-configuration>')
+        out = app.import_config(SERVER_ID, {
+            "configurationFile":
+                base64.b64encode(xml.encode()).decode("ascii"),
+            "removeChannels": True,
+        })
+        assert out["removeSucceeded"] == ["PV:A"]
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:A").count() == 0
+
+    def test_concurrent_adds_all_survive_restart(self, spark, tmp_path):
+        import threading as th
+
+        reg = ChannelRegistry(spark, str(tmp_path / "chan"))
+        errs = []
+
+        def add(i):
+            try:
+                reg.add_channel(ChannelConfig(
+                    channel_name=f"PV:C{i}", decimation_levels={0: 0}))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [th.Thread(target=add, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        # a fresh registry over the same path sees EVERY add
+        again = ChannelRegistry(spark, str(tmp_path / "chan"))
+        assert len(again.list_channels()) == 16

@@ -177,3 +177,49 @@ def test_threshold_crossings_hand_computed(spark):
     # v == thr throughout: never below, so no upward/downward transitions
     assert (b["n_up"], b["n_down"]) == (0, 0)
     assert b["t_first_cross"] is None
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """Round-9 review follow-up, pinned EMPIRICALLY: native
+    session_window MERGES a pair exactly gap apart (the session
+    [t, t+gap] absorbs a row starting at its end) and breaks only at a
+    STRICTLY larger gap. Both the batch oracle (strict >) and the
+    round-8 streaming session oracle (was >=, silently divergent — the
+    tested SFs carry no boundary pair) must use the same boundary."""
+    from cassandra_pv_archiver_spark.operators.events import sessionize
+
+    gap_us = 30 * 60_000_000
+    rows = [
+        (1, 0, "click", 1.0),
+        (1, gap_us * 1000, "click", 1.0),          # exactly 30 min later
+        (2, 0, "click", 1.0),
+        (2, (gap_us + 1) * 1000, "click", 1.0),    # 1 µs past the gap
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, value double"
+    )
+    out = sessionize(ev, 30).orderBy("user_id", "session_start").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 1   # exact gap -> MERGED
+    assert len(by_user[2]) == 2   # past the gap -> two sessions
+    # and the DuckDB oracle agrees on the same boundary
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {"user_id": [1, 1, 2, 2],
+         "ts": pd.to_datetime([0, gap_us * 1000, 0, (gap_us + 1) * 1000]),
+         "event_id": [1, 2, 3, 4],
+         "event_type": ["click"] * 4,
+         "value": [1.0] * 4,
+         "props": [""] * 4})
+    con.register("events", df)
+    from cassandra_pv_archiver_spark.catalog_generic import (
+        SQL_SESSIONIZE_30M,
+    )
+    got = con.sql(SQL_SESSIONIZE_30M).df()
+    n_by_user = got.groupby("user_id").size().to_dict()
+    assert n_by_user == {1: 1, 2: 2}
