@@ -124,7 +124,13 @@ def incremental_decimation(
                         store.read_samples(source_level, channels=newcomers)
                     )
         if state is not None:
-            scan = scan.unionByName(state).dropDuplicates(["channel", "t"])
+            # allowMissingColumns: a source-level ADD COLUMN evolution
+            # after these seeds were persisted would otherwise crash
+            # every subsequent run (seeds lack the new column; NULL is
+            # exactly what reading their rows from storage would give)
+            scan = scan.unionByName(
+                state, allowMissingColumns=True
+            ).dropDuplicates(["channel", "t"])
         w = Window.partitionBy("channel").orderBy("t")
         src_all = (
             scan.join(F.broadcast(hwm_df), "channel", "left")

@@ -101,23 +101,32 @@ class ArchiveStore:
         evolved (ADD COLUMN) metadata fields — or None when the level has
         never been written.
 
-        The schema comes from ONE driver-side footer read of the NEWEST
-        committed data file (cached; files are immutable). The invariant
-        making a single footer sufficient — and the read O(1) in table
-        size, where ``mergeSchema`` would read every footer —
-        is append-only evolution: :meth:`write_samples` refuses a batch
-        missing a previously-evolved column, and every rewrite path
-        (compact / retention-boundary / rename) reads with this schema
-        and writes all of it back, so the last-committed file always
-        carries the widest schema. Iceberg records schemas in table
-        metadata for the same reason; here the manifest stays a pure
-        file list and the newest footer IS the schema record.
+        The schema record is the level manifest's HEADER (one small text
+        read, no data-file access): write_samples commits the UNION of
+        the previous header and the batch schema inside the manifest's
+        atomic rebase loop, so concurrent appends cannot lose an evolved
+        column (a check-then-act footer scheme could: a narrower batch
+        committing last would shadow the wider one), and every other
+        commit — compact, retention (even one that EMPTIES the file
+        list), rename — carries the header forward by default. Iceberg
+        records schemas in table metadata the same way.
+
+        Manifests from before headers existed fall back to ONE
+        driver-side footer read of the newest committed file (cached;
+        files are immutable) — correct for them because their writes
+        all predate evolution support.
 
         Old files simply lack the new columns and read as NULL (the
         reference's pendant: a new per-sample metadata field arriving in
         mid-history — Cassandra's sparse rows return null for cells
         written before the column existed)."""
-        rel = self._level_table(level).files(at_version)
+        from pyspark.sql.types import StructType
+
+        table = self._level_table(level)
+        hdr = table.header(at_version)
+        if hdr is not None:
+            return StructType.fromDDL(hdr)
+        rel = table.files(at_version)
         if not rel:
             return None
         newest = f"{self._level_path(level)}/{rel[-1]}"
@@ -229,7 +238,37 @@ class ArchiveStore:
                 .partitionBy("date")
                 .parquet(stage)
             )
-            table.publish_stage(stage)
+            # the level's schema record rides the manifest header: the
+            # union is computed INSIDE the commit's rebase loop, so a
+            # concurrent wider append can never be shadowed by this one
+            # (check-then-act on the newest footer could lose a column)
+            batch_fields = [
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ]
+            legacy = cur  # pre-header fallback, read once above
+
+            def _header_fn(prev: str | None) -> str:
+                from pyspark.sql.types import StructType
+
+                if prev is not None:
+                    base_fields = [
+                        (f.name, f.dataType.simpleString())
+                        for f in StructType.fromDDL(prev).fields
+                    ]
+                elif legacy is not None:
+                    base_fields = [
+                        (f.name, f.dataType.simpleString())
+                        for f in legacy.fields
+                    ]
+                else:
+                    base_fields = []
+                seen = {n for n, _ in base_fields}
+                merged = base_fields + [
+                    (n, t) for n, t in batch_fields if n not in seen
+                ]
+                return ", ".join(f"`{n}` {t}" for n, t in merged)
+
+            table.publish_stage(stage, header_fn=_header_fn)
             self._update_channel_hwm(df, level)
         finally:
             df.unpersist()
@@ -650,6 +689,10 @@ class ArchiveStore:
                 kept.withColumn("date", F.lit(cutoff_date))
                 .sortWithinPartitions("date", "channel", "t")
                 .write.partitionBy("date")
+                # same file-size bound as every other write path: repeated
+                # sweeps on a hot boundary partition must not accrete
+                # files past the MAX_BUCKET_SIZE analog
+                .option("maxRecordsPerFile", self.max_records_per_file)
                 .parquet(stage)
             )
             table.publish_stage(stage, remove=expired + boundary)
@@ -705,8 +748,19 @@ class ArchiveStore:
 
             return xf
 
+        def _meta_xf(df: DataFrame) -> DataFrame:
+            # a fully-expired channel named `new` passes the collision
+            # probe (no DATA rows) but can still own stale hwm/seed
+            # metadata; folding that into the renamed channel would make
+            # incremental decimation silently skip windows up to the
+            # stale mark. Purge it, then rename — data levels are
+            # unaffected (the probe guarantees no rows named `new`).
+            return _xf(old, new)(df.filter(F.col("channel") != new))
+
         try:
-            return self._rewrite_channel_rows(old, _xf(old, new))
+            return self._rewrite_channel_rows(
+                old, _xf(old, new), meta_transform=_meta_xf
+            )
         except Exception:
             # roll already-renamed levels back (rows under `new` can only
             # be ours: the probe above found none). If the compensation
@@ -749,15 +803,22 @@ class ArchiveStore:
             channel, lambda df: df.filter(F.col("channel") != channel)
         )
 
-    def _rewrite_channel_rows(self, channel: str, transform) -> int:
+    def _rewrite_channel_rows(
+        self, channel: str, transform, meta_transform=None
+    ) -> int:
         """Bounded-rewrite machinery shared by :meth:`rename_channel` and
         :meth:`delete_channel`: per level, discover the files carrying
         ``channel`` (bounded metadata collect — a subset of one
         channel's footprint), apply ``transform`` to exactly those
         files' rows, and swap the rewrite in with ONE atomic manifest
         commit; then fold-and-replace the HWM log and rewrite the
-        decimation seed state through the same ``transform``. Returns
-        the number of sample rows that matched ``channel``."""
+        decimation seed state through ``meta_transform`` (defaults to
+        ``transform`` — rename passes a variant that additionally purges
+        a fully-expired target channel's STALE metadata rows, which the
+        data-level collision probe cannot see). Returns the number of
+        sample rows that matched ``channel``."""
+        if meta_transform is None:
+            meta_transform = transform
         touched = 0
         for level in self.levels():
             table = self._level_table(level)
@@ -802,7 +863,7 @@ class ArchiveStore:
             hpaths = htable.paths()
             if hpaths:
                 folded = (
-                    transform(self.spark.read.parquet(*hpaths))
+                    meta_transform(self.spark.read.parquet(*hpaths))
                     .groupBy("channel")
                     .agg(F.max("hwm").alias("hwm"))
                 )
@@ -813,7 +874,7 @@ class ArchiveStore:
             # decimation carry seeds for this target level
             seeds = self.read_seed_state(level)
             if seeds is not None and "channel" in seeds.columns:
-                self.write_seed_state(level, transform(seeds))
+                self.write_seed_state(level, meta_transform(seeds))
         return touched
 
     @staticmethod

@@ -120,10 +120,14 @@ class HadoopFS:
             inp.close()
         return data.decode("utf-8")
 
-    def list_files_recursive(self, path: str) -> list[str]:
-        """All data-file paths under ``path`` (skips _/. names), as paths
-        relative to it. One listFiles(recursive) iterator — the single
-        bulk-listing RPC pattern object stores optimize for."""
+    def list_files_recursive(
+        self, path: str, include_hidden: bool = False
+    ) -> list[str]:
+        """All data-file paths under ``path`` (skips _/. names unless
+        ``include_hidden`` — the stage-debris gc sweep needs to age
+        Spark's _temporary subtrees too), as paths relative to it. One
+        listFiles(recursive) iterator — the single bulk-listing RPC
+        pattern object stores optimize for."""
         p = self._Path(path)
         if not self._fs.exists(p):
             return []
@@ -134,10 +138,23 @@ class HadoopFS:
             f = it.next().getPath().toString()
             rel = f[len(base) + 1 :]
             parts = rel.split("/")
-            if any(s.startswith(("_", ".")) for s in parts):
+            if not include_hidden and any(
+                s.startswith(("_", ".")) for s in parts
+            ):
                 continue
             out.append(rel)
         return sorted(out)
+
+    def touch(self, path: str) -> None:
+        """Set ``path``'s modification time to NOW (one setTimes RPC).
+        publish_stage stamps every moved file so ManifestTable.gc's
+        grace window measures time-since-PUBLISH — rename/link preserves
+        the original write mtime, which for a long-running write job can
+        already be far older than the grace period the moment the file
+        becomes visible."""
+        import time
+
+        self._fs.setTimes(self._Path(path), int(time.time() * 1000), -1)
 
     def mtime_ms(self, path: str) -> int:
         """Modification time of ``path`` in epoch milliseconds (one

@@ -79,13 +79,33 @@ class ManifestTable:
 
     def files(self, version: int | None = None) -> list[str] | None:
         """Relative data-file paths of ``version`` (default: newest), or
-        None if the table has no committed version."""
+        None if the table has no committed version. Lines starting with
+        ``#`` are manifest METADATA (see :meth:`header`), not files."""
         if version is None:
             version = self.current_version()
             if version is None:
                 return None
         text = self.fs.read_text(f"{self._mdir}/m-{version:020d}")
-        return [ln for ln in text.splitlines() if ln]
+        return [ln for ln in text.splitlines() if ln and not ln.startswith("#")]
+
+    HEADER_PREFIX = "#header:"
+
+    def header(self, version: int | None = None) -> str | None:
+        """The version's metadata header (one opaque line the table's
+        OWNER interprets — the archive store records the level's evolved
+        schema DDL here, Iceberg-style schema-in-table-metadata), or None
+        when the version has no header / the table is empty. Manifests
+        written before headers existed simply have no ``#header:`` line —
+        fully backward compatible."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                return None
+        text = self.fs.read_text(f"{self._mdir}/m-{version:020d}")
+        for ln in text.splitlines():
+            if ln.startswith(self.HEADER_PREFIX):
+                return ln[len(self.HEADER_PREFIX):]
+        return None
 
     def paths(self, version: int | None = None) -> list[str] | None:
         rel = self.files(version)
@@ -99,6 +119,7 @@ class ManifestTable:
         add: list[str] = (),
         remove: list[str] = (),
         max_attempts: int = 50,
+        header_fn=None,
     ) -> int:
         """Commit the next version = current files − ``remove`` + ``add``
         (relative paths). One atomic no-overwrite rename; on collision
@@ -106,7 +127,22 @@ class ManifestTable:
         re-read and the attempt retried — add/remove semantics make
         concurrent APPENDS commute, which is exactly the reference's
         pending-ops guarantee for interleaved bucket writes. Returns the
-        committed version number."""
+        committed version number.
+
+        REWRITE-CONFLICT detection: a non-empty ``remove`` whose entries
+        are not all present in the (re-read) base is a raced rewrite —
+        another committer already replaced those files. Silently
+        no-op'ing the removal would double-publish the rows (two
+        compactions) or skip a retention deletion while reporting it
+        done, so the commit REFUSES instead (the caller re-plans from
+        the new current version). Concurrent pure APPENDS still commute.
+
+        ``header_fn(prev_header) -> str | None`` computes the new
+        version's metadata header from the base version's (re-evaluated
+        on every rebase, so the result is consistent with the version
+        actually built on). None keeps the base header — every commit
+        carries the table metadata forward by default, even a commit
+        that empties the file list."""
         import random
         import time
 
@@ -120,12 +156,25 @@ class ManifestTable:
             drop = set(remove)
             base_set = set(base)  # O(add+base), not O(add*base): the
             # module sizes manifests at ~10^5 lines and retries race
+            missing = drop - base_set
+            if missing:
+                raise IOError(
+                    f"rewrite conflict: {len(missing)} file(s) to remove "
+                    f"are no longer in the current version of {self.root} "
+                    "(a concurrent compaction/retention replaced them); "
+                    "re-plan from the new version"
+                )
             nxt = [f for f in base if f not in drop] + [
                 f for f in add if f not in base_set
             ]
+            prev_header = self.header(cur) if cur is not None else None
+            hdr = header_fn(prev_header) if header_fn else prev_header
             v = (cur if cur is not None else -1) + 1
             tmp = f"{self._mdir}/.tmp-{uuid.uuid4().hex}"
-            self.fs.write_text(tmp, "\n".join(nxt) + "\n")
+            body = "\n".join(nxt) + "\n"
+            if hdr is not None:
+                body = f"{self.HEADER_PREFIX}{hdr}\n" + body
+            self.fs.write_text(tmp, body)
             if self.fs.rename_no_overwrite(tmp, f"{self._mdir}/m-{v:020d}"):
                 return v
             self.fs.delete(tmp)  # lost the race; rebase and retry
@@ -136,8 +185,18 @@ class ManifestTable:
     # -- maintenance -----------------------------------------------------
     #: age below which a NEVER-referenced file is presumed to be a
     #: concurrent writer's in-flight publish, not a crashed writer's
-    #: orphan (see gc) — 10 min covers any realistic publish duration
+    #: orphan (see gc). publish_stage touches each moved file, so the
+    #: age really measures time-since-publish (rename/link preserves the
+    #: original write mtime — without the touch, a long write job's
+    #: files would look old the moment they landed) and 10 min covers
+    #: any realistic publish→commit window.
     GC_GRACE_SECONDS = 600
+
+    #: age (no change anywhere under the stage dir) after which a
+    #: ``_stage-*`` directory is presumed crash debris, not an active
+    #: write — generous because an in-flight Spark write always has a
+    #: recently-written file somewhere under the stage
+    STAGE_GRACE_SECONDS = 86_400
 
     def gc(
         self, keep_versions: int = 2, grace_seconds: int | None = None
@@ -191,12 +250,48 @@ class ManifestTable:
                 continue
             self.fs.delete(full)
             deleted.append(rel)
+        # manifest pruning: only versions STRICTLY OLDER than the oldest
+        # retained one. `not in keep` would also delete a version a
+        # concurrent writer committed AFTER this gc's versions() snapshot
+        # — destroying a committed append (readers would resolve the
+        # previous version again and the new data files, then
+        # never-referenced, would be collected after the grace period).
+        keep_floor = keep[0] if keep else -1
         for name in self.fs.listdir(self._mdir):
             full = f"{self._mdir}/{name}"
             if name.startswith(".tmp-"):
                 if not young(full):
                     self.fs.delete(full)
-            elif name.startswith("m-") and int(name[2:]) not in keep:
+            elif name.startswith("m-") and int(name[2:]) < keep_floor:
+                self.fs.delete(full)
+        # crashed-publish staging debris: stage dirs are underscore-
+        # prefixed, so list_files_recursive (and every reader) never sees
+        # them — without this sweep a writer that died before its commit
+        # leaked its whole staged batch FOREVER. A stage is deleted only
+        # when nothing under it changed for STAGE_GRACE_SECONDS
+        # (recursive max mtime — a stage being actively written always
+        # has a fresh file; the top-level dir mtime alone goes stale
+        # while Spark tasks write into _temporary subtrees).
+        stage_grace_ms = (
+            0 if grace_ms <= 0 else max(grace_ms, self.STAGE_GRACE_SECONDS * 1000)
+        )
+        for name in self.fs.listdir(self.root):
+            if not name.startswith("_stage-"):
+                continue
+            full = f"{self.root}/{name}"
+            try:
+                newest = max(
+                    (
+                        self.fs.mtime_ms(f"{full}/{r}")
+                        for r in self.fs.list_files_recursive(
+                            full, include_hidden=True
+                        )
+                    ),
+                    default=self.fs.mtime_ms(full),
+                )
+            except Exception:  # noqa: BLE001 - raced with its publisher
+                continue
+            if stage_grace_ms <= 0 or now_ms - newest >= stage_grace_ms:
                 self.fs.delete(full)
         return deleted
 
@@ -207,7 +302,9 @@ class ManifestTable:
         becoming visible to readers or listings."""
         return f"{self.root}/_stage-{uuid.uuid4().hex}"
 
-    def publish_stage(self, stage: str, remove: list[str] = ()) -> list[str]:
+    def publish_stage(
+        self, stage: str, remove: list[str] = (), header_fn=None
+    ) -> list[str]:
         """Move every data file written under ``stage`` into the table
         layout (same relative path, a unique prefix on the file name) and
         commit them, dropping ``remove``. File moves are per-file renames
@@ -227,7 +324,11 @@ class ManifestTable:
                 self.fs.mkdirs(dst[: dst.rfind("/")])
             if not self.fs.rename_no_overwrite(f"{stage}/{rel}", dst):
                 raise IOError(f"stage move failed: {rel}")
+            # stamp publish time: gc's grace window must measure
+            # time-since-publish, and the rename preserved the (possibly
+            # much older) write-time mtime
+            self.fs.touch(dst)
             added.append(dst_rel)
         self.fs.delete(stage)
-        self.commit(add=added, remove=remove)
+        self.commit(add=added, remove=remove, header_fn=header_fn)
         return added

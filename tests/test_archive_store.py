@@ -752,3 +752,70 @@ def test_read_samples_empty_window_keeps_evolved_schema(spark, tmp_path):
     vs = store._level_table(0).versions()
     cdc = store.read_changes(0, vs[0], vs[-1])
     assert [r.src_tag for r in cdc.collect()] == ["x"]
+
+
+def test_rename_onto_expired_channel_purges_stale_hwm(spark, tmp_path):
+    """Round-9 review: a fully-expired channel passes the rename
+    collision probe (no data rows) but its stale hwm row would fold into
+    the renamed channel's — making incremental decimation silently skip
+    every window up to the dead channel's mark."""
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    hour = 3600 * NS
+    # B: far-future history, then fully expired (hwm row survives)
+    rows_b = [("PV:B", 1000 * hour + i * hour, 1.0, 0, 0) for i in range(3)]
+    store.write_samples(spark.createDataFrame(rows_b, schema), level=0)
+    store.delete_older_than(0, 2000 * hour)
+    assert store.read_samples(0).count() == 0
+    hwm_b = store.channel_hwm(0).filter(F.col("channel") == "PV:B").first()
+    assert hwm_b is not None  # the stale metadata the probe cannot see
+    # A: early history, renamed onto the dead name
+    rows_a = [("PV:A", i * hour, 1.0, 0, 0) for i in range(3)]
+    store.write_samples(spark.createDataFrame(rows_a, schema), level=0)
+    assert store.rename_channel("PV:A", "PV:B") > 0
+    got = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
+    # the renamed channel's hwm is A's real mark, NOT the stale max
+    assert got["PV:B"] == 2 * hour
+    # and incremental decimation materializes A's windows normally
+    assert incremental_decimation(store, 3600) > 0
+    assert store.read_samples(3600).count() > 0
+
+
+def test_schema_survives_retention_emptying_level(spark, tmp_path):
+    """Round-9 review: the schema record rides the manifest header, so a
+    retention sweep that EMPTIES the level keeps the evolved schema —
+    empty reads stay schema-stable and the evolution guard still binds."""
+    import pytest
+
+    store = _store(spark, tmp_path)
+    base = "channel string, t long, v double, severity int, status int"
+    evo = base + ", src_tag string"
+    store.write_samples(spark.createDataFrame(
+        [("PV:A", 3600 * NS, 1.0, 0, 0, "x")], evo), level=0)
+    store.delete_older_than(0, 10**15)  # expires everything
+    assert store.read_samples(0).count() == 0
+    empty = store.read_samples(0)
+    assert "src_tag" in empty.columns  # schema-stable empty
+    # guard still binds: a regressed batch is refused even now
+    with pytest.raises(ValueError, match="ADD COLUMN only"):
+        store.write_samples(spark.createDataFrame(
+            [("PV:A", 2 * 10**15, 1.0, 0, 0)], base), level=0)
+
+
+def test_incremental_decimation_survives_source_evolution(spark, tmp_path):
+    """Round-9 review: seeds persisted BEFORE a source-level ADD COLUMN
+    lack the new column; the seed union must fill nulls, not crash every
+    subsequent run with an AnalysisException."""
+    store = _store(spark, tmp_path)
+    base = "channel string, t long, v double, severity int, status int"
+    evo = base + ", src_tag string"
+    hour = 3600 * NS
+    rows = [("PV:A", i * hour, float(i), 0, 0) for i in range(5)]
+    store.write_samples(spark.createDataFrame(rows, base), level=0)
+    assert incremental_decimation(store, 3600) > 0  # seeds persisted
+    more = [("PV:A", (5 + i) * hour, float(i), 0, 0, "tag") for i in range(3)]
+    store.write_samples(spark.createDataFrame(more, evo), level=0)
+    n = incremental_decimation(store, 3600)  # was: AnalysisException
+    assert n > 0
+    dec = store.read_samples(3600)
+    assert dec.count() == dec.dropDuplicates(["channel", "t"]).count()

@@ -627,3 +627,102 @@ class TestSchemaEvolution:
         assert "src_tag" in [f.name for f in sch.fields]
         df = store.read_samples(0)
         assert df.filter(F.col("src_tag").isNotNull()).count() == 3
+
+
+class TestRound9ManifestHardening:
+    """Round-9 review: gc version-floor, rewrite-conflict detection,
+    stage-debris sweep, and the header (schema-record) protocol."""
+
+    def test_gc_never_deletes_newer_concurrent_manifest(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"))
+        _write_files(spark, t, 2)
+        _write_files(spark, t, 2)
+        v_new = t.commit(add=[])  # a "concurrent" commit after snapshot
+        # gc with keep_versions=2 must keep the NEWEST even though its
+        # own versions() snapshot logic retains [v_new-1, v_new]
+        t.gc(keep_versions=2, grace_seconds=0)
+        assert t.current_version() == v_new
+        # and only versions strictly older than the floor are pruned
+        assert v_new in t.versions() and (v_new - 1) in t.versions()
+
+    def test_commit_refuses_raced_rewrite(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"))
+        added = _write_files(spark, t, 3)
+        # committer A replaces the files
+        t.commit(add=["new-a"], remove=list(added))
+        # committer B re-plans against the OLD set: must refuse loudly,
+        # not silently no-op the removal (double-publish / ghost rows)
+        import pytest
+
+        with pytest.raises(IOError, match="rewrite conflict"):
+            t.commit(add=["new-b"], remove=list(added))
+
+    def test_stage_debris_swept_after_grace(self, spark, tmp_path):
+        import os
+        import time
+
+        t = _mk(spark, str(tmp_path / "t"))
+        _write_files(spark, t, 1)
+        stage = t.stage_dir()
+        os.makedirs(stage + "/date=1970-01-01")
+        with open(stage + "/date=1970-01-01/part-0.parquet", "w") as fh:
+            fh.write("crash debris")
+        old = time.time() - 2 * 86_400
+        for p in (stage, stage + "/date=1970-01-01",
+                  stage + "/date=1970-01-01/part-0.parquet"):
+            os.utime(p, (old, old))
+        t.gc(keep_versions=2, grace_seconds=0)
+        assert not os.path.isdir(stage)
+
+    def test_stage_with_fresh_file_survives_sweep(self, spark, tmp_path):
+        import os
+        import time
+
+        t = _mk(spark, str(tmp_path / "t"))
+        _write_files(spark, t, 1)
+        stage = t.stage_dir()
+        os.makedirs(stage + "/_temporary")
+        with open(stage + "/_temporary/task-0", "w") as fh:
+            fh.write("in flight")
+        old = time.time() - 2 * 86_400
+        os.utime(stage, (old, old))  # top dir stale, file fresh
+        t.gc(keep_versions=2, grace_seconds=600)
+        assert os.path.isdir(stage)  # recursive max mtime is fresh
+
+    def test_header_carried_forward_and_unioned(self, spark, tmp_path):
+        t = _mk(spark, str(tmp_path / "t"))
+        t.commit(add=["f1"], header_fn=lambda prev: "a int")
+        t.commit(add=["f2"])  # no header_fn: carried forward
+        assert t.header() == "a int"
+        t.commit(
+            add=["f3"],
+            header_fn=lambda prev: prev + ", b int",
+        )
+        assert t.header() == "a int, b int"
+        # header survives a commit that EMPTIES the file list
+        t.commit(remove=["f1", "f2", "f3"])
+        assert t.files() == []
+        assert t.header() == "a int, b int"
+        # and files() never mistakes the header line for a path
+        assert all(not f.startswith("#") for f in t.files() or [])
+
+    def test_publish_touch_makes_grace_measure_publish_time(
+        self, spark, tmp_path
+    ):
+        import os
+        import time
+
+        t = _mk(spark, str(tmp_path / "t"))
+        _write_files(spark, t, 1)
+        # stage a file whose WRITE mtime is ancient (long write job)
+        stage = t.stage_dir()
+        os.makedirs(stage)
+        path = stage + "/part-x.parquet"
+        with open(path, "w") as fh:
+            fh.write("data")
+        old = time.time() - 7200
+        os.utime(path, (old, old))
+        rels = t.publish_stage(stage)
+        full = f"{t.root}/{rels[0]}"
+        # publish stamped NOW: a concurrent gc's grace window protects it
+        assert time.time() * 1000 - t.fs.mtime_ms(full) < 60_000
