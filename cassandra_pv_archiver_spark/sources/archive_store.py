@@ -91,9 +91,11 @@ class ArchiveStore:
         #: all metadata path ops go through Hadoop FileSystem so the store
         #: works on file:/hdfs:/s3a: alike — no local-FS-only primitives
         self.fs = HadoopFS(spark, self.root)
-        #: footer-schema cache keyed by data-file path — safe to cache
-        #: forever because data files are immutable (manifest.py contract)
-        self._schema_cache: dict[str, "StructType"] = {}
+        #: parsed-schema cache keyed by (level, manifest version) and,
+        #: for the legacy footer fallback, by data-file path — safe to
+        #: cache forever because manifests and data files are both
+        #: immutable (manifest.py contract)
+        self._schema_cache: dict = {}
 
     # -- schema evolution (ADD COLUMN) ------------------------------------
     def level_schema(self, level: int, at_version: int | None = None):
@@ -123,10 +125,24 @@ class ArchiveStore:
         from pyspark.sql.types import StructType
 
         table = self._level_table(level)
-        hdr = table.header(at_version)
+        version = (
+            at_version if at_version is not None else table.current_version()
+        )
+        if version is None:
+            return None
+        # manifests are immutable per version: cache the parsed schema so
+        # a read costs one listdir (current_version), not a re-read and
+        # re-parse of the whole ~10^5-line manifest text per query
+        key = (level, version)
+        cached = self._schema_cache.get(key)
+        if cached is not None:
+            return cached
+        hdr = table.header(version)
         if hdr is not None:
-            return StructType.fromDDL(hdr)
-        rel = table.files(at_version)
+            schema = StructType.fromDDL(hdr)
+            self._schema_cache[key] = schema
+            return schema
+        rel = table.files(version)
         if not rel:
             return None
         newest = f"{self._level_path(level)}/{rel[-1]}"
@@ -134,6 +150,7 @@ class ArchiveStore:
         if schema is None:
             schema = self.spark.read.parquet(newest).schema
             self._schema_cache[newest] = schema
+        self._schema_cache[key] = schema
         return schema
 
     def _read_level_files(
