@@ -761,13 +761,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 _LAST_DRIVER_CHECKED = {
     "admin_commands_roundtrip": 8,
     "ann_cosine_topk": 5,
-    "ann_ivf_topk": 4,
-    "ann_kmeans_clusters": 4,
-    "ann_kmeans_ivf_topk": 4,
-    "ann_recall_audit": 4,
+    "ann_ivf_topk": 9,
+    "ann_kmeans_clusters": 9,
+    "ann_kmeans_ivf_topk": 9,
+    "ann_recall_audit": 9,
     "approx_distinct_audit": 8,
     "archive_incremental_1h": 5,
-    "array_elementwise_stats": 4,
+    "array_elementwise_stats": 9,
     "asof_after": 5,
     "asof_before": 5,
     "asof_pair_align": 5,
@@ -776,7 +776,7 @@ _LAST_DRIVER_CHECKED = {
     "audio_features_wav": 5,
     "audio_fingerprint_near_dup": 5,
     "audio_vad_segments": 7,
-    "balanced_sample_per_lang": 4,
+    "balanced_sample_per_lang": 9,
     "bloom_decontam_audit": 5,
     "bm25_topk": 8,
     "boilerplate_by_source": 7,
@@ -792,32 +792,32 @@ _LAST_DRIVER_CHECKED = {
     "ca_live_subscribe_typed": 8,
     "ca_typed_roundtrip_1h": 8,
     "ca_wire_matrix": 7,
-    "cdc_chunk_dedup": 4,
-    "channel_acf_1h": 4,
+    "cdc_chunk_dedup": 9,
+    "channel_acf_1h": 9,
     "channel_correlation_matrix": 8,
     "channel_dim_join": 5,
     "channel_gap_stats": 5,
     "channel_glob": 7,
     "channel_health_report": 5,
-    "channel_outliers_mad": 4,
+    "channel_outliers_mad": 9,
     "channel_regex": 7,
-    "channel_trend_1h": 4,
+    "channel_trend_1h": 9,
     "chunk_dedup_rewrite": 7,
-    "cluster_quality_report": 4,
+    "cluster_quality_report": 9,
     "cluster_representatives": 8,
     "cluster_split_assign": 8,
-    "cms_heavy_hitters": 4,
+    "cms_heavy_hitters": 9,
     "compact_invariance": 7,
-    "compact_zorder_invariance": 4,
+    "compact_zorder_invariance": 9,
     "config_xml_roundtrip": 7,
-    "containment_pairs": 4,
+    "containment_pairs": 9,
     "containment_pairs_lsh": 5,
     "containment_recall_audit": 5,
-    "contamination_3gram": 4,
+    "contamination_3gram": 9,
     "contamination_exact_run": 8,
-    "context_chunks": 4,
+    "context_chunks": 9,
     "conversion_funnel": 8,
-    "corpus_correlations": 4,
+    "corpus_correlations": 9,
     "counter_rate_6h": 4,
     "crossmodal_pairs": 4,
     "csv_ingest_roundtrip_1h": 8,
@@ -838,29 +838,29 @@ _LAST_DRIVER_CHECKED = {
     "dedup_clusters": 8,
     "dedup_exact": 8,
     "dedup_incremental": 8,
-    "dedup_minhash_lsh": 3,
-    "dedup_ngram_jaccard": 3,
+    "dedup_minhash_lsh": 9,
+    "dedup_ngram_jaccard": 9,
     "dedup_rate_by_source": 4,
     "dim_truncation_recall": 5,
     "dim_variance_selection_recall": 7,
     "distinctive_terms": 4,
     "distribution_drift": 4,
     "doc_fingerprint": 5,
-    "doc_sample_10pct": 3,
-    "dsir_importance": 3,
+    "doc_sample_10pct": 9,
+    "dsir_importance": 9,
     "embedding_dedup_clusters": 4,
     "embedding_label_stats": 5,
     "embedding_near_dup": 5,
     "embedding_near_dup_lsh": 4,
-    "embedding_quantize_audit": 3,
+    "embedding_quantize_audit": 9,
     "enabling_link": 7,
     "enabling_link_multi": 5,
     "epoch_shuffle": 5,
-    "events_dow_profile": 3,
+    "events_dow_profile": 9,
     "events_json_props": 5,
-    "events_pivot": 3,
-    "events_sliding_1h": 3,
-    "events_unpivot": 3,
+    "events_pivot": 9,
+    "events_sliding_1h": 9,
+    "events_unpivot": 9,
     "ewma_by_channel": 5,
     "fuzzy_channel_pairs": 7,
     "group_split_guard": 4,
@@ -876,11 +876,11 @@ _LAST_DRIVER_CHECKED = {
     "json_v1_mixed_1h": 7,
     "json_v1_raw_typed": 7,
     "json_v1_typed_1h": 7,
-    "jsonl_ingest_roundtrip_1h": 3,
+    "jsonl_ingest_roundtrip_1h": 9,
     "lagged_correlation_1h": 4,
     "lang_confusion": 4,
     "lang_id": 5,
-    "lapsed_customers": 3,
+    "lapsed_customers": 9,
     "level_backfill_6h": 5,
     "level_freshness_report": 7,
     "lm_backoff_census": 7,
@@ -888,14 +888,14 @@ _LAST_DRIVER_CHECKED = {
     "lsh_recall_audit": 4,
     "markers_disconnect": 7,
     "missing_level_empty": 7,
-    "mix_corpus_ratios": 3,
+    "mix_corpus_ratios": 9,
     "mixture_temperature_alloc": 4,
     "monotonic_stats": 7,
     "multimodal_frames": 4,
     "multimodal_meta": 5,
     "ngram_novelty": 4,
     "oov_rate": 4,
-    "orc_ingest_roundtrip_1h": 3,
+    "orc_ingest_roundtrip_1h": 9,
     "pack_efficiency": 4,
     "pagerank_canonical": 7,
     "pair_pagerank": 7,
@@ -903,7 +903,7 @@ _LAST_DRIVER_CHECKED = {
     "pca_top_component": 7,
     "pick_first_1h": 7,
     "pii_redact_rewrite": 8,
-    "pii_scan_by_source": 3,
+    "pii_scan_by_source": 9,
     "planner_fallback": 7,
     "plot_downsample_m4": 4,
     "plot_query_240px": 4,
@@ -915,7 +915,7 @@ _LAST_DRIVER_CHECKED = {
     "quality_filtered_stats": 4,
     "quality_ks_by_source": 4,
     "quality_quantiles": 4,
-    "quality_quantiles_approx": 3,
+    "quality_quantiles_approx": 9,
     "range_limit_modes": 7,
     "rate_limit_10m": 7,
     "raw_latest_n": 8,
@@ -928,19 +928,20 @@ _LAST_DRIVER_CHECKED = {
     "sax_motifs": 4,
     "seasonal_hod_anomalies": 5,
     "seasonal_profile_incremental": 5,
-    "semantic_dedup": 3,
+    "semantic_dedup": 9,
     "sequence_packing": 4,
-    "sessionize_30m": 3,
+    "sessionize_30m": 9,
     "severity_daily": 8,
     "severity_rollup": 8,
     "severity_transitions": 8,
     "shuffle_skew_report": 5,
-    "simhash_near_pairs": 3,
+    "simhash_near_pairs": 9,
     "source_vocab_overlap": 5,
     "split_leakage_audit": 7,
     "store_cdc_diff": 4,
     "store_delete_invariance": 5,
     "store_rename_invariance": 5,
+    "store_schema_evolution": 9,
     "store_time_travel": 4,
     "store_typed_roundtrip": 7,
     "stratified_split": 4,
@@ -948,25 +949,27 @@ _LAST_DRIVER_CHECKED = {
     "stream_lifecycle_1h": 8,
     "stream_session_windows": 8,
     "stream_stream_join": 8,
+    "stream_stream_join_full": 9,
+    "stream_stream_join_outer": 9,
     "stream_watermark_counts": 8,
-    "substring_dup_spans": 3,
+    "substring_dup_spans": 9,
     "text_metrics": 5,
-    "threshold_crossings": 3,
+    "threshold_crossings": 9,
     "token_count_bpe": 5,
     "tpch_q1": 8,
     "tpch_q10": 8,
-    "tpch_q11": 3,
-    "tpch_q12": 3,
+    "tpch_q11": 9,
+    "tpch_q12": 9,
     "tpch_q13": 8,
     "tpch_q14": 8,
     "tpch_q15": 8,
     "tpch_q16": 8,
     "tpch_q17": 8,
-    "tpch_q18": 3,
+    "tpch_q18": 9,
     "tpch_q19": 8,
-    "tpch_q2": 3,
-    "tpch_q20": 3,
-    "tpch_q21": 3,
+    "tpch_q2": 9,
+    "tpch_q20": 9,
+    "tpch_q21": 9,
     "tpch_q22": 8,
     "tpch_q3": 8,
     "tpch_q4": 8,
@@ -974,15 +977,15 @@ _LAST_DRIVER_CHECKED = {
     "tpch_q6": 8,
     "tpch_q7": 8,
     "tpch_q8": 8,
-    "tpch_q9": 3,
+    "tpch_q9": 9,
     "ts_gorilla_size": 8,
     "union_levels": 8,
     "value_histogram": 4,
     "video_frame_sample": 5,
-    "vocab_topk": 3,
-    "weekly_cohort_retention": 3,
+    "vocab_topk": 9,
+    "weekly_cohort_retention": 9,
     "weighted_sample_per_lang": 5,
-    "window_running_total": 3,
+    "window_running_total": 9,
     "wsample_bias_audit": 5,
     "zipf_vocab_profile": 5,
 }
