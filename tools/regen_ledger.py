@@ -9,7 +9,14 @@ Rewrites, idempotently:
   3. COVERAGE.md's generated status line (marker-delimited).
 
 ``--check`` exits 1 if any file would change (round_gate wires this in
-so a drifted count fails the gate instead of shipping).
+so a drifted count fails the gate instead of shipping) — with ONE
+sanctioned exception: a ledger that matches the regeneration from all
+CORRECTNESS records EXCEPT the single newest round is the expected
+POST-GATE state, not drift (VERDICT r9 #3). The driver writes
+CORRECTNESS_r{N}.json after the builder's final commit, so at judge
+time the committed ledger always trails the newest artifact by exactly
+that one round; only a mismatch against BOTH regenerations (e.g. a
+hand-edited count, or a ledger two rounds behind) is a failure.
 """
 
 from __future__ import annotations
@@ -27,17 +34,30 @@ REPO = os.path.dirname(HERE)
 COVERAGE_MARK = "<!-- generated-status -->"
 
 
-def _ledger() -> tuple[dict[str, int], set[str]]:
+def _rounds() -> list[int]:
+    return sorted(
+        int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+
+
+def _ledger(exclude_round: int | None = None) -> tuple[dict[str, int], set[str]]:
     """-> (query -> latest attested round, queries RED in that round).
 
     A red row (any of rows/schema/hash false, or err) must rotate to
     the FRONT of the registry — its fix needs driver re-attestation
     next round, and plain staleness ordering would bury it for a full
-    rotation cycle (the r07 -0.0 rows carried ledger=7)."""
+    rotation cycle (the r07 -0.0 rows carried ledger=7).
+
+    ``exclude_round`` drops that round's record — --check uses it to
+    recognize the expected post-gate state (ledger regenerated before
+    the newest CORRECTNESS artifact landed)."""
     ledger: dict[str, int] = {}
     red: set[str] = set()
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if rnd == exclude_round:
+            continue
         for q, row in json.load(open(f)).items():
             if rnd >= ledger.get(q, 0):
                 ledger[q] = rnd
@@ -61,17 +81,14 @@ def _counts() -> tuple[int, int]:
     return int(out[0]), int(out[1])
 
 
-def main() -> int:
-    check = "--check" in sys.argv
-    changed: list[str] = []
-
-    ledger, red = _ledger()
+def _render_ledger(reg: str, exclude_round: int | None = None) -> str:
+    """registry.py text with both generated constants regenerated from
+    the CORRECTNESS records (optionally excluding one round)."""
+    ledger, red = _ledger(exclude_round)
     lines = ["_LAST_DRIVER_CHECKED = {"]
     for name in sorted(ledger):
         lines.append(f'    "{name}": {ledger[name]},')
     lines.append("}")
-    reg_path = os.path.join(REPO, "cassandra_pv_archiver_spark/registry.py")
-    reg = open(reg_path).read()
     new_reg = re.sub(
         r"_LAST_DRIVER_CHECKED = \{.*?\n\}", "\n".join(lines), reg,
         count=1, flags=re.S,
@@ -80,14 +97,33 @@ def main() -> int:
     for name in sorted(red):
         red_lines.append(f'    "{name}",')
     red_lines.append("})")
-    new_reg = re.sub(
+    return re.sub(
         r"_LATEST_DRIVER_RED = frozenset\(\{.*?\n\}\)",
         "\n".join(red_lines), new_reg, count=1, flags=re.S,
     )
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    changed: list[str] = []
+
+    reg_path = os.path.join(REPO, "cassandra_pv_archiver_spark/registry.py")
+    reg = open(reg_path).read()
+    new_reg = _render_ledger(reg)
     if new_reg != reg:
-        changed.append("registry.py ledger")
-        if not check:
-            open(reg_path, "w").write(new_reg)
+        rounds = _rounds()
+        if check and rounds and reg == _render_ledger(reg, rounds[-1]):
+            # expected post-gate state: the ONLY drift is the newest
+            # CORRECTNESS artifact, which the driver writes after the
+            # builder's final commit — not a failure (VERDICT r9 #3)
+            print(
+                f"ledger trails exactly one newer CORRECTNESS artifact "
+                f"(r{rounds[-1]:02d}) — expected post-gate state, OK"
+            )
+        else:
+            changed.append("registry.py ledger")
+            if not check:
+                open(reg_path, "w").write(new_reg)
 
     n, n_oracled = _counts()
     sentence = (
