@@ -262,30 +262,9 @@ class ArchiveStore:
             batch_fields = [
                 (f.name, f.dataType.simpleString()) for f in df.schema.fields
             ]
-            legacy = cur  # pre-header fallback, read once above
-
-            def _header_fn(prev: str | None) -> str:
-                from pyspark.sql.types import StructType
-
-                if prev is not None:
-                    base_fields = [
-                        (f.name, f.dataType.simpleString())
-                        for f in StructType.fromDDL(prev).fields
-                    ]
-                elif legacy is not None:
-                    base_fields = [
-                        (f.name, f.dataType.simpleString())
-                        for f in legacy.fields
-                    ]
-                else:
-                    base_fields = []
-                seen = {n for n, _ in base_fields}
-                merged = base_fields + [
-                    (n, t) for n, t in batch_fields if n not in seen
-                ]
-                return ", ".join(f"`{n}` {t}" for n, t in merged)
-
-            table.publish_stage(stage, header_fn=_header_fn)
+            table.publish_stage(
+                stage, header_fn=_union_header_fn(batch_fields, legacy=cur)
+            )
             self._update_channel_hwm(df, level)
         finally:
             df.unpersist()
@@ -984,6 +963,59 @@ class ArchiveStore:
         )
         table.publish_stage(stage, remove=old)
         table.gc(keep_versions=self.keep_versions)
+
+
+def _union_header_fn(batch_fields: list[tuple[str, str]], legacy=None):
+    """``header_fn`` for a sample-batch commit: the new manifest header
+    is the UNION of the base version's schema and the batch's, evaluated
+    INSIDE the commit's rebase loop so a concurrent wider append can
+    never be shadowed (check-then-act on the newest footer could lose a
+    column).
+
+    A same-name/different-type collision REFUSES the commit loudly
+    instead of silently keeping one side: write_samples' pre-commit type
+    check runs against the schema it READ, so two racing writers — one
+    adding ``x double``, one carrying ``x string`` — can both pass their
+    pre-checks, and whichever rebases onto the other's committed header
+    must fail HERE or its files would corrupt every scan planned with
+    the header schema (VERDICT r9 #8). The refusal aborts before the
+    manifest rename: the loser's already-published stage files stay
+    unreferenced and gc collects them.
+
+    ``legacy`` (a StructType or None) seeds the base when the previous
+    manifest predates headers."""
+    from pyspark.sql.types import StructType
+
+    def _header_fn(prev: str | None) -> str:
+        if prev is not None:
+            base_fields = [
+                (f.name, f.dataType.simpleString())
+                for f in StructType.fromDDL(prev).fields
+            ]
+        elif legacy is not None:
+            base_fields = [
+                (f.name, f.dataType.simpleString()) for f in legacy.fields
+            ]
+        else:
+            base_fields = []
+        types = dict(base_fields)
+        merged = list(base_fields)
+        for n, t in batch_fields:
+            have = types.get(n)
+            if have is None:
+                merged.append((n, t))
+                types[n] = t
+            elif have != t:
+                raise ValueError(
+                    f"schema conflict at commit: column {n!r} is {have} "
+                    f"in the level's committed schema but {t} in this "
+                    "batch (a concurrent commit widened the schema after "
+                    "this writer's pre-check; type changes are not "
+                    "supported — add a NEW column instead)"
+                )
+        return ", ".join(f"`{n}` {t}" for n, t in merged)
+
+    return _header_fn
 
 
 def _file_date(rel_path: str) -> str | None:

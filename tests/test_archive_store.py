@@ -819,3 +819,100 @@ def test_incremental_decimation_survives_source_evolution(spark, tmp_path):
     assert n > 0
     dec = store.read_samples(3600)
     assert dec.count() == dec.dropDuplicates(["channel", "t"]).count()
+
+
+def test_reverse_union_read_newest_files_lack_column(spark, tmp_path):
+    """VERDICT r9 #8: the REVERSE union — the level's newest committed
+    files LACK a column that older files carry. This state arises from a
+    writer race: a narrow batch's pre-check passed before a wider append
+    committed, and the narrow commit rebased onto the wider header. The
+    header (union) schema must win: narrow files read the evolved column
+    as NULL, and the column never vanishes from the level."""
+    from cassandra_pv_archiver_spark.sources import archive_store as mod
+
+    store = _store(spark, tmp_path)
+    base = "channel string, t long, v double, severity int, status int"
+    evo = base + ", src_tag string"
+    hour = 3600 * NS
+    store.write_samples(spark.createDataFrame(
+        [("PV:A", hour, 1.0, 0, 0, "x")], evo), level=0)
+
+    # the raced narrow writer: its pre-check saw the pre-evolution
+    # schema, so it stages WITHOUT src_tag and its commit rebases onto
+    # the evolved header (write_samples' own path, minus the fresh
+    # pre-check — exactly what a concurrent widener makes stale)
+    narrow = spark.createDataFrame([("PV:A", 2 * hour, 2.0, 0, 0)], base)
+    table = store._level_table(0)
+    stage = table.stage_dir()
+    (
+        narrow.withColumn("date", mod._date_expr("t"))
+        .repartition("date", "channel")
+        .sortWithinPartitions("date", "channel", "t")
+        .write.partitionBy("date").parquet(stage)
+    )
+    table.publish_stage(stage, header_fn=mod._union_header_fn(
+        [(f.name, f.dataType.simpleString()) for f in narrow.schema.fields]
+    ))
+
+    # union schema survives the narrow commit
+    assert "src_tag" in [f.name for f in store.level_schema(0).fields]
+    got = store.read_samples(0).orderBy("t").collect()
+    assert [r.src_tag for r in got] == ["x", None]
+    assert [r.v for r in got] == [1.0, 2.0]
+    # and a FURTHER write through the normal path keeps the invariant
+    store.write_samples(spark.createDataFrame(
+        [("PV:A", 3 * hour, 3.0, 0, 0, None)], evo), level=0)
+    got = store.read_samples(0).orderBy("t").collect()
+    assert [r.src_tag for r in got] == ["x", None, None]
+
+
+def test_schema_type_conflict_refused_at_commit(spark, tmp_path):
+    """VERDICT r9 #8: a same-name/different-type batch must be refused
+    AT COMMIT (header union), not silently coerced — two racing writers
+    can both pass write_samples' pre-check, and the loser's files would
+    corrupt every header-schema scan if its commit landed."""
+    import pytest
+
+    from cassandra_pv_archiver_spark.sources import archive_store as mod
+
+    store = _store(spark, tmp_path)
+    hour = 3600 * NS
+    store.write_samples(spark.createDataFrame(
+        [("PV:A", hour, 1.0, 0, 0, 2.5)],
+        "channel string, t long, v double, severity int, status int,"
+        " x double"), level=0)
+    table = store._level_table(0)
+    v_before = table.current_version()
+
+    conflicting = spark.createDataFrame(
+        [("PV:A", 2 * hour, 2.0, 0, 0, "not-a-double")],
+        "channel string, t long, v double, severity int, status int,"
+        " x string")
+    stage = table.stage_dir()
+    (
+        conflicting.withColumn("date", mod._date_expr("t"))
+        .repartition("date", "channel")
+        .write.partitionBy("date").parquet(stage)
+    )
+    with pytest.raises(ValueError, match="schema conflict at commit"):
+        table.publish_stage(stage, header_fn=mod._union_header_fn(
+            [(f.name, f.dataType.simpleString())
+             for f in conflicting.schema.fields]
+        ))
+    # nothing committed: version unchanged, table still reads clean,
+    # and the loser's published-but-unreferenced files are gc debris
+    assert table.current_version() == v_before
+    got = store.read_samples(0).collect()
+    assert len(got) == 1 and got[0].x == 2.5
+    live = set(table.files())
+    orphans = [
+        r for r in table.fs.list_files_recursive(table.root)
+        if r not in live
+    ]
+    assert orphans  # the staged files landed but are unreferenced
+    table.gc(keep_versions=1, grace_seconds=0)
+    assert set(table.fs.list_files_recursive(table.root)) == live
+
+    # the direct (non-raced) path refuses even earlier, at the pre-check
+    with pytest.raises(ValueError, match="type changed"):
+        store.write_samples(conflicting.drop("date"), level=0)
