@@ -99,6 +99,72 @@ class AdminApp:
         self.store = store
         self.users = users if users is not None else UserRegistry()
         self._started_ns = time.time_ns()
+        if store is not None:
+            # consume a rename-intent marker a crashed predecessor left
+            # behind (ADVICE r9: the exception path rolls the registry
+            # back, but a PROCESS CRASH between the registry flush and
+            # the store rewrite needs repair at startup or the renamed
+            # registry row points at history still keyed by the old name)
+            self._recover_rename_intent()
+
+    # -- rename crash-safety ----------------------------------------------
+    # The rename cascade mutates TWO stores that cannot share a
+    # transaction: the channel registry (atomic dir swap) and the
+    # name-keyed archive layout (per-level manifest commits). The
+    # exception path is compensated in-process (_apply), but a process
+    # crash between the two flushes would otherwise leave them
+    # permanently disagreeing. An INTENT MARKER written before the first
+    # flush and removed after the last closes that window: startup finds
+    # the marker and re-drives (or rolls back) the store side — the
+    # classic write-ahead-intent pattern the reference gets from its
+    # pending-operations table (`ChannelMetaDataDAOImpl.java:2124-2144`).
+    def _rename_intent_path(self) -> str:
+        return self.registry.path + ".rename-intent.json"
+
+    def _write_rename_intent(self, old: str, new: str) -> None:
+        import json
+        import os
+
+        p = self._rename_intent_path()
+        tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"old": old, "new": new}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
+    def _clear_rename_intent(self) -> None:
+        import os
+
+        try:
+            os.remove(self._rename_intent_path())
+        except FileNotFoundError:
+            pass
+
+    def _recover_rename_intent(self) -> None:
+        import json
+        import os
+
+        p = self._rename_intent_path()
+        if not os.path.exists(p):
+            return
+        with open(p) as f:
+            intent = json.load(f)
+        old, new = intent["old"], intent["new"]
+        if self.registry.get_channel(new) is not None:
+            # the registry flush committed: re-drive the store rewrite.
+            # repair semantics, not a fresh rename — rows already under
+            # the new name are the same channel's half-renamed history
+            # and must merge, and the collision probe must not refuse
+            # them. Idempotent, so "store side already complete" is fine.
+            self.store.repair_rename(old, new)
+        elif self.registry.get_channel(old) is not None:
+            # the registry never flushed (or a predecessor rolled it
+            # back): put any half-renamed history back under the old name
+            self.store.repair_rename(new, old)
+        # neither name registered: the channel was removed since — the
+        # rename is moot either way
+        self._clear_rename_intent()
 
     # -- authentication -------------------------------------------------
     def check_admin(self, authorization: str | None) -> str:
@@ -351,6 +417,12 @@ class AdminApp:
                         f"rename target already exists: {new!r}"
                         f" (level {occupied})"
                     )
+            if self.store is not None:
+                # intent marker BEFORE the first flush: a process crash
+                # anywhere between the registry flush and the store
+                # rewrite is repaired at the next startup
+                # (_recover_rename_intent)
+                self._write_rename_intent(old, new)
             reg.rename_channel(old, new)
             if self.store is not None:
                 try:
@@ -363,9 +435,19 @@ class AdminApp:
                 except Exception:
                     # …and roll the registry back on any store-side
                     # failure so the command is all-or-nothing as far as
-                    # any caller can observe
+                    # any caller can observe. The marker is cleared only
+                    # if the store's own compensation restored every
+                    # level (no rows left under the new name) — a
+                    # half-reversed store keeps it, and the next startup
+                    # finishes the rollback via repair_rename
                     reg.rename_channel(new, old)
+                    try:
+                        if self.store.rename_target_occupied(new) is None:
+                            self._clear_rename_intent()
+                    except Exception:  # noqa: BLE001 - keep primary error
+                        pass
                     raise
+                self._clear_rename_intent()
         elif ctype == "move_channel":
             # single-server engine: moving to this server is a no-op
             # success, to any other UUID an error (reference semantics:

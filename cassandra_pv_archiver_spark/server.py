@@ -49,6 +49,11 @@ from .sources.archive_store import ArchiveStore
 
 _PREFIX = "/archive-access/api/1.0/archive"
 
+#: largest POST body the server will buffer — XML config imports for
+#: ~100k channels fit in single-digit MB; anything bigger is abuse of
+#: the pre-auth keep-alive drain (ADVICE r9), answered 413 undrained
+MAX_REQUEST_BODY_BYTES = 8 * 1024 * 1024
+
 
 class ApiError(Exception):
     def __init__(self, status: int, message: str):
@@ -247,6 +252,23 @@ class _Handler(BaseHTTPRequestHandler):
                 json.dumps({"error": "malformed Content-Length"}).encode(),
             )
             return
+        if n > MAX_REQUEST_BODY_BYTES:
+            # ADVICE r9: the keep-alive drain runs BEFORE authentication,
+            # so an unauthenticated client could otherwise make the
+            # handler buffer an arbitrarily large body in memory before
+            # any 401 is possible. Refuse oversized bodies WITHOUT
+            # draining (413 + close — the connection is unusable for
+            # keep-alive once we skip the drain, which is exactly why
+            # close_connection is set).
+            self.close_connection = True
+            self._send_whole(
+                413,
+                json.dumps(
+                    {"error": "request body too large "
+                              f"(max {MAX_REQUEST_BODY_BYTES} bytes)"}
+                ).encode(),
+            )
+            return
         raw = self.rfile.read(n) if n > 0 else b""
         try:
             if self.admin is None or not u.path.startswith("/admin/api"):
@@ -290,6 +312,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
+        if self.close_connection:
+            # a handler that decided to drop the connection (undrained
+            # body) must SAY so, or a keep-alive client reuses a socket
+            # the server is about to close and loses its next request
+            self.send_header("Connection", "close")
         for k, v in (extra or {}).items():
             self.send_header(k, v)
         self.end_headers()

@@ -340,13 +340,19 @@ class ArchiveStore:
             return None
         return self._localize(self.spark.read.parquet(*paths))
 
-    def write_seed_state(self, target_level: int, seeds: DataFrame) -> None:
+    def write_seed_state(
+        self, target_level: int, seeds: DataFrame
+    ) -> tuple[ManifestTable, list[str], list[str]]:
+        """Replace the seed table in one commit. Returns
+        ``(table, added, removed)`` so a compensating caller
+        (:meth:`delete_channel`) can journal the swap for undo."""
         table = ManifestTable(self.spark, self._seed_path(target_level))
         old = table.files() or []
         stage = table.stage_dir()
         seeds.coalesce(1).write.parquet(stage)
-        table.publish_stage(stage, remove=old)
+        added = table.publish_stage(stage, remove=old)
         table.gc(keep_versions=self.keep_versions)
+        return table, added, old
 
     # -- read (S1/S2) ----------------------------------------------------
     def read_samples(
@@ -725,6 +731,36 @@ class ArchiveStore:
         ``preflighted=True`` skips the collision probe for a caller that
         just ran :meth:`rename_target_occupied` itself (the admin
         cascade's pre-flight) — one per-level probe pass, not two."""
+        return self._rename_channel(old, new, preflighted=preflighted)
+
+    def repair_rename(self, old: str, new: str) -> int:
+        """Complete a rename that died half-way (ADVICE r9: the
+        half-renamed state was unreachable through the public API — the
+        collision probe finds the channel's OWN half-renamed rows under
+        ``new`` and refuses both directions, wedging the store).
+
+        Differences from a fresh rename, both REQUIRED for repair:
+
+        * the collision probe is skipped — rows under ``new`` are the
+          same channel's already-renamed history (the caller asserts
+          this, e.g. the admin cascade's rename-intent marker, or an
+          operator who verified the registry still maps one of the two
+          names);
+        * metadata rows under ``new`` MERGE instead of being purged —
+          they are renamed levels' own hwm/seed state, and the fresh-
+          rename purge (built for a fully-expired FOREIGN channel's
+          stale metadata) would destroy them — and metadata is repaired
+          on EVERY level, because a crash between a level's data swap
+          and its hwm fold leaves old-name metadata on a level with no
+          old-name data rows (which the normal per-level walk skips).
+
+        Idempotent: repairing an already-complete (or never-started)
+        rename renames nothing and returns 0."""
+        return self._rename_channel(old, new, preflighted=True, repair=True)
+
+    def _rename_channel(
+        self, old: str, new: str, preflighted: bool, repair: bool = False
+    ) -> int:
         if not preflighted:
             occupied = self.rename_target_occupied(new)
             if occupied is not None:
@@ -753,6 +789,16 @@ class ArchiveStore:
             # unaffected (the probe guarantees no rows named `new`).
             return _xf(old, new)(df.filter(F.col("channel") != new))
 
+        if repair:
+            # no compensation wrapper: repair is idempotent — on failure
+            # re-run it, rather than half-reversing a half-repair. Rows/
+            # metadata under `new` are the same channel's already-renamed
+            # history: MERGE them (the hwm fold's groupBy-max), never
+            # purge, and walk metadata on every level (see repair_rename).
+            return self._rewrite_channel_rows(
+                old, _xf(old, new), meta_transform=_xf(old, new),
+                meta_all_levels=True,
+            )
         try:
             return self._rewrite_channel_rows(
                 old, _xf(old, new), meta_transform=_meta_xf
@@ -761,9 +807,9 @@ class ArchiveStore:
             # roll already-renamed levels back (rows under `new` can only
             # be ours: the probe above found none). If the compensation
             # itself fails the original error still propagates — the
-            # store is then in the documented half-renamed state and a
-            # re-run of either direction completes the repair (the
-            # rewrite is idempotent per level).
+            # store is then in the half-renamed state, which the public
+            # probe-guarded API refuses to touch; :meth:`repair_rename`
+            # (either direction) is the documented way out.
             try:
                 self._rewrite_channel_rows(new, _xf(new, old))
             except Exception:  # noqa: BLE001 - keep the primary error
@@ -794,13 +840,44 @@ class ArchiveStore:
         decimation seed state drop the channel in their own
         single-commit replaces; pre-delete snapshots still show it
         (immutable files + time travel). Returns sample rows removed.
-        Deleting an unknown channel is a no-op returning 0."""
-        return self._rewrite_channel_rows(
-            channel, lambda df: df.filter(F.col("channel") != channel)
-        )
+        Deleting an unknown channel is a no-op returning 0.
+
+        VERDICT r9 #2 — all-or-nothing like rename: a failure mid-way
+        through the per-level loop triggers a COMPENSATION before the
+        error propagates. Unlike rename there is no inverse transform to
+        re-run, but every swap this method committed is journaled
+        (``undo_log``) and each level's pre-delete files are still
+        referenced by the previous manifest version (``keep_versions >=
+        2`` retains it, and gc never collects files a retained version
+        lists) — so the compensation re-commits each journaled table
+        back to exactly its pre-delete file list, newest swap first.
+        With ``keep_versions == 1`` the pre-delete files may already be
+        collected, so the compensation is skipped (documented trade of
+        that setting) and a crash leaves a partial delete whose retry
+        completes it (the rewrite is idempotent per level)."""
+        undo_log: list[tuple[ManifestTable, list[str], list[str]]] = []
+        try:
+            return self._rewrite_channel_rows(
+                channel,
+                lambda df: df.filter(F.col("channel") != channel),
+                undo_log=undo_log,
+            )
+        except Exception:
+            if self.keep_versions >= 2:
+                try:
+                    for table, added, removed in reversed(undo_log):
+                        table.commit(add=removed, remove=added)
+                except Exception:  # noqa: BLE001 - keep the primary error
+                    pass
+            raise
 
     def _rewrite_channel_rows(
-        self, channel: str, transform, meta_transform=None
+        self,
+        channel: str,
+        transform,
+        meta_transform=None,
+        meta_all_levels: bool = False,
+        undo_log: list | None = None,
     ) -> int:
         """Bounded-rewrite machinery shared by :meth:`rename_channel` and
         :meth:`delete_channel`: per level, discover the files carrying
@@ -812,47 +889,65 @@ class ArchiveStore:
         ``transform`` — rename passes a variant that additionally purges
         a fully-expired target channel's STALE metadata rows, which the
         data-level collision probe cannot see). Returns the number of
-        sample rows that matched ``channel``."""
+        sample rows that matched ``channel``.
+
+        ``meta_all_levels=True`` (repair_rename) runs the hwm/seed
+        rewrite even on levels with no matching DATA rows: a crash
+        between a level's data swap and its hwm fold leaves old-name
+        metadata on a level the normal hits-only walk would skip.
+
+        ``undo_log`` (delete_channel's compensation journal) receives a
+        ``(table, added, removed)`` entry immediately after EVERY
+        manifest swap this call commits."""
         if meta_transform is None:
             meta_transform = transform
+
+        def _journal(table: ManifestTable, added, removed) -> None:
+            if undo_log is not None:
+                undo_log.append((table, list(added), list(removed)))
+
         touched = 0
         for level in self.levels():
             table = self._level_table(level)
             rel = table.files() or []
-            if not rel:
+            if not rel and not meta_all_levels:
                 continue
-            full = self._read_level_files(
-                level, [f"{table.root}/{r}" for r in rel]
-            )
-            hit = {
-                r[0]
-                for r in full.filter(F.col("channel") == channel)
-                .select(F.input_file_name())
-                .distinct()
-                .collect()
-            }
-            if not hit:
-                continue
-            affected = [r for r in rel if any(h.endswith(r) for h in hit)]
-            part = self._read_level_files(
-                level, [f"{table.root}/{r}" for r in affected]
-            )
-            touched += part.filter(F.col("channel") == channel).count()
-            out = (
-                transform(part)
-                .repartition("date", "channel")
-                .sortWithinPartitions("date", "channel", "t")
-            )
-            stage = table.stage_dir()
-            (
-                out.write.option(
-                    "maxRecordsPerFile", self.max_records_per_file
+            hit: set[str] = set()
+            if rel:
+                full = self._read_level_files(
+                    level, [f"{table.root}/{r}" for r in rel]
                 )
-                .partitionBy("date")
-                .parquet(stage)
-            )
-            table.publish_stage(stage, remove=affected)
-            table.gc(keep_versions=self.keep_versions)
+                hit = {
+                    r[0]
+                    for r in full.filter(F.col("channel") == channel)
+                    .select(F.input_file_name())
+                    .distinct()
+                    .collect()
+                }
+            if not hit and not meta_all_levels:
+                continue
+            if hit:
+                affected = _match_manifest_files(rel, hit)
+                part = self._read_level_files(
+                    level, [f"{table.root}/{r}" for r in affected]
+                )
+                touched += part.filter(F.col("channel") == channel).count()
+                out = (
+                    transform(part)
+                    .repartition("date", "channel")
+                    .sortWithinPartitions("date", "channel", "t")
+                )
+                stage = table.stage_dir()
+                (
+                    out.write.option(
+                        "maxRecordsPerFile", self.max_records_per_file
+                    )
+                    .partitionBy("date")
+                    .parquet(stage)
+                )
+                added = table.publish_stage(stage, remove=affected)
+                _journal(table, added, affected)
+                table.gc(keep_versions=self.keep_versions)
             # HWM log: fold through the same transform, replace in one
             # commit (for a rename the groupBy merges old+new maxima)
             htable = self._hwm_table(level)
@@ -865,12 +960,17 @@ class ArchiveStore:
                 )
                 hstage = htable.stage_dir()
                 folded.coalesce(1).write.parquet(hstage)
-                htable.publish_stage(hstage, remove=htable.files() or [])
+                hold = htable.files() or []
+                hadded = htable.publish_stage(hstage, remove=hold)
+                _journal(htable, hadded, hold)
                 htable.gc(keep_versions=self.keep_versions)
             # decimation carry seeds for this target level
             seeds = self.read_seed_state(level)
             if seeds is not None and "channel" in seeds.columns:
-                self.write_seed_state(level, meta_transform(seeds))
+                stable, sadded, sold = self.write_seed_state(
+                    level, meta_transform(seeds)
+                )
+                _journal(stable, sadded, sold)
         return touched
 
     @staticmethod
@@ -963,6 +1063,39 @@ class ArchiveStore:
         )
         table.publish_stage(stage, remove=old)
         table.gc(keep_versions=self.keep_versions)
+
+
+def _match_manifest_files(rel: list[str], hit: set[str]) -> list[str]:
+    """Manifest-relative paths (in manifest order) whose data files
+    appear in ``hit`` (absolute ``input_file_name()`` URIs).
+
+    O(|rel| + |hit|), replacing the old O(|rel| x |hit|) ``endswith``
+    scan (VERDICT r9 #7): each hit's table-relative path is its last 1-3
+    path segments (``date=.../file`` for a data level, bare ``file`` for
+    hwm/seed tables — basenames alone are NOT unique: one publish writes
+    the same part-file name into every date dir), looked up in a set of
+    the manifest's paths. A hit no suffix-key resolves (deeper layout
+    than any this store writes) falls back to the suffix scan for that
+    one hit. ``input_file_name`` percent-encodes special characters;
+    manifest paths are raw, hence the unquote."""
+    from urllib.parse import unquote
+
+    rel_set = set(rel)
+    matched: set[str] = set()
+    for h in hit:
+        hd = unquote(h.split("://", 1)[-1])
+        parts = hd.split("/")
+        # longest suffix first: the true relative path is the most
+        # specific match (a shorter key could alias a same-named file
+        # at a shallower layout depth)
+        for k in range(min(3, len(parts)), 0, -1):
+            cand = "/".join(parts[-k:])
+            if cand in rel_set:
+                matched.add(cand)
+                break
+        else:
+            matched.update(r for r in rel if hd.endswith(r))
+    return [r for r in rel if r in matched]
 
 
 def _union_header_fn(batch_fields: list[tuple[str, str]], legacy=None):

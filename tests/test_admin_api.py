@@ -691,3 +691,119 @@ class TestReviewPassTwo:
         # a fresh registry over the same path sees EVERY add
         again = ChannelRegistry(spark, str(tmp_path / "chan"))
         assert len(again.list_channels()) == 16
+
+
+def test_oversized_body_rejected_413_without_drain(admin):
+    """ADVICE r9: the keep-alive body drain ran before auth with no size
+    cap — an unauthenticated client could make the handler buffer an
+    arbitrarily large body before any 401. Oversized Content-Length now
+    answers 413 WITHOUT draining (connection closed instead)."""
+    import http.client
+
+    base, _ = admin
+    host = base.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=10)
+    try:
+        conn.putrequest(
+            "POST", "/admin/api/1.0/run-archive-configuration-commands")
+        conn.putheader("Content-Length", str(10**9))  # claim 1 GB
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        # send NOTHING of the body: the 413 must arrive anyway — a
+        # draining server would block here waiting for a gigabyte
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert resp.will_close  # undrained connection cannot keep alive
+        assert b"too large" in resp.read()
+    finally:
+        conn.close()
+
+
+class TestRenameIntentMarker:
+    """ADVICE r9: a process crash between the registry flush and the
+    store rewrite leaves the registry renamed while history sits under
+    the old name. The intent marker written before the flush is consumed
+    by a startup repair."""
+
+    def _fixture(self, spark, tmp_path, n_rows=5):
+        raw = spark.createDataFrame(
+            [("PV:A", (i + 1) * 60 * NS, float(i), 0, 0)
+             for i in range(n_rows)],
+            "channel string, t long, v double, severity int, status int",
+        )
+        store = ArchiveStore(spark, str(tmp_path / "archive"))
+        store.write_samples(raw, level=0)
+        reg = ChannelRegistry(spark, str(tmp_path / "channels"))
+        reg.add_channel(ChannelConfig(
+            channel_name="PV:A", decimation_levels={0: 0}))
+        return store, reg
+
+    def test_crash_after_registry_flush_re_drives_store(
+        self, spark, tmp_path
+    ):
+        import os
+
+        store, reg = self._fixture(spark, tmp_path)
+        app = AdminApp(reg, store=store)
+        # emulate the crash window: marker written, registry flushed,
+        # process died before the store rewrite ran
+        app._write_rename_intent("PV:A", "PV:B")
+        reg.rename_channel("PV:A", "PV:B")
+
+        # "restart": a fresh AdminApp over the same stores repairs
+        app2 = AdminApp(reg, store=store)
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:B").count() == 5
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:A").count() == 0
+        assert not os.path.exists(app2._rename_intent_path())
+        # hwm followed too
+        hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
+        assert list(hwm) == ["PV:B"]
+
+    def test_crash_before_registry_flush_rolls_store_back(
+        self, spark, tmp_path
+    ):
+        import os
+
+        store, reg = self._fixture(spark, tmp_path)
+        app = AdminApp(reg, store=store)
+        # crash window variant: marker written, registry NOT yet
+        # flushed, but the store rewrite already ran half/fully (the
+        # marker cannot tell — repair handles both)
+        app._write_rename_intent("PV:A", "PV:B")
+        store.rename_channel("PV:A", "PV:B")
+
+        app2 = AdminApp(reg, store=store)
+        # registry still maps PV:A -> history rolled back under PV:A
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:A").count() == 5
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:B").count() == 0
+        assert not os.path.exists(app2._rename_intent_path())
+
+    def test_marker_for_removed_channel_is_cleared(self, spark, tmp_path):
+        import os
+
+        store, reg = self._fixture(spark, tmp_path)
+        app = AdminApp(reg, store=store)
+        app._write_rename_intent("PV:GONE", "PV:GONE2")
+        reg.remove_channel("PV:A")
+        app2 = AdminApp(reg, store=store)
+        assert not os.path.exists(app2._rename_intent_path())
+
+    def test_successful_rename_leaves_no_marker(self, spark, tmp_path):
+        import os
+
+        store, reg = self._fixture(spark, tmp_path)
+        app = AdminApp(reg, store=store)
+        out = app.handle_post(
+            "/admin/api/1.0/run-archive-configuration-commands",
+            {"commands": [{
+                "commandType": "rename_channel",
+                "oldChannelName": "PV:A", "newChannelName": "PV:B"}]},
+        )
+        assert out["results"][0]["success"]
+        assert not os.path.exists(app._rename_intent_path())
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:B").count() == 5

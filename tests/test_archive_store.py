@@ -710,11 +710,15 @@ def test_rename_mid_level_failure_compensates(spark, tmp_path, monkeypatch):
     orig = mod.ArchiveStore._read_level_files
 
     def flaky(self, level, paths, at_version=None):
-        # fail on the FIRST touch of the second level's rewrite pass,
-        # after level 0 already swapped
-        if level == 3600 and calls["n"] == 0 and len(paths) > 0:
+        # the COLLISION PROBE reads every level first (read_samples ->
+        # _read_level_files), so the first level-3600 touch is the
+        # probe's; failing it would abort the rename before any level
+        # swapped and test nothing. Fail the SECOND touch — the rewrite
+        # loop's, after level 0 already swapped.
+        if level == 3600 and len(paths) > 0:
             calls["n"] += 1
-            raise RuntimeError("simulated mid-rename I/O failure")
+            if calls["n"] == 2:
+                raise RuntimeError("simulated mid-rename I/O failure")
         return orig(self, level, paths, at_version=at_version)
 
     monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", flaky)
@@ -722,6 +726,7 @@ def test_rename_mid_level_failure_compensates(spark, tmp_path, monkeypatch):
 
     with pytest.raises(RuntimeError):
         store.rename_channel("PV:A", "PV:B")
+    assert calls["n"] >= 2  # the failure really hit the rewrite loop
     monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", orig)
     # compensation: EVERY level is back under the old name
     for level in store.levels():
@@ -916,3 +921,182 @@ def test_schema_type_conflict_refused_at_commit(spark, tmp_path):
     # the direct (non-raced) path refuses even earlier, at the pre-check
     with pytest.raises(ValueError, match="type changed"):
         store.write_samples(conflicting.drop("date"), level=0)
+
+
+def test_delete_mid_level_failure_compensates(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #2: a delete that fails between per-level swaps must
+    restore the already-deleted levels — otherwise the admin cascade's
+    registry rollback re-advertises a channel with PARTIALLY deleted
+    history. Unlike rename there is no inverse transform: the
+    compensation re-commits each journaled table back to its pre-delete
+    file list (still referenced by the retained previous version)."""
+    import pytest
+
+    from cassandra_pv_archiver_spark.sources import archive_store as mod
+
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [("PV:A", i * 3600 * NS, float(i), 0, 0) for i in range(30)]
+    rows += [("PV:KEEP", i * 3600 * NS, float(i), 0, 0) for i in range(30)]
+    store.write_samples(spark.createDataFrame(rows, schema), level=0)
+    assert incremental_decimation(store, 3600) > 0
+
+    before = {
+        level: {
+            r.channel: r.n
+            for r in store.read_samples(level)
+            .groupBy("channel").agg(F.count("*").alias("n")).collect()
+        }
+        for level in store.levels()
+    }
+    hwm_before = {
+        level: {r.channel: r.hwm for r in store.channel_hwm(level).collect()}
+        for level in store.levels()
+    }
+    assert before[0]["PV:A"] == 30 and 3600 in before
+
+    calls = {"n": 0}
+    orig = mod.ArchiveStore._read_level_files
+
+    def flaky(self, level, paths, at_version=None):
+        # fail on the FIRST touch of the second level's rewrite pass,
+        # after level 0's delete already swapped in
+        if level == 3600 and calls["n"] == 0 and len(paths) > 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated mid-delete I/O failure")
+        return orig(self, level, paths, at_version=at_version)
+
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", flaky)
+    with pytest.raises(RuntimeError):
+        store.delete_channel("PV:A")
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", orig)
+
+    # all-or-nothing: every level reads exactly its pre-delete state,
+    # metadata included
+    for level in store.levels():
+        after = {
+            r.channel: r.n
+            for r in store.read_samples(level)
+            .groupBy("channel").agg(F.count("*").alias("n")).collect()
+        }
+        assert after == before[level]
+        hwm_after = {
+            r.channel: r.hwm for r in store.channel_hwm(level).collect()
+        }
+        assert hwm_after == hwm_before[level]
+    # and the delete is retriable to completion
+    assert store.delete_channel("PV:A") > 0
+    for level in store.levels():
+        df = store.read_samples(level)
+        assert df.filter(F.col("channel") == "PV:A").count() == 0
+        assert df.filter(F.col("channel") == "PV:KEEP").count() > 0
+
+
+def test_repair_rename_unwedges_half_renamed_store(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 (medium): when a rename fails mid-loop AND its
+    compensation also fails, the store is half-renamed and the public
+    API is WEDGED — the collision probe finds the channel's own rows
+    under both names and refuses both directions. repair_rename is the
+    documented way out: skip the probe, MERGE (never purge) metadata,
+    and walk metadata on every level."""
+    import pytest
+
+    from cassandra_pv_archiver_spark.sources import archive_store as mod
+
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [("PV:A", i * 3600 * NS, float(i), 0, 0) for i in range(30)]
+    store.write_samples(spark.createDataFrame(rows, schema), level=0)
+    assert incremental_decimation(store, 3600) > 0
+    total = {lvl: store.read_samples(lvl).count() for lvl in store.levels()}
+    hwm_before = {
+        lvl: {r.channel: r.hwm for r in store.channel_hwm(lvl).collect()}
+        for lvl in store.levels()
+    }
+
+    state = {"mode": "forward", "n3600": 0}
+    orig = mod.ArchiveStore._read_level_files
+
+    def flaky(self, level, paths, at_version=None):
+        if state["mode"] == "wedge":
+            raise RuntimeError("simulated compensation failure")
+        if state["mode"] == "forward" and level == 3600 and len(paths) > 0:
+            state["n3600"] += 1
+            # 1st touch is the collision probe's read; the 2nd is the
+            # rewrite loop's, after level 0 already swapped — fail there
+            # and keep failing so the compensation dies too
+            if state["n3600"] == 2:
+                state["mode"] = "wedge"
+                raise RuntimeError("simulated mid-rename I/O failure")
+        return orig(self, level, paths, at_version=at_version)
+
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", flaky)
+    with pytest.raises(RuntimeError):
+        store.rename_channel("PV:A", "PV:B")
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", orig)
+
+    # half-renamed: level 0 under the new name, level 3600 still old —
+    # and the probe-guarded API refuses BOTH directions (the wedge)
+    assert store.read_samples(0).filter(
+        F.col("channel") == "PV:B").count() == total[0]
+    assert store.read_samples(3600).filter(
+        F.col("channel") == "PV:A").count() == total[3600]
+    with pytest.raises(ValueError, match="already exists"):
+        store.rename_channel("PV:A", "PV:B")
+    with pytest.raises(ValueError, match="already exists"):
+        store.rename_channel("PV:B", "PV:A")
+
+    # repair completes the rename: every level under the new name only,
+    # hwm MERGED (not purged — the fresh-rename purge would have
+    # destroyed level 0's already-renamed hwm), seeds follow
+    assert store.repair_rename("PV:A", "PV:B") > 0
+    for lvl in store.levels():
+        df = store.read_samples(lvl)
+        assert df.filter(F.col("channel") == "PV:A").count() == 0
+        assert df.filter(F.col("channel") == "PV:B").count() == total[lvl]
+        hwm = {r.channel: r.hwm for r in store.channel_hwm(lvl).collect()}
+        assert hwm == {"PV:B": hwm_before[lvl]["PV:A"]}
+        seeds = store.read_seed_state(lvl)
+        if seeds is not None and "channel" in seeds.columns:
+            assert seeds.filter(F.col("channel") == "PV:A").count() == 0
+    # idempotent: a second repair is a no-op
+    assert store.repair_rename("PV:A", "PV:B") == 0
+
+
+def test_match_manifest_files_linear_matcher():
+    """VERDICT r9 #7: the affected-file matcher is a suffix-segment set
+    lookup, not an O(|manifest| x |hit|) endswith scan. Basenames repeat
+    across date dirs (one publish writes the same part name into every
+    partition), and input_file_name percent-encodes — both must resolve
+    exactly."""
+    from cassandra_pv_archiver_spark.sources.archive_store import (
+        _match_manifest_files,
+    )
+
+    rel = [
+        "date=2020-01-01/aa-part-00000.parquet",
+        "date=2020-01-02/aa-part-00000.parquet",  # same basename
+        "date=2020-01-02/bb-part-00001.parquet",
+    ]
+    hit = {
+        "file:///t/samples/decimation_level=0/date=2020-01-02/aa-part-00000.parquet",
+    }
+    assert _match_manifest_files(rel, hit) == [
+        "date=2020-01-02/aa-part-00000.parquet"
+    ]
+    # root-level layout (hwm/seed tables)
+    assert _match_manifest_files(
+        ["x.parquet", "y.parquet"], {"file:///t/meta/hwm_level=0/y.parquet"}
+    ) == ["y.parquet"]
+    # percent-encoded URI resolves to the raw manifest path
+    assert _match_manifest_files(
+        ["date=2020-01-01/a b.parquet"],
+        {"file:///t/date%3D2020-01-01/a%20b.parquet"},
+    ) == ["date=2020-01-01/a b.parquet"]
+    # manifest order is preserved for multi-hits
+    assert _match_manifest_files(
+        rel,
+        {f"file:///t/lvl/{r}" for r in rel},
+    ) == rel
