@@ -385,6 +385,7 @@ def main() -> None:
             prior = rec.get("queries", {})
     except (OSError, ValueError):
         pass
+    suite_total = round(sum(timings.values()), 3)  # pre-adjudication
     isolated: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         p, dt = prior.get(name), timings[name]
@@ -394,6 +395,11 @@ def main() -> None:
             )
             isolated[name] = {"suite": dt, "isolated": iso, "prior": p}
             timings[name] = min(dt, iso)
+    # the STABLE headline (VERDICT r9 #6): per-row min over the suite
+    # passes and any adjudicated isolated rerun — round-over-round
+    # comparisons should start here, not from the contention-exposed
+    # suite total (same-code full-suite totals span 182-226 s on this
+    # box; PERF.md)
     total = round(sum(timings.values()), 3)
 
     # Full per-query timings go to a sidecar file; the driver's stdout
@@ -408,6 +414,8 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "headline_isolated_total": total,
+                "suite_total": suite_total,
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
@@ -422,6 +430,8 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "headline_isolated_total": total,
+        "suite_total": suite_total,
         "queries": shown,
         "sf": sf,
         "n_queries": len(timings),

@@ -4112,6 +4112,136 @@ FROM u GROUP BY channel ORDER BY channel
 )
 
 
+#: reverse-union batch shape: NARROW rows per channel after the tagged
+#: extension (they lack the evolved column — the racing-writer state)
+SCHEMA_REV_ROWS = 2
+
+
+def q_store_schema_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REVERSE schema union (VERDICT r9 #8): after an ADD COLUMN
+    evolution, a batch WITHOUT the evolved column lands — the state two
+    racing writers produce when the narrow one's pre-check passed before
+    the widener committed (its commit rebases onto the evolved header;
+    ``write_samples``' fresh pre-check refuses the non-raced case, so
+    this row drives the raced commit through the manifest layer
+    directly, exactly as the loser's in-flight publish would). The
+    level's newest files now LACK a column older files carry. Pinned
+    answers: the header (union) schema wins — ``src_tag`` never
+    vanishes, narrow rows read it as NULL, and a compaction rewrite of
+    the three-schema-era table preserves all of it (Cassandra's sparse
+    rows are the reference pendant: a cell never written reads null
+    regardless of WHEN its column was added)."""
+    from .sources.archive_store import _date_expr, _union_header_fn
+
+    store = _clone_store(spark, sf_dir)
+    last = store.read_samples(0).groupBy("channel").agg(
+        F.max("t").alias("m")
+    )
+    ks = spark.range(1, SCHEMA_EVO_ROWS + 1).select(
+        F.col("id").alias("k")
+    )
+    ext = last.crossJoin(F.broadcast(ks)).select(
+        "channel",
+        (F.col("m") + F.col("k") * F.lit(SCHEMA_EVO_STEP_NS)).alias("t"),
+        F.col("k").cast("double").alias("v"),
+        F.lit(0).cast("int").alias("severity"),
+        F.lit(0).cast("int").alias("status"),
+        F.concat_ws("#", F.col("channel"), F.col("k")).alias("src_tag"),
+    )
+    store.write_samples(ext, level=0)  # the widener commits first
+    js = spark.range(1, SCHEMA_REV_ROWS + 1).select(
+        F.col("id").alias("j")
+    )
+    narrow = last.crossJoin(F.broadcast(js)).select(
+        "channel",
+        (
+            F.col("m")
+            + (F.col("j") + F.lit(SCHEMA_EVO_ROWS)) * F.lit(SCHEMA_EVO_STEP_NS)
+        ).alias("t"),
+        (F.col("j").cast("double") + F.lit(0.25)).alias("v"),
+        F.lit(0).cast("int").alias("severity"),
+        F.lit(0).cast("int").alias("status"),
+    )
+    table = store._level_table(0)
+    stage = table.stage_dir()
+    (
+        narrow.withColumn("date", _date_expr("t"))
+        .repartition("date", "channel")
+        .sortWithinPartitions("date", "channel", "t")
+        .write.option("maxRecordsPerFile", store.max_records_per_file)
+        .partitionBy("date")
+        .parquet(stage)
+    )
+    table.publish_stage(
+        stage,
+        header_fn=_union_header_fn(
+            [(f.name, f.dataType.simpleString())
+             for f in narrow.schema.fields]
+        ),
+    )
+    store.compact(0)  # the rewrite must preserve the union schema
+    return (
+        store.read_samples(0)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("t").alias("n_ts"),
+            F.min("t").alias("t_first"),
+            F.max("t").alias("t_last"),
+            F.sum(F.expr("CAST(floor(v * 100 + 0.5) AS BIGINT)")).alias(
+                "v_checksum"
+            ),
+            F.count("src_tag").alias("n_tagged"),
+            F.sum(F.col("src_tag").isNull().cast("bigint")).alias(
+                "n_untagged"
+            ),
+            F.max("src_tag").alias("tag_last"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_STORE_SCHEMA_REVERSE = f"""
+WITH {{SAMPLES_CTE}}
+, m AS (SELECT channel, max(t) AS m FROM samples GROUP BY channel),
+ext AS (
+  SELECT m.channel, m.m + ks.k * {SCHEMA_EVO_STEP_NS} AS t,
+         CAST(ks.k AS DOUBLE) AS v,
+         m.channel || '#' || CAST(ks.k AS VARCHAR) AS src_tag
+  FROM m, (VALUES {{SCHEMA_EVO_VALUES}}) AS ks(k)
+),
+rev AS (
+  SELECT m.channel,
+         m.m + (js.j + {SCHEMA_EVO_ROWS}) * {SCHEMA_EVO_STEP_NS} AS t,
+         CAST(js.j AS DOUBLE) + 0.25 AS v,
+         CAST(NULL AS VARCHAR) AS src_tag
+  FROM m, (VALUES {{SCHEMA_REV_VALUES}}) AS js(j)
+),
+u AS (
+  SELECT channel, t, v, CAST(NULL AS VARCHAR) AS src_tag FROM samples
+  UNION ALL SELECT channel, t, v, src_tag FROM ext
+  UNION ALL SELECT channel, t, v, src_tag FROM rev
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_ts,
+       CAST(min(t) AS BIGINT) AS t_first,
+       CAST(max(t) AS BIGINT) AS t_last,
+       CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_checksum,
+       CAST(count(src_tag) AS BIGINT) AS n_tagged,
+       CAST(sum(CASE WHEN src_tag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_untagged,
+       max(src_tag) AS tag_last
+FROM u GROUP BY channel ORDER BY channel
+""".replace("{SAMPLES_CTE}", SAMPLES_CTE.strip().rstrip()).replace(
+    "{SCHEMA_EVO_VALUES}",
+    ", ".join(f"({k})" for k in range(1, SCHEMA_EVO_ROWS + 1)),
+).replace(
+    "{SCHEMA_REV_VALUES}",
+    ", ".join(f"({j})" for j in range(1, SCHEMA_REV_ROWS + 1)),
+)
+
+
 # ---------------------------------------------------------------------------
 # fused channel-health dashboard (composition of the analytics family)
 # ---------------------------------------------------------------------------

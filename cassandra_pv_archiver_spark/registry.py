@@ -162,6 +162,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_store_schema_evolution,
         catalog.SQL_STORE_SCHEMA_EVOLUTION,
     ),
+    "store_schema_reverse": (
+        catalog.q_store_schema_reverse,
+        catalog.SQL_STORE_SCHEMA_REVERSE,
+    ),
     "approx_distinct_audit": (
         catalog_generic.q_approx_distinct_audit,
         catalog_generic.SQL_APPROX_DISTINCT_AUDIT,

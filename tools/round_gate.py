@@ -175,6 +175,11 @@ SF1_QUERIES = [
     # whose suite-pass noise most needs the isolated-rerun protocol
     "containment_pairs_lsh", "containment_recall_audit",
     "substring_dup_spans",
+    # VERDICT r9 #5: the two slowest index builds and the end-to-end
+    # compositions get their decade-up receipt too (the sweep runs
+    # sequentially inside the gate — the isolated protocol)
+    "materialize_srp_pairs", "pca_top_component",
+    "build_training_shard", "curate_corpus",
 ]
 SF1_RECEIPT = ["decimate_1h", "union_levels", "raw_latest_n",
                "hard_negative_mining", "bm25_topk",
