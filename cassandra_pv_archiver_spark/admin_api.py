@@ -151,14 +151,35 @@ class AdminApp:
         with open(p) as f:
             intent = json.load(f)
         old, new = intent["old"], intent["new"]
-        if self.registry.get_channel(new) is not None:
+        old_reg = self.registry.get_channel(old) is not None
+        new_reg = self.registry.get_channel(new) is not None
+        if old_reg and new_reg:
+            # BOTH names registered: the marker's rename never committed
+            # registry-side (the registry rename is atomic — it cannot
+            # leave both), so `new` is a DIFFERENT channel that was
+            # registered after the marker was stranded. No automatic
+            # action is safe: rows under `new` cannot be told apart from
+            # that channel's own data. Keep the marker as the signal and
+            # touch nothing — reachable only through the documented
+            # residual window (store rollback AND its repair sweep both
+            # failed, then the colliding name was registered anyway).
+            import sys
+
+            print(
+                f"WARNING: stranded rename-intent {old!r}->{new!r} with "
+                f"both names registered; manual repair required "
+                f"(marker kept at {p})",
+                file=sys.stderr,
+            )
+            return
+        if new_reg:
             # the registry flush committed: re-drive the store rewrite.
             # repair semantics, not a fresh rename — rows already under
             # the new name are the same channel's half-renamed history
             # and must merge, and the collision probe must not refuse
             # them. Idempotent, so "store side already complete" is fine.
             self.store.repair_rename(old, new)
-        elif self.registry.get_channel(old) is not None:
+        elif old_reg:
             # the registry never flushed (or a predecessor rolled it
             # back): put any half-renamed history back under the old name
             self.store.repair_rename(new, old)
@@ -418,12 +439,29 @@ class AdminApp:
                         f" (level {occupied})"
                     )
             if self.store is not None:
+                # pre-validate the REGISTRY side before writing the
+                # intent marker: a marker left behind by a registry-side
+                # refusal (target name already registered, unknown old
+                # name) would make the next startup's recovery
+                # destructively merge two UNRELATED channels — the
+                # registry refusal must leave zero trace
+                if reg.get_channel(old) is None:
+                    raise KeyError(old)
+                if reg.get_channel(new) is not None:
+                    raise ValueError(f"channel exists: {new}")
                 # intent marker BEFORE the first flush: a process crash
                 # anywhere between the registry flush and the store
                 # rewrite is repaired at the next startup
                 # (_recover_rename_intent)
                 self._write_rename_intent(old, new)
-            reg.rename_channel(old, new)
+            try:
+                reg.rename_channel(old, new)
+            except Exception:
+                # registry refused after the pre-validation (a racing
+                # command won): nothing changed anywhere — drop the marker
+                if self.store is not None:
+                    self._clear_rename_intent()
+                raise
             if self.store is not None:
                 try:
                     # name-keyed layout: the archived history must follow
@@ -435,15 +473,18 @@ class AdminApp:
                 except Exception:
                     # …and roll the registry back on any store-side
                     # failure so the command is all-or-nothing as far as
-                    # any caller can observe. The marker is cleared only
-                    # if the store's own compensation restored every
-                    # level (no rows left under the new name) — a
-                    # half-reversed store keeps it, and the next startup
-                    # finishes the rollback via repair_rename
+                    # any caller can observe. The store's own
+                    # compensation is data-first and best-effort; a
+                    # guarded repair sweep completes the rollback on
+                    # METADATA too (a crash between a level's data
+                    # swap-back and its hwm fold-back would otherwise go
+                    # unnoticed — the data-only probe can't see it). The
+                    # marker is cleared only when that sweep succeeds;
+                    # otherwise the next startup finishes the rollback.
                     reg.rename_channel(new, old)
                     try:
-                        if self.store.rename_target_occupied(new) is None:
-                            self._clear_rename_intent()
+                        self.store.repair_rename(new, old)
+                        self._clear_rename_intent()
                     except Exception:  # noqa: BLE001 - keep primary error
                         pass
                     raise

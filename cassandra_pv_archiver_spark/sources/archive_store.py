@@ -746,16 +746,20 @@ class ArchiveStore:
           this, e.g. the admin cascade's rename-intent marker, or an
           operator who verified the registry still maps one of the two
           names);
-        * metadata rows under ``new`` MERGE instead of being purged —
-          they are renamed levels' own hwm/seed state, and the fresh-
-          rename purge (built for a fully-expired FOREIGN channel's
-          stale metadata) would destroy them — and metadata is repaired
-          on EVERY level, because a crash between a level's data swap
-          and its hwm fold leaves old-name metadata on a level with no
-          old-name data rows (which the normal per-level walk skips).
+        * metadata is repaired on EVERY level whose hwm/seed state still
+          MENTIONS ``old`` — a crash between a level's data swap and its
+          hwm fold leaves old-name metadata on a level with no old-name
+          data rows, which the normal per-level walk skips. On such a
+          level the fold never ran (the fold eliminates old-name rows),
+          so any ``new``-named metadata there is a fully-expired FOREIGN
+          channel's stale leftovers and the fresh-rename purge applies
+          unchanged; levels whose metadata no longer mentions ``old``
+          already folded (their ``new``-named rows are the renamed
+          channel's own state) and are left untouched.
 
-        Idempotent: repairing an already-complete (or never-started)
-        rename renames nothing and returns 0."""
+        Idempotent AND no-op-cheap: repairing an already-complete (or
+        never-started) rename renames nothing, commits nothing, and
+        returns 0 — safe to run speculatively at startup."""
         return self._rename_channel(old, new, preflighted=True, repair=True)
 
     def _rename_channel(
@@ -791,12 +795,16 @@ class ArchiveStore:
 
         if repair:
             # no compensation wrapper: repair is idempotent — on failure
-            # re-run it, rather than half-reversing a half-repair. Rows/
-            # metadata under `new` are the same channel's already-renamed
-            # history: MERGE them (the hwm fold's groupBy-max), never
-            # purge, and walk metadata on every level (see repair_rename).
+            # re-run it, rather than half-reversing a half-repair. The
+            # meta transform is the SAME purge-then-rename as a fresh
+            # rename: on every level repair touches, the metadata still
+            # mentions `old` (the meta_all_levels guard), so the fold
+            # never ran there and `new`-named rows can only be a foreign
+            # expired channel's stale leftovers — exactly what the purge
+            # exists for. Already-folded levels are skipped untouched
+            # (see repair_rename).
             return self._rewrite_channel_rows(
-                old, _xf(old, new), meta_transform=_xf(old, new),
+                old, _xf(old, new), meta_transform=_meta_xf,
                 meta_all_levels=True,
             )
         try:
@@ -857,10 +865,16 @@ class ArchiveStore:
         completes it (the rewrite is idempotent per level)."""
         undo_log: list[tuple[ManifestTable, list[str], list[str]]] = []
         try:
+            # meta_all_levels: a fully-expired channel has hwm/seed rows
+            # on levels with NO data files left; a hits-only walk would
+            # leave that stale metadata behind forever, and a later
+            # re-creation of the name would make incremental decimation
+            # silently skip every window up to the stale high-water mark
             return self._rewrite_channel_rows(
                 channel,
                 lambda df: df.filter(F.col("channel") != channel),
                 undo_log=undo_log,
+                meta_all_levels=True,
             )
         except Exception:
             if self.keep_versions >= 2:
@@ -891,10 +905,16 @@ class ArchiveStore:
         data-level collision probe cannot see). Returns the number of
         sample rows that matched ``channel``.
 
-        ``meta_all_levels=True`` (repair_rename) runs the hwm/seed
-        rewrite even on levels with no matching DATA rows: a crash
-        between a level's data swap and its hwm fold leaves old-name
-        metadata on a level the normal hits-only walk would skip.
+        ``meta_all_levels=True`` (repair_rename, delete_channel) runs
+        the hwm/seed rewrite even on levels with no matching DATA rows:
+        a crash between a level's data swap and its hwm fold leaves
+        old-name metadata on a level the normal hits-only walk would
+        skip, and a fully-expired channel has metadata but no data at
+        all. On such no-hit levels the rewrite is GUARDED on the
+        metadata actually mentioning ``channel`` — an unconditional
+        republish would commit a new manifest version of every
+        metadata table on every no-op invocation, churning the
+        keep_versions horizon for nothing.
 
         ``undo_log`` (delete_channel's compensation journal) receives a
         ``(table, added, removed)`` entry immediately after EVERY
@@ -905,6 +925,11 @@ class ArchiveStore:
         def _journal(table: ManifestTable, added, removed) -> None:
             if undo_log is not None:
                 undo_log.append((table, list(added), list(removed)))
+
+        def _mentions(df: DataFrame) -> bool:
+            return (
+                df.filter(F.col("channel") == channel).limit(1).count() > 0
+            )
 
         touched = 0
         for level in self.levels():
@@ -949,28 +974,33 @@ class ArchiveStore:
                 _journal(table, added, affected)
                 table.gc(keep_versions=self.keep_versions)
             # HWM log: fold through the same transform, replace in one
-            # commit (for a rename the groupBy merges old+new maxima)
+            # commit (for a rename the groupBy merges old+new maxima).
+            # No-hit levels (the meta_all_levels sweep) rewrite only
+            # when the table mentions the channel — see docstring.
             htable = self._hwm_table(level)
             hpaths = htable.paths()
             if hpaths:
-                folded = (
-                    meta_transform(self.spark.read.parquet(*hpaths))
-                    .groupBy("channel")
-                    .agg(F.max("hwm").alias("hwm"))
-                )
-                hstage = htable.stage_dir()
-                folded.coalesce(1).write.parquet(hstage)
-                hold = htable.files() or []
-                hadded = htable.publish_stage(hstage, remove=hold)
-                _journal(htable, hadded, hold)
-                htable.gc(keep_versions=self.keep_versions)
+                hdf = self.spark.read.parquet(*hpaths)
+                if hit or _mentions(hdf):
+                    folded = (
+                        meta_transform(hdf)
+                        .groupBy("channel")
+                        .agg(F.max("hwm").alias("hwm"))
+                    )
+                    hstage = htable.stage_dir()
+                    folded.coalesce(1).write.parquet(hstage)
+                    hold = htable.files() or []
+                    hadded = htable.publish_stage(hstage, remove=hold)
+                    _journal(htable, hadded, hold)
+                    htable.gc(keep_versions=self.keep_versions)
             # decimation carry seeds for this target level
             seeds = self.read_seed_state(level)
             if seeds is not None and "channel" in seeds.columns:
-                stable, sadded, sold = self.write_seed_state(
-                    level, meta_transform(seeds)
-                )
-                _journal(stable, sadded, sold)
+                if hit or _mentions(seeds):
+                    stable, sadded, sold = self.write_seed_state(
+                        level, meta_transform(seeds)
+                    )
+                    _journal(stable, sadded, sold)
         return touched
 
     @staticmethod

@@ -807,3 +807,88 @@ class TestRenameIntentMarker:
         assert not os.path.exists(app._rename_intent_path())
         assert store.read_samples(0).filter(
             F.col("channel") == "PV:B").count() == 5
+
+
+class TestRenameCascadeMarkerLifecycle:
+    """Round-10 review: the intent marker must leave ZERO trace on every
+    refusal/rollback path — a stranded marker makes the next startup's
+    recovery destructively merge two unrelated channels."""
+
+    def _fixture(self, spark, tmp_path):
+        raw = spark.createDataFrame(
+            [("PV:A", (i + 1) * 60 * NS, float(i), 0, 0) for i in range(5)],
+            "channel string, t long, v double, severity int, status int",
+        )
+        store = ArchiveStore(spark, str(tmp_path / "archive"))
+        store.write_samples(raw, level=0)
+        reg = ChannelRegistry(spark, str(tmp_path / "channels"))
+        reg.add_channel(ChannelConfig(
+            channel_name="PV:A", decimation_levels={0: 0}))
+        return store, reg
+
+    def test_registry_refusal_leaves_no_marker(self, spark, tmp_path):
+        import os
+
+        store, reg = self._fixture(spark, tmp_path)
+        # target registered but with NO archived data: the store's
+        # data-only probe passes, the REGISTRY side must refuse — and
+        # must leave no marker (a stranded one would merge A into B at
+        # the next startup)
+        reg.add_channel(ChannelConfig(
+            channel_name="PV:B", decimation_levels={0: 0}))
+        app = AdminApp(reg, store=store)
+        out = app.handle_post(
+            "/admin/api/1.0/run-archive-configuration-commands",
+            {"commands": [{
+                "commandType": "rename_channel",
+                "oldChannelName": "PV:A", "newChannelName": "PV:B"}]},
+        )
+        assert not out["results"][0]["success"]
+        assert not os.path.exists(app._rename_intent_path())
+        # the restart is a no-op: A's history stays under A
+        AdminApp(reg, store=store)
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:A").count() == 5
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:B").count() == 0
+
+    def test_store_failure_rolls_back_and_clears_marker(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        store, reg = self._fixture(spark, tmp_path)
+        app = AdminApp(reg, store=store)
+
+        def boom(old, new, preflighted=False):
+            raise RuntimeError("simulated store failure")
+
+        monkeypatch.setattr(store, "rename_channel", boom)
+        out = app.handle_post(
+            "/admin/api/1.0/run-archive-configuration-commands",
+            {"commands": [{
+                "commandType": "rename_channel",
+                "oldChannelName": "PV:A", "newChannelName": "PV:B"}]},
+        )
+        assert not out["results"][0]["success"]
+        # registry rolled back, repair sweep found nothing, marker gone
+        assert reg.get_channel("PV:A") is not None
+        assert reg.get_channel("PV:B") is None
+        assert not os.path.exists(app._rename_intent_path())
+
+    def test_both_names_registered_keeps_marker_untouched(
+        self, spark, tmp_path, capsys
+    ):
+        import os
+
+        store, reg = self._fixture(spark, tmp_path)
+        reg.add_channel(ChannelConfig(
+            channel_name="PV:B", decimation_levels={0: 0}))
+        app = AdminApp(reg, store=store)
+        # stranded marker + both names registered: recovery must touch
+        # NOTHING (rows under B cannot be told apart from B's own data)
+        app._write_rename_intent("PV:A", "PV:B")
+        AdminApp(reg, store=store)
+        assert os.path.exists(app._rename_intent_path())
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:A").count() == 5

@@ -1048,9 +1048,11 @@ def test_repair_rename_unwedges_half_renamed_store(
     with pytest.raises(ValueError, match="already exists"):
         store.rename_channel("PV:B", "PV:A")
 
-    # repair completes the rename: every level under the new name only,
-    # hwm MERGED (not purged — the fresh-rename purge would have
-    # destroyed level 0's already-renamed hwm), seeds follow
+    # repair completes the rename: every level under the new name only.
+    # Already-folded metadata (level 0's hwm, renamed before the crash)
+    # is PRESERVED — repair skips levels whose metadata no longer
+    # mentions the old name; still-old metadata is purged-and-renamed
+    # exactly like a fresh rename. Seeds follow the same rule.
     assert store.repair_rename("PV:A", "PV:B") > 0
     for lvl in store.levels():
         df = store.read_samples(lvl)
@@ -1061,8 +1063,18 @@ def test_repair_rename_unwedges_half_renamed_store(
         seeds = store.read_seed_state(lvl)
         if seeds is not None and "channel" in seeds.columns:
             assert seeds.filter(F.col("channel") == "PV:A").count() == 0
-    # idempotent: a second repair is a no-op
+    # idempotent AND no-op-cheap: a second repair renames nothing and
+    # commits nothing (round-10 review: an unconditional metadata
+    # republish would churn a manifest version per table per call)
+    versions_before = {
+        lvl: store._hwm_table(lvl).current_version()
+        for lvl in store.levels()
+    }
     assert store.repair_rename("PV:A", "PV:B") == 0
+    assert versions_before == {
+        lvl: store._hwm_table(lvl).current_version()
+        for lvl in store.levels()
+    }
 
 
 def test_match_manifest_files_linear_matcher():
@@ -1100,3 +1112,61 @@ def test_match_manifest_files_linear_matcher():
         rel,
         {f"file:///t/lvl/{r}" for r in rel},
     ) == rel
+
+
+def test_delete_purges_metadata_of_fully_expired_channel(spark, tmp_path):
+    """Round-10 review: a channel whose DATA fully expired still owns
+    hwm (and seed) rows; a hits-only delete walk left that stale
+    metadata behind forever, and a later re-creation of the name would
+    make incremental decimation silently skip every window up to the
+    stale high-water mark."""
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [(c, i * 3600 * NS, float(i), 0, 0)
+            for c in ("PV:X", "PV:Y") for i in range(30)]
+    store.write_samples(spark.createDataFrame(rows, schema), level=0)
+    assert incremental_decimation(store, 3600) > 0
+    tmax = 29 * 3600 * NS
+    # expire EVERY level-3600 row: the level keeps its (empty) manifest
+    # and its hwm/seed metadata — the fully-expired state
+    retention_sweep(store, {3600: 1}, now_ns=tmax + 10 * DAY_NS)
+    assert store.read_samples(3600).count() == 0
+    assert "PV:X" in {r.channel for r in store.channel_hwm(3600).collect()}
+
+    n = store.delete_channel("PV:X")
+    assert n == 30  # level-0 data rows (3600 had none left)
+    # metadata followed on the data-less level too
+    hwm3600 = {r.channel for r in store.channel_hwm(3600).collect()}
+    assert hwm3600 == {"PV:Y"}
+    seeds = store.read_seed_state(3600)
+    if seeds is not None and "channel" in seeds.columns:
+        assert seeds.filter(F.col("channel") == "PV:X").count() == 0
+    # the survivor is untouched everywhere
+    assert store.read_samples(0).filter(
+        F.col("channel") == "PV:Y").count() == 30
+    hwm0 = {r.channel for r in store.channel_hwm(0).collect()}
+    assert hwm0 == {"PV:Y"}
+
+
+def test_repair_rename_purges_stale_foreign_metadata(spark, tmp_path):
+    """Round-10 review: on a level whose metadata still mentions the old
+    name, the fold never ran — any metadata under the NEW name there is
+    a fully-expired FOREIGN channel's stale leftovers and must be purged
+    (folding it in would inherit its high-water mark and make
+    incremental decimation silently skip windows), exactly as a fresh
+    rename purges it."""
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [("PV:A", i * 3600 * NS, float(i), 0, 0) for i in range(10)]
+    store.write_samples(spark.createDataFrame(rows, schema), level=0)
+    a_max = 9 * 3600 * NS
+    # stale FOREIGN hwm under the target name, far ahead of A's history
+    # (the expired channel whose data is gone but whose metadata is not)
+    stale = spark.createDataFrame(
+        [("PV:B", 10**6 * 3600 * NS, 0.0, 0, 0)], schema)
+    store._update_channel_hwm(stale, level=0)
+
+    assert store.repair_rename("PV:A", "PV:B") == 10
+    hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
+    # the stale mark did NOT fold in — B carries A's true maximum
+    assert hwm == {"PV:B": a_max}
