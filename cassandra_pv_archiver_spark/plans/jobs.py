@@ -17,6 +17,8 @@ O(new data), independent of archive size.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,9 +55,44 @@ def incremental_decimation(
 
     Returns the number of newly materialized intervals; idempotent until
     new source data arrives (W3).
+
+    CONCURRENCY CONTRACT (round-10 review): one writer per
+    (store, target) edge at a time. The anti-join against the target
+    guards against crash REPLAY, not two live runs — manifest appends
+    commute, so two concurrent runs of the same edge would both commit
+    and double-publish every interval. In-process callers (the
+    streaming per-batch cascade racing an operator backfill over the
+    same store) are serialized by a per-edge lock here; CROSS-process
+    concurrency on one edge is the deployment's responsibility, same as
+    the reference's one-archive-server-per-channel ownership rule.
     """
     from pyspark.sql import Window
 
+    with _edge_lock(store.root, target_period_s):
+        return _incremental_decimation_locked(
+            store, target_period_s, source_level, Window
+        )
+
+
+#: per-(store-root, target-level) locks for the in-process concurrency
+#: contract above; the dict itself is guarded by the module lock
+_EDGE_LOCKS: dict = {}
+_EDGE_LOCKS_GUARD = threading.Lock()
+
+
+def _edge_lock(root: str, target_period_s: int):
+    with _EDGE_LOCKS_GUARD:
+        return _EDGE_LOCKS.setdefault(
+            (root, target_period_s), threading.Lock()
+        )
+
+
+def _incremental_decimation_locked(
+    store: ArchiveStore,
+    target_period_s: int,
+    source_level: int | None,
+    Window,
+) -> int:
     period_ns = target_period_s * NS
     if source_level is None:
         source_level = pick_source_level(store.levels(), target_period_s)
@@ -196,66 +233,80 @@ def incremental_decimation(
                 ).select("channel", "t")
             )
         dec = dec.join(existing, ["channel", "t"], "left_anti")
+        # persist released in finally: a transient write_samples failure
+        # (rewrite-conflict IOError, commit race) must not leak cached
+        # blocks in the long-lived streaming driver (round-10 review)
         dec = dec.persist()
-        n = dec.count()
-        if n:
-            store.write_samples(dec, target_period_s)
-        # persist the next run's seeds: latest source row at/before each
-        # channel's new next-interval start (the reference's decimator
-        # carry state, `...DecimatedSamplesDecimationLevel.java:1127-1146`)
-        # idle-run fast path: nothing materialized AND the source hwm is
-        # exactly where the persisted seeds were built -> the recompute
-        # would rewrite byte-identical seeds (plus a manifest commit and
-        # gc) on every empty micro-batch; skip it. Crash-orphaned source
-        # rows (data committed, hwm not) are picked up as soon as the
-        # next source append bumps the hwm — the seed recompute rescans
-        # storage, not a delta.
-        if (
-            n == 0
-            and state is not None
-            and prev_src_hwm is not None
-            and prev_src_hwm == src_hwm_max
-        ):
+        try:
+            return _publish_decimation(
+                store, dec, src_all, target_period_s, source_level,
+                period_ns, state, prev_src_hwm, src_hwm_max,
+            )
+        finally:
             dec.unpersist()
-            return 0
-        new_hwm = store.channel_hwm(target_period_s)
-        if new_hwm is not None:
-            cols = src_all.columns
-            j = src_all.join(F.broadcast(new_hwm), "channel", "left")
-            mature = (
-                j.filter(
-                    F.col("hwm").isNotNull()
-                    & (F.col("t") <= F.col("hwm") + period_ns)
-                )
-                .groupBy("channel")
-                .agg(
-                    F.expr(
-                        "max_by(named_struct("
-                        + ", ".join(f"'{c}', {c}" for c in cols if c != "channel")
-                        + "), t)"
-                    ).alias("_s")
-                )
-                .select("channel", *[F.col(f"_s.{c}").alias(c) for c in cols if c != "channel"])
-            )
-            # channels with NO completed window yet: every scanned row is
-            # still inside the first (incomplete) interval — persist them
-            # ALL, not just the latest (collapsing them computed the first
-            # window from its tail rows only once it finally closed).
-            # Bounded: no completed window ⇒ the rows span < ~2 periods.
-            young = j.filter(F.col("hwm").isNull()).select(*cols)
-            seeds = (
-                mature.unionByName(young)
-                .withColumn("_src_level", F.lit(source_level))
-                .withColumn(
-                    "_src_hwm",
-                    F.lit(src_hwm_max).cast("long"),  # idle-run tag
-                )
-            )
-            store.write_seed_state(target_period_s, seeds)
-        dec.unpersist()
-        return n
     finally:
         src_all.unpersist()
+
+
+def _publish_decimation(
+    store, dec, src_all, target_period_s, source_level, period_ns,
+    state, prev_src_hwm, src_hwm_max,
+) -> int:
+    n = dec.count()
+    if n:
+        store.write_samples(dec, target_period_s)
+    # persist the next run's seeds: latest source row at/before each
+    # channel's new next-interval start (the reference's decimator
+    # carry state, `...DecimatedSamplesDecimationLevel.java:1127-1146`)
+    # idle-run fast path: nothing materialized AND the source hwm is
+    # exactly where the persisted seeds were built -> the recompute
+    # would rewrite byte-identical seeds (plus a manifest commit and
+    # gc) on every empty micro-batch; skip it. Crash-orphaned source
+    # rows (data committed, hwm not) are picked up as soon as the
+    # next source append bumps the hwm — the seed recompute rescans
+    # storage, not a delta.
+    if (
+        n == 0
+        and state is not None
+        and prev_src_hwm is not None
+        and prev_src_hwm == src_hwm_max
+    ):
+        return 0
+    new_hwm = store.channel_hwm(target_period_s)
+    if new_hwm is not None:
+        cols = src_all.columns
+        j = src_all.join(F.broadcast(new_hwm), "channel", "left")
+        mature = (
+            j.filter(
+                F.col("hwm").isNotNull()
+                & (F.col("t") <= F.col("hwm") + period_ns)
+            )
+            .groupBy("channel")
+            .agg(
+                F.expr(
+                    "max_by(named_struct("
+                    + ", ".join(f"'{c}', {c}" for c in cols if c != "channel")
+                    + "), t)"
+                ).alias("_s")
+            )
+            .select("channel", *[F.col(f"_s.{c}").alias(c) for c in cols if c != "channel"])
+        )
+        # channels with NO completed window yet: every scanned row is
+        # still inside the first (incomplete) interval — persist them
+        # ALL, not just the latest (collapsing them computed the first
+        # window from its tail rows only once it finally closed).
+        # Bounded: no completed window ⇒ the rows span < ~2 periods.
+        young = j.filter(F.col("hwm").isNull()).select(*cols)
+        seeds = (
+            mature.unionByName(young)
+            .withColumn("_src_level", F.lit(source_level))
+            .withColumn(
+                "_src_hwm",
+                F.lit(src_hwm_max).cast("long"),  # idle-run tag
+            )
+        )
+        store.write_seed_state(target_period_s, seeds)
+    return n
 
 
 def retention_sweep(
@@ -290,8 +341,6 @@ def level_freshness(store, levels: list[int]) -> "DataFrame":
 
     Returns: channel, level_s, level_hwm, raw_hwm, lag_periods.
     """
-    from ..operators.decimate import NS
-
     schema = (
         "channel string, level_s int, level_hwm bigint, raw_hwm bigint,"
         " lag_periods bigint"

@@ -45,9 +45,6 @@ class HadoopFS:
             return []
         return [s.getPath().getName() for s in self._fs.listStatus(p)]
 
-    def count_files(self, path: str) -> int:
-        return len([n for n in self.listdir(path) if not n.startswith("_")])
-
     def delete(self, path: str) -> None:
         p = self._Path(path)
         if self._fs.exists(p):
@@ -81,9 +78,29 @@ class HadoopFS:
         vanish (a lost append; caught by the 4-writer stress test). The
         true atomic-exclusive primitive on POSIX is ``link(2)``, so for
         ``file:`` URIs we hard-link src onto dst (fails with EEXIST if
-        dst exists — atomic in the kernel) and unlink src."""
+        dst exists — atomic in the kernel) and unlink src.
+
+        DEPLOYMENT CAVEAT (round-10 review): on S3-family object stores
+        ``FileSystem.rename`` is check-then-copy, NOT atomic-exclusive —
+        two racing committers can both return True and one committed
+        manifest version silently vanishes. HDFS and ``file:`` are the
+        schemes this claim is safe on; an S3 deployment needs a real
+        conditional-write commit (Iceberg's HadoopCatalog carries the
+        identical caveat and points at a locking catalog for S3 — the
+        same answer applies here: put the table in Delta/Iceberg with a
+        proper catalog, per SURVEY.md §1.5)."""
         if self._is_local:
-            local = lambda p: p[len("file:"):] if p.startswith("file:") else p  # noqa: E731
+            def local(p: str) -> str:
+                # strip scheme AND authority: file://host/a -> /a,
+                # file:///a -> /a, file:/a -> /a (java.io.File would
+                # read //host/a as the wrong path /host/a)
+                if p.startswith("file://"):
+                    rest = p[len("file://"):]
+                    return rest if rest.startswith("/") else rest[rest.index("/"):]
+                if p.startswith("file:"):
+                    return p[len("file:"):]
+                return p
+
             jpath = lambda p: self._jvm.java.io.File(local(p)).toPath()  # noqa: E731
             try:
                 self._jvm.java.nio.file.Files.createLink(

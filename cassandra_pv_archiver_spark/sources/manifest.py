@@ -165,9 +165,16 @@ class ManifestTable:
                 # is committer-count-bounded (writers, not data size)
                 time.sleep(random.uniform(0, 0.02 * min(attempt, 10)))
             cur = self.current_version()
-            base, prev_header = (
-                self._read_version(cur) if cur is not None else ([], None)
-            )
+            try:
+                base, prev_header = (
+                    self._read_version(cur) if cur is not None else ([], None)
+                )
+            except Exception:  # noqa: BLE001 - raced a concurrent gc
+                # between versions() and the read, another writer
+                # committed past cur and its gc pruned m-cur (gc keeps
+                # only the newest keep_versions manifests) — the same
+                # lost-race signal as a failed claim: rebase and retry
+                continue
             drop = set(remove)
             base_set = set(base)  # O(add+base), not O(add*base): the
             # module sizes manifests at ~10^5 lines and retries race
@@ -182,7 +189,12 @@ class ManifestTable:
             nxt = [f for f in base if f not in drop] + [
                 f for f in add if f not in base_set
             ]
-            hdr = header_fn(prev_header) if header_fn else prev_header
+            # a header_fn returning None means "no change" per the
+            # contract above — keep the base header rather than
+            # silently dropping the table metadata (round-10 review)
+            hdr = header_fn(prev_header) if header_fn else None
+            if hdr is None:
+                hdr = prev_header
             v = (cur if cur is not None else -1) + 1
             tmp = f"{self._mdir}/.tmp-{uuid.uuid4().hex}"
             body = "\n".join(nxt) + "\n"
@@ -234,14 +246,31 @@ class ManifestTable:
         fast path."""
         import time
 
+        if keep_versions < 1:
+            # keep_versions=0 would delete every data file while the
+            # "strictly older than keep floor" manifest prune kept every
+            # manifest — a table whose current version lists deleted
+            # files (round-10 review). Tear-down is `fs.delete(root)`.
+            raise ValueError(
+                f"gc keep_versions must be >= 1, got {keep_versions}"
+            )
         if grace_seconds is None:
             grace_seconds = self.GC_GRACE_SECONDS
         vs = self.versions()
-        keep = vs[-keep_versions:] if keep_versions > 0 else []
+        keep = vs[-keep_versions:]
         live: set[str] = set()
         ever: set[str] = set()  # referenced by ANY version (incl. pruned)
         for v in vs:
-            refs = self.files(v) or []
+            try:
+                refs = self.files(v) or []
+            except Exception:  # noqa: BLE001 - raced a concurrent gc
+                # another writer's gc pruned m-v between versions() and
+                # this read — versions NEWER than our snapshot exist that
+                # we cannot see, so our live-set would be incomplete
+                # (files carried forward into them could be mistaken for
+                # orphans). Abort this pass; the concurrent gc owns the
+                # cleanup (round-10 review).
+                return []
             ever.update(refs)
             if v in keep:
                 live.update(refs)

@@ -1170,3 +1170,36 @@ def test_repair_rename_purges_stale_foreign_metadata(spark, tmp_path):
     hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
     # the stale mark did NOT fold in — B carries A's true maximum
     assert hwm == {"PV:B": a_max}
+
+
+def test_concurrent_incremental_decimation_single_publish(spark, tmp_path):
+    """Round-10 review: two concurrent runs of the same decimation edge
+    (the streaming per-batch cascade racing an operator backfill) must
+    not double-publish — manifest appends commute, so without the
+    per-edge lock both runs' commits would land and every interval row
+    would exist twice, double-counting every re-aggregate forever."""
+    import threading as th
+
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [("PV:A", i * 3600 * NS, float(i), 0, 0) for i in range(30)]
+    store.write_samples(spark.createDataFrame(rows, schema), level=0)
+
+    results, errs = [], []
+
+    def run():
+        try:
+            results.append(incremental_decimation(store, 3600))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [th.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    dec = store.read_samples(3600)
+    n = dec.count()
+    assert n == dec.dropDuplicates(["channel", "t"]).count()
+    assert sum(results) == n  # one run did the work, the other found none

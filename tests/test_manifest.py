@@ -726,3 +726,60 @@ class TestRound9ManifestHardening:
         full = f"{t.root}/{rels[0]}"
         # publish stamped NOW: a concurrent gc's grace window protects it
         assert time.time() * 1000 - t.fs.mtime_ms(full) < 60_000
+
+
+def test_header_fn_none_keeps_base_header(spark, tmp_path):
+    """Round-10 review: the documented contract is 'header_fn returning
+    None keeps the base header' — the code dropped it instead, which
+    would silently strip a level's schema record from the new version."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.commit(add=["a"], header_fn=lambda prev: "x INT")
+    assert t.header() == "x INT"
+    t.commit(add=["b"], header_fn=lambda prev: None)  # "no change"
+    assert t.header() == "x INT"
+    # and an explicit new header still replaces it
+    t.commit(add=["c"], header_fn=lambda prev: prev + ", y INT")
+    assert t.header() == "x INT, y INT"
+
+
+def test_gc_refuses_keep_versions_zero(spark, tmp_path):
+    """Round-10 review: keep_versions=0 deleted every data file while
+    pruning NO manifests — a current version listing deleted files."""
+    import pytest
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.commit(add=["a"])
+    with pytest.raises(ValueError, match="keep_versions"):
+        t.gc(keep_versions=0)
+    assert t.files() == ["a"]
+
+
+def test_commit_retries_when_concurrent_gc_prunes_base_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 review: a committer that read cur=N can find m-N pruned
+    by a concurrent winner's gc before its _read_version lands — that is
+    a lost-race signal and must rebase-and-retry, not crash."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.commit(add=["a"])  # v0
+    orig = ManifestTable._read_version
+    state = {"raced": False}
+
+    def racing(self, version):
+        if not state["raced"]:
+            state["raced"] = True
+            # the concurrent winner: two more commits + gc prune m-v0
+            orig_commit_base = orig(self, version)
+            t2 = _mk(spark, t.root)
+            t2.commit(add=["b"])
+            t2.commit(add=["c"])
+            t2.gc(keep_versions=2, grace_seconds=0)
+            assert version not in t2.versions()  # m-v0 really pruned
+            raise IOError("simulated FileNotFoundException on m-v0")
+        return orig(self, version)
+
+    monkeypatch.setattr(ManifestTable, "_read_version", racing)
+    v = t.commit(add=["d"])
+    monkeypatch.setattr(ManifestTable, "_read_version", orig)
+    assert v == 3
+    assert t.files() == ["a", "b", "c", "d"]
