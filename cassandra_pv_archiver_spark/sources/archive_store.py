@@ -288,6 +288,17 @@ class ArchiveStore:
         if len(table.files() or []) > self.HWM_COMPACT_THRESHOLD:
             self._compact_hwm(level)
 
+    def heal_channel_hwm(self, batch: DataFrame, level: int) -> None:
+        """PUBLIC crash-heal surface for ingest (round-10 review): fold a
+        batch's per-channel maxima into the hwm log. write_samples
+        commits data then hwm in two separate commits; a crash between
+        them leaves the hwm stale, and the replaying ingester heals it
+        from the replayed rows through THIS method — the append-log is
+        fold-max, so overlapping with write_samples' own update is
+        idempotent. Owning the contract here keeps streaming/ingest.py
+        off the store's private internals."""
+        self._update_channel_hwm(batch, level)
+
     def _compact_hwm(self, level: int) -> None:
         table = self._hwm_table(level)
         old = table.files() or []

@@ -28,7 +28,19 @@ def monotonic_guard(batch: DataFrame, hwm: DataFrame | None) -> DataFrame:
     """F5 (`ArchivedChannelDecimationLevel.java:398-425`): drop any sample
     whose timestamp is not strictly greater than everything already written
     for its channel, and dedupe inside the batch (first occurrence wins,
-    mirroring arrival order)."""
+    mirroring arrival order).
+
+    Null channel/t rows are dropped HERE, the shared chokepoint (round-10
+    review): a null key defeats BOTH exactly-once layers — the hwm fast
+    path keeps it forever (null hwm passes ``isNull()``), the (channel, t)
+    anti-join can never match it (SQL null equality), so every crash
+    replay would re-append it; and a first-row null t would fold a
+    permanently-null hwm for its channel, disabling the fast path. The
+    reference rejects samples without a valid timestamp at the listener
+    the same way."""
+    batch = batch.filter(
+        F.col("channel").isNotNull() & F.col("t").isNotNull()
+    )
     w = Window.partitionBy("channel", "t").orderBy(F.col("_seq"))
     batch = (
         batch.withColumn("_seq", F.monotonically_increasing_id())
@@ -67,13 +79,23 @@ def ingest_batch(
     guarded = monotonic_guard(batch, store.channel_hwm(0)).persist()
     final = guarded
     try:
-        n_fast = guarded.count()
+        # ONE job for count + bounds + the batch's channel set (was two;
+        # per-batch scheduler latency matters at 1 s triggers). The
+        # channel set is bounded metadata (channels in one micro-batch)
+        # and prunes the anti-join scan to the batch's channels — the
+        # existing-rows read otherwise scans EVERY channel's row groups
+        # in the date range, scaling with store width instead of batch
+        # width (round-10 review).
+        stats = guarded.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("t").alias("mn"),
+            F.max("t").alias("mx"),
+            F.collect_set("channel").alias("chans"),
+        ).first()
+        n_fast = stats.n
         if n_fast:
-            bounds = guarded.agg(
-                F.min("t").alias("mn"), F.max("t").alias("mx")
-            ).first()
             existing = store.read_samples(
-                0, lo_ns=bounds.mn, hi_ns=bounds.mx
+                0, lo_ns=stats.mn, hi_ns=stats.mx, channels=stats.chans
             ).select("channel", "t")
             final = guarded.join(
                 existing, ["channel", "t"], "left_anti"
@@ -91,7 +113,7 @@ def ingest_batch(
             # on every later batch. Heal from the full guarded batch; the
             # hwm log is fold-max, so the overlap with write_samples'
             # update is idempotent.
-            store._update_channel_hwm(guarded, 0)
+            store.heal_channel_hwm(guarded, 0)
         # the cascade runs even for an empty/fully-deduped batch ON
         # PURPOSE: a crash after the level-0 write but before the cascade
         # leaves the decimated levels behind, and the replayed batch

@@ -110,7 +110,11 @@ def min_update_period_stream(
 
 
 def max_update_period(
-    df: DataFrame, max_period_s: int, key: str = "channel", t: str = "t"
+    df: DataFrame,
+    max_period_s: int,
+    key: str = "channel",
+    t: str = "t",
+    markers: DataFrame | None = None,
 ) -> DataFrame:
     """Heartbeat: for each hold-forward validity gap longer than
     ``max_period``, re-emit the sample at ``t + k*max_period`` for
@@ -121,16 +125,54 @@ def max_update_period(
     The final sample of each channel emits no heartbeats (its validity end
     is unknown) — matching the reference, which only re-emits while the
     channel stays connected and silent up to 'now'.
-    """
+
+    ``markers`` (optional, round-10 review): the T5 disconnect-marker
+    table ``(key, t, type)`` from :mod:`.markers`. The reference only
+    re-emits while the channel STAYS CONNECTED — an interior outage gets
+    a 'disconnected' marker, not fabricated heartbeats asserting the
+    stale payload persisted through the outage. When given, a gap whose
+    originating sample is followed by a disconnect marker before the
+    next sample emits heartbeats only UP TO the marker. Without
+    ``markers`` every archived gap heartbeats (the connection-agnostic
+    batch semantics the heartbeat_1h oracle pins)."""
     max_ns = max_period_s * NS
     from pyspark.sql import Window
 
     w = Window.partitionBy(key).orderBy(t)
     payload = [c for c in df.columns if c != key and c != t]
+    d = df.withColumn("_tn", F.lead(t).over(w)).filter(
+        F.col("_tn").isNotNull()
+    )
+    if markers is not None:
+        # first disconnect marker strictly inside (t, _tn): heartbeats
+        # stop there. Broadcast range join — the marker table is
+        # O(#outages), tiny next to the sample table.
+        m = (
+            markers.filter(F.col("type") == "disconnected")
+            .select(F.col(key).alias("_mk"), F.col(t).alias("_mt"))
+        )
+        # aggregate the stop per (key, t) on a payload-free projection:
+        # grouping on payload doubles would normalize -0.0 to 0.0 in the
+        # group keys (the bit-exactness pitfall class)
+        stops = (
+            d.select(key, t, "_tn")
+            .join(
+                F.broadcast(m),
+                (F.col(key) == F.col("_mk"))
+                & (F.col("_mt") > F.col(t))
+                & (F.col("_mt") < F.col("_tn")),
+                "inner",
+            )
+            .groupBy(key, t)
+            .agg(F.min("_mt").alias("_stop"))
+        )
+        d = (
+            d.join(F.broadcast(stops), [key, t], "left")
+            .withColumn("_tn", F.coalesce(F.col("_stop"), F.col("_tn")))
+            .drop("_stop")
+        )
     d = (
-        df.withColumn("_tn", F.lead(t).over(w))
-        .filter(F.col("_tn").isNotNull())
-        .withColumn("_n", F.expr(f"CAST(((_tn - 1 - {t}) div {max_ns}) AS INT)"))
+        d.withColumn("_n", F.expr(f"CAST(((_tn - 1 - {t}) div {max_ns}) AS INT)"))
         .filter(F.col("_n") >= 1)  # sequence(1,0) would count DOWN in Spark
         .withColumn("_kk", F.explode(F.expr("sequence(1, _n)")))
     )

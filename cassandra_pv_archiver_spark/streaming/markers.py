@@ -63,7 +63,8 @@ def disconnect_markers_stream(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    NS = 1_000_000_000
+    from .limits import NS
+
     silence_ns = silence_s * NS
     # integer div, never double division: ns values exceed 2^53, and a
     # float-rounded event time near the watermark flips late-row handling

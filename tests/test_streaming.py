@@ -1341,3 +1341,45 @@ def test_stream_stream_left_outer_null_emission_on_eviction(spark, tmp_path):
     # wm drivers: 19 young (no), 28 matched nothing but right side rows
     # never null-extend in a LEFT outer join
     assert all(p != 28 for _, p in rows)
+
+
+def test_monotonic_guard_drops_null_keys(spark):
+    """Round-10 review: a null channel or null t defeats BOTH
+    exactly-once layers (the hwm fast path keeps it forever, the
+    (channel, t) anti-join never matches a null key), so every crash
+    replay would re-append it — the guard is the shared chokepoint that
+    rejects them, as the reference rejects samples without a valid
+    timestamp at the listener."""
+    batch = spark.createDataFrame(
+        [("X", 10 * NS, 1.0), (None, 20 * NS, 2.0), ("X", None, 3.0),
+         ("Y", 30 * NS, 4.0)],
+        "channel string, t long, v double",
+    )
+    out = sorted(
+        (r.channel, r.t // NS) for r in monotonic_guard(batch, None).collect()
+    )
+    assert out == [("X", 10), ("Y", 30)]
+
+
+def test_max_update_period_marker_aware(spark):
+    """Round-10 review: the reference only re-emits while the channel
+    stays CONNECTED — heartbeats must stop at a disconnect marker inside
+    the gap instead of asserting the stale payload persisted through the
+    outage."""
+    rows = [("X", 0, 7.0), ("X", 95 * NS, 9.0),
+            ("Y", 0, 1.0), ("Y", 35 * NS, 2.0)]
+    df = spark.createDataFrame(rows, "channel string, t long, v double")
+    markers = spark.createDataFrame(
+        [("X", 25 * NS, "disconnected"), ("X", 60 * NS, "disconnected")],
+        "channel string, t long, type string",
+    )
+    out = max_update_period(df, 10, markers=markers).collect()
+    # X: gap 0->95 with first disconnect at 25 -> beats at 10, 20 only
+    assert sorted(r.t // NS for r in out
+                  if r.heartbeat and r.channel == "X") == [10, 20]
+    # Y has no marker: connection-agnostic behavior unchanged
+    assert sorted(r.t // NS for r in out
+                  if r.heartbeat and r.channel == "Y") == [10, 20, 30]
+    # originals always survive
+    assert sorted(r.t // NS for r in out
+                  if not r.heartbeat and r.channel == "X") == [0, 95]
