@@ -1964,6 +1964,96 @@ ORDER BY channel, t
 """
 
 
+#: supervisor grace before a transition becomes a T5 disconnect marker
+CONNECTION_GRACE_S = 1800
+
+
+def q_heartbeat_connected_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 + T5 fused, the reference's ACTUAL heartbeat contract: a
+    channel re-emits its last sample every max_update_period only WHILE
+    CONNECTED (`updateSampleTimeStamp`; an outage gets a T5 marker, not
+    fabricated samples asserting the stale payload persisted through
+    it). Heartbeats inside each hold-forward gap stop at the first
+    disconnect marker in that gap; channels without markers keep the
+    plain heartbeat_1h behavior.
+
+    The marker is stamped at transition + CONNECTION_GRACE (the
+    supervisor declares the channel dead after a grace period, like the
+    CA client's connection timeout) — raw transitions coincide with
+    sample timestamps by construction in this dataset (every error
+    event IS a sample), which would make the strictly-inside-the-gap
+    condition vacuous."""
+    from .streaming.limits import max_update_period
+    from .streaming.markers import transition_markers
+
+    s = load_samples(spark, sf_dir).select("channel", "t", "v")
+    ev = load_events(spark, sf_dir)
+    states = ev.select(
+        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
+        F.expr("(ts div 1000) * 1000").alias("t"),
+        (F.col("event_type") != "error").alias("connected"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("channel", "t").orderBy("event_id")
+    states = (
+        states.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    markers = transition_markers(states).withColumn(
+        "t", F.col("t") + F.lit(CONNECTION_GRACE_S * NS)
+    )
+    return max_update_period(s, PERIOD_1H, markers=markers).orderBy(
+        "channel", "t", "heartbeat"
+    )
+
+
+SQL_HEARTBEAT_CONNECTED_1H = f"""
+WITH {{SAMPLES_CTE}},
+base AS (SELECT channel, t, v FROM samples),
+states AS (
+  SELECT channel, t, connected FROM (
+    SELECT 'PV:' || CAST(user_id AS VARCHAR) AS channel,
+           epoch_ns(ts) AS t,
+           event_type != 'error' AS connected,
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) ORDER BY event_id) AS _rn
+    FROM events) WHERE _rn = 1
+),
+d AS (
+  SELECT channel, t, connected,
+         lag(connected) OVER (PARTITION BY channel ORDER BY t) AS prev
+  FROM states
+),
+marks AS (
+  SELECT channel, t + {{GRACE_NS}} AS t
+  FROM d WHERE NOT connected AND (prev IS NULL OR prev)
+),
+iv AS (
+  SELECT channel, t, v, lead(t) OVER (PARTITION BY channel ORDER BY t) AS tn
+  FROM base
+),
+iv2 AS (
+  -- heartbeats stop at the FIRST disconnect marker strictly inside the
+  -- gap; (channel, t) is unique in iv, so this group is one source row
+  SELECT iv.channel, iv.t, iv.v, coalesce(min(m.t), iv.tn) AS tn
+  FROM iv LEFT JOIN marks m
+    ON m.channel = iv.channel AND m.t > iv.t AND m.t < iv.tn
+  WHERE iv.tn IS NOT NULL
+  GROUP BY iv.channel, iv.t, iv.v, iv.tn
+),
+beats AS (
+  SELECT channel, t + g.k * {PERIOD_1H * NS} AS t, v, TRUE AS heartbeat
+  FROM iv2, LATERAL (
+    SELECT unnest(generate_series(1, CAST((tn - 1 - t) // {PERIOD_1H * NS} AS INT))) AS k) g
+)
+SELECT channel, t, v, FALSE AS heartbeat FROM base
+UNION ALL SELECT * FROM beats
+ORDER BY channel, t, heartbeat
+""".replace("{SAMPLES_CTE}", SAMPLES_CTE.strip().rstrip()).replace(
+    "{GRACE_NS}", str(CONNECTION_GRACE_S * NS)
+)
+
+
 def q_channel_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 + archive-info: glob 'PV:1*' over channel names, per-channel sample
     count / time extent / mean (`Api10Controller.compileGlobPattern:307-345`)."""

@@ -533,6 +533,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "enabling_link": (catalog.q_enabling_link, catalog.SQL_ENABLING_LINK),
     "rate_limit_10m": (catalog.q_rate_limit_10m, catalog.SQL_RATE_LIMIT_10M),
     "heartbeat_1h": (catalog.q_heartbeat_1h, catalog.SQL_HEARTBEAT_1H),
+    "heartbeat_connected_1h": (
+        catalog.q_heartbeat_connected_1h,
+        catalog.SQL_HEARTBEAT_CONNECTED_1H,
+    ),
     "markers_disconnect": (catalog.q_markers_disconnect, catalog.SQL_MARKERS_DISCONNECT),
     "monotonic_stats": (catalog.q_monotonic_stats, catalog.SQL_MONOTONIC_STATS),
     "channel_dim_join": (catalog.q_channel_dim_join, catalog.SQL_CHANNEL_DIM_JOIN),
