@@ -200,6 +200,13 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["codegen id"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
+    "heartbeat_connected_1h": (
+        7,  # heartbeat's 3 + marker derivation (dedup + lag window) +
+        # the per-gap stop aggregation; both marker joins broadcast
+        ["codegen id", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "BroadcastNestedLoopJoin"],
+    ),
     "union_levels": (
         None,
         ["codegen id"],
