@@ -43,8 +43,7 @@ def shingles(
     in the DuckDB oracle.
     """
     words = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')")
-    idx = F.expr(f"sequence(0, size(_w) - {n})")
-    parts = " , ' ', ".join([f"_w[i + {j}]" for j in range(n)]).replace(" , ", ", ")
+    parts = ", ' ', ".join(f"_w[i + {j}]" for j in range(n))
     gram = f"transform(sequence(0, size(_w) - {n}), i -> concat({parts}))"
     return (
         df.select(F.col(id_col), words.alias("_w"))
@@ -146,12 +145,26 @@ def _banded_signatures(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+
+def _persist_logged(df: DataFrame, cache_log: list | None) -> DataFrame:
+    """persist + record for caller-side unpersist — UNLESS the caller
+    already cached the input (a session-scoped table must not be
+    unpersisted out from under its owner by a bounded-lifetime call)."""
+    if df.is_cached:
+        return df
+    df = df.persist()
+    if cache_log is not None:
+        cache_log.append(df)
+    return df
+
+
 def minhash_lsh_pairs(
     sh: DataFrame,
     num_hashes: int = 8,
     band_size: int = 2,
     verify_threshold: float = 0.2,
     id_col: str = "doc_id",
+    cache_log: list | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with true Jaccard.
 
@@ -159,6 +172,13 @@ def minhash_lsh_pairs(
     -> candidate pairs -> exact Jaccard filter. The only joins are on band
     keys (candidates) and on ids (verification) — no quadratic blowup.
     Returns: id_a, id_b, jaccard, n_common.
+
+    ``cache_log`` (round-10 review): every DataFrame this function
+    persists is appended to it so a bounded-lifetime caller (the
+    streaming pair-table maintenance, one call per micro-batch) can
+    unpersist after materializing — without it each batch leaked 1-2
+    cached corpus-sized datasets for the life of the driver. Session
+    -scoped callers (the registry queries) omit it on purpose.
     """
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be a multiple of band_size")
@@ -166,7 +186,7 @@ def minhash_lsh_pairs(
     # persist it so the (explode + md5) generation runs once, not three
     # times (measured −25% warm at sf0.1; at 100 TB recomputing the
     # shingle explode per consumer is the dominant waste)
-    sh = sh.persist()
+    sh = _persist_logged(sh, cache_log)
     banded = _banded_signatures(sh, num_hashes, band_size, id_col)
     cand = (
         banded.alias("x")
@@ -202,28 +222,61 @@ def minhash_lsh_pairs(
     return out
 
 
+def corpus_index(
+    sh: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """``(bands, sets)`` for one side of the LSH join — the REUSABLE
+    per-document derivation (minhash band keys + exact shingle sets).
+    Both are pure functions of each document alone, so a maintained
+    corpus index is fold-updatable: ``index(corpus + batch) =
+    index(corpus) UNION index(batch)`` — the property
+    :func:`..sources.pair_store.start_pair_table_maintenance` uses to
+    keep per-batch maintenance O(batch) compute instead of re-deriving
+    minhashes over the whole corpus every micro-batch (round-10
+    review)."""
+    bands = _banded_signatures(sh, num_hashes, band_size, id_col)
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
+    return bands, sets
+
+
 def minhash_lsh_delta_pairs(
-    sh_old: DataFrame,
+    sh_old: DataFrame | None,
     sh_new: DataFrame,
     num_hashes: int = 8,
     band_size: int = 2,
     verify_threshold: float = 0.2,
     id_col: str = "doc_id",
+    old_index: tuple[DataFrame, DataFrame] | None = None,
+    cache_log: list | None = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs between a NEW document batch and
     the existing corpus only — the shape a continuously-ingesting
     pipeline runs per batch. Band keys are computed for both sides, but
     the candidate join is old ⋈ new (never old ⋈ old), so per-batch cost
-    scales with the batch, not the corpus²; in production the corpus
-    band table is precomputed and persisted, making each increment one
-    equi-join of the batch's bands against it.
+    scales with the batch, not the corpus².
+
+    ``old_index`` — a precomputed :func:`corpus_index` of the corpus
+    side (``sh_old`` may then be None): each increment probes the
+    maintained band/set tables instead of re-deriving minhashes and
+    collect_set over the whole corpus per batch. ``cache_log`` as in
+    :func:`minhash_lsh_pairs`.
 
     Returns: old_id, new_id, jaccard, n_common.
     """
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be a multiple of band_size")
-    sh_old, sh_new = sh_old.persist(), sh_new.persist()
-    b_old = _banded_signatures(sh_old, num_hashes, band_size, id_col)
+    sh_new = _persist_logged(sh_new, cache_log)
+    if old_index is not None:
+        b_old, sets_old_raw = old_index
+    else:
+        sh_old = _persist_logged(sh_old, cache_log)
+        b_old = _banded_signatures(sh_old, num_hashes, band_size, id_col)
+        sets_old_raw = sh_old.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("sset")
+        )
     b_new = _banded_signatures(sh_new, num_hashes, band_size, id_col)
     cand = (
         b_old.select(F.col(id_col).alias("old_id"), "band", "key")
@@ -232,7 +285,9 @@ def minhash_lsh_delta_pairs(
         .select("old_id", "new_id")
         .distinct()
     )
-    sets_old = sh_old.groupBy(id_col).agg(F.collect_set("shingle").alias("sa"))
+    sets_old = sets_old_raw.select(
+        F.col(id_col), F.col("sset").alias("sa")
+    )
     sets_new = sh_new.groupBy(id_col).agg(F.collect_set("shingle").alias("sb"))
     return (
         cand.join(
@@ -296,11 +351,16 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint()
     )
-    # Convergence check: labels only ever DECREASE (min of mins), so the
-    # exact decimal label sum is strictly monotone until fixpoint — an
-    # unchanged sum proves convergence with ONE cheap aggregation job per
-    # iteration instead of a join-and-count (halves the per-iteration job
-    # count; at cluster scale the saved join is the expensive part).
+    # Convergence check: labels only ever DECREASE (min of mins), so any
+    # non-fixpoint iteration changes at least one node's label — the
+    # label MULTISET changes, and an unchanged hash-sum proves
+    # convergence with ONE cheap aggregation job per iteration instead
+    # of a join-and-count (halves the per-iteration job count; at
+    # cluster scale the saved join is the expensive part). The sum runs
+    # over xxhash64 of the label AS STRING: type-agnostic (string doc
+    # ids summed as decimal were NULL — the loop broke after one
+    # iteration with split clusters; round-10 review) and collision-safe
+    # to ~2^-64 per check.
     prev_sum = None
     for _ in range(max_iter):
         neighbor = (
@@ -313,7 +373,9 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
         ).localCheckpoint()
         cur_sum = labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            F.sum(
+                F.xxhash64(F.col("comp").cast("string")).cast("decimal(38,0)")
+            ).alias("s")
         ).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -552,6 +614,7 @@ def contamination_exact_run(
     bench_ids: DataFrame,
     id_col: str = "doc_id",
     min_run: int = 1,
+    n: int = 3,
 ) -> DataFrame:
     """Exact-substring decontamination: the longest CONSECUTIVE run of
     benchmark-present n-gram positions per candidate document.
@@ -560,7 +623,10 @@ def contamination_exact_run(
     n-grams signal that fires on topical overlap. Real leakage policy
     ("drop documents sharing a >= K-token exact substring with an eval
     set") needs positions: a run of r consecutive shared 3-grams is an
-    exact shared substring of r + 2 tokens. Gaps-and-islands over the hit
+    exact shared substring of r + n - 1 tokens (``n`` = the shingle
+    width ``sh_pos`` was built with; round-10 review — the +2 was
+    hardcoded for 3-grams while sibling pair_substring_spans already
+    parametrizes it). Gaps-and-islands over the hit
     positions: ``pos - row_number()`` is constant within a consecutive
     run, one window per doc + two hash aggs. The benchmark shingle set
     broadcasts (same scale story as :func:`contamination`); the corpus is
@@ -584,7 +650,7 @@ def contamination_exact_run(
             F.max("_run").alias("max_run"),
             F.sum("_run").alias("n_hit_positions"),
         )
-        .withColumn("longest_tokens", F.col("max_run") + F.lit(2))
+        .withColumn("longest_tokens", F.col("max_run") + F.lit(n - 1))
         .filter(F.col("max_run") >= min_run)
         .select(id_col, "max_run", "longest_tokens", "n_hit_positions")
     )
@@ -756,6 +822,7 @@ def containment_lsh_pairs(
     min_hits: int = 1,
     max_df: int | None = None,
     id_col: str = "doc_id",
+    cache_log: list | None = None,
 ) -> DataFrame:
     """Containment near-dup pairs at scale: band on the SMALLER side's
     signature — the production path :func:`containment_pairs` (the exact,
@@ -802,11 +869,10 @@ def containment_lsh_pairs(
     # the verification sets need (array_sort over the per-doc set instead
     # of a second window shuffle — identical (md5, shingle) order, so the
     # selected probes are byte-identical to a row_number formulation)
-    sh = sh.persist()
-    doc_sets = (
-        sh.groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sset"))
-        .persist()
+    sh = _persist_logged(sh, cache_log)
+    doc_sets = _persist_logged(
+        sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset")),
+        cache_log,
     )
     probes = doc_sets.select(
         F.col(id_col).alias("_probe"),

@@ -115,6 +115,17 @@ class PairTableView:
     def _publish(
         self, pairs: DataFrame, remove: list[str], marker: str | None = None
     ) -> None:
+        # the table schema is bigint-keyed; refuse non-integral ids
+        # loudly (round-10 review: the cast silently NULLed string ids
+        # with ANSI off, or blew up mid-commit with ANSI on)
+        for c in ("id_a", "id_b"):
+            dt = dict(pairs.dtypes).get(c)
+            if dt not in ("bigint", "int", "smallint", "tinyint"):
+                raise TypeError(
+                    f"PairTableView stores integral doc ids; column {c!r} "
+                    f"is {dt} (PAIR_SCHEMA is fixed — map string ids to "
+                    "a surrogate bigint before maintenance)"
+                )
         out = pairs.select(
             F.col("id_a").cast("bigint"),
             F.col("id_b").cast("bigint"),
@@ -139,9 +150,10 @@ class PairTableView:
 
     def apply_batch(
         self,
-        sh_corpus: DataFrame,
+        sh_corpus: DataFrame | None,
         sh_batch: DataFrame,
         marker: str | None = None,
+        corpus_index=None,
     ) -> int:
         """Incremental maintenance for one ingest batch: append the
         cross (corpus ⋈ batch) and within-batch pairs — O(batch), the
@@ -153,15 +165,38 @@ class PairTableView:
         crash): a zero-byte ``applied/<marker>`` file rides the SAME
         atomic manifest commit as the pair files, and a later call with
         the same marker is a no-op — the pair table can never
-        double-apply a batch."""
+        double-apply a batch.
+
+        ``corpus_index`` — a maintained :func:`dedup.corpus_index` of
+        the corpus side (``sh_corpus`` may then be None): per-batch
+        cost becomes O(batch) compute probing the index, instead of
+        re-deriving minhashes and shingle sets over the whole corpus
+        every call (round-10 review). Intermediates persisted by the
+        dedup operators are unpersisted before returning — one call per
+        micro-batch must not accumulate cached corpus-sized datasets
+        for the life of the driver."""
         if marker is not None and self.has_marker(marker):
             return self.table.current_version()
+        cache_log: list = []
+        try:
+            self._apply_batch(sh_corpus, sh_batch, marker, corpus_index,
+                              cache_log)
+        finally:
+            for df in cache_log:
+                df.unpersist()
+        return self.table.current_version()
+
+    def _apply_batch(
+        self, sh_corpus, sh_batch, marker, corpus_index, cache_log
+    ) -> None:
         cross = dedup.minhash_lsh_delta_pairs(
             sh_corpus,
             sh_batch,
             self.num_hashes,
             self.band_size,
             self.verify_threshold,
+            old_index=corpus_index,
+            cache_log=cache_log,
         ).select(
             F.least("old_id", "new_id").alias("id_a"),
             F.greatest("old_id", "new_id").alias("id_b"),
@@ -169,19 +204,27 @@ class PairTableView:
             "n_common",
         )
         within = dedup.minhash_lsh_pairs(
-            sh_batch, self.num_hashes, self.band_size, self.verify_threshold
+            sh_batch, self.num_hashes, self.band_size, self.verify_threshold,
+            cache_log=cache_log,
         ).select("id_a", "id_b", "jaccard", "n_common")
         self._publish(
             cross.unionByName(within), remove=[], marker=marker
         )
-        return self.table.current_version()
 
     def has_marker(self, marker: str) -> bool:
         """True iff a commit carrying ``applied/<marker>`` is visible
         (publish_stage prefixes file names with a unique tag, hence the
         suffix match)."""
+        # EXACT match on the segment after the publish tag (the tag is
+        # 12 hex chars, never containing '-'): a suffix match would
+        # false-positive on a marker that is a dash-boundary suffix of
+        # a previously applied one (round-10 review)
+        def _name(r: str) -> str | None:
+            base = r.split("/", 1)[1]
+            return base.split("-", 1)[1] if "-" in base else None
+
         return any(
-            r.startswith("applied/") and r.endswith(f"-{marker}")
+            r.startswith("applied/") and _name(r) == marker
             for r in self.table.files() or []
         )
 
@@ -227,10 +270,43 @@ def start_pair_table_maintenance(
     The cross join inside ``apply_batch`` uses the corpus AS OF before
     this batch (it reads ``doc_table`` at call time, pre-append), so
     batch ⋈ batch pairs come from the within-batch leg exactly once.
+
+    Round-10 review, two fixes:
+
+    * the idempotency marker is scoped to THIS checkpoint (a stable
+      digest of ``checkpoint_dir`` prefixes the batch id) — raw
+      ``batch-<id>`` markers collide when a SECOND stream with a fresh
+      checkpoint (batch ids restart at 0) feeds the same tables, which
+      silently skipped pair maintenance while still appending docs;
+    * the corpus LSH index (band keys + shingle sets) is maintained
+      incrementally across batches: ``index(corpus+batch) =
+      index(corpus) UNION index(batch)`` (both are per-document pure
+      functions), so per-batch cost is O(batch) compute probing the
+      maintained index — the module contract — instead of re-deriving
+      minhashes over the whole corpus every micro-batch. The fold is
+      eagerly ``localCheckpoint``ed: lineage stays flat across
+      thousands of batches, and a driver restart just recomputes the
+      index once from ``doc_table``.
     """
+    import hashlib
+
     from ..operators import dedup as _dedup
 
     sh_fn = shingle_fn or _dedup.shingles
+    scope = hashlib.sha256(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+    idx: dict = {}  # version -> (bands, sets) maintained corpus index
+
+    def _corpus_index(corpus, version):
+        if "bands" not in idx or idx.get("version") != version:
+            bands, sets = _dedup.corpus_index(
+                sh_fn(corpus), view.num_hashes, view.band_size
+            )
+            idx.update(
+                version=version,
+                bands=bands.localCheckpoint(),
+                sets=sets.localCheckpoint(),
+            )
+        return idx["bands"], idx["sets"]
 
     def _maintain(batch_df, batch_id):
         corpus = doc_table.read()
@@ -240,10 +316,28 @@ def start_pair_table_maintenance(
         try:
             if fresh.count() == 0:
                 return
+            pre_version = doc_table.versions()[-1] if doc_table.versions() else None
+            bands, sets = _corpus_index(corpus, pre_version)
+            sh_fresh = sh_fn(fresh)
             view.apply_batch(
-                sh_fn(corpus), sh_fn(fresh), marker=f"batch-{batch_id}"
+                None,
+                sh_fresh,
+                marker=f"{scope}-batch-{batch_id}",
+                corpus_index=(bands, sets),
             )
-            doc_table.append(fresh)
+            new_version = doc_table.append(fresh)
+            # fold the batch into the maintained index — O(batch), and
+            # keyed to the post-append version so a concurrent reader of
+            # the closure state can never mistake it for the pre-append
+            # corpus
+            nb, ns = _dedup.corpus_index(
+                sh_fresh, view.num_hashes, view.band_size
+            )
+            idx.update(
+                version=new_version,
+                bands=bands.unionByName(nb).localCheckpoint(),
+                sets=sets.unionByName(ns).localCheckpoint(),
+            )
         finally:
             fresh.unpersist()
 

@@ -285,3 +285,31 @@ def test_containment_lsh_max_df_drops_ubiquitous_shingles(spark):
     sh = dedup.shingles(docs)
     assert dedup.containment_lsh_pairs(sh, 0.5, 0.9, k=8, max_df=1).count() == 0
     assert dedup.containment_lsh_pairs(sh, 0.5, 0.9, k=8, max_df=2).count() == 1
+
+
+def test_connected_components_string_ids(spark):
+    """Round-10 review: the convergence check summed labels as
+    decimal(38,0); for STRING ids the cast was NULL, the loop broke
+    after one iteration, and a 3-chain split into two clusters. The
+    hash-sum check is type-agnostic."""
+    from cassandra_pv_archiver_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    nodes = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",), ("doc-x",), ("doc-y",),
+         ("doc-solo",)],
+        "doc_id string",
+    )
+    comp = {
+        r.doc_id: r.comp
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert comp == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x", "doc-solo": "doc-solo",
+    }

@@ -488,13 +488,26 @@ class TestPairStore:
         assert got == want and want, (got, want)
         assert {r.doc_id for r in dt.read().collect()} == {1, 2, 3, 10, 11}
 
-        # replaying an already-applied batch is a no-op (marker guard)
+        # replaying an already-applied batch is a no-op (marker guard);
+        # markers are scoped to the CHECKPOINT (round-10 review: a second
+        # stream with a fresh checkpoint restarts batch ids at 0 and must
+        # NOT collide with this stream's markers)
+        import hashlib
+
+        scope = hashlib.sha256(
+            str(tmp_path / "ckpt").encode("utf-8")
+        ).hexdigest()[:12]
         v_before = view.table.current_version()
         n_before = view.read().count()
         sh = dedup.shingles(spark.createDataFrame(rows[:2], schema))
-        view.apply_batch(sh, sh, marker="batch-1")
+        view.apply_batch(sh, sh, marker=f"{scope}-batch-1")
         assert view.table.current_version() == v_before
         assert view.read().count() == n_before
+        # marker matching is EXACT on the name segment: neither the
+        # unscoped name nor a dash-boundary suffix may match
+        assert view.has_marker(f"{scope}-batch-1")
+        assert not view.has_marker("batch-1")
+        assert not view.has_marker("1")
 
 
 def test_gc_grace_spares_young_orphans_but_not_old(spark, tmp_path):
