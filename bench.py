@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     # per-channel exchange; raw + lattice union for gorilla)
     "ts_gorilla_size",
     "bucket_rollover_estimate",
+    # round 10 (store_schema_reverse is a store-lifecycle correctness
+    # row, out by the store-build precedent above)
+    "heartbeat_connected_1h",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
