@@ -242,6 +242,60 @@ FROM vpairs ORDER BY id_a, id_b
 """
 
 
+def q_pair_table_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO independent streaming maintenance runs feeding ONE persisted
+    pair table — the multi-stream operational lifecycle. Each run gets a
+    FRESH checkpoint, so Structured Streaming restarts its batch ids at
+    0 in both: exactly the collision the checkpoint-scoped idempotency
+    markers exist for (round-10 review — raw ``batch-<id>`` markers made
+    the second stream silently skip pair maintenance while still
+    appending docs, permanently breaking the view invariant). Stream 1
+    ingests the corpus (doc_id % 10 != 0), stream 2 the delta; the
+    oracle is the FULL-corpus rebuild chain, so a value-hash match
+    proves the two-stream composition lands on exactly the batch-free
+    answer."""
+    from .sources.pair_store import (
+        DocTable,
+        PairTableView,
+        start_pair_table_maintenance,
+    )
+
+    def build():
+        from .catalog import _scratch_dir
+
+        root = _scratch_dir("pvpairs_streams_")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        schema = "doc_id bigint, text string"
+        dt = DocTable(spark, root + "/docs", schema)
+        view = PairTableView(
+            spark, root + "/pairs", MINHASH_K, MINHASH_BAND, MINHASH_VERIFY
+        )
+        parts = (
+            docs.filter(F.col("doc_id") % DELTA_NEW_MOD != 0),
+            docs.filter(F.col("doc_id") % DELTA_NEW_MOD == 0),
+        )
+        for i, part in enumerate(parts):
+            src = f"{root}/src{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_pair_table_maintenance(
+                stream, dt, view, f"{root}/ckpt{i}", available_now=True
+            )
+            q.awaitTermination(300)
+        return view.read().persist()
+
+    return _cached(spark, sf_dir, "pair_table_streams", build).orderBy(
+        "id_a", "id_b"
+    )
+
+
+#: identical oracle to the CDC-incremental row: both must land on the
+#: full-rebuild pair set exactly
+SQL_PAIR_TABLE_STREAMS = SQL_PAIR_TABLE_INCREMENTAL
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: MinHash-LSH pairs between the 'new batch'
     (doc_id % 10 == 0) and the existing corpus only — band join is

@@ -332,6 +332,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_pair_table_incremental,
         catalog_data.SQL_PAIR_TABLE_INCREMENTAL,
     ),
+    "pair_table_streams": (
+        catalog_data.q_pair_table_streams,
+        catalog_data.SQL_PAIR_TABLE_STREAMS,
+    ),
     "image_dhash_mixed_codec": (
         catalog_data.q_image_dhash_mixed_codec,
         catalog_data.SQL_IMAGE_DHASH_NEAR_DUP,
