@@ -112,9 +112,14 @@ def pca_top_component(
     per-vector projections bit-for-bit — the whitening/compression
     direction a pipeline uses before truncation or quantization.
 
-    Returns a tall DataFrame: kind='component' (i = 1..dim, value =
-    u_i), kind='lambda' (i = 0), and kind='projection' rows for
-    ``query_ids`` (value = Σ u_j · xq_j)."""
+    Returns a tall DataFrame: kind='component1'/'component2'
+    (i = 1..dim, value = u_i for the top two Hotelling-deflated
+    directions), kind='lambda' (i = 1 and 2, the Rayleigh eigenvalues),
+    and kind='projection1'/'projection2' rows for ``query_ids``
+    (value = Σ u_j · xq_j). A DEGENERATE scatter (single vector,
+    all-identical or all-zero corpus: S is exactly the zero matrix in
+    integer arithmetic) returns zero components and lambda 0.0 instead
+    of crashing on 0/0 (round-10 review)."""
     spark = emb.sparkSession
     xq = F.expr(
         f"transform({vec_col}, c ->"
@@ -149,6 +154,14 @@ def pca_top_component(
     )
     if not rows:
         return spark.createDataFrame([], out_schema)
+    seen_dim = max(r["i"] for r in rows) + 1
+    if seen_dim != dim:
+        # longer vectors would IndexError below; shorter ones would
+        # null-pad zip_with and silently NULL every projection
+        raise ValueError(
+            f"pca_top_component: dim={dim} but {vec_col!r} has "
+            f"{seen_dim} components — pass dim={seen_dim}"
+        )
     S = [[0.0] * dim for _ in range(dim)]
     for r in rows:
         S[r["i"]][r["j"]] = _big_int_to_double(int(r["s"]))
@@ -171,12 +184,16 @@ def pca_top_component(
         for i in range(dim):
             num += v[i] * prev[i]
             den += prev[i] * prev[i]
-        lam = num / den
         nrm = 0.0
         for i in range(dim):
             nrm += v[i] * v[i]
         nrm = math.sqrt(nrm)
-        return [x / nrm for x in v], lam
+        if den == 0.0 or nrm == 0.0:
+            # exactly-zero scatter (degenerate corpus): the direction is
+            # undefined — return the zero vector and lambda 0.0 rather
+            # than raising ZeroDivisionError driver-side
+            return [0.0] * dim, 0.0
+        return [x / nrm for x in v], num / den
 
     u1, lam1 = _power(S)
     # Hotelling deflation with the computed pair — the standard
@@ -413,6 +430,25 @@ def auto_srp_bits(n_rows: int) -> int:
     return max(8, math.ceil(math.log2(max(n_rows, 2))) + 3)
 
 
+def fold_dot(a: str, b: str) -> str:
+    """Sequential-fold dot product as a Catalyst expression — the ONE
+    definition of the file's core bit-exactness discipline (every float
+    reduction is a left fold in the same order as the SQL oracle);
+    previously copy-pasted into two functions (round-10 review)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def fold_norm(a: str) -> str:
+    """Sequential-fold L2 norm (see :func:`fold_dot`)."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> x * x),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+
+
 def srp_candidate_pairs(
     emb: DataFrame,
     n_bits: int | None = None,
@@ -421,6 +457,7 @@ def srp_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 0,
+    cache_log: list | None = None,
 ) -> DataFrame:
     """Same-bucket SRP candidate pairs (id_a < id_b, deduped across bands).
 
@@ -449,6 +486,8 @@ def srp_candidate_pairs(
         .select("_id", "band", "bucket")
         .persist()
     )
+    if cache_log is not None:
+        cache_log.append(sig)
     if n_probes > 0:
         # probe side = base bucket + its Hamming-1 neighbors; index side
         # stays base-only, so the blowup is (1+q)x one side, not (1+q)^2.
@@ -489,6 +528,7 @@ def srp_near_pairs(
     vec_col: str = "embedding",
     round_to: int = 4,
     n_probes: int = 0,
+    cache_log: list | None = None,
 ) -> DataFrame:
     """LSH-bucketed near-duplicate pairs: SRP band buckets -> same-bucket
     candidate join -> exact cosine verify ``>= threshold``.
@@ -527,7 +567,7 @@ def srp_near_pairs(
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     cand = srp_candidate_pairs(
         base, n_bits=n_bits, n_bands=n_bands, dim=dim, id_col="_id",
-        vec_col="_v", n_probes=n_probes,
+        vec_col="_v", n_probes=n_probes, cache_log=cache_log,
     )
 
     @pandas_udf("double")
@@ -536,8 +576,22 @@ def srp_near_pairs(
 
         a = np.stack(va.to_numpy()).astype(np.float64)
         b = np.stack(vb.to_numpy()).astype(np.float64)
-        num = (a * b).sum(axis=1)
-        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        # SEQUENTIAL left fold over dimensions, vectorized across pairs:
+        # numpy's .sum is PAIRWISE summation, which can differ from the
+        # oracle's list_sum (a strict left fold — probed empirically) in
+        # the last ulp; a sim landing on a round-to-4 midpoint would then
+        # flip pair membership between the engines (round-10 review).
+        # One elementwise add per dimension keeps the numpy speed and the
+        # fold order.
+        n = a.shape[0]
+        num = np.zeros(n)
+        na2 = np.zeros(n)
+        nb2 = np.zeros(n)
+        for j in range(a.shape[1]):
+            num += a[:, j] * b[:, j]
+            na2 += a[:, j] * a[:, j]
+            nb2 += b[:, j] * b[:, j]
+        den = np.sqrt(na2) * np.sqrt(nb2)
         # zero-norm guard: NaN would PASS `sim >= threshold` (NaN compares
         # greater in Spark) and rank first — 0.0 is the neutral value
         safe = np.where(den == 0.0, 1.0, den)
@@ -712,7 +766,13 @@ def _kmeans_fit(
             "cluster", F.posexplode("_vq").alias("pos", "comp")
         )
         agg = e.groupBy("cluster", "pos").agg(
-            F.sum("comp").alias("_s"), F.count(F.lit(1)).alias("_n")
+            # decimal(38,0): a bigint sum of 1e9-grid components
+            # overflows int64 near the 100 TB envelope (~1e9-row
+            # clusters x |c|>9); the decimal sum is the same exact
+            # integer at any tested SF (round-10 review — same fix as
+            # the PCA scatter and pq_staleness_audit)
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
         )
         per_dim = agg.select(
             "cluster", "pos",
@@ -742,6 +802,7 @@ def kmeans_ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_log: list | None = None,
 ) -> DataFrame:
     """IVF top-k probe over the deterministic K-Means index: assign the
     corpus once, rank each query's centroids by cosine, search only the
@@ -755,19 +816,9 @@ def kmeans_ivf_topk(
     """
     assigned, cent = _kmeans_fit(emb, n_clusters, iters, id_col, vec_col)
     assigned = assigned.persist()
+    if cache_log is not None:
+        cache_log.append(assigned)
     to_d = "transform({c}, x -> CAST(x AS DOUBLE))"
-
-    def fold_dot(a: str, b: str) -> str:
-        return (
-            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-
-    def fold_norm(a: str) -> str:
-        return (
-            f"sqrt(aggregate(transform({a}, x -> x * x),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
-        )
 
     qv = (
         assigned.filter(F.col("_id").isin(list(query_ids)))
@@ -831,6 +882,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    cache_log: list | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: pairwise cosine is
     computed only WITHIN each K-Means cluster of the deterministic Lloyd
@@ -855,6 +907,12 @@ def semantic_dedup_pairs(
     sim) with ``sim >= threshold``, id_a < id_b.
     """
     assigned, _ = _kmeans_fit(emb, k, iters, id_col, vec_col)
+    # persist: the helper self-joins the assignment, and without a cache
+    # the full multi-shuffle Lloyd chain re-executes on BOTH join sides
+    # (round-10 review; semantic_dedup below already did this)
+    assigned = assigned.persist()
+    if cache_log is not None:
+        cache_log.append(assigned)
     return _semantic_pairs_from_assigned(assigned, threshold, round_to)
 
 
@@ -865,18 +923,6 @@ def _semantic_pairs_from_assigned(
     (``_kmeans_fit`` output) — split out so summary queries can share ONE
     fit instead of re-running the iteration chain per consumer."""
     to_d = "transform({c}, x -> CAST(x AS DOUBLE))"
-
-    def fold_dot(a: str, b: str) -> str:
-        return (
-            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-
-    def fold_norm(a: str) -> str:
-        return (
-            f"sqrt(aggregate(transform({a}, x -> x * x),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
-        )
 
     a = assigned.select(
         "cluster", F.col("_id").alias("id_a"),
@@ -909,6 +955,7 @@ def semantic_dedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_log: list | None = None,
 ) -> DataFrame:
     """SemDeDup keep/drop summary per cluster: a vector is DROPPED when a
     smaller-id vector in the same cluster has cosine >= threshold ("keep
@@ -917,6 +964,8 @@ def semantic_dedup(
     (persisted assignment shared by the size and pair branches)."""
     assigned, _ = _kmeans_fit(emb, k, iters, id_col, vec_col)
     assigned = assigned.persist()
+    if cache_log is not None:
+        cache_log.append(assigned)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
     pairs = _semantic_pairs_from_assigned(assigned, threshold)
     stats = pairs.groupBy("cluster").agg(

@@ -607,3 +607,79 @@ class TestPcaTopComponent:
 
         emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
         assert pca_top_component(emb, dim=4).count() == 0
+
+
+def test_pca_degenerate_corpus_returns_zero_not_crash(spark):
+    """Round-10 review: an all-identical (or single-vector) corpus has an
+    exactly-zero integer scatter matrix — the power iteration divided
+    0/0 and crashed driver-side. The degenerate contract is zero
+    components and lambda 0.0."""
+    from cassandra_pv_archiver_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [0.5, -0.25, 0.125, 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_top_component(emb, dim=4)
+    rows = {(r.kind, r.i): r.value for r in out.collect()}
+    assert rows[("lambda", 1)] == 0.0 and rows[("lambda", 2)] == 0.0
+    assert all(
+        rows[(k, i)] == 0.0
+        for k in ("component1", "component2") for i in range(1, 5)
+    )
+    # single-vector corpus: same contract
+    one = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    assert pca_top_component(one, dim=4).count() == 10  # 2x4 comps + 2 lambdas
+
+
+def test_pca_dim_mismatch_refused(spark):
+    """Round-10 review: a wrong dim crashed with IndexError (longer
+    vectors) or silently NULLed every projection (shorter) — refuse
+    loudly instead."""
+    import pytest
+
+    from cassandra_pv_archiver_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="dim=64 but .* 2 components"):
+        pca_top_component(emb)  # default dim=64 vs 2-dim vectors
+
+
+def test_srp_cosine_kernel_is_sequential_fold(spark):
+    """Round-10 review: numpy's pairwise .sum can differ from the
+    oracle's sequential list_sum in the last ulp; the kernel must be a
+    strict left fold over dimensions. Adversarial vector: cancellation
+    order changes the result visibly."""
+    from cassandra_pv_archiver_spark.operators.similarity import (
+        srp_near_pairs,
+    )
+
+    # a·b sequential: ((1e16 + 1) - 1e16) + 1 = 2 (pairwise: 0 or other)
+    a = [1e8, 1e-4, -1e8, 1e-4] * 16  # dot(a,a) folds with cancellation
+    emb = spark.createDataFrame(
+        [(1, a), (2, a)], "vec_id long, embedding array<double>"
+    )
+    out = srp_near_pairs(
+        emb, threshold=0.0, n_bits=2, n_bands=4, dim=64
+    ).collect()
+    assert len(out) == 1
+    # the oracle-side value: DuckDB list_sum (probed: strict left fold)
+    import duckdb
+
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT round(list_sum(list_transform(range(64), i -> a[i+1]*b[i+1]))"
+        " / (sqrt(list_sum(list_transform(range(64), i -> a[i+1]*a[i+1])))"
+        " * sqrt(list_sum(list_transform(range(64), i -> b[i+1]*b[i+1])))), 4)"
+        " FROM (SELECT ?::DOUBLE[] a, ?::DOUBLE[] b)", [a, a]
+    ).fetchone()[0]
+    assert out[0].sim == want
