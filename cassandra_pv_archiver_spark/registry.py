@@ -772,35 +772,35 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: (cheap tpch rows), which rotates to the front next round.
 _LAST_DRIVER_CHECKED = {
     "admin_commands_roundtrip": 8,
-    "ann_cosine_topk": 5,
+    "ann_cosine_topk": 10,
     "ann_ivf_topk": 9,
     "ann_kmeans_clusters": 9,
     "ann_kmeans_ivf_topk": 9,
     "ann_recall_audit": 9,
     "approx_distinct_audit": 8,
-    "archive_incremental_1h": 5,
+    "archive_incremental_1h": 10,
     "array_elementwise_stats": 9,
-    "asof_after": 5,
-    "asof_before": 5,
-    "asof_pair_align": 5,
+    "asof_after": 10,
+    "asof_before": 10,
+    "asof_pair_align": 10,
     "attribution_last_touch": 7,
     "audio_downsample_features": 7,
-    "audio_features_wav": 5,
-    "audio_fingerprint_near_dup": 5,
+    "audio_features_wav": 10,
+    "audio_fingerprint_near_dup": 10,
     "audio_vad_segments": 7,
     "balanced_sample_per_lang": 9,
-    "bloom_decontam_audit": 5,
+    "bloom_decontam_audit": 10,
     "bm25_topk": 8,
     "boilerplate_by_source": 7,
     "boilerplate_spans": 7,
-    "bpe_merges": 5,
-    "bpe_tokenize_audit": 5,
+    "bpe_merges": 10,
+    "bpe_tokenize_audit": 10,
     "bucket_rollover_estimate": 8,
-    "build_training_shard": 5,
-    "ca_array_roundtrip_stats": 5,
+    "build_training_shard": 10,
+    "ca_array_roundtrip_stats": 10,
     "ca_ctrl_metadata": 8,
-    "ca_ingest_roundtrip_1h": 5,
-    "ca_live_subscribe": 5,
+    "ca_ingest_roundtrip_1h": 10,
+    "ca_live_subscribe": 10,
     "ca_live_subscribe_typed": 8,
     "ca_typed_roundtrip_1h": 8,
     "ca_wire_matrix": 7,
@@ -830,14 +830,14 @@ _LAST_DRIVER_CHECKED = {
     "context_chunks": 9,
     "conversion_funnel": 8,
     "corpus_correlations": 9,
-    "counter_rate_6h": 4,
-    "crossmodal_pairs": 4,
+    "counter_rate_6h": 10,
+    "crossmodal_pairs": 10,
     "csv_ingest_roundtrip_1h": 8,
-    "curate_corpus": 4,
+    "curate_corpus": 10,
     "curate_round7": 7,
     "curate_round8": 8,
-    "curriculum_bins": 4,
-    "cusum_changepoints": 4,
+    "curriculum_bins": 10,
+    "cusum_changepoints": 10,
     "decimate_1h": 7,
     "decimate_1h_auto_skew": 7,
     "decimate_cascade_1d": 7,
@@ -852,18 +852,18 @@ _LAST_DRIVER_CHECKED = {
     "dedup_incremental": 8,
     "dedup_minhash_lsh": 9,
     "dedup_ngram_jaccard": 9,
-    "dedup_rate_by_source": 4,
+    "dedup_rate_by_source": 10,
     "dim_truncation_recall": 5,
     "dim_variance_selection_recall": 7,
-    "distinctive_terms": 4,
-    "distribution_drift": 4,
+    "distinctive_terms": 10,
+    "distribution_drift": 10,
     "doc_fingerprint": 5,
     "doc_sample_10pct": 9,
     "dsir_importance": 9,
-    "embedding_dedup_clusters": 4,
+    "embedding_dedup_clusters": 10,
     "embedding_label_stats": 5,
     "embedding_near_dup": 5,
-    "embedding_near_dup_lsh": 4,
+    "embedding_near_dup_lsh": 10,
     "embedding_quantize_audit": 9,
     "enabling_link": 7,
     "enabling_link_multi": 5,
@@ -875,11 +875,12 @@ _LAST_DRIVER_CHECKED = {
     "events_unpivot": 9,
     "ewma_by_channel": 5,
     "fuzzy_channel_pairs": 7,
-    "group_split_guard": 4,
+    "group_split_guard": 10,
     "hard_negative_mining": 7,
     "heartbeat_1h": 7,
+    "heartbeat_connected_1h": 10,
     "image_dhash_mixed_codec": 5,
-    "image_dhash_near_dup": 4,
+    "image_dhash_near_dup": 10,
     "image_phash_mixed_codec": 7,
     "image_resize_dhash": 7,
     "ivfpq_adc_recall": 5,
@@ -889,59 +890,60 @@ _LAST_DRIVER_CHECKED = {
     "json_v1_raw_typed": 7,
     "json_v1_typed_1h": 7,
     "jsonl_ingest_roundtrip_1h": 9,
-    "lagged_correlation_1h": 4,
-    "lang_confusion": 4,
+    "lagged_correlation_1h": 10,
+    "lang_confusion": 10,
     "lang_id": 5,
     "lapsed_customers": 9,
     "level_backfill_6h": 5,
     "level_freshness_report": 7,
     "lm_backoff_census": 7,
     "lm_quality_score": 7,
-    "lsh_recall_audit": 4,
+    "lsh_recall_audit": 10,
     "markers_disconnect": 7,
     "missing_level_empty": 7,
     "mix_corpus_ratios": 9,
-    "mixture_temperature_alloc": 4,
+    "mixture_temperature_alloc": 10,
     "monotonic_stats": 7,
-    "multimodal_frames": 4,
+    "multimodal_frames": 10,
     "multimodal_meta": 5,
-    "ngram_novelty": 4,
-    "oov_rate": 4,
+    "ngram_novelty": 10,
+    "oov_rate": 10,
     "orc_ingest_roundtrip_1h": 9,
-    "pack_efficiency": 4,
+    "pack_efficiency": 10,
     "pagerank_canonical": 7,
     "pair_pagerank": 7,
     "pair_table_incremental": 5,
+    "pair_table_streams": 10,
     "pca_top_component": 7,
     "pick_first_1h": 7,
     "pii_redact_rewrite": 8,
     "pii_scan_by_source": 9,
     "planner_fallback": 7,
-    "plot_downsample_m4": 4,
-    "plot_query_240px": 4,
+    "plot_downsample_m4": 10,
+    "plot_query_240px": 10,
     "pq_adc_recall": 5,
     "pq_codebook_audit": 5,
     "pq_staleness_audit": 5,
     "purchase_window_rollup": 8,
     "quality_filter_report": 7,
-    "quality_filtered_stats": 4,
-    "quality_ks_by_source": 4,
-    "quality_quantiles": 4,
+    "quality_filtered_stats": 10,
+    "quality_ks_by_source": 10,
+    "quality_quantiles": 10,
     "quality_quantiles_approx": 9,
     "range_limit_modes": 7,
     "rate_limit_10m": 7,
     "raw_latest_n": 8,
     "raw_scan": 8,
-    "repetition_metrics": 4,
-    "resample_linear_1h": 4,
+    "repetition_metrics": 10,
+    "resample_linear_1h": 10,
     "retention_fallback_plan": 7,
     "retention_sweep_daily": 8,
     "ridge_probe": 7,
-    "sax_motifs": 4,
+    "sax_motifs": 10,
     "seasonal_hod_anomalies": 5,
     "seasonal_profile_incremental": 5,
     "semantic_dedup": 9,
-    "sequence_packing": 4,
+    "sequence_packing": 10,
     "sessionize_30m": 9,
     "severity_daily": 8,
     "severity_rollup": 8,
@@ -950,13 +952,14 @@ _LAST_DRIVER_CHECKED = {
     "simhash_near_pairs": 9,
     "source_vocab_overlap": 5,
     "split_leakage_audit": 7,
-    "store_cdc_diff": 4,
+    "store_cdc_diff": 10,
     "store_delete_invariance": 5,
     "store_rename_invariance": 5,
     "store_schema_evolution": 9,
-    "store_time_travel": 4,
+    "store_schema_reverse": 10,
+    "store_time_travel": 10,
     "store_typed_roundtrip": 7,
-    "stratified_split": 4,
+    "stratified_split": 10,
     "stream_dedup_watermark": 8,
     "stream_lifecycle_1h": 8,
     "stream_session_windows": 8,
@@ -992,7 +995,7 @@ _LAST_DRIVER_CHECKED = {
     "tpch_q9": 9,
     "ts_gorilla_size": 8,
     "union_levels": 8,
-    "value_histogram": 4,
+    "value_histogram": 10,
     "video_frame_sample": 5,
     "vocab_topk": 9,
     "weekly_cohort_retention": 9,
