@@ -768,6 +768,15 @@ class ArchiveStore:
           already folded (their ``new``-named rows are the renamed
           channel's own state) and are left untouched.
 
+        The purge is DIRECTION-AWARE per metadata table (ADVICE r10):
+        a hit-triggered level whose metadata no longer mentions ``old``
+        renames without purging, because its ``new``-named rows may be
+        the channel's own. That state arises when repairing in the
+        ROLLBACK direction — ``repair_rename(B, A)`` after a crashed
+        ``A -> B`` rename — on the level the crash split: data already
+        under ``B`` (the repair source), hwm/seeds still under ``A``
+        (the repair target, and genuine).
+
         Idempotent AND no-op-cheap: repairing an already-complete (or
         never-started) rename renames nothing, commits nothing, and
         returns 0 — safe to run speculatively at startup."""
@@ -804,18 +813,35 @@ class ArchiveStore:
             # unaffected (the probe guarantees no rows named `new`).
             return _xf(old, new)(df.filter(F.col("channel") != new))
 
+        def _repair_meta_xf(df: DataFrame) -> DataFrame:
+            # Direction-aware purge (ADVICE r10, medium): only purge
+            # `new`-named rows when THIS table still mentions `old` —
+            # then its fold never ran, so `new`-named rows cannot be the
+            # channel's own folded state (they are a fully-expired
+            # FOREIGN channel's stale leftovers, the purge's reason to
+            # exist). A table that no longer mentions `old` may hold the
+            # channel's GENUINE metadata under `new`: in the ROLLBACK
+            # direction (repair_rename(B, A) after a crashed A->B
+            # rename) a level left between the data swap and the hwm
+            # fold has DATA rows under the repair source and the
+            # channel's own pre-fold hwm/seeds under the repair TARGET —
+            # the unconditional fresh-rename purge would delete them,
+            # silently weakening monotonic-append enforcement and
+            # incremental-decimation exactly-once until re-seeded. The
+            # extra limit(1) probe per metadata table only runs on the
+            # rare repair path.
+            if df.filter(F.col("channel") == old).limit(1).count() > 0:
+                return _meta_xf(df)
+            return _xf(old, new)(df)
+
         if repair:
             # no compensation wrapper: repair is idempotent — on failure
             # re-run it, rather than half-reversing a half-repair. The
-            # meta transform is the SAME purge-then-rename as a fresh
-            # rename: on every level repair touches, the metadata still
-            # mentions `old` (the meta_all_levels guard), so the fold
-            # never ran there and `new`-named rows can only be a foreign
-            # expired channel's stale leftovers — exactly what the purge
-            # exists for. Already-folded levels are skipped untouched
-            # (see repair_rename).
+            # meta transform purges-then-renames ONLY on tables whose
+            # fold never ran (see _repair_meta_xf); already-folded
+            # levels are skipped untouched (see repair_rename).
             return self._rewrite_channel_rows(
-                old, _xf(old, new), meta_transform=_meta_xf,
+                old, _xf(old, new), meta_transform=_repair_meta_xf,
                 meta_all_levels=True,
             )
         try:

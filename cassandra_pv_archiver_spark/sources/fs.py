@@ -96,7 +96,14 @@ class HadoopFS:
                 # read //host/a as the wrong path /host/a)
                 if p.startswith("file://"):
                     rest = p[len("file://"):]
-                    return rest if rest.startswith("/") else rest[rest.index("/"):]
+                    if rest.startswith("/"):
+                        return rest
+                    if "/" not in rest:
+                        # authority with no path segment (file://host,
+                        # bare file://) — fail explicitly rather than
+                        # with an opaque ValueError from index()
+                        raise ValueError(f"unsupported file URI: {p}")
+                    return rest[rest.index("/"):]
                 if p.startswith("file:"):
                     return p[len("file:"):]
                 return p

@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 from ..plans.jobs import incremental_decimation
 from ..sources.archive_store import ArchiveStore
 
+# widest batch channel set still worth shipping to the driver as an In
+# predicate for anti-join scan pruning; wider batches fall back to
+# time-range pruning only (ADVICE r10)
+_CHANNEL_PRUNE_CAP = 4096
+
 
 def monotonic_guard(batch: DataFrame, hwm: DataFrame | None) -> DataFrame:
     """F5 (`ArchivedChannelDecimationLevel.java:398-425`): drop any sample
@@ -90,12 +95,25 @@ def ingest_batch(
             F.count(F.lit(1)).alias("n"),
             F.min("t").alias("mn"),
             F.max("t").alias("mx"),
-            F.collect_set("channel").alias("chans"),
+            # slice caps the driver transfer AND the size of the In
+            # predicate Catalyst plans per 1 s trigger: a wide batch at
+            # the 100k-channel envelope would otherwise ship a ~100k
+            # element literal list every batch, costing more than the
+            # scan it prunes (ADVICE r10). One element past the cap is
+            # enough to detect overflow.
+            F.slice(
+                F.collect_set("channel"), 1, _CHANNEL_PRUNE_CAP + 1
+            ).alias("chans"),
         ).first()
         n_fast = stats.n
         if n_fast:
+            chans = (
+                stats.chans
+                if len(stats.chans) <= _CHANNEL_PRUNE_CAP
+                else None  # too wide: lo/hi pruning alone is cheaper
+            )
             existing = store.read_samples(
-                0, lo_ns=stats.mn, hi_ns=stats.mx, channels=stats.chans
+                0, lo_ns=stats.mn, hi_ns=stats.mx, channels=chans
             ).select("channel", "t")
             final = guarded.join(
                 existing, ["channel", "t"], "left_anti"

@@ -1172,6 +1172,82 @@ def test_repair_rename_purges_stale_foreign_metadata(spark, tmp_path):
     assert hwm == {"PV:B": a_max}
 
 
+def test_repair_rename_rollback_preserves_prefold_metadata(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (medium): rolling BACK a crashed rename must not
+    purge the channel's own pre-fold metadata. A rename A->B that dies
+    between a level's data swap and its hwm fold leaves data under B
+    and hwm/seeds under A; ``repair_rename(B, A)`` then sees a
+    hit-triggered level (data rows under the repair source B) whose
+    metadata rows carry the repair TARGET name A — the unconditional
+    fresh-rename purge would delete the channel's genuine high-water
+    mark, silently weakening monotonic-append enforcement and
+    incremental-decimation exactly-once until re-seeded. The purge must
+    apply only on tables that still mention the repair SOURCE (fold
+    never ran there, so target-named rows cannot be the channel's
+    own)."""
+    import pytest
+
+    from cassandra_pv_archiver_spark.sources import archive_store as mod
+
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [("PV:A", i * 3600 * NS, float(i), 0, 0) for i in range(20)]
+    store.write_samples(spark.createDataFrame(rows, schema), level=0)
+    a_max = 19 * 3600 * NS
+    assert {r.channel: r.hwm for r in store.channel_hwm(0).collect()} == {
+        "PV:A": a_max
+    }
+
+    # crash the forward rename A->B after level 0's data swap but
+    # BEFORE its hwm fold, and make the compensation die on its first
+    # data read so the split state survives
+    state = {"phase": "forward"}
+    orig_hwm = mod.ArchiveStore._hwm_table
+    orig_read = mod.ArchiveStore._read_level_files
+
+    def flaky_hwm(self, level):
+        if state["phase"] == "forward":
+            state["phase"] = "wedged"
+            raise RuntimeError("simulated crash before hwm fold")
+        return orig_hwm(self, level)
+
+    def flaky_read(self, level, paths, at_version=None):
+        if state["phase"] == "wedged":
+            raise RuntimeError("simulated compensation failure")
+        return orig_read(self, level, paths, at_version=at_version)
+
+    monkeypatch.setattr(mod.ArchiveStore, "_hwm_table", flaky_hwm)
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", flaky_read)
+    with pytest.raises(RuntimeError, match="before hwm fold"):
+        store.rename_channel("PV:A", "PV:B")
+    monkeypatch.setattr(mod.ArchiveStore, "_hwm_table", orig_hwm)
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", orig_read)
+
+    # the split state: data under B, hwm still under A (pre-fold)
+    assert store.read_samples(0).filter(
+        F.col("channel") == "PV:B").count() == 20
+    assert store.read_samples(0).filter(
+        F.col("channel") == "PV:A").count() == 0
+    assert {r.channel: r.hwm for r in store.channel_hwm(0).collect()} == {
+        "PV:A": a_max
+    }
+
+    # roll back: the channel ends fully under A, hwm INTACT
+    assert store.repair_rename("PV:B", "PV:A") == 20
+    assert store.read_samples(0).filter(
+        F.col("channel") == "PV:A").count() == 20
+    assert store.read_samples(0).filter(
+        F.col("channel") == "PV:B").count() == 0
+    hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
+    assert hwm == {"PV:A": a_max}, (
+        "rollback repair purged the channel's own pre-fold metadata"
+    )
+    # and the store is fully functional under the restored name
+    assert store.repair_rename("PV:B", "PV:A") == 0
+
+
 def test_concurrent_incremental_decimation_single_publish(spark, tmp_path):
     """Round-10 review: two concurrent runs of the same decimation edge
     (the streaming per-batch cascade racing an operator backfill) must
