@@ -251,6 +251,7 @@ def minhash_lsh_delta_pairs(
     id_col: str = "doc_id",
     old_index: tuple[DataFrame, DataFrame] | None = None,
     cache_log: list | None = None,
+    probe_prune: int | None = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs between a NEW document batch and
     the existing corpus only — the shape a continuously-ingesting
@@ -264,10 +265,26 @@ def minhash_lsh_delta_pairs(
     collect_set over the whole corpus per batch. ``cache_log`` as in
     :func:`minhash_lsh_pairs`.
 
+    ``probe_prune`` (VERDICT r10 #2) — when ``old_index`` is backed by
+    PERSISTED parquet tables (``sources.pair_store.CorpusIndexStore``),
+    set this to push the batch's band keys (and then the candidates'
+    old ids) down as In predicates on the corpus-side scans. Both
+    filters are supersets of what the equi-joins keep, so results are
+    bit-identical; the point is row-group pruning — the corpus tables
+    are written sorted by probe key, so a batch touches O(batch) row
+    groups instead of scanning the whole persisted index. The value
+    caps the collected literal list (the `_CHANNEL_PRUNE_CAP` rule):
+    a batch with more distinct keys skips the pruning and pays the
+    full scan.
+
     Returns: old_id, new_id, jaccard, n_common.
     """
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must be a multiple of band_size")
+    if sh_old is None and old_index is None:
+        raise ValueError(
+            "pass sh_old (corpus shingles) or old_index (corpus_index)"
+        )
     sh_new = _persist_logged(sh_new, cache_log)
     if old_index is not None:
         b_old, sets_old_raw = old_index
@@ -278,6 +295,21 @@ def minhash_lsh_delta_pairs(
             F.collect_set("shingle").alias("sset")
         )
     b_new = _banded_signatures(sh_new, num_hashes, band_size, id_col)
+    if probe_prune:
+        # bounded collect: one md5 key per (doc, band) of the BATCH —
+        # the In predicate reaches the persisted bands scan, where
+        # key-sorted files turn it into row-group pruning
+        if cache_log is not None:  # don't leak persists on bare calls
+            b_new = _persist_logged(b_new, cache_log)
+        keys = [
+            r.key
+            for r in b_new.select("key")
+            .distinct()
+            .limit(probe_prune + 1)
+            .collect()
+        ]
+        if len(keys) <= probe_prune:
+            b_old = b_old.filter(F.col("key").isin(keys))
     cand = (
         b_old.select(F.col(id_col).alias("old_id"), "band", "key")
         .join(b_new.select(F.col(id_col).alias("new_id"), "band", "key"),
@@ -285,6 +317,20 @@ def minhash_lsh_delta_pairs(
         .select("old_id", "new_id")
         .distinct()
     )
+    if probe_prune:
+        # same trick for the verification join: candidates' old ids
+        # prune the persisted shingle-set scan (doc_id-sorted files)
+        if cache_log is not None:
+            cand = _persist_logged(cand, cache_log)
+        ids = [
+            r.old_id
+            for r in cand.select("old_id")
+            .distinct()
+            .limit(probe_prune + 1)
+            .collect()
+        ]
+        if len(ids) <= probe_prune:
+            sets_old_raw = sets_old_raw.filter(F.col(id_col).isin(ids))
     sets_old = sets_old_raw.select(
         F.col(id_col), F.col("sset").alias("sa")
     )

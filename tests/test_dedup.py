@@ -313,3 +313,16 @@ def test_connected_components_string_ids(spark):
         "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
         "doc-x": "doc-x", "doc-y": "doc-x", "doc-solo": "doc-solo",
     }
+
+
+def test_minhash_delta_pairs_requires_corpus_side(spark):
+    """ADVICE r10 (low): sh_old=None without old_index is a contract
+    error, not an AttributeError from deep inside _persist_logged."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(10, "a b c d e f g")], "doc_id long, text string"
+    )
+    sh_new = dedup.shingles(docs)
+    with pytest.raises(ValueError, match="sh_old .*or old_index"):
+        dedup.minhash_lsh_delta_pairs(None, sh_new, 8, 2, 0.2)

@@ -509,6 +509,157 @@ class TestPairStore:
         assert not view.has_marker("batch-1")
         assert not view.has_marker("1")
 
+    def test_corpus_index_store_sync_is_cdc_incremental(
+        self, spark, tmp_path
+    ):
+        """CorpusIndexStore (VERDICT r10 #2): append is an O(batch)
+        atomic commit; sync heals a trailing index from the CDC feed
+        (delta only) and its file history is append-only; probe results
+        equal a from-scratch corpus_index derivation exactly."""
+        from cassandra_pv_archiver_spark.operators import dedup
+        from cassandra_pv_archiver_spark.sources.pair_store import (
+            CorpusIndexStore,
+            DocTable,
+        )
+
+        dt = DocTable(spark, str(tmp_path / "docs"),
+                      "doc_id bigint, text string")
+        idx = CorpusIndexStore(spark, str(tmp_path / "cindex"))
+        b1 = self._docs(spark, [(1, "a b c d e"), (2, "a b c d f")])
+        b2 = self._docs(spark, [(3, "a b c g h")])
+        v1 = dt.append(b1)
+        idx.append(dedup.shingles(b1), upto_version=v1)
+        assert idx.version() == v1
+        files_after_b1 = set(idx.table.files())
+        # a maintainer appends docs then DIES before the index append
+        v2 = dt.append(b2)
+        assert idx.version() == v1  # trailing
+        bands, sets = idx.sync(dt)
+        assert idx.version() == v2
+        # append-only heal: every pre-heal index file survived
+        assert files_after_b1 - {
+            r for r in files_after_b1 if r.startswith("upto/")
+        } <= set(idx.table.files())
+        # and the healed index equals the from-scratch derivation
+        want_b, want_s = dedup.corpus_index(dedup.shingles(dt.read()))
+        assert (
+            {tuple(r) for r in bands.collect()}
+            == {tuple(r) for r in want_b.collect()}
+        )
+        assert (
+            {(r.doc_id, frozenset(r.sset)) for r in sets.collect()}
+            == {(r.doc_id, frozenset(r.sset)) for r in want_s.collect()}
+        )
+        # replaying an already-covered append is a no-op
+        ver = idx.table.current_version()
+        idx.append(dedup.shingles(b2), upto_version=v2)
+        assert idx.table.current_version() == ver
+        # synced again: pure read, no commit
+        idx.sync(dt)
+        assert idx.table.current_version() == ver
+
+    def test_restart_probes_persisted_index_without_rebuild(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """VERDICT r10 #2 done-criterion: a maintainer killed mid-stream
+        (after pairs+docs committed, BEFORE the index append) is healed
+        by a FRESH driver's next batch from the CDC feed, and that
+        driver probes the PERSISTED index — corpus_index() is never
+        called with corpus-sized input after a restart."""
+        from cassandra_pv_archiver_spark.operators import dedup
+        from cassandra_pv_archiver_spark.sources import pair_store as ps
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows1 = [(1, base), (2, base + " extra"),
+                 (3, " ".join(f"q{i}" for i in range(12)))]
+        rows2 = [(10, base + " more stuff"), (11, base + " more things")]
+        schema = "doc_id bigint, text string"
+
+        def _run_stream(part, ckpt, crash_index_append=False):
+            # fresh driver state every call: new table handles, new
+            # checkpoint (batch ids restart at 0 — the marker-scope case)
+            dt = ps.DocTable(spark, str(tmp_path / "docs"), schema)
+            view = ps.PairTableView(spark, str(tmp_path / "pairs"))
+            src = str(tmp_path / f"src_{ckpt}")
+            spark.createDataFrame(part, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+            if crash_index_append:
+                orig = ps.CorpusIndexStore.append
+
+                def dying(self, sh_batch, upto_version):
+                    raise RuntimeError("killed before index append")
+
+                monkeypatch.setattr(ps.CorpusIndexStore, "append", dying)
+                try:
+                    q = ps.start_pair_table_maintenance(
+                        spark.readStream.schema(schema).parquet(src),
+                        dt, view, str(tmp_path / ckpt),
+                    )
+                    try:
+                        q.awaitTermination(180)
+                    except Exception as e:  # noqa: BLE001 - the kill
+                        assert "killed before index append" in str(e)
+                finally:
+                    monkeypatch.setattr(ps.CorpusIndexStore, "append", orig)
+                return dt, view
+            q = ps.start_pair_table_maintenance(
+                spark.readStream.schema(schema).parquet(src),
+                dt, view, str(tmp_path / ckpt),
+            )
+            q.awaitTermination(180)
+            return dt, view
+
+        # phase 1: ingest the corpus, then DIE before the index append
+        dt, view = _run_stream(rows1, "ckpt1", crash_index_append=True)
+        idx = ps.CorpusIndexStore(spark, view.root + "_index")
+        assert {r.doc_id for r in dt.read().collect()} == {1, 2, 3}
+        assert idx.version() is None  # the crash left no index at all
+
+        # phase 2, FRESH driver objects: sync must heal from CDC and
+        # the batch must probe the persisted index — count every
+        # corpus_index derivation and the rows it was fed
+        calls = []
+        orig_ci = dedup.corpus_index
+
+        def counting_ci(sh, num_hashes=8, band_size=2, id_col="doc_id"):
+            calls.append(sh.select(id_col).distinct().count())
+            return orig_ci(sh, num_hashes, band_size, id_col)
+
+        monkeypatch.setattr(ps.dedup, "corpus_index", counting_ci)
+        dt2, view2 = _run_stream(rows2, "ckpt2")
+        monkeypatch.setattr(ps.dedup, "corpus_index", orig_ci)
+
+        # one derivation to heal phase 1's corpus (first-ever build —
+        # the only full-corpus cost, paid once), one for the new batch;
+        # afterwards the index is CURRENT and persisted
+        assert sorted(calls) == [2, 3], calls
+        idx2 = ps.CorpusIndexStore(spark, view2.root + "_index")
+        assert idx2.version() == dt2.table.current_version()
+
+        # phase 3, fresh driver again: NO derivation at all for a
+        # replayed/empty batch — the probe side is purely persisted
+        calls.clear()
+        monkeypatch.setattr(ps.dedup, "corpus_index", counting_ci)
+        _run_stream(rows2, "ckpt3")  # all docs already present
+        monkeypatch.setattr(ps.dedup, "corpus_index", orig_ci)
+        assert calls == [], calls
+
+        # and the view equals the full-corpus rebuild, exactly
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 12), r.n_common)
+            for r in view2.read().collect()
+        }
+        want = {
+            (r.id_a, r.id_b, round(r.jaccard, 12), r.n_common)
+            for r in dedup.minhash_lsh_pairs(
+                dedup.shingles(
+                    spark.createDataFrame(rows1 + rows2, schema)
+                ), 8, 2, 0.2
+            ).collect()
+        }
+        assert got == want and want, (got, want)
+
 
 def test_gc_grace_spares_young_orphans_but_not_old(spark, tmp_path):
     """Age is the only signal separating a crashed orphan from a
@@ -796,3 +947,16 @@ def test_commit_retries_when_concurrent_gc_prunes_base_manifest(
     monkeypatch.setattr(ManifestTable, "_read_version", orig)
     assert v == 3
     assert t.files() == ["a", "b", "c", "d"]
+
+
+def test_rename_no_overwrite_malformed_file_uri(spark, tmp_path):
+    """ADVICE r10 (low): a file:// URI whose remainder has no path
+    segment (file://localhost, bare file://) must fail with an explicit
+    ValueError from the URI normalizer, not an opaque IndexError-ish
+    crash inside the atomic-rename primitive."""
+    import pytest
+
+    t = _mk(spark, str(tmp_path / "turi"))
+    for bad in ("file://localhost", "file://"):
+        with pytest.raises(ValueError, match="unsupported file URI"):
+            t.fs.rename_no_overwrite(bad, f"{t.root}/never-lands")
