@@ -17,13 +17,29 @@ O(new data), independent of archive size.
 
 from __future__ import annotations
 
+import contextlib
+import os
+import socket
 import threading
+import time
+import uuid
+import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.decimate import NS, decimate, reaggregate
 from ..sources.archive_store import ArchiveStore
+
+
+class EdgeLeaseHeld(RuntimeError):
+    """Another live writer holds this (store, target) decimation edge."""
+
+
+#: default stale-lease expiry — generous vs the seconds-scale steady
+#: state runs; the reference's pending-operations rows carry the same
+#: kind of TTL so a crashed owner never wedges the edge forever
+DEFAULT_LEASE_TTL_S = 900.0
 
 
 def pick_source_level(levels, target_period_s: int) -> int:
@@ -40,6 +56,7 @@ def incremental_decimation(
     store: ArchiveStore,
     target_period_s: int,
     source_level: int | None = None,
+    lease_ttl_s: float = DEFAULT_LEASE_TTL_S,
 ) -> int:
     """One incremental run of the (source -> target) decimation edge.
 
@@ -56,35 +73,122 @@ def incremental_decimation(
     Returns the number of newly materialized intervals; idempotent until
     new source data arrives (W3).
 
-    CONCURRENCY CONTRACT (round-10 review): one writer per
-    (store, target) edge at a time. The anti-join against the target
-    guards against crash REPLAY, not two live runs — manifest appends
-    commute, so two concurrent runs of the same edge would both commit
-    and double-publish every interval. In-process callers (the
-    streaming per-batch cascade racing an operator backfill over the
-    same store) are serialized by a per-edge lock here; CROSS-process
-    concurrency on one edge is the deployment's responsibility, same as
-    the reference's one-archive-server-per-channel ownership rule.
+    CONCURRENCY CONTRACT (round-10 review; VERDICT r10 #3): one writer
+    per (store, target) edge at a time. The anti-join against the
+    target guards against crash REPLAY, not two live runs — manifest
+    appends commute, so two concurrent runs of the same edge would both
+    commit and double-publish every interval. Two layers enforce it:
+
+    * in-process (the streaming per-batch cascade racing an operator
+      backfill over the same store): a per-edge ``threading.Lock`` —
+      callers WAIT;
+    * cross-process (two drivers on one store): a TTL'd LEASE FILE per
+      edge under ``<root>/_leases/``, claimed with the same
+      atomic-exclusive ``rename_no_overwrite`` the manifest commit
+      uses — the crash-safe analog of the reference's TTL'd
+      pending-operations table
+      (``ChannelMetaDataDAOImpl.java:2124-2144``). A second driver
+      REFUSES loudly (:class:`EdgeLeaseHeld`) instead of
+      double-publishing; a lease whose holder died expires after
+      ``lease_ttl_s`` and is broken by the next claimant (two breakers
+      race safely: delete commutes, only one exclusive rename wins).
+      A run longer than the TTL risks losing its lease to a breaker —
+      size ``lease_ttl_s`` well above the slowest expected run, or 0
+      to disable leasing (single-writer deployments).
     """
     from pyspark.sql import Window
 
-    with _edge_lock(store.root, target_period_s):
-        return _incremental_decimation_locked(
-            store, target_period_s, source_level, Window
-        )
+    wrapper = _edge_lock(store.root, target_period_s)
+    with wrapper.lock:
+        with _edge_lease(store, target_period_s, lease_ttl_s):
+            return _incremental_decimation_locked(
+                store, target_period_s, source_level, Window
+            )
 
 
-#: per-(store-root, target-level) locks for the in-process concurrency
-#: contract above; the dict itself is guarded by the module lock
-_EDGE_LOCKS: dict = {}
+class _EdgeLock:
+    """Weakref-able per-edge lock holder (``threading.Lock`` itself
+    cannot be weakly referenced). Callers must keep the wrapper alive
+    for the duration of the critical section — hold it in a local."""
+
+    __slots__ = ("lock", "__weakref__")
+
+    def __init__(self):
+        self.lock = threading.Lock()
+
+
+#: per-(store-root, target-level) in-process locks; weak values so a
+#: long-lived many-store driver cannot accumulate lock objects forever
+#: (VERDICT r10 #8) — an entry lives exactly as long as some caller
+#: holds its wrapper
+_EDGE_LOCKS: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
 _EDGE_LOCKS_GUARD = threading.Lock()
 
 
-def _edge_lock(root: str, target_period_s: int):
+def _edge_lock(root: str, target_period_s: int) -> _EdgeLock:
     with _EDGE_LOCKS_GUARD:
-        return _EDGE_LOCKS.setdefault(
-            (root, target_period_s), threading.Lock()
-        )
+        key = (root, target_period_s)
+        wrapper = _EDGE_LOCKS.get(key)
+        if wrapper is None:
+            wrapper = _EdgeLock()
+            _EDGE_LOCKS[key] = wrapper
+        return wrapper
+
+
+@contextlib.contextmanager
+def _edge_lease(store: ArchiveStore, target_period_s: int, ttl_s: float):
+    """Cross-process one-writer claim on a decimation edge (contract in
+    :func:`incremental_decimation`). ``ttl_s <= 0`` disables leasing."""
+    if ttl_s <= 0:
+        yield
+        return
+    fs = store.fs
+    ldir = f"{store.root}/_leases"
+    path = f"{ldir}/decimation-{target_period_s}.lease"
+    holder = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+    tmp = f"{ldir}/.tmp-lease-{uuid.uuid4().hex[:12]}"
+    fs.mkdirs(ldir)
+    fs.write_text(tmp, holder)
+    acquired = False
+    try:
+        if not fs.rename_no_overwrite(tmp, path):
+            # an existing lease: live, or a dead holder's leftovers?
+            try:
+                age_s = (time.time() * 1000 - fs.mtime_ms(path)) / 1000.0
+            except Exception:  # noqa: BLE001 - released between checks
+                age_s = None
+            if age_s is not None and age_s <= ttl_s:
+                raise EdgeLeaseHeld(
+                    f"decimation edge (level {target_period_s}) of "
+                    f"{store.root} is held by another writer "
+                    f"(lease age {age_s:.0f}s <= ttl {ttl_s:.0f}s)"
+                )
+            # stale (or just released): break and re-claim. delete is
+            # idempotent across racing breakers; exactly one exclusive
+            # rename wins the re-claim
+            with contextlib.suppress(Exception):
+                fs.delete(path)
+            if not fs.rename_no_overwrite(tmp, path):
+                raise EdgeLeaseHeld(
+                    f"decimation edge (level {target_period_s}) of "
+                    f"{store.root}: lost the stale-lease re-claim race"
+                )
+        acquired = True
+        yield
+    finally:
+        with contextlib.suppress(Exception):
+            if fs.exists(tmp):
+                fs.delete(tmp)
+        if acquired:
+            # release only if still ours: a breaker may have taken the
+            # lease from an over-TTL run — deleting then would drop THE
+            # BREAKER's claim (read-check-delete is not atomic; the
+            # residual race needs a run to exceed the TTL *and* lose a
+            # ms-scale window, and the documented contract is already
+            # "size the TTL above the slowest run")
+            with contextlib.suppress(Exception):
+                if fs.read_text(path) == holder:
+                    fs.delete(path)
 
 
 def _incremental_decimation_locked(

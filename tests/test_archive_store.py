@@ -4,6 +4,7 @@ high-water-mark idempotence."""
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -1279,3 +1280,96 @@ def test_concurrent_incremental_decimation_single_publish(spark, tmp_path):
     n = dec.count()
     assert n == dec.dropDuplicates(["channel", "t"]).count()
     assert sum(results) == n  # one run did the work, the other found none
+
+
+def test_cross_process_edge_lease_refuses_second_writer(spark, tmp_path):
+    """VERDICT r10 #3: the one-writer-per-edge contract holds ACROSS
+    processes — a second driver on the same (store, target) edge
+    refuses loudly (EdgeLeaseHeld) instead of double-publishing, a
+    crashed holder's stale lease expires, and a completed run releases
+    its lease."""
+    import os
+
+    import pytest
+
+    from cassandra_pv_archiver_spark.plans import jobs
+
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [("PV:A", i * 3600 * NS, float(i), 0, 0) for i in range(30)]
+    store.write_samples(spark.createDataFrame(rows, schema), level=0)
+    lease_path = f"{store.root}/_leases/decimation-3600.lease"
+
+    # "another driver" mid-run: a second, independent handle holds the
+    # lease (the in-process threading lock is NOT involved — this is
+    # exactly the cross-process hole the file lease closes)
+    other = ArchiveStore(spark, store.root)
+    with jobs._edge_lease(other, 3600, ttl_s=900.0):
+        with pytest.raises(jobs.EdgeLeaseHeld, match="held by another"):
+            incremental_decimation(store, 3600)
+        assert store.read_samples(3600).count() == 0  # nothing published
+        # ttl_s=0 opts out (single-writer deployments own the contract)
+        assert incremental_decimation(store, 3600, lease_ttl_s=0) > 0
+    assert not store.fs.exists(lease_path)  # released on exit
+
+    # stale lease: holder died 1h ago — the next claimant breaks it,
+    # runs, and releases
+    store.fs.write_text(lease_path, "dead-host:1:deadbeef")
+    old = time.time() - 3600
+    os.utime(lease_path, (old, old))
+    more = [("PV:A", (30 + i) * 3600 * NS, float(i), 0, 0) for i in range(5)]
+    store.write_samples(spark.createDataFrame(more, schema), level=0)
+    assert incremental_decimation(store, 3600) > 0
+    assert not store.fs.exists(lease_path)
+
+    # a LIVE foreign lease (fresh mtime) still refuses
+    store.fs.write_text(lease_path, "other-host:2:cafebabe")
+    with pytest.raises(jobs.EdgeLeaseHeld):
+        incremental_decimation(store, 3600)
+    store.fs.delete(lease_path)
+
+    # end state: every interval materialized exactly once
+    dec = store.read_samples(3600)
+    assert dec.count() == dec.dropDuplicates(["channel", "t"]).count()
+
+
+def test_cross_process_concurrent_runs_single_materialize(
+    spark, tmp_path, monkeypatch
+):
+    """Two independent ArchiveStore handles racing the same edge with
+    the in-process lock DISABLED (each call gets a private lock — the
+    cross-process simulation): the lease guarantees no interval is ever
+    double-materialized; the loser either refuses (EdgeLeaseHeld) or
+    arrives after release and finds nothing to do."""
+    import threading as th
+
+    from cassandra_pv_archiver_spark.plans import jobs
+
+    monkeypatch.setattr(
+        jobs, "_edge_lock", lambda root, p: jobs._EdgeLock()
+    )
+    store_a = _store(spark, tmp_path)
+    store_b = ArchiveStore(spark, store_a.root)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [("PV:A", i * 3600 * NS, float(i), 0, 0) for i in range(30)]
+    store_a.write_samples(spark.createDataFrame(rows, schema), level=0)
+
+    results, refused = [], []
+
+    def run(s):
+        try:
+            results.append(incremental_decimation(s, 3600))
+        except jobs.EdgeLeaseHeld:
+            refused.append(1)
+
+    threads = [th.Thread(target=run, args=(s,)) for s in (store_a, store_b)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dec = store_a.read_samples(3600)
+    n = dec.count()
+    assert n > 0
+    assert n == dec.dropDuplicates(["channel", "t"]).count()
+    assert sum(results) == n  # double-publish would make this 2n
+    assert len(results) + len(refused) == 2
