@@ -2008,6 +2008,85 @@ def q_heartbeat_connected_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heartbeat_stream_connected_1h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERDICT r10 #4: the connection-aware heartbeat on the
+    STREAMING-NATIVE path. The 30-channel lifecycle slice of samples
+    and its graced T5 disconnect markers are replayed as two file
+    streams through :func:`streaming.limits.max_update_period_stream`
+    (samples + markers fused into one per-channel GroupState walk), in
+    two chunks with a RESTART in between (second run resumes the
+    first's checkpoint, carrying the open gap and its marker clip
+    point across the boundary). The oracle is the batch connected-heartbeat
+    chain on the same slice, so a value-hash match proves the
+    streaming operator's replay determinism AND its T4+T5 fusion
+    (`LimitingSampleWriterDelegate.java:20-105` +
+    `ControlSystemSupport.java:208-258`) in one row."""
+    from .streaming.limits import max_update_period_stream
+    from .streaming.markers import transition_markers
+
+    root = _scratch_dir("pvhb_stream_")
+    s = load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS).select(
+        "channel", "t", "v"
+    )
+    ev = load_events(spark, sf_dir)
+    states = ev.select(
+        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias(
+            "channel"
+        ),
+        F.expr("(ts div 1000) * 1000").alias("t"),
+        (F.col("event_type") != "error").alias("connected"),
+        F.col("event_id"),
+    ).filter(F.col("channel").isin(_LIFECYCLE_CHANNELS))
+    w = Window.partitionBy("channel", "t").orderBy("event_id")
+    states = (
+        states.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    markers = transition_markers(states).withColumn(
+        "t", F.col("t") + F.lit(CONNECTION_GRACE_S * NS)
+    )
+    out_schema = "channel string, t long, v double, heartbeat boolean"
+    bounds = s.agg(F.min("t"), F.max("t")).first()
+    if bounds[0] is None:  # empty slice: nothing to stream
+        return spark.createDataFrame([], out_schema)
+    cut = bounds[0] + (bounds[1] - bounds[0]) // 2
+    sdir, mdir, outdir = f"{root}/s", f"{root}/m", f"{root}/out"
+    mschema = "channel string, t long, type string"
+
+    def _phase(pred):
+        s.filter(pred).write.mode("append").parquet(sdir)
+        markers.filter(pred).write.mode("append").parquet(mdir)
+
+    def _run():
+        out = max_update_period_stream(
+            spark.readStream.schema("channel string, t long, v double")
+            .parquet(sdir),
+            PERIOD_1H,
+            markers=spark.readStream.schema(mschema).parquet(mdir),
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    _phase(F.col("t") < cut)
+    _run()
+    _phase(F.col("t") >= cut)
+    _run()  # restart on the same checkpoint
+    return (
+        spark.read.schema(out_schema)
+        .parquet(outdir)
+        .orderBy("channel", "t", "heartbeat")
+    )
+
+
 SQL_HEARTBEAT_CONNECTED_1H = f"""
 WITH {{SAMPLES_CTE}},
 base AS (SELECT channel, t, v FROM samples),
@@ -2052,6 +2131,26 @@ ORDER BY channel, t, heartbeat
 """.replace("{SAMPLES_CTE}", SAMPLES_CTE.strip().rstrip()).replace(
     "{GRACE_NS}", str(CONNECTION_GRACE_S * NS)
 )
+
+#: same chain as the batch connected heartbeat, restricted to the
+#: 30-channel lifecycle slice the streaming replay ingests (base AND
+#: marks — a marker on an out-of-slice channel never meets a sample,
+#: so restricting both is the cheap equivalent form)
+_LIFECYCLE_IN = ", ".join(f"'PV:{i}'" for i in range(30))
+SQL_HEARTBEAT_STREAM_CONNECTED_1H = (
+    SQL_HEARTBEAT_CONNECTED_1H
+    .replace(
+        "base AS (SELECT channel, t, v FROM samples)",
+        "base AS (SELECT channel, t, v FROM samples"
+        f" WHERE channel IN ({_LIFECYCLE_IN}))",
+    )
+    .replace(
+        "FROM d WHERE NOT connected AND (prev IS NULL OR prev)",
+        "FROM d WHERE NOT connected AND (prev IS NULL OR prev)"
+        f" AND channel IN ({_LIFECYCLE_IN})",
+    )
+)
+assert SQL_HEARTBEAT_STREAM_CONNECTED_1H.count(_LIFECYCLE_IN) == 2  # both replaces hit
 
 
 def q_channel_glob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -541,6 +541,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_heartbeat_connected_1h,
         catalog.SQL_HEARTBEAT_CONNECTED_1H,
     ),
+    "heartbeat_stream_connected_1h": (
+        catalog.q_heartbeat_stream_connected_1h,
+        catalog.SQL_HEARTBEAT_STREAM_CONNECTED_1H,
+    ),
     "markers_disconnect": (catalog.q_markers_disconnect, catalog.SQL_MARKERS_DISCONNECT),
     "monotonic_stats": (catalog.q_monotonic_stats, catalog.SQL_MONOTONIC_STATS),
     "channel_dim_join": (catalog.q_channel_dim_join, catalog.SQL_CHANNEL_DIM_JOIN),

@@ -109,6 +109,153 @@ def min_update_period_stream(
     )
 
 
+def max_update_period_stream(
+    stream: DataFrame,
+    max_period_s: int,
+    key: str = "channel",
+    t: str = "t",
+    markers: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming-native T4+T5 fused heartbeat (VERDICT r10 #4): the
+    connection-aware re-emission contract of :func:`max_update_period`
+    with ``markers``, over unbounded streams — per-channel ``GroupState``
+    holds the last sample (payload included) and whether a disconnect
+    stopped the open gap, the Spark analog of the reference's
+    per-channel delegate state (`LimitingSampleWriterDelegate.java:
+    20-105` composed with `ControlSystemSupport.java:208-258`).
+
+    ``markers`` is a STREAMING ``(key, t, type)`` DataFrame (e.g. from
+    :func:`.markers.disconnect_markers_stream` or a replayed T5 table);
+    it is unioned into the sample stream so each channel's walk sees
+    samples and disconnects in one event-time order.
+
+    Emission is deliberately **sample-closure driven** (no
+    processing-time or watermark timeouts): heartbeats for the gap
+    after sample ``s`` are emitted only when the NEXT SAMPLE of that
+    channel arrives — beats at ``s.t + k*period`` up to the closing
+    sample, clipped to the first disconnect marker seen inside the gap.
+    A marker alone emits nothing (it only records the clip point), and
+    a sample still awaiting its successor emits nothing — both exactly
+    the batch operator's rules (its gap needs a ``lead(t)`` to exist at
+    all; the final sample's validity end is unknown). That is what
+    makes the operator REPLAY-DETERMINISTIC: the output is a pure
+    function of the per-channel event sequence, independent of
+    micro-batch pacing, watermark progress, or restarts, so a replay
+    equals the batch ``max_update_period(df, markers=...)`` on the same
+    data bit-for-bit (pinned by test + the
+    ``heartbeat_stream_connected_1h`` oracle row).
+
+    Monotonic contract (F5, as everywhere in the archiver): per channel,
+    an event at ``t <= last seen sample t`` is dropped; a marker only
+    affects the currently-open gap (a marker at or before the last
+    sample's t is ignored — matching the batch operator's
+    strictly-inside-the-gap condition).
+
+    State is O(#channels) cluster-wide: one long + one bool + one
+    payload row each, hash-partitioned by key — no skew concern at the
+    100k-channel envelope."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    max_ns = max_period_s * NS
+    payload = [c for c in stream.columns if c not in (key, t)]
+    ptypes = dict(stream.dtypes)
+    src = stream.select(
+        F.col(key), F.col(t), *payload, F.lit(False).alias("_marker")
+    )
+    if markers is not None:
+        m = markers.filter(F.col("type") == "disconnected").select(
+            F.col(key),
+            F.col(t),
+            *[F.lit(None).cast(ptypes[c]).alias(c) for c in payload],
+            F.lit(True).alias("_marker"),
+        )
+        src = src.unionByName(m)
+    out_schema = (
+        f"{key} {ptypes[key]}, {t} long, "
+        + ", ".join(f"{c} {ptypes[c]}" for c in payload)
+        + ", heartbeat boolean"
+    )
+    state_schema = "last_t long, stop_t long" + "".join(
+        f", {c} {ptypes[c]}" for c in payload
+    )
+
+    def _py(v):
+        return v.item() if hasattr(v, "item") else v
+
+    def _fn(key_, pdf_iter, state):
+        if state.exists:
+            st = state.get
+            last, stop, pvals = st[0], st[1], list(st[2:])
+        else:
+            last, stop, pvals = None, None, None
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            return
+        # whole group first, then ONE time-ordered walk: chunk-local
+        # sorting would run the greedy state machine out of order (the
+        # min_update_period_stream lesson). Marker-vs-sample order at
+        # EQUAL t is provably irrelevant here (a marker at a sample's
+        # own t never clips anything), but sort on (t, _marker) anyway
+        # so replays are byte-stable.
+        pdf = pd.concat(chunks).sort_values([t, "_marker"])
+        ts_arr = pdf[t].to_numpy()
+        is_m = pdf["_marker"].to_numpy()
+        pay_arr = {c: pdf[c].to_numpy() for c in payload}
+        out = {c: [] for c in (key, t, *payload, "heartbeat")}
+
+        for i in range(len(ts_arr)):
+            ti = int(ts_arr[i])
+            if is_m[i]:
+                # first disconnect strictly inside the OPEN gap records
+                # the clip point; emission waits for the closing sample
+                # (batch parity: a gap with no later sample emits
+                # nothing, marker or not)
+                if last is not None and ti > last and stop is None:
+                    stop = ti
+            else:
+                if last is None or ti > last:
+                    if last is not None:
+                        upper = ti if stop is None else min(stop, ti)
+                        # k = 1 .. (upper - 1 - last) div max_ns — the
+                        # batch bound (no beat ON the closing event)
+                        for k in range(
+                            1, int((upper - 1 - last) // max_ns) + 1
+                        ):
+                            out[key].append(key_[0])
+                            out[t].append(last + k * max_ns)
+                            for c, v in zip(payload, pvals):
+                                out[c].append(v)
+                            out["heartbeat"].append(True)
+                    last, stop = ti, None
+                    pvals = [pay_arr[c][i] for c in payload]
+                    out[key].append(key_[0])
+                    out[t].append(ti)
+                    for c in payload:
+                        out[c].append(pay_arr[c][i])
+                    out["heartbeat"].append(False)
+                # else: out-of-order duplicate — dropped (F5)
+        if out[t]:
+            yield pd.DataFrame(out)
+        if last is not None:
+            state.update(
+                (
+                    int(last),
+                    None if stop is None else int(stop),
+                    *[_py(v) for v in pvals],
+                )
+            )
+        return
+        yield  # pragma: no cover - make the function a generator
+
+    return src.groupBy(key).applyInPandasWithState(
+        _fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def max_update_period(
     df: DataFrame,
     max_period_s: int,

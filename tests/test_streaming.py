@@ -1383,3 +1383,96 @@ def test_max_update_period_marker_aware(spark):
     # originals always survive
     assert sorted(r.t // NS for r in out
                   if not r.heartbeat and r.channel == "X") == [0, 95]
+
+
+def test_max_update_period_stream_replay_equals_batch(spark, tmp_path):
+    """VERDICT r10 #4: the streaming-native connection-aware heartbeat
+    (samples + T5 marker stream fused through per-channel GroupState)
+    replays to EXACTLY the batch max_update_period(df, markers=...)
+    result on the same data — including across a restart (second run
+    resumes the first's checkpoint mid-series, state carrying the open
+    gap and the stopped flag over the boundary)."""
+    import os
+
+    from cassandra_pv_archiver_spark.streaming.limits import (
+        NS,
+        max_update_period,
+        max_update_period_stream,
+    )
+
+    schema = "channel string, t long, v double"
+    mschema = "channel string, t long, type string"
+    # X: gap 0->95 with a disconnect at 25 (beats 10, 20 then silence),
+    #    reconnect at 95, gap 95->140 fully connected (beats 105..135)
+    # Y: no markers -> connection-agnostic (beats through every gap)
+    # Z: marker exactly AT a sample t (must be a no-op, batch parity)
+    rows = [
+        ("X", 0, 7.0), ("X", 95 * NS, 9.0), ("X", 140 * NS, 1.0),
+        ("Y", 0, 1.0), ("Y", 35 * NS, 2.0),
+        ("Z", 0, 5.0), ("Z", 30 * NS, 6.0),
+        ("W", 0, 3.0),                    # final sample, then a marker
+    ]
+    marks = [
+        ("X", 25 * NS, "disconnected"),
+        ("X", 60 * NS, "disconnected"),   # second marker in same gap
+        ("Z", 30 * NS, "disconnected"),   # exactly at Z's sample t
+        ("W", 45 * NS, "disconnected"),   # trailing marker, no closing
+                                          # sample: batch emits NOTHING
+    ]
+    # split MID-GAP so the restart boundary carries open state: first
+    # run sees X@0, the marker@25, Y@0, Z@0; the rest arrives after
+    cut = 28 * NS
+    sdir, mdir = str(tmp_path / "s"), str(tmp_path / "m")
+    os.makedirs(sdir), os.makedirs(mdir)
+
+    def _phase(n, lo, hi):
+        sp = [r for r in rows if lo <= r[1] < hi]
+        mp = [m for m in marks if lo <= m[1] < hi]
+        spark.createDataFrame(sp, schema).coalesce(1).write.mode(
+            "append").parquet(sdir)
+        spark.createDataFrame(mp, mschema).coalesce(1).write.mode(
+            "append").parquet(mdir)
+
+    got = []
+
+    def _run():
+        out = max_update_period_stream(
+            spark.readStream.schema(schema).parquet(sdir),
+            10,
+            markers=spark.readStream.schema(mschema).parquet(mdir),
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, i: got.extend(b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _phase(1, 0, cut)
+    _run()
+    mid = len(got)
+    _phase(2, cut, 10**18)
+    _run()  # restart: same checkpoint, fresh query
+    assert mid < len(got)  # both runs emitted something
+
+    want = max_update_period(
+        spark.createDataFrame(rows, schema),
+        10,
+        markers=spark.createDataFrame(marks, mschema),
+    ).collect()
+    k = lambda r: (r.channel, r.t, r.heartbeat)  # noqa: E731
+    assert sorted(map(k, got)) == sorted(map(k, want))
+    assert {(r.channel, r.t): r.v for r in got} == {
+        (r.channel, r.t): r.v for r in want
+    }
+    # spot-pin the connection semantics themselves
+    beats = lambda ch: sorted(  # noqa: E731
+        r.t // NS for r in got if r.heartbeat and r.channel == ch
+    )
+    assert beats("X") == [10, 20, 105, 115, 125, 135]
+    assert beats("Y") == [10, 20, 30]
+    assert beats("Z") == [10, 20]  # marker at sample t changed nothing
+    assert beats("W") == []        # no closing sample -> no beats

@@ -1071,6 +1071,153 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    # ---- r11: top-20 previously-unpinned bench rows + r10/r11
+    # registry additions (VERDICT r10 #5). Budgets == measured at
+    # sf0.01 with AQE off, so a shuffle regression FAILS loudly.
+    "pca_top_component": (
+        1,  # one dim-agg exchange; scatter solve is closed-form SQL
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "pagerank_canonical": (
+        6,  # fixed-iteration label loop: edge hash reused per round,
+        # dangling-mass attach broadcasts; the rank<->edge join is
+        # corpus-scale on both sides, so SMJ there is the honest plan
+        ["codegen id", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "planner_fallback": (
+        11,  # one bounded scan + sort per level of the union plan —
+        # the planner probes every retained level once by design
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "ca_live_subscribe_typed": (
+        4,  # simulator harness: ONE MapInPandas wire-codec crossing,
+        # metadata attach broadcasts — never SMJ against the tiny dim
+        ["codegen id", "MapInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "embedding_dedup_clusters": (
+        3,  # band join + CC attach: both sides corpus-scale, SMJ is
+        # the honest plan (broadcast would lie at 100 TB); no Python
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "containment_pairs": (
+        3,  # banded candidates join broadcast-side; no quadratic path
+        ["codegen id", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "decimate_mixed_1h": (
+        2,  # same contract as decimate_1h: one channel exchange
+        # (shared by the full 20-type union's windows) + final agg
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "ann_kmeans_ivf_topk": (
+        None,  # k-means iterations dominate the exchange count
+        # (data-dependent); the centroid attach is a small-build
+        # BroadcastNestedLoopJoin by design, global top-k never sorts
+        ["codegen id", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "ann_kmeans_clusters": (
+        None,  # same shape as ann_kmeans_ivf_topk
+        ["codegen id", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "cluster_representatives": (
+        None,  # CC loop + per-cluster top-1: iteration-count-driven
+        ["codegen id", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    "curate_corpus": (
+        4,  # quality gate -> dedup survivor anti-join -> decontam
+        # screen as ONE plan; survivor join is corpus-scale (SMJ ok)
+        ["codegen id", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "ca_live_subscribe": (
+        2,  # untyped simulator leg: one MapInPandas codec crossing
+        ["codegen id", "MapInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "audio_downsample_features": (
+        1,  # decode+feature kernel is ONE row-local Arrow crossing
+        ["codegen id", "MapInPandas", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "image_resize_dhash": (
+        1,  # same contract as the audio kernel
+        ["codegen id", "MapInPandas", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "pick_first_1h": (
+        2,  # channel exchange + output sort, like decimate_1h
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "channel_correlation_matrix": (
+        5,  # per-channel grids pair up through a broadcast; the
+        # single-row stats ride is a 1-row BroadcastNestedLoopJoin
+        ["codegen id", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    # lifecycle/streaming rows return the materialized table read —
+    # the pin asserts the READ path stays a flat pruned scan (the
+    # pipelines' own plan shapes are pinned by their batch twins)
+    "pair_table_streams": (
+        1,
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "store_schema_reverse": (
+        3,
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "heartbeat_stream_connected_1h": (
+        1,
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    # bench-only index builds (resolved via bench.SPECIAL)
+    "materialize_minhash_pairs": (
+        3,  # band equi-join + set verify; candidates broadcast-side
+        ["codegen id", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
+    "materialize_srp_pairs": (
+        1,  # ONE Arrow crossing: the numpy SRP signature kernel
+        # (ArrowEvalPython is the vectorized pandas_udf — required,
+        # not forbidden, for this row)
+        ["codegen id", "ArrowEvalPython", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "materialize_pq_index": (
+        8,  # per-subspace k-means rounds; codebook attach broadcasts,
+        # assignment top-1 via TakeOrderedAndProject-style pruning
+        ["codegen id", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    "pair_table_update": (
+        0,  # the timed body reads the maintained index + batch from
+        # cache and commits — zero shuffles in the returned view
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
 }
 
 
@@ -1096,8 +1243,13 @@ def main() -> int:
     todo = {
         n: e for n, e in EXPECTATIONS.items() if not only or n in only
     }
+    # bench-only rows (the materialize_* index builds, pair_table_update)
+    # live in bench.SPECIAL, not the registry — audit them from there
+    # (VERDICT r10 #5: every headline bench row carries a pin)
+    import bench as _bench
+
     for name, (max_ex, requires, forbids) in todo.items():
-        fn = REGISTRY[name][0]
+        fn = REGISTRY[name][0] if name in REGISTRY else _bench.SPECIAL[name]
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         # also the formatted plan for pushdown details
