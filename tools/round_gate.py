@@ -180,6 +180,9 @@ SF1_QUERIES = [
     # sequentially inside the gate — the isolated protocol)
     "materialize_srp_pairs", "pca_top_component",
     "build_training_shard", "curate_corpus",
+    # VERDICT r10 #6: the ANN SERVING path (not just the index builds)
+    # gets its decade-up receipt — rerank + end-to-end IVF top-k
+    "ivfpq_rerank_recall", "ann_kmeans_ivf_topk",
 ]
 SF1_RECEIPT = ["decimate_1h", "union_levels", "raw_latest_n",
                "hard_negative_mining", "bm25_topk",
