@@ -296,6 +296,61 @@ def q_pair_table_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PAIR_TABLE_STREAMS = SQL_PAIR_TABLE_INCREMENTAL
 
 
+def q_pair_table_probe_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED corpus-index probe with In-predicate pushdown
+    (VERDICT r10 #2's scale path): the corpus side is a
+    :class:`sources.pair_store.CorpusIndexStore` — key-sorted band
+    files and id-sorted shingle-set files on disk — and the delta probe
+    runs with ``probe_prune`` enabled, so the batch's band keys (then
+    the candidates' old ids) reach the corpus scans as row-group-pruned
+    In filters. Both filters are supersets of what the equi-joins keep,
+    so the result must equal the connection-free in-memory delta chain
+    BIT-EXACTLY — which is what this row's oracle (the same full-chain
+    SQL as ``dedup_incremental``) proves. A tiny ``probe_prune`` cap
+    (1) is also exercised under test to pin the fallback-to-full-scan
+    path; here the cap is the production default."""
+    from .sources.pair_store import CorpusIndexStore, DocTable
+
+    def build():
+        from .catalog import _scratch_dir
+
+        root = _scratch_dir("pvprobe_")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        is_new = F.col("doc_id") % DELTA_NEW_MOD == 0
+        dt = DocTable(spark, root + "/docs", "doc_id bigint, text string")
+        v0 = dt.append(docs.filter(~is_new))
+        idx = CorpusIndexStore(
+            spark, root + "/cindex", MINHASH_K, MINHASH_BAND
+        )
+        bands, sets = idx.sync(dt)  # first-ever build, persisted
+        assert idx.version() == v0
+        cache_log: list = []
+        try:
+            out = dedup.minhash_lsh_delta_pairs(
+                None,
+                dedup.shingles(docs.filter(is_new)),
+                MINHASH_K,
+                MINHASH_BAND,
+                MINHASH_VERIFY,
+                old_index=(bands, sets),
+                cache_log=cache_log,
+                probe_prune=8192,
+            )
+            return out.persist()
+        finally:
+            for df in cache_log:
+                df.unpersist()
+
+    return _cached(spark, sf_dir, "pair_table_probe_pruned", build).orderBy(
+        "old_id", "new_id"
+    )
+
+
+#: identical oracle to dedup_incremental: the persisted, probe-pruned
+#: index path must land on exactly the in-memory delta answer
+SQL_PAIR_TABLE_PROBE_PRUNED = None  # assigned below SQL_DEDUP_INCREMENTAL
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: MinHash-LSH pairs between the 'new batch'
     (doc_id % 10 == 0) and the existing corpus only — band join is
@@ -320,6 +375,8 @@ FROM vpairs
 WHERE (id_a % {DELTA_NEW_MOD} = 0) != (id_b % {DELTA_NEW_MOD} = 0)
 ORDER BY old_id, new_id
 """
+
+SQL_PAIR_TABLE_PROBE_PRUNED = SQL_DEDUP_INCREMENTAL
 
 
 SIMHASH_MAX_HAMMING = 3

@@ -629,6 +629,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog_data.q_dedup_incremental,
         catalog_data.SQL_DEDUP_INCREMENTAL,
     ),
+    "pair_table_probe_pruned": (
+        catalog_data.q_pair_table_probe_pruned,
+        catalog_data.SQL_PAIR_TABLE_PROBE_PRUNED,
+    ),
     "vocab_topk": (catalog_data.q_vocab_topk, catalog_data.SQL_VOCAB_TOPK),
     "doc_sample_10pct": (
         catalog_data.q_doc_sample_10pct,

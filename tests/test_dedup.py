@@ -326,3 +326,57 @@ def test_minhash_delta_pairs_requires_corpus_side(spark):
     sh_new = dedup.shingles(docs)
     with pytest.raises(ValueError, match="sh_old .*or old_index"):
         dedup.minhash_lsh_delta_pairs(None, sh_new, 8, 2, 0.2)
+
+
+def test_delta_pairs_probe_prune_pushdown_and_fallback(spark, tmp_path):
+    """probe_prune (VERDICT r10 #2 scale path): with a PERSISTED corpus
+    index, the batch's band keys reach the corpus bands scan as an In
+    filter (row-group pruning on the key-sorted files), and the result
+    is identical to the unpruned probe; a cap smaller than the key set
+    falls back to the full scan, still identical."""
+    from cassandra_pv_archiver_spark.sources.pair_store import (
+        CorpusIndexStore,
+        DocTable,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame(
+        [(1, base), (2, base + " extra"),
+         (3, " ".join(f"q{i}" for i in range(12)))],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " more stuff"), (11, "x y z w q r s t u")],
+        "doc_id bigint, text string",
+    )
+    dt = DocTable(spark, str(tmp_path / "docs"), "doc_id bigint, text string")
+    dt.append(old)
+    idx = CorpusIndexStore(spark, str(tmp_path / "cindex"))
+    bands, sets = idx.sync(dt)
+
+    def run(pp):
+        cl = []
+        try:
+            out = dedup.minhash_lsh_delta_pairs(
+                None, dedup.shingles(new), 8, 2, 0.2,
+                old_index=(bands, sets), cache_log=cl, probe_prune=pp,
+            )
+            return sorted(
+                (r.old_id, r.new_id, round(r.jaccard, 12), r.n_common)
+                for r in out.collect()
+            ), out
+        finally:
+            for df in cl:
+                df.unpersist()
+    want, _ = run(None)
+    got, pruned_df = run(8192)
+    got_fb, _ = run(1)  # cap exceeded -> full-scan fallback
+    assert want and got == want and got_fb == want
+    # the In predicate really reaches the persisted bands scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned_df.explain("formatted")
+    assert "In(key, [" in buf.getvalue(), buf.getvalue()[:2000]

@@ -1191,6 +1191,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "pair_table_probe_pruned": (
+        3,  # the persisted-index probe: batch band keys reach the
+        # corpus bands scan as an In predicate (row-group pruning on
+        # the key-sorted files) — THE property this row exists to pin
+        ["codegen id", "In(key, [", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     # bench-only index builds (resolved via bench.SPECIAL)
     "materialize_minhash_pairs": (
         3,  # band equi-join + set verify; candidates broadcast-side
