@@ -181,8 +181,12 @@ class AdminApp:
             self.store.repair_rename(old, new)
         elif old_reg:
             # the registry never flushed (or a predecessor rolled it
-            # back): put any half-renamed history back under the old name
-            self.store.repair_rename(new, old)
+            # back): put any half-renamed history back under the old
+            # name. rollback=True: the repair source is the crashed
+            # rename's TARGET, so source-named metadata may be a foreign
+            # expired channel's stale leftovers — they must be dropped,
+            # not folded into the restored channel (round-11 review)
+            self.store.repair_rename(new, old, rollback=True)
         # neither name registered: the channel was removed since — the
         # rename is moot either way
         self._clear_rename_intent()
@@ -483,7 +487,10 @@ class AdminApp:
                     # otherwise the next startup finishes the rollback.
                     reg.rename_channel(new, old)
                     try:
-                        self.store.repair_rename(new, old)
+                        # rollback leg: drop (never adopt) any foreign
+                        # stale metadata under the crashed rename's
+                        # target name (round-11 review)
+                        self.store.repair_rename(new, old, rollback=True)
                         self._clear_rename_intent()
                     except Exception:  # noqa: BLE001 - keep primary error
                         pass

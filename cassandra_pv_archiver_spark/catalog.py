@@ -2074,7 +2074,15 @@ def q_heartbeat_stream_connected_1h(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # a silent timeout would race the second run against this
+            # one on the same checkpoint, or hash partial output — turn
+            # it into a diagnosable failure (round-11 review)
+            q.stop()
+            raise TimeoutError(
+                "heartbeat_stream_connected_1h: streaming run exceeded "
+                "600s"
+            )
 
     _phase(F.col("t") < cut)
     _run()

@@ -335,8 +335,12 @@ def q_pair_table_probe_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 old_index=(bands, sets),
                 cache_log=cache_log,
                 probe_prune=8192,
-            )
-            return out.persist()
+            ).persist()
+            # materialize BEFORE the finally unpersists the probe
+            # intermediates, or the final evaluation recomputes the
+            # whole delta chain they amortize (round-11 review)
+            out.count()
+            return out
         finally:
             for df in cache_log:
                 df.unpersist()

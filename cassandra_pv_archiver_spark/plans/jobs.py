@@ -90,11 +90,17 @@ def incremental_decimation(
       (``ChannelMetaDataDAOImpl.java:2124-2144``). A second driver
       REFUSES loudly (:class:`EdgeLeaseHeld`) instead of
       double-publishing; a lease whose holder died expires after
-      ``lease_ttl_s`` and is broken by the next claimant (two breakers
-      race safely: delete commutes, only one exclusive rename wins).
-      A run longer than the TTL risks losing its lease to a breaker —
-      size ``lease_ttl_s`` well above the slowest expected run, or 0
-      to disable leasing (single-writer deployments).
+      ``lease_ttl_s`` and is broken by the next claimant. Breaking is
+      an atomic ELECTION: every breaker that observed the same stale
+      lease renames it onto the same mtime-derived tombstone, which
+      exclusive-rename lets exactly one of them win — racing breakers
+      can never both acquire (round-11 review; the residual window
+      needs a breaker to crash between its break and its claim AND the
+      tombstone sweep and a re-break to complete inside another
+      breaker's pause, i.e. two independent crashes). A run longer
+      than the TTL risks losing its lease to a breaker — size
+      ``lease_ttl_s`` well above the slowest expected run, or 0 to
+      disable leasing (single-writer deployments).
     """
     from pyspark.sql import Window
 
@@ -154,26 +160,54 @@ def _edge_lease(store: ArchiveStore, target_period_s: int, ttl_s: float):
         if not fs.rename_no_overwrite(tmp, path):
             # an existing lease: live, or a dead holder's leftovers?
             try:
-                age_s = (time.time() * 1000 - fs.mtime_ms(path)) / 1000.0
+                stale_mtime = fs.mtime_ms(path)
+                age_s = (time.time() * 1000 - stale_mtime) / 1000.0
             except Exception:  # noqa: BLE001 - released between checks
-                age_s = None
+                stale_mtime, age_s = None, None
             if age_s is not None and age_s <= ttl_s:
                 raise EdgeLeaseHeld(
                     f"decimation edge (level {target_period_s}) of "
                     f"{store.root} is held by another writer "
                     f"(lease age {age_s:.0f}s <= ttl {ttl_s:.0f}s)"
                 )
-            # stale (or just released): break and re-claim. delete is
-            # idempotent across racing breakers; exactly one exclusive
-            # rename wins the re-claim
-            with contextlib.suppress(Exception):
-                fs.delete(path)
+            if age_s is not None:
+                # STALE: elect one breaker atomically (round-11 review —
+                # delete-then-claim let two breakers both acquire: the
+                # second's delete could remove the first's FRESH lease).
+                # Every breaker that observed the same stale lease
+                # computes the SAME tombstone name (its mtime); the
+                # exclusive rename of the lease onto that tombstone can
+                # only succeed once — the loser backs off. The tombstone
+                # is kept (touched to break time) so a breaker paused
+                # since an OLDER observation can never re-break a newer
+                # lease with a recycled name; a later successful
+                # acquirer sweeps tombstones older than the ttl.
+                tomb = f"{path}.break-{stale_mtime}"
+                if not fs.rename_no_overwrite(path, tomb):
+                    raise EdgeLeaseHeld(
+                        f"decimation edge (level {target_period_s}) of "
+                        f"{store.root}: lost the stale-lease break race"
+                    )
+                with contextlib.suppress(Exception):
+                    fs.touch(tomb)  # stamp break time for the sweep
+            # (age_s None: the holder released between our claim and the
+            # mtime read — the path is simply free now, claim it)
             if not fs.rename_no_overwrite(tmp, path):
                 raise EdgeLeaseHeld(
                     f"decimation edge (level {target_period_s}) of "
                     f"{store.root}: lost the stale-lease re-claim race"
                 )
         acquired = True
+        # sweep expired break tombstones (bounded: one listdir; only a
+        # crash between break and claim can strand one)
+        with contextlib.suppress(Exception):
+            now_ms = time.time() * 1000
+            base = path.rsplit("/", 1)[1]
+            for name in fs.listdir(ldir):
+                if name.startswith(f"{base}.break-") and (
+                    now_ms - fs.mtime_ms(f"{ldir}/{name}") > ttl_s * 1000
+                ):
+                    fs.delete(f"{ldir}/{name}")
         yield
     finally:
         with contextlib.suppress(Exception):

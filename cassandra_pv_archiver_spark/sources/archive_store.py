@@ -744,7 +744,9 @@ class ArchiveStore:
         cascade's pre-flight) — one per-level probe pass, not two."""
         return self._rename_channel(old, new, preflighted=preflighted)
 
-    def repair_rename(self, old: str, new: str) -> int:
+    def repair_rename(
+        self, old: str, new: str, rollback: bool = False
+    ) -> int:
         """Complete a rename that died half-way (ADVICE r9: the
         half-renamed state was unreachable through the public API — the
         collision probe finds the channel's OWN half-renamed rows under
@@ -777,13 +779,32 @@ class ArchiveStore:
         under ``B`` (the repair source), hwm/seeds still under ``A``
         (the repair target, and genuine).
 
+        **Rolling BACK a crashed rename? Pass ``rollback=True``.** The
+        two directions are indistinguishable from table contents alone
+        when a fully-expired FOREIGN channel's stale metadata sits
+        under the crashed rename's TARGET name (round-11 review): in a
+        rollback that name is the repair SOURCE, and the default
+        (forward) heuristic would read the foreign rows as proof the
+        fold never ran — purging the channel's genuine metadata and
+        adopting the foreign stale rows. With ``rollback=True`` the
+        rule inverts correctly: per table, the repair-source-named
+        rows are the channel's own ONLY on a hit-triggered level whose
+        metadata no longer mentions the repair target (the fold
+        completed there); everywhere else they are foreign leftovers
+        and are dropped, never folded in. The admin cascade's
+        compensation and intent-marker recovery pass the flag on their
+        rollback legs.
+
         Idempotent AND no-op-cheap: repairing an already-complete (or
         never-started) rename renames nothing, commits nothing, and
         returns 0 — safe to run speculatively at startup."""
-        return self._rename_channel(old, new, preflighted=True, repair=True)
+        return self._rename_channel(
+            old, new, preflighted=True, repair=True, rollback=rollback
+        )
 
     def _rename_channel(
-        self, old: str, new: str, preflighted: bool, repair: bool = False
+        self, old: str, new: str, preflighted: bool, repair: bool = False,
+        rollback: bool = False,
     ) -> int:
         if not preflighted:
             occupied = self.rename_target_occupied(new)
@@ -813,6 +834,8 @@ class ArchiveStore:
             # unaffected (the probe guarantees no rows named `new`).
             return _xf(old, new)(df.filter(F.col("channel") != new))
 
+        meta_ctx: dict = {}
+
         def _repair_meta_xf(df: DataFrame) -> DataFrame:
             # Direction-aware purge (ADVICE r10, medium): only purge
             # `new`-named rows when THIS table still mentions `old` —
@@ -834,6 +857,27 @@ class ArchiveStore:
                 return _meta_xf(df)
             return _xf(old, new)(df)
 
+        def _rollback_meta_xf(df: DataFrame) -> DataFrame:
+            # Explicit-rollback rule (round-11 review): the repair
+            # SOURCE here is the crashed rename's TARGET — the one name
+            # a fully-expired FOREIGN channel's stale metadata can
+            # legitimately sit under (the original probe only verified
+            # it free of DATA). Source-named rows are the channel's OWN
+            # exactly when the original fold completed on this table:
+            # the data swap preceded the fold (hit-triggered level) and
+            # the fold eliminated every target-named row. Everywhere
+            # else they are foreign leftovers: DROP them instead of
+            # folding them into the restored channel (inheriting a
+            # foreign high-water mark would make incremental decimation
+            # silently skip windows — and the forward heuristic above
+            # would even purge the channel's own rows first).
+            own_folded = meta_ctx.get("hit") and (
+                df.filter(F.col("channel") == new).limit(1).count() == 0
+            )
+            if own_folded:
+                return _xf(old, new)(df)
+            return _xf(old, new)(df.filter(F.col("channel") != old))
+
         if repair:
             # no compensation wrapper: repair is idempotent — on failure
             # re-run it, rather than half-reversing a half-repair. The
@@ -841,8 +885,12 @@ class ArchiveStore:
             # fold never ran (see _repair_meta_xf); already-folded
             # levels are skipped untouched (see repair_rename).
             return self._rewrite_channel_rows(
-                old, _xf(old, new), meta_transform=_repair_meta_xf,
+                old, _xf(old, new),
+                meta_transform=(
+                    _rollback_meta_xf if rollback else _repair_meta_xf
+                ),
                 meta_all_levels=True,
+                meta_ctx=meta_ctx,
             )
         try:
             return self._rewrite_channel_rows(
@@ -929,6 +977,7 @@ class ArchiveStore:
         meta_transform=None,
         meta_all_levels: bool = False,
         undo_log: list | None = None,
+        meta_ctx: dict | None = None,
     ) -> int:
         """Bounded-rewrite machinery shared by :meth:`rename_channel` and
         :meth:`delete_channel`: per level, discover the files carrying
@@ -988,6 +1037,12 @@ class ArchiveStore:
                 }
             if not hit and not meta_all_levels:
                 continue
+            if meta_ctx is not None:
+                # per-level context for direction-aware repair metadata
+                # transforms: whether THIS level's data rows carry the
+                # channel (the rollback rule needs it — see
+                # _rollback_meta_xf)
+                meta_ctx["hit"] = bool(hit)
             if hit:
                 affected = _match_manifest_files(rel, hit)
                 part = self._read_level_files(

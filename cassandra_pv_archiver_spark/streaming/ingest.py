@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.jobs import incremental_decimation
+from ..plans.jobs import EdgeLeaseHeld, incremental_decimation
 from ..sources.archive_store import ArchiveStore
 
 # widest batch channel set still worth shipping to the driver as an In
@@ -138,7 +138,18 @@ def ingest_batch(
         # (n == 0) is the first chance to catch them up — skipping it
         # would delay T3 recovery until the next data arrival
         for period in cascade_periods or []:
-            incremental_decimation(store, period)
+            try:
+                incremental_decimation(store, period)
+            except EdgeLeaseHeld:
+                # another process (an operator backfill) holds this
+                # edge: skip it for THIS batch instead of killing the
+                # ingest stream — the level-0 write above already
+                # landed, and the next batch's cascade catches the
+                # level up (incremental_decimation is a pure catch-up,
+                # per its own contract). Round-11 review: without this
+                # the cross-process lease turned a busy auxiliary
+                # level into a full archiving outage.
+                continue
         return n
     finally:
         guarded.unpersist()

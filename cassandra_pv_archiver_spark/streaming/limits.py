@@ -179,8 +179,31 @@ def max_update_period_stream(
         f", {c} {ptypes[c]}" for c in payload
     )
 
+    # the marker union nulls every payload column, so Arrow->pandas
+    # upcasts int/bool payloads to float64/object for the WHOLE group
+    # (round-11 review): coerce values back to the declared types at
+    # the emit and state boundaries, and hand Arrow pandas nullable
+    # dtypes so genuinely-NULL int payloads survive the round trip
+    _int_cols = {
+        c for c in payload
+        if ptypes[c] in ("int", "bigint", "smallint", "tinyint")
+    }
+    _bool_cols = {c for c in payload if ptypes[c] == "boolean"}
+
     def _py(v):
+        if v is None or (isinstance(v, float) and v != v):  # NaN = null
+            return None
         return v.item() if hasattr(v, "item") else v
+
+    def _coerce(c, v):
+        v = _py(v)
+        if v is None:
+            return None
+        if c in _int_cols:
+            return int(v)
+        if c in _bool_cols:
+            return bool(v)
+        return v
 
     def _fn(key_, pdf_iter, state):
         if state.exists:
@@ -227,21 +250,26 @@ def max_update_period_stream(
                                 out[c].append(v)
                             out["heartbeat"].append(True)
                     last, stop = ti, None
-                    pvals = [pay_arr[c][i] for c in payload]
+                    pvals = [_coerce(c, pay_arr[c][i]) for c in payload]
                     out[key].append(key_[0])
                     out[t].append(ti)
-                    for c in payload:
-                        out[c].append(pay_arr[c][i])
+                    for c, v in zip(payload, pvals):
+                        out[c].append(v)
                     out["heartbeat"].append(False)
                 # else: out-of-order duplicate — dropped (F5)
         if out[t]:
-            yield pd.DataFrame(out)
+            odf = pd.DataFrame(out)
+            for c in _int_cols:
+                odf[c] = odf[c].astype("Int64")
+            for c in _bool_cols:
+                odf[c] = odf[c].astype("boolean")
+            yield odf
         if last is not None:
             state.update(
                 (
                     int(last),
                     None if stop is None else int(stop),
-                    *[_py(v) for v in pvals],
+                    *pvals,
                 )
             )
         return

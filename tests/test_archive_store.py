@@ -1249,6 +1249,75 @@ def test_repair_rename_rollback_preserves_prefold_metadata(
     assert store.repair_rename("PV:B", "PV:A") == 0
 
 
+def test_rollback_repair_drops_foreign_stale_metadata(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 review: rolling back a crashed rename when a FOREIGN
+    expired channel's stale metadata sits under the crashed rename's
+    TARGET name. The repair source then mentions a name that is NOT the
+    channel's own — the forward heuristic ('mentions source => fold
+    never ran => purge target') would purge the channel's genuine
+    metadata AND adopt the foreign stale rows; repair_rename(...,
+    rollback=True) must instead keep the channel's own metadata and
+    DROP the foreign rows (folding a foreign high-water mark in would
+    make incremental decimation silently skip windows forever)."""
+    import pytest
+
+    from cassandra_pv_archiver_spark.sources import archive_store as mod
+
+    store = _store(spark, tmp_path)
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [("PV:A", i * 3600 * NS, float(i), 0, 0) for i in range(20)]
+    store.write_samples(spark.createDataFrame(rows, schema), level=0)
+    a_max = 19 * 3600 * NS
+    # the foreign expired channel: stale hwm under the name the rename
+    # will target, FAR ahead of A's history — exactly what the fresh
+    # rename's purge exists for, and what a rollback must never adopt
+    stale_t = 10**6 * 3600 * NS
+    stale = spark.createDataFrame([("PV:B", stale_t, 0.0, 0, 0)], schema)
+    store._update_channel_hwm(stale, level=0)
+
+    # crash the forward rename A->B after the data swap, before the
+    # fold (same harness as the pre-fold preservation test)
+    state = {"phase": "forward"}
+    orig_hwm = mod.ArchiveStore._hwm_table
+    orig_read = mod.ArchiveStore._read_level_files
+
+    def flaky_hwm(self, level):
+        if state["phase"] == "forward":
+            state["phase"] = "wedged"
+            raise RuntimeError("simulated crash before hwm fold")
+        return orig_hwm(self, level)
+
+    def flaky_read(self, level, paths, at_version=None):
+        if state["phase"] == "wedged":
+            raise RuntimeError("simulated compensation failure")
+        return orig_read(self, level, paths, at_version=at_version)
+
+    monkeypatch.setattr(mod.ArchiveStore, "_hwm_table", flaky_hwm)
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", flaky_read)
+    with pytest.raises(RuntimeError, match="before hwm fold"):
+        store.rename_channel("PV:A", "PV:B")
+    monkeypatch.setattr(mod.ArchiveStore, "_hwm_table", orig_hwm)
+    monkeypatch.setattr(mod.ArchiveStore, "_read_level_files", orig_read)
+
+    # split state: data under B, metadata = own under A + foreign B
+    assert store.read_samples(0).filter(
+        F.col("channel") == "PV:B").count() == 20
+    hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
+    assert hwm == {"PV:A": a_max, "PV:B": stale_t}
+
+    # rollback with the explicit flag: own metadata survives, the
+    # foreign stale mark is DROPPED (not renamed into PV:A)
+    assert store.repair_rename("PV:B", "PV:A", rollback=True) == 20
+    assert store.read_samples(0).filter(
+        F.col("channel") == "PV:A").count() == 20
+    hwm = {r.channel: r.hwm for r in store.channel_hwm(0).collect()}
+    assert hwm == {"PV:A": a_max}, (
+        "rollback adopted or purged the wrong metadata"
+    )
+
+
 def test_concurrent_incremental_decimation_single_publish(spark, tmp_path):
     """Round-10 review: two concurrent runs of the same decimation edge
     (the streaming per-batch cascade racing an operator backfill) must
@@ -1331,6 +1400,50 @@ def test_cross_process_edge_lease_refuses_second_writer(spark, tmp_path):
     # end state: every interval materialized exactly once
     dec = store.read_samples(3600)
     assert dec.count() == dec.dropDuplicates(["channel", "t"]).count()
+
+
+def test_stale_lease_break_is_atomic_election(spark, tmp_path):
+    """Round-11 review: breaking a stale lease must be an atomic
+    ELECTION, not delete-then-claim — two breakers that both observed
+    the stale lease could otherwise both acquire (the slower one's
+    delete removes the winner's FRESH lease). The break renames the
+    stale lease onto an mtime-derived tombstone: only one rename can
+    win, a paused loser's late break attempt hits the kept tombstone,
+    and expired tombstones are swept by a later acquirer."""
+    import pytest
+
+    from cassandra_pv_archiver_spark.plans import jobs
+
+    store = _store(spark, tmp_path)
+    ldir = f"{store.root}/_leases"
+    lease = f"{ldir}/decimation-3600.lease"
+    store.fs.mkdirs(ldir)
+    store.fs.write_text(lease, "dead-host:1:deadbeef")
+    old = time.time() - 3600
+    os.utime(lease, (old, old))
+    stale_mtime = store.fs.mtime_ms(lease)
+    tomb = f"{lease}.break-{stale_mtime}"
+
+    with jobs._edge_lease(store, 3600, ttl_s=900.0):  # breaker A wins
+        assert store.fs.exists(tomb)  # the election record is KEPT
+        # a paused breaker B that observed the SAME stale lease wakes
+        # up mid-A: its break rename must LOSE on the tombstone, and
+        # A's fresh lease must survive untouched
+        assert not store.fs.rename_no_overwrite(lease, tomb)
+        assert store.fs.exists(lease)
+        # a by-the-book claimant refuses (fresh lease, within ttl)
+        with pytest.raises(jobs.EdgeLeaseHeld, match="held by another"):
+            with jobs._edge_lease(store, 3600, ttl_s=900.0):
+                pass
+    assert not store.fs.exists(lease)  # released
+    assert store.fs.exists(tomb)  # young tombstone retained
+
+    # age the tombstone past the ttl: the next successful acquire
+    # sweeps it
+    os.utime(tomb, (old, old))
+    with jobs._edge_lease(store, 3600, ttl_s=900.0):
+        pass
+    assert not store.fs.exists(tomb)
 
 
 def test_cross_process_concurrent_runs_single_materialize(

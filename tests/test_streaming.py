@@ -1476,3 +1476,61 @@ def test_max_update_period_stream_replay_equals_batch(spark, tmp_path):
     assert beats("Y") == [10, 20, 30]
     assert beats("Z") == [10, 20]  # marker at sample t changed nothing
     assert beats("W") == []        # no closing sample -> no beats
+
+
+def test_max_update_period_stream_int_payload(spark, tmp_path):
+    """Round-11 review: the marker union nulls every payload column, so
+    int/bool payloads arrive in pandas as float64 — the operator must
+    coerce back to the declared types at the emit and state boundaries
+    (the canonical sample schema carries severity/status ints) and keep
+    genuinely-NULL int payloads as nulls."""
+    from cassandra_pv_archiver_spark.streaming.limits import (
+        NS,
+        max_update_period,
+        max_update_period_stream,
+    )
+
+    schema = "channel string, t long, v double, severity int, status int"
+    rows = [
+        ("X", 0, 7.0, 2, 5), ("X", 35 * NS, 9.0, 1, 0),
+        ("X", 95 * NS, 1.0, 0, None),  # null int payload survives
+    ]
+    marks = [("X", 60 * NS, "disconnected")]
+    sdir, mdir = str(tmp_path / "s"), str(tmp_path / "m")
+    spark.createDataFrame(rows, schema).write.parquet(sdir)
+    spark.createDataFrame(
+        marks, "channel string, t long, type string"
+    ).write.parquet(mdir)
+
+    got = []
+    q = (
+        max_update_period_stream(
+            spark.readStream.schema(schema).parquet(sdir),
+            10,
+            markers=spark.readStream.schema(
+                "channel string, t long, type string"
+            ).parquet(mdir),
+        )
+        .writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want = max_update_period(
+        spark.createDataFrame(rows, schema), 10,
+        markers=spark.createDataFrame(
+            marks, "channel string, t long, type string"
+        ),
+    ).collect()
+    k = lambda r: (r.channel, r.t, r.heartbeat, r.v, r.severity, r.status)  # noqa: E731
+    assert sorted(map(k, got)) == sorted(map(k, want))
+    # ints stay ints end-to-end (a float64 leak would crash the state
+    # store or change the wire type)
+    assert all(
+        isinstance(r.severity, int) for r in got if r.severity is not None
+    )
+    # beats between 35 and the marker at 60 carry the held int payload
+    beat = next(r for r in got if r.heartbeat and r.t == 45 * NS)
+    assert (beat.severity, beat.status) == (1, 0)
