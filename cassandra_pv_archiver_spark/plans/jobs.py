@@ -18,11 +18,7 @@ O(new data), independent of archive size.
 from __future__ import annotations
 
 import contextlib
-import os
-import socket
 import threading
-import time
-import uuid
 import weakref
 
 from pyspark.sql import DataFrame
@@ -30,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.decimate import NS, decimate, reaggregate
 from ..sources.archive_store import ArchiveStore
+from ..sources.lease import LeaseHeld, file_lease
 
 
 class EdgeLeaseHeld(RuntimeError):
@@ -144,85 +141,23 @@ def _edge_lock(root: str, target_period_s: int) -> _EdgeLock:
 @contextlib.contextmanager
 def _edge_lease(store: ArchiveStore, target_period_s: int, ttl_s: float):
     """Cross-process one-writer claim on a decimation edge (contract in
-    :func:`incremental_decimation`). ``ttl_s <= 0`` disables leasing."""
-    if ttl_s <= 0:
-        yield
-        return
-    fs = store.fs
-    ldir = f"{store.root}/_leases"
-    path = f"{ldir}/decimation-{target_period_s}.lease"
-    holder = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
-    tmp = f"{ldir}/.tmp-lease-{uuid.uuid4().hex[:12]}"
-    fs.mkdirs(ldir)
-    fs.write_text(tmp, holder)
-    acquired = False
+    :func:`incremental_decimation`) — the shared TTL'd file-lease
+    protocol of :mod:`..sources.lease` (atomic tombstone-election
+    break, owner-checked release). ``ttl_s <= 0`` disables leasing."""
     try:
-        if not fs.rename_no_overwrite(tmp, path):
-            # an existing lease: live, or a dead holder's leftovers?
-            try:
-                stale_mtime = fs.mtime_ms(path)
-                age_s = (time.time() * 1000 - stale_mtime) / 1000.0
-            except Exception:  # noqa: BLE001 - released between checks
-                stale_mtime, age_s = None, None
-            if age_s is not None and age_s <= ttl_s:
-                raise EdgeLeaseHeld(
-                    f"decimation edge (level {target_period_s}) of "
-                    f"{store.root} is held by another writer "
-                    f"(lease age {age_s:.0f}s <= ttl {ttl_s:.0f}s)"
-                )
-            if age_s is not None:
-                # STALE: elect one breaker atomically (round-11 review —
-                # delete-then-claim let two breakers both acquire: the
-                # second's delete could remove the first's FRESH lease).
-                # Every breaker that observed the same stale lease
-                # computes the SAME tombstone name (its mtime); the
-                # exclusive rename of the lease onto that tombstone can
-                # only succeed once — the loser backs off. The tombstone
-                # is kept (touched to break time) so a breaker paused
-                # since an OLDER observation can never re-break a newer
-                # lease with a recycled name; a later successful
-                # acquirer sweeps tombstones older than the ttl.
-                tomb = f"{path}.break-{stale_mtime}"
-                if not fs.rename_no_overwrite(path, tomb):
-                    raise EdgeLeaseHeld(
-                        f"decimation edge (level {target_period_s}) of "
-                        f"{store.root}: lost the stale-lease break race"
-                    )
-                with contextlib.suppress(Exception):
-                    fs.touch(tomb)  # stamp break time for the sweep
-            # (age_s None: the holder released between our claim and the
-            # mtime read — the path is simply free now, claim it)
-            if not fs.rename_no_overwrite(tmp, path):
-                raise EdgeLeaseHeld(
-                    f"decimation edge (level {target_period_s}) of "
-                    f"{store.root}: lost the stale-lease re-claim race"
-                )
-        acquired = True
-        # sweep expired break tombstones (bounded: one listdir; only a
-        # crash between break and claim can strand one)
-        with contextlib.suppress(Exception):
-            now_ms = time.time() * 1000
-            base = path.rsplit("/", 1)[1]
-            for name in fs.listdir(ldir):
-                if name.startswith(f"{base}.break-") and (
-                    now_ms - fs.mtime_ms(f"{ldir}/{name}") > ttl_s * 1000
-                ):
-                    fs.delete(f"{ldir}/{name}")
-        yield
-    finally:
-        with contextlib.suppress(Exception):
-            if fs.exists(tmp):
-                fs.delete(tmp)
-        if acquired:
-            # release only if still ours: a breaker may have taken the
-            # lease from an over-TTL run — deleting then would drop THE
-            # BREAKER's claim (read-check-delete is not atomic; the
-            # residual race needs a run to exceed the TTL *and* lose a
-            # ms-scale window, and the documented contract is already
-            # "size the TTL above the slowest run")
-            with contextlib.suppress(Exception):
-                if fs.read_text(path) == holder:
-                    fs.delete(path)
+        with file_lease(
+            store.fs,
+            f"{store.root}/_leases",
+            f"decimation-{target_period_s}",
+            ttl_s,
+            what=(
+                f"decimation edge (level {target_period_s}) of "
+                f"{store.root}"
+            ),
+        ):
+            yield
+    except LeaseHeld as e:
+        raise EdgeLeaseHeld(str(e)) from None
 
 
 def _incremental_decimation_locked(

@@ -50,6 +50,36 @@ from .fs import HadoopFS
 MANIFEST_DIR = "_manifests"
 
 
+class CommitRefused(Exception):
+    """A commit's ``refuse_if`` precondition failed against the base it
+    would build on (e.g. an idempotency marker already committed by a
+    concurrent replay) — the table is unchanged."""
+
+
+def _suppress_fs_errors():
+    import contextlib
+
+    return contextlib.suppress(Exception)
+
+
+def _missing_file_error(e: Exception) -> bool:
+    """Does this look like a missing-manifest read (the raced-gc
+    signal), as opposed to corruption/permissions/outage?"""
+    s = str(e)
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        try:
+            s += " " + je.getClass().getName()
+        except Exception:  # noqa: BLE001 - dead gateway etc.
+            pass
+    return (
+        "FileNotFound" in s
+        or "NoSuchFile" in s
+        or "does not exist" in s
+        or "No such file" in s
+    )
+
+
 class ManifestTable:
     """Versioned file-list table over one root directory.
 
@@ -64,6 +94,11 @@ class ManifestTable:
         self.root = root.rstrip("/")
         self.fs = HadoopFS(spark, self.root)
         self._mdir = f"{self.root}/{MANIFEST_DIR}"
+        #: version created by THIS handle's most recent commit — unlike
+        #: a current_version() re-read, immune to a concurrent writer
+        #: committing in between (round-11 review: DocTable.append's
+        #: version attribution)
+        self.last_committed_version: int | None = None
 
     # -- versions --------------------------------------------------------
     def versions(self) -> list[int]:
@@ -133,6 +168,7 @@ class ManifestTable:
         remove: list[str] = (),
         max_attempts: int = 50,
         header_fn=None,
+        refuse_if=None,
     ) -> int:
         """Commit the next version = current files − ``remove`` + ``add``
         (relative paths). One atomic no-overwrite rename; on collision
@@ -155,7 +191,17 @@ class ManifestTable:
         on every rebase, so the result is consistent with the version
         actually built on). None keeps the base header — every commit
         carries the table metadata forward by default, even a commit
-        that empties the file list."""
+        that empties the file list.
+
+        ``refuse_if(base_files) -> str | None`` is an atomic
+        precondition evaluated against the base the commit actually
+        builds on (re-evaluated on every rebase): a non-None message
+        aborts with :class:`CommitRefused`. This is how idempotency
+        markers become race-free — two committers carrying the same
+        marker cannot both land, because whichever loses the version
+        claim rebases onto the winner's manifest and the predicate sees
+        the marker (round-11 review: check-then-act has_marker let
+        concurrent replays double-apply)."""
         import random
         import time
 
@@ -169,12 +215,22 @@ class ManifestTable:
                 base, prev_header = (
                     self._read_version(cur) if cur is not None else ([], None)
                 )
-            except Exception:  # noqa: BLE001 - raced a concurrent gc
-                # between versions() and the read, another writer
-                # committed past cur and its gc pruned m-cur (gc keeps
-                # only the newest keep_versions manifests) — the same
-                # lost-race signal as a failed claim: rebase and retry
+            except Exception as e:  # noqa: BLE001
+                # a MISSING manifest is the raced-gc signal: between
+                # versions() and the read, another writer committed past
+                # cur and its gc pruned m-cur (gc keeps only the newest
+                # keep_versions manifests) — same lost-race signal as a
+                # failed claim: rebase and retry. Anything else
+                # (corruption, permissions, FS outage) would burn every
+                # retry masking the root cause — propagate it (round-11
+                # review).
+                if not _missing_file_error(e):
+                    raise
                 continue
+            if refuse_if is not None:
+                msg = refuse_if(base)
+                if msg:
+                    raise CommitRefused(msg)
             drop = set(remove)
             base_set = set(base)  # O(add+base), not O(add*base): the
             # module sizes manifests at ~10^5 lines and retries race
@@ -202,6 +258,7 @@ class ManifestTable:
                 body = f"{self.HEADER_PREFIX}{hdr}\n" + body
             self.fs.write_text(tmp, body)
             if self.fs.rename_no_overwrite(tmp, f"{self._mdir}/m-{v:020d}"):
+                self.last_committed_version = v
                 return v
             self.fs.delete(tmp)  # lost the race; rebase and retry
         raise IOError(
@@ -346,7 +403,8 @@ class ManifestTable:
         return f"{self.root}/_stage-{uuid.uuid4().hex}"
 
     def publish_stage(
-        self, stage: str, remove: list[str] = (), header_fn=None
+        self, stage: str, remove: list[str] = (), header_fn=None,
+        refuse_if=None,
     ) -> list[str]:
         """Move every data file written under ``stage`` into the table
         layout (same relative path, a unique prefix on the file name) and
@@ -373,5 +431,18 @@ class ManifestTable:
             self.fs.touch(dst)
             added.append(dst_rel)
         self.fs.delete(stage)
-        self.commit(add=added, remove=remove, header_fn=header_fn)
+        try:
+            self.commit(
+                add=added, remove=remove, header_fn=header_fn,
+                refuse_if=refuse_if,
+            )
+        except CommitRefused:
+            # precondition failed (e.g. a concurrent replay landed the
+            # same idempotency marker): the moved files were never
+            # referenced by any manifest — delete them so they don't
+            # linger as orphans until gc
+            for rel in added:
+                with _suppress_fs_errors():
+                    self.fs.delete(f"{self.root}/{rel}")
+            raise
         return added

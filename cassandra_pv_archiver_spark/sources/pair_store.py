@@ -40,9 +40,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup
-from .manifest import ManifestTable
+from .lease import file_lease
+from .manifest import CommitRefused, ManifestTable
 
 PAIR_SCHEMA = "id_a bigint, id_b bigint, jaccard double, n_common bigint"
+
+
+def _marker_in(files: list[str], marker: str) -> bool:
+    """EXACT match on the segment after the publish tag (the tag is 12
+    hex chars, never containing '-'): a suffix match would
+    false-positive on a marker that is a dash-boundary suffix of a
+    previously applied one (round-10 review)."""
+
+    def _name(r: str) -> str | None:
+        base = r.split("/", 1)[1]
+        return base.split("-", 1)[1] if "-" in base else None
+
+    return any(
+        r.startswith("applied/") and _name(r) == marker for r in files
+    )
 
 
 class DocTable:
@@ -62,7 +78,11 @@ class DocTable:
         stage = self.table.stage_dir()
         df.write.mode("overwrite").parquet(stage)
         self.table.publish_stage(stage)
-        return self.table.current_version()
+        # the version OUR commit created — a current_version() re-read
+        # could attribute a concurrent writer's newer commit to this
+        # append, and an index upto marker keyed to it would claim
+        # coverage of docs it never folded (round-11 review)
+        return self.table.last_committed_version
 
     def versions(self) -> list[int]:
         return self.table.versions()
@@ -204,14 +224,28 @@ class CorpusIndexStore:
     def append(self, sh_batch: DataFrame, upto_version: int) -> None:
         """Fold one batch's index in — O(batch) write, one atomic
         commit, moving the version marker to ``upto_version``. A call
-        whose version the index already covers is a no-op (replay)."""
-        v = self.version()
-        if v is not None and upto_version <= v:
-            return
-        old_markers = [
-            r for r in self.table.files() or [] if r.startswith("upto/")
-        ]
-        self._stage_and_commit(sh_batch, upto_version, remove=old_markers)
+        whose version the index already covers is a no-op (replay); a
+        concurrent append that replaced the upto marker first is a
+        rebase-and-retry, not a crash (round-11 review: the marker
+        removal otherwise surfaced as a rewrite-conflict IOError)."""
+        for attempt in range(3):
+            v = self.version()
+            if v is not None and upto_version <= v:
+                return
+            old_markers = [
+                r for r in self.table.files() or []
+                if r.startswith("upto/")
+            ]
+            try:
+                self._stage_and_commit(
+                    sh_batch, upto_version, remove=old_markers
+                )
+                return
+            except IOError as e:
+                if "rewrite conflict" not in str(e) or attempt == 2:
+                    raise
+                # a concurrent maintainer moved the marker: re-read and
+                # retry (their commit may even have covered our version)
 
     def sync(self, doc_table: DocTable, shingle_fn=None) -> tuple[DataFrame, DataFrame]:
         """Bring the index up to ``doc_table``'s current version and
@@ -224,19 +258,39 @@ class CorpusIndexStore:
         versions = doc_table.versions()
         doc_v = versions[-1] if versions else None
         idx_v = self.version()
-        if doc_v is not None and idx_v != doc_v:
+        if doc_v is None:
+            if idx_v is not None:
+                # the doc table was torn down and recreated empty while
+                # the index survived: a stale index would probe against
+                # ghost docs AND its high upto marker would no-op every
+                # future append — clear it (round-11 review)
+                self.table.commit(remove=list(self.table.files() or []))
+            return self.read()
+        if idx_v != doc_v:
             if idx_v is None or idx_v > doc_v:
                 delta = None  # never built, or doc table was reset
             else:
                 try:
                     delta = doc_table.read_changes(idx_v, doc_v)
-                except ValueError:  # compaction broke append-only CDC
+                except Exception:  # noqa: BLE001
+                    # append-only CDC is unavailable: a compaction
+                    # rewrote files (ValueError) or the base manifest
+                    # m-<idx_v> was gc-pruned while the maintainer was
+                    # down (a missing-file error, NOT ValueError —
+                    # round-11 review: catching only ValueError
+                    # crash-looped the stream on exactly the case the
+                    # fallback exists for). Either way the answer is
+                    # the same: one full rebuild, then CDC resumes.
                     delta = None
             if delta is not None:
                 self.append(sh_fn(delta), doc_v)
             else:
+                # pin the full build to the SAME version the upto
+                # marker will record — reading the current files would
+                # fold a racing append's docs in twice (once now, once
+                # via its own index.append / the next CDC catch-up)
                 self._stage_and_commit(
-                    sh_fn(doc_table.read()),
+                    sh_fn(doc_table.read(at_version=doc_v)),
                     doc_v,
                     remove=list(self.table.files() or []),
                 )
@@ -285,14 +339,38 @@ class PairTableView:
         )
         stage = self.table.stage_dir()
         out.write.mode("overwrite").parquet(stage)
+        refuse_if = None
         if marker is not None:
             self.table.fs.mkdirs(f"{stage}/applied")
             self.table.fs.write_text(f"{stage}/applied/{marker}", "")
-        self.table.publish_stage(stage, remove=remove)
+            # atomic idempotency: the precondition is re-evaluated
+            # against the exact base version the commit claims, so two
+            # concurrent replays carrying the same marker cannot both
+            # land — the loser's rebase sees the winner's marker and
+            # the commit refuses (round-11 review: the check-then-act
+            # has_marker() fast path alone raced)
+            refuse_if = (
+                lambda base: f"marker already applied: {marker}"
+                if _marker_in(base, marker)
+                else None
+            )
+        self.table.publish_stage(stage, remove=remove, refuse_if=refuse_if)
 
     def rebuild(self, sh: DataFrame) -> int:
         """Full rebuild from a corpus shingle table — the from-scratch
-        path `apply_batch` makes unnecessary; one overwrite commit."""
+        path `apply_batch` makes unnecessary; one overwrite commit.
+
+        Clears ``applied/`` idempotency markers DELIBERATELY, and that
+        composes correctly with streaming replays as long as ``sh``
+        derives from the CURRENT doc table: a replayed batch whose docs
+        are in the table finds ``fresh`` empty and never reaches the
+        pair step (its pairs are in the rebuild via the corpus), while
+        a crash-between batch (pairs committed, docs missing) is
+        EXCLUDED from the rebuild and its replay correctly re-applies.
+        Keeping the markers would invert the second case into silent
+        pair loss. Rebuilding from anything other than the current doc
+        table while maintenance streams hold un-replayed batches is not
+        supported."""
         pairs = dedup.minhash_lsh_pairs(
             sh, self.num_hashes, self.band_size, self.verify_threshold
         )
@@ -333,6 +411,11 @@ class PairTableView:
         try:
             self._apply_batch(sh_corpus, sh_batch, marker, corpus_index,
                               cache_log, probe_prune)
+        except CommitRefused:
+            # a concurrent replay carrying the same marker won the
+            # commit race after our fast-path check: the batch IS
+            # applied — idempotent success (round-11 review)
+            pass
         finally:
             for df in cache_log:
                 df.unpersist()
@@ -369,18 +452,7 @@ class PairTableView:
         """True iff a commit carrying ``applied/<marker>`` is visible
         (publish_stage prefixes file names with a unique tag, hence the
         suffix match)."""
-        # EXACT match on the segment after the publish tag (the tag is
-        # 12 hex chars, never containing '-'): a suffix match would
-        # false-positive on a marker that is a dash-boundary suffix of
-        # a previously applied one (round-10 review)
-        def _name(r: str) -> str | None:
-            base = r.split("/", 1)[1]
-            return base.split("-", 1)[1] if "-" in base else None
-
-        return any(
-            r.startswith("applied/") and _name(r) == marker
-            for r in self.table.files() or []
-        )
+        return _marker_in(self.table.files() or [], marker)
 
     def read(self) -> DataFrame:
         rel = [
@@ -404,6 +476,8 @@ def start_pair_table_maintenance(
     available_now: bool = True,
     index_store: CorpusIndexStore | None = None,
     probe_prune: int | None = 8192,
+    lease_ttl_s: float = 900.0,
+    lease_wait_s: float = 600.0,
 ):
     """Continuous pair-table maintenance: a streaming DataFrame of
     documents drives one ``PairTableView.apply_batch`` per micro-batch —
@@ -459,11 +533,38 @@ def start_pair_table_maintenance(
     )
 
     def _maintain(batch_df, batch_id):
+        # ONE maintainer per (doc table, view) at a time, enforced
+        # cross-process by a TTL'd file lease held for the batch
+        # (round-11 review): two concurrently-interleaving streams
+        # would each snapshot the corpus before the other's doc append
+        # and silently MISS every cross-stream A-batch x B-batch pair —
+        # serialized batches instead pick the other stream's docs up
+        # through sync's CDC catch-up. A concurrent holder makes this
+        # batch WAIT (up to lease_wait_s), then fail loudly rather
+        # than corrupt; lease_ttl_s <= 0 opts out.
+        with file_lease(
+            view.table.fs,
+            f"{view.root}/_leases",
+            "maintenance",
+            lease_ttl_s,
+            wait_s=lease_wait_s,
+            what=f"pair-table maintenance of {view.root}",
+        ):
+            _maintain_locked(batch_df, batch_id)
+
+    def _maintain_locked(batch_df, batch_id):
         # heal first: a predecessor that died between its doc append
         # and its index append left the index one version behind; the
         # CDC catch-up costs the missed delta only
         bands, sets = index.sync(doc_table, sh_fn)
         corpus = doc_table.read()
+        # replay guard: a doc_id-only column scan of the corpus — the
+        # cheapest possible corpus pass, and also the guard against a
+        # SECOND checkpoint re-delivering overlapping source data
+        # (markers are checkpoint-scoped, so the marker alone cannot
+        # catch cross-checkpoint overlap). At very large corpus scale
+        # the right structure is a doc-id bloom/zone index ridden in
+        # the manifest header; the column scan is the honest baseline.
         fresh = batch_df.join(
             corpus.select("doc_id"), "doc_id", "left_anti"
         ).persist()

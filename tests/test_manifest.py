@@ -509,6 +509,155 @@ class TestPairStore:
         assert not view.has_marker("batch-1")
         assert not view.has_marker("1")
 
+    def test_maintenance_lease_blocks_second_stream(self, spark, tmp_path):
+        """Round-11 review: two concurrently-running maintenance streams
+        would each snapshot the corpus before the other's doc append and
+        silently miss every cross-stream pair — a per-batch TTL'd lease
+        makes the second maintainer WAIT (or fail loudly after
+        lease_wait_s), never corrupt."""
+        import pytest
+
+        from cassandra_pv_archiver_spark.sources import pair_store as ps
+        from cassandra_pv_archiver_spark.sources.lease import file_lease
+
+        schema = "doc_id bigint, text string"
+        dt = ps.DocTable(spark, str(tmp_path / "docs"), schema)
+        view = ps.PairTableView(spark, str(tmp_path / "pairs"))
+        src = str(tmp_path / "src")
+        self._docs(spark, [(1, "a b c d e")]).coalesce(1).write.parquet(src)
+
+        # "the other stream" holds the maintenance lease mid-batch
+        with file_lease(
+            view.table.fs, f"{view.root}/_leases", "maintenance", 900.0
+        ):
+            q = ps.start_pair_table_maintenance(
+                spark.readStream.schema(schema).parquet(src),
+                dt, view, str(tmp_path / "ckpt"),
+                lease_wait_s=2.0,  # don't wait the full default in a test
+            )
+            with pytest.raises(Exception, match="held by another"):
+                q.awaitTermination(120)
+                raise AssertionError("stream should have failed loudly")
+            assert dt.read().count() == 0  # nothing half-applied
+        # lease released: a fresh run (new checkpoint) completes
+        q2 = ps.start_pair_table_maintenance(
+            spark.readStream.schema(schema).parquet(src),
+            dt, view, str(tmp_path / "ckpt2"),
+        )
+        q2.awaitTermination(120)
+        assert {r.doc_id for r in dt.read().collect()} == {1}
+        assert not view.table.fs.exists(
+            f"{view.root}/_leases/maintenance.lease"
+        )
+
+    def test_apply_batch_marker_is_commit_atomic(self, spark, tmp_path):
+        """Round-11 review: the idempotency marker must be enforced by
+        the COMMIT (refuse_if against the rebased base), not only the
+        check-then-act has_marker fast path — two concurrent replays
+        that both pass the fast path must still land exactly once."""
+        from cassandra_pv_archiver_spark.operators import dedup
+        from cassandra_pv_archiver_spark.sources.pair_store import (
+            PairTableView,
+        )
+
+        view = PairTableView(spark, str(tmp_path / "pairs"))
+        sh = dedup.shingles(
+            self._docs(spark, [(1, "a b c d e"), (2, "a b c d f")])
+        )
+        view.apply_batch(sh, sh, marker="scope-batch-7")
+        v = view.table.current_version()
+        n = view.read().count()
+
+        # a concurrent replay that already passed the fast path: bypass
+        # has_marker and drive the publish directly — the COMMIT must
+        # refuse, and apply_batch must treat that as idempotent success
+        import pytest
+
+        from cassandra_pv_archiver_spark.sources.manifest import (
+            CommitRefused,
+        )
+
+        with pytest.raises(CommitRefused, match="already applied"):
+            view._publish(
+                view.read(), remove=[], marker="scope-batch-7"
+            )
+        # ... and through apply_batch with the fast path disabled
+        orig = PairTableView.has_marker
+        try:
+            PairTableView.has_marker = lambda self, m: False
+            view.apply_batch(sh, sh, marker="scope-batch-7")
+        finally:
+            PairTableView.has_marker = orig
+        assert view.table.current_version() == v
+        assert view.read().count() == n
+        # the refused publish's staged files were cleaned up, not left
+        # as orphans until gc
+        data_files = [
+            r for r in view.table.fs.list_files_recursive(view.root)
+            if not r.startswith("_")
+        ]
+        assert len(data_files) == len(view.table.files())
+
+    def test_doc_append_returns_own_commit_version(self, spark, tmp_path):
+        """Round-11 review: append must return the version ITS commit
+        created (last_committed_version), not a racy re-read that could
+        attribute a concurrent writer's commit to this append."""
+        from cassandra_pv_archiver_spark.sources.pair_store import DocTable
+
+        schema = "doc_id bigint, text string"
+        a = DocTable(spark, str(tmp_path / "docs"), schema)
+        b = DocTable(spark, str(tmp_path / "docs"), schema)
+        va = a.append(self._docs(spark, [(1, "x")]))
+        vb = b.append(self._docs(spark, [(2, "y")]))
+        assert (va, vb) == (0, 1)
+        assert a.table.last_committed_version == 0  # not bumped by b
+        va2 = a.append(self._docs(spark, [(3, "z")]))
+        assert va2 == 2
+
+    def test_corpus_index_survives_doc_table_reset_and_gc_prune(
+        self, spark, tmp_path
+    ):
+        """Round-11 review, two sync edge cases: (a) a torn-down-and-
+        recreated doc table must CLEAR the surviving index (else ghost
+        docs probe forever and the high upto marker no-ops every future
+        append); (b) a gc that pruned the index's base manifest raises
+        a missing-file error, not ValueError — sync must fall back to
+        the full rebuild instead of crash-looping."""
+        from cassandra_pv_archiver_spark.operators import dedup
+        from cassandra_pv_archiver_spark.sources.pair_store import (
+            CorpusIndexStore,
+            DocTable,
+        )
+
+        schema = "doc_id bigint, text string"
+        droot = str(tmp_path / "docs")
+        dt = DocTable(spark, droot, schema)
+        idx = CorpusIndexStore(spark, str(tmp_path / "cindex"))
+        v0 = dt.append(self._docs(spark, [(1, "a b c d e")]))
+        idx.sync(dt)
+        assert idx.version() == v0
+
+        # (b) maintainer down across two appends + a gc that prunes m-v0
+        dt.append(self._docs(spark, [(2, "a b c d f")]))
+        dt.append(self._docs(spark, [(3, "g h i j k")]))
+        dt.table.gc(keep_versions=1, grace_seconds=0)
+        bands, sets = idx.sync(dt)  # CDC base gone -> full rebuild
+        assert idx.version() == dt.table.current_version()
+        assert {r.doc_id for r in sets.collect()} == {1, 2, 3}
+
+        # (a) tear down + recreate empty: the stale index must clear
+        dt.table.fs.delete(droot)
+        dt2 = DocTable(spark, droot, schema)
+        bands, sets = idx.sync(dt2)
+        assert idx.version() is None
+        assert sets.count() == 0 and bands.count() == 0
+        # and a fresh corpus folds in from scratch (the old high marker
+        # must not no-op it)
+        nv = dt2.append(self._docs(spark, [(9, "q r s t u")]))
+        bands, sets = idx.sync(dt2)
+        assert idx.version() == nv
+        assert {r.doc_id for r in sets.collect()} == {9}
+
     def test_corpus_index_store_sync_is_cdc_incremental(
         self, spark, tmp_path
     ):
