@@ -46,9 +46,10 @@ class HadoopFS:
         return [s.getPath().getName() for s in self._fs.listStatus(p)]
 
     def delete(self, path: str) -> None:
-        p = self._Path(path)
-        if self._fs.exists(p):
-            self._fs.delete(p, True)
+        # no exists() pre-check: Hadoop delete returns false (never
+        # throws) for a missing path, and the extra round-trip doubled
+        # the RPC cost of every hot delete site (round-11 review)
+        self._fs.delete(self._Path(path), True)
 
     def replace(self, src: str, dst: str) -> None:
         """os.replace semantics: atomically swap ``dst`` to ``src``'s

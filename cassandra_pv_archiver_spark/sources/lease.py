@@ -79,6 +79,19 @@ def file_lease(
 @contextlib.contextmanager
 def _acquire_once(fs, ldir: str, name: str, ttl_s: float, what: str):
     path = f"{ldir}/{name}.lease"
+    # cheap pre-probe (round-11 review): a waiting poller must not pay
+    # the tmp-file create/rename/delete cycle just to discover the
+    # lease is still live — two read RPCs answer the common case. The
+    # authoritative decision is still the exclusive rename below.
+    try:
+        age0 = (time.time() * 1000 - fs.mtime_ms(path)) / 1000.0
+    except Exception:  # noqa: BLE001 - absent: proceed to claim
+        age0 = None
+    if age0 is not None and age0 <= ttl_s:
+        raise LeaseHeld(
+            f"{what} is held by another writer "
+            f"(lease age {age0:.0f}s <= ttl {ttl_s:.0f}s)"
+        )
     holder = f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
     tmp = f"{ldir}/.tmp-lease-{uuid.uuid4().hex[:12]}"
     fs.mkdirs(ldir)
@@ -102,23 +115,49 @@ def _acquire_once(fs, ldir: str, name: str, ttl_s: float, what: str):
                 tomb = f"{path}.break-{stale_mtime}"
                 if not fs.rename_no_overwrite(path, tomb):
                     raise LeaseHeld(f"{what}: lost the stale-lease break race")
-                with contextlib.suppress(Exception):
-                    fs.touch(tomb)  # stamp break time for the sweep
+                # round-11 review, two hazards after winning the rename:
+                # (a) the lease under `path` may no longer be the one we
+                # observed — a release-and-reacquire in our pause window
+                # put a FRESH lease there, and we just moved a live
+                # holder aside: verify the moved file's mtime matches
+                # the stale observation; (b) the tombstone must be
+                # re-stamped to break time, or (carrying the stale
+                # mtime) it is instantly sweep-eligible and its name
+                # can be recycled by a paused second breaker. Either
+                # failure => put the lease back and refuse.
+                ok = False
+                try:
+                    if fs.mtime_ms(tomb) == stale_mtime:
+                        fs.touch(tomb)
+                        ok = True
+                except Exception:  # noqa: BLE001
+                    ok = False
+                if not ok:
+                    with contextlib.suppress(Exception):
+                        fs.rename_no_overwrite(tomb, path)
+                    raise LeaseHeld(
+                        f"{what}: lease changed during the stale break"
+                    )
             # (age_s None: the holder released between our claim and the
             # mtime read — the path is simply free now, claim it)
             if not fs.rename_no_overwrite(tmp, path):
                 raise LeaseHeld(f"{what}: lost the stale-lease re-claim race")
         acquired = True
         # sweep expired break tombstones (bounded: one listdir; only a
-        # crash between break and claim can strand one)
+        # crash between break and claim can strand one). Per-entry
+        # suppression: a concurrent sweeper deleting an entry between
+        # our listdir and mtime read must not abort the rest.
         with contextlib.suppress(Exception):
             now_ms = time.time() * 1000
             base = f"{name}.lease"
-            for entry in fs.listdir(ldir):
-                if entry.startswith(f"{base}.break-") and (
-                    now_ms - fs.mtime_ms(f"{ldir}/{entry}") > ttl_s * 1000
-                ):
-                    fs.delete(f"{ldir}/{entry}")
+            entries = fs.listdir(ldir)
+            for entry in entries:
+                with contextlib.suppress(Exception):
+                    if entry.startswith(f"{base}.break-") and (
+                        now_ms - fs.mtime_ms(f"{ldir}/{entry}")
+                        > ttl_s * 1000
+                    ):
+                        fs.delete(f"{ldir}/{entry}")
         yield
     finally:
         with contextlib.suppress(Exception):

@@ -119,8 +119,8 @@ def max_update_period_stream(
     """Streaming-native T4+T5 fused heartbeat (VERDICT r10 #4): the
     connection-aware re-emission contract of :func:`max_update_period`
     with ``markers``, over unbounded streams — per-channel ``GroupState``
-    holds the last sample (payload included) and whether a disconnect
-    stopped the open gap, the Spark analog of the reference's
+    holds the last sample (payload included) and the buffered
+    disconnect times ahead of it, the Spark analog of the reference's
     per-channel delegate state (`LimitingSampleWriterDelegate.java:
     20-105` composed with `ControlSystemSupport.java:208-258`).
 
@@ -146,71 +146,117 @@ def max_update_period_stream(
     ``heartbeat_stream_connected_1h`` oracle row).
 
     Monotonic contract (F5, as everywhere in the archiver): per channel,
-    an event at ``t <= last seen sample t`` is dropped; a marker only
-    affects the currently-open gap (a marker at or before the last
-    sample's t is ignored — matching the batch operator's
-    strictly-inside-the-gap condition).
+    a SAMPLE at ``t <= last seen sample t`` is dropped. Markers may
+    arrive ahead of the samples they will eventually clip (the union
+    of two individually-ordered streams can deliver the marker stream
+    early under micro-batch pacing skew): future markers are BUFFERED
+    in state and applied when their gap closes, so marker-leading skew
+    never changes the output. The converse — a marker for a gap whose
+    closing sample was already processed — cannot be honored in append
+    mode (the beats are emitted); the marker stream must not LAG a
+    channel's sample stream past a gap boundary. A marker at or before
+    the last sample's t is ignored, matching the batch operator's
+    strictly-inside-the-gap condition.
 
-    State is O(#channels) cluster-wide: one long + one bool + one
-    payload row each, hash-partitioned by key — no skew concern at the
-    100k-channel envelope."""
+    Payloads ride through the walk as one nullable STRUCT column with
+    every child transported AS A STRING (round-11 review): the marker
+    union nulls payload values, and pyspark's Arrow->pandas conversion
+    of null-carrying children upcasts int64 to lossy float64 (silently
+    rounding past 2^53) and conflates a genuine NaN double with NULL —
+    both verified empirically. Spark's numeric->string casts are
+    shortest-round-trip, so parsing them back (``int``/``float``)
+    restores the exact value, NaN / Infinity / -0.0 included, while
+    NULL stays the struct-level None; the walk emits via object-dtype
+    pandas columns so the output conversion cannot re-upcast either.
+    Payload columns must be ATOMIC types (string/numeric/boolean) —
+    anything else raises loudly at construction.
+
+    State is O(#channels) cluster-wide: one long + the buffered marker
+    times + one payload row each, hash-partitioned by key — no skew
+    concern at the 100k-channel envelope."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     max_ns = max_period_s * NS
     payload = [c for c in stream.columns if c not in (key, t)]
     ptypes = dict(stream.dtypes)
-    src = stream.select(
-        F.col(key), F.col(t), *payload, F.lit(False).alias("_marker")
-    )
+    _atomic = {
+        "string", "double", "float", "int", "bigint", "smallint",
+        "tinyint", "boolean",
+    }
+    bad = [c for c in payload if ptypes[c] not in _atomic]
+    if bad:
+        raise NotImplementedError(
+            "max_update_period_stream payload columns must be atomic "
+            f"(string/numeric/boolean); got {bad[0]}: {ptypes[bad[0]]}"
+        )
+    struct_t = "struct<" + ",".join(f"{c}:string" for c in payload) + ">"
+    if payload:
+        src = stream.select(
+            F.col(key), F.col(t),
+            F.struct(
+                *[F.col(c).cast("string").alias(c) for c in payload]
+            ).alias("_p"),
+            F.lit(False).alias("_marker"),
+        )
+    else:  # bare (key, t) stream: no payload struct at all
+        src = stream.select(
+            F.col(key), F.col(t),
+            F.lit(None).cast("struct<dummy:int>").alias("_p"),
+            F.lit(False).alias("_marker"),
+        )
+        struct_t = "struct<dummy:int>"
     if markers is not None:
         m = markers.filter(F.col("type") == "disconnected").select(
             F.col(key),
             F.col(t),
-            *[F.lit(None).cast(ptypes[c]).alias(c) for c in payload],
+            F.lit(None).cast(struct_t).alias("_p"),
             F.lit(True).alias("_marker"),
         )
         src = src.unionByName(m)
-    out_schema = (
-        f"{key} {ptypes[key]}, {t} long, "
-        + ", ".join(f"{c} {ptypes[c]}" for c in payload)
-        + ", heartbeat boolean"
-    )
-    state_schema = "last_t long, stop_t long" + "".join(
+    out_schema = f"{key} {ptypes[key]}, {t} long" + "".join(
         f", {c} {ptypes[c]}" for c in payload
+    ) + ", heartbeat boolean"
+    state_schema = (
+        f"last_t long, pending array<bigint>, payload {struct_t}"
     )
 
-    # the marker union nulls every payload column, so Arrow->pandas
-    # upcasts int/bool payloads to float64/object for the WHOLE group
-    # (round-11 review): coerce values back to the declared types at
-    # the emit and state boundaries, and hand Arrow pandas nullable
-    # dtypes so genuinely-NULL int payloads survive the round trip
     _int_cols = {
         c for c in payload
         if ptypes[c] in ("int", "bigint", "smallint", "tinyint")
     }
+    _float_cols = {c for c in payload if ptypes[c] in ("double", "float")}
     _bool_cols = {c for c in payload if ptypes[c] == "boolean"}
 
     def _py(v):
-        if v is None or (isinstance(v, float) and v != v):  # NaN = null
-            return None
         return v.item() if hasattr(v, "item") else v
 
-    def _coerce(c, v):
-        v = _py(v)
+    def _parse(c, v):
+        # string wire transport back to the declared type (docstring).
+        # float() of Spark's shortest-round-trip cast restores the
+        # exact double, including NaN / Infinity / -0.0 — NULL stays
+        # None (the struct null), so NaN-vs-NULL survives too.
         if v is None:
             return None
         if c in _int_cols:
             return int(v)
+        if c in _float_cols:
+            return float(v)
         if c in _bool_cols:
-            return bool(v)
-        return v
+            return v == "true"
+        return _py(v)
 
     def _fn(key_, pdf_iter, state):
+        # pvals stays in WIRE format (ints as strings) end-to-end —
+        # matching both the state struct's schema and the input struct;
+        # _parse converts at each emission
         if state.exists:
             st = state.get
-            last, stop, pvals = st[0], st[1], list(st[2:])
+            last = st[0]
+            pending = sorted(st[1] or [])
+            prow = st[2]  # Row | None, wire format
+            pvals = None if prow is None else list(prow)
         else:
-            last, stop, pvals = None, None, None
+            last, pending, pvals = None, [], None
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if not chunks:
             return
@@ -223,57 +269,101 @@ def max_update_period_stream(
         pdf = pd.concat(chunks).sort_values([t, "_marker"])
         ts_arr = pdf[t].to_numpy()
         is_m = pdf["_marker"].to_numpy()
-        pay_arr = {c: pdf[c].to_numpy() for c in payload}
+        pay_col = pdf["_p"].tolist()  # dict | None per row, exact values
         out = {c: [] for c in (key, t, *payload, "heartbeat")}
+
+        import bisect
 
         for i in range(len(ts_arr)):
             ti = int(ts_arr[i])
             if is_m[i]:
-                # first disconnect strictly inside the OPEN gap records
-                # the clip point; emission waits for the closing sample
-                # (batch parity: a gap with no later sample emits
-                # nothing, marker or not)
-                if last is not None and ti > last and stop is None:
-                    stop = ti
+                # markers strictly after the last sample are candidates
+                # to clip the open OR a future gap (marker-leading skew
+                # across the two streams) — buffer, apply at closure
+                if last is None or ti > last:
+                    bisect.insort(pending, ti)
             else:
                 if last is None or ti > last:
                     if last is not None:
-                        upper = ti if stop is None else min(stop, ti)
-                        # k = 1 .. (upper - 1 - last) div max_ns — the
-                        # batch bound (no beat ON the closing event)
+                        # first buffered marker strictly inside the gap
+                        # clips it; the batch bound (no beat ON the
+                        # closing event): k = 1 .. (upper-1-last) div p
+                        clip = next(
+                            (p for p in pending if p < ti), None
+                        )
+                        upper = ti if clip is None else clip
                         for k in range(
                             1, int((upper - 1 - last) // max_ns) + 1
                         ):
                             out[key].append(key_[0])
                             out[t].append(last + k * max_ns)
                             for c, v in zip(payload, pvals):
-                                out[c].append(v)
+                                out[c].append(_parse(c, v))
                             out["heartbeat"].append(True)
-                    last, stop = ti, None
-                    pvals = [_coerce(c, pay_arr[c][i]) for c in payload]
+                    # markers at or before this sample cannot affect any
+                    # future gap (strictly-inside needs > ti)
+                    pending = [p for p in pending if p > ti]
+                    last = ti
+                    row = pay_col[i]
+                    pvals = (
+                        [_py(row[c]) for c in payload] if payload else []
+                    )
                     out[key].append(key_[0])
                     out[t].append(ti)
                     for c, v in zip(payload, pvals):
-                        out[c].append(v)
+                        out[c].append(_parse(c, v))
                     out["heartbeat"].append(False)
                 # else: out-of-order duplicate — dropped (F5)
         if out[t]:
-            odf = pd.DataFrame(out)
-            for c in _int_cols:
-                odf[c] = odf[c].astype("Int64")
-            for c in _bool_cols:
-                odf[c] = odf[c].astype("boolean")
+            import numpy as np
+
+            odf = pd.DataFrame({key: out[key], t: out[t]})
+            for c in payload:
+                vals = out[c]
+                mask = np.array([v is None for v in vals], dtype=bool)
+                if c in _float_cols:
+                    # hand-built masked array: the mask carries NULL,
+                    # the data may carry a GENUINE NaN — the only
+                    # pandas shape pyspark's pandas->Arrow conversion
+                    # (nan_as_null) cannot conflate. A plain float64
+                    # ndarray or object column loses NaN to NULL;
+                    # pd.array(..., dtype='Float64') coerces nan to NA
+                    # at construction.
+                    data = np.array(
+                        [0.0 if v is None else v for v in vals],
+                        dtype="float64",
+                    )
+                    odf[c] = pd.arrays.FloatingArray(data, mask)
+                elif c in _int_cols:
+                    data = np.array(
+                        [0 if v is None else v for v in vals],
+                        dtype="int64",
+                    )
+                    odf[c] = pd.arrays.IntegerArray(data, mask)
+                elif c in _bool_cols:
+                    data = np.array(
+                        [False if v is None else v for v in vals],
+                        dtype=bool,
+                    )
+                    odf[c] = pd.arrays.BooleanArray(data, mask)
+                else:
+                    odf[c] = pd.Series(vals, dtype=object)
+            odf["heartbeat"] = out["heartbeat"]
             yield odf
-        if last is not None:
+        if last is not None or pending:
+            # pending alone matters too: a marker can precede its
+            # channel's first sample by whole micro-batches
             state.update(
                 (
-                    int(last),
-                    None if stop is None else int(stop),
-                    *pvals,
+                    None if last is None else int(last),
+                    [int(p) for p in pending],
+                    # bare (key, t) streams carry a 1-field dummy
+                    # struct: store None, never an empty tuple
+                    None
+                    if (pvals is None or not payload)
+                    else tuple(pvals),
                 )
             )
-        return
-        yield  # pragma: no cover - make the function a generator
 
     return src.groupBy(key).applyInPandasWithState(
         _fn,

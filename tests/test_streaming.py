@@ -1534,3 +1534,119 @@ def test_max_update_period_stream_int_payload(spark, tmp_path):
     # beats between 35 and the marker at 60 carry the held int payload
     beat = next(r for r in got if r.heartbeat and r.t == 45 * NS)
     assert (beat.severity, beat.status) == (1, 0)
+
+
+def test_max_update_period_stream_marker_leading_skew_and_exact_types(
+    spark, tmp_path
+):
+    """Round-11 review, three classes in one harness:
+    (a) a marker delivered a micro-batch EARLIER than the samples whose
+    gap it clips (cross-stream pacing skew without any per-stream
+    disorder) must be buffered in state, not dropped;
+    (b) bigint payloads past 2^53 must survive exactly (the struct
+    payload path — a float64 upcast would silently round);
+    (c) a genuine NaN double payload stays NaN, never NULL."""
+    import math
+    import os
+
+    from cassandra_pv_archiver_spark.streaming.limits import (
+        NS,
+        max_update_period,
+        max_update_period_stream,
+    )
+
+    big = (1 << 53) + 1  # not representable in float64
+    schema = "channel string, t long, v double, ref bigint"
+    mschema = "channel string, t long, type string"
+    rows = [
+        ("X", 0, 7.0, big), ("X", 95 * NS, float("nan"), None),
+        ("X", 140 * NS, 1.0, big + 2),
+    ]
+    marks = [("X", 25 * NS, "disconnected")]
+    sdir, mdir = str(tmp_path / "s"), str(tmp_path / "m")
+    os.makedirs(sdir), os.makedirs(mdir)
+    got = []
+
+    def _run(ck):
+        out = max_update_period_stream(
+            spark.readStream.schema(schema).parquet(sdir),
+            10,
+            markers=spark.readStream.schema(mschema).parquet(mdir),
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, i: got.extend(b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # phase 1: ONLY the marker arrives (its samples lag a whole run)
+    spark.createDataFrame(marks, mschema).coalesce(1).write.mode(
+        "append").parquet(mdir)
+    spark.createDataFrame([], schema).coalesce(1).write.mode(
+        "append").parquet(sdir)
+    _run(1)
+    assert got == []  # a buffered marker emits nothing
+    # phase 2: the samples arrive after a restart
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append").parquet(sdir)
+    spark.createDataFrame([], mschema).coalesce(1).write.mode(
+        "append").parquet(mdir)
+    _run(2)
+
+    want = max_update_period(
+        spark.createDataFrame(rows, schema), 10,
+        markers=spark.createDataFrame(marks, mschema),
+    ).collect()
+
+    def k(r):
+        return (r.channel, r.t, r.heartbeat)
+
+    assert sorted(map(k, got)) == sorted(map(k, want))
+    # (a) the early marker clipped gap 0->95 at 25: beats 10, 20 only
+    assert sorted(
+        r.t // NS for r in got if r.heartbeat and r.t < 95 * NS
+    ) == [10, 20]
+    # (b) exact int64 round-trip, including through heartbeat re-emits
+    assert {r.ref for r in got if not r.heartbeat} == {big, None, big + 2}
+    beats_95_140 = [r for r in got if r.heartbeat and r.t > 95 * NS]
+    assert beats_95_140 and all(r.ref is None for r in beats_95_140)
+    beat20 = next(r for r in got if r.heartbeat and r.t == 20 * NS)
+    assert beat20.ref == big  # not big-1 (the float64 rounding)
+    # (c) the NaN sample and its re-emits carry NaN, not NULL
+    nan_rows = [r for r in got if r.t >= 95 * NS and r.t <= 135 * NS]
+    assert nan_rows and all(
+        r.v is not None and math.isnan(r.v) for r in nan_rows
+    )
+
+
+def test_max_update_period_stream_bare_key_t(spark, tmp_path):
+    """Round-11 review: a payload-free (key, t) stream must work (the
+    empty-payload schema string was malformed)."""
+    from cassandra_pv_archiver_spark.streaming.limits import (
+        NS,
+        max_update_period_stream,
+    )
+
+    schema = "channel string, t long"
+    sdir = str(tmp_path / "s")
+    spark.createDataFrame(
+        [("X", 0), ("X", 35 * NS)], schema
+    ).write.parquet(sdir)
+    got = []
+    q = (
+        max_update_period_stream(
+            spark.readStream.schema(schema).parquet(sdir), 10
+        )
+        .writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted((r.t // NS, r.heartbeat) for r in got) == [
+        (0, False), (10, True), (20, True), (30, True), (35, False),
+    ]
