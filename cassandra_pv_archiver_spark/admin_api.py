@@ -48,6 +48,7 @@ crash-safety the reference gets from its Cassandra LWTs.
 from __future__ import annotations
 
 import base64
+import threading
 import time
 import uuid
 
@@ -99,6 +100,15 @@ class AdminApp:
         self.store = store
         self.users = users if users is not None else UserRegistry()
         self._started_ns = time.time_ns()
+        # ONE mutation at a time (round-11 review): the server is
+        # threaded, the cascades are multi-step (probe -> intent marker
+        # -> registry flush -> store rewrite -> clear), and the intent
+        # marker is a single shared file — two concurrent renames would
+        # clobber each other's markers (the loser's crash recovery then
+        # finds nothing) and race each other's collision probes. The
+        # reference serializes configuration changes through its
+        # pending-operations table the same way.
+        self._mutate_lock = threading.Lock()
         if store is not None:
             # consume a rename-intent marker a crashed predecessor left
             # behind (ADVICE r9: the exception path rolls the registry
@@ -122,13 +132,19 @@ class AdminApp:
         return self.registry.path + ".rename-intent.json"
 
     def _write_rename_intent(self, old: str, new: str) -> None:
+        self._write_intent({"op": "rename", "old": old, "new": new})
+
+    def _write_remove_intent(self, name: str) -> None:
+        self._write_intent({"op": "remove", "name": name})
+
+    def _write_intent(self, payload: dict) -> None:
         import json
         import os
 
         p = self._rename_intent_path()
         tmp = f"{p}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"old": old, "new": new}, f)
+            json.dump(payload, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, p)
@@ -150,7 +166,24 @@ class AdminApp:
             return
         with open(p) as f:
             intent = json.load(f)
-        old, new = intent["old"], intent["new"]
+        if intent.get("op") == "remove":
+            # remove-intent (round-11 review: remove has the same
+            # registry/store crash window rename has). Order is intent
+            # -> registry remove -> store delete -> clear, so:
+            name = intent["name"]
+            if self.registry.get_channel(name) is not None:
+                # registry flush never completed => the store delete
+                # never STARTED (it strictly follows the flush) —
+                # nothing happened; drop the marker
+                self._clear_rename_intent()
+                return
+            # registry lacks the channel: re-drive the (idempotent)
+            # store delete — it may have never started, died half-way,
+            # or completed; all three re-drive to the same end state
+            self.store.delete_channel(name)
+            self._clear_rename_intent()
+            return
+        old, new = intent["old"], intent["new"]  # legacy/rename marker
         old_reg = self.registry.get_channel(old) is not None
         new_reg = self.registry.get_channel(new) is not None
         if old_reg and new_reg:
@@ -358,7 +391,8 @@ class AdminApp:
         results = []
         for cmd in commands:
             try:
-                self._apply(cmd)
+                with self._mutate_lock:
+                    self._apply(cmd)
                 results.append(
                     {"command": cmd, "success": True, "errorMessage": None})
             # Broad by contract: a per-command problem — validation
@@ -374,6 +408,45 @@ class AdminApp:
                     {"command": cmd, "success": False,
                      "errorMessage": str(e) or type(e).__name__})
         return {"errorMessage": None, "results": results}
+
+    def _remove_cascade(self, name: str) -> None:
+        """Registry remove + store delete as one crash-safe cascade —
+        the remove-side twin of the rename cascade, shared by the
+        remove_channel command and import_config's remove loop
+        (round-11 review: the block was duplicated, and remove had no
+        intent marker at all — a crash between the registry flush and
+        the store delete orphaned the history invisibly, and a later
+        re-add of the name resurrected the dead channel's data as the
+        new channel's)."""
+        reg = self.registry
+        if self.store is None:
+            reg.remove_channel(name)
+            return
+        self._write_remove_intent(name)
+        try:
+            removed = reg.remove_channel(name)
+        except Exception:
+            self._clear_rename_intent()  # nothing happened
+            raise
+        try:
+            # the reference deletes the channel's sample buckets too
+            # (`RemoveChannelOperation`); registry first — a failed
+            # registry removal must not touch data
+            self.store.delete_channel(name)
+        except Exception:
+            # same all-or-nothing discipline as rename: a store-side
+            # failure must not leave the history orphaned behind a
+            # registry that no longer knows the channel (a retry would
+            # KeyError in the registry before ever reaching the store).
+            # If the compensation itself fails, the intent marker stays
+            # and startup re-drives the delete to completion.
+            try:
+                reg.add_channel(removed)
+                self._clear_rename_intent()
+            except Exception:  # noqa: BLE001 - keep the primary error
+                pass
+            raise
+        self._clear_rename_intent()
 
     def _apply(self, cmd: dict) -> None:
         if not isinstance(cmd, dict):
@@ -395,30 +468,40 @@ class AdminApp:
                 or {int(p): 0 for p in cmd.get("decimationLevels") or [0]},
                 options=dict(cmd.get("options") or {}),
             )
+            old_cfg = reg.get_channel(name)
             if ctype == "add_channel":
                 reg.add_channel(cfg)
             elif ctype == "update_channel":
                 reg.update_channel(cfg)
-            elif reg.get_channel(name) is None:
+            elif old_cfg is None:
                 reg.add_channel(cfg)
             else:
                 reg.update_channel(cfg)
-        elif ctype == "remove_channel":
-            removed = reg.remove_channel(cmd["channelName"])
-            if self.store is not None:
+            if self.store is not None and old_cfg is not None:
+                # cascade DROPPED decimation levels to the store (the
+                # reference's update deletes the removed level's sample
+                # buckets; round-11 review — without this, store-wide
+                # level listing kept serving the dropped level's stale
+                # rows). Derived data only, so the compensation is a
+                # registry rollback; a crash mid-cleanup leaves
+                # unserved derived rows (serving honors the config),
+                # re-derivable or re-droppable later.
+                dropped = (
+                    set(old_cfg.decimation_levels)
+                    - set(cfg.decimation_levels)
+                    - {0}
+                )
                 try:
-                    # the reference deletes the channel's sample buckets
-                    # too (`RemoveChannelOperation`); registry first — a
-                    # failed registry removal must not touch data
-                    self.store.delete_channel(cmd["channelName"])
+                    for lvl in sorted(dropped):
+                        self.store.delete_channel_level(name, lvl)
                 except Exception:
-                    # same all-or-nothing discipline as rename: a store-
-                    # side failure must not leave the history orphaned
-                    # behind a registry that no longer knows the channel
-                    # (a retry would KeyError in the registry before ever
-                    # reaching the store)
-                    reg.add_channel(removed)
+                    try:
+                        reg.update_channel(old_cfg)
+                    except Exception:  # noqa: BLE001 - keep primary
+                        pass
                     raise
+        elif ctype == "remove_channel":
+            self._remove_cascade(cmd["channelName"])
         elif ctype == "rename_channel":
             old, new = cmd["oldChannelName"], cmd["newChannelName"]
             if old == new:
@@ -540,6 +623,23 @@ class AdminApp:
         ok_rm: list[str] = []
         fail_rm: dict[str, str] = {}
         names_in_file = {c.channel_name for c in incoming}
+        with self._mutate_lock:
+            self._import_locked(
+                reg, incoming, names_in_file, add, update, remove,
+                simulate, ok_up, fail_up, ok_rm, fail_rm,
+            )
+        return {
+            "addOrUpdateSucceeded": sorted(ok_up),
+            "addOrUpdateFailed": fail_up,
+            "removeSucceeded": sorted(ok_rm),
+            "removeFailed": fail_rm,
+            "errorMessage": None,
+        }
+
+    def _import_locked(
+        self, reg, incoming, names_in_file, add, update, remove,
+        simulate, ok_up, fail_up, ok_rm, fail_rm,
+    ) -> None:
         for cfg in incoming:
             exists = reg.get_channel(cfg.channel_name) is not None
             try:
@@ -562,26 +662,9 @@ class AdminApp:
                 if c.channel_name not in names_in_file:
                     try:
                         if not simulate:
-                            # same cascade + rollback as the
-                            # remove_channel command: a registry-only
-                            # remove would orphan the name-keyed history,
-                            # and a later re-add would resurrect it
-                            removed = reg.remove_channel(c.channel_name)
-                            if self.store is not None:
-                                try:
-                                    self.store.delete_channel(
-                                        c.channel_name
-                                    )
-                                except Exception:
-                                    reg.add_channel(removed)
-                                    raise
+                            # same crash-safe cascade as the
+                            # remove_channel command (shared helper)
+                            self._remove_cascade(c.channel_name)
                         ok_rm.append(c.channel_name)
                     except Exception as e:  # noqa: BLE001 - per-channel
                         fail_rm[c.channel_name] = str(e) or type(e).__name__
-        return {
-            "addOrUpdateSucceeded": sorted(ok_up),
-            "addOrUpdateFailed": fail_up,
-            "removeSucceeded": sorted(ok_rm),
-            "removeFailed": fail_rm,
-            "errorMessage": None,
-        }

@@ -81,10 +81,22 @@ class ArchiveApp:
         if len(rest) == 1 or (len(rest) == 2 and rest[1] == "channels"):
             return self.channels()
         if len(rest) == 3 and rest[1] == "channels-by-pattern":
-            return self.channels_by_pattern(url_decode(rest[2]))
+            return self.channels_by_pattern(self._decode(rest[2]))
         if len(rest) == 4 and rest[1] == "channels" and rest[3] == "samples":
-            return self.samples(url_decode(rest[2]), query)
+            return self.samples(self._decode(rest[2]), query)
         raise ApiError(404, f"unknown path: {path}")
+
+    @staticmethod
+    def _decode(segment: str) -> str:
+        try:
+            return url_decode(segment)
+        except ValueError as e:
+            # a malformed percent escape is the CLIENT's error — 400,
+            # not an escaped exception that drops the connection
+            # (round-11 review)
+            raise ApiError(
+                400, f"bad channel name encoding: {e}"
+            ) from None
 
     # -- endpoints ---------------------------------------------------------
     def archive_info(self):
@@ -126,17 +138,31 @@ class ArchiveApp:
                 raise ApiError(400, "count must be positive")
         if not (0 <= start <= end):
             raise ApiError(400, "need 0 <= start <= end")
-        if self.registry.get_channel(channel) is None:
+        cfg = self.registry.get_channel(channel)
+        if cfg is None:
             raise ApiError(404, f"unknown channel: {channel}")
+        if not self.store.levels():
+            # a registered channel on a store with no ingested data yet
+            # (fresh deployment): the reference answers an empty sample
+            # list, not an error — and the planner would (correctly)
+            # refuse a store with no raw level (round-11 review)
+            return []
 
-        levels = self._aligned_levels(channel)
+        # only the CHANNEL's configured levels are candidates (plus raw,
+        # always): a level dropped by update_channel must stop being
+        # served even while other channels still populate it store-wide
+        # (round-11 review; the reference scopes levels per channel in
+        # its metadata)
+        allowed = set(cfg.decimation_levels or {0}) | {0}
+        periods = [p for p in self.store.levels() if p in allowed]
+        levels = self._aligned_levels(channel, periods)
         # serving fast lane: probe triples from partition-bounded manifest
         # walks (typically ONE date partition per level), so plan_samples
         # skips its generic probe aggregation — whose `t <= start` arm
         # would scan history partitions at archive scale
         stats = {
             (period, ch): triple
-            for period in self.store.levels()
+            for period in periods
             for ch, triple in self.store.probe_stats(
                 period, start, end, [channel]
             ).items()
@@ -152,17 +178,20 @@ class ArchiveApp:
         rows = rendered.orderBy("t", "level").select("json").toLocalIterator()
         return (json.loads(r.json) for r in rows)
 
-    def _aligned_levels(self, channel: str):
+    def _aligned_levels(self, channel: str, periods=None):
         """Store levels, column-aligned for the planner: raw rows carry v,
         decimated rows carry mean/vmin/vmax; both get a ``level`` tag the
         serializer dispatches on (raw -> double, decimated ->
-        minMaxDouble)."""
+        minMaxDouble). ``periods`` restricts to the channel's configured
+        levels (samples() passes the store∩config set)."""
         cols = [
             "channel", "t", "v", "severity", "status",
             "mean", "vmin", "vmax", "quality", "level",
         ]
         out = {}
-        for period in self.store.levels():
+        for period in (
+            self.store.levels() if periods is None else periods
+        ):
             df = self.store.read_samples(period, channels=[channel])
             if period == 0:
                 df = df.select(
@@ -213,6 +242,15 @@ class _Handler(BaseHTTPRequestHandler):
             payload = json.dumps({"error": str(e)}).encode("utf-8")
             self._send_whole(e.status, payload)
             return
+        except Exception as e:  # noqa: BLE001 - round-11 review
+            # any non-ApiError escape (a Spark failure mid-plan, an
+            # unexpected bug) must still produce an HTTP response — a
+            # bare propagation drops the connection with zero bytes
+            payload = json.dumps(
+                {"error": f"internal error: {type(e).__name__}: {e}"}
+            ).encode("utf-8")
+            self._send_whole(500, payload)
+            return
         if isinstance(body, (list, dict)):
             self._send_whole(200, json.dumps(body).encode("utf-8"))
         else:
@@ -224,12 +262,20 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Type", "application/json")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            self._write_chunk(b"[")
-            for i, item in enumerate(body):
-                sep = b", " if i else b""
-                self._write_chunk(sep + json.dumps(item).encode("utf-8"))
-            self._write_chunk(b"]")
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                self._write_chunk(b"[")
+                for i, item in enumerate(body):
+                    sep = b", " if i else b""
+                    self._write_chunk(sep + json.dumps(item).encode("utf-8"))
+                self._write_chunk(b"]")
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:  # noqa: BLE001 - round-11 review
+                # a failure mid-stream (executor loss during the
+                # toLocalIterator walk) can no longer change the status
+                # line — abort WITHOUT the terminating 0-chunk so the
+                # client sees a truncated chunked body (an error), never
+                # a silently-complete-looking prefix
+                self.close_connection = True
 
     def do_POST(self):  # noqa: N802 (stdlib API name)
         """Admin mutations (`ApiController.java` POST routes). Request
@@ -237,6 +283,22 @@ class _Handler(BaseHTTPRequestHandler):
         (the reference's batch contract), only malformed requests and
         unknown routes produce error statuses."""
         u = urlparse(self.path)
+        if "chunked" in (
+            self.headers.get("Transfer-Encoding") or ""
+        ).lower():
+            # chunked request bodies are not parsed here: treating the
+            # body as zero-length would leave the chunk frames on the
+            # socket and desynchronize the next keep-alive request
+            # (round-11 review) — 411 + close, the standard answer
+            self.close_connection = True
+            self._send_whole(
+                411,
+                json.dumps(
+                    {"error": "chunked request bodies not supported; "
+                              "send Content-Length"}
+                ).encode(),
+            )
+            return
         # drain the body BEFORE any routing decision: on an HTTP/1.1
         # keep-alive connection an early 404 would leave the unread body
         # bytes on the socket, desynchronizing the next request's parse
@@ -297,6 +359,17 @@ class _Handler(BaseHTTPRequestHandler):
                 else None
             )
             self._send_whole(e.status, payload, extra)
+            return
+        except Exception as e:  # noqa: BLE001 - round-11 review
+            # same non-ApiError fallback as do_GET: the client must get
+            # an HTTP response, not a dropped connection (e.g. a
+            # UserRegistry I/O failure inside check_admin)
+            self._send_whole(
+                500,
+                json.dumps(
+                    {"error": f"internal error: {type(e).__name__}: {e}"}
+                ).encode("utf-8"),
+            )
             return
         # reference parity: any failed command in a batch flips the
         # status to 500 while still returning the full results body

@@ -970,6 +970,27 @@ class ArchiveStore:
                     pass
             raise
 
+    def delete_channel_level(self, channel: str, level: int) -> int:
+        """Remove ONE channel's rows and metadata from a SINGLE
+        decimation level — the ``update_channel`` cascade for a dropped
+        level (the reference's configuration update deletes the removed
+        level's sample buckets, `ArchiveConfigurationService`). Same
+        bounded-rewrite discipline as :meth:`delete_channel`, restricted
+        to the one level; other levels and channels untouched. Raw
+        (level 0) refuses — removing raw is :meth:`delete_channel`'s
+        job, never a config edit's side effect."""
+        if level == 0:
+            raise ValueError(
+                "level 0 (raw) cannot be dropped per-level; use "
+                "delete_channel"
+            )
+        return self._rewrite_channel_rows(
+            channel,
+            lambda df: df.filter(F.col("channel") != channel),
+            meta_all_levels=True,
+            only_levels={level},
+        )
+
     def _rewrite_channel_rows(
         self,
         channel: str,
@@ -978,6 +999,7 @@ class ArchiveStore:
         meta_all_levels: bool = False,
         undo_log: list | None = None,
         meta_ctx: dict | None = None,
+        only_levels: set | None = None,
     ) -> int:
         """Bounded-rewrite machinery shared by :meth:`rename_channel` and
         :meth:`delete_channel`: per level, discover the files carrying
@@ -1019,6 +1041,8 @@ class ArchiveStore:
 
         touched = 0
         for level in self.levels():
+            if only_levels is not None and level not in only_levels:
+                continue
             table = self._level_table(level)
             rel = table.files() or []
             if not rel and not meta_all_levels:

@@ -892,3 +892,120 @@ class TestRenameCascadeMarkerLifecycle:
         assert os.path.exists(app._rename_intent_path())
         assert store.read_samples(0).filter(
             F.col("channel") == "PV:A").count() == 5
+
+
+class TestRound11Review:
+    """Round-11 review: remove-intent crash recovery, the update-channel
+    level-drop cascade, and mutation serialization."""
+
+    def _fixture(self, spark, tmp_path, levels={0: 0}):
+        rows = [("PV:A", k * NS, float(k), 0, 0)
+                for k in range(0, 7200, 60)]
+        raw = spark.createDataFrame(
+            rows,
+            "channel string, t long, v double, severity int, status int",
+        )
+        store = ArchiveStore(spark, str(tmp_path / "archive"))
+        store.write_samples(raw, level=0)
+        reg = ChannelRegistry(spark, str(tmp_path / "channels"))
+        reg.add_channel(ChannelConfig(
+            channel_name="PV:A", decimation_levels=dict(levels)))
+        return store, reg, raw
+
+    def test_remove_crash_after_registry_flush_re_drives_delete(
+        self, spark, tmp_path
+    ):
+        """A crash between the registry remove and the store delete left
+        the history orphaned invisibly — a later re-add of the name
+        resurrected the dead channel's data. The remove-intent marker
+        re-drives the delete at startup."""
+        import os
+
+        store, reg, _ = self._fixture(spark, tmp_path)
+        app = AdminApp(reg, store=store)
+        # crash window: intent written, registry flushed, process died
+        app._write_remove_intent("PV:A")
+        reg.remove_channel("PV:A")
+        assert store.read_samples(0).count() > 0  # orphaned history
+
+        app2 = AdminApp(reg, store=store)  # restart repairs
+        assert store.read_samples(0).count() == 0
+        assert not os.path.exists(app2._rename_intent_path())
+        assert {r.channel for r in store.channel_hwm(0).collect()} == set()
+
+    def test_remove_crash_before_registry_flush_is_noop(
+        self, spark, tmp_path
+    ):
+        """Intent written but the registry flush never completed: the
+        store delete strictly follows the flush, so nothing happened —
+        startup just clears the marker."""
+        import os
+
+        store, reg, _ = self._fixture(spark, tmp_path)
+        app = AdminApp(reg, store=store)
+        app._write_remove_intent("PV:A")
+
+        app2 = AdminApp(reg, store=store)
+        assert store.read_samples(0).count() > 0  # data intact
+        assert reg.get_channel("PV:A") is not None
+        assert not os.path.exists(app2._rename_intent_path())
+
+    def test_update_channel_drops_level_from_store(self, spark, tmp_path):
+        """The reference's configuration update deletes a removed
+        level's sample buckets; dropping a level from one channel's
+        config must remove THAT channel's rows and metadata on that
+        level only."""
+        from cassandra_pv_archiver_spark.operators.decimate import decimate
+
+        store, reg, raw = self._fixture(spark, tmp_path,
+                                        levels={0: 0, 3600: 0})
+        other = raw.withColumn("channel", F.lit("PV:OTHER"))
+        store.write_samples(decimate(raw, 3600), level=3600)
+        store.write_samples(decimate(other, 3600), level=3600)
+        reg.add_channel(ChannelConfig(
+            channel_name="PV:OTHER", decimation_levels={0: 0, 3600: 0}))
+        app = AdminApp(reg, store=store)
+
+        out = app.run_commands({"commands": [{
+            "commandType": "update_channel",
+            "channelName": "PV:A",
+            "decimationLevelToRetentionPeriod": {"0": 0},
+        }]})
+        assert out["results"][0]["success"], out
+        lvl = store.read_samples(3600)
+        assert lvl.filter(F.col("channel") == "PV:A").count() == 0
+        assert lvl.filter(F.col("channel") == "PV:OTHER").count() > 0
+        assert store.read_samples(0).filter(
+            F.col("channel") == "PV:A").count() > 0  # raw untouched
+        hwm = {r.channel for r in store.channel_hwm(3600).collect()}
+        assert hwm == {"PV:OTHER"}
+
+    def test_update_level_drop_store_failure_rolls_back_config(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from cassandra_pv_archiver_spark.operators.decimate import decimate
+
+        store, reg, raw = self._fixture(spark, tmp_path,
+                                        levels={0: 0, 3600: 0})
+        store.write_samples(decimate(raw, 3600), level=3600)
+        app = AdminApp(reg, store=store)
+
+        def boom(name, lvl):
+            raise RuntimeError("mid-rewrite failure")
+
+        monkeypatch.setattr(store, "delete_channel_level", boom)
+        out = app.run_commands({"commands": [{
+            "commandType": "update_channel",
+            "channelName": "PV:A",
+            "decimationLevelToRetentionPeriod": {"0": 0},
+        }]})
+        assert not out["results"][0]["success"]
+        # config rolled back: the level is still configured AND served
+        assert 3600 in reg.get_channel("PV:A").decimation_levels
+
+    def test_delete_channel_level_refuses_raw(self, spark, tmp_path):
+        import pytest
+
+        store, _, _ = self._fixture(spark, tmp_path)
+        with pytest.raises(ValueError, match="raw"):
+            store.delete_channel_level("PV:A", 0)

@@ -237,3 +237,102 @@ def test_samples_empty_iterator_streams_empty_array():
             assert json.loads(resp.read()) == []
     finally:
         srv.shutdown()
+
+
+def test_malformed_percent_escape_is_400(api):
+    """Round-11 review: a malformed percent escape raised a bare
+    ValueError past the ApiError handler, dropping the connection with
+    no response; it is the client's error — 400."""
+    assert _get_err(
+        api,
+        "/archive-access/api/1.0/archive/1/channels/foo%zz/samples"
+        "?start=0&end=1",
+    ) == 400
+
+
+def test_non_api_error_is_500_not_dropped_connection(api, monkeypatch):
+    """Round-11 review: an internal failure (Spark error mid-plan) must
+    produce an HTTP 500, never a dropped connection."""
+    from cassandra_pv_archiver_spark import server as srv_mod
+
+    def boom(self, channel, query):
+        raise RuntimeError("simulated planner failure")
+
+    monkeypatch.setattr(srv_mod.ArchiveApp, "samples", boom)
+    assert _get_err(
+        api,
+        "/archive-access/api/1.0/archive/1/channels/PV%3AA/samples"
+        "?start=0&end=1",
+    ) == 500
+
+
+def test_chunked_post_body_is_411(api):
+    """Round-11 review: a chunked request body was treated as
+    zero-length, leaving the chunk frames on the socket to desync the
+    next keep-alive request — answer 411 and close."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(api)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=10)
+    try:
+        conn.putrequest("POST", "/admin/api/1.0/run-archive-configuration-commands")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        conn.send(b"5\r\n{\"a\":\r\n0\r\n\r\n")
+        resp = conn.getresponse()
+        assert resp.status == 411
+        assert resp.getheader("Connection") == "close"
+    finally:
+        conn.close()
+
+
+def test_samples_on_empty_store_returns_empty(spark, tmp_path):
+    """Round-11 review: a registered channel on a store with no
+    ingested data must answer an empty list, not crash the planner on
+    an empty level set."""
+    store = ArchiveStore(spark, str(tmp_path / "fresh_archive"))
+    reg = ChannelRegistry(spark, str(tmp_path / "fresh_channels"))
+    reg.add_channel(
+        ChannelConfig(
+            channel_name="PV:NEW",
+            control_system_type="channel_access",
+            enabled=True,
+            decimation_levels={0: 0},
+        )
+    )
+    app = ArchiveApp(store, reg)
+    body = app.samples("PV:NEW", {"start": ["0"], "end": ["10"]})
+    assert list(body) == []
+
+
+def test_samples_honor_channel_configured_levels(spark, tmp_path):
+    """Round-11 review: a decimation level dropped from a channel's
+    config must stop being SERVED for that channel even while the store
+    still holds rows for it (other channels may still use the level)."""
+    rows = [
+        ("PV:C", k * NS, float(k), 0, 0) for k in range(0, 7200, 60)
+    ]
+    raw = spark.createDataFrame(
+        rows, "channel string, t long, v double, severity int, status int"
+    )
+    store = ArchiveStore(spark, str(tmp_path / "cfg_archive"))
+    store.write_samples(raw, level=0)
+    store.write_samples(decimate(raw, 3600), level=3600)
+    reg = ChannelRegistry(spark, str(tmp_path / "cfg_channels"))
+    reg.add_channel(
+        ChannelConfig(
+            channel_name="PV:C",
+            control_system_type="channel_access",
+            enabled=True,
+            decimation_levels={0: 0},  # 3600 NOT configured
+        )
+    )
+    app = ArchiveApp(store, reg)
+    # a count-limited query would otherwise pick the 3600 level
+    out = list(app.samples(
+        "PV:C", {"start": ["0"], "end": [str(7200 * NS)], "count": ["3"]}
+    ))
+    assert out  # served from raw-derived plan only
+    assert all(item["type"] != "minMaxDouble" for item in out), out
