@@ -55,6 +55,19 @@ class ChannelConfig:
             self.decimation_levels[0] = 0
 
 
+def _copy_config(c: ChannelConfig) -> ChannelConfig:
+    """Independent copy (own dicts): the registry's internal state and
+    handed-out snapshots must never share mutable structure."""
+    return ChannelConfig(
+        channel_name=c.channel_name,
+        control_system_type=c.control_system_type,
+        enabled=c.enabled,
+        decimation_levels=dict(c.decimation_levels),
+        options=dict(c.options),
+        channel_data_id=c.channel_data_id,
+    )
+
+
 _PA_SCHEMA = None
 
 
@@ -184,18 +197,46 @@ class ChannelRegistry:
         )
 
     def to_df(self) -> DataFrame:
-        """The dimension table as a DataFrame (for broadcast joins, J3)."""
-        if os.path.isdir(self.path):
-            return self.spark.read.parquet(self.path)
-        return self.spark.createDataFrame([], CHANNEL_SCHEMA)
+        """The dimension table as a DataFrame (for broadcast joins, J3).
+
+        Built from the IN-MEMORY snapshot under the lock, never from the
+        parquet path (round-11 review): a lazily-evaluated file read
+        races ``atomic_swap_dir``'s rename window — between the two
+        renames the dir does not exist (an empty dim table silently
+        drops every channel from a broadcast join), and a DataFrame
+        planned before a flush can execute after it against replaced
+        files. The registry is a bounded config table, so materializing
+        the rows driver-side is exactly the "too small for a write job"
+        economics the class docstring already claims."""
+        with self._lock:
+            rows = [
+                (
+                    c.channel_name,
+                    c.channel_data_id,
+                    c.control_system_type,
+                    c.enabled,
+                    dict(c.decimation_levels),
+                    dict(c.options),
+                )
+                for c in self._channels.values()
+            ]
+        return self.spark.createDataFrame(rows, CHANNEL_SCHEMA)
 
     # -- CRUD (ArchiveConfigurationService add/update/remove/rename) ------
+    # Every mutator is all-or-nothing (round-11 review): the in-memory
+    # map changes only if _flush commits — a disk failure must not leave
+    # serving state diverged from the persisted registry (admin_api's
+    # cascades compensate on the assumption these calls are atomic).
     def add_channel(self, config: ChannelConfig) -> None:
         with self._lock:
             if config.channel_name in self._channels:
                 raise ValueError(f"channel exists: {config.channel_name}")
             self._channels[config.channel_name] = config
-            self._flush()
+            try:
+                self._flush()
+            except Exception:
+                del self._channels[config.channel_name]
+                raise
 
     def update_channel(self, config: ChannelConfig) -> None:
         with self._lock:
@@ -205,14 +246,22 @@ class ChannelRegistry:
             # data id is permanent (`SampleBucketId.java:80-89`)
             config.channel_data_id = old.channel_data_id
             self._channels[config.channel_name] = config
-            self._flush()
+            try:
+                self._flush()
+            except Exception:
+                self._channels[config.channel_name] = old
+                raise
 
     def remove_channel(self, name: str) -> ChannelConfig:
         with self._lock:
             cfg = self._channels.pop(name, None)
             if cfg is None:
                 raise KeyError(name)
-            self._flush()
+            try:
+                self._flush()
+            except Exception:
+                self._channels[name] = cfg
+                raise
             return cfg
 
     def rename_channel(self, old_name: str, new_name: str) -> None:
@@ -234,18 +283,34 @@ class ChannelRegistry:
             cfg = self._channels.pop(old_name, None)
             if cfg is None:
                 raise KeyError(old_name)
-            cfg.channel_name = new_name
-            self._channels[new_name] = cfg
-            self._flush()
+            # a COPY, not an in-place mutation: snapshots handed out
+            # before the rename (export iterating list_channels) must
+            # not see the name change under them (round-11 review)
+            renamed = _copy_config(cfg)
+            renamed.channel_name = new_name
+            self._channels[new_name] = renamed
+            try:
+                self._flush()
+            except Exception:
+                del self._channels[new_name]
+                self._channels[old_name] = cfg
+                raise
 
     def get_channel(self, name: str) -> ChannelConfig | None:
+        """A COPY of the config (or None): callers mutating the result
+        cannot edit registry memory behind the lock (round-11 review)."""
         with self._lock:
-            return self._channels.get(name)
+            cfg = self._channels.get(name)
+            return None if cfg is None else _copy_config(cfg)
 
     def list_channels(self) -> list[ChannelConfig]:
+        """Sorted COPIES — a point-in-time snapshot that later mutations
+        (rename's in-place name change was the round-11 review bug)
+        can never alter."""
         with self._lock:
             return sorted(
-                self._channels.values(), key=lambda c: c.channel_name
+                (_copy_config(c) for c in self._channels.values()),
+                key=lambda c: c.channel_name,
             )
 
     def channels_by_glob(self, pattern: str) -> list[ChannelConfig]:
@@ -300,7 +365,23 @@ def import_xml(text: str) -> list[ChannelConfig]:
         for el in ch:
             tag = el.tag.split("}")[-1]
             if tag == "decimation-level":
-                period = int(el.get("decimation-period", "0"))
+                raw_period = el.get("decimation-period")
+                if raw_period is None:
+                    # the reference's schema-validated import REJECTS a
+                    # missing decimation-period; defaulting to 0 would
+                    # silently overwrite the RAW level's keep-forever
+                    # retention and a later sweep would expire history
+                    # the operator never meant to (round-11 review)
+                    raise ValueError(
+                        "decimation-level without a decimation-period "
+                        f"attribute on channel {name!r}"
+                    )
+                period = int(raw_period)
+                if period in levels:
+                    raise ValueError(
+                        f"duplicate decimation-level {period} on "
+                        f"channel {name!r}"
+                    )
                 levels[period] = int(el.get("retention-period", "0"))
             elif tag == "control-system-option":
                 oname = el.get("name")
@@ -314,7 +395,12 @@ def import_xml(text: str) -> list[ChannelConfig]:
             ChannelConfig(
                 channel_name=name,
                 control_system_type=ch.get("control-system-type", "channel_access"),
-                enabled=ch.get("enabled", "true") != "false",
+                # xs:boolean: "false"/"0" (any case) disable — the
+                # reference accepts both spellings; everything else
+                # (incl. absent) is enabled (round-11 review: enabled=
+                # "0" silently re-enabled a disabled channel)
+                enabled=(ch.get("enabled", "true").strip().lower()
+                         not in ("false", "0")),
                 decimation_levels=levels or {0: 0},
                 options=options,
             )

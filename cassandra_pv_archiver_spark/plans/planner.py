@@ -99,6 +99,12 @@ def plan_samples(
     (``ArchiveStore.probe_stats``), which is the planner's serving-path
     fast lane: the generic probe's ``t <= start`` arm has no lower bound
     to push down and reads history partitions at archive scale.
+
+    A passed ``stats`` mapping is AUTHORITATIVE, including when
+    empty: ``stats={}`` means the probe ran and found no relevant
+    rows for any key, so the plan is legitimately empty. A caller
+    with no stats available must pass ``stats=None`` to get the
+    generic probe job — never ``{}`` (round-11 review).
     """
     best = select_decimation_level(levels.keys(), start_ns, end_ns, count)
     usable = [p for p in sorted(levels) if p >= best]

@@ -153,3 +153,91 @@ def test_registry_flush_survives_crash_mid_swap(spark, tmp_path):
         os.link(os.path.join(path + ".bak", f), os.path.join(path + ".tmp", f))
     reg2 = ChannelRegistry(spark, path)  # recovery runs in __init__
     assert {c.channel_name for c in reg2.list_channels()} == {"a", "b"}
+
+
+def test_mutators_roll_back_on_flush_failure(spark, tmp_path, monkeypatch):
+    """Round-11 review: a disk failure during _flush must leave the
+    in-memory serving state EXACTLY as before — admin_api's cascades
+    compensate on the assumption registry calls are all-or-nothing."""
+    reg = _reg(spark, tmp_path)
+    reg.add_channel(ChannelConfig("PV:a", decimation_levels={0: 0}))
+
+    def boom():
+        raise OSError("disk full")
+
+    monkeypatch.setattr(reg, "_flush", boom)
+    with pytest.raises(OSError):
+        reg.add_channel(ChannelConfig("PV:new"))
+    assert reg.get_channel("PV:new") is None
+    with pytest.raises(OSError):
+        reg.remove_channel("PV:a")
+    assert reg.get_channel("PV:a") is not None
+    with pytest.raises(OSError):
+        reg.rename_channel("PV:a", "PV:b")
+    assert reg.get_channel("PV:a") is not None
+    assert reg.get_channel("PV:b") is None
+    with pytest.raises(OSError):
+        reg.update_channel(ChannelConfig("PV:a", enabled=False))
+    assert reg.get_channel("PV:a").enabled is True
+    monkeypatch.undo()
+    # registry still fully functional and persisted afterwards
+    reg.rename_channel("PV:a", "PV:b")
+    assert [c.channel_name for c in _reg(spark, tmp_path).list_channels()] \
+        == ["PV:b"]
+
+
+def test_snapshots_are_copies(spark, tmp_path):
+    """Round-11 review: get/list hand out COPIES — a rename must not
+    change a previously-taken snapshot's name in place, and mutating a
+    returned config must not edit registry memory."""
+    reg = _reg(spark, tmp_path)
+    reg.add_channel(ChannelConfig("PV:a", decimation_levels={0: 0}))
+    snap = reg.list_channels()[0]
+    reg.rename_channel("PV:a", "PV:z")
+    assert snap.channel_name == "PV:a"  # snapshot unaffected
+    got = reg.get_channel("PV:z")
+    got.decimation_levels[3600] = 0     # caller-side edit
+    assert 3600 not in reg.get_channel("PV:z").decimation_levels
+
+
+def test_to_df_is_lock_consistent_snapshot(spark, tmp_path):
+    """Round-11 review: to_df builds from the in-memory state under the
+    lock — never a lazy parquet read racing the atomic dir swap."""
+    reg = _reg(spark, tmp_path)
+    reg.add_channel(ChannelConfig("PV:a", decimation_levels={0: 0, 30: 1}))
+    df = reg.to_df()
+    # mutating AFTER to_df must not change the already-built snapshot
+    reg.remove_channel("PV:a")
+    rows = df.collect()
+    assert [r.channel_name for r in rows] == ["PV:a"]
+    assert dict(rows[0].decimation_levels) == {0: 0, 30: 1}
+    assert reg.to_df().count() == 0
+
+
+def test_import_xml_xsboolean_and_strict_levels():
+    """Round-11 review: enabled='0'/'False' disable (xs:boolean); a
+    decimation-level without a decimation-period or a duplicate period
+    is REJECTED, not silently folded onto the raw level."""
+    ns = "http://oss.aquenos.com/cassandra-pv-archiver/configuration/3.0"
+    head = f'<server-configuration xmlns="{ns}">'
+    assert import_xml(
+        head + '<channel name="c1" enabled="0"/></server-configuration>'
+    )[0].enabled is False
+    assert import_xml(
+        head + '<channel name="c2" enabled="False"/></server-configuration>'
+    )[0].enabled is False
+    assert import_xml(
+        head + '<channel name="c3" enabled="true"/></server-configuration>'
+    )[0].enabled is True
+    with pytest.raises(ValueError, match="decimation-period"):
+        import_xml(
+            head + '<channel name="c4"><decimation-level '
+            'retention-period="3600"/></channel></server-configuration>'
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        import_xml(
+            head + '<channel name="c5">'
+            '<decimation-level decimation-period="30"/>'
+            '<decimation-level decimation-period="30"/>'
+            '</channel></server-configuration>'
+        )
