@@ -506,6 +506,44 @@ SELECT * FROM dec ORDER BY channel, t
 """
 
 
+def q_store_level_drop_invariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``update_channel``'s dropped-level cascade
+    (:meth:`ArchiveStore.delete_channel_level`, round 11 — the
+    reference's configuration update deletes a removed level's sample
+    buckets, `ArchiveConfigurationService`) must remove exactly ONE
+    channel's rows and metadata from exactly ONE level: after dropping
+    PV:0's 1 h level on a freshly decimated store, the 1 h level equals
+    the batch decimation oracle with PV:0 excluded — bit-identical
+    surviving rows prove the shared-file rewrite disturbed no
+    neighbour. Raw stays untouched and the level's hwm/seed metadata
+    drops the channel (asserted inline; a violation fails the row)."""
+    from .plans.jobs import incremental_decimation
+    from .sources.archive_store import ArchiveStore
+
+    store = ArchiveStore(
+        spark, _scratch_dir("pvarch_lvldrop_") + "/archive"
+    )
+    raw = load_samples(spark, sf_dir, channels=_LIFECYCLE_CHANNELS).select(
+        "channel", "t", "v", "severity", "status"
+    )
+    store.write_samples(raw, level=0)
+    incremental_decimation(store, PERIOD_1H)
+    n_raw = store.read_samples(0).count()
+    store.delete_channel_level("PV:0", PERIOD_1H)
+    assert store.read_samples(0).count() == n_raw, "raw level disturbed"
+    hwm = {r.channel for r in store.channel_hwm(PERIOD_1H).collect()}
+    assert "PV:0" not in hwm, "dropped level kept the channel's hwm"
+    seeds = store.read_seed_state(PERIOD_1H)
+    if seeds is not None and "channel" in seeds.columns:
+        assert seeds.filter(F.col("channel") == "PV:0").count() == 0
+    return store.read_samples(PERIOD_1H).select(
+        "channel", "t", "mean", "std", "vmin", "vmax", "covered_fraction",
+        "severity", "status", "n_samples", "quality",
+    ).orderBy("channel", "t")
+
+
 def q_stream_lifecycle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 -> §3.3 -> §3.1 lifecycle as ONE driver-checked query: a real
     Structured Streaming run (file source, availableNow trigger) ingests
@@ -557,6 +595,14 @@ def q_stream_lifecycle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAM_LIFECYCLE_1H = SQL_ARCHIVE_INCREMENTAL_1H
+
+#: the archive-incremental decimation chain with the dropped channel
+#: excluded from the FINAL select (the decimation itself ran on all 30)
+SQL_STORE_LEVEL_DROP_INVARIANCE = SQL_ARCHIVE_INCREMENTAL_1H.replace(
+    "SELECT * FROM dec ORDER BY channel, t",
+    "SELECT * FROM dec WHERE channel != 'PV:0' ORDER BY channel, t",
+)
+assert "WHERE channel != 'PV:0'" in SQL_STORE_LEVEL_DROP_INVARIANCE
 
 
 def _text_format_roundtrip(spark, sf_dir: str, fmt: str) -> DataFrame:

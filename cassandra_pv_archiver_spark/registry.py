@@ -514,6 +514,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         catalog.q_compact_invariance,
         catalog.SQL_COMPACT_INVARIANCE,
     ),
+    "store_level_drop_invariance": (
+        catalog.q_store_level_drop_invariance,
+        catalog.SQL_STORE_LEVEL_DROP_INVARIANCE,
+    ),
     "stream_lifecycle_1h": (
         catalog.q_stream_lifecycle_1h,
         catalog.SQL_STREAM_LIFECYCLE_1H,

@@ -1191,6 +1191,12 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
+    "store_level_drop_invariance": (
+        1,
+        ["codegen id", "PushedFilters"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"],
+    ),
     "pair_table_probe_pruned": (
         3,  # the persisted-index probe: batch band keys reach the
         # corpus bands scan as an In predicate (row-group pruning on
