@@ -1198,9 +1198,14 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
          "ArrowEvalPython"],
     ),
     "pair_table_probe_pruned": (
-        3,  # the persisted-index probe: batch band keys reach the
+        4,  # the persisted-index probe: batch band keys reach the
         # corpus bands scan as an In predicate (row-group pruning on
-        # the key-sorted files) — THE property this row exists to pin
+        # the key-sorted files) — THE property this row exists to pin.
+        # Budget == measured: output range sort + the delta chain's two
+        # aggregation hashes + the batch shingle hash; the round-11
+        # review fix (unpersist the probe intermediates after the build
+        # materializes) re-exposed the batch hash in the audited
+        # lineage that a leaked persist used to mask at pin time
         ["codegen id", "In(key, [", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
