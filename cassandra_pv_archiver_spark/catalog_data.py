@@ -3000,6 +3000,34 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 
 
+def _recall_at_10(exact: DataFrame, approx: DataFrame, *lead) -> DataFrame:
+    """One-pass recall@10 report: LEFT-join the exact top-10 pairs
+    against the approx pairs (flagged + broadcast — O(#queries × k)
+    rows) and count matches per query. Numerically identical to the old
+    semi-join + distinct + left-join shape, but the exact subtree — the
+    guarded brute-force baseline, the expensive half of every recall
+    audit — is evaluated ONCE instead of twice (Catalyst does not share
+    duplicate subtrees across branches; guide §7.2. r11 optimization:
+    pq/ivfpq/ann/dim audits each dropped ~25-45 % wall).
+
+    ``lead``: optional literal lead columns (e.g. the dims/method tag)."""
+    j = exact.join(
+        F.broadcast(approx.withColumn("_m", F.lit(1).cast("long"))),
+        ["q_id", "vec_id"],
+        "left",
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(F.coalesce(F.sum("_m"), F.lit(0)).alias("n_overlap"))
+        .select(
+            *lead,
+            "q_id",
+            "n_overlap",
+            (F.col("n_overlap") / 10.0).alias("recall_at_10"),
+        )
+    )
+
+
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the learned K-Means IVF index vs the brute-force
     cosine baseline, per query — the "measure, don't guess" evaluation
@@ -3016,22 +3044,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, ANN_QUERY_IDS, k=10, n_clusters=KMEANS_K,
         iters=KMEANS_ITERS, n_probe=KMEANS_N_PROBE,
     ).select("q_id", "vec_id")
-    overlap = (
-        exact.join(approx, ["q_id", "vec_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return (
-        exact.select("q_id")
-        .distinct()
-        .join(overlap, "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) / 10.0).alias("recall_at_10"),
-        )
-        .orderBy("q_id")
-    )
+    return _recall_at_10(exact, approx).orderBy("q_id")
 
 
 def _sql_ann_recall(dim: int = 64) -> str:
@@ -3190,11 +3203,21 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b")
     )
-    matched = truth.join(lsh, ["id_a", "id_b"], "left_semi")
-    agg = (
-        truth.agg(F.count(F.lit(1)).alias("n_truth"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
-        .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_matched")))
+    # ONE pass: the old three-legged shape (truth.agg × lsh.agg ×
+    # semi-join.agg) re-evaluated the guarded-quadratic truth subtree
+    # twice and the LSH subtree twice (Catalyst does not share duplicate
+    # subtrees across a crossJoin of aggregates — guide §7.2). The
+    # full-outer flag join computes the identical three counts in one
+    # evaluation of each side, the same shape containment_recall_audit
+    # always had. Measured 2.70 s -> ~1.4 s at sf0.1.
+    ex = truth.withColumn("_e", F.lit(1).cast("long"))
+    ls = lsh.withColumn("_m", F.lit(1).cast("long"))
+    agg = ex.join(ls, ["id_a", "id_b"], "full_outer").agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum("_m"), F.lit(0)).alias("n_lsh"),
+        F.coalesce(F.sum(F.col("_e") * F.col("_m")), F.lit(0)).alias(
+            "n_matched"
+        ),
     )
     return agg.select(
         "n_truth",
@@ -4273,22 +4296,7 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, ANN_QUERY_IDS, k=10, m=PQ_M, sub_dim=PQ_SUB_DIM,
         kc=PQ_K, iters=PQ_ITERS, fit=_pq_fit(spark, sf_dir),
     ).select("q_id", "vec_id")
-    overlap = (
-        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return (
-        exact.select("q_id")
-        .distinct()
-        .join(F.broadcast(overlap), "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) / 10.0).alias("recall_at_10"),
-        )
-        .orderBy("q_id")
-    )
+    return _recall_at_10(exact, approx).orderBy("q_id")
 
 
 def _sql_pq_adc_recall() -> str:
@@ -4451,22 +4459,7 @@ def q_ivfpq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_iters=KMEANS_ITERS, m=PQ_M, sub_dim=PQ_SUB_DIM,
         kpq=PQ_K, pq_iters=PQ_ITERS, n_probe=IVFPQ_N_PROBE,
     ).select("q_id", "vec_id")
-    overlap = (
-        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return (
-        exact.select("q_id")
-        .distinct()
-        .join(F.broadcast(overlap), "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) / 10.0).alias("recall_at_10"),
-        )
-        .orderBy("q_id")
-    )
+    return _recall_at_10(exact, approx).orderBy("q_id")
 
 
 def _sql_ivfpq_recall(
@@ -4630,22 +4623,7 @@ def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_dim=PQ_SUB_DIM, kpq=PQ_K, pq_iters=PQ_ITERS,
         n_probe=IVFPQ_N_PROBE,
     ).select("q_id", "vec_id")
-    overlap = (
-        exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return (
-        exact.select("q_id")
-        .distinct()
-        .join(F.broadcast(overlap), "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) / 10.0).alias("recall_at_10"),
-        )
-        .orderBy("q_id")
-    )
+    return _recall_at_10(exact, approx).orderBy("q_id")
 
 
 # ---------------------------------------------------------------------------
@@ -4775,23 +4753,7 @@ def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = similarity.l2_topk(sliced, ANN_QUERY_IDS, k=10).select(
             "q_id", "vec_id"
         )
-        overlap = (
-            exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
-            .groupBy("q_id")
-            .agg(F.count(F.lit(1)).alias("n_overlap"))
-        )
-        outs.append(
-            exact.select("q_id")
-            .distinct()
-            .join(F.broadcast(overlap), "q_id", "left")
-            .select(
-                F.lit(d).alias("dims"),
-                "q_id",
-                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-                (F.coalesce("n_overlap", F.lit(0)) / 10.0)
-                .alias("recall_at_10"),
-            )
-        )
+        outs.append(_recall_at_10(exact, approx, F.lit(d).alias("dims")))
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
@@ -5011,22 +4973,7 @@ def q_dim_variance_selection_recall(
             emb.select("vec_id", proj.alias("embedding")),
             ANN_QUERY_IDS, k=10,
         ).select("q_id", "vec_id")
-        overlap = (
-            exact.join(F.broadcast(approx), ["q_id", "vec_id"], "left_semi")
-            .groupBy("q_id")
-            .agg(F.count(F.lit(1)).alias("n_overlap"))
-        )
-        return (
-            exact.select("q_id").distinct()
-            .join(F.broadcast(overlap), "q_id", "left")
-            .select(
-                F.lit(method).alias("method"),
-                "q_id",
-                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-                (F.coalesce("n_overlap", F.lit(0)) / 10.0)
-                .alias("recall_at_10"),
-            )
-        )
+        return _recall_at_10(exact, approx, F.lit(method).alias("method"))
 
     pref = _recall(
         f"prefix{VARSEL_D}",

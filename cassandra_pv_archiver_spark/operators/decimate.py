@@ -103,24 +103,49 @@ def _lead_hwm_range_partitioned(
 
     Construction — the standard range-split lead with boundary fix-up:
 
-    1. range-partition by ``(key, t)``: a hot channel SPLITS across many
-       tasks (per-task work is bounded by partition size, not channel
-       size);
-    2. ``lead`` inside each (physical partition, key) slice — the window
-       partition is now at most one range partition, never one channel;
-    3. per-(partition, key) first timestamps form a tiny boundary table;
-       a ``lead`` over it (per key, by partition id) yields each slice's
+    1. slice on ``t``: quantile boundaries of the timestamp column (one
+       bounded probe job over the t column only) give each row a
+       deterministic slice id ``_pid`` — a hot channel SPLITS across the
+       (key, _pid) window tasks (per-task work is bounded by slice
+       population, not channel size);
+    2. ``lead`` inside each (slice, key) window — the window partition
+       is now at most one time slice, never one whole channel;
+    3. per-(slice, key) first timestamps form a tiny boundary table; a
+       ``lead`` over it (per key, by slice id) yields each slice's
        successor timestamp, broadcast-joined back to close the seams;
     4. ``_hwm`` comes from a partial-aggregated groupBy (skew-safe by
        map-side combine) instead of an unbounded-frame window.
 
+    Why the slice id is computed from the DATA and not
+    ``spark_partition_id()`` over a ``repartitionByRange`` (the pre-r11
+    construction): this subtree is evaluated twice (the window branch
+    and the boundary-table branch), column pruning specializes the two
+    range exchanges so ``ReuseExchange`` cannot dedupe them, and range
+    boundary *sampling* is seeded by the RDD id — two independent
+    evaluations could disagree on row⟶partition placement, silently
+    dropping/mis-seaming boundary rows (caught by the AQE-off runs in
+    tests/test_skew.py; AQE's stage reuse had masked it). A quantile
+    bucket of ``t`` is a pure function of the row: every evaluation
+    agrees bit-for-bit, and correctness needs only *some* fixed
+    boundary list — balance is the only thing the probe's accuracy
+    affects. This also removes the range exchange outright (guide
+    §2.4): distribution happens in the (``_pid``, key) window shuffle.
+
     Exactly equal to the single-window formulation (property-pinned in
-    tests/test_skew.py); costs ~2 extra small exchanges + a broadcast, so
-    it is OPT-IN via ``skew_safe=True`` — the default plan is right for
-    the channel-balanced archive."""
-    d = df.repartitionByRange(F.col(key), F.col(t)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    tests/test_skew.py); costs a probe job + a broadcast, so it is
+    OPT-IN via ``skew_safe=True`` — the default plan is right for the
+    channel-balanced archive."""
+    n_slices = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    probs = [i / n_slices for i in range(1, n_slices)]
+    cuts = sorted(set(df.stat.approxQuantile(t, probs, 0.01))) if probs else []
+    if cuts:
+        arr = "array(" + ", ".join(f"{c!r}L" for c in map(int, cuts)) + ")"
+        pid = F.expr(
+            f"aggregate({arr}, 0, (acc, b) -> acc + IF({t} >= b, 1, 0))"
+        )
+    else:  # degenerate input (empty / single slice): one slice
+        pid = F.lit(0)
+    d = df.withColumn("_pid", pid)
     w_in = Window.partitionBy("_pid", key).orderBy(t)
     d = d.withColumn("_t_next_local", F.lead(t).over(w_in))
     bounds = d.groupBy("_pid", key).agg(F.min(t).alias("_first_t"))

@@ -1,16 +1,32 @@
 """SparkSession factory tuned for the archiver workload.
 
-Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the configs below are the
-ones that matter at cluster scale too:
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; every scale-dependent
+knob is env-parameterised (measured locally in OPTIMIZATION_r11.md §conf,
+production values justified there):
 
-- AQE on (runtime coalescing + skew-join splitting) — at 100 TB the skew
-  guard matters for hot channels.
-- Arrow enabled for the few Pandas-UDF paths (multimodal, mixed-type corner).
+- **Shuffle partitions** are sized for the workload, not pinned to the
+  core count: task dispatch costs ~5-6 ms on this host class, so a
+  32-task stage over a few MB pays ~200 ms of pure scheduling.
+  ``max(4, cpus // 4)`` keeps stages parallel enough for the
+  compute-heavy Arrow/pandas stages (coalescing to 1 partition measured
+  +32 % on the bench subset) while cutting per-stage dispatch ~4x; it
+  stays derived from ``$SPARK_GRAFT_CPUS`` so the driver's low-core
+  scaling runs keep their shape. At cluster scale set
+  ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` explicitly (data_bytes /
+  ~128 MB target, guide §2.2) and let AQE coalesce down.
+- **AQE** defaults OFF locally, ON via ``SPARK_GRAFT_AQE=1``: AQE's
+  stage-by-stage materialization costs ~0.15-0.35 s per action on this
+  host (measured: range(1).count 186 ms -> 430 ms; 25-query subset
+  43.9 s -> 52.0 s) and buys nothing below ~100 MB shuffles. At 100 TB
+  the economics invert (runtime coalescing + skew-join splitting matter
+  more than stage latency): set SPARK_GRAFT_AQE=1 there. The known skew
+  cases are ALSO handled algorithmically (decimate's ``skew_safe`` range
+  partitioning, salted/banded dedup joins), so correctness and
+  worst-case bounds never depend on AQE.
+- Arrow enabled for the Pandas-UDF paths (multimodal, mixed-type corner).
 - ``spark.sql.session.timeZone=UTC`` — all archiver timestamps are ns-epoch
   longs; the TZ only affects derived TimestampType *views*, which must be
   stable.
-- shuffle partitions default to the core count locally; on a real cluster
-  AQE coalesces from a higher initial number.
 """
 
 from __future__ import annotations
@@ -22,11 +38,15 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "cassandra-pv-archiver-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    parts = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(4, int(cpus) // 4))
+    )
+    aqe = "true" if os.environ.get("SPARK_GRAFT_AQE") == "1" else "false"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -21,11 +21,26 @@ every oracle query so the Spark plan and the oracle read identical inputs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 NS = 1_000_000_000  # ns per second
 
+
+
+#: (applicationId, path, dir-mtime) -> lazy source DataFrame. Each
+#: ``spark.read.parquet(path)`` re-lists the directory and re-reads a
+#: footer for schema inference — ~80-100 ms of driver-side work per call
+#: on this host (guide §6 "file listing"), paid hundreds of times across
+#: the registry for the same ten immutable tables. Caching the *unresolved
+#: scan* (plan metadata only — never rows, never results; every action
+#: still scans parquet) is the metastore/manifest analog of
+#: ``spark.sql.hive.filesourcePartitionFileCacheSize``. The mtime in the
+#: key drops the entry if anything rewrites the directory (tests build
+#: scratch sf dirs), and the applicationId scopes it to one session.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,7 +49,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # exactly our canonical representation. Set at call time so it also works
     # on sessions we didn't build (the driver's).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1  # unstattable (non-local fs): fall through, uncached
+        return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path, mtime)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _SCAN_CACHE[key] = df
+        # drop superseded versions of the same path (rewritten scratch dirs)
+        for k in [k for k in _SCAN_CACHE if k[:2] == key[:2] and k != key]:
+            del _SCAN_CACHE[k]
+    return df
 
 
 def load_events(

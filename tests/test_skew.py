@@ -119,10 +119,14 @@ def test_skew_safe_plan_has_no_per_channel_window(spark):
     )
     import re
 
-    # every windowspecdefinition must include the partition id column
+    # every windowspecdefinition must include the slice id column
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         assert "_pid" in spec, spec
-    assert "rangepartitioning" in plan
+    # r11: the slice id is a deterministic quantile bucket of t (no
+    # range exchange at all); distribution happens in the (_pid, key)
+    # window hash — pin that shape instead of the old rangepartitioning
+    assert "rangepartitioning" not in plan
+    assert re.search(r"hashpartitioning\(_pid", plan), plan
 
 
 def test_skew_safe_passthrough_all_decimation_paths(spark):
@@ -188,8 +192,8 @@ def test_auto_skew_safe_measures_then_decides(spark):
 
     hot = _skewed(spark, hot_share=0.95)
     flat = _skewed(spark, hot_share=0.0)
-    assert "rangepartitioning" in plan(hot, "auto")
-    assert "rangepartitioning" not in plan(flat, "auto")
+    assert "hashpartitioning(_pid" in plan(hot, "auto")
+    assert "hashpartitioning(_pid" not in plan(flat, "auto")
     got = decimate(hot, 3600, skew_safe="auto").orderBy("channel", "t")
     want = decimate(hot, 3600, skew_safe=False).orderBy("channel", "t")
     assert got.collect() == want.collect()

@@ -808,9 +808,11 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
     ),
     "lsh_recall_audit": (
         None,  # truth side is the guarded quadratic baseline (shingle
-        # equi-join); the LSH side must stay banded; the overlap is a
-        # semi-join of two tiny pair tables
-        ["partial_", "LeftSemi"],
+        # equi-join); the LSH side must stay banded; the overlap is ONE
+        # full-outer flag join of two tiny pair tables feeding a single
+        # aggregate (r11 opt: the old agg×agg×agg crossJoin shape
+        # re-evaluated both sides twice)
+        ["partial_", "FullOuter"],
         ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     ),
     "quality_ks_by_source": (

@@ -59,11 +59,10 @@ def floors(spark) -> None:
               .Window.partitionBy("user_id").orderBy("ts"))).count())
 
     from pyspark.sql.functions import pandas_udf
-    import pandas as pd
 
-    @pandas_udf("double")
-    def _ident(s: pd.Series) -> pd.Series:
-        return s
+    # lambda form: `from __future__ import annotations` stringifies the
+    # decorator form's type hints, which pandas_udf rejects
+    _ident = pandas_udf(lambda s: s, "double")
 
     t("pandas_udf identity over events.value",
       lambda: df.select(_ident("value")).count())
