@@ -230,43 +230,46 @@ def explode_validity_windows(
     range-partitioned construction (:func:`_lead_hwm_range_partitioned`)
     — same result, bounded per-task cost under a pathological hot channel.
     """
-    p = F.lit(period_ns)
     if _resolve_skew_safe(skew_safe, df, key):
-        d = _lead_hwm_range_partitioned(df, key, t)
-    else:
-        w_ord = Window.partitionBy(key).orderBy(t)
-        w_all = Window.partitionBy(key)
-        d = df.withColumn("_t_next", F.lead(t).over(w_ord)).withColumn(
-            "_hwm", F.max(t).over(w_all)
+        d = (
+            _lead_hwm_range_partitioned(df, key, t)
+            .selectExpr("*", "coalesce(_t_next, _hwm) AS _t_end")
+            .drop("_t_next")
         )
-    d = (
-        d.withColumn("_t_end", F.coalesce("_t_next", "_hwm"))
-        .filter(F.col("_t_end") > F.col(t))
-    )
+    else:
+        # one Project carries both window exprs (same partition spec ->
+        # one Window operator); _t_next is only ever read through the
+        # coalesce, so it is inlined away
+        d = df.selectExpr(
+            "*",
+            f"coalesce(lead({t}) OVER (PARTITION BY {key} ORDER BY {t}),"
+            f" max({t}) OVER (PARTITION BY {key})) AS _t_end",
+            f"max({t}) OVER (PARTITION BY {key}) AS _hwm",
+        )
+    d = d.filter(f"_t_end > {t}")
     # FLOOR window index, not truncation: `x div p` truncates toward zero,
     # which mis-assigns pre-1970 (negative ns) samples by one window (a
     # sample at -5s belongs to window [-30s, 0s)); subtracting pmod first
     # makes the numerator an exact multiple, where div == floor for any
     # sign. (The testdata oracles keep `//` — DuckDB's integer `//` also
     # truncates — which agrees on the t >= 0 domain they run on.)
-    win_lo = F.expr(f"({t} - pmod({t}, {period_ns})) div {period_ns}")
-    win_hi = F.expr(
-        f"((_t_end - 1) - pmod(_t_end - 1, {period_ns})) div {period_ns}"
-    )
+    win_lo = f"(({t} - pmod({t}, {period_ns})) div {period_ns})"
+    win_hi = f"(((_t_end - 1) - pmod(_t_end - 1, {period_ns})) div {period_ns})"
     if max_gap_windows is not None:
-        win_hi = F.least(win_hi, win_lo + F.lit(max_gap_windows))
-    d = (
-        d.withColumn("win", F.explode(F.sequence(win_lo, win_hi)))
-        .filter((F.col("win") + 1) * p <= F.col("_hwm"))
-        .withColumn("clip", F.greatest(F.col(t), F.col("win") * p))
-        .withColumn(
-            "ws_ns",
-            F.least(F.col("_t_end"), (F.col("win") + 1) * p) - F.col("clip"),
+        win_hi = f"least({win_hi}, {win_lo} + {int(max_gap_windows)})"
+    clip = f"greatest({t}, win * {period_ns})"
+    ws_ns = f"(least(_t_end, (win + 1) * {period_ns}) - {clip})"
+    return (
+        d.selectExpr("*", f"explode(sequence({win_lo}, {win_hi})) AS win")
+        .filter(f"(win + 1) * {period_ns} <= _hwm")
+        .selectExpr(
+            "*",
+            f"{clip} AS clip",
+            f"{ws_ns} AS ws_ns",
+            f"{ws_ns} / CAST({NS} AS DOUBLE) AS ws",
         )
-        .withColumn("ws", F.col("ws_ns") / F.lit(float(NS)))
-        .drop("_t_next", "_hwm", "_t_end")
+        .drop("_hwm", "_t_end")
     )
-    return d
 
 
 def _severity_agg():
@@ -275,14 +278,14 @@ def _severity_agg():
     order, so 'first' == smallest t among max-severity rows."""
     return F.expr(
         "max_by(named_struct('severity', severity, 'status', status),"
-        " named_struct('sev', severity, 'negt', -t))"
-    ).alias("_sevpick")
+        " named_struct('sev', severity, 'negt', -t)) AS _sevpick"
+    )
 
 
 def _extrema_aggs(vmin_src: str, vmax_src: str) -> list:
     """Aggregate legs for Math.min/Math.max-faithful extrema
     (`AggregatedScalarDoubleAggregator.java:100-103`). Native
-    ``F.min``/``F.max`` keep the FIRST of a ``{-0.0, +0.0}`` tie —
+    ``min``/``max`` keep the FIRST of a ``{-0.0, +0.0}`` tie —
     encounter-order-dependent, i.e. nondeterministic under shuffle
     partitioning — and Spark's min sorts NaN largest while Java's
     ``Math.min`` propagates it. The zero-sign probe is a string cast
@@ -290,20 +293,24 @@ def _extrema_aggs(vmin_src: str, vmax_src: str) -> list:
     trips ANSI DIVIDE_BY_ZERO and Spark's ``atan2`` normalizes ``-0.0``
     operands away (it adds ``+0.0`` to both). The conjunction
     short-circuits in codegen, so the cast only ever runs on
-    zero-valued rows; the boolean legs are map-side combinable."""
-    mn, mx = F.col(vmin_src), F.col(vmax_src)
-    neg_sign_mn = mn.cast("string").startswith("-")
-    neg_sign_mx = mx.cast("string").startswith("-")
+    zero-valued rows; the boolean legs are map-side combinable.
+    (Single-string F.expr legs: plan-construction cost — r11.)"""
+    mn, mx = vmin_src, vmax_src
     return [
-        F.min(vmin_src).alias("_vmin0"),
-        F.max(vmax_src).alias("_vmax0"),
-        F.max(F.isnan(mn)).alias("_has_nan"),
-        F.max((mn == 0.0) & neg_sign_mn).alias("_has_nz"),
-        F.max((mx == 0.0) & ~neg_sign_mx).alias("_has_pz"),
+        F.expr(f"min({mn}) AS _vmin0"),
+        F.expr(f"max({mx}) AS _vmax0"),
+        F.expr(f"max(isnan({mn})) AS _has_nan"),
+        F.expr(
+            f"max(({mn} = 0.0D) AND"
+            f" startswith(CAST({mn} AS STRING), '-')) AS _has_nz"
+        ),
+        F.expr(
+            f"max(({mx} = 0.0D) AND NOT"
+            f" startswith(CAST({mx} AS STRING), '-')) AS _has_pz"
+        ),
     ]
 
 
-_NAN, _PINF, _NINF = float("nan"), float("inf"), float("-inf")
 
 
 def _inf_flag_aggs(col: str, tag: str) -> list:
@@ -316,41 +323,43 @@ def _inf_flag_aggs(col: str, tag: str) -> list:
     (`ScalarDoubleAggregator.java:61-85` accumulates in primitive
     doubles: NaN poisons both sums; +inf/-inf dominate the mean sum and
     turn the variance into inf-inf = NaN)."""
-    c = F.col(col)
     return [
-        F.max(c == _PINF).alias(f"_pi_{tag}"),
-        F.max(c == _NINF).alias(f"_ni_{tag}"),
+        F.expr(f"max({col} = double('inf')) AS _pi_{tag}"),
+        F.expr(f"max({col} = double('-inf')) AS _ni_{tag}"),
     ]
 
 
-def _nonfinite_mean(grid_mean, nan_flag, pi_flag, ni_flag):
+def _nonfinite_mean_sql(grid_mean: str, nan_flag: str, pi_flag: str,
+                        ni_flag: str) -> str:
     """Java double-sum outcome for the weighted mean when the window holds
-    non-finite values; grid result otherwise."""
+    non-finite values; grid result otherwise (SQL-text form)."""
     return (
-        F.when(nan_flag, F.lit(_NAN))
-        .when(pi_flag & ni_flag, F.lit(_NAN))
-        .when(pi_flag, F.lit(_PINF))
-        .when(ni_flag, F.lit(_NINF))
-        .otherwise(grid_mean)
+        f"CASE WHEN {nan_flag} THEN double('NaN')"
+        f" WHEN {pi_flag} AND {ni_flag} THEN double('NaN')"
+        f" WHEN {pi_flag} THEN double('inf')"
+        f" WHEN {ni_flag} THEN double('-inf')"
+        f" ELSE {grid_mean} END"
     )
+
+
+#: SQL text of the post-aggregate extrema corrections (see
+#: :func:`_extrema_cols`) — importable where the correction must embed
+#: inside a larger expression (decimate_mixed's per-type struct)
+VMIN_SQL = (
+    "CASE WHEN _has_nan THEN double('NaN')"
+    " WHEN _vmin0 = 0.0D AND _has_nz THEN -0.0D"
+    " ELSE _vmin0 END"
+)
+VMAX_SQL = (
+    "CASE WHEN _vmax0 = 0.0D AND _has_pz THEN 0.0D ELSE _vmax0 END"
+)
 
 
 def _extrema_cols() -> tuple:
     """Post-aggregate corrections for :func:`_extrema_aggs`: min prefers
     ``-0.0`` on a zero tie and propagates NaN; max prefers ``+0.0`` (its
     NaN propagation is native — Spark sorts NaN largest)."""
-    vmin = (
-        F.when(F.col("_has_nan"), F.lit(float("nan")))
-        .when((F.col("_vmin0") == 0.0) & F.col("_has_nz"), F.lit(-0.0))
-        .otherwise(F.col("_vmin0"))
-        .alias("vmin")
-    )
-    vmax = (
-        F.when((F.col("_vmax0") == 0.0) & F.col("_has_pz"), F.lit(0.0))
-        .otherwise(F.col("_vmax0"))
-        .alias("vmax")
-    )
-    return vmin, vmax
+    return F.expr(f"{VMIN_SQL} AS vmin"), F.expr(f"{VMAX_SQL} AS vmax")
 
 
 def decimate(
@@ -396,51 +405,56 @@ def decimate(
     # saturates to ±Long.MAX whose square overflows the DECIMAL(38,0)
     # moment sum and aborts under ANSI) — the window's mean/std are
     # overridden post-aggregate from the non-finite flags instead
-    d = d.withColumn("_vi", F.expr(
+    d = d.selectExpr("*", (
         f"CAST(floor((CASE WHEN isnan(v) OR abs(v) = double('inf')"
-        f" THEN 0.0d ELSE v END) * {vs} + 0.5) AS BIGINT)"
+        f" THEN 0.0d ELSE v END) * {vs} + 0.5) AS BIGINT) AS _vi"
     ))
-    _r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+
+    def _r(e: str) -> str:
+        return e if round_to is None else f"round({e}, {int(round_to)})"
+
     # exact integer sums first; the >2^53 moment sums go to double via the
     # big_to_double decomposition so any IEEE engine lands the same bits
     g = d.groupBy(key, "win").agg(
-        F.sum("ws_ns").alias("_sw"),  # ≤ period_ns: exact in int64/double
-        F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi")).alias("_swv"),
-        F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi * _vi")).alias("_swv2"),
+        F.expr("sum(ws_ns) AS _sw"),  # ≤ period_ns: exact in int64/double
+        F.expr("sum(CAST(ws_ns AS DECIMAL(38,0)) * _vi) AS _swv"),
+        F.expr("sum(CAST(ws_ns AS DECIMAL(38,0)) * _vi * _vi) AS _swv2"),
         *_extrema_aggs("v", "v"),
         *_inf_flag_aggs("v", "v"),
         _severity_agg(),
-        F.count(F.lit(1)).alias("n_samples"),
+        F.expr("count(1) AS n_samples"),
     )
-    swd = F.col("_sw").cast("double")
-    grid_mean = F.expr(big_to_double("_swv")) / swd / F.lit(float(vs))
+    swd = "CAST(_sw AS DOUBLE)"
+    grid_mean = (
+        f"({big_to_double('_swv')} / {swd} / CAST({vs} AS DOUBLE))"
+    )
     grid_var = (
-        F.expr(big_to_double("_swv2")) / swd / F.lit(float(vs * vs))
-        - grid_mean * grid_mean
+        f"({big_to_double('_swv2')} / {swd} / CAST({vs * vs} AS DOUBLE)"
+        f" - {grid_mean} * {grid_mean})"
     )
-    grid_std = F.sqrt(F.greatest(grid_var, F.lit(0.0)))
+    grid_std = f"sqrt(greatest({grid_var}, 0.0D))"
     # non-finite windows: the integer grid saw garbage (NaN->0), so
     # replace with the Java double-sum outcome (_inf_flag_aggs doc);
     # any non-finite v makes the variance inf-inf or NaN -> std is NaN
-    nf = F.col("_has_nan") | F.col("_pi_v") | F.col("_ni_v")
-    mean = _nonfinite_mean(
-        grid_mean, F.col("_has_nan"), F.col("_pi_v"), F.col("_ni_v")
+    mean = _nonfinite_mean_sql(grid_mean, "_has_nan", "_pi_v", "_ni_v")
+    std = (
+        "CASE WHEN _has_nan OR _pi_v OR _ni_v THEN double('NaN')"
+        f" ELSE {grid_std} END"
     )
-    std = F.when(nf, F.lit(_NAN)).otherwise(grid_std)
-    frac = swd / F.lit(1e9) / F.lit(float(period_s))
+    frac = f"({swd} / 1.0E9 / CAST({period_s} AS DOUBLE))"
     vmin, vmax = _extrema_cols()
     return g.select(
         F.col(key),
-        (F.col("win") * F.lit(period_ns)).alias("t"),
-        _r(mean).alias("mean"),
-        _r(std).alias("std"),
+        F.expr(f"win * {period_ns} AS t"),
+        F.expr(f"{_r(mean)} AS mean"),
+        F.expr(f"{_r(std)} AS std"),
         vmin,
         vmax,
-        _r(frac).alias("covered_fraction"),
-        F.col("_sevpick.severity").alias("severity"),
-        F.col("_sevpick.status").alias("status"),
-        "n_samples",
-        F.lit("Interpolated").alias("quality"),
+        F.expr(f"{_r(frac)} AS covered_fraction"),
+        F.expr("_sevpick.severity AS severity"),
+        F.expr("_sevpick.status AS status"),
+        F.col("n_samples"),
+        F.expr("'Interpolated' AS quality"),
     )
 
 
@@ -496,77 +510,71 @@ def reaggregate(
             f" THEN 0.0d ELSE {col} END)"
         )
 
-    d = (
-        d.withColumn(
-            "_m", F.expr(f"CAST(floor({_fin('mean')} * {rs} + 0.5) AS BIGINT)")
-        )
-        .withColumn(
-            "_s", F.expr(f"CAST(floor({_fin('std')} * {rs} + 0.5) AS BIGINT)")
-        )
-        .withColumn(
-            "_f", F.expr(f"CAST(floor(covered_fraction * {rs} + 0.5) AS BIGINT)")
-        )
-        .withColumn("_w", F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _f"))
-    )
-    _r = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    d = d.selectExpr(
+        "*",
+        f"CAST(floor({_fin('mean')} * {rs} + 0.5) AS BIGINT) AS _m",
+        f"CAST(floor({_fin('std')} * {rs} + 0.5) AS BIGINT) AS _s",
+        f"CAST(floor(covered_fraction * {rs} + 0.5) AS BIGINT) AS _f",
+    ).selectExpr("*", "CAST(ws_ns AS DECIMAL(38,0)) * _f AS _w")
+
+    def _r(e: str) -> str:
+        return e if round_to is None else f"round({e}, {int(round_to)})"
+
     # the squares go through DECIMAL(38,0) like decimate's moment sums:
     # _s*_s in raw BIGINT overflows (and under ANSI aborts the job) at
     # |mean| or std >= ~3.04e5 with the default input_scale — legitimate
     # magnitudes for counter/frequency PVs
-    md = F.col("_m").cast("decimal(38,0)")
-    sd_ = F.col("_s").cast("decimal(38,0)")
+    md = "CAST(_m AS DECIMAL(38,0))"
+    sd_ = "CAST(_s AS DECIMAL(38,0))"
     g = d.groupBy(key, "win").agg(
-        F.sum(F.col("_w")).alias("_sw"),
-        F.sum(F.col("_w") * md).alias("_swm"),
-        F.sum(F.col("_w") * (sd_ * sd_ + md * md)).alias("_swm2"),
+        F.expr("sum(_w) AS _sw"),
+        F.expr(f"sum(_w * {md}) AS _swm"),
+        F.expr(f"sum(_w * ({sd_} * {sd_} + {md} * {md})) AS _swm2"),
         *_extrema_aggs("vmin", "vmax"),
         *_inf_flag_aggs("mean", "m"),
-        F.max(F.isnan(F.col("mean"))).alias("_nan_m"),
-        F.max(F.isnan(F.col("std"))).alias("_nan_s"),
-        F.max(F.col("std") == _PINF).alias("_pi_s"),
+        F.expr("max(isnan(mean)) AS _nan_m"),
+        F.expr("max(isnan(std)) AS _nan_s"),
+        F.expr("max(std = double('inf')) AS _pi_s"),
         _severity_agg(),
-        F.sum("n_samples").alias("n_samples"),
+        F.expr("sum(n_samples) AS n_samples"),
     )
     # every one of these sums can exceed 2^53 (weights carry the frac scale)
-    swd = F.expr(big_to_double("_sw"))
-    grid_mean = F.expr(big_to_double("_swm")) / swd / F.lit(float(rs))
+    swd = big_to_double("_sw")
+    grid_mean = f"({big_to_double('_swm')} / {swd} / CAST({rs} AS DOUBLE))"
     grid_var = (
-        F.expr(big_to_double("_swm2")) / swd / F.lit(float(rs * rs))
-        - grid_mean * grid_mean
+        f"({big_to_double('_swm2')} / {swd} / CAST({rs * rs} AS DOUBLE)"
+        f" - {grid_mean} * {grid_mean})"
     )
-    grid_std = F.sqrt(F.greatest(grid_var, F.lit(0.0)))
+    grid_std = f"sqrt(greatest({grid_var}, 0.0D))"
     # non-finite source aggregates (see _inf_flag_aggs): the mean sum only
     # sees source MEANS (a NaN std leaves it finite); the m2 sum sees
     # std^2 + mean^2, so a NaN in either poisons it, an infinite mean
     # makes var = inf - inf = NaN, and an infinite std alone makes
     # var = +inf -> std = +inf (Java Math.sqrt(inf))
-    mean = _nonfinite_mean(
-        grid_mean, F.col("_nan_m"), F.col("_pi_m"), F.col("_ni_m")
-    )
+    mean = _nonfinite_mean_sql(grid_mean, "_nan_m", "_pi_m", "_ni_m")
     std = (
-        F.when(
-            F.col("_nan_m") | F.col("_nan_s")
-            | F.col("_pi_m") | F.col("_ni_m"),
-            F.lit(_NAN),
-        )
-        .when(F.col("_pi_s"), F.lit(_PINF))
-        .otherwise(grid_std)
+        "CASE WHEN _nan_m OR _nan_s OR _pi_m OR _ni_m THEN double('NaN')"
+        " WHEN _pi_s THEN double('inf')"
+        f" ELSE {grid_std} END"
     )
     # sw is ns·frac-units: /1e9 -> s·frac-units, /rs -> s, /target -> fraction
-    frac = swd / F.lit(1e9) / F.lit(float(rs)) / F.lit(float(target_period_s))
+    frac = (
+        f"({swd} / 1.0E9 / CAST({rs} AS DOUBLE)"
+        f" / CAST({target_period_s} AS DOUBLE))"
+    )
     vmin, vmax = _extrema_cols()
     return g.select(
         F.col(key),
-        (F.col("win") * F.lit(period_ns)).alias("t"),
-        _r(mean).alias("mean"),
-        _r(std).alias("std"),
+        F.expr(f"win * {period_ns} AS t"),
+        F.expr(f"{_r(mean)} AS mean"),
+        F.expr(f"{_r(std)} AS std"),
         vmin,
         vmax,
-        _r(frac).alias("covered_fraction"),
-        F.col("_sevpick.severity").alias("severity"),
-        F.col("_sevpick.status").alias("status"),
-        "n_samples",
-        F.lit("Interpolated").alias("quality"),
+        F.expr(f"{_r(frac)} AS covered_fraction"),
+        F.expr("_sevpick.severity AS severity"),
+        F.expr("_sevpick.status AS status"),
+        F.col("n_samples"),
+        F.expr("'Interpolated' AS quality"),
     )
 
 
@@ -592,13 +600,13 @@ def pick_first(
                                  max_gap_windows=max_gap_windows,
                                  skew_safe=skew_safe)
     out = d.groupBy(key, "win").agg(
-        F.expr(f"min_by({payload}, clip)").alias(payload),
-        F.count(F.lit(1)).alias("n_samples"),
+        F.expr(f"min_by({payload}, clip) AS {payload}"),
+        F.expr("count(1) AS n_samples"),
     )
     return out.select(
         F.col(key),
-        (F.col("win") * F.lit(period_ns)).alias("t"),
-        payload,
-        "n_samples",
-        F.lit("Interpolated").alias("quality"),
+        F.expr(f"win * {period_ns} AS t"),
+        F.col(payload),
+        F.col("n_samples"),
+        F.expr("'Interpolated' AS quality"),
     )

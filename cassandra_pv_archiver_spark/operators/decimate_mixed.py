@@ -45,8 +45,9 @@ from .decimate import (
     AGGREGATABLE_TYPES,
     MARKER_TYPES,
     NS,
+    VMAX_SQL,
+    VMIN_SQL,
     _extrema_aggs,
-    _extrema_cols,
     _severity_agg,
     big_to_double,
     explode_validity_windows,
@@ -95,34 +96,36 @@ def decimate_mixed(
     `ScalarDoubleAggregator.java:61-71`).
     """
     period_ns = period_s * NS
-    for c, typ in OPTIONAL_PAYLOADS.items():
-        if c not in df.columns:
-            df = df.withColumn(c, F.lit(None).cast(typ))
+    missing = [
+        f"CAST(NULL AS {typ}) AS {c}"
+        for c, typ in OPTIONAL_PAYLOADS.items()
+        if c not in df.columns
+    ]
+    if missing:
+        df = df.selectExpr("*", *missing)
     d = explode_validity_windows(df, period_ns, key=key,
                                  max_gap_windows=max_gap_windows,
                                  skew_safe=skew_safe)
     vs = 10**v_decimals
     agg_list = ", ".join(f"'{x}'" for x in AGGREGATABLE_TYPES)
     marker_list = ", ".join(f"'{x}'" for x in MARKER_TYPES)
-    d = (
-        d.withColumn("_vi", F.expr(f"CAST(floor(v * {vs} + 0.5) AS BIGINT)"))
-        .withColumn("is_agg", F.expr(f"type IN ({agg_list})"))
-        .withColumn("is_marker", F.expr(f"type IN ({marker_list})"))
+    d = d.selectExpr(
+        "*",
+        f"CAST(floor(v * {vs} + 0.5) AS BIGINT) AS _vi",
+        f"type IN ({agg_list}) AS is_agg",
+        f"type IN ({marker_list}) AS is_marker",
     )
 
     # --- stage 1: one row per (channel, win, type) = the sub-aggregator ---
-    sw = F.sum("ws_ns")
-    swv = F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi"))
-    swv2 = F.sum(F.expr("CAST(ws_ns AS DECIMAL(38,0)) * _vi * _vi"))
     g1 = d.groupBy(key, "win", "type").agg(
-        F.first("is_agg").alias("is_agg"),
-        F.first("is_marker").alias("is_marker"),
-        sw.alias("cov"),
-        swv.alias("_swv"),
-        swv2.alias("_swv2"),
+        F.expr("first(is_agg) AS is_agg"),
+        F.expr("first(is_marker) AS is_marker"),
+        F.expr("sum(ws_ns) AS cov"),
+        F.expr("sum(CAST(ws_ns AS DECIMAL(38,0)) * _vi) AS _swv"),
+        F.expr("sum(CAST(ws_ns AS DECIMAL(38,0)) * _vi * _vi) AS _swv2"),
         # Math.min/Math.max-faithful extrema, shared with decimate —
         # signed-zero ties deterministic, NaN propagating (the native
-        # F.min/F.max keep the FIRST of a {-0.0,+0.0} tie, i.e. are
+        # min/max keep the FIRST of a {-0.0,+0.0} tie, i.e. are
         # partition-order-dependent)
         *_extrema_aggs("v", "v"),
         _severity_agg(),  # A2: shared with decimate — ONE tie-break rule
@@ -130,94 +133,86 @@ def decimate_mixed(
             "min_by(named_struct('sval', sval, 'aval', aval, 'eval', eval,"
             " 'labels', labels, 'asval', asval, 'meta', meta,"
             " 'severity', severity, 'status', status), clip)"
-        ).alias("_first_sample"),
-        F.min("clip").alias("first_clip"),
-        F.count(F.lit(1)).alias("n_samples"),
+            " AS _first_sample"
+        ),
+        F.expr("min(clip) AS first_clip"),
+        F.expr("count(1) AS n_samples"),
     )
     # cov <= period_ns < 2^53: exact in double on any engine. The big
     # moment sums exceed 2^53 — use the exact decomposition so Spark and the
     # DuckDB oracle produce bit-identical doubles (see big_to_double docs).
-    swd = F.col("cov").cast("double")
-    mean = F.expr(big_to_double("_swv")) / swd / F.lit(float(vs))
-    var = F.expr(big_to_double("_swv2")) / swd / F.lit(float(vs * vs)) - mean * mean
-    vmin_c, vmax_c = _extrema_cols()
-    g1 = g1.select(
+    swd = "CAST(cov AS DOUBLE)"
+    mean = f"({big_to_double('_swv')} / {swd} / CAST({vs} AS DOUBLE))"
+    var = (
+        f"({big_to_double('_swv2')} / {swd} / CAST({vs * vs} AS DOUBLE)"
+        f" - {mean} * {mean})"
+    )
+    g1 = g1.selectExpr(
         key,
         "win",
-        F.struct(
-            F.col("type"),
-            F.col("is_agg"),
-            F.col("cov"),
-            F.when(F.col("is_agg"), mean).alias("mean"),
-            F.when(F.col("is_agg"), F.sqrt(F.greatest(var, F.lit(0.0)))).alias("std"),
-            vmin_c,
-            vmax_c,
-            F.when(
-                F.col("is_agg"),
-                swd / F.lit(1e9) / F.lit(float(period_s)),
-            ).alias("covered_fraction"),
-            F.col("_sevpick.severity").alias("agg_severity"),
-            F.col("_sevpick.status").alias("agg_status"),
-            F.col("_first_sample.sval").alias("pf_sval"),
-            F.col("_first_sample.aval").alias("pf_aval"),
-            F.col("_first_sample.eval").alias("pf_eval"),
-            F.col("_first_sample.labels").alias("pf_labels"),
-            F.col("_first_sample.asval").alias("pf_asval"),
-            F.col("_first_sample.meta").alias("pf_meta"),
-            F.col("_first_sample.severity").alias("pf_severity"),
-            F.col("_first_sample.status").alias("pf_status"),
-            F.col("n_samples"),
-            F.col("first_clip"),
-        ).alias("S"),
-        F.col("is_agg"),
-        F.col("is_marker"),
-        F.col("cov"),
-        F.col("first_clip"),
+        "named_struct("
+        "'type', type, 'is_agg', is_agg, 'cov', cov,"
+        f" 'mean', CASE WHEN is_agg THEN {mean} END,"
+        f" 'std', CASE WHEN is_agg THEN sqrt(greatest({var}, 0.0D)) END,"
+        f" 'vmin', {VMIN_SQL}, 'vmax', {VMAX_SQL},"
+        f" 'covered_fraction', CASE WHEN is_agg THEN"
+        f" {swd} / 1.0E9 / CAST({period_s} AS DOUBLE) END,"
+        " 'agg_severity', _sevpick.severity,"
+        " 'agg_status', _sevpick.status,"
+        " 'pf_sval', _first_sample.sval, 'pf_aval', _first_sample.aval,"
+        " 'pf_eval', _first_sample.eval,"
+        " 'pf_labels', _first_sample.labels,"
+        " 'pf_asval', _first_sample.asval, 'pf_meta', _first_sample.meta,"
+        " 'pf_severity', _first_sample.severity,"
+        " 'pf_status', _first_sample.status,"
+        " 'n_samples', n_samples, 'first_clip', first_clip) AS S",
+        "is_agg",
+        "is_marker",
+        "cov",
+        "first_clip",
     )
 
     # --- stage 2: winner per (channel, win) ---
     g2 = g1.groupBy(key, "win").agg(
-        F.expr("min_by(S, first_clip)").alias("first_row"),
+        F.expr("min_by(S, first_clip) AS first_row"),
         F.expr(
             "max_by(S, named_struct('c', cov, 'nc', -first_clip))"
-            " FILTER (WHERE is_agg)"
-        ).alias("best_row"),
-        F.max(
-            F.when(~F.col("is_agg") & ~F.col("is_marker"), F.lit(1)).otherwise(0)
-        ).alias("veto"),
+            " FILTER (WHERE is_agg) AS best_row"
+        ),
+        F.expr(
+            "max(CASE WHEN (NOT is_agg) AND (NOT is_marker)"
+            " THEN 1 ELSE 0 END) AS veto"
+        ),
     )
-    chosen = F.when(
-        (F.col("veto") == 1) | F.col("best_row").isNull(), F.col("first_row")
-    ).otherwise(F.col("best_row"))
-    g2 = g2.select(key, "win", chosen.alias("C"))
+    g2 = g2.selectExpr(
+        key,
+        "win",
+        "CASE WHEN veto = 1 OR best_row IS NULL"
+        " THEN first_row ELSE best_row END AS C",
+    )
 
-    out_type = F.when(
-        F.col("C.is_agg") & F.col("C.type").startswith("scalar_"),
-        F.concat(F.lit("aggregated_"), F.col("C.type")),
-    ).otherwise(F.col("C.type"))
-    return g2.select(
-        F.col(key),
-        (F.col("win") * F.lit(period_ns)).alias("t"),
-        out_type.alias("type"),
-        F.col("C.mean").alias("mean"),
-        F.col("C.std").alias("std"),
-        F.when(F.col("C.is_agg"), F.col("C.vmin")).alias("vmin"),
-        F.when(F.col("C.is_agg"), F.col("C.vmax")).alias("vmax"),
-        F.col("C.covered_fraction").alias("covered_fraction"),
-        F.when(~F.col("C.is_agg"), F.col("C.pf_sval")).alias("sval"),
-        F.when(~F.col("C.is_agg"), F.col("C.pf_aval")).alias("aval"),
-        F.when(~F.col("C.is_agg"), F.col("C.pf_eval")).alias("eval"),
-        F.when(~F.col("C.is_agg"), F.col("C.pf_labels")).alias("labels"),
-        F.when(~F.col("C.is_agg"), F.col("C.pf_asval")).alias("asval"),
+    return g2.selectExpr(
+        key,
+        f"win * {period_ns} AS t",
+        "CASE WHEN C.is_agg AND startswith(C.type, 'scalar_')"
+        " THEN concat('aggregated_', C.type) ELSE C.type END AS type",
+        "C.mean AS mean",
+        "C.std AS std",
+        "CASE WHEN C.is_agg THEN C.vmin END AS vmin",
+        "CASE WHEN C.is_agg THEN C.vmax END AS vmax",
+        "C.covered_fraction AS covered_fraction",
+        "CASE WHEN NOT C.is_agg THEN C.pf_sval END AS sval",
+        "CASE WHEN NOT C.is_agg THEN C.pf_aval END AS aval",
+        "CASE WHEN NOT C.is_agg THEN C.pf_eval END AS eval",
+        "CASE WHEN NOT C.is_agg THEN C.pf_labels END AS labels",
+        "CASE WHEN NOT C.is_agg THEN C.pf_asval END AS asval",
         # metadata of the first used sample of the winning type — both for
         # aggregated winners (metaDataSample semantics) and pick-first
-        F.col("C.pf_meta").alias("meta"),
-        F.when(F.col("C.is_agg"), F.col("C.agg_severity"))
-        .otherwise(F.col("C.pf_severity"))
-        .alias("severity"),
-        F.when(F.col("C.is_agg"), F.col("C.agg_status"))
-        .otherwise(F.col("C.pf_status"))
-        .alias("status"),
-        F.col("C.n_samples").alias("n_samples"),
-        F.lit("Interpolated").alias("quality"),
+        "C.pf_meta AS meta",
+        "CASE WHEN C.is_agg THEN C.agg_severity"
+        " ELSE C.pf_severity END AS severity",
+        "CASE WHEN C.is_agg THEN C.agg_status"
+        " ELSE C.pf_status END AS status",
+        "C.n_samples AS n_samples",
+        "'Interpolated' AS quality",
     )

@@ -135,22 +135,19 @@ def load_samples(
     if channels is not None:
         ids = [int(str(c).split(":", 1)[1]) for c in channels]
         ev = ev.filter(F.col("user_id").isin(ids))
-    sev = (
-        F.when(F.col("event_type") == "error", F.lit(2))
-        .when(F.col("event_type") == "signup", F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
     # ts arrives as int64 ns (nanosAsLong); truncate to µs precision because
     # the DuckDB oracle reads the column as µs TIMESTAMP — both sides see
-    # identical t values.
-    s = ev.select(
-        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
-        F.expr("(ts div 1000) * 1000").alias("t"),
-        F.col("value").alias("v"),
-        sev.alias("severity"),
-        (sev * F.lit(6)).cast("int").alias("status"),
-        F.col("event_id"),
+    # identical t values. (String-expression form: plan construction cost
+    # is ~1 driver call instead of ~30 — OPTIMIZATION_r11.md §build.)
+    sev = ("CASE WHEN event_type = 'error' THEN 2"
+           " WHEN event_type = 'signup' THEN 1 ELSE 0 END")
+    s = ev.selectExpr(
+        "concat('PV:', CAST(user_id AS STRING)) AS channel",
+        "(ts div 1000) * 1000 AS t",
+        "value AS v",
+        f"CAST({sev} AS INT) AS severity",
+        f"CAST(({sev}) * 6 AS INT) AS status",
+        "event_id",
     )
     return _dedup_by_channel(s)
 
@@ -161,11 +158,14 @@ def _dedup_by_channel(s: DataFrame) -> DataFrame:
     ⊆ cluster keys) and its (channel, t, event_id) sort is a superset of the
     (channel, t) ordering every downstream per-channel window needs — so
     decimate/asof plans reuse this single exchange end-to-end."""
-    s = s.repartition("channel")
-    w = Window.partitionBy("channel", "t").orderBy("event_id")
     return (
-        s.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        s.repartition("channel")
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY channel, t"
+            " ORDER BY event_id) AS _rn",
+        )
+        .filter("_rn = 1")
         .drop("_rn")
     )
 
@@ -177,11 +177,11 @@ def load_string_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     by user_id with an 'EVT:' prefix so the two series don't collide.
     """
     ev = load_events(spark, sf_dir)
-    s = ev.select(
-        F.concat(F.lit("EVT:"), F.col("user_id").cast("string")).alias("channel"),
-        F.expr("(ts div 1000) * 1000").alias("t"),
-        F.col("event_type").alias("sval"),
-        F.col("event_id"),
+    s = ev.selectExpr(
+        "concat('EVT:', CAST(user_id AS STRING)) AS channel",
+        "(ts div 1000) * 1000 AS t",
+        "event_type AS sval",
+        "event_id",
     )
     return _dedup_by_channel(s)
 
@@ -196,25 +196,29 @@ def load_mixed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
       error      -> disconnected  (marker, no payload)
     """
     ev = load_events(spark, sf_dir)
-    typ = (
-        F.when(F.col("event_type").isin("click", "view"), F.lit("scalar_double"))
-        .when(F.col("event_type") == "purchase", F.lit("scalar_long"))
-        .when(F.col("event_type") == "signup", F.lit("scalar_string"))
-        .otherwise(F.lit("disconnected"))
-    )
-    is_num = typ.isin("scalar_double", "scalar_long")
-    v = F.when(
-        typ == "scalar_long", F.floor(F.col("value")).cast("double")
-    ).when(typ == "scalar_double", F.col("value"))
-    s = ev.select(
-        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
-        F.expr("(ts div 1000) * 1000").alias("t"),
-        typ.alias("type"),
-        v.alias("v"),
-        F.when(typ == "scalar_string", F.concat(F.lit("S"), (F.col("event_id") % 100).cast("string"))).alias("sval"),
-        F.when(is_num | (typ == "scalar_string"), (F.col("event_id") % 4).cast("int")).alias("severity"),
-        F.when(is_num | (typ == "scalar_string"), ((F.col("event_id") % 4) * 6).cast("int")).alias("status"),
-        F.col("event_id"),
+    s = ev.selectExpr(
+        "concat('PV:', CAST(user_id AS STRING)) AS channel",
+        "(ts div 1000) * 1000 AS t",
+        "CASE WHEN event_type IN ('click', 'view') THEN 'scalar_double'"
+        " WHEN event_type = 'purchase' THEN 'scalar_long'"
+        " WHEN event_type = 'signup' THEN 'scalar_string'"
+        " ELSE 'disconnected' END AS type",
+        "event_id",
+        "value",
+        "event_type",
+    ).selectExpr(
+        "channel",
+        "t",
+        "type",
+        "CASE WHEN type = 'scalar_long' THEN CAST(floor(value) AS DOUBLE)"
+        " WHEN type = 'scalar_double' THEN value END AS v",
+        "CASE WHEN type = 'scalar_string'"
+        " THEN concat('S', CAST(event_id % 100 AS STRING)) END AS sval",
+        "CASE WHEN type IN ('scalar_double', 'scalar_long', 'scalar_string')"
+        " THEN CAST(event_id % 4 AS INT) END AS severity",
+        "CASE WHEN type IN ('scalar_double', 'scalar_long', 'scalar_string')"
+        " THEN CAST((event_id % 4) * 6 AS INT) END AS status",
+        "event_id",
     )
     return _dedup_by_channel(s)
 
@@ -251,65 +255,62 @@ def load_typed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised (`ChannelAccessSampleDecimatorTest.java:700-757`).
     """
     ev = load_events(spark, sf_dir)
-    typ = (
-        F.when(F.col("event_type") == "click", F.lit("scalar_double"))
-        .when(F.col("event_type") == "view", F.lit("array_double"))
-        .when(
-            (F.col("event_type") == "purchase") & (F.col("event_id") % 2 == 0),
-            F.lit("scalar_enum"),
-        )
-        .when(F.col("event_type") == "purchase", F.lit("array_enum"))
-        .when(F.col("event_type") == "signup", F.lit("array_string"))
-        .when(F.col("event_id") % 2 == 0, F.lit("disabled"))
-        .otherwise(F.lit("disconnected"))
-    )
-    is_marker = typ.isin("disabled", "disconnected")
-    has_meta = typ.isin("scalar_double", "array_double")
-    d = F.expr("CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE)")
-    wl = F.expr("CAST((user_id % 7) * 10 AS DOUBLE)")
-    meta = F.struct(
-        (F.col("event_id") % 5).cast("int").alias("precision"),
-        F.concat(F.lit("V"), (F.col("user_id") % 3).cast("string")).alias("units"),
-        (-wl).alias("lower_warning_limit"),
-        (wl + 10.0).alias("upper_warning_limit"),
-        (-wl - 10.0).alias("lower_alarm_limit"),
-        (wl + 20.0).alias("upper_alarm_limit"),
-        (-wl - 20.0).alias("lower_display_limit"),
-        (wl + 30.0).alias("upper_display_limit"),
-        (-wl - 20.0).alias("lower_control_limit"),
-        (wl + 30.0).alias("upper_control_limit"),
-    )
-    s = ev.select(
-        F.concat(F.lit("PV:"), F.col("user_id").cast("string")).alias("channel"),
-        F.expr("(ts div 1000) * 1000").alias("t"),
-        typ.alias("type"),
-        F.when(typ == "scalar_double", F.col("value")).alias("v"),
-        F.when(typ == "array_double", F.array(d, d * 2, d * 3))
-        .when(
-            typ == "array_enum",
-            F.array(
-                (F.col("event_id") % 4).cast("double"),
-                ((F.col("event_id") + 1) % 4).cast("double"),
-            ),
-        )
-        .alias("aval"),
-        F.when(typ == "scalar_enum", (F.col("event_id") % 4).cast("int")).alias("eval"),
-        F.when(
-            typ.isin("scalar_enum", "array_enum"),
-            F.array(*[F.lit(x) for x in ENUM_LABELS]),
-        ).alias("labels"),
-        F.when(
-            typ == "array_string",
-            F.array(
-                F.concat(F.lit("S"), (F.col("event_id") % 100).cast("string")),
-                F.concat(F.lit("T"), (F.col("user_id") % 50).cast("string")),
-            ),
-        ).alias("asval"),
-        F.lit(None).cast("string").alias("sval"),
-        F.when(has_meta, meta).alias("meta"),
-        F.when(~is_marker, (F.col("event_id") % 4).cast("int")).alias("severity"),
-        F.when(~is_marker, ((F.col("event_id") % 4) * 6).cast("int")).alias("status"),
-        F.col("event_id"),
+    # string-expression form (plan-construction cost; see
+    # OPTIMIZATION_r11.md §build) — semantics unchanged, the DuckDB
+    # mirror below stays the lockstep reference
+    d = "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE)"
+    wl = "CAST((user_id % 7) * 10 AS DOUBLE)"
+    labels_arr = "array(" + ", ".join(f"'{x}'" for x in ENUM_LABELS) + ")"
+    s = ev.selectExpr(
+        "concat('PV:', CAST(user_id AS STRING)) AS channel",
+        "(ts div 1000) * 1000 AS t",
+        "CASE WHEN event_type = 'click' THEN 'scalar_double'"
+        " WHEN event_type = 'view' THEN 'array_double'"
+        " WHEN event_type = 'purchase' AND event_id % 2 = 0"
+        " THEN 'scalar_enum'"
+        " WHEN event_type = 'purchase' THEN 'array_enum'"
+        " WHEN event_type = 'signup' THEN 'array_string'"
+        " WHEN event_id % 2 = 0 THEN 'disabled'"
+        " ELSE 'disconnected' END AS type",
+        "event_id",
+        "user_id",
+        "value",
+    ).selectExpr(
+        "channel",
+        "t",
+        "type",
+        "CASE WHEN type = 'scalar_double' THEN value END AS v",
+        f"CASE WHEN type = 'array_double'"
+        f" THEN array({d}, ({d}) * 2, ({d}) * 3)"
+        " WHEN type = 'array_enum'"
+        " THEN array(CAST(event_id % 4 AS DOUBLE),"
+        " CAST((event_id + 1) % 4 AS DOUBLE)) END AS aval",
+        "CASE WHEN type = 'scalar_enum'"
+        " THEN CAST(event_id % 4 AS INT) END AS eval",
+        f"CASE WHEN type IN ('scalar_enum', 'array_enum')"
+        f" THEN {labels_arr} END AS labels",
+        "CASE WHEN type = 'array_string'"
+        " THEN array(concat('S', CAST(event_id % 100 AS STRING)),"
+        " concat('T', CAST(user_id % 50 AS STRING))) END AS asval",
+        "CAST(NULL AS STRING) AS sval",
+        "CASE WHEN type IN ('scalar_double', 'array_double')"
+        " THEN named_struct("
+        "'precision', CAST(event_id % 5 AS INT),"
+        " 'units', concat('V', CAST(user_id % 3 AS STRING)),"
+        f" 'lower_warning_limit', -({wl}),"
+        f" 'upper_warning_limit', ({wl}) + 10.0D,"
+        f" 'lower_alarm_limit', -({wl}) - 10.0D,"
+        f" 'upper_alarm_limit', ({wl}) + 20.0D,"
+        f" 'lower_display_limit', -({wl}) - 20.0D,"
+        f" 'upper_display_limit', ({wl}) + 30.0D,"
+        f" 'lower_control_limit', -({wl}) - 20.0D,"
+        f" 'upper_control_limit', ({wl}) + 30.0D"
+        ") END AS meta",
+        "CASE WHEN NOT (type IN ('disabled', 'disconnected'))"
+        " THEN CAST(event_id % 4 AS INT) END AS severity",
+        "CASE WHEN NOT (type IN ('disabled', 'disconnected'))"
+        " THEN CAST((event_id % 4) * 6 AS INT) END AS status",
+        "event_id",
     )
     return _dedup_by_channel(s)
 
