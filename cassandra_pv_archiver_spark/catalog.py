@@ -1198,7 +1198,13 @@ def _ca_wire_reconstructed(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = typed.filter(~F.col("type").isin(*_MARKER_TYPES))
     markers = typed.filter(F.col("type").isin(*_MARKER_TYPES))
     subs = _md5_sids(wire)
-    frames = cwt.encode_typed_samples(wire, subs)
+    # the frame stream feeds BOTH decode branches (time + ctrl) of the
+    # assemble union — without materialization the whole encode
+    # (Python struct.pack kernel, measured 1.86 s at sf0.1) runs twice,
+    # once per branch (guide §7.2 duplicated subtrees). localCheckpoint
+    # materializes it once PER INVOCATION (never across runs; lineage
+    # truncation is irrelevant here — the cost is the double kernel).
+    frames = cwt.encode_typed_samples(wire, subs).localCheckpoint()
     assembled = cwt.assemble_typed_samples(
         cwt.decode_time_events_typed(frames), cwt.decode_ctrl_events(frames)
     )

@@ -127,9 +127,14 @@ def pca_top_component(
     )
     out_schema = "kind string, i int, value double"
     q = emb.select(F.col(id_col).alias("_id"), xq.alias("q"))
+    # S is symmetric: aggregate only the upper triangle (j >= i) — half
+    # the exploded rows and half the shuffled groups — and mirror when
+    # the bounded dim² result is assembled driver-side below (the (j,i)
+    # entry is the same commutative product, so the mirrored double is
+    # bit-identical). r11 optimization; guide §2.3 "shuffle fewer bytes".
     pairs = q.select(
         F.posexplode("q").alias("i", "xi"), F.col("q")
-    ).select("i", "xi", F.posexplode("q").alias("j", "xj"))
+    ).select("i", "xi", F.posexplode("q").alias("j", "xj")).filter("j >= i")
     s2 = pairs.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xj")).alias("sxx"),
@@ -154,7 +159,7 @@ def pca_top_component(
     )
     if not rows:
         return spark.createDataFrame([], out_schema)
-    seen_dim = max(r["i"] for r in rows) + 1
+    seen_dim = max(r["j"] for r in rows) + 1
     if seen_dim != dim:
         # longer vectors would IndexError below; shorter ones would
         # null-pad zip_with and silently NULL every projection
@@ -163,8 +168,10 @@ def pca_top_component(
             f"{seen_dim} components — pass dim={seen_dim}"
         )
     S = [[0.0] * dim for _ in range(dim)]
-    for r in rows:
-        S[r["i"]][r["j"]] = _big_int_to_double(int(r["s"]))
+    for r in rows:  # upper triangle + symmetric mirror
+        v = _big_int_to_double(int(r["s"]))
+        S[r["i"]][r["j"]] = v
+        S[r["j"]][r["i"]] = v
 
     def _power(M: list[list[float]]) -> tuple[list[float], float]:
         """Unnormalized power iteration with fixed ascending folds;
@@ -215,18 +222,18 @@ def pca_top_component(
         return comp.orderBy("kind", "i")
 
     def _proj(kind: str, u: list[float]) -> DataFrame:
-        return (
-            q.filter(F.col("_id").isin(query_ids))
-            .withColumn("uv", F.array(*[F.lit(float(x)) for x in u]))
-            .select(
-                F.lit(kind).alias("kind"),
-                F.col("_id").cast("int").alias("i"),
-                F.expr(
-                    "aggregate(zip_with(q, uv, (a, b) ->"
-                    " CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE),"
-                    " (acc, x) -> acc + x)"
-                ).alias("value"),
-            )
+        # literal array as ONE parsed expression, not 64 F.lit calls
+        # (~2-3 ms of py4j each — r11 build-cost pass). repr(float) is
+        # the shortest round-trip form and Spark's double parsing is
+        # correctly rounded, so the 'D' literals are bit-identical.
+        uv = "array(" + ", ".join(f"{float(x)!r}D" for x in u) + ")"
+        ids = ", ".join(str(int(i)) for i in query_ids)
+        return q.filter(f"_id IN ({ids})").selectExpr(
+            f"'{kind}' AS kind",
+            "CAST(_id AS INT) AS i",
+            f"aggregate(zip_with(q, {uv}, (a, b) ->"
+            " CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x) AS value",
         )
 
     return (
