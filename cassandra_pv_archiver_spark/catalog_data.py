@@ -5460,6 +5460,10 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= VOCAB_OVERLAP_TOP)
         .select("source", "tok")
+        # persisted: feeds sizes + BOTH sides of the token self-join —
+        # without it the corpus token count + window runs three times
+        # (guide §7.2; the table is sources × top-k rows, tiny)
+        .persist()
     )
     sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("_sz"))
     a = top.select(F.col("source").alias("src_a"), "tok")

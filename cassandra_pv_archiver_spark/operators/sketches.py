@@ -51,7 +51,14 @@ def cms_heavy_hitter_audit(
     from .text import _WORDS
 
     toks = docs.select(F.explode(F.expr(_WORDS)).alias("token"))
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    # persisted: the term table feeds the top-k ranking AND the sketch
+    # counters below — without it the token hash-agg shuffle runs twice
+    # (Spark's CacheManager dedupes re-persists of the identical plan,
+    # so repeated calls share one entry; same convention as the dedup
+    # module's shingle persist)
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    ).persist()
     top = exact.orderBy(F.col("exact_n").desc(), "token").limit(top_k)
 
     # ONE md5 per token supplies all ``depth`` row-buckets from disjoint
@@ -63,11 +70,22 @@ def cms_heavy_hitter_audit(
         f" CAST(CAST(conv(substring(md5(token), 1 + 4 * r, 4), 16, 10)"
         f" AS INT) % {width} AS INT) AS bucket))"
     )
+    # counters from the EXACT term table, not a second token scan: the
+    # per-(row, bucket) occurrence count equals the sum of term counts
+    # over the tokens hashing there (identical longs), so the sketch
+    # side reuses the one aggregation the exact side already pays —
+    # Catalyst does not share the duplicate explode subtree on its own
+    # (guide §7.2; r11 — one corpus scan instead of two, and the bucket
+    # md5 runs per DISTINCT token instead of per occurrence).
     counters = (
-        toks.select(F.explode(buckets).alias("_b"))
-        .select(F.col("_b.row").alias("row"), F.col("_b.bucket").alias("bucket"))
+        exact.select(F.col("exact_n"), F.explode(buckets).alias("_b"))
+        .select(
+            F.col("_b.row").alias("row"),
+            F.col("_b.bucket").alias("bucket"),
+            "exact_n",
+        )
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
     probes = top.select(
         "token", "exact_n", F.explode(buckets).alias("_b")

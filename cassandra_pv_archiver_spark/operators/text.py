@@ -410,19 +410,31 @@ def oov_rate(docs: DataFrame, top_n: int = 100) -> DataFrame:
 
     Returns: doc_id, n_tokens, n_oov, oov_rate.
     """
+    # ONE corpus token scan: everything below derives from the (doc, tok)
+    # term table — the naive three-consumer formulation (top / n_all /
+    # n_oov each reading the explode) re-ran the corpus scan three times
+    # (Catalyst shares no duplicate subtrees; guide §7.2. r11). The term
+    # table is persisted (tiny next to the token stream; CacheManager
+    # dedupes repeated calls) and all counts recombine exactly:
+    # occurrences per token == Σ tf, per-doc totals == Σ tf.
     toks = docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("tok"))
+    dt = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     top = (
-        toks.groupBy("tok")
-        .count()
+        dt.groupBy("tok")
+        .agg(F.sum("tf").alias("count"))
         .orderBy(F.desc("count"), "tok")
         .limit(top_n)
         .select("tok")
     )
-    n_all = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_all = dt.groupBy("doc_id").agg(F.sum("tf").alias("n_tokens"))
     n_oov = (
-        toks.join(F.broadcast(top), "tok", "left_anti")
+        dt.join(F.broadcast(top), "tok", "left_anti")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_oov"))
+        .agg(F.sum("tf").alias("n_oov"))
     )
     return (
         docs.select("doc_id")  # spine: token-less docs keep their row
@@ -461,12 +473,17 @@ def distinctive_terms(docs: DataFrame, k: int = 5) -> DataFrame:
 
     toks = docs.select("doc_id", F.explode(F.expr(_WORDS)).alias("tok"))
     dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_tab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # df as a COUNT window over the term table instead of a second
+    # aggregation joined back: the join formulation evaluated dt (and
+    # the corpus explode under it) twice — Catalyst shares no duplicate
+    # subtrees (guide §7.2; r11). Same integer df per row.
     w = Window.partitionBy("doc_id").orderBy(
         F.desc(F.col("tf") / F.col("df")), "tok"
     )
     return (
-        dt.join(df_tab, "tok")
+        dt.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
         .withColumn("score", F.col("tf") / F.col("df"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
