@@ -4038,6 +4038,10 @@ def q_bpe_tokenize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("word rlike '^[a-z]+$'")
         .groupBy("lang", "source", "word")
         .agg(F.count("*").alias("n_occ"))
+        # persisted: feeds the word-type extraction AND the final
+        # occurrence join — the corpus explode + rlike + agg ran twice
+        # (guide §7.2; CacheManager dedupes repeated invocations)
+        .persist()
     )
     # per word TYPE: base symbol count and merged token count
     types = occ.select("word").distinct().select(
@@ -4170,8 +4174,12 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     fit = _PAIR_CACHE.get(key)
     if fit is None:
         emb = load_table(spark, sf_dir, "embeddings")
+        # checkpoint_books: this cache materializes codes and books in
+        # SEPARATE actions — without it each action re-runs the whole
+        # Lloyd chain (bench row materialize_pq_index 3.7 -> 1.7 s)
         codes, books = similarity.pq_fit_encode(
-            emb, m=PQ_M, sub_dim=PQ_SUB_DIM, k=PQ_K, iters=PQ_ITERS
+            emb, m=PQ_M, sub_dim=PQ_SUB_DIM, k=PQ_K, iters=PQ_ITERS,
+            checkpoint_books=True,
         )
         fit = (codes.persist(), books.persist())
         _PAIR_CACHE[key] = fit

@@ -1111,6 +1111,7 @@ def pq_fit_encode(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_books: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Train PQ codebooks and encode every vector (Jégou et al. 2011,
     public algorithm): the vector splits into ``m`` subspaces of
@@ -1143,7 +1144,9 @@ def pq_fit_encode(
     # seeds: the k smallest ids, cluster ordinal = rank by id (the
     # _kmeans_fit convention, per subspace — id sets are identical)
     seed_ids = emb.select(F.col(id_col).alias("_id")).orderBy("_id").limit(k)
-    return _pq_core_fit(v, seed_ids, k, iters)
+    return _pq_core_fit(
+        v, seed_ids, k, iters, checkpoint_books=checkpoint_books
+    )
 
 
 def _pq_core_fit(
@@ -1152,6 +1155,7 @@ def _pq_core_fit(
     k: int,
     iters: int,
     extra_cols: tuple[str, ...] = (),
+    checkpoint_books: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Composite-key Lloyd over a prebuilt subspace table ``v`` =
     (_id, subspace, _vq BIGINT list): the shared engine behind
@@ -1209,6 +1213,16 @@ def _pq_core_fit(
 
     for _ in range(iters):
         cent = recompute(assign(cent))
+    if checkpoint_books:
+        # materialize the FINAL codebooks once (m x k tiny rows) for
+        # callers that action codes and books SEPARATELY (the session
+        # pq-fit cache: books.count() then codes' persist) — each action
+        # would re-run the whole Lloyd chain. OPT-IN only: inside a
+        # single action the chain's duplicate subtrees are deduped by
+        # exchange reuse, and an eager checkpoint there measured SLOWER
+        # (ivfpq_adc_recall 1.6 -> 4.2 s — blocking jobs replacing
+        # reused exchanges).
+        cent = cent.localCheckpoint()
     codes = assign(cent).select(
         "_id", "subspace", F.col("cluster").alias("code"), "_vq", *extra_cols
     )
@@ -1237,10 +1251,21 @@ def pq_codebook_audit(
         f"aggregate(zip_with({to_d}, _c, (a, b) -> (a - b) * (a - b)),"
         " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    joined = codes.join(
-        F.broadcast(books),
-        (codes.subspace == books.subspace) & (codes.code == books.cluster),
-    ).select(codes.subspace, codes.code, F.expr(dist2).alias("_d2"))
+    # name-based join: codes now DERIVES from the checkpointed books
+    # (shared lineage), so dataframe-attribute equality predicates are
+    # ambiguous self-join references; renaming the build side and
+    # joining USING-style resolves cleanly and keeps the broadcast
+    bk = books.select(
+        "subspace", F.col("cluster").alias("code"), F.col("_c").alias("_bc")
+    )
+    dist2_bc = (
+        f"aggregate(zip_with({to_d}, _bc, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    joined = (
+        codes.join(F.broadcast(bk), ["subspace", "code"])
+        .select("subspace", "code", F.expr(dist2_bc).alias("_d2"))
+    )
     norms = books.select(
         "subspace",
         F.col("cluster").alias("code"),
