@@ -201,6 +201,12 @@ def minhash_lsh_pairs(
     # doc, candidates join on id keys only — avoids the shingle⋈shingle
     # self-join whose output is quadratic in per-shingle doc frequency
     doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
+    # spread the compute-bound per-pair intersection over the cores:
+    # candidate rows are a few bytes, the verify work is not (guide §2
+    # — partition for the work; cores-derived, see containment verify)
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     out = (
         cand.join(
             doc_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("sa")),
@@ -947,6 +953,15 @@ def containment_lsh_pairs(
         F.least("_probe", "_index").alias("id_a"),
         F.greatest("_probe", "_index").alias("id_b"),
     ).distinct()
+    # the exact verification below (array_intersect over full shingle
+    # sets) is COMPUTE-bound per candidate while the candidate rows are
+    # a few bytes each — spread it over the cores rather than the
+    # byte-sized shuffle partitioning (guide §2: partition for the
+    # work, not the bytes; cores-derived, never a constant). The
+    # id-pair exchange this adds is tiny next to the verify CPU.
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     e = (
         cand.join(
             doc_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("sa")),

@@ -605,6 +605,13 @@ def srp_near_pairs(
         return pd.Series(np.where(den == 0.0, 0.0, num / safe))
 
     sim = F.round(_batch_cosine(F.col("va"), F.col("vb")), round_to)
+    # cosine verification is an Arrow/numpy kernel over ~2·dim doubles
+    # per candidate — compute-bound while the id-pair rows are tiny;
+    # spread it over the cores (guide §2, cores-derived — see the dedup
+    # module's verify repartitions)
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     return (
         cand.join(base.select(F.col("_id").alias("id_a"),
                               F.col("_v").alias("va")), "id_a")

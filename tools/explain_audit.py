@@ -1214,15 +1214,21 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
     ),
     # bench-only index builds (resolved via bench.SPECIAL)
     "materialize_minhash_pairs": (
-        3,  # band equi-join + set verify; candidates broadcast-side
+        4,  # band equi-join + set verify; candidates broadcast-side.
+        # +1 (r11): the deliberate cores-derived candidate repartition
+        # that spreads the compute-bound per-pair set intersection
+        # (dedup.minhash_lsh_pairs verify) — a few-bytes id-pair
+        # exchange buying verify parallelism
         ["codegen id", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"],
     ),
     "materialize_srp_pairs": (
-        1,  # ONE Arrow crossing: the numpy SRP signature kernel
+        2,  # ONE Arrow crossing: the numpy SRP signature kernel
         # (ArrowEvalPython is the vectorized pandas_udf — required,
-        # not forbidden, for this row)
+        # not forbidden, for this row). +1 exchange (r11): the
+        # cores-derived candidate repartition spreading the cosine
+        # verify kernel (similarity.srp_near_pairs)
         ["codegen id", "ArrowEvalPython", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
