@@ -44,7 +44,11 @@ def pair_pagerank(pairs: DataFrame, iters: int = 3) -> DataFrame:
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is read twice per iteration + once at the end; materializing
+    # the O(#nodes) table once saves an aggregation re-run per use (r11)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
     ranks = deg.select(
         F.col("src").alias("id"), F.lit(SCALE).cast("bigint").alias("r")
     ).localCheckpoint()

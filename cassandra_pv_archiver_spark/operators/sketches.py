@@ -263,21 +263,22 @@ def bloom_two_stage_funnel(
     bloom_bits = (
         bench_sh.select(F.explode(F.expr(pos_expr)).alias("bit")).distinct()
     )
-    probes = (
-        sh.join(bench_ids.select(id_col), id_col, "left_anti")
-        .withColumn("_pos", F.expr(pos_expr))
-        .withColumn("_npos", F.size("_pos"))
-    )
-    # per-gram verdicts via BROADCAST joins only, then per-doc flags by
-    # AGGREGATION — never a corpus ⋈ corpus join-back (the flag tables
-    # are corpus-cardinality at scale; max() over co-partitioned groups
-    # is the join-free way to fold them onto documents)
+    probes = sh.join(bench_ids.select(id_col), id_col, "left_anti")
+    # per-gram verdicts computed ONCE PER DISTINCT GRAM (r11: the bloom
+    # probe and the exact membership depend only on the shingle — the
+    # per-occurrence formulation exploded k bit rows for every
+    # (doc, gram) occurrence, ~10x the distinct-gram volume at sf0.1),
+    # via BROADCAST joins only; per-doc flags fold by AGGREGATION —
+    # never a corpus ⋈ corpus join-back (the flag tables are
+    # corpus-cardinality at scale; max() over co-partitioned groups is
+    # the join-free way to fold them onto documents)
     exact_grams = bench_sh.withColumn("_ex", F.lit(1))
-    per_gram = (
-        probes.join(F.broadcast(exact_grams), "shingle", "left")
+    gram_verdict = (
+        probes.select("shingle")
+        .distinct()
+        .withColumn("_pos", F.expr(pos_expr))
         .select(
-            id_col, group_col, "shingle", "_npos",
-            F.coalesce("_ex", F.lit(0)).alias("_ex"),
+            "shingle", F.size("_pos").alias("_npos"),
             F.explode("_pos").alias("bit"),
         )
         .join(
@@ -285,17 +286,19 @@ def bloom_two_stage_funnel(
             "bit",
             "left",
         )
-        .groupBy(id_col, group_col, "shingle", "_npos", "_ex")
+        .groupBy("shingle", "_npos")
         .agg(F.sum(F.coalesce("_set", F.lit(0))).alias("_nhit"))
+        .join(F.broadcast(exact_grams), "shingle", "left")
         .select(
-            id_col,
-            group_col,
-            "_ex",
+            "shingle",
             (F.col("_nhit") == F.col("_npos")).cast("int").alias("_bloom"),
+            F.coalesce("_ex", F.lit(0)).alias("_ex"),
         )
     )
-    per_doc = per_gram.groupBy(id_col, group_col).agg(
-        F.max("_bloom").alias("_flag"), F.max("_ex").alias("_conf")
+    per_doc = (
+        probes.join(F.broadcast(gram_verdict), "shingle")
+        .groupBy(id_col, group_col)
+        .agg(F.max("_bloom").alias("_flag"), F.max("_ex").alias("_conf"))
     )
     agg = per_doc.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
