@@ -1233,9 +1233,12 @@ EXPECTATIONS: dict[str, tuple[int | None, list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
     "materialize_pq_index": (
-        8,  # per-subspace k-means rounds; codebook attach broadcasts,
-        # assignment top-1 via TakeOrderedAndProject-style pruning
-        ["codegen id", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        8,  # per-subspace k-means rounds; codebook attach broadcasts.
+        # r11: the seed TakeOrderedAndProject now lives INSIDE the
+        # checkpointed one-time codebook build (pq_fit_encode
+        # checkpoint_books) — the audited post-checkpoint plan shows
+        # the broadcast attach + assignment window only
+        ["codegen id", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
     "pair_table_update": (
