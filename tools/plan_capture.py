@@ -23,6 +23,25 @@ def main() -> int:
     if rest and os.path.isdir(rest[0]):
         sf_dir, rest = rest[0], rest[1:]
     os.makedirs(outdir, exist_ok=True)
+    # provenance stamp (r11 review: before/after dumps must be
+    # attributable to the commit they were captured at)
+    import subprocess
+    import time
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip() or "unknown"
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip())
+    except OSError:
+        commit, dirty = "unknown", False
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     spark = get_spark("plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
     import bench
@@ -37,6 +56,8 @@ def main() -> int:
         with open(path, "w") as fh:
             fh.write(
                 f"-- {name} @ {sf_dir}\n"
+                f"-- commit={commit}{'+dirty' if dirty else ''}"
+                f" captured={stamp}\n"
                 f"-- shuffle.partitions="
                 f"{spark.conf.get('spark.sql.shuffle.partitions')}"
                 f" adaptive={spark.conf.get('spark.sql.adaptive.enabled')}\n"
