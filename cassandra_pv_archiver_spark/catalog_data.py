@@ -4031,17 +4031,19 @@ def q_bpe_tokenize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = [(r["lhs"], r["rhs"]) for r in merges_df.collect()]
 
-    occ = (
+    from .cache_scope import persist_scoped
+
+    occ = persist_scoped(
         docs.select(
             "lang", "source", F.explode(F.expr(_WORDS)).alias("word")
         )
         .filter("word rlike '^[a-z]+$'")
         .groupBy("lang", "source", "word")
         .agg(F.count("*").alias("n_occ"))
-        # persisted: feeds the word-type extraction AND the final
-        # occurrence join — the corpus explode + rlike + agg ran twice
-        # (guide §7.2; CacheManager dedupes repeated invocations)
-        .persist()
+        # invocation-scoped persist (r12): feeds the word-type
+        # extraction AND the final occurrence join — the corpus explode
+        # + rlike + agg ran twice (guide §7.2); drained by bench.run_one
+        # after the timed action (r11 review: persist hygiene)
     )
     # per word TYPE: base symbol count and merged token count
     types = occ.select("word").distinct().select(
@@ -5162,13 +5164,14 @@ def q_wsample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     w = _wsample_weight()
-    picks = None
-    for i in range(WBIAS_SALTS):
-        p = sampling.weighted_sample(
-            docs, k=WBIAS_K, weight=w, group_col="lang",
-            salt=f"wbias:{i}",
-        ).select("doc_id", "weight")
-        picks = p if picks is None else picks.unionByName(p)
+    # all {WBIAS_SALTS} draws in ONE corpus scan (r12): the multi-salt
+    # entry point runs the identical production race with the salt as
+    # an extra window key — 16 scans + 32 window shuffles became 1 + 2
+    # (per-salt slice equality pinned in tests/test_sampling_ops.py)
+    picks = sampling.weighted_sample_multi(
+        docs, k=WBIAS_K, weight=w, group_col="lang",
+        salts=[f"wbias:{i}" for i in range(WBIAS_SALTS)],
+    ).select("doc_id", "weight")
     pop = (
         docs.select(w.alias("weight"))
         .groupBy("weight")
@@ -5464,14 +5467,16 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("source", F.explode(F.expr(text._WORDS)).alias("tok"))
     counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("source").orderBy(F.desc("n"), "tok")
-    top = (
+    from .cache_scope import persist_scoped
+
+    top = persist_scoped(
         counts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= VOCAB_OVERLAP_TOP)
         .select("source", "tok")
-        # persisted: feeds sizes + BOTH sides of the token self-join —
-        # without it the corpus token count + window runs three times
-        # (guide §7.2; the table is sources × top-k rows, tiny)
-        .persist()
+        # invocation-scoped persist (r12): feeds sizes + BOTH sides of
+        # the token self-join — without it the corpus token count +
+        # window runs three times (guide §7.2); drained by
+        # bench.run_one after the timed action (r11 review)
     )
     sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("_sz"))
     a = top.select(F.col("source").alias("src_a"), "tok")

@@ -621,6 +621,16 @@ def encode_typed_samples(
             for k in _META_KEYS
         ] if "meta" in cols else [],
     )
+    # spread the struct.pack kernel over the cores (guide §2, r12): the
+    # samples fixture is one compact parquet split, so the whole encode
+    # ran as a single Python task; rows are ~100 B while the per-row
+    # kernel is not. Deterministic hash keys — (sid, t) is unique per
+    # sample — and downstream consumes frames as a seq-keyed set, so
+    # placement cannot change results. The checkpointed output keeps
+    # the spread for both decode branches and the assembly.
+    flat = flat.repartition(
+        flat.sparkSession.sparkContext.defaultParallelism, "sid", "t"
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

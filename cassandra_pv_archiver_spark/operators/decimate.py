@@ -135,7 +135,11 @@ def _lead_hwm_range_partitioned(
     tests/test_skew.py); costs a probe job + a broadcast, so it is
     OPT-IN via ``skew_safe=True`` — the default plan is right for the
     channel-balanced archive."""
-    n_slices = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # cores-derived, like the dedup module's verify repartitions: the
+    # per-task bound on a hot channel is n/n_slices, and session.py cuts
+    # shuffle.partitions to cpus//4 for dispatch cost — deriving the
+    # slice count from THAT would weaken the skew bound 4x (r11 review)
+    n_slices = df.sparkSession.sparkContext.defaultParallelism
     probs = [i / n_slices for i in range(1, n_slices)]
     cuts = sorted(set(df.stat.approxQuantile(t, probs, 0.01))) if probs else []
     if cuts:

@@ -66,6 +66,7 @@ def jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     max_docs: int | None = EXACT_PAIRS_MAX_DOCS,
+    cache_log: list | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard over documents sharing >= 1 shingle.
 
@@ -77,6 +78,11 @@ def jaccard_pairs(
     could land on decimal ties where engines disagree).
     Returns: id_a, id_b (a < b), jaccard, n_common.
     """
+    # persist FIRST (r12, guide §7.2): the guard's distinct-count was a
+    # pure-overhead pass over the uncached shingle explode, and the main
+    # plan then re-ran the explode for sizes + both self-join sides; the
+    # persist turns the guard job into the cache-population pass
+    sh = _persist_logged(sh, cache_log)
     if max_docs is not None:
         n_docs = sh.select(id_col).distinct().count()
         if n_docs > max_docs:
@@ -149,13 +155,13 @@ def _banded_signatures(
 def _persist_logged(df: DataFrame, cache_log: list | None) -> DataFrame:
     """persist + record for caller-side unpersist — UNLESS the caller
     already cached the input (a session-scoped table must not be
-    unpersisted out from under its owner by a bounded-lifetime call)."""
-    if df.is_cached:
-        return df
-    df = df.persist()
-    if cache_log is not None:
-        cache_log.append(df)
-    return df
+    unpersisted out from under its owner by a bounded-lifetime call).
+    With ``cache_log=None`` the persist registers in the module-level
+    cache_scope instead (r12): bench drains it after each timed action,
+    so repeated passes recompute honestly and nothing leaks."""
+    from ..cache_scope import persist_logged
+
+    return persist_logged(df, cache_log)
 
 
 def minhash_lsh_pairs(
@@ -795,6 +801,7 @@ def containment_pairs(
     j_max: float = 0.5,
     id_col: str = "doc_id",
     max_docs: int | None = EXACT_PAIRS_MAX_DOCS,
+    cache_log: list | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: Broder CONTAINMENT C(A in B) = |A∩B| / |A| —
     the quote-inside-article / doc-embedded-in-digest case that
@@ -815,6 +822,9 @@ def containment_pairs(
     Returns: id_small (the contained side), id_big, containment,
     jaccard, n_common.
     """
+    # persist FIRST (r12): see jaccard_pairs — the guard pass populates
+    # the cache that sizes + both self-join sides then read
+    sh = _persist_logged(sh, cache_log)
     if max_docs is not None:
         n_docs = sh.select(id_col).distinct().count()
         if n_docs > max_docs:

@@ -394,18 +394,78 @@ def weighted_sample(
     Returns: group_col, rank (1-based int), id_col, weight (int),
     sample_key (the winning ticket, hex).
     """
-    tickets = F.expr(
-        f"array_max(transform(sequence(0, CAST(_w AS INT) - 1),"
-        f" r -> md5(concat('{salt}:', CAST({id_col} AS STRING), ':',"
-        " CAST(r AS STRING)))))"
-    )
     keyed = (
         docs.select(group_col, id_col, weight.cast("int").alias("_w"))
         .filter(F.col("_w") >= 1)
-        .withColumn("sample_key", tickets)
+        .withColumn("_salt", F.lit(salt))
     )
-    bucket = (hash_bucket16(id_col, salt + ":bkt") % n_buckets).cast("int")
-    w_local = Window.partitionBy(group_col, "_bkt").orderBy(
+    return _replication_race(keyed, k, group_col, id_col, n_buckets).select(
+        group_col, "rank", id_col, "weight", "sample_key"
+    ).orderBy(group_col, "rank")
+
+
+def weighted_sample_multi(
+    docs: DataFrame,
+    k: int,
+    weight: Column,
+    salts: list[str],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Every salt's :func:`weighted_sample` draw in ONE corpus scan —
+    the bias-audit entry point (r12): N independent draws previously
+    cost N full scans + 2N window shuffles; here the salt list explodes
+    onto the scanned rows and the identical replication race runs with
+    the salt as one more window key. Each (salt) slice is the SAME pure
+    function of (salt, id, w) as the single-salt sampler — the race
+    core is literally shared (this is the production sampler, not a
+    reimplementation; slice equality is pinned by an operator test).
+
+    Returns: salt, group_col, rank, id_col, weight, sample_key.
+    """
+    keyed = (
+        docs.select(group_col, id_col, weight.cast("int").alias("_w"))
+        .filter(F.col("_w") >= 1)
+        .withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in salts])))
+    )
+    return _replication_race(keyed, k, group_col, id_col, n_buckets).select(
+        F.col("_salt").alias("salt"),
+        group_col, "rank", id_col, "weight", "sample_key",
+    )
+
+
+def _replication_race(
+    keyed: DataFrame, k: int, group_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """The shared race core: ``keyed`` carries (group, id, _w >= 1,
+    _salt); tickets, bucketed two-phase top-k and ranks are computed per
+    (_salt, group) — with a literal ``_salt`` this is exactly the
+    pre-r12 single-salt plan (the constant folds into the md5 strings).
+    """
+    tickets = F.expr(
+        f"array_max(transform(sequence(0, CAST(_w AS INT) - 1),"
+        f" r -> md5(concat(_salt, ':', CAST({id_col} AS STRING), ':',"
+        " CAST(r AS STRING)))))"
+    )
+    # hash_bucket16(id, salt + ":bkt") spelled with the salt as a
+    # column: md5(salt || ':bkt:' || id) — byte-identical input string
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(
+                    F.col("_salt"), F.lit(":bkt:"),
+                    F.col(id_col).cast("string"),
+                )),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int") % n_buckets
+    ).cast("int")
+    keyed = keyed.withColumn("sample_key", tickets)
+    w_local = Window.partitionBy("_salt", group_col, "_bkt").orderBy(
         F.desc("sample_key"), id_col
     )
     survivors = (
@@ -414,12 +474,11 @@ def weighted_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn", "_bkt")
     )
-    w_global = Window.partitionBy(group_col).orderBy(
+    w_global = Window.partitionBy("_salt", group_col).orderBy(
         F.desc("sample_key"), id_col
     )
     return (
         survivors.withColumn("rank", F.row_number().over(w_global).cast("int"))
         .filter(F.col("rank") <= k)
-        .select(group_col, "rank", id_col, F.col("_w").alias("weight"), "sample_key")
-        .orderBy(group_col, "rank")
+        .withColumnRenamed("_w", "weight")
     )

@@ -226,7 +226,19 @@ def pca_top_component(
         # (~2-3 ms of py4j each — r11 build-cost pass). repr(float) is
         # the shortest round-trip form and Spark's double parsing is
         # correctly rounded, so the 'D' literals are bit-identical.
-        uv = "array(" + ", ".join(f"{float(x)!r}D" for x in u) + ")"
+        # Non-finite components (an overflowed power iteration) have no
+        # 'D' literal form — repr gives 'nan'/'inf', which fails to
+        # parse where the old F.lit path propagated them (r11 review);
+        # emit the cast-from-string spelling for exactly those.
+        def lit(x: float) -> str:
+            x = float(x)
+            if math.isfinite(x):
+                return f"{x!r}D"
+            s = "NaN" if math.isnan(x) else (
+                "Infinity" if x > 0 else "-Infinity")
+            return f"CAST('{s}' AS DOUBLE)"
+
+        uv = "array(" + ", ".join(lit(x) for x in u) + ")"
         ids = ", ".join(str(int(i)) for i in query_ids)
         return q.filter(f"_id IN ({ids})").selectExpr(
             f"'{kind}' AS kind",
@@ -286,6 +298,50 @@ def hard_negatives(
     )
 
 
+def _batch_cosine_udf():
+    """Arrow/numpy exact-cosine verify kernel — ONE definition (r12)
+    shared by the SRP verify and the exact all-pairs baseline.
+
+    SEQUENTIAL left fold over dimensions, vectorized across pairs:
+    numpy's ``.sum`` is PAIRWISE summation, which can differ from the
+    oracle's list_sum (a strict left fold — probed empirically) in the
+    last ulp; a sim landing on a round-to-4 midpoint would then flip
+    pair membership between the engines (round-10 review). One
+    elementwise add per dimension keeps the numpy speed and the fold
+    order — the same order as the Catalyst ``fold_dot``/``fold_norm``
+    expressions, so swapping either form for the other is bit-exact.
+
+    Returned marked ``asNondeterministic`` (guide §4.4, r12): the
+    ``sim >= threshold`` filter was otherwise pushed below the UDF
+    projection, evaluating the kernel — and shipping the two vectors
+    per candidate across Arrow — TWICE (two ArrowEvalPython nodes in
+    the r12 'before' plan). Pure function; the flag only stops the
+    optimizer duplicating it."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _batch_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        n = a.shape[0]
+        num = np.zeros(n)
+        na2 = np.zeros(n)
+        nb2 = np.zeros(n)
+        for j in range(a.shape[1]):
+            num += a[:, j] * b[:, j]
+            na2 += a[:, j] * a[:, j]
+            nb2 += b[:, j] * b[:, j]
+        den = np.sqrt(na2) * np.sqrt(nb2)
+        # zero-norm guard: NaN would PASS `sim >= threshold` (NaN compares
+        # greater in Spark) and rank first — 0.0 is the neutral value
+        safe = np.where(den == 0.0, 1.0, den)
+        return pd.Series(np.where(den == 0.0, 0.0, num / safe))
+
+    return _batch_cosine.asNondeterministic()
+
+
 #: Refuse the exact all-pairs baselines above this input size: 100k rows is
 #: already 5e9 candidate pairs — far past where the LSH paths win, and a
 #: plausible accidental "run it on the corpus" foot-gun at real scale.
@@ -324,10 +380,23 @@ def cosine_near_pairs(
         "similarity.srp_near_pairs (SRP-LSH buckets + exact verify)",
         max_rows,
     )
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    # r12: the n² cosines run through the shared Arrow/numpy verify
+    # kernel (bit-exact same sequential fold as the `_cosine` Catalyst
+    # expression — see _batch_cosine_udf) instead of interpreted
+    # higher-order-function lambdas, which measured ~55 s at a mere
+    # n=2000 (≈700M interpreted lambda steps). One side of the
+    # cartesian is spread over the cores FIRST (a compact input scan is
+    # one partition, so the product — and the kernel — otherwise ran as
+    # a single task); repartitioning after the product would shuffle
+    # both vector payloads per pair.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = (
+        emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        .repartition(par, "id_a")
+    )
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    sim = F.round(_cosine("va", "vb"), round_to)
+    sim = F.round(_batch_cosine_udf()(F.col("va"), F.col("vb")), round_to)
     return (
         pairs.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
@@ -381,6 +450,13 @@ def srp_signature(
         w = (1 << np.arange(n_bits - 1, -1, -1, dtype=np.int64))
         b = bits.reshape(len(V), n_bands, n_bits).astype(np.int64) @ w
         return pd.Series(list(b))
+
+    # asNondeterministic (guide §4.4, r12): posexplode's implicit
+    # `size(..) > 0` filter was pushed below the UDF projection, so the
+    # signature matmul ran TWICE over the whole corpus (two
+    # ArrowEvalPython nodes in the r12 'before' plan). The function is
+    # pure — the flag only stops the optimizer duplicating it.
+    _buckets = _buckets.asNondeterministic()
 
     return (
         emb.withColumn("_bkts", _buckets(F.col(vec_col)))
@@ -488,13 +564,22 @@ def srp_candidate_pairs(
     if n_bits is None:
         n_bits = auto_srp_bits(emb.count())
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # cores-derived spread BEFORE the persist (guide §2, r12): the
+    # signature table inherits the scan's partitioning — a compact
+    # parquet input is ONE partition, which serialized the whole
+    # probe-explode ⋈ bucket join and its partial pair-dedup into a
+    # single task. The cached signature carries the spread to every
+    # consumer; ~24 B/row, so the one-time exchange is tiny.
     sig = (
         srp_signature(base, n_bits=n_bits, n_bands=n_bands, dim=dim, vec_col="_v")
         .select("_id", "band", "bucket")
-        .persist()
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "_id", "band"
+        )
     )
-    if cache_log is not None:
-        cache_log.append(sig)
+    from ..cache_scope import persist_logged
+
+    sig = persist_logged(sig, cache_log)
     if n_probes > 0:
         # probe side = base bucket + its Hamming-1 neighbors; index side
         # stays base-only, so the blowup is (1+q)x one side, not (1+q)^2.
@@ -514,12 +599,22 @@ def srp_candidate_pairs(
         left = sig
     x = left.select(F.col("_id").alias("_xid"), "band", "bucket")
     y = sig.select(F.col("_id").alias("_yid"), "band", "bucket")
+    # `<` instead of `!=` + least/greatest: the probe relation is
+    # XOR-symmetric (x's probe set contains y's base bucket iff their
+    # band signatures differ in exactly one flipped bit — a condition
+    # symmetric in x and y — so y's probe set contains x's base bucket
+    # too, in the same band), and base-base matches are trivially
+    # symmetric; every unordered pair therefore appears in BOTH
+    # orientations and keeping only _xid < _yid provably preserves the
+    # distinct pair set while HALVING the join output that feeds the
+    # dedup exchange (guide §2.3 shuffle fewer bytes; r12 — candidate
+    # set equality pinned by the oracle and test_similarity).
     return (
         x.join(y, ["band", "bucket"])
-        .filter(F.col("_xid") != F.col("_yid"))
+        .filter(F.col("_xid") < F.col("_yid"))
         .select(
-            F.least("_xid", "_yid").alias("id_a"),
-            F.greatest("_xid", "_yid").alias("id_b"),
+            F.col("_xid").alias("id_a"),
+            F.col("_yid").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -569,42 +664,12 @@ def srp_near_pairs(
     PERF.md). At true near-dup thresholds (≥0.9, p≥0.85) even plain
     banding gives recall ≈ 1. Precision = 1 always (exact verify).
     """
-    from pyspark.sql.functions import pandas_udf
-
     base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     cand = srp_candidate_pairs(
         base, n_bits=n_bits, n_bands=n_bands, dim=dim, id_col="_id",
         vec_col="_v", n_probes=n_probes, cache_log=cache_log,
     )
-
-    @pandas_udf("double")
-    def _batch_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
-        import numpy as np
-
-        a = np.stack(va.to_numpy()).astype(np.float64)
-        b = np.stack(vb.to_numpy()).astype(np.float64)
-        # SEQUENTIAL left fold over dimensions, vectorized across pairs:
-        # numpy's .sum is PAIRWISE summation, which can differ from the
-        # oracle's list_sum (a strict left fold — probed empirically) in
-        # the last ulp; a sim landing on a round-to-4 midpoint would then
-        # flip pair membership between the engines (round-10 review).
-        # One elementwise add per dimension keeps the numpy speed and the
-        # fold order.
-        n = a.shape[0]
-        num = np.zeros(n)
-        na2 = np.zeros(n)
-        nb2 = np.zeros(n)
-        for j in range(a.shape[1]):
-            num += a[:, j] * b[:, j]
-            na2 += a[:, j] * a[:, j]
-            nb2 += b[:, j] * b[:, j]
-        den = np.sqrt(na2) * np.sqrt(nb2)
-        # zero-norm guard: NaN would PASS `sim >= threshold` (NaN compares
-        # greater in Spark) and rank first — 0.0 is the neutral value
-        safe = np.where(den == 0.0, 1.0, den)
-        return pd.Series(np.where(den == 0.0, 0.0, num / safe))
-
-    sim = F.round(_batch_cosine(F.col("va"), F.col("vb")), round_to)
+    sim = F.round(_batch_cosine_udf()(F.col("va"), F.col("vb")), round_to)
     # cosine verification is an Arrow/numpy kernel over ~2·dim doubles
     # per candidate — compute-bound while the id-pair rows are tiny;
     # spread it over the cores (guide §2, cores-derived — see the dedup
@@ -828,10 +893,10 @@ def kmeans_ivf_topk(
 
     Returns (q_id, vec_id, sim, rank).
     """
+    from ..cache_scope import persist_logged
+
     assigned, cent = _kmeans_fit(emb, n_clusters, iters, id_col, vec_col)
-    assigned = assigned.persist()
-    if cache_log is not None:
-        cache_log.append(assigned)
+    assigned = persist_logged(assigned, cache_log)
     to_d = "transform({c}, x -> CAST(x AS DOUBLE))"
 
     qv = (
@@ -920,13 +985,13 @@ def semantic_dedup_pairs(
     bit-reproducible at any parallelism. Returns (cluster, id_a, id_b,
     sim) with ``sim >= threshold``, id_a < id_b.
     """
+    from ..cache_scope import persist_logged
+
     assigned, _ = _kmeans_fit(emb, k, iters, id_col, vec_col)
     # persist: the helper self-joins the assignment, and without a cache
     # the full multi-shuffle Lloyd chain re-executes on BOTH join sides
     # (round-10 review; semantic_dedup below already did this)
-    assigned = assigned.persist()
-    if cache_log is not None:
-        cache_log.append(assigned)
+    assigned = persist_logged(assigned, cache_log)
     return _semantic_pairs_from_assigned(assigned, threshold, round_to)
 
 
@@ -976,10 +1041,10 @@ def semantic_dedup(
     the first copy" — deterministic, order-free). Returns (cluster,
     n_vecs, n_dup_pairs, n_dropped, n_kept). The Lloyd fit runs ONCE
     (persisted assignment shared by the size and pair branches)."""
+    from ..cache_scope import persist_logged
+
     assigned, _ = _kmeans_fit(emb, k, iters, id_col, vec_col)
-    assigned = assigned.persist()
-    if cache_log is not None:
-        cache_log.append(assigned)
+    assigned = persist_logged(assigned, cache_log)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
     pairs = _semantic_pairs_from_assigned(assigned, threshold)
     stats = pairs.groupBy("cluster").agg(
@@ -1639,21 +1704,28 @@ def pq_staleness_audit(
         F.col("_s.subspace").alias("subspace"), F.col("_s.vq").alias("_vq"),
     )
     # exact integer error to each grid-quantized centroid; nearest =
-    # min (err, cluster) — assignment against FROZEN books. The square
-    # happens in DECIMAL: a BIGINT (a-b)² overflows at |a-b| > 3e9 —
-    # i.e. for exactly the far-out-of-distribution batches this audit
-    # exists to flag (pinned by the shifted-distribution test)
+    # min error — assignment against FROZEN books. The square happens
+    # in DECIMAL: a BIGINT (a-b)² overflows at |a-b| > 3e9 — i.e. for
+    # exactly the far-out-of-distribution batches this audit exists to
+    # flag (pinned by the shifted-distribution test).
+    # The k candidate errors fold into ONE array_min over the
+    # broadcast per-subspace centroid LIST (r12, guide §2.4): the old
+    # k-row explode + Window.partitionBy(_id, subspace) row_number
+    # shuffled and sorted n·m·k rows to pick a minimum the expression
+    # computes row-locally — only the error of the nearest centroid is
+    # ever used downstream, and min over exact DECIMALs needs no
+    # tiebreak, so the value is identical.
     err = (
-        "aggregate(zip_with(_vq, _cq, (a, b) ->"
+        "array_min(transform(_cqs, _cq ->"
+        " aggregate(zip_with(_vq, _cq, (a, b) ->"
         " CAST(a - b AS DECIMAL(19,0)) * CAST(a - b AS DECIMAL(19,0))),"
-        " CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + CAST(x AS DECIMAL(38,0)))"
+        " CAST(0 AS DECIMAL(38,0)),"
+        " (acc, x) -> acc + CAST(x AS DECIMAL(38,0)))))"
     )
-    d = v.join(F.broadcast(bq), "subspace").withColumn("_e", F.expr(err))
-    w = Window.partitionBy("_id", "subspace").orderBy("_e", "cluster")
+    bqa = bq.groupBy("subspace").agg(F.collect_list("_cq").alias("_cqs"))
     nearest = (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("subspace", "_is_train", "_e")
+        v.join(F.broadcast(bqa), "subspace")
+        .select("subspace", "_is_train", F.expr(err).alias("_e"))
     )
     from .decimate import big_to_double
 

@@ -51,14 +51,16 @@ def cms_heavy_hitter_audit(
     from .text import _WORDS
 
     toks = docs.select(F.explode(F.expr(_WORDS)).alias("token"))
-    # persisted: the term table feeds the top-k ranking AND the sketch
-    # counters below — without it the token hash-agg shuffle runs twice
-    # (Spark's CacheManager dedupes re-persists of the identical plan,
-    # so repeated calls share one entry; same convention as the dedup
-    # module's shingle persist)
-    exact = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("exact_n")
-    ).persist()
+    # persisted (invocation-scoped, r12): the term table feeds the top-k
+    # ranking AND the sketch counters below — without it the token
+    # hash-agg shuffle runs twice. persist_scoped registers it so a
+    # bounded-lifetime caller (bench.run_one drains after each timed
+    # action) releases it instead of leaking a driver-lifetime entry.
+    from ..cache_scope import persist_scoped
+
+    exact = persist_scoped(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    )
     top = exact.orderBy(F.col("exact_n").desc(), "token").limit(top_k)
 
     # ONE md5 per token supplies all ``depth`` row-buckets from disjoint

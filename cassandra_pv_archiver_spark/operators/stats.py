@@ -797,41 +797,52 @@ def channel_acf(
         raise ValueError(
             f"lags {bad} must be non-negative multiples of period_s"
         )
+    vs = 10 ** v_decimals
+    p_ns = period_s * NS
+    known_bounds = None
     if max_grid_work is not None:
-        bounds = samples.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+        # ONE guard job for bounds + channel count (was two, r12), and
+        # the collected bounds become grid literals below — the main
+        # plan then needs no second min/max aggregation of the input
+        bounds = samples.agg(
+            F.min("t").alias("lo"),
+            F.max("t").alias("hi"),
+            F.countDistinct("channel").alias("n_ch"),
+        ).collect()[0]
         if bounds["lo"] is not None:
+            known_bounds = (int(bounds["lo"]), int(bounds["hi"]))
             n_grid = (bounds["hi"] - bounds["lo"]) // (period_s * NS) + 1
-            n_ch = samples.select("channel").distinct().count()
-            work = n_grid * n_ch * max(1, len(lags_s))
+            work = n_grid * bounds["n_ch"] * max(1, len(lags_s))
             if work > max_grid_work:
                 raise ValueError(
                     f"channel_acf: grid work {work} (= {n_grid} grid points"
-                    f" x {n_ch} channels x {len(lags_s)} lags) exceeds"
-                    f" max_grid_work={max_grid_work}; coarsen period_s,"
-                    " restrict the time range/lag list, or raise the bound"
-                    " deliberately"
+                    f" x {bounds['n_ch']} channels x {len(lags_s)} lags)"
+                    f" exceeds max_grid_work={max_grid_work}; coarsen"
+                    " period_s, restrict the time range/lag list, or raise"
+                    " the bound deliberately"
                 )
-    vs = 10 ** v_decimals
-    p_ns = period_s * NS
     s = samples.select(
         "channel",
         "t",
         F.expr(f"CAST(floor(v * {vs} + 0.5) AS DECIMAL(19,0))").alias("_vi"),
     )
-    grid = (
-        s.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
-        .select(
+    seq_expr = (
+        "CASE WHEN lo + pmod(-lo, {p}) <= hi - pmod(hi, {p})"
+        " THEN sequence(lo + pmod(-lo, {p}), hi - pmod(hi, {p}), {p})"
+        " ELSE array() END"
+    ).format(p=p_ns)
+    if known_bounds is not None:
+        lo, hi = known_bounds
+        grid = samples.sparkSession.range(1).select(
             F.explode(
-                F.expr(
-                    f"CASE WHEN lo + pmod(-lo, {p_ns})"
-                    f"          <= hi - pmod(hi, {p_ns})"
-                    f" THEN sequence(lo + pmod(-lo, {p_ns}),"
-                    f"               hi - pmod(hi, {p_ns}), {p_ns})"
-                    f" ELSE array() END"
-                )
+                F.expr(seq_expr.replace("lo", f"{lo}L").replace("hi", f"{hi}L"))
             ).alias("t")
         )
-    )
+    else:
+        grid = (
+            s.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+            .select(F.explode(F.expr(seq_expr)).alias("t"))
+        )
     chans = samples.select("channel").distinct()
     gc = grid.crossJoin(F.broadcast(chans))
     rows = s.withColumn("_g", F.lit(0)).unionByName(

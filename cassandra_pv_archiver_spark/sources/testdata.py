@@ -51,18 +51,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     try:
+        # max mtime over the directory AND its entries: an in-place
+        # rewrite of a part file (same filename) bumps the file's mtime
+        # but not the directory's, which served a stale file index
+        # before (r11 review)
         mtime = os.stat(path).st_mtime_ns
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                for e in it:
+                    mtime = max(mtime, e.stat().st_mtime_ns)
     except OSError:
-        mtime = -1  # unstattable (non-local fs): fall through, uncached
+        # unstattable (non-local fs): fall through, uncached
         return spark.read.parquet(path)
-    key = (spark.sparkContext.applicationId, path, mtime)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, path, mtime)
     df = _SCAN_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(path)
-        _SCAN_CACHE[key] = df
-        # drop superseded versions of the same path (rewritten scratch dirs)
-        for k in [k for k in _SCAN_CACHE if k[:2] == key[:2] and k != key]:
+        # drop superseded versions of the same path (rewritten scratch
+        # dirs) and every entry of a dead session — a process cycling
+        # SparkSessions would otherwise grow the dict unboundedly
+        # (r11 review)
+        for k in [
+            k for k in _SCAN_CACHE
+            if k[0] != app_id or (k[1] == path and k[2] != mtime)
+        ]:
             del _SCAN_CACHE[k]
+        _SCAN_CACHE[key] = df
     return df
 
 

@@ -640,3 +640,32 @@ class TestWeightedSample:
         assert [(r.doc_id, r.rank, r.sample_key) for r in a] == [
             (r.doc_id, r.rank, r.sample_key) for r in b
         ]
+
+    def test_multi_salt_slices_equal_single_salt_draws(self, spark):
+        """weighted_sample_multi's per-salt slice must be EXACTLY the
+        single-salt production draw (the one-scan bias-audit path audits
+        the real sampler, not a copy — r12 optimization)."""
+        from cassandra_pv_archiver_spark.operators.sampling import (
+            weighted_sample,
+            weighted_sample_multi,
+        )
+
+        docs = self._docs(spark, 250)
+        salts = ["wbias:0", "wbias:1", "other"]
+        multi = weighted_sample_multi(
+            docs, k=12, weight=F.col("w"), group_col="lang", salts=salts
+        ).collect()
+        by_salt = {}
+        for r in multi:
+            by_salt.setdefault(r.salt, []).append(
+                (r.lang, r.rank, r.doc_id, r.weight, r.sample_key)
+            )
+        assert set(by_salt) == set(salts)
+        for s in salts:
+            single = [
+                (r.lang, r.rank, r.doc_id, r.weight, r.sample_key)
+                for r in weighted_sample(
+                    docs, k=12, weight=F.col("w"), group_col="lang", salt=s
+                ).collect()
+            ]
+            assert sorted(by_salt[s]) == sorted(single)
